@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed readers for the shared test tables (`/root/repo/TESTDATA.md`).
+  *
+  * The reference treats schema inference as a first draft and immediately
+  * corrects the inferred types (`src/copy_from_template.py:164-232`); we take
+  * the same posture: **explicit `StructType` per dataset**, inference allowed
+  * only at ingestion boundaries (SURVEY.md §1.2). Explicit schemas also skip
+  * footer-based inference on every read — at 100 TB a schema-inference pass
+  * over a million files is a real cost, and pinned types are what make
+  * filter pushdown + vectorized reads reliable.
+  *
+  * All readers return plain DataFrames scanned via the vectorized Parquet
+  * reader with pushdown/pruning left to Catalyst.
+  */
+object Tables {
+
+  val regionSchema = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampNTZType)))
+
+  /** `ts` is Parquet INT64(TIMESTAMP NANOS) read as BIGINT nanoseconds —
+    * requires `spark.sql.legacy.parquet.nanosAsLong=true` (Engine sets it).
+    */
+  val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def read(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region", regionSchema)
+  def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation", nationSchema)
+  def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer", customerSchema)
+  def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier", supplierSchema)
+  def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part", partSchema)
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders", ordersSchema)
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem", lineitemSchema)
+  def events(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "events", eventsSchema)
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
+}
