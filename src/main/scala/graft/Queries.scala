@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Num.r4
 
 /** Named operator queries (SURVEY.md §2) + their DuckDB oracle SQL.
   *
   * Conventions (SURVEY.md §7.4, applied to every oracle-gated query):
   *  - results end in a total ORDER BY over a provably-unique key set;
-  *  - DOUBLE aggregates are `round(x, 4)` on both sides;
+  *  - DOUBLE aggregates are `r4(x)` on both sides;
   *  - `events.ts` is BIGINT nanoseconds on the Spark side and
   *    `epoch_ns(ts)` on the DuckDB side;
   *  - every computed column is aliased identically in both dialects.
@@ -24,23 +25,23 @@ object Queries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q1PricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+      |  floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+      |  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+      |  floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+      |  floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -48,12 +49,14 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Registry: name -> (spark, sfDir) => DataFrame. */
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> (q1Pricing _)
-  )
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.all ++ QueriesLLM.all ++ Map(
+      "q1_pricing" -> (q1Pricing _)
+    )
 
   /** Registry: name -> DuckDB oracle SQL (subset of `all`'s keys). */
-  val oracles: Map[String, String] = Map(
-    "q1_pricing" -> q1PricingSql
-  )
+  val oracles: Map[String, String] =
+    QueriesCore.oracles ++ QueriesLLM.oracles ++ Map(
+      "q1_pricing" -> q1PricingSql
+    )
 }

@@ -1,0 +1,674 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num.r4
+
+import graft.functions.{TimeOps, WeightedMean}
+import graft.operators.{AsOfJoin, Relational, Sessionize, Windows}
+
+/** Core relational operator queries (SURVEY.md §2.1-§2.10) with DuckDB
+  * oracle SQL. Determinism rules per §7.4: total ORDER BY with unique
+  * tie-breakers, r4(x) on doubles, exact integer ns→sec division,
+  * explicit NULLS ordering where rollup/cube introduce nulls.
+  */
+object QueriesCore {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---- §2.1 scans / schema ------------------------------------------------
+
+  /** scan_parquet: pruned projection — `.explain` shows ReadSchema with
+    * exactly two columns and no extra exchange. */
+  val scanParquet: Q = (s, dir) =>
+    Tables.region(s, dir).select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+  val scanParquetSql =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+  /** scan_json: semi-structured ingestion — typed extraction from an
+    * embedded JSON string (`events.props`), the Bridge raw-data shape. */
+  val scanJson: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+
+  val scanJsonSql =
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id"
+
+  /** schema_cast: the reference's re-typing pass as a relational projection
+    * (`copy_from_template.py:177-218`): numeric→string, double→int (via
+    * floor — CAST semantics differ between engines), ns→sec. */
+  val schemaCast: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        col("event_id").cast("string").as("id_str"),
+        floor(col("value")).cast("long").as("value_floor"),
+        TimeOps.nsToSec(col("ts")).as("ts_sec"))
+      .orderBy("event_id")
+
+  val schemaCastSql =
+    """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,
+      |  CAST(floor(value) AS BIGINT) AS value_floor,
+      |  epoch_ns(ts) // 1000000000 AS ts_sec
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- §2.2 projection / filter ------------------------------------------
+
+  val projectCompute: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        r4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val projectComputeSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  floor((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 10000 + 0.5) / 10000 AS charge
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val filterPred: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter((col("o_orderstatus") === "O" && col("o_totalprice").between(1000, 50000)
+        && col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        || col("o_orderpriority").like("5-%"))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  val filterPredSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+      |WHERE (o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 50000
+      |       AND o_orderpriority IN ('1-URGENT','2-HIGH'))
+      |   OR o_orderpriority LIKE '5-%'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- §2.3 joins ---------------------------------------------------------
+
+  /** join_inner: TPC-H Q3 shape — 3-way join where the filtered customer
+    * dim auto-broadcasts (under Engine's 64MB threshold), lineitem⋈orders
+    * shuffles on the order key; top-10 via TakeOrderedAndProject. */
+  val joinInner: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val joinInnerSql =
+    """SELECT l_orderkey, o_orderdate,
+      |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND l_shipdate > TIMESTAMP '1996-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val joinLeft: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  val joinLeftSql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  val joinSemi: Q = (s, dir) => {
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinSemiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  val joinAnti: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val joinAntiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** join_theta_range: banding join — broadcast the tiny band table so the
+    * fact side never shuffles (BNLJ on a 3-row broadcast). */
+  val joinThetaBand: Q = (s, dir) => {
+    val bands = s.createDataFrame(Seq(
+      ("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1.0e9)
+    )).toDF("band", "lo", "hi")
+    Relational.joinBand(Tables.orders(s, dir), bands,
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  val joinThetaBandSql =
+    """SELECT band, count(*) AS n_orders, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM orders JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+      |                         ('high', 250000.0, 1000000000.0)) AS b(band, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** join_asof: latest prior 'view' event per 'purchase' per user — the
+    * union-sort trick (one key shuffle, no range join; see AsOfJoin). */
+  val joinAsof: Q = (s, dir) => {
+    // µs domain end-to-end (DuckDB truncates the NANOS parquet col to µs).
+    val ev = Tables.events(s, dir).withColumn("ts_us", TimeOps.nsToUs(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"))
+    AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts_us", "view_ts_us", Seq("view_ts_us"))
+      .withColumnRenamed("view_ts_us", "prev_view_us")
+      .orderBy("event_id")
+  }
+
+  val joinAsofSql =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  (SELECT max(v.ts_us) FROM v WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us) AS prev_view_us
+      |FROM p ORDER BY p.event_id""".stripMargin
+
+  /** join_interval: pairs of same-customer orders whose 30-day windows
+    * overlap. The equi key (custkey) keeps it a shuffled hash join —
+    * linear in per-key group size, not O(n²) overall. */
+  val joinInterval: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_orderdate")
+    val a = o.as("a")
+    val b = o.as("b")
+    Relational.joinInterval(a, b, Seq("o_custkey"),
+        col("a.o_orderkey") < col("b.o_orderkey") &&
+        col("a.o_orderdate") < col("b.o_orderdate") + expr("INTERVAL 30 DAYS") &&
+        col("b.o_orderdate") < col("a.o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("a.o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("custkey")
+  }
+
+  val joinIntervalSql =
+    """SELECT a.o_custkey AS custkey, count(*) AS n_overlaps
+      |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+      |  AND a.o_orderkey < b.o_orderkey
+      |  AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+      |  AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+      |GROUP BY a.o_custkey ORDER BY custkey""".stripMargin
+
+  val joinCross: Q = (s, dir) =>
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  val joinCrossSql =
+    "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  // ---- §2.4 aggregations --------------------------------------------------
+
+  val aggDistinct: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(countDistinct("c_nationkey").as("n_nations"), count(lit(1)).as("n_cust"))
+      .orderBy("c_mktsegment")
+
+  val aggDistinctSql =
+    """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val aggRollup: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val aggRollupSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  val aggCube: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"), r4(sum("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val aggCubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val aggFiltered: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(sum(when(col("l_discount") > 0.05, col("l_extendedprice")))).as("high_disc_rev"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_big_qty"))
+      .orderBy("l_returnflag")
+
+  val aggFilteredSql =
+    """SELECT l_returnflag,
+      |  floor((sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END)) * 10000 + 0.5) / 10000 AS high_disc_rev,
+      |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- §2.5 windows -------------------------------------------------------
+
+  val winRank: Q = (s, dir) =>
+    Windows.topNPerGroup(Tables.orders(s, dir),
+        Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+
+  val winRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** win_analytic: per-user inter-event gap. Event-time arithmetic happens
+    * in µs — DuckDB's Parquet reader truncates the NANOS column to µs, so
+    * ns-resolution output can never hash-match (TimeOps.nsToUs). */
+  val winAnalytic: Q = (s, dir) =>
+    Windows.lagDelta(
+        Tables.events(s, dir).withColumn("ts_us", TimeOps.nsToUs(col("ts"))),
+        Seq(col("user_id")), Seq(col("ts_us").asc, col("event_id").asc), col("ts_us"), "delta_us")
+      .select("event_id", "user_id", "delta_us")
+      .orderBy("event_id")
+
+  val winAnalyticSql =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+      |SELECT event_id, user_id,
+      |  ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta_us
+      |FROM e ORDER BY event_id""".stripMargin
+
+  val winFrameRows: Q = (s, dir) =>
+    Windows.runningSum(Tables.orders(s, dir),
+        Seq(col("o_custkey")), Seq(col("o_orderdate").asc, col("o_orderkey").asc),
+        col("o_totalprice"), "running_raw")
+      .select(col("o_orderkey"), r4(col("running_raw")).as("running"))
+      .orderBy("o_orderkey")
+
+  val winFrameRowsSql =
+    """SELECT o_orderkey, floor((sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS running
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val winFrameRange: Q = (s, dir) =>
+    Windows.trailingRangeSum(
+        Tables.events(s, dir).withColumn("sec", TimeOps.nsToSec(col("ts"))),
+        Seq(col("user_id")), col("sec"), 604800L, col("value"), "trail_raw")
+      .select(col("event_id"), r4(col("trail_raw")).as("trailing_7d"))
+      .orderBy("event_id")
+
+  val winFrameRangeSql =
+    """WITH e AS (SELECT event_id, user_id, value, epoch_ns(ts) // 1000000000 AS sec FROM events)
+      |SELECT event_id, floor((sum(value) OVER (
+      |    PARTITION BY user_id ORDER BY sec
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS trailing_7d
+      |FROM e ORDER BY event_id""".stripMargin
+
+  // ---- §2.6 sort / top-k --------------------------------------------------
+
+  val sortMulti: Q = (s, dir) =>
+    Relational.sortMulti(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+
+  val sortMultiSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin
+
+  val topk: Q = (s, dir) =>
+    Relational.topK(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      10, col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+
+  val topkSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  // ---- §2.7 set operations ------------------------------------------------
+
+  val setUnionAll: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(col("o_orderkey").as("k"))
+      .union(o.filter(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM")).select(col("o_orderkey").as("k")))
+      .orderBy("k")
+  }
+
+  val setUnionAllSql =
+    """SELECT o_orderkey AS k FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      |UNION ALL
+      |SELECT o_orderkey AS k FROM orders WHERE o_orderpriority IN ('2-HIGH','3-MEDIUM')
+      |ORDER BY k""".stripMargin
+
+  val setUnionDistinct: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(c.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey"))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  val setUnionDistinctSql =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |ORDER BY c_custkey""".stripMargin
+
+  val setIntersect: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val setIntersectSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |ORDER BY o_custkey""".stripMargin
+
+  val setExcept: Q = (s, dir) =>
+    Tables.customer(s, dir).select("c_custkey")
+      .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  val setExceptSql =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- §2.8 scalar functions ----------------------------------------------
+
+  val fnString: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        translate(col("p_type"), " ", "_").as("type_u"),
+        substring(col("p_name"), 1, 8).as("name_pre"))
+      .orderBy("p_partkey")
+
+  val fnStringSql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  replace(p_type, ' ', '_') AS type_u,
+      |  substr(p_name, 1, 8) AS name_pre
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  val fnDate: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("y", "m")
+
+  val fnDateSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  count(*) AS n_orders, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin
+
+  val fnMath: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        r4(sqrt(col("l_quantity"))).as("sq"),
+        r4(pow(col("l_discount") + 1.0, 2)).as("pw"),
+        r4(abs(col("l_tax") - 0.05)).as("ab"),
+        ceil(col("l_extendedprice") / 1000.0).as("ce"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val fnMathSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  floor((sqrt(l_quantity)) * 10000 + 0.5) / 10000 AS sq,
+      |  floor((pow(l_discount + 1.0, 2)) * 10000 + 0.5) / 10000 AS pw,
+      |  floor((abs(l_tax - 0.05)) * 10000 + 0.5) / 10000 AS ab,
+      |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ce
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val fnArray: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        r4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
+        r4(graft.functions.VectorOps.norm2(col("embedding"))).as("norm2"))
+      .orderBy("vec_id")
+
+  val fnArraySql =
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+      |  floor((CAST(embedding[1] AS DOUBLE)) * 10000 + 0.5) / 10000 AS first_val,
+      |  floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000 AS norm2
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** fn_map: genuinely builds a MAP column (map_from_entries over collected
+    * per-type counts) then extracts one key — oracle is the equivalent
+    * conditional count. */
+  val fnMap: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+      .select(col("user_id"), coalesce(element_at(col("m"), "click"), lit(0L)).as("n_clicks"))
+      .orderBy("user_id")
+
+  val fnMapSql =
+    """SELECT user_id, count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val fnJson: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .orderBy(col("k").asc_nulls_first)
+
+  val fnJsonSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  count(*) AS n, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
+      |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin
+
+  val fnConditional: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(col("o_orderpriority") === "3-MEDIUM", "mid")
+        .otherwise("low").as("tier"))
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("tier")
+
+  val fnConditionalSql =
+    """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+      |            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+      |            ELSE 'low' END AS tier,
+      |  count(*) AS n_orders, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin
+
+  // ---- §2.9 streaming shapes (batch-checkable forms) ----------------------
+
+  val streamTumbling: Q = (s, dir) =>
+    Sessionize.tumbling(Tables.events(s, dir), col("ts"), 3600,
+        Seq(col("event_type")), col("value"))
+      .orderBy("win_start", "event_type")
+
+  val streamTumblingSql =
+    """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value FROM events)
+      |SELECT sec - sec % 3600 AS win_start, event_type,
+      |  count(*) AS n_events, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  val streamSliding: Q = (s, dir) =>
+    Sessionize.sliding(Tables.events(s, dir), col("ts"), 3600, 900, Seq.empty)
+      .orderBy("win_start")
+
+  val streamSlidingSql =
+    """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec FROM events)
+      |SELECT (sec // 900) * 900 - off AS win_start, count(*) AS n_events
+      |FROM e CROSS JOIN (VALUES (0), (900), (1800), (2700)) AS o(off)
+      |GROUP BY 1 ORDER BY win_start""".stripMargin
+
+  val streamSession: Q = (s, dir) =>
+    Sessionize.sessions(Tables.events(s, dir), col("ts"), 1800, col("user_id"))
+      .orderBy("user_id", "session_start")
+
+  val streamSessionSql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |m AS (SELECT user_id, sec,
+      |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+      |g AS (SELECT user_id, sec,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(sec) AS session_start, count(*) AS n_events
+      |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  // ---- §2.10 UDF / UDAF / UDTF --------------------------------------------
+
+  /** udf_scalar: the escape hatch, demonstrated on the reference's synId
+    * normalization (`copy_from_template.py:109` strips a "syn" prefix). */
+  val udfScalar: Q = (s, dir) => {
+    val srcNum = udf((src: String) => Option(src).map(_.replace("src", "").toLong))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), srcNum(col("source")).as("src_num"))
+      .orderBy("doc_id")
+  }
+
+  val udfScalarSql =
+    """SELECT doc_id, CAST(replace(source, 'src', '') AS BIGINT) AS src_num
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val udafWeightedMean: Q = (s, dir) => {
+    val wm = udaf(WeightedMean)
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(r4(wm(col("l_extendedprice"), col("l_quantity"))).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val udafWeightedMeanSql =
+    """SELECT l_returnflag,
+      |  floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 10000 + 0.5) / 10000 AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** udtf_generator: row expansion via built-in explode (SURVEY.md §2.10 —
+    * a custom Generator is deferred until profiling demands fusion). */
+  val udtfTokens: Q = (s, dir) =>
+    Tables.documents(s, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+      .orderBy("doc_id", "token")
+
+  val udtfTokensSql =
+    """SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id, token""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_json" -> scanJson,
+    "schema_cast" -> schemaCast,
+    "project_compute" -> projectCompute,
+    "filter_pred" -> filterPred,
+    "join_inner" -> joinInner,
+    "join_left" -> joinLeft,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta_band" -> joinThetaBand,
+    "join_asof" -> joinAsof,
+    "join_interval" -> joinInterval,
+    "join_cross" -> joinCross,
+    "agg_distinct" -> aggDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_filtered" -> aggFiltered,
+    "win_rank" -> winRank,
+    "win_analytic" -> winAnalytic,
+    "win_frame_rows" -> winFrameRows,
+    "win_frame_range" -> winFrameRange,
+    "sort_multi" -> sortMulti,
+    "topk" -> topk,
+    "set_union_all" -> setUnionAll,
+    "set_union" -> setUnionDistinct,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson,
+    "fn_conditional" -> fnConditional,
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "udf_scalar" -> udfScalar,
+    "udaf_weighted_mean" -> udafWeightedMean,
+    "udtf_tokens" -> udtfTokens
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" -> scanParquetSql,
+    "scan_json" -> scanJsonSql,
+    "schema_cast" -> schemaCastSql,
+    "project_compute" -> projectComputeSql,
+    "filter_pred" -> filterPredSql,
+    "join_inner" -> joinInnerSql,
+    "join_left" -> joinLeftSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_theta_band" -> joinThetaBandSql,
+    "join_asof" -> joinAsofSql,
+    "join_interval" -> joinIntervalSql,
+    "join_cross" -> joinCrossSql,
+    "agg_distinct" -> aggDistinctSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_filtered" -> aggFilteredSql,
+    "win_rank" -> winRankSql,
+    "win_analytic" -> winAnalyticSql,
+    "win_frame_rows" -> winFrameRowsSql,
+    "win_frame_range" -> winFrameRangeSql,
+    "sort_multi" -> sortMultiSql,
+    "topk" -> topkSql,
+    "set_union_all" -> setUnionAllSql,
+    "set_union" -> setUnionDistinctSql,
+    "set_intersect" -> setIntersectSql,
+    "set_except" -> setExceptSql,
+    "fn_string" -> fnStringSql,
+    "fn_date" -> fnDateSql,
+    "fn_math" -> fnMathSql,
+    "fn_array" -> fnArraySql,
+    "fn_map" -> fnMapSql,
+    "fn_json" -> fnJsonSql,
+    "fn_conditional" -> fnConditionalSql,
+    "stream_tumbling" -> streamTumblingSql,
+    "stream_sliding" -> streamSlidingSql,
+    "stream_session" -> streamSessionSql,
+    "udf_scalar" -> udfScalarSql,
+    "udaf_weighted_mean" -> udafWeightedMeanSql,
+    "udtf_tokens" -> udtfTokensSql
+  )
+}

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num.r4
+
+import graft.functions.{TextOps, VectorOps}
+import graft.operators.{Dedup, LangId, Similarity}
+
+/** LLM-data-pipeline extension queries (SURVEY.md §2.11 + driver north
+  * star): dedup family, similarity search, text analysis, multimodal
+  * columns. Oracle-gated where DuckDB can express the same computation;
+  * hash-family ops (MinHash/SimHash/SRP/fingerprints) are registered
+  * rows-only and property-tested in the suite instead.
+  */
+object QueriesLLM {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---- dedup --------------------------------------------------------------
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("text_hash")
+
+  val dedupExactSql =
+    """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  /** dedup_jaccard: exact shingle-set Jaccard >= 0.5 via inverted-index
+    * join (no O(n²) pair enumeration). */
+  val dedupJaccard: Q = (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), col("text"), col("doc_id"), 0.5)
+      .orderBy("a_id", "b_id")
+
+  val dedupJaccardSql =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM tk),
+      |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT a_id, b_id, floor((ni * 1.0 / (sa.n + sb.n - ni)) * 10000 + 0.5) / 10000 AS jaccard
+      |  FROM i JOIN sz sa ON i.a_id = sa.doc_id JOIN sz sb ON i.b_id = sb.doc_id) sub
+      |WHERE jaccard >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** dedup_minhash: LSH candidates + signature-estimated Jaccard.
+    * Hash family is salted xxhash64 — not expressible in DuckDB, so this
+    * is rows-only; MinhashSpec property-tests the estimate against exact
+    * Jaccard. */
+  val dedupMinhash: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val cands = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
+    Dedup.minhashVerify(cands, docs, col("text"), col("doc_id"))
+      .filter(col("est_jaccard") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** dedup_simhash: near-dup pairs at Hamming <= 3 over 64-bit SimHash
+    * (banded; rows-only — hash family not expressible in DuckDB). */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("a_id", "b_id")
+
+  // ---- similarity search --------------------------------------------------
+
+  val simTopkCosine: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.topKCosine(emb, emb.filter(col("vec_id") === 0), 11)
+  }
+
+  val simTopkCosineSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, floor((
+      |  list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |FROM embeddings CROSS JOIN q
+      |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin
+
+  val simPairsThreshold: Q = (s, dir) =>
+    Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.35)
+      .orderBy("a_id", "b_id")
+
+  val simPairsThresholdSql =
+    """SELECT * FROM (
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id, floor((
+      |  list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |) sub WHERE cosine >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** sim_ann_lsh: sign-random-projection bucketed ANN — the 100 TB scale
+    * path (no cross join). Rows-only; recall vs brute force is asserted in
+    * SimilaritySpec. */
+  val simAnnLsh: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.annTopK(emb, emb.filter(col("vec_id") === 0), 11, 4)
+  }
+
+  // ---- text analysis ------------------------------------------------------
+
+  val textTokens: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(100)
+
+  val textTokensSql =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  val textStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg("n_chars")).as("avg_chars"),
+        r4(expr("percentile(n_chars, 0.5)")).as("med_chars"))
+      .orderBy("lang")
+
+  val textStatsSql =
+    """SELECT lang, count(*) AS n_docs, floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+      |  floor((quantile_cont(n_chars, 0.5)) * 10000 + 0.5) / 10000 AS med_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** text_quality: transcendental-free quality score (TextOps.qualityScore)
+    * — formula replicated exactly in the oracle. */
+  val textQuality: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql =
+    """WITH t AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |    CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  floor(((n_tokens / (n_tokens + 50.0)) *
+      |    (1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0)
+      |         / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val textTokenCount: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("ws_tokens"),
+        TextOps.regexTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  val textTokenCountSql =
+    """SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** text_langid: Cavnar-Trenkle trigram-profile classifier trained on the
+    * labeled fixture itself (rows-only; accuracy asserted in LangIdSpec). */
+  val textLangid: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val profile = LangId.train(docs, col("text"), col("lang"))
+    LangId.predict(docs, col("text"), col("doc_id"), profile)
+      .orderBy("doc_id")
+  }
+
+  /** text_fingerprint: winnowing fingerprints (rows-only — rolling
+    * xxhash64 not expressible in DuckDB). */
+  val textFingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextOps.fingerprints(col("text"))).as("n_fp"),
+        element_at(TextOps.fingerprints(col("text")), 1).as("min_fp"))
+      .orderBy("doc_id")
+
+  // ---- multimodal ---------------------------------------------------------
+
+  /** multimodal_doc: nested "document" record — text + typed metadata +
+    * embedding norm from a dim join (documents ⋈ embeddings on id). */
+  val multimodalDoc: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"),
+        struct(col("text"), col("lang"), col("source")).as("doc"),
+        r4(VectorOps.norm2(col("embedding"))).as("emb_norm2"))
+      .orderBy("doc_id")
+
+  val multimodalDocSql =
+    """SELECT doc_id, struct_pack(text := text, lang := lang, source := source) AS doc,
+      |  floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000 AS emb_norm2
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** multimodal_features: binary-column plumbing — opaque bytes + derived
+    * features (length, content digest); see operators.Multimodal for the
+    * full decode pipeline. */
+  val multimodalFeatures: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("digest"))
+      .orderBy("doc_id")
+
+  val multimodalFeaturesSql =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+      |  sha256(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "sim_topk_cosine" -> simTopkCosine,
+    "sim_pairs_threshold" -> simPairsThreshold,
+    "sim_ann_lsh" -> simAnnLsh,
+    "text_tokens" -> textTokens,
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_token_count" -> textTokenCount,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_doc" -> multimodalDoc,
+    "multimodal_features" -> multimodalFeatures
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "sim_topk_cosine" -> simTopkCosineSql,
+    "sim_pairs_threshold" -> simPairsThresholdSql,
+    "text_tokens" -> textTokensSql,
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_token_count" -> textTokenCountSql,
+    "multimodal_doc" -> multimodalDocSql,
+    "multimodal_features" -> multimodalFeaturesSql
+  )
+}

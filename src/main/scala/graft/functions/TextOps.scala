@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Num.r4
+
+/** Text-analysis primitives for the LLM-data-pipeline surface
+  * (SURVEY.md §2.11 + driver north star): tokenization, shingling,
+  * token counting, quality scoring, SimHash, rolling-hash fingerprints.
+  *
+  * Everything is a per-row codegen'd expression (split / HOFs / xxhash64)
+  * — no shuffle, no UDF, linear scans that vectorize at 100 TB. Hash
+  * family is `xxhash64` with constant salts: deterministic across runs,
+  * executors, and rounds (no RNG anywhere, SURVEY.md §7.5.2).
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased. The fixture's `text` is single-space
+    * separated; `\s+` keeps it robust to real-world whitespace. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-gram shingles: sliding windows of `n` tokens joined by one
+    * space. Empty when the doc has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Regex token count — a BPE-ish approximation: alphabetic runs, digit
+    * runs, and lone non-space symbols each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Heuristic quality score in (0,1): rational in token count and mean
+    * token length — deliberately free of transcendentals so any SQL oracle
+    * reproduces it bit-for-bit (SURVEY.md §7.4.2). */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val nChar = length(text).cast("double")
+    val meanLen = (nChar - (nTok - 1)) / nTok
+    val lenScore = nTok / (nTok + lit(50.0))
+    val wordScore = lit(1.0) - abs(meanLen - lit(6.0)) / (abs(meanLen - lit(6.0)) + lit(10.0))
+    r4(lenScore * wordScore)
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 votes from each
+    * token's xxhash64 bit, then take the sign. Pure HOF fold over a
+    * 64-long accumulator array — per-row, shuffle-free. */
+  def simhash64(text: Column): Column = {
+    val votes = aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val bits = array((0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))): _*)
+        zip_with(acc, bits, (a, b) => a + b)
+      })
+    val bitValues = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(votes, bitValues, (v, bit) => when(v > 0, bit).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03 — public
+    * algorithm): rolling xxhash64 over char k-grams, then the minimum of
+    * each w-window, deduplicated. Returns the sorted distinct fingerprint
+    * array. */
+  def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val n = length(text)
+    val hashes = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(lower(text).substr(i, lit(k))))
+    val mins = transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      j => array_min(slice(hashes, j, lit(w))))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Character n-grams (for language-ID profiles). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n)))
+  }
+}

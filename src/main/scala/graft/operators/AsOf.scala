@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right observation with
+  * `right.time <= left.time`, matched on equi keys.
+  *
+  * Implementation is the **union-sort trick**, not a range join:
+  * tag each side, union, then one window pass per key ordered by
+  * (time, side) carrying the last-seen right payload forward
+  * (`last(_, ignoreNulls = true)` over an unbounded-preceding ROWS frame).
+  *
+  * Scale rationale: a range join is O(|L|·|R|) per key and needs a
+  * broadcast or BNLJ; the union trick is one shuffle on the equi key plus
+  * a per-partition sort — O((|L|+|R|) log) and embarrassingly parallel
+  * across keys, which is what survives 100 TB. Right rows at exactly the
+  * left timestamp are included (<=) because side orders right (0) before
+  * left (1) at equal times.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to carry (must not collide with left
+    *                column names); all other right columns are dropped.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__t", col(leftTime))
+      .select((leftCols.map(col) ++ payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"))): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .withColumn("__t", col(rightTime))
+      .select((leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(p => col(p).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"))): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
+      df.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(p))): _*)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.functions.Num.r4
+
+/** Deduplication family (driver north star; SURVEY.md §2.11):
+  * exact, MinHash+LSH, SimHash, and token-set Jaccard.
+  *
+  * Scale design:
+  *  - exact: one hash-groupBy shuffle on a 128-bit digest — the canonical
+  *    100 TB dedup; the shuffle moves (digest, id) pairs only.
+  *  - MinHash/LSH: per-row signatures (no shuffle), then an explode on
+  *    (band, bandHash) and a groupBy — candidate generation is linear in
+  *    docs × bands; only colliding buckets ever meet, so there is no O(n²)
+  *    stage. Verification re-scores candidate pairs only.
+  *  - SimHash: per-row 64-bit sketch; near-dup candidates via banding the
+  *    sketch into 4×16-bit chunks (Hamming ≤ 3 ⇒ at least one chunk equal
+  *    — pigeonhole), then exact Hamming check on candidates.
+  *  - Jaccard: sparse similarity join — explode distinct tokens, self-join
+  *    on token, count intersections, then size-join; skew hazard is a
+  *    stop-token whose posting list explodes, so callers can cap document
+  *    frequency (`maxDf`).
+  */
+object Dedup {
+
+  /** Exact dedup: normalize → md5 → keep min id per digest. */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(lower(trim(text))).as("text_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature column: `numPerm` permutations approximated by
+    * salted xxhash64 over `shingleSize`-word shingles (deterministic, no
+    * RNG). Empty-shingle docs get an all-null-safe sentinel signature. */
+  def minhashSignature(text: Column, numPerm: Int = 64, shingleSize: Int = 3): Column = {
+    val sh = TextOps.shingles(text, shingleSize)
+    transform(
+      sequence(lit(0), lit(numPerm - 1)),
+      i => coalesce(array_min(transform(sh, s => xxhash64(s, i))), lit(Long.MaxValue)))
+  }
+
+  /** LSH banding: explode a signature into (band_id, band_hash) rows.
+    * b bands of r rows; docs agreeing on any full band collide. */
+  def lshBands(df: DataFrame, sig: Column, id: Column, bands: Int, rows: Int): DataFrame =
+    df.select(id.as("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"), xxhash64(b, slice(col("__sig"), b * rows + 1, lit(rows))).as("band_hash")))).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+
+  /** Candidate near-dup pairs from LSH buckets (a_id < b_id, distinct).
+    * Self-join per bucket: bucket sizes are small by construction; a hot
+    * bucket (all-identical spam) is the one skew case — cap with
+    * `maxBucket` at scale. */
+  def minhashCandidates(df: DataFrame, text: Column, id: Column,
+      numPerm: Int = 64, shingleSize: Int = 3, bands: Int = 16): DataFrame = {
+    val r = numPerm / bands
+    val banded = lshBands(df.select(id.as("__id"), text.as("__text")),
+      minhashSignature(col("__text"), numPerm, shingleSize), col("__id"), bands, r)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash estimated Jaccard for candidate pairs: fraction of agreeing
+    * signature positions. */
+  def minhashVerify(candidates: DataFrame, docs: DataFrame, text: Column, id: Column,
+      numPerm: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val sigs = docs.select(id.as("doc_id"), minhashSignature(text, numPerm, shingleSize).as("sig"))
+    candidates
+      .join(sigs.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sig", "sig_a"), "a_id")
+      .join(sigs.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sig", "sig_b"), "b_id")
+      .withColumn("est_jaccard",
+        r4(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numPerm))
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (<=
+    * chunks-1 guaranteed findable by pigeonhole over `chunks` bands). */
+  def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
+    val chunks = 4 // 16 bits each; Hamming<=3 => >=1 chunk equal
+    val sh = df.select(id.as("doc_id"), TextOps.simhash64(text).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until chunks).map(c => struct(lit(c).as("chunk_id"),
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact shingle-set Jaccard similarity join: all pairs with
+    * J(shingles(a), shingles(b)) >= threshold. Sparse inverted-index join
+    * on the shingle — never materializes the full pair matrix, and word
+    * n-gram shingles keep posting lists short even over a tiny vocabulary
+    * (unigram posting lists degenerate to ~all-docs). `maxDf` drops
+    * shingles whose document frequency exceeds it (stop-shingle skew
+    * guard for 100 TB corpora). */
+  def jaccardPairs(df: DataFrame, text: Column, id: Column, threshold: Double,
+      shingleSize: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = df.select(id.as("doc_id"),
+      explode(array_distinct(TextOps.shingles(text, shingleSize))).as("sh"))
+    val filtered =
+      if (maxDf == Long.MaxValue) sh
+      else {
+        val dfreq = sh.groupBy("sh").count().filter(col("count") <= maxDf).drop("count")
+        sh.join(dfreq, "sh")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+      .withColumn("jaccard",
+        r4(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

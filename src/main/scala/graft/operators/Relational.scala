@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: filters, joins, set ops, sort/top-k, cardinality guards.
+  *
+  * These wrap Spark's declarative API so Catalyst keeps full visibility
+  * (pushdown, pruning, join selection, AQE). The semantics mirror the
+  * reference's imperative moments (SURVEY.md §2 table): entity filters
+  * (`src/copy_from_template.py:105-112,128-132,149-151`), the ACL anti-join
+  * (`:253-261`), scope-set membership (`:109-111`), and the exactly-one
+  * guard (`:113-121,133-141,152-160`).
+  */
+object Relational {
+
+  /** Cardinality guard: the reference's "exactly one entity or raise"
+    * pattern (`copy_from_template.py:113-121`). Uses `limit(2)` so at most
+    * two rows cross the driver boundary — never a full collect. */
+  def exactlyOne(df: DataFrame, what: String = "row"): org.apache.spark.sql.Row = {
+    val rows = df.limit(2).collect()
+    require(rows.length == 1, s"expected exactly one $what, found ${if (rows.isEmpty) 0 else "multiple"}")
+    rows(0)
+  }
+
+  /** Inner equi-join with optional broadcast of the (small) right side.
+    * Scale: broadcast eliminates the shuffle entirely for bounded dims;
+    * otherwise Spark shuffles both sides on the key (sort-merge / AQE). */
+  def joinInner(left: DataFrame, right: DataFrame, keys: Seq[String], broadcastRight: Boolean = false): DataFrame =
+    left.join(if (broadcastRight) broadcast(right) else right, keys, "inner")
+
+  def joinLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_outer")
+
+  /** Existence join — scope-set membership (`copy_from_template.py:109-111`).
+    * Scale: semi-joins shuffle only the key columns of the right side. */
+  def joinSemi(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_semi")
+
+  /** Exclusion join — the ACL principal skip (`copy_from_template.py:253-254`). */
+  def joinAnti(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_anti")
+
+  /** Theta/range join: left rows matched to right band rows by a range
+    * predicate. The band side is expected to be small and is broadcast,
+    * making this a broadcast-nested-loop with no shuffle of the big side —
+    * the only scalable plan for a pure range predicate. */
+  def joinBand(big: DataFrame, bands: DataFrame, cond: Column): DataFrame =
+    big.join(broadcast(bands), cond)
+
+  /** Interval-overlap self/two-sided join with an equi key. The equi key
+    * keeps it a shuffled hash join (partitioned by key) with the range
+    * condition applied post-match — linear in key-group size, not O(n²)
+    * overall. Callers at 100 TB must supply an equi key or bucketize time. */
+  def joinInterval(left: DataFrame, right: DataFrame, equiKeys: Seq[String], overlap: Column): DataFrame = {
+    val cond = equiKeys.map(k => left(k) === right(k)).reduce(_ && _) && overlap
+    left.join(right, cond)
+  }
+
+  /** Multi-key total sort. Spark plans a range-partitioned global sort
+    * (sampling-based partitioner) — no single-node bottleneck. */
+  def sortMulti(df: DataFrame, keys: Column*): DataFrame = df.orderBy(keys: _*)
+
+  /** Top-k: ORDER BY + LIMIT. Catalyst plans `TakeOrderedAndProject` —
+    * per-partition heaps + driver merge of k rows, never a full sort. */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame = df.orderBy(keys: _*).limit(k)
+}
