@@ -23,9 +23,14 @@ object TextOps {
     * space. Empty when the doc has fewer than n tokens. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val m = size(toks) - (n - 1)
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark —
+    // short docs must yield an empty shingle array instead
+    when(m < 1, array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+      .otherwise(transform(
+        sequence(lit(1), greatest(m, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** Regex token count — a BPE-ish approximation: alphabetic runs, digit

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (driver north star): image/audio/video as opaque
+  * `BINARY` columns with typed metadata, plus the decode / feature-extract
+  * plumbing a training-data pipeline needs.
+  *
+  * The actual media decode is STUBBED (no codec libraries in this build —
+  * `FakeDecoder` derives deterministic pseudo-features from the bytes via
+  * xxHash-style mixing); everything Spark-side is real and tested: the
+  * schema, the per-partition batch iteration (decoder init amortized once
+  * per partition, the mapInPandas-batch analogue for a JVM pipeline), the
+  * row shape, and the partitioning strategy.
+  *
+  * Scale notes: assets are large blobs — never groupBy/shuffle the binary
+  * column; extract features first (narrow map), then drop the bytes before
+  * any wide transform. Feature extraction is CPU-bound and embarrassingly
+  * parallel: `repartition(n)` upstream controls decode parallelism without
+  * touching the shuffle of later relational stages.
+  */
+object Multimodal {
+
+  /** Typed asset row: media kind + opaque payload + sidecar metadata. */
+  case class Asset(asset_id: Long, kind: String, bytes: Array[Byte],
+      meta_width: Int, meta_height: Int)
+
+  /** Extracted features: fixed-dim embedding + summary stats. */
+  case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Int,
+      digest: Long, embedding: Array[Float])
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta_width", IntegerType),
+    StructField("meta_height", IntegerType)))
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic:
+    * features are a hash-mix of the payload, so tests are reproducible.
+    * A real deployment swaps `decode` for the codec call; the pipeline
+    * around it is unchanged. */
+  object FakeDecoder {
+    val dim = 16
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < bytes.length) { h = (h ^ bytes(i)) * 0xC2B2AE3D27D4EB4FL; i += 1 }
+      val out = new Array[Float](dim)
+      var j = 0
+      var s = h
+      while (j < dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        out(j) = ((s >>> 40).toInt / 16777216.0f) - 0.5f
+        j += 1
+      }
+      out
+    }
+    def digest(bytes: Array[Byte]): Long = {
+      var h = 0xCBF29CE484222325L
+      var i = 0
+      while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001B3L; i += 1 }
+      h
+    }
+  }
+
+  /** Per-partition batch feature extraction: the decoder is initialized
+    * once per partition (the expensive step for real codecs), then applied
+    * row-by-row — the JVM analogue of a mapInPandas batch UDF. */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real pipeline: val codec = Codec.open() — once per partition
+      it.map { a =>
+        AssetFeatures(a.asset_id, a.kind, a.bytes.length,
+          FakeDecoder.digest(a.bytes), FakeDecoder.decode(a.bytes))
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind assets: every `stride`-th frame index
+    * up to `maxFrames` — pure relational expansion (no decode), the
+    * planning step before a distributed frame-decode pass. */
+  def sampleFrameIndices(assets: DataFrame, nFramesCol: String, stride: Int,
+      maxFrames: Int): DataFrame =
+    assets.withColumn("frame_idx",
+        explode(slice(sequence(lit(0), col(nFramesCol) - 1, lit(stride)), 1, maxFrames)))
+
+  /** Build an asset table from the documents fixture (text bytes stand in
+    * for media payloads — same plumbing, deterministic content). */
+  def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("bytes"),
+        (pmod(col("doc_id"), lit(640)) + 1).cast("int").as("meta_width"),
+        (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("meta_height"))
+      .as[Asset]
+  }
+}

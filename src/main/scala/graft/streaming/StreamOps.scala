@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators (SURVEY.md §2.9): the streaming entry
+  * points for the same event-time expressions the batch queries use
+  * (batch/stream unification — `Sessionize` builds the expressions, this
+  * object wires them behind `readStream` with watermarks and state).
+  *
+  * Scale notes: windowed aggregations shuffle on (window, keys) exactly as
+  * in batch; state lives in the state store partitioned by key, and the
+  * watermark bounds state size — without it, 100 TB of stream history
+  * accumulates in the store. All sinks are checkpointed; the reference's
+  * fire-and-forget async transaction (`copy_from_template.py:230-232`)
+  * becomes an awaited, exactly-once checkpoint commit.
+  */
+object StreamOps {
+
+  /** Typed event for stateful ops (mirrors the events table with a
+    * TIMESTAMP event time). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user session accumulator emitted by [[sessionScores]]. */
+  case class SessionScore(user_id: Long, n_events: Long, sum_value: Double,
+      session_start: Long, session_end: Long)
+
+  /** Tumbling windowed aggregation with an event-time watermark; `append`
+    * output — rows emit once the watermark passes the window end, late
+    * data beyond `lateness` is dropped (stream_watermark_late). */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful dedup by event id within the watermark horizon
+    * (stream_dedup): state = one entry per id seen, expired with the
+    * watermark — bounded memory at any scale. */
+  def dedupByIdWithinWatermark(events: DataFrame, tsCol: String, idCol: String,
+      lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness).dropDuplicates(idCol, tsCol)
+
+  /** Custom per-key state (stream_stateful): running session score per
+    * user with an inactivity gap, via flatMapGroupsWithState. Emits a
+    * SessionScore each time a session closes (event-time gap exceeded,
+    * detected on the next arriving event or at timeout). Batch-equivalent
+    * recomputation = Sessionize.sessions; asserted in StreamingSpec. */
+  def sessionScores(events: Dataset[Event], gapMillis: Long): Dataset[SessionScore] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double, Long, Long), SessionScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state: (sessionStart, nEvents, sumValue, lastTs, userId)
+        case (userId, rows, state: GroupState[(Long, Long, Double, Long, Long)]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var out = List.empty[SessionScore]
+          var st = state.getOption.getOrElse((0L, 0L, 0.0, Long.MinValue, userId))
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st._4 == Long.MinValue) {
+              st = (t, 1L, e.value, t, userId)
+            } else if (t - st._4 >= gapMillis) {
+              out ::= SessionScore(userId, st._2, st._3, st._1, st._4)
+              st = (t, 1L, e.value, t, userId)
+            } else {
+              st = (st._1, st._2 + 1, st._3 + e.value, t, userId)
+            }
+          }
+          state.update(st)
+          out.reverse.iterator
+      }
+  }
+
+  /** Open a parquet directory as a stream (the batch tables replayed as a
+    * stream for tests and backfills). */
+  def parquetStream(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized text") {
+    val df = docsDf(Seq((1L, "a b c"), (2L, " A B C "), (3L, "x y z")))
+    val out = Dedup.exact(df, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L)) // 2 folded into 1
+    assert(out.head.getLong(2) == 2L) // n_dups
+  }
+
+  test("dedup is idempotent") {
+    val df = Tables.documents(spark, sf)
+    val once = Dedup.exact(df, col("text"), col("doc_id"))
+    val kept = df.join(once.select(col("keep_id").as("doc_id")), "doc_id")
+    val twice = Dedup.exact(kept, col("text"), col("doc_id"))
+    assert(once.count() == twice.count())
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.2 on near-dups") {
+    // doc pairs with known high/low overlap
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, near), (3L, far)))
+    val cands = Dedup.minhashCandidates(df, col("text"), col("doc_id"), bands = 32)
+    val verified = Dedup.minhashVerify(cands, df, col("text"), col("doc_id")).collect()
+    val est12 = verified.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(est12.isDefined, "near-dup pair (1,2) must be an LSH candidate")
+    // exact shingle jaccard of (base, near): 55 shared of 63 distinct shingles ≈ 0.84
+    assert(math.abs(est12.get.getDouble(2) - 0.84) < 0.2)
+    assert(!verified.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L && r.getDouble(2) > 0.3))
+  }
+
+  test("simhash finds near-dups and hamming is 0 for identical docs") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val near = (1 to 49).map(i => s"w$i").mkString(" ") + " zz"
+    val df = docsDf(Seq((1L, base), (2L, base), (3L, near), (4L, "completely different words entirely")))
+    val pairs = Dedup.simhashPairs(df, col("text"), col("doc_id"), maxHamming = 10).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined && p12.get.getInt(2) == 0)
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L))
+  }
+
+  test("jaccardPairs computes exact jaccard on known sets") {
+    val a = "a b c d e f"   // shingles(3): abc bcd cde def
+    val b = "a b c d e z"   // shingles: abc bcd cde dez -> inter 3, union 5
+    val df = docsDf(Seq((1L, a), (2L, b)))
+    val out = Dedup.jaccardPairs(df, col("text"), col("doc_id"), 0.1).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getDouble(2) - 3.0 / 5.0) < 1e-9)
+  }
+
+  test("brute-force topK cosine: self is rank 1 with score 1.0") {
+    val emb = Tables.embeddings(spark, sf)
+    val top = Similarity.topKCosine(emb, emb.filter($"vec_id" === 0), 5).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    // scores non-increasing
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("ANN results are a subset of the corpus ranked consistently with brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0)
+    val ann = Similarity.annTopK(emb, q, 10, bits = 4).collect()
+    assert(ann.nonEmpty && ann.head.getLong(0) == 0L) // query shares its own bucket
+    val brute = Similarity.topKCosine(emb, q, 2000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("pairsAboveThreshold agrees with cross-join ground truth at small n") {
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
+    val got = Similarity.pairsAboveThreshold(emb, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = emb.select($"vec_id".as("ai"), $"embedding".as("ae"))
+    val b = emb.select($"vec_id".as("bi"), $"embedding".as("be"))
+    val want = a.crossJoin(b).filter($"ai" < $"bi")
+      .select($"ai", $"bi",
+        graft.functions.Num.r4(graft.functions.VectorOps.cosine($"ae", $"be")).as("c"))
+      .filter($"c" >= 0.2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+}

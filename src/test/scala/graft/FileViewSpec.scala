@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.FileView
+import java.nio.file.Files
+
+/** Golden test for the reference-shaped ETL (SURVEY.md §5.2.5): all-STRING
+  * "inferred file view" input → typed output per the exact rules of
+  * copy_from_template.py:177-218 → partitioned sink → pruned read-back. */
+class FileViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def viewFixture = Seq(
+    // (name, etag, type, exportedOn, isFirstAssessment, participantVersion, clientInfo, recordId, app, study)
+    ("f1", "e1", "file", "2023-01-02T03:04:05.678", "true", "7", "ios", "r1", "appA", "s1"),
+    ("f2", "e2", "file", "2023-06-30T00:00:00", "false", "12", "android", "r2", "appA", "s2"),
+    ("f3", "e3", "file", null, null, null, null, "r3", "appB", "s1"),
+    ("f4", "e4", "file", "", "", "", "x" * 600, "r4", "appB", "s2")
+  ).toDF("name", "etag", "type", "exportedOn", "isFirstAssessment",
+    "participantVersion", "clientInfo", "recordId", "app", "study")
+
+  test("retype applies the reference's exact type rules") {
+    val out = FileView.retype(viewFixture)
+    val t = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(t("name") == StringType && t("etag") == StringType && t("type") == StringType)
+    assert(t("exportedOn") == TimestampType)
+    assert(t("isFirstAssessment") == BooleanType)
+    assert(t("participantVersion") == IntegerType)
+    assert(t("clientInfo") == StringType && t("recordId") == StringType)
+    val r1 = out.filter($"name" === "f1").head()
+    assert(r1.getAs[java.sql.Timestamp]("exportedOn").toString.startsWith("2023-01-02 03:04:05"))
+    assert(r1.getAs[Boolean]("isFirstAssessment"))
+    assert(r1.getAs[Int]("participantVersion") == 7)
+    // nulls and empty strings stay null after cast
+    val r3 = out.filter($"name" === "f3").head()
+    assert(r3.isNullAt(r3.fieldIndex("exportedOn")))
+    val r4 = out.filter($"name" === "f4").head()
+    assert(r4.isNullAt(r4.fieldIndex("participantVersion")))
+  }
+
+  test("widthViolations flags the over-width clientInfo row only") {
+    val v = FileView.widthViolations(viewFixture).collect()
+    assert(v.length == 1)
+    assert(v.head.getAs[String]("name") == "f4")
+    assert(v.head.getSeq[String](v.head.fieldIndex("violations")).head.startsWith("clientInfo:600"))
+  }
+
+  test("partitioned sink mirrors the bridge-downstream layout and prunes on read") {
+    val root = Files.createTempDirectory("graft_sink").toString
+    FileView.sinkPartitioned(FileView.retype(viewFixture), root)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("app=appA", "app=appB"))
+    val back = spark.read.parquet(root).filter($"app" === "appA" && $"study" === "s1")
+    assert(back.count() == 1)
+    // partition pruning visible in the plan (filters pushed to partition columns)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("app"),
+      s"expected partition filters in plan:\n$plan")
+  }
+
+  test("fileview scan lists files with metadata only") {
+    val fv = FileView.scan(spark, s"$sf/*.parquet")
+    assert(fv.count() >= 10)
+    assert(fv.columns.toSeq == Seq("path", "file_size", "file_modified"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LangId, Multimodal}
+
+class MultimodalLangIdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asset pipeline: schema, determinism, features") {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, sf))
+    // compare names+types (nullability differs: `when/otherwise` infers non-null)
+    assert(assets.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.assetSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val f1 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(f1.length == 500)
+    assert(f1.map(_.digest).toSeq == f2.map(_.digest).toSeq) // deterministic stub
+    assert(f1.forall(_.embedding.length == Multimodal.FakeDecoder.dim))
+    // n_bytes matches payload length (ascii text fixture)
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f1.forall(f => f.n_bytes == chars(f.asset_id)))
+  }
+
+  test("frame sampling expands video assets by stride") {
+    val df = Seq((1L, 10), (2L, 3)).toDF("asset_id", "n_frames")
+    val out = Multimodal.sampleFrameIndices(df, "n_frames", stride = 2, maxFrames = 100)
+      .groupBy("asset_id").agg(collect_list("frame_idx").as("idx"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) == Seq(0, 2, 4, 6, 8))
+    assert(out(2L) == Seq(0, 2))
+  }
+
+  test("langid: separable synthetic languages classify correctly") {
+    val aa = (1 to 40).map(_ => "alpha beta gamma delta").mkString(" ")
+    val bb = (1 to 40).map(_ => "zulu yankee xray whiskey").mkString(" ")
+    val train = Seq((1L, aa, "A"), (2L, bb, "B"), (3L, aa + " beta", "A"), (4L, bb + " zulu", "B"))
+      .toDF("doc_id", "text", "lang")
+    val profile = LangId.train(train, col("text"), col("lang"), topM = 50)
+    val test_ = Seq((10L, "alpha gamma delta beta alpha"), (11L, "whiskey zulu xray yankee"))
+      .toDF("doc_id", "text")
+    val pred = LangId.predict(test_, col("text"), col("doc_id"), profile)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) == "A")
+    assert(pred(11L) == "B")
+  }
+
+  test("langid on the fixture returns a prediction for every doc") {
+    val docs = Tables.documents(spark, sf)
+    val profile = LangId.train(docs, col("text"), col("lang"))
+    val pred = LangId.predict(docs, col("text"), col("doc_id"), profile)
+    assert(pred.count() == docs.count())
+    assert(pred.filter(col("pred_lang").isNull).count() == 0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Relational}
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactlyOne returns the single row and rejects 0 / >1") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    assert(Relational.exactlyOne(df.filter($"id" === 1)).getString(1) == "a")
+    intercept[IllegalArgumentException](Relational.exactlyOne(df.filter($"id" === 99)))
+    intercept[IllegalArgumentException](Relational.exactlyOne(df))
+  }
+
+  test("semi ⊎ anti partitions the left input") {
+    val left = Tables.customer(spark, sf)
+    val right = Tables.orders(spark, sf)
+    val semi = left.join(right, $"c_custkey" === $"o_custkey", "left_semi").count()
+    val anti = left.join(right, $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(semi + anti == left.count())
+  }
+
+  test("asOf attaches the latest right value at or before the left time") {
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 15L), (3L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 19L, "c"), (2L, 16L, "x"))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy("k", "t").collect()
+    // k=1,t=10 -> "b" (rt=10 inclusive); k=1,t=20 -> "c"; k=2,t=15 -> null (16>15); k=3 -> null
+    assert(out.map(r => Option(r.getString(2)).orNull).toSeq == Seq("b", "c", null, null))
+  }
+
+  test("asOf equals the brute-force max-subquery semantics on real data") {
+    val q = QueriesCore.joinAsof(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", graft.functions.TimeOps.nsToUs(col("ts")))
+    val p = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts_us")
+    val v = ev.filter($"event_type" === "view").select($"user_id".as("vu"), $"ts_us".as("vts"))
+    val brute = p.join(v, $"user_id" === $"vu" && $"vts" <= $"ts_us", "left_outer")
+      .groupBy("event_id").agg(max("vts").as("prev_view_us"))
+    val joined = q.select("event_id", "prev_view_us").as("a")
+      .join(brute.as("b"), Seq("event_id"))
+      .filter(!($"a.prev_view_us" <=> $"b.prev_view_us"))
+    assert(joined.count() == 0)
+  }
+
+  test("topk equals sort-take") {
+    val df = Tables.lineitem(spark, sf)
+    val viaTopK = Relational.topK(df, 5, $"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .select("l_orderkey", "l_linenumber").collect().toSeq
+    val viaSort = df.orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .select("l_orderkey", "l_linenumber").take(5).toSeq
+    assert(viaTopK == viaSort)
+  }
+
+  test("interval join counts only overlapping pairs") {
+    val o = Seq((1L, 1L, "2020-01-01"), (1L, 2L, "2020-01-15"), (1L, 3L, "2020-03-01"))
+      .toDF("k", "id", "d")
+      .withColumn("d", to_timestamp($"d"))
+    val a = o.as("a"); val b = o.as("b")
+    val out = Relational.joinInterval(a, b, Seq("k"),
+      col("a.id") < col("b.id") &&
+        col("a.d") < col("b.d") + expr("INTERVAL 30 DAYS") &&
+        col("b.d") < col("a.d") + expr("INTERVAL 30 DAYS")).count()
+    assert(out == 1) // only (1,2) overlap within 30 days
+  }
+}

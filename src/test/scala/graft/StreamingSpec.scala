@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("watermark drops a too-late row in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val agg = StreamOps.tumblingCounts(in.toDF(), "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    try {
+      // batch 1: events in window [0,600); advance watermark far past it
+      in.addData(Event(1, ts(10), 1, "click", 1.0), Event(2, ts(20), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(5000), 1, "click", 1.0)) // watermark -> 5000-300
+      q.processAllAvailable()
+      // batch 3: a late event for the long-closed first window — must be dropped
+      in.addData(Event(4, ts(30), 1, "click", 99.0))
+      q.processAllAvailable()
+      in.addData(Event(5, ts(9000), 1, "click", 1.0)) // flush remaining windows
+      q.processAllAvailable()
+      val out = spark.table("wm_out").collect()
+      val w0 = out.filter(_.getAs[Timestamp]("win_start").getTime == 0L)
+      assert(w0.length == 1)
+      assert(w0.head.getAs[Long]("n_events") == 2) // late event 4 not counted
+    } finally q.stop()
+  }
+
+  test("streaming dedup by id within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val dedup = StreamOps.dedupByIdWithinWatermark(in.toDF(), "ts", "event_id", "10 minutes")
+    val q = dedup.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      in.addData(Event(1, ts(10), 1, "click", 1.0), Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(20), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(1, ts(10), 1, "click", 1.0)) // duplicate across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful session scores match batch gaps-and-islands on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(60), 1, "a", 2.0),   // session 1 (user 1)
+      Event(3, ts(4000), 1, "a", 5.0),                                // session 2 (user 1)
+      Event(4, ts(100), 2, "a", 1.0))                                 // session 1 (user 2)
+    val in = MemoryStream[Event]
+    val scored = StreamOps.sessionScores(in.toDS(), gapMillis = 1800 * 1000L)
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // close user 1's second session and user 2's first with later events
+      in.addData(Event(5, ts(10000), 1, "a", 1.0), Event(6, ts(10000), 2, "a", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[StreamOps.SessionScore].collect()
+      val u1 = out.filter(_.user_id == 1).sortBy(_.session_start)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 2 && math.abs(u1(0).sum_value - 3.0) < 1e-9)
+      assert(u1(1).n_events == 1 && math.abs(u1(1).sum_value - 5.0) < 1e-9)
+      val u2 = out.filter(_.user_id == 2)
+      assert(u2.length == 1 && u2.head.n_events == 1)
+    } finally q.stop()
+  }
+
+  test("stream of parquet events equals batch aggregation (unification)") {
+    import spark.implicits._
+    // FileStreamSource needs a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = StreamOps.parquetStream(spark, Tables.eventsSchema, dir.toString)
+      .withColumn("ts_sec", graft.functions.TimeOps.nsToSec(col("ts")))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("unify_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("unify_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = Tables.events(spark, sf).groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
