@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold dot product in DOUBLE. */
+  /** Sequential-fold dot product in DOUBLE — the codegen'd custom
+    * expression ([[graft.plans.DotProductFloat]]). Same semantics as the
+    * HOF composition below, ~10-100× faster on all-pairs joins because
+    * higher-order functions evaluate interpreted while this fuses into
+    * WholeStageCodegen. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotProduct(a, b)
+
+  /** The composable HOF form (kept as the reference semantics the custom
+    * expression must match — see VectorExprSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

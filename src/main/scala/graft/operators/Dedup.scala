@@ -30,34 +30,44 @@ object Dedup {
     df.groupBy(md5(lower(trim(text))).as("text_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature column: `numPerm` permutations approximated by
-    * salted xxhash64 over `shingleSize`-word shingles (deterministic, no
-    * RNG). Empty-shingle docs get an all-null-safe sentinel signature. */
-  def minhashSignature(text: Column, numPerm: Int = 64, shingleSize: Int = 3): Column = {
-    val sh = TextOps.shingles(text, shingleSize)
-    transform(
-      sequence(lit(0), lit(numPerm - 1)),
-      i => coalesce(array_min(transform(sh, s => xxhash64(s, i))), lit(Long.MaxValue)))
+  /** MinHash signatures as a DataFrame (doc_id, sig ARRAY<BIGINT>):
+    * `numPerm` permutations approximated by salted xxhash64 over
+    * `shingleSize`-word shingles (deterministic, no RNG).
+    *
+    * Shape matters for speed: explode shingles once, then ONE hash
+    * aggregate with `numPerm` min() buffers — every operator here is
+    * whole-stage-codegen'd. (The per-row nested-HOF formulation computes
+    * the same signatures but evaluates interpreted — measured orders of
+    * magnitude slower at sf0.1.) One shuffle on doc_id; at 100 TB the
+    * aggregate is partial+final with fixed 8·numPerm-byte buffers. */
+  def minhashSignatures(df: DataFrame, text: Column, id: Column,
+      numPerm: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val ex = df.select(id.as("doc_id"),
+      explode_outer(array_distinct(TextOps.shingles(text, shingleSize))).as("sh"))
+    val aggs = (0 until numPerm).map(i =>
+      min(when(col("sh").isNotNull, xxhash64(col("sh"), lit(i)))).as(s"h$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(i => coalesce(col(s"h$i"), lit(Long.MaxValue))): _*).as("sig"))
   }
 
-  /** LSH banding: explode a signature into (band_id, band_hash) rows.
-    * b bands of r rows; docs agreeing on any full band collide. */
-  def lshBands(df: DataFrame, sig: Column, id: Column, bands: Int, rows: Int): DataFrame =
-    df.select(id.as("doc_id"), sig.as("__sig"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band_id"), xxhash64(b, slice(col("__sig"), b * rows + 1, lit(rows))).as("band_hash")))).as("band"))
+  /** LSH banding over a signatures frame: (doc_id, band_id, band_hash)
+    * rows; b bands of r signature positions — docs agreeing on any full
+    * band collide. */
+  def lshBands(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band_id"),
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows)).as("band_hash"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
 
   /** Candidate near-dup pairs from LSH buckets (a_id < b_id, distinct).
     * Self-join per bucket: bucket sizes are small by construction; a hot
-    * bucket (all-identical spam) is the one skew case — cap with
-    * `maxBucket` at scale. */
+    * bucket (all-identical spam) is the one skew case — cap with a
+    * document-frequency guard at scale. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
       numPerm: Int = 64, shingleSize: Int = 3, bands: Int = 16): DataFrame = {
     val r = numPerm / bands
-    val banded = lshBands(df.select(id.as("__id"), text.as("__text")),
-      minhashSignature(col("__text"), numPerm, shingleSize), col("__id"), bands, r)
+    val banded = lshBands(minhashSignatures(df, text, id, numPerm, shingleSize), bands, r)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_id") === col("b.band_id") &&
@@ -71,7 +81,7 @@ object Dedup {
     * signature positions. */
   def minhashVerify(candidates: DataFrame, docs: DataFrame, text: Column, id: Column,
       numPerm: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val sigs = docs.select(id.as("doc_id"), minhashSignature(text, numPerm, shingleSize).as("sig"))
+    val sigs = minhashSignatures(docs, text, id, numPerm, shingleSize)
     candidates
       .join(sigs.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sig", "sig_a"), "a_id")
       .join(sigs.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sig", "sig_b"), "b_id")
@@ -81,11 +91,26 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** SimHash sketches as a DataFrame (doc_id, sh BIGINT) — same
+    * explode+aggregate shape as [[minhashSignatures]] (64 codegen'd sum
+    * buffers for the bit votes) instead of the interpreted per-row HOF
+    * fold. */
+  def simhashSketches(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteAggs = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$i"))
+    tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sh"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (<=
     * chunks-1 guaranteed findable by pigeonhole over `chunks` bands). */
   def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // 16 bits each; Hamming<=3 => >=1 chunk equal
-    val sh = df.select(id.as("doc_id"), TextOps.simhash64(text).as("sh"))
+    val sh = simhashSketches(df, text, id)
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until chunks).map(c => struct(lit(c).as("chunk_id"),
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("c"))
@@ -110,22 +135,23 @@ object Dedup {
     * guard for 100 TB corpora). */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, threshold: Double,
       shingleSize: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = df.select(id.as("doc_id"),
-      explode(array_distinct(TextOps.shingles(text, shingleSize))).as("sh"))
+    // Hash shingles to BIGINT once per row (cheap join keys, no string
+    // compares in the SMJ) and carry each doc's set size through the
+    // posting-list join — no separate size joins afterward.
+    val posting = df.select(id.as("doc_id"),
+        array_distinct(transform(TextOps.shingles(text, shingleSize), s => xxhash64(s))).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
     val filtered =
-      if (maxDf == Long.MaxValue) sh
+      if (maxDf == Long.MaxValue) posting
       else {
-        val dfreq = sh.groupBy("sh").count().filter(col("count") <= maxDf).drop("count")
-        sh.join(dfreq, "sh")
+        val dfreq = posting.groupBy("sh").count().filter(col("count") <= maxDf).drop("count")
+        posting.join(dfreq, "sh")
       }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("a")
+    filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
       .withColumn("jaccard",
         r4(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))))
       .filter(col("jaccard") >= threshold)
