@@ -235,6 +235,16 @@ object QueriesCore {
     """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** agg_approx_distinct: HLL++ sketch (rows-only — DuckDB's HLL differs;
+    * ApproxSpec asserts the estimate against exact counts). At 100 TB this
+    * replaces exact distinct: fixed-size sketch buffers, map-side merge. */
+  val aggApproxDistinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val aggRollup: Q = (s, dir) =>
     Tables.orders(s, dir)
       .rollup("o_orderstatus", "o_orderpriority")
@@ -601,6 +611,7 @@ object QueriesCore {
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
     "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_filtered" -> aggFiltered,

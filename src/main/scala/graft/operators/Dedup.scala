@@ -42,13 +42,18 @@ object Dedup {
     * aggregate is partial+final with fixed 8·numPerm-byte buffers. */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
       numPerm: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val ex = df.select(id.as("doc_id"),
-      explode_outer(array_distinct(TextOps.shingles(text, shingleSize))).as("sh"))
-    val aggs = (0 until numPerm).map(i =>
-      min(when(col("sh").isNotNull, xxhash64(col("sh"), lit(i)))).as(s"h$i"))
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // codegen shingle rows; min over the multiset == min over the set, so
+    // no distinct() shuffle is needed before the aggregate
+    val ex = TextOps.shingleRows(df, text, id, shingleSize)
+    val aggs = (0 until numPerm).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sigs = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        array((0 until numPerm).map(i => coalesce(col(s"h$i"), lit(Long.MaxValue))): _*).as("sig"))
+        array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
+    // docs with < shingleSize tokens emit no shingle rows: restore them
+    // with the sentinel signature (identical short docs still collide)
+    df.select(id.as("doc_id")).join(sigs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sig"), array_repeat(lit(Long.MaxValue), numPerm)).as("sig"))
   }
 
   /** LSH banding over a signatures frame: (doc_id, band_id, band_hash)
@@ -135,12 +140,14 @@ object Dedup {
     * guard for 100 TB corpora). */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, threshold: Double,
       shingleSize: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
-    // Hash shingles to BIGINT once per row (cheap join keys, no string
-    // compares in the SMJ) and carry each doc's set size through the
-    // posting-list join — no separate size joins afterward.
-    val posting = df.select(id.as("doc_id"),
-        array_distinct(transform(TextOps.shingles(text, shingleSize), s => xxhash64(s))).as("shs"))
-      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+    // Codegen shingle rows hashed to BIGINT (cheap join keys, no string
+    // compares in the SMJ); each doc's set size rides along so no size
+    // joins are needed after the posting-list join.
+    val base = TextOps.shingleRows(df, text, id, shingleSize)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
+    val sizes = base.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val posting = base.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_sh"), col("sh"))
     val filtered =
       if (maxDf == Long.MaxValue) posting
       else {

@@ -19,9 +19,11 @@ import graft.functions.TextOps
   */
 object LangId {
 
-  /** Per-language trigram profile with inverse-rank weights. */
+  /** Per-language trigram profile with inverse-rank weights. Trigram
+    * extraction via the codegen explode path (TextOps.charNgramRows). */
   def train(docs: DataFrame, text: Column, lang: Column, topM: Int = 200): DataFrame = {
-    val grams = docs.select(lang.as("lang"), explode(TextOps.charNgrams(text, 3)).as("gram"))
+    val grams = TextOps.charNgramRows(docs, text, lang, 3)
+      .withColumnRenamed("doc_id", "lang")
     val counts = grams.groupBy("lang", "gram").count()
     val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("gram").asc)
     counts.withColumn("rank", row_number().over(w))
@@ -31,12 +33,16 @@ object LangId {
   }
 
   /** Predict the best-scoring language per doc; docs with no profile
-    * overlap get null. */
+    * overlap get null. Doc trigram counts are pre-aggregated before the
+    * profile join, so the join input is |distinct grams per doc| rows
+    * instead of one row per occurrence (score = Σ weight·count is
+    * identical). */
   def predict(docs: DataFrame, text: Column, id: Column, profile: DataFrame): DataFrame = {
-    val grams = docs.select(id.as("doc_id"), explode(TextOps.charNgrams(text, 3)).as("gram"))
-    grams.join(broadcast(profile), "gram")
+    val gramCounts = TextOps.charNgramRows(docs, text, id, 3)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    gramCounts.join(broadcast(profile), "gram")
       .groupBy("doc_id", "p_lang")
-      .agg(sum("weight").as("score"))
+      .agg(sum(col("weight") * col("cnt")).as("score"))
       .groupBy("doc_id")
       .agg(max_by(col("p_lang"), struct(col("score"), col("p_lang"))).as("pred_lang"))
   }
