@@ -25,10 +25,13 @@ object Similarity {
     * DataFrame with `embedding`). Broadcast + scan + top-k heap. */
   def topKCosine(corpus: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(query.select(col(vecCol).as("__q")))
+    // query norm rides in the broadcast row — computed once, not per
+    // corpus row (same double bit-for-bit: sqrt is deterministic)
+    val q = broadcast(query.select(col(vecCol).as("__q"),
+      VectorOps.norm(col(vecCol)).as("__qn")))
     corpus.crossJoin(q)
       .select(col(idCol),
-        r4(VectorOps.cosine(col(vecCol), col("__q"))).as("cosine"))
+        r4(VectorOps.dot(col(vecCol), col("__q")) / (VectorOps.norm(col(vecCol)) * col("__qn"))).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -72,10 +75,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = corpus.withColumn("__bucket", srpBucket(col(vecCol), bits))
     val q = broadcast(query.select(col(vecCol).as("__q"),
-      srpBucket(col(vecCol), bits).as("__qbucket")))
+      srpBucket(col(vecCol), bits).as("__qbucket"),
+      VectorOps.norm(col(vecCol)).as("__qn")))
     bucketed.join(q, col("__bucket") === col("__qbucket"))
       .select(col(idCol),
-        r4(VectorOps.cosine(col(vecCol), col("__q"))).as("cosine"))
+        r4(VectorOps.dot(col(vecCol), col("__q")) / (VectorOps.norm(col(vecCol)) * col("__qn"))).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
