@@ -269,6 +269,26 @@ object QueriesCore {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** agg_grouping_sets: explicit grouping-set totals (the third member of
+    * the rollup/cube family) — SQL form, since the Dataset API exposes
+    * only rollup/cube. */
+  val aggGroupingSets: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n_orders,
+        |  floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val aggGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val aggFiltered: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -614,6 +634,7 @@ object QueriesCore {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_filtered" -> aggFiltered,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
@@ -657,6 +678,7 @@ object QueriesCore {
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_filtered" -> aggFilteredSql,
     "win_rank" -> winRankSql,
     "win_analytic" -> winAnalyticSql,

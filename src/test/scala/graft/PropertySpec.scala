@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Dedup, Sessionize}
+import graft.functions.TimeOps
+
+/** ScalaCheck-generated property tests (SURVEY.md §5.2.3). Deterministic:
+  * fixed seeds, no RNG in the operators themselves. */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], seed: Long, n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val wordGen = Gen.oneOf((1 to 40).map(i => s"w$i"))
+  private val docGen: Gen[String] = Gen.chooseNum(5, 60)
+    .flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+
+  test("property: dedup(dedup(x)) == dedup(x) with injected duplicates") {
+    val texts = samples(docGen, seed = 7, n = 40)
+    val withDups = (texts ++ texts.take(10)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = withDups.toDF("doc_id", "text")
+    val once = Dedup.exact(df, col("text"), col("doc_id"))
+    val kept = df.join(once.select(col("keep_id").as("doc_id")), "doc_id")
+    val twice = Dedup.exact(kept, col("text"), col("doc_id"))
+    assert(once.count() == twice.count())
+    assert(twice.filter(col("n_dups") > 1).count() == 0)
+  }
+
+  test("property: minhash jaccard estimate within 4 sigma of exact (64 perms)") {
+    val texts = samples(docGen, seed = 21, n = 30)
+    // inject pairs with controlled overlap: doc i and doc i+100 share a prefix
+    val pairs = texts.zipWithIndex.flatMap { case (t, i) =>
+      val words = t.split(" ")
+      val mutated = (words.take(words.length * 2 / 3) ++ Seq("zz1", "zz2", "zz3")).mkString(" ")
+      Seq((i.toLong, t), ((i + 100).toLong, mutated))
+    }
+    val df = pairs.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def shingleSet(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+")
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val byId = pairs.toMap
+    var checked = 0
+    for (i <- 0 until 30; j = i + 100 if sigs.contains(i.toLong) && sigs.contains(j.toLong)) {
+      val (sa, sb) = (shingleSet(byId(i.toLong)), shingleSet(byId(j.toLong)))
+      if (sa.nonEmpty && sb.nonEmpty) {
+        val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        val est = sigs(i.toLong).zip(sigs(j.toLong)).count { case (a, b) => a == b } / 64.0
+        val sigma = math.sqrt(exact * (1 - exact) / 64.0) max 0.04
+        assert(math.abs(est - exact) <= 4 * sigma,
+          s"pair ($i,$j): est=$est exact=$exact")
+        checked += 1
+      }
+    }
+    assert(checked >= 20)
+  }
+
+  test("property: session count equals scala reference on generated event streams") {
+    val evGen = for {
+      user <- Gen.chooseNum(1L, 5L)
+      sec <- Gen.chooseNum(0L, 100000L)
+    } yield (user, sec)
+    val events = samples(evGen, seed = 99, n = 400).distinct
+    val df = events.map { case (u, s) => (u, s * 1000000000L) }.toDF("user_id", "ts")
+    val got = Sessionize.sessions(df, col("ts"), gapSec = 1800, col("user_id"))
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = events.groupBy(_._1).map { case (u, es) =>
+      val secs = es.map(_._2).sorted
+      val nSessions = 1 + secs.zip(secs.tail).count { case (a, b) => b - a >= 1800 }
+      u -> nSessions.toLong
+    }
+    assert(got == want)
+  }
+
+  test("property: union-all count additivity on generated partitions") {
+    val ids = samples(Gen.chooseNum(0L, 1000L), seed = 5, n = 300)
+    val df = ids.map(Tuple1(_)).toDF("id")
+    val even = df.filter(pmod(col("id"), lit(2)) === 0)
+    val odd = df.filter(pmod(col("id"), lit(2)) === 1)
+    assert(even.union(odd).count() == df.count())
+  }
+}
