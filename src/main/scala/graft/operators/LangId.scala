@@ -20,27 +20,32 @@ import graft.functions.TextOps
 object LangId {
 
   /** Per-language trigram profile with inverse-rank weights. Trigram
-    * extraction via the codegen explode path (TextOps.charNgramRows). */
+    * extraction via the codegen explode path (TextOps.charNgramRows);
+    * grams are hashed to BIGINT immediately so every downstream shuffle
+    * and join key is 8 bytes, with the readable gram kept only in the
+    * (tiny, broadcast) profile. */
   def train(docs: DataFrame, text: Column, lang: Column, topM: Int = 200): DataFrame = {
     val grams = TextOps.charNgramRows(docs, text, lang, 3)
       .withColumnRenamed("doc_id", "lang")
-    val counts = grams.groupBy("lang", "gram").count()
+    val counts = grams.groupBy(col("lang"), col("gram")).count()
     val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("gram").asc)
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topM)
       .select(col("lang").as("p_lang"), col("gram"),
+        xxhash64(col("gram")).as("gram_h"),
         (lit(1.0) / col("rank")).as("weight"))
   }
 
   /** Predict the best-scoring language per doc; docs with no profile
-    * overlap get null. Doc trigram counts are pre-aggregated before the
-    * profile join, so the join input is |distinct grams per doc| rows
-    * instead of one row per occurrence (score = Σ weight·count is
-    * identical). */
+    * overlap get null. Doc trigram counts are pre-aggregated (on the
+    * 8-byte gram hash) before the broadcast profile join, so the join
+    * input is |distinct grams per doc| narrow rows instead of one row per
+    * occurrence (score = Σ weight·count is identical). */
   def predict(docs: DataFrame, text: Column, id: Column, profile: DataFrame): DataFrame = {
     val gramCounts = TextOps.charNgramRows(docs, text, id, 3)
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-    gramCounts.join(broadcast(profile), "gram")
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+      .groupBy("doc_id", "gram_h").agg(count(lit(1)).as("cnt"))
+    gramCounts.join(broadcast(profile.select("gram_h", "p_lang", "weight")), "gram_h")
       .groupBy("doc_id", "p_lang")
       .agg(sum(col("weight") * col("cnt")).as("score"))
       .groupBy("doc_id")

@@ -29,6 +29,14 @@ class VectorExprSpec extends SparkTestBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("dot_product_float is callable from SQL after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      "SELECT max(dot_product_float(embedding, embedding)) AS m FROM emb_sql").head()
+    assert(r.getDouble(0) > 0.0)
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     val plan = emb.select(VectorExpressions.dotProduct($"embedding", $"embedding").as("d"))
