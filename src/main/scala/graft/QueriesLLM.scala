@@ -104,6 +104,14 @@ object QueriesLLM {
     Similarity.annTopK(emb, emb.filter(col("vec_id") === 0), 11, 4)
   }
 
+  /** sim_ann_ivf: IVF coarse-quantized ANN (deterministic centroids,
+    * nProbe cells rescored exactly) — the second scale path next to SRP.
+    * Rows-only; recall vs brute force asserted in DedupSimilaritySpec. */
+  val simAnnIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0), 11)
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   val textTokens: Q = (s, dir) =>
@@ -222,6 +230,7 @@ object QueriesLLM {
     "sim_topk_cosine" -> simTopkCosine,
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,

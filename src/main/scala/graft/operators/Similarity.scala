@@ -68,6 +68,53 @@ object Similarity {
     bitCols.reduce(_ bitwiseOR _)
   }
 
+  /** IVF coarse quantizer: deterministic centroids (the `nCentroids`
+    * lowest-id corpus vectors — no RNG, no k-means iterations), each
+    * corpus vector assigned to its nearest centroid by cosine.
+    * Returns (id, vector, centroid_id). Broadcast centroid table; one
+    * narrow pass — no shuffle. At 100 TB the assignment is written once
+    * at ingest and queries touch only `nProbe` cells. */
+  def ivfAssign(corpus: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"),
+          VectorOps.norm(col(vecCol)).as("cn")))
+    corpus.crossJoin(centroids)
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"),
+        (VectorOps.dot(col(vecCol), col("cvec")) / (VectorOps.norm(col(vecCol)) * col("cn"))).as("csim"))
+      .groupBy(idCol, vecCol)
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"))
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` centroid cells nearest the query,
+    * exact-rescore only those cells' members. The deterministic, shuffle-
+    * light alternative to the brute-force cross join; recall rises with
+    * nProbe (= exact when nProbe == nCentroids). */
+  def ivfTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, nCentroids, idCol, vecCol)
+    // probe cells: rank centroids by similarity to the query vector
+    val centroids = broadcast(
+      corpus.orderBy(col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"),
+          VectorOps.norm(col(vecCol)).as("cn")))
+    val qcells = broadcast(
+      query.select(col(vecCol).as("__q"), VectorOps.norm(col(vecCol)).as("__qn"))
+        .crossJoin(centroids)
+        .select(col("__q"), col("__qn"), col("centroid_id"),
+          (VectorOps.dot(col("__q"), col("cvec")) / (col("__qn") * col("cn"))).as("csim"))
+        .orderBy(col("csim").desc, col("centroid_id").asc)
+        .limit(nProbe))
+    assigned.join(qcells, "centroid_id")
+      .select(col(idCol),
+        r4(VectorOps.dot(col(vecCol), col("__q")) / (VectorOps.norm(col(vecCol)) * col("__qn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k via SRP bucketing: restrict the exact rescore to the
     * query's bucket (plus optionally nearby buckets at higher recall
     * settings). One groupBy-size shuffle; no cross join. */

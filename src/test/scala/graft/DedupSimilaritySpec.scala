@@ -79,6 +79,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     ann.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("IVF ANN: self found; scores agree with brute force; full-probe == exact top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0)
+    val ivf = Similarity.ivfTopK(emb, q, 10, nCentroids = 16, nProbe = 4).collect()
+    assert(ivf.nonEmpty && ivf.head.getLong(0) == 0L)
+    val brute = Similarity.topKCosine(emb, q, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+    // probing every cell must recover the exact brute-force top-k
+    val full = Similarity.ivfTopK(emb, q, 10, nCentroids = 16, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.topKCosine(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+
   test("pairsAboveThreshold agrees with cross-join ground truth at small n") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
     val got = Similarity.pairsAboveThreshold(emb, 0.2).collect()
