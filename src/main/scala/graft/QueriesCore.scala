@@ -191,6 +191,21 @@ object QueriesCore {
       |  (SELECT max(v.ts_us) FROM v WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us) AS prev_view_us
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** join_asof_native: the same as-of semantics through the custom
+    * LogicalPlan + Strategy + sort-merge SparkPlan
+    * (graft.plans.AsOfJoinNative) — oracle-gated against the identical
+    * DuckDB SQL as join_asof. */
+  val joinAsofNative: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", TimeOps.nsToUs(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"))
+    graft.plans.AsOfJoinNative.asOf(purchases, views, Seq("user_id"), "ts_us", "view_ts_us", Seq("view_ts_us"))
+      .withColumnRenamed("view_ts_us", "prev_view_us")
+      .orderBy("event_id")
+  }
+
   /** join_interval: pairs of same-customer orders whose 30-day windows
     * overlap. The equi key (custkey) keeps it a shuffled hash join —
     * linear in per-key group size, not O(n²) overall. */
@@ -628,6 +643,7 @@ object QueriesCore {
     "join_anti" -> joinAnti,
     "join_theta_band" -> joinThetaBand,
     "join_asof" -> joinAsof,
+    "join_asof_native" -> joinAsofNative,
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
     "agg_distinct" -> aggDistinct,
@@ -673,6 +689,7 @@ object QueriesCore {
     "join_anti" -> joinAntiSql,
     "join_theta_band" -> joinThetaBandSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_native" -> joinAsofSql,
     "join_interval" -> joinIntervalSql,
     "join_cross" -> joinCrossSql,
     "agg_distinct" -> aggDistinctSql,
