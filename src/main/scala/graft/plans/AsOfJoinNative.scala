@@ -23,14 +23,18 @@ import org.apache.spark.sql.types.StructType
   * composed-from-built-ins reference; AsOfNativeSpec asserts the two
   * produce identical results.
   *
-  * Physical design (the reason to drop below the DataFrame API at all):
-  * both children are hash-clustered on the equi keys and sorted by
-  * (keys, time) — EnsureRequirements inserts the exchanges/sorts — then
-  * one forward merge pass per partition attaches payloads with O(1)
-  * memory (a single carried row) and zero extra shuffles. The
-  * union-window formulation pays the same single shuffle but carries the
-  * whole union through a window operator; the native merge halves the
-  * sorted volume and never materializes a frame.
+  * Physical design: both children are hash-clustered on the equi keys and
+  * sorted by (keys, time) — EnsureRequirements inserts the exchanges and
+  * sorts — then one forward merge pass per partition attaches payloads
+  * with O(1) memory (a single carried row).
+  *
+  * Measured honestly (sf0.1, warm): 0.57 s vs 0.33 s for the union-window
+  * form — the interpreted row-at-a-time merge (4 projections + an ordering
+  * compare per row, no codegen) loses to Spark's optimized WindowExec at
+  * this scale, so [[graft.operators.AsOfJoin]] remains the engine's
+  * default. This operator is kept as the full route-(c) extension-surface
+  * demonstration (and the starting point should a codegen'd merge become
+  * worthwhile); it is oracle-gated and differential-tested all the same.
   */
 object AsOfJoinNative {
 
