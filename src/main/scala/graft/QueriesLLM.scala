@@ -54,8 +54,11 @@ object QueriesLLM {
     * Jaccard. */
   val dedupMinhash: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val cands = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
-    Dedup.minhashVerify(cands, docs, col("text"), col("doc_id"))
+    // signatures are the expensive stage: compute once, share between
+    // candidate generation and verification
+    val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id")).persist()
+    val cands = Dedup.candidatesFromSignatures(sigs)
+    Dedup.verifyFromSignatures(cands, sigs)
       .filter(col("est_jaccard") >= 0.4)
       .orderBy("a_id", "b_id")
   }
@@ -171,12 +174,10 @@ object QueriesLLM {
 
   /** text_langid: Cavnar-Trenkle trigram-profile classifier trained on the
     * labeled fixture itself (rows-only; accuracy asserted in LangIdSpec). */
-  val textLangid: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val profile = LangId.train(docs, col("text"), col("lang"))
-    LangId.predict(docs, col("text"), col("doc_id"), profile)
+  val textLangid: Q = (s, dir) =>
+    LangId.selfLabelPredict(Tables.documents(s, dir),
+        col("text"), col("doc_id"), col("lang"))
       .orderBy("doc_id")
-  }
 
   /** text_fingerprint: winnowing fingerprints (rows-only — rolling
     * xxhash64 not expressible in DuckDB). */

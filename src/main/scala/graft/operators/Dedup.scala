@@ -70,9 +70,14 @@ object Dedup {
     * bucket (all-identical spam) is the one skew case — cap with a
     * document-frequency guard at scale. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
-      numPerm: Int = 64, shingleSize: Int = 3, bands: Int = 16): DataFrame = {
-    val r = numPerm / bands
-    val banded = lshBands(minhashSignatures(df, text, id, numPerm, shingleSize), bands, r)
+      numPerm: Int = 64, shingleSize: Int = 3, bands: Int = 16): DataFrame =
+    candidatesFromSignatures(minhashSignatures(df, text, id, numPerm, shingleSize), numPerm, bands)
+
+  /** Candidate pairs from a precomputed signatures frame — callers doing
+    * candidates + verification persist the signatures once and reuse them
+    * (the signature aggregate is the expensive stage). */
+  def candidatesFromSignatures(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    val banded = lshBands(sigs, bands, numPerm / bands)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_id") === col("b.band_id") &&
@@ -85,8 +90,12 @@ object Dedup {
   /** MinHash estimated Jaccard for candidate pairs: fraction of agreeing
     * signature positions. */
   def minhashVerify(candidates: DataFrame, docs: DataFrame, text: Column, id: Column,
-      numPerm: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, text, id, numPerm, shingleSize)
+      numPerm: Int = 64, shingleSize: Int = 3): DataFrame =
+    verifyFromSignatures(candidates, minhashSignatures(docs, text, id, numPerm, shingleSize), numPerm)
+
+  /** Estimate Jaccard for candidate pairs from a precomputed signatures
+    * frame. */
+  def verifyFromSignatures(candidates: DataFrame, sigs: DataFrame, numPerm: Int = 64): DataFrame =
     candidates
       .join(sigs.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sig", "sig_a"), "a_id")
       .join(sigs.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sig", "sig_b"), "b_id")
@@ -94,7 +103,6 @@ object Dedup {
         r4(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numPerm))
       .select("a_id", "b_id", "est_jaccard")
-  }
 
   /** SimHash sketches as a DataFrame (doc_id, sh BIGINT) — same
     * explode+aggregate shape as [[minhashSignatures]] (64 codegen'd sum

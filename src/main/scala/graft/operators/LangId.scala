@@ -36,6 +36,35 @@ object LangId {
         (lit(1.0) / col("rank")).as("weight"))
   }
 
+  /** Train on the labeled corpus and classify that same corpus with ONE
+    * trigram extraction: the exploded gram rows (with both doc_id and
+    * lang) are persisted and feed the profile aggregate and the per-doc
+    * counts. Semantics identical to train() + predict(); half the
+    * extraction work. */
+  def selfLabelPredict(docs: DataFrame, text: Column, id: Column, lang: Column,
+      topM: Int = 200): DataFrame = {
+    val s = docs.select(id.as("doc_id"), lang.as("lang"), lower(text).as("__s"))
+      .filter(length(col("__s")) >= 3)
+    val grams = s
+      .select(col("doc_id"), col("lang"), col("__s"),
+        explode(sequence(lit(1), length(col("__s")) - 2)).as("__i"))
+      .select(col("doc_id"), col("lang"),
+        col("__s").substr(col("__i"), lit(3)).as("gram"))
+      .select(col("doc_id"), col("lang"), col("gram"), xxhash64(col("gram")).as("gram_h"))
+      .persist()
+    val counts = grams.groupBy("lang", "gram", "gram_h").count()
+    val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("gram").asc)
+    val profile = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topM)
+      .select(col("lang").as("p_lang"), col("gram_h"), (lit(1.0) / col("rank")).as("weight"))
+    val gramCounts = grams.groupBy("doc_id", "gram_h").agg(count(lit(1)).as("cnt"))
+    gramCounts.join(broadcast(profile), "gram_h")
+      .groupBy("doc_id", "p_lang")
+      .agg(sum(col("weight") * col("cnt")).as("score"))
+      .groupBy("doc_id")
+      .agg(max_by(col("p_lang"), struct(col("score"), col("p_lang"))).as("pred_lang"))
+  }
+
   /** Predict the best-scoring language per doc; docs with no profile
     * overlap get null. Doc trigram counts are pre-aggregated (on the
     * 8-byte gram hash) before the broadcast profile join, so the join
