@@ -154,8 +154,10 @@ object Dedup {
     val base = TextOps.shingleRows(df, text, id, shingleSize)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
     val sizes = base.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // persisted: the self-join below reads the posting frame twice
     val posting = base.join(sizes, "doc_id")
       .select(col("doc_id"), col("n_sh"), col("sh"))
+      .persist()
     val filtered =
       if (maxDf == Long.MaxValue) posting
       else {
