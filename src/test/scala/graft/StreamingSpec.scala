@@ -79,6 +79,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sliding windows in streaming mode match batch expansion") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val agg = in.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "60 seconds", "15 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win_start"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("slide_out").start()
+    try {
+      in.addData(Event(1, ts(100), 1, "a", 1.0), Event(2, ts(130), 1, "a", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(10000), 1, "a", 1.0)) // advance watermark, flush
+      q.processAllAvailable()
+      val got = spark.table("slide_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // event@100 -> windows starting 45,60,75,90; event@130 -> 75,90,105,120
+      assert(got(45L) == 1 && got(60L) == 1 && got(75L) == 2 && got(90L) == 2
+        && got(105L) == 1 && got(120L) == 1)
+    } finally q.stop()
+  }
+
   test("stream of parquet events equals batch aggregation (unification)") {
     import spark.implicits._
     // FileStreamSource needs a directory; stage the single parquet file
