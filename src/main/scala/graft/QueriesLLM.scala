@@ -221,6 +221,18 @@ object QueriesLLM {
       |  sha256(text) AS digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** multimodal_resize: binary-asset resize plumbing (stub scaler, real
+    * schema/metadata/partition-batch path) — rows-only. */
+  val multimodalResize: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    val resized = Multimodal.resize(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)), 64, 48)
+    resized.toDF()
+      .select(col("asset_id"), col("kind"), col("meta_width"), col("meta_height"),
+        length(col("bytes")).as("n_bytes"))
+      .orderBy("asset_id")
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -239,7 +251,8 @@ object QueriesLLM {
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "multimodal_doc" -> multimodalDoc,
-    "multimodal_features" -> multimodalFeatures
+    "multimodal_features" -> multimodalFeatures,
+    "multimodal_resize" -> multimodalResize
   )
 
   val oracles: Map[String, String] = Map(

@@ -80,6 +80,29 @@ object Multimodal {
     }
   }
 
+  /** Resized asset: STUB resize (real pipeline: codec scale). The
+    * deterministic fake derives the resized payload from (bytes, w, h) so
+    * tests are reproducible; metadata is updated for real. Runs in the
+    * same per-partition batch pass as feature extraction. */
+  def resize(assets: Dataset[Asset], width: Int, height: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real pipeline: val scaler = Codec.openScaler(width, height)
+      it.map { a =>
+        val h = FakeDecoder.digest(a.bytes) ^ (width.toLong << 32 | height.toLong)
+        val out = new Array[Byte](math.max(1, math.min(a.bytes.length, width * height / 64)))
+        var s = h
+        var i = 0
+        while (i < out.length) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          out(i) = (s >>> 56).toByte
+          i += 1
+        }
+        a.copy(bytes = out, meta_width = width, meta_height = height)
+      }
+    }
+  }
+
   /** Frame sampling for video-kind assets: every `stride`-th frame index
     * up to `maxFrames` — pure relational expansion (no decode), the
     * planning step before a distributed frame-decode pass. */

@@ -22,6 +22,15 @@ class MultimodalLangIdSpec extends SparkTestBase {
     assert(f1.forall(f => f.n_bytes == chars(f.asset_id)))
   }
 
+  test("resize stub: deterministic, updates metadata, bounded payload") {
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(spark, sf))
+    val r1 = Multimodal.resize(assets, 64, 48).collect().sortBy(_.asset_id)
+    val r2 = Multimodal.resize(assets, 64, 48).collect().sortBy(_.asset_id)
+    assert(r1.map(_.bytes.toSeq).toSeq == r2.map(_.bytes.toSeq).toSeq)
+    assert(r1.forall(a => a.meta_width == 64 && a.meta_height == 48))
+    assert(r1.forall(_.bytes.length <= 64 * 48 / 64))
+  }
+
   test("frame sampling expands video assets by stride") {
     val df = Seq((1L, 10), (2L, 3)).toDF("asset_id", "n_frames")
     val out = Multimodal.sampleFrameIndices(df, "n_frames", stride = 2, maxFrames = 100)
