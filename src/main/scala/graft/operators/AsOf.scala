@@ -23,6 +23,12 @@ object AsOfJoin {
 
   /** @param payload right-side columns to carry (must not collide with left
     *                column names); all other right columns are dropped.
+    * @param rightTieBreak optional right-side column ordering ties on
+    *                (keys, time): with multiple right rows at the same
+    *                as-of instant, the row greatest under this column wins
+    *                — without it, tie winners are partition-order-
+    *                dependent (fine when the payload IS the time, as in
+    *                the oracle query; pass a unique id otherwise).
     */
   def asOf(
       left: DataFrame,
@@ -30,21 +36,25 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      rightTieBreak: Option[String] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    val tbType = rightTieBreak.map(tb => right.schema(tb).dataType)
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__t", col(leftTime))
-      .select((leftCols.map(col) ++ payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"))): _*)
+      .withColumn("__tb", tbType.map(t => lit(null).cast(t)).getOrElse(lit(0)))
+      .select((leftCols.map(col) ++ payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"), col("__tb"))): _*)
     val r = right
       .withColumn("__side", lit(0))
       .withColumn("__t", col(rightTime))
+      .withColumn("__tb", rightTieBreak.map(col).getOrElse(lit(0)))
       .select((leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"))): _*)
+        payload.map(p => col(p).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"), col("__tb"))): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__tb").asc_nulls_last, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>

@@ -32,6 +32,15 @@ class RelationalSpec extends SparkTestBase {
     assert(out.map(r => Option(r.getString(2)).orNull).toSeq == Seq("b", "c", null, null))
   }
 
+  test("asOf tie-break picks the greatest tiebreak column at equal (key, time)") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1L, "low"), (1L, 10L, 9L, "high"), (1L, 10L, 5L, "mid"))
+      .toDF("k", "rt", "seq", "payload")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("payload"),
+      rightTieBreak = Some("seq")).collect()
+    assert(out.head.getString(2) == "high")
+  }
+
   test("asOf equals the brute-force max-subquery semantics on real data") {
     val q = QueriesCore.joinAsof(spark, sf)
     val ev = Tables.events(spark, sf)
