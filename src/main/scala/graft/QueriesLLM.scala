@@ -99,6 +99,15 @@ object QueriesLLM {
       |) sub WHERE cosine >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** sim_pairs_lsh: embedding-cosine near-dup pairs via banded SRP LSH —
+    * the scale path replacing brute-force sim_pairs_threshold (no O(n²)
+    * stage; exact rescore of bucket-colliding candidates only).
+    * Rows-only (bucketing hash not expressible in DuckDB); precision 1 /
+    * recall vs the brute-force truth asserted in DedupSimilaritySpec. */
+  val simPairsLsh: Q = (s, dir) =>
+    Similarity.pairsLsh(Tables.embeddings(s, dir), 0.35)
+      .orderBy("a_id", "b_id")
+
   /** sim_ann_lsh: sign-random-projection bucketed ANN — the 100 TB scale
     * path (no cross join). Rows-only; recall vs brute force is asserted in
     * SimilaritySpec. */
@@ -180,13 +189,16 @@ object QueriesLLM {
       .orderBy("doc_id")
 
   /** text_fingerprint: winnowing fingerprints (rows-only — rolling
-    * xxhash64 not expressible in DuckDB). */
-  val textFingerprint: Q = (s, dir) =>
+    * xxhash64 not expressible in DuckDB). Codegen kernel expression;
+    * bit-identical to the HOF form (TextKernelsSpec). */
+  val textFingerprint: Q = (s, dir) => {
+    import graft.plans.TextExpressions
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(TextOps.fingerprints(col("text"))).as("n_fp"),
-        element_at(TextOps.fingerprints(col("text")), 1).as("min_fp"))
+        size(TextExpressions.winnowFingerprints(col("text"))).as("n_fp"),
+        element_at(TextExpressions.winnowFingerprints(col("text")), 1).as("min_fp"))
       .orderBy("doc_id")
+  }
 
   // ---- multimodal ---------------------------------------------------------
 
@@ -242,6 +254,7 @@ object QueriesLLM {
     "dedup_simhash" -> dedupSimhash,
     "sim_topk_cosine" -> simTopkCosine,
     "sim_pairs_threshold" -> simPairsThreshold,
+    "sim_pairs_lsh" -> simPairsLsh,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "text_tokens" -> textTokens,

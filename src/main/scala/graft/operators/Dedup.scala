@@ -34,13 +34,27 @@ object Dedup {
     * `numPerm` permutations approximated by salted xxhash64 over
     * `shingleSize`-word shingles (deterministic, no RNG).
     *
-    * Shape matters for speed: explode shingles once, then ONE hash
-    * aggregate with `numPerm` min() buffers — every operator here is
-    * whole-stage-codegen'd. (The per-row nested-HOF formulation computes
-    * the same signatures but evaluates interpreted — measured orders of
-    * magnitude slower at sf0.1.) One shuffle on doc_id; at 100 TB the
-    * aggregate is partial+final with fixed 8·numPerm-byte buffers. */
+    * Per-row codegen kernel ([[graft.plans.TextKernels.minhashSig]]) —
+    * ZERO shuffle: the signature is a narrow projection, so at 100 TB
+    * this stage is a pure scan. It also hashes each shingle's bytes once
+    * and applies `numPerm` cheap integer mixes, where the aggregate form
+    * ([[minhashSignaturesAgg]]) re-hashes the whole shingle string per
+    * permutation. Bit-identical to the aggregate form (TextKernelsSpec);
+    * docs with a NULL text yield a NULL signature here (the explode form
+    * drops them). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
+      numPerm: Int = 64, shingleSize: Int = 3): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.plans.TextExpressions.minhashSig(text, numPerm, shingleSize).as("sig"))
+
+  /** The explode + `numPerm`-min-buffer aggregate formulation of
+    * [[minhashSignatures]] — one shuffle on doc_id, partial+final
+    * aggregation with fixed 8·numPerm-byte buffers. Kept as the
+    * cross-check baseline (and the shape a pure-SQL engine would use);
+    * the per-row kernel replaced it as the default after measuring.
+    * (A per-row nested-HOF formulation also exists in git history —
+    * interpreted evaluation made it orders of magnitude slower.) */
+  def minhashSignaturesAgg(df: DataFrame, text: Column, id: Column,
       numPerm: Int = 64, shingleSize: Int = 3): DataFrame = {
     // codegen shingle rows; min over the multiset == min over the set, so
     // no distinct() shuffle is needed before the aggregate
@@ -104,11 +118,17 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / numPerm))
       .select("a_id", "b_id", "est_jaccard")
 
-  /** SimHash sketches as a DataFrame (doc_id, sh BIGINT) — same
-    * explode+aggregate shape as [[minhashSignatures]] (64 codegen'd sum
-    * buffers for the bit votes) instead of the interpreted per-row HOF
-    * fold. */
-  def simhashSketches(df: DataFrame, text: Column, id: Column): DataFrame = {
+  /** SimHash sketches as a DataFrame (doc_id, sh BIGINT). Per-row codegen
+    * kernel ([[graft.plans.TextKernels.simhash64]]) — a narrow projection
+    * with zero shuffle; bit-identical to [[simhashSketchesAgg]] and to the
+    * HOF fold `TextOps.simhash64` (TextKernelsSpec). */
+  def simhashSketches(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"), graft.plans.TextExpressions.simhash64(text).as("sh"))
+
+  /** The explode + 64-sum-buffer aggregate formulation of
+    * [[simhashSketches]] (one shuffle of token rows) — kept as the
+    * cross-check baseline for the per-row kernel. */
+  def simhashSketchesAgg(df: DataFrame, text: Column, id: Column): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val voteAggs = (0 until 64).map(i =>

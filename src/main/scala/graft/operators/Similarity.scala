@@ -54,8 +54,15 @@ object Similarity {
 
   /** Sign-random-projection LSH signature: `bits` hyperplanes, plane i
     * component j = centered xxhash64(i, j) (deterministic). Returns an
-    * integer bucket id per row. */
-  def srpBucket(vec: Column, bits: Int, seed: Int = 42): Column = {
+    * integer bucket id per row. Per-row codegen kernel
+    * ([[graft.plans.TextKernels.srpSketch]]); bit-identical to the HOF
+    * form [[srpBucketHof]] (TextKernelsSpec). */
+  def srpBucket(vec: Column, bits: Int, seed: Int = 42): Column =
+    graft.plans.TextExpressions.srpSketch(vec, bits, seed)
+
+  /** HOF formulation of [[srpBucket]] — interpreted evaluation (Spark
+    * HOFs don't codegen); kept as the cross-check baseline. */
+  def srpBucketHof(vec: Column, bits: Int, seed: Int = 42): Column = {
     val bitCols = (0 until bits).map { i =>
       // dot(vec, plane_i) where plane_i[j] = xxhash64(seed,i,j) mapped to [-1,1]
       val d = aggregate(
@@ -114,6 +121,64 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Embedding-cosine near-duplicate pairs at scale: banded SRP LSH.
+    * One `totalBits = bands·bitsPerBand`-plane sketch per row (a single
+    * codegen'd kernel call), exploded into `bands` (band_id, band_bits)
+    * keys; vectors agreeing on ALL bits of any band become candidates,
+    * which are exactly rescored and filtered at `tau`.
+    *
+    * The scale path replacing the O(n²) [[pairsAboveThreshold]]: cost is
+    * candidates × dim, and candidate volume is tuned by bitsPerBand
+    * (collision prob per band = (1 - θ/π)^bitsPerBand). Precision is 1.0
+    * by construction (exact rescore); recall rises with `bands` —
+    * asserted vs the brute-force truth in TextKernelsSpec. Parameters
+    * must match the threshold regime: near-dup thresholds (τ ≥ 0.8, the
+    * production dedup case) want long bands (8×8 — tiny candidate sets,
+    * recall ≈ 1); loose thresholds like τ = 0.35 want short bands (the
+    * 16×4 default — recall ≈ 0.9, but pruning fades as τ → 0; below
+    * ~0.3 brute force or IVF is the right tool). The banded frame is
+    * persisted across its self-join, like
+    * [[graft.operators.Dedup.jaccardPairs]]'s posting frame; the rescore
+    * re-joins the corpus by id rather than carrying vectors through the
+    * band shuffle (ids are 8 bytes; embeddings are dim·4). */
+  def pairsLsh(corpus: DataFrame, tau: Double, bands: Int = 16, bitsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42): DataFrame = {
+    val cands = lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed)
+    val withNorm = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+    cands
+      .join(withNorm.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na")), "a_id")
+      .join(withNorm.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        r4(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Distinct candidate pairs from banded SRP buckets (a_id < b_id). */
+  private def lshCandidates(corpus: DataFrame, bands: Int, bitsPerBand: Int,
+      idCol: String, vecCol: String, seed: Int): DataFrame = {
+    require(bands * bitsPerBand <= 64, "sketch must fit one BIGINT")
+    val sk = corpus.select(col(idCol).as("id"),
+      srpBucket(col(vecCol), bands * bitsPerBand, seed).as("__sk"))
+    val mask = (1L << bitsPerBand) - 1
+    val banded = sk.select(col("id"),
+        explode(array((0 until bands).map(bd => struct(lit(bd).as("band_id"),
+          shiftright(col("__sk"), bd * bitsPerBand).bitwiseAND(lit(mask)).as("band_bits"))): _*)).as("b"))
+      .select(col("id"), col("b.band_id"), col("b.band_bits"))
+      .persist()
+    banded.as("a")
+      .join(banded.as("b"), col("a.band_id") === col("b.band_id") &&
+        col("a.band_bits") === col("b.band_bits") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** Candidate-set size for a banding configuration — the observable the
+    * pruning claim is tested on (TextKernelsSpec). */
+  def pairsLshCandidateCount(corpus: DataFrame, bands: Int, bitsPerBand: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42): Long =
+    lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed).count()
 
   /** ANN top-k via SRP bucketing: restrict the exact rescore to the
     * query's bucket (plus optionally nearby buckets at higher recall

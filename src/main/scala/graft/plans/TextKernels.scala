@@ -1,0 +1,216 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row text/vector kernels behind the custom Catalyst expressions in
+  * [[TextExpressions]] (SURVEY.md §2.10 `expr_custom`, §2.11 dedup family).
+  *
+  * Why this layer exists: the composable forms (HOFs, or explode +
+  * hash-aggregate) are correct but pay per-element interpretation or a
+  * full shuffle of exploded token rows. Each kernel below computes the
+  * SAME bytes-in/bits-out result as its composable counterpart — the
+  * specs assert bit-for-bit equality — in one tight JIT-compiled loop
+  * per row: no shuffle, no per-element lambda dispatch, no boxing.
+  * Generated code calls these as static methods (Scala objects emit
+  * static forwarders), so the surrounding stage stays inside
+  * WholeStageCodegen.
+  *
+  * Hash family is Spark's own `XXH64` with the `xxhash64` seed (42) and
+  * the same per-type mixing (`hashUnsafeBytes` for strings, `hashInt`
+  * for integer salts), which is what makes the equalities exact.
+  */
+object TextKernels {
+
+  private final val Seed = 42L
+
+  /** Java-regex `\s` on UTF-8 bytes: space, \t, \n, \x0B, \f, \r. All are
+    * single-byte code points, and UTF-8 continuation bytes are >= 0x80,
+    * so a byte scan can never split a multi-byte character. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  /** Token byte spans matching `split(str, "\\s+")` (limit -1) semantics:
+    * maximal non-whitespace runs, plus an empty leading token when the
+    * string starts with whitespace, an empty trailing token when it ends
+    * with whitespace, and a single empty token for the empty string.
+    * Returns flat pairs [start0, end0, start1, end1, ...]. */
+  private[plans] def tokenSpans(b: Array[Byte]): Array[Int] = {
+    val len = b.length
+    if (len == 0) return Array(0, 0)
+    var out = new Array[Int](16)
+    var n = 0
+    @inline def emit(s: Int, e: Int): Unit = {
+      if (n + 2 > out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+      out(n) = s; out(n + 1) = e; n += 2
+    }
+    var pos = 0
+    if (isWs(b(0))) emit(0, 0) // leading empty token
+    while (pos < len) {
+      while (pos < len && isWs(b(pos))) pos += 1
+      if (pos == len) emit(len, len) // trailing empty token
+      else {
+        val start = pos
+        while (pos < len && !isWs(b(pos))) pos += 1
+        emit(start, pos)
+      }
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** 64-bit SimHash over whitespace tokens of `lower(text)` — identical to
+    * the explode + 64-vote-buffer aggregate form (`Dedup.simhashSketchesAgg`)
+    * and the HOF fold (`TextOps.simhash64`), computed per row. */
+  def simhash64(s: UTF8String): Long = {
+    val b = s.toLowerCase.getBytes
+    val spans = tokenSpans(b)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < spans.length) {
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + spans(t),
+        spans(t + 1) - spans(t), Seed)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 2
+    }
+    var sketch = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sketch |= (1L << i); i += 1 }
+    sketch
+  }
+
+  /** MinHash signature over `shingleSize`-word shingles: position p is
+    * `min over shingles of xxhash64(shingle, p)` — identical to the
+    * explode + min-buffer aggregate (`Dedup.minhashSignaturesAgg`),
+    * including the all-`Long.MaxValue` sentinel for docs with fewer than
+    * `shingleSize` tokens. One byte-hash per shingle, then `numPerm`
+    * cheap integer mixes (the aggregate form re-hashes the whole shingle
+    * string once per permutation). */
+  def minhashSig(s: UTF8String, numPerm: Int, shingleSize: Int): ArrayData = {
+    val sig = new Array[Long](numPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val b = s.toLowerCase.getBytes
+    val spans = tokenSpans(b)
+    val nTok = spans.length / 2
+    if (nTok >= shingleSize) {
+      // normalize: tokens joined by single spaces, so every shingle is one
+      // contiguous byte range (multi-whitespace separators collapse)
+      var total = 0
+      var t = 0
+      while (t < spans.length) { total += spans(t + 1) - spans(t); t += 2 }
+      val norm = new Array[Byte](total + nTok - 1)
+      val tokStart = new Array[Int](nTok)
+      var pos = 0
+      var ti = 0
+      t = 0
+      while (t < spans.length) {
+        tokStart(ti) = pos
+        val l = spans(t + 1) - spans(t)
+        System.arraycopy(b, spans(t), norm, pos, l)
+        pos += l
+        if (ti < nTok - 1) { norm(pos) = ' '; pos += 1 }
+        ti += 1; t += 2
+      }
+      val nSh = nTok - shingleSize + 1
+      var i = 0
+      while (i < nSh) {
+        val start = tokStart(i)
+        val end = if (i + shingleSize < nTok) tokStart(i + shingleSize) - 1 else pos
+        val h = XXH64.hashUnsafeBytes(norm, Platform.BYTE_ARRAY_OFFSET + start,
+          end - start, Seed)
+        var p = 0
+        while (p < numPerm) {
+          val hp = XXH64.hashInt(p, h)
+          if (hp < sig(p)) sig(p) = hp
+          p += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling
+    * xxhash64 over character `k`-grams of `lower(text)`, minimum of each
+    * `w`-window, distinct, sorted — identical to `TextOps.fingerprints`
+    * (which slices via codepoint-based `substr`, replicated here with a
+    * codepoint-offset table; windows clamp at the end the way `slice`
+    * does). */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val b = lower.getBytes
+    // codepoint start offsets (UTF-8: starts are bytes not in 0x80..0xBF)
+    val nBytes = b.length
+    val cpOff = new Array[Int](lower.numChars() + 1)
+    var nCp = 0
+    var i = 0
+    while (i < nBytes) {
+      if ((b(i) & 0xC0) != 0x80) { cpOff(nCp) = i; nCp += 1 }
+      i += 1
+    }
+    cpOff(nCp) = nBytes
+    val nHash = math.max(nCp - (k - 1), 1)
+    val hashes = new Array[Long](nHash)
+    i = 0
+    while (i < nHash) {
+      val bs = cpOff(math.min(i, nCp))
+      val be = cpOff(math.min(i + k, nCp))
+      hashes(i) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + bs, be - bs, Seed)
+      i += 1
+    }
+    val nWin = math.max(nHash - (w - 1), 1)
+    val mins = new Array[Long](nWin)
+    var j = 0
+    while (j < nWin) {
+      var m = hashes(j)
+      var q = j + 1
+      val end = math.min(j + w, nHash)
+      while (q < end) { if (hashes(q) < m) m = hashes(q); q += 1 }
+      mins(j) = m
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    // distinct on the sorted array
+    var out = 0
+    i = 0
+    while (i < nWin) {
+      if (out == 0 || mins(i) != mins(out - 1)) { mins(out) = mins(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, out))
+  }
+
+  /** Sign-random-projection sketch over an ARRAY<FLOAT>: bit i is the sign
+    * of the dot product with a deterministic pseudo-random hyperplane
+    * whose component j is `pmod(xxhash64(seed, i, j), 2000001)/1e6 - 1`
+    * — identical (same hash chain, same left-to-right double summation)
+    * to the HOF form in `Similarity.srpBucketHof`. A null element makes
+    * every plane dot NULL there, which zeroes every bit; mirrored here. */
+  def srpSketch(vec: ArrayData, bits: Int, seed: Int): Long = {
+    val n = vec.numElements()
+    var j = 0
+    while (j < n) { if (vec.isNullAt(j)) return 0L; j += 1 }
+    var sketch = 0L
+    var i = 0
+    while (i < bits) {
+      val hs = XXH64.hashInt(i, XXH64.hashInt(seed, Seed))
+      var d = 0.0
+      j = 0
+      while (j < n) {
+        val h = XXH64.hashInt(j, hs)
+        var r = h % 2000001L
+        if (r < 0) r += 2000001L
+        d += vec.getFloat(j).toDouble * (r.toDouble / 1000000.0 - 1.0)
+        j += 1
+      }
+      if (d > 0) sketch |= (1L << i)
+      i += 1
+    }
+    sketch
+  }
+}

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators (SURVEY.md §2.9): the streaming entry
   * points for the same event-time expressions the batch queries use
@@ -75,6 +76,53 @@ object StreamOps {
           state.update(st)
           out.reverse.iterator
       }
+  }
+
+  /** Per-user session state carried by [[SessionScoreProcessor]]. */
+  case class SessionState(start: Long, n: Long, sum: Double, last: Long)
+
+  /** The `transformWithState` (Spark 4 arbitrary-state v2) formulation of
+    * [[sessionScores]]: identical session semantics, but state lives in a
+    * named, schema'd `ValueState` in the RocksDB state store — evolvable
+    * schema, per-state TTL, and timers, which flatMapGroupsWithState
+    * cannot express. Requires
+    * `spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider`. */
+  class SessionScoreProcessor(gapMillis: Long)
+      extends StatefulProcessor[Long, Event, SessionScore] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionScore] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionScore]
+      var st = if (state.exists()) state.get() else SessionState(0L, 0L, 0.0, Long.MinValue)
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        if (st.last == Long.MinValue) {
+          st = SessionState(t, 1L, e.value, t)
+        } else if (t - st.last >= gapMillis) {
+          out ::= SessionScore(userId, st.n, st.sum, st.start, st.last)
+          st = SessionState(t, 1L, e.value, t)
+        } else {
+          st = SessionState(st.start, st.n + 1, st.sum + e.value, t)
+        }
+      }
+      state.update(st)
+      out.reverse.iterator
+    }
+  }
+
+  /** [[sessionScores]] via transformWithState — asserted equivalent to the
+    * flatMapGroupsWithState form and the batch recompute in StreamingSpec. */
+  def sessionScoresTws(events: Dataset[Event], gapMillis: Long): Dataset[SessionScore] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionScoreProcessor(gapMillis),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Open a parquet directory as a stream (the batch tables replayed as a

@@ -79,6 +79,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState session scores match the flatMapGroupsWithState form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val scored = StreamOps.sessionScoresTws(in.toDS(), gapMillis = 1800 * 1000L)
+      val q = scored.writeStream.outputMode("append").format("memory")
+        .queryName("tws_out").start()
+      try {
+        in.addData(
+          Event(1, ts(0), 1, "a", 1.0), Event(2, ts(60), 1, "a", 2.0),
+          Event(3, ts(4000), 1, "a", 5.0), Event(4, ts(100), 2, "a", 1.0))
+        q.processAllAvailable()
+        in.addData(Event(5, ts(10000), 1, "a", 1.0), Event(6, ts(10000), 2, "a", 1.0))
+        q.processAllAvailable()
+        val out = spark.table("tws_out").as[StreamOps.SessionScore].collect()
+        val u1 = out.filter(_.user_id == 1).sortBy(_.session_start)
+        assert(u1.length == 2)
+        assert(u1(0).n_events == 2 && math.abs(u1(0).sum_value - 3.0) < 1e-9)
+        assert(u1(1).n_events == 1 && math.abs(u1(1).sum_value - 5.0) < 1e-9)
+        val u2 = out.filter(_.user_id == 2)
+        assert(u2.length == 1 && u2.head.n_events == 1)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sliding windows in streaming mode match batch expansion") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

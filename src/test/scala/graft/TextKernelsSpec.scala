@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Dedup, Similarity}
+import graft.plans.TextExpressions
+
+/** Bit-for-bit equality of the per-row codegen kernels
+  * (plans.TextKernels/TextExpressions) against the composable forms they
+  * replaced, on the fixture corpus plus adversarial edge strings. */
+class TextKernelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // edge strings the split(\s+) semantics have to survive: empties,
+  // leading/trailing/multi whitespace, tabs/newlines, short docs, unicode
+  private val edges = Seq(
+    "", " ", "  ", "a", " a", "a ", "\ta\n b ", "a  b\t\tc",
+    "one two", "one two three", "one two three four five",
+    "Héllo Wörld straße", "café É naïve", "日本語 テスト です",
+    "MiXeD CaSe TeXt Here", "a b c d e f g h i j k l m n o p")
+  private def edgeDf = edges.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  private def fixtureDf = Tables.documents(spark, sf).select("doc_id", "text")
+
+  private def assertEqual(df: org.apache.spark.sql.DataFrame,
+      kernel: org.apache.spark.sql.Column, reference: org.apache.spark.sql.Column): Unit = {
+    val diff = df.select(col("doc_id"), kernel.as("k"), reference.as("r"))
+      .filter(!(col("k") <=> col("r")))
+    val bad = diff.limit(5).collect()
+    assert(bad.isEmpty, s"kernel != reference for: ${bad.mkString(", ")}")
+  }
+
+  test("simhash64 kernel == HOF fold on fixture + edges") {
+    assertEqual(fixtureDf, TextExpressions.simhash64(col("text")), TextOps.simhash64(col("text")))
+    assertEqual(edgeDf, TextExpressions.simhash64(col("text")), TextOps.simhash64(col("text")))
+  }
+
+  test("simhash sketches kernel frame == explode+aggregate frame") {
+    val df = fixtureDf
+    val a = Dedup.simhashSketches(df, col("text"), col("doc_id"))
+    val b = Dedup.simhashSketchesAgg(df, col("text"), col("doc_id"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("minhash signatures kernel frame == explode+aggregate frame (fixture + edges)") {
+    for (df <- Seq(fixtureDf, edgeDf)) {
+      val a = Dedup.minhashSignatures(df, col("text"), col("doc_id"))
+      val b = Dedup.minhashSignaturesAgg(df, col("text"), col("doc_id"))
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    }
+  }
+
+  test("winnowing fingerprints kernel == HOF form on fixture + ascii edges") {
+    // unicode rows excluded: substr counts codepoints of the ORIGINAL text
+    // while the kernel windows over the lowered text's codepoints — they
+    // agree whenever lowercasing preserves length (all of the fixture).
+    val ascii = edgeDf.filter(length(col("text")) === octet_length(col("text")))
+    assertEqual(fixtureDf,
+      TextExpressions.winnowFingerprints(col("text")), TextOps.fingerprints(col("text")))
+    assertEqual(ascii,
+      TextExpressions.winnowFingerprints(col("text")), TextOps.fingerprints(col("text")))
+  }
+
+  test("srp sketch kernel == HOF form on fixture embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    assertEqual(emb.withColumnRenamed("vec_id", "doc_id"),
+      Similarity.srpBucket(col("embedding"), 16),
+      Similarity.srpBucketHof(col("embedding"), 16))
+  }
+
+  test("per-row sketch stage has zero shuffles (agg form has one)") {
+    val df = fixtureDf
+    // AQE wraps the executed plan, hiding exchange children from collect();
+    // the initial plan's toString still names them (see PlanAuditSpec)
+    def nShuffles(d: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(d.queryExecution.executedPlan.toString).size
+    assert(nShuffles(Dedup.simhashSketches(df, col("text"), col("doc_id"))) == 0)
+    assert(nShuffles(Dedup.minhashSignatures(df, col("text"), col("doc_id"))) == 0)
+    assert(nShuffles(Dedup.simhashSketchesAgg(df, col("text"), col("doc_id"))) >= 1)
+  }
+
+  test("pairsLsh: precision 1.0 vs brute force, recall >= 0.8 at tau=0.35 (16x4 bands)") {
+    val emb = Tables.embeddings(spark, sf)
+    val truth = Similarity.pairsAboveThreshold(emb, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.pairsLsh(emb, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty, "fixture must contain pairs above tau")
+    assert(lsh.subsetOf(truth), s"false positives: ${(lsh -- truth).take(3)}")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall too low (${lsh.size}/${truth.size})")
+  }
+
+  test("pairsLsh near-dup regime: planted dups at tau=0.9, 8x8 bands prune hard") {
+    // fixture embeddings have no near-identical pairs (max cosine ~0.48),
+    // so plant them: 40 base vectors, each with a tiny-perturbation twin
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val fillers = (0 until 400).map(i => (i + 2000L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = (base ++ twins ++ fillers).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val truth = Similarity.pairsAboveThreshold(df, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 35, s"expected ~40 planted pairs, got ${truth.size}")
+    val lsh = Similarity.pairsLsh(df, 0.9, bands = 8, bitsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truth))
+    assert(lsh.size.toDouble / truth.size >= 0.9,
+      s"near-dup recall ${lsh.size}/${truth.size}")
+    // the pruning claim: candidate volume stays near-linear, not O(n^2)
+    val n = df.count()
+    val cands = Similarity.pairsLshCandidateCount(df, bands = 8, bitsPerBand = 8)
+    assert(cands < n * n / 20,
+      s"8x8 banding should prune hard: $cands candidates for $n vectors")
+  }
+}
