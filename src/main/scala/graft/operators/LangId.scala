@@ -36,12 +36,39 @@ object LangId {
         (lit(1.0) / col("rank")).as("weight"))
   }
 
-  /** Train on the labeled corpus and classify that same corpus with ONE
-    * trigram extraction: the exploded gram rows (with both doc_id and
-    * lang) are persisted and feed the profile aggregate and the per-doc
-    * counts. Semantics identical to train() + predict(); half the
-    * extraction work. */
+  /** Train on the labeled corpus, then classify with a broadcast-literal
+    * scoring expression: the trained profile is tiny (langs × topM rows),
+    * so it is collected once — exactly what a broadcast join would ship —
+    * and baked into [[graft.plans.LangScoreExpr]]. Scoring then is a
+    * zero-shuffle projection: at 100 TB, classification costs one scan.
+    * Training aggregates per-row distinct-trigram counts
+    * ([[graft.plans.TrigramCountsExpr]]) instead of exploding every
+    * occurrence — the shuffle carries distinct-per-doc rows only, and the
+    * old per-doc counting shuffle disappears. Prediction semantics are
+    * identical to [[selfLabelPredictRelational]] (MultimodalLangIdSpec). */
   def selfLabelPredict(docs: DataFrame, text: Column, id: Column, lang: Column,
+      topM: Int = 200): DataFrame = {
+    import graft.plans.LangIdExpressions
+    val counts = docs.select(lang.as("lang"), LangIdExpressions.trigramCounts(text).as("tc"))
+      .select(col("lang"), explode(col("tc")).as("g"))
+      .groupBy(col("lang"), col("g.gram").as("gram"))
+      .agg(sum(col("g.cnt")).as("count"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("gram").asc)
+    val profileRows = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topM)
+      .select(col("lang"), col("gram"), (lit(1.0) / col("rank")).as("weight"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val profile = LangIdExpressions.buildProfile(profileRows)
+    docs.select(id.as("doc_id"), LangIdExpressions.langScore(text, profile).as("pred_lang"))
+      .filter(col("pred_lang").isNotNull)
+  }
+
+  /** The fully-relational formulation (one shared trigram explode feeding
+    * both the profile aggregate and per-doc counts, broadcast profile
+    * join, two aggregate shuffles) — kept as the cross-check baseline for
+    * the broadcast-literal scoring path. */
+  def selfLabelPredictRelational(docs: DataFrame, text: Column, id: Column, lang: Column,
       topM: Int = 200): DataFrame = {
     val s = docs.select(id.as("doc_id"), lang.as("lang"), lower(text).as("__s"))
       .filter(length(col("__s")) >= 3)

@@ -14,20 +14,38 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.dotProductFloatDesc)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
 object GraftExtensions {
-  private val dotProductFloatDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("dot_product_float"),
-    new ExpressionInfo(classOf[DotProductFloat].getName, "dot_product_float"),
-    (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))
+
+  private def intLit(e: Expression): Int =
+    e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+      .value.asInstanceOf[Number].intValue()
+
+  /** SQL name → expression builder for every custom expression the engine
+    * ships. Static arguments (permutation counts, band widths…) are passed
+    * as integer literals. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_product_float" -> ((exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))),
+    "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs(0))),
+    "minhash_sig" -> ((exprs: Seq[Expression]) =>
+      MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    "winnow_fingerprints" -> ((exprs: Seq[Expression]) =>
+      WinnowFingerprintExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    "srp_sketch" -> ((exprs: Seq[Expression]) =>
+      SrpSketchExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
   )
 
   /** Imperative registration for an already-built session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product_float", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

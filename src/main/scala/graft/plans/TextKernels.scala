@@ -185,6 +185,43 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(mins, out))
   }
 
+  /** Distinct character trigrams of `lower(text)` with occurrence counts,
+    * as rows of (gram STRING, cnt INT). Trigram identity is the xxhash64
+    * of its bytes — the same key every LangId shuffle/join already uses
+    * (an 8-byte key; the readable gram tags the profile only). Insertion
+    * order (first occurrence) keeps output deterministic across runs. */
+  def trigramCounts(s: UTF8String): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val nBytes = b.length
+    val map = new java.util.LinkedHashMap[java.lang.Long, Array[Int]]()
+    var i = 0
+    var c0 = -1
+    var c1 = -1
+    var c2 = -1
+    var c3 = -1
+    while (i <= nBytes) {
+      if (i == nBytes || (b(i) & 0xC0) != 0x80) { // codepoint boundary
+        c0 = c1; c1 = c2; c2 = c3; c3 = i
+        if (c0 >= 0) {
+          val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + c0, c3 - c0, Seed)
+          val e = map.get(h)
+          if (e == null) map.put(h, Array(c0, c3 - c0, 1)) else e(2) += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](map.size)
+    val it = map.values().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromBytes(b, e(0), e(1)), e(2)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sign-random-projection sketch over an ARRAY<FLOAT>: bit i is the sign
     * of the dot product with a deterministic pseudo-random hyperplane
     * whose component j is `pmod(xxhash64(seed, i, j), 2000001)/1e6 - 1`

@@ -61,4 +61,14 @@ class MultimodalLangIdSpec extends SparkTestBase {
     assert(pred.count() == docs.count())
     assert(pred.filter(col("pred_lang").isNull).count() == 0)
   }
+
+  test("broadcast-literal langid scoring == relational form on the fixture") {
+    val docs = Tables.documents(spark, sf)
+    val a = LangId.selfLabelPredict(docs, col("text"), col("doc_id"), col("lang"))
+    val b = LangId.selfLabelPredictRelational(docs, col("text"), col("doc_id"), col("lang"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // the scoring stage itself is a zero-shuffle projection
+    val nEx = "Exchange".r.findAllIn(a.queryExecution.executedPlan.toString).size
+    assert(nEx == 0, s"scoring stage should not shuffle:\n${a.queryExecution.executedPlan}")
+  }
 }

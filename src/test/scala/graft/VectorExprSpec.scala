@@ -37,6 +37,25 @@ class VectorExprSpec extends SparkTestBase {
     assert(r.getDouble(0) > 0.0)
   }
 
+  test("kernel expressions are callable from SQL and match Column API") {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_sql")
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh,
+        |  minhash_sig(text, 64, 3) AS sig,
+        |  winnow_fingerprints(text, 8, 4) AS fp
+        |FROM docs_sql""".stripMargin)
+    val colRows = Tables.documents(spark, sf).select($"doc_id",
+      graft.plans.TextExpressions.simhash64($"text").as("sh"),
+      graft.plans.TextExpressions.minhashSig($"text").as("sig"),
+      graft.plans.TextExpressions.winnowFingerprints($"text").as("fp"))
+    assert(sqlRows.except(colRows).isEmpty && colRows.except(sqlRows).isEmpty)
+    val srp = spark.sql(
+      "SELECT count(DISTINCT srp_sketch(embedding, 16, 42)) AS n FROM emb_sql").head()
+    assert(srp.getLong(0) > 1)
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     val plan = emb.select(VectorExpressions.dotProduct($"embedding", $"embedding").as("d"))
