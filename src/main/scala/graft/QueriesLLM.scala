@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.r4
 
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{Dedup, LangId, Similarity}
+import graft.operators.{Dedup, LangId, Sampling, Similarity}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.11 + driver north
   * star): dedup family, similarity search, text analysis, multimodal
@@ -200,6 +200,47 @@ object QueriesLLM {
       .orderBy("doc_id")
   }
 
+  // ---- deterministic sampling / splits -------------------------------------
+
+  /** sample_hash: content-hash 10% sample — deterministic, partition-
+    * independent, engine-portable (oracle draws the IDENTICAL sample). */
+  val sampleHash: Q = (s, dir) =>
+    Sampling.hashSample(Tables.documents(s, dir), col("doc_id"), 0.1)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  val sampleHashSql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE md5(doc_id || ':s0') < '19999999999999999999999999999999'
+      |ORDER BY doc_id""".stripMargin
+
+  /** split_assign: 80/10/10 train/val/test assignment by key hash —
+    * the same key lands in the same split in every table and engine. */
+  val splitAssign: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .orderBy("doc_id")
+
+  val splitAssignSql =
+    """SELECT doc_id,
+      |  CASE WHEN md5(doc_id || ':s0') < 'cccccccccccccccccccccccccccccccc' THEN 'train'
+      |       WHEN md5(doc_id || ':s0') < 'e6666666666666666666666666666666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** sample_stratified: 20% within each language independently. */
+  val sampleStratified: Q = (s, dir) =>
+    Sampling.stratifiedSample(Tables.documents(s, dir), col("doc_id"), col("lang"), 0.2)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  val sampleStratifiedSql =
+    """SELECT lang, count(*) AS n FROM documents
+      |WHERE md5(lang || '|' || doc_id || ':s0') < '33333333333333333333333333333333'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------
 
   /** multimodal_doc: nested "document" record — text + typed metadata +
@@ -263,6 +304,9 @@ object QueriesLLM {
     "text_token_count" -> textTokenCount,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "sample_hash" -> sampleHash,
+    "split_assign" -> splitAssign,
+    "sample_stratified" -> sampleStratified,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize
@@ -278,6 +322,9 @@ object QueriesLLM {
     "text_quality" -> textQualitySql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,
-    "multimodal_features" -> multimodalFeaturesSql
+    "multimodal_features" -> multimodalFeaturesSql,
+    "sample_hash" -> sampleHashSql,
+    "split_assign" -> splitAssignSql,
+    "sample_stratified" -> sampleStratifiedSql
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and dataset splitting (LLM
+  * training-pipeline surface; SURVEY.md §2.11 extensions).
+  *
+  * Design: membership is decided by comparing the md5 hex digest of the
+  * row's key against a fixed 128-bit threshold written as a 32-char hex
+  * literal. That makes samples
+  *  - deterministic (no RNG, no seed state, no partition dependence —
+  *    unlike `df.sample`, which changes with partitioning),
+  *  - stable under re-runs, engine versions, AND engines (any system
+  *    with md5 draws the identical sample — the DuckDB oracle gates
+  *    these queries exactly),
+  *  - consistent across tables (the same key lands in the same split
+  *    everywhere, so features and labels never straddle a train/val
+  *    boundary).
+  * At 100 TB each op is a narrow filter/projection — zero shuffle, full
+  * pushdown of everything else around it.
+  */
+object Sampling {
+
+  /** floor(2^128 · f) as a 32-hex-char literal (exact integer math). */
+  private def hexThreshold(f: Double): String = {
+    require(f >= 0 && f <= 1, s"fraction $f out of [0,1]")
+    val num = (BigInt(1) << 128) * BigInt((f * 1e6).round) / BigInt(1000000)
+    val h = num.toString(16)
+    if (h.length > 32) "f" * 32 else ("0" * (32 - h.length)) + h
+  }
+
+  /** The md5 hex of key || ':' || salt — the sampling coordinate. */
+  private def coord(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(":" + salt)).cast("binary"))
+
+  /** Keep ~`fraction` of rows, chosen by key hash. Same (key, salt) ⇒
+    * same decision everywhere, forever. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double, salt: String = "s0"): DataFrame =
+    df.filter(coord(key, salt) < lit(hexThreshold(fraction)))
+
+  /** Assign each row to a named split by hex range; `weights` must sum to
+    * 1 (e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)). */
+  def splitColumn(key: Column, weights: Seq[(String, Double)], salt: String = "s0"): Column = {
+    val bounds = weights.scanLeft(0.0)(_ + _._2).tail // cumulative
+    val c = coord(key, salt)
+    weights.init.zip(bounds.init).reverse.foldLeft(lit(weights.last._1)) {
+      case (acc, ((name, _), hi)) => when(c < lit(hexThreshold(hi)), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Stratified hash sample: within each stratum value, keep ~`fraction`
+    * of rows. The stratum participates in the hash so strata are sampled
+    * independently; still a pure narrow filter. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column, fraction: Double,
+      salt: String = "s0"): DataFrame =
+    df.filter(md5(concat(stratum.cast("string"), lit("|"), key.cast("string"),
+      lit(":" + salt)).cast("binary")) < lit(hexThreshold(fraction)))
+}
