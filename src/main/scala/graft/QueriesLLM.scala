@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.r4
 
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{Dedup, LangId, Sampling, Similarity}
+import graft.operators.{Dedup, LangId, Packing, Sampling, Similarity}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.11 + driver north
   * star): dedup family, similarity search, text analysis, multimodal
@@ -241,6 +241,28 @@ object QueriesLLM {
       |WHERE md5(lang || '|' || doc_id || ':s0') < '33333333333333333333333333333333'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** pack_chunks: concat-and-chunk sequence packing — global token-stream
+    * offset + 4096-token chunk id per doc, via the scalable two-phase
+    * prefix sum (oracle = DuckDB's naive global SUM() OVER). */
+  val packChunks: Q = (s, dir) =>
+    Packing.packChunks(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), 4096L)
+      .withColumnRenamed("offset", "tok_offset")
+      .orderBy("doc_id")
+
+  val packChunksSql =
+    """WITH t AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+      |  FROM t)
+      |SELECT doc_id, n_tokens, tok_offset,
+      |  CAST(floor(tok_offset / 4096) AS BIGINT) AS chunk_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------
 
   /** multimodal_doc: nested "document" record — text + typed metadata +
@@ -307,6 +329,7 @@ object QueriesLLM {
     "sample_hash" -> sampleHash,
     "split_assign" -> splitAssign,
     "sample_stratified" -> sampleStratified,
+    "pack_chunks" -> packChunks,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize
@@ -325,6 +348,7 @@ object QueriesLLM {
     "multimodal_features" -> multimodalFeaturesSql,
     "sample_hash" -> sampleHashSql,
     "split_assign" -> splitAssignSql,
-    "sample_stratified" -> sampleStratifiedSql
+    "sample_stratified" -> sampleStratifiedSql,
+    "pack_chunks" -> packChunksSql
   )
 }

@@ -137,6 +137,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rate-limited file stream (maxFilesPerTrigger=1) drains incrementally to the same totals") {
+    import spark.implicits._
+    // stage the events parquet twice — two files, one per micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("evratelim")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part1.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part2.parquet"))
+    val stream = spark.readStream.schema(Tables.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("ratelim_out").start()
+    try {
+      q.processAllAvailable()
+      // at least two micro-batches were needed to drain both files
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      val streamed = spark.table("ratelim_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = Tables.events(spark, sf).groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1) * 2).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream of parquet events equals batch aggregation (unification)") {
     import spark.implicits._
     // FileStreamSource needs a directory; stage the single parquet file
