@@ -86,4 +86,61 @@ class PropertySpec extends SparkTestBase {
     val odd = df.filter(pmod(col("id"), lit(2)) === 1)
     assert(even.union(odd).count() == df.count())
   }
+
+  test("property: text kernels == composable forms on generated whitespace-heavy strings") {
+    import graft.plans.TextExpressions
+    import graft.functions.TextOps
+    // strings with runs of mixed whitespace, empties, and short tokens —
+    // the split(\s+) edge-case space
+    val tokenGen = Gen.oneOf(Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.stringOfN(1, Gen.alphaChar), Gen.const(""))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val strGen = for {
+      n <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(n, sepGen)
+    } yield toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val rows = samples(strGen, seed = 31, n = 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val mismatch = df.select(
+        TextExpressions.simhash64(col("text")).as("k_sh"),
+        TextOps.simhash64(col("text")).as("r_sh"),
+        TextExpressions.minhashSig(col("text")).as("k_sig"),
+        TextExpressions.winnowFingerprints(col("text")).as("k_fp"),
+        TextOps.fingerprints(col("text")).as("r_fp"))
+      .filter(!(col("k_sh") <=> col("r_sh")) || !(col("k_fp") <=> col("r_fp")))
+    assert(mismatch.isEmpty)
+    val a = Dedup.minhashSignatures(df, col("text"), col("doc_id"))
+    val b = Dedup.minhashSignaturesAgg(df, col("text"), col("doc_id"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("property: two-phase packing == naive window on generated lengths and sparse keys") {
+    import graft.operators.Packing
+    val rowGen = for {
+      key <- Gen.chooseNum(0L, 100000L)
+      len <- Gen.chooseNum(0L, 5000L)
+    } yield (key, len)
+    val rows = samples(rowGen, seed = 43, n = 300).distinctBy(_._1)
+    val df = rows.toDF("k", "len")
+    val naive = Packing.packChunksNaive(df, col("k"), col("len"), 1024L)
+    for (bw <- Seq(13L, 1000L)) {
+      val fast = Packing.packChunks(df, col("k"), col("len"), 1024L, bw)
+      assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty, s"bw=$bw")
+    }
+  }
+
+  test("property: hash-sample fraction monotone and salt-sensitive") {
+    import graft.operators.Sampling
+    val ids = samples(Gen.chooseNum(0L, 1000000L), seed = 57, n = 500).distinct
+    val df = ids.map(Tuple1(_)).toDF("id")
+    val f25 = Sampling.hashSample(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    val f50 = Sampling.hashSample(df, col("id"), 0.50).collect().map(_.getLong(0)).toSet
+    assert(f25.subsetOf(f50))
+    val other = Sampling.hashSample(df, col("id"), 0.25, salt = "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != f25) // a different salt draws a different sample
+    assert(math.abs(f50.size.toDouble / ids.size - 0.5) < 0.1)
+  }
 }
