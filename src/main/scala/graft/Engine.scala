@@ -33,6 +33,14 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // request >= core-count input splits for small files. Parquet can
+      // only split at row-group boundaries (the fixtures are single-group,
+      // so this is best-effort there — operators whose parallelism must
+      // not depend on the input's split count add their own distribution,
+      // e.g. jaccardPairs' posting repartition); multi-group files and
+      // JSON/CSV do split. On a 100 TB cluster inputs are already
+      // thousands of splits.
+      .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

@@ -91,7 +91,9 @@ object Dedup {
     * candidates + verification persist the signatures once and reuse them
     * (the signature aggregate is the expensive stage). */
   def candidatesFromSignatures(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    // bucket-key distribution before the self-join (see jaccardPairs)
     val banded = lshBands(sigs, bands, numPerm / bands)
+      .repartition(col("band_id"), col("band_hash"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_id") === col("b.band_id") &&
@@ -148,6 +150,7 @@ object Dedup {
       explode(array((0 until chunks).map(c => struct(lit(c).as("chunk_id"),
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("c"))
       .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val"))
+      .repartition(col("chunk_id"), col("chunk_val")) // see jaccardPairs
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.chunk_id") === col("b.chunk_id") &&
@@ -168,15 +171,23 @@ object Dedup {
     * guard for 100 TB corpora). */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, threshold: Double,
       shingleSize: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
-    // Codegen shingle rows hashed to BIGINT (cheap join keys, no string
-    // compares in the SMJ); each doc's set size rides along so no size
-    // joins are needed after the posting-list join.
-    val base = TextOps.shingleRows(df, text, id, shingleSize)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
-    val sizes = base.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // persisted: the self-join below reads the posting frame twice
-    val posting = base.join(sizes, "doc_id")
-      .select(col("doc_id"), col("n_sh"), col("sh"))
+    // Per-row distinct shingle-hash set (codegen kernel): the posting
+    // frame is ONE zero-shuffle projection — the set-building distinct
+    // shuffle and the per-doc set-size aggregate+join of the purely
+    // relational form both collapse into it. Set sizes ride along as the
+    // array length, so no size joins are needed after the posting join.
+    // One explicit shuffle ON THE JOIN KEY (the inverted-index
+    // distribution): both self-join sides read the same cached,
+    // sh-partitioned frame, so the join needs no further exchange and its
+    // parallelism is independent of the input's split count (the fixture
+    // parquet is a single row group — a fully narrow pipeline would
+    // serialize the join onto one task). This replaces the relational
+    // form's three pre-join shuffles (distinct, set sizes, size join). */
+    val posting = df.select(id.as("doc_id"),
+        graft.plans.TextExpressions.shingleHashSet(text, shingleSize).as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).cast("long").as("n_sh"),
+        explode(col("__hs")).as("sh"))
+      .repartition(col("sh"))
       .persist()
     val filtered =
       if (maxDf == Long.MaxValue) posting

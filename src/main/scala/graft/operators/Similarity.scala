@@ -162,10 +162,14 @@ object Similarity {
     val sk = corpus.select(col(idCol).as("id"),
       srpBucket(col(vecCol), bands * bitsPerBand, seed).as("__sk"))
     val mask = (1L << bitsPerBand) - 1
+    // distributed on the join key before the persist: the self-join then
+    // runs exchange-free over the cached partitioning, with parallelism
+    // independent of the input's split count (see Dedup.jaccardPairs)
     val banded = sk.select(col("id"),
         explode(array((0 until bands).map(bd => struct(lit(bd).as("band_id"),
           shiftright(col("__sk"), bd * bitsPerBand).bitwiseAND(lit(mask)).as("band_bits"))): _*)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_bits"))
+      .repartition(col("band_id"), col("band_bits"))
       .persist()
     banded.as("a")
       .join(banded.as("b"), col("a.band_id") === col("b.band_id") &&

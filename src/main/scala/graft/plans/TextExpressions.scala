@@ -57,6 +57,21 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** shingle_hash_set(text): sorted distinct ARRAY<BIGINT> of word-shingle
+  * hashes. */
+case class ShingleHashSetExpr(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashSet(input.asInstanceOf[UTF8String], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.shingleHashSet($c, $shingleSize)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** srp_sketch(vec): sign-random-projection LSH sketch of an ARRAY<FLOAT>
   * (bits hyperplanes, deterministic from seed). */
 case class SrpSketchExpr(child: Expression, bits: Int, seed: Int)
@@ -80,6 +95,9 @@ object TextExpressions {
 
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowFingerprintExpr(ColumnBridge.expression(text), k, w))
+
+  def shingleHashSet(text: Column, shingleSize: Int = 3): Column =
+    ColumnBridge.column(ShingleHashSetExpr(ColumnBridge.expression(text), shingleSize))
 
   def srpSketch(vec: Column, bits: Int, seed: Int = 42): Column =
     ColumnBridge.column(SrpSketchExpr(ColumnBridge.expression(vec), bits, seed))

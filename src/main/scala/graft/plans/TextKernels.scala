@@ -185,6 +185,53 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(mins, out))
   }
 
+  /** Sorted distinct xxhash64 values of the `shingleSize`-word shingles of
+    * `lower(text)` — the per-row substitute for
+    * `shingleRows(...).select(xxhash64(sh)).distinct()`: the distinct
+    * shuffle and the per-doc set-size aggregate both collapse into this
+    * one projection (set size = array length). Same normalization and
+    * hashing as [[minhashSig]]. */
+  def shingleHashSet(s: UTF8String, shingleSize: Int): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val spans = tokenSpans(b)
+    val nTok = spans.length / 2
+    if (nTok < shingleSize) return new GenericArrayData(Array.emptyLongArray)
+    var total = 0
+    var t = 0
+    while (t < spans.length) { total += spans(t + 1) - spans(t); t += 2 }
+    val norm = new Array[Byte](total + nTok - 1)
+    val tokStart = new Array[Int](nTok)
+    var pos = 0
+    var ti = 0
+    t = 0
+    while (t < spans.length) {
+      tokStart(ti) = pos
+      val l = spans(t + 1) - spans(t)
+      System.arraycopy(b, spans(t), norm, pos, l)
+      pos += l
+      if (ti < nTok - 1) { norm(pos) = ' '; pos += 1 }
+      ti += 1; t += 2
+    }
+    val nSh = nTok - shingleSize + 1
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      val start = tokStart(i)
+      val end = if (i + shingleSize < nTok) tokStart(i + shingleSize) - 1 else pos
+      hs(i) = XXH64.hashUnsafeBytes(norm, Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    i = 0
+    while (i < nSh) {
+      if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
   /** Distinct character trigrams of `lower(text)` with occurrence counts,
     * as rows of (gram STRING, cnt INT). Trigram identity is the xxhash64
     * of its bytes — the same key every LangId shuffle/join already uses

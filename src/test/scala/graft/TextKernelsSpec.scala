@@ -61,6 +61,16 @@ class TextKernelsSpec extends SparkTestBase {
       TextExpressions.winnowFingerprints(col("text")), TextOps.fingerprints(col("text")))
   }
 
+  test("shingle hash set kernel == relational distinct set (fixture + edges)") {
+    for (df <- Seq(fixtureDf, edgeDf)) {
+      val kernel = df.select(col("doc_id"),
+        explode(TextExpressions.shingleHashSet(col("text"))).as("sh"))
+      val relational = TextOps.shingleRows(df, col("text"), col("doc_id"), 3)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct()
+      assert(kernel.except(relational).isEmpty && relational.except(kernel).isEmpty)
+    }
+  }
+
   test("srp sketch kernel == HOF form on fixture embeddings") {
     val emb = Tables.embeddings(spark, sf)
     assertEqual(emb.withColumnRenamed("vec_id", "doc_id"),
