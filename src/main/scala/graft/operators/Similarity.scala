@@ -44,7 +44,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withNorm = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorOps.norm(col(vecCol)).as("nrm"))
-    val a = withNorm.as("a")
+    // the broadcast-NL join's parallelism is its stream side's partition
+    // count — distribute it explicitly so a single-split input does not
+    // serialize the O(n²) compare onto one task
+    val a = withNorm.repartition(col("id")).as("a")
     val b = withNorm.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
