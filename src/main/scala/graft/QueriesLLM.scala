@@ -108,6 +108,34 @@ object QueriesLLM {
     Similarity.pairsLsh(Tables.embeddings(s, dir), 0.35)
       .orderBy("a_id", "b_id")
 
+  /** dedup_semantic: embedding near-dup pairs clustered into components
+    * (min-label propagation to fixpoint) — each vector labeled with the
+    * min id reachable through the τ=0.35 pair graph. Oracle: DuckDB
+    * WITH RECURSIVE transitive closure over the identical pair list. */
+  val dedupSemantic: Q = (s, dir) => {
+    import graft.operators.Components
+    val pairs = Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.35)
+      .select("a_id", "b_id")
+    Components.semanticDedup(pairs).orderBy("vec_id")
+  }
+
+  val dedupSemanticSql =
+    """WITH RECURSIVE p AS (
+      |  SELECT * FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, floor((
+      |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  ) sub WHERE cosine >= 0.35),
+      |e AS (SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |r(n, m) AS (
+      |  SELECT s, s FROM e
+      |  UNION
+      |  SELECT r.n, e.d FROM r JOIN e ON r.m = e.s
+      |)
+      |SELECT n AS vec_id, min(m) AS cluster_id FROM r GROUP BY n ORDER BY vec_id""".stripMargin
+
   /** sim_ann_lsh: sign-random-projection bucketed ANN — the 100 TB scale
     * path (no cross join). Rows-only; recall vs brute force is asserted in
     * SimilaritySpec. */
@@ -318,6 +346,7 @@ object QueriesLLM {
     "sim_topk_cosine" -> simTopkCosine,
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_pairs_lsh" -> simPairsLsh,
+    "dedup_semantic" -> dedupSemantic,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "text_tokens" -> textTokens,
@@ -340,6 +369,7 @@ object QueriesLLM {
     "dedup_jaccard" -> dedupJaccardSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_pairs_threshold" -> simPairsThresholdSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step of semantic dedup: near-dup PAIRS (from exact, LSH, MinHash or
+  * SimHash candidates) become CLUSTERS, and one representative per
+  * cluster survives.
+  *
+  * Algorithm: min-label propagation to a fixpoint. Every node starts
+  * labeled with itself; each round takes the min of its own and its
+  * neighbors' labels. Labels are monotonically non-increasing and bounded
+  * by the component minimum, so the fixpoint is exactly "label = min
+  * node id reachable" — a canonical, order-independent cluster id that a
+  * recursive-SQL oracle reproduces row-for-row.
+  *
+  * Scale shape: each round is one join on the (pre-partitioned, persisted)
+  * symmetric edge list + one min-aggregate — all partial+final, no
+  * driver-side data. The driver only runs the convergence loop (one
+  * count per round, O(graph diameter) rounds; near-dup components are
+  * shallow). Lineage is cut every round with an eager localCheckpoint so
+  * plans stay O(1) deep instead of O(rounds). The classic
+  * large-star/small-star optimization (Kiveris et al., "Connected
+  * Components in MapReduce") halves round counts on adversarial chains;
+  * documented as the upgrade path if components ever get deep.
+  */
+object Components {
+
+  /** (node, cluster_id = min reachable node id) for every node that
+    * appears in `edges` (columns `a_id`, `b_id`). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(col("dst")) // join side below keys on dst
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    var prevSum = Long.MaxValue
+    while (round < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min("label").as("nbr"))
+      val once = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jumping: also adopt the label OF the current label —
+      // components collapse in O(log diameter) rounds instead of O(diameter)
+      val ptr = once.select(col("node").as("l_node"), col("label").as("l_label"))
+      val next = once.join(ptr, once("label") === ptr("l_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+        .localCheckpoint(true) // eager: cut lineage, one O(1)-deep plan per round
+      // labels are monotonically non-increasing, so the label sum strictly
+      // decreases until the fixpoint — one tiny aggregate per round
+      // replaces a change-detection join. (On graphs where sum(id) could
+      // wrap an Int64, switch back to the join-based changed count.)
+      val curSum = next.agg(sum("label")).head().getLong(0)
+      labels = next
+      round += 1
+      if (curSum == prevSum) round = maxIter
+      prevSum = curSum
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Semantic dedup summary: cluster every node of the near-dup pair
+    * graph and keep the min-id representative (= the cluster id). */
+  def semanticDedup(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("cluster_id"))
+}
