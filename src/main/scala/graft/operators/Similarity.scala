@@ -81,10 +81,29 @@ object Similarity {
   /** IVF coarse quantizer: deterministic centroids (the `nCentroids`
     * lowest-id corpus vectors — no RNG, no k-means iterations), each
     * corpus vector assigned to its nearest centroid by cosine.
-    * Returns (id, vector, centroid_id). Broadcast centroid table; one
-    * narrow pass — no shuffle. At 100 TB the assignment is written once
-    * at ingest and queries touch only `nProbe` cells. */
+    * Returns (id, vector, centroid_id).
+    *
+    * Broadcast-literal form (same pattern as LangId scoring): the
+    * centroid table is ≤ nCentroids rows, so it is collected once and
+    * baked into a per-row argmax expression — assignment is a ZERO-
+    * shuffle projection (the relational form's cross join + group-by-
+    * vector aggregate disappear). At 100 TB the assignment is written
+    * once at ingest and queries touch only `nProbe` cells. Identical to
+    * [[ivfAssignRelational]] (DedupSimilaritySpec). */
   def ivfAssign(corpus: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rows = corpus.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    val index = new graft.plans.CentroidIndex(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray))
+    corpus.select(col(idCol), col(vecCol),
+      graft.plans.VectorExpressions.nearestCentroid(col(vecCol), index).as("centroid_id"))
+  }
+
+  /** The relational formulation of [[ivfAssign]] (broadcast cross join +
+    * max_by aggregate keyed on the vector column) — kept as the
+    * cross-check baseline. */
+  def ivfAssignRelational(corpus: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = broadcast(
       corpus.orderBy(col(idCol).asc).limit(nCentroids)

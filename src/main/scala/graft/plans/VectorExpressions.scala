@@ -64,8 +64,65 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Tiny broadcast-literal centroid table for [[NearestCentroidExpr]]
+  * (same collect-the-model pattern as [[LangProfile]]): ids ascending,
+  * cosine arithmetic identical to the relational form (sequential DOUBLE
+  * folds, strict `>` keeps the smallest id on ties — matching
+  * `max_by(centroid_id, struct(csim, -centroid_id))`). */
+final class CentroidIndex(val ids: Array[Long], vecs: Array[Array[Float]])
+    extends Serializable {
+  private def dot(a: Array[Float], b: ArrayData, n: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  private val norms: Array[Double] = vecs.map { v =>
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def assign(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
+    vn = math.sqrt(vn)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    i = 0
+    while (i < ids.length) {
+      val m = math.min(vecs(i).length, n)
+      val cs = dot(vecs(i), vec, m) / (vn * norms(i))
+      if (cs > bestSim) { bestSim = cs; best = i } // ties keep the smaller id
+      i += 1
+    }
+    ids(best)
+  }
+}
+
+/** nearest_centroid(vec): id of the max-cosine centroid from a baked-in
+  * [[CentroidIndex]] — the zero-shuffle IVF assignment. */
+case class NearestCentroidExpr(child: Expression, index: CentroidIndex)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "nearest_centroid"
+  override def nullSafeEval(input: Any): Any =
+    index.assign(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidIndex", index, classOf[CentroidIndex].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.assign($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level entry point for the codegen'd dot product. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def nearestCentroid(vec: Column, index: CentroidIndex): Column =
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(vec), index))
 }

@@ -89,6 +89,14 @@ class TextKernelsSpec extends SparkTestBase {
     assert(nShuffles(Dedup.simhashSketchesAgg(df, col("text"), col("doc_id"))) >= 1)
   }
 
+  test("broadcast-literal IVF assignment == relational cross-join form, zero shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.ivfAssign(emb, 16)
+    val b = Similarity.ivfAssignRelational(emb, 16)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("pairsLsh: precision 1.0 vs brute force, recall >= 0.8 at tau=0.35 (16x4 bands)") {
     val emb = Tables.embeddings(spark, sf)
     val truth = Similarity.pairsAboveThreshold(emb, 0.35)
