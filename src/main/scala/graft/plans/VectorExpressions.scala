@@ -64,6 +64,52 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** norm2_float(v) = Σ v(i)² in DOUBLE — the single-child specialization
+  * of `dot_product_float(v, v)`. Same fold order and null semantics as
+  * [[DotProductFloat]] with both sides equal; evaluates the child ONCE
+  * (the binary form evaluates its two identical subtrees separately).
+  * Produced by [[graft.plans.RewriteSelfDotToNorm2]]. */
+case class Norm2Float(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm2_float"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $x = (double) $a.getFloat($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Tiny broadcast-literal centroid table for [[NearestCentroidExpr]]
   * (same collect-the-model pattern as [[LangProfile]]): ids ascending,
   * cosine arithmetic identical to the relational form (sequential DOUBLE

@@ -56,9 +56,32 @@ class VectorExprSpec extends SparkTestBase {
     assert(srp.getLong(0) > 1)
   }
 
+  test("optimizer rule rewrites self-dot to norm2_float, results unchanged") {
+    import graft.functions.VectorOps
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select($"vec_id", VectorOps.norm2($"embedding").as("n2"))
+    // the injected rule fires for Engine-built sessions (Column API path)
+    assert(df.queryExecution.optimizedPlan.toString.contains("norm2_float"),
+      df.queryExecution.optimizedPlan.toString)
+    // bit-identical to evaluating the binary form with the rule disabled:
+    // compare against the HOF reference semantics instead
+    val mismatch = emb.select(VectorOps.norm2($"embedding").as("a"),
+        VectorOps.dotHof($"embedding", $"embedding").as("b"))
+      .filter(!($"a" <=> $"b"))
+    assert(mismatch.isEmpty)
+    // and for the SQL surface
+    graft.plans.GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("emb_rule")
+    val sqlPlan = spark.sql(
+      "SELECT dot_product_float(embedding, embedding) FROM emb_rule")
+      .queryExecution.optimizedPlan.toString
+    assert(sqlPlan.contains("norm2_float"), sqlPlan)
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
-    val plan = emb.select(VectorExpressions.dotProduct($"embedding", $"embedding").as("d"))
+    // distinct subtrees, so RewriteSelfDotToNorm2 leaves the binary form
+    val plan = emb.select(VectorExpressions.dotProduct($"embedding", reverse($"embedding")).as("d"))
       .queryExecution.executedPlan.toString
     // "*(n)" marks operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1) Project") && plan.contains("dot_product_float"), plan)
