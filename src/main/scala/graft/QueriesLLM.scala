@@ -291,6 +291,48 @@ object QueriesLLM {
       |  CAST(floor(tok_offset / 4096) AS BIGINT) AS chunk_id
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** pipeline_curate: the end-to-end curation pipeline as ONE declarative
+    * plan — quality gate → exact dedup (keep min doc_id) → deterministic
+    * train/val/test split → per-split summary. Every stage is an operator
+    * proven above; composing them lets Catalyst fuse the narrow stages
+    * (quality score, split hash) into single projections around the one
+    * dedup shuffle. */
+  val pipelineCurate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val quality = docs
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    val keep = Dedup.exact(quality, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    quality.join(keep, "doc_id")
+      .select(col("doc_id"), col("quality"),
+        Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), r4(avg("quality")).as("avg_quality"))
+      .orderBy("split")
+  }
+
+  val pipelineCurateSql =
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |    floor(((n_tokens / (n_tokens + 50.0)) *
+      |      (1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0)
+      |           / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS quality
+      |  FROM (SELECT doc_id, text, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |          CAST(length(text) AS DOUBLE) AS n_chars FROM documents) t),
+      |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY md5(lower(trim(text)))),
+      |labeled AS (
+      |  SELECT qf.doc_id, qf.quality,
+      |    CASE WHEN md5(qf.doc_id || ':s0') < 'cccccccccccccccccccccccccccccccc' THEN 'train'
+      |         WHEN md5(qf.doc_id || ':s0') < 'e6666666666666666666666666666666' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM qf JOIN keep ON qf.doc_id = keep.doc_id)
+      |SELECT split, count(*) AS n_docs,
+      |  floor((avg(quality)) * 10000 + 0.5) / 10000 AS avg_quality
+      |FROM labeled GROUP BY split ORDER BY split""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------
 
   /** multimodal_doc: nested "document" record — text + typed metadata +
@@ -359,6 +401,7 @@ object QueriesLLM {
     "split_assign" -> splitAssign,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
+    "pipeline_curate" -> pipelineCurate,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize
@@ -379,6 +422,7 @@ object QueriesLLM {
     "sample_hash" -> sampleHashSql,
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "pack_chunks" -> packChunksSql
+    "pack_chunks" -> packChunksSql,
+    "pipeline_curate" -> pipelineCurateSql
   )
 }
