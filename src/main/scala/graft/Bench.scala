@@ -22,9 +22,14 @@ object Bench {
         val w0 = System.nanoTime()
         fn(spark, sfDir).count() // warm-up: JIT, codegen cache, FS metadata
         val w = (System.nanoTime() - w0) / 1e9
+        // isolate the timed run: drop every frame the warm-up persisted so
+        // the measurement includes the query's own cache builds and no
+        // query inherits (or evicts) another's storage
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
         System.err.println(f"[bench] $name%-24s cold=$w%8.3f warm=$t%8.3f")
         name -> t
       } catch { case e: Throwable =>
