@@ -144,6 +144,15 @@ object QueriesLLM {
     Similarity.annTopK(emb, emb.filter(col("vec_id") === 0), 11, 4)
   }
 
+  /** sim_ann_multiprobe: SRP ANN probing the query bucket plus all
+    * Hamming-1 neighbors — the recall lever over sim_ann_lsh without
+    * extra tables. Rows-only; recall dominance asserted in
+    * DedupSimilaritySpec. */
+  val simAnnMultiprobe: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.annTopKMultiProbe(emb, emb.filter(col("vec_id") === 0), 11, 4)
+  }
+
   /** sim_ann_ivf: IVF coarse-quantized ANN (deterministic centroids,
     * nProbe cells rescored exactly) — the second scale path next to SRP.
     * Rows-only; recall vs brute force asserted in DedupSimilaritySpec. */
@@ -390,6 +399,7 @@ object QueriesLLM {
     "sim_pairs_lsh" -> simPairsLsh,
     "dedup_semantic" -> dedupSemantic,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_ann_ivf" -> simAnnIvf,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,

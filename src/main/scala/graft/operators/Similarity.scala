@@ -144,6 +144,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN top-k: probe the query's SRP bucket AND every bucket
+    * at Hamming distance 1 from it (bits+1 probes — the standard
+    * multi-probe LSH recall lever: neighbors that differ on one
+    * hyperplane sign are recovered without adding tables). Probe list is
+    * bits+1 broadcast rows; the corpus-side bucket column is computed
+    * once (same kernel as [[annTopK]]); cost grows with probed-bucket
+    * volume only, never O(n²). */
+  def annTopKMultiProbe(corpus: DataFrame, query: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.withColumn("__bucket", srpBucket(col(vecCol), bits))
+    val q = broadcast(query.select(col(vecCol).as("__q"),
+        srpBucket(col(vecCol), bits).as("__qbucket"),
+        VectorOps.norm(col(vecCol)).as("__qn"))
+      .select(col("__q"), col("__qn"),
+        explode(array(col("__qbucket") +:
+          (0 until bits).map(i => col("__qbucket").bitwiseXOR(lit(1L << i))): _*)).as("__probe")))
+    bucketed.join(q, col("__bucket") === col("__probe"))
+      .select(col(idCol),
+        r4(VectorOps.dot(col(vecCol), col("__q")) / (VectorOps.norm(col(vecCol)) * col("__qn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs at scale: banded SRP LSH.
     * One `totalBits = bands·bitsPerBand`-plane sketch per row (a single
     * codegen'd kernel call), exploded into `bands` (band_id, band_bits)

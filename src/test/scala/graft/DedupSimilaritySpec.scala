@@ -79,6 +79,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     ann.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("multi-probe ANN recall dominates single-probe and agrees with brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0)
+    val k = 10
+    val truth = Similarity.topKCosine(emb, q, k).collect().map(_.getLong(0)).toSet
+    val single = Similarity.annTopK(emb, q, k, bits = 4).collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annTopKMultiProbe(emb, q, k, bits = 4).collect()
+    val multiIds = multi.map(_.getLong(0)).toSet
+    // probing a superset of buckets can only widen the candidate pool
+    assert((multiIds intersect truth).size >= (single intersect truth).size)
+    assert(multi.head.getLong(0) == 0L) // self always recovered
+    // scores are exact rescored cosines — identical to brute force values
+    val brute = Similarity.topKCosine(emb, q, 2000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    multi.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
   test("IVF ANN: self found; scores agree with brute force; full-probe == exact top-k") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0)
