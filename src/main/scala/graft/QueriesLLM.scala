@@ -161,6 +161,25 @@ object QueriesLLM {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0), 11)
   }
 
+  /** sketch_source_sim: group-level content sketches — per-source MinHash
+    * UNION signatures (fixed-width TypedImperativeAggregate merge; the
+    * shuffle moves one 512-byte sketch per source, never documents),
+    * then pairwise estimated Jaccard between sources. Rows-only (hash
+    * family); the union identity is asserted exactly in SketchMergeSpec. */
+  val sketchSourceSim: Q = (s, dir) => {
+    import graft.plans.MinHashMerge
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val merged = sigs.groupBy("source")
+      .agg(MinHashMerge.minhashMerge(col("sig")).as("sig")).persist()
+    Dedup.verifyFromSignatures(
+        merged.select(col("source").as("a_id")).crossJoin(
+          broadcast(merged.select(col("source").as("b_id")))).filter(col("a_id") < col("b_id")),
+        merged.withColumnRenamed("source", "doc_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   val textTokens: Q = (s, dir) =>
@@ -398,6 +417,7 @@ object QueriesLLM {
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_pairs_lsh" -> simPairsLsh,
     "dedup_semantic" -> dedupSemantic,
+    "sketch_source_sim" -> sketchSourceSim,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_ann_ivf" -> simAnnIvf,
