@@ -92,6 +92,21 @@ object LangId {
       .agg(max_by(col("p_lang"), struct(col("score"), col("p_lang"))).as("pred_lang"))
   }
 
+  /** Classify against an externally-trained profile (the train-once /
+    * classify-many flow: persist `train()`'s output, then score any
+    * corpus) with the broadcast-literal scoring expression — the profile
+    * rows are collected once and classification is a zero-shuffle
+    * projection, like [[selfLabelPredict]]'s scoring stage. Matches
+    * [[predict]] row-for-row (MultimodalLangIdSpec). */
+  def predictCompiled(docs: DataFrame, text: Column, id: Column, profile: DataFrame): DataFrame = {
+    import graft.plans.LangIdExpressions
+    val rows = profile.select("p_lang", "gram", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val compiled = LangIdExpressions.buildProfile(rows)
+    docs.select(id.as("doc_id"), LangIdExpressions.langScore(text, compiled).as("pred_lang"))
+      .filter(col("pred_lang").isNotNull)
+  }
+
   /** Predict the best-scoring language per doc; docs with no profile
     * overlap get null. Doc trigram counts are pre-aggregated (on the
     * 8-byte gram hash) before the broadcast profile join, so the join

@@ -62,6 +62,14 @@ class MultimodalLangIdSpec extends SparkTestBase {
     assert(pred.filter(col("pred_lang").isNull).count() == 0)
   }
 
+  test("predictCompiled (external profile) == relational predict on the fixture") {
+    val docs = Tables.documents(spark, sf)
+    val profile = LangId.train(docs, col("text"), col("lang"))
+    val a = LangId.predictCompiled(docs, col("text"), col("doc_id"), profile)
+    val b = LangId.predict(docs, col("text"), col("doc_id"), profile)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("broadcast-literal langid scoring == relational form on the fixture") {
     val docs = Tables.documents(spark, sf)
     val a = LangId.selfLabelPredict(docs, col("text"), col("doc_id"), col("lang"))
