@@ -7,6 +7,15 @@ import org.apache.spark.sql.SparkSession
   * Methodology matches BASELINE.md: per query, one untimed warm-up
   * execution (JIT + codegen + file-footer caches), then the timed run.
   * One shared SparkSession for the whole suite.
+  *
+  * The timed action is a noop-sink WRITE, not count(): under count(),
+  * ColumnPruning drops every projected column and EliminateSorts drops
+  * the top-level sort, so projection-heavy queries would be timed as
+  * little more than a scan. The noop sink consumes complete rows —
+  * the measured plan is the same one Verify gates.
+  *
+  * Optional args: query names to run (default all) — iteration aid;
+  * the driver invokes with no args.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,19 +26,30 @@ object Bench {
       cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
+    val results = selected.map { case (name, fn) =>
       try {
-        val w0 = System.nanoTime()
-        fn(spark, sfDir).count() // warm-up: JIT, codegen cache, FS metadata
-        val w = (System.nanoTime() - w0) / 1e9
-        // isolate the timed run: drop every frame the warm-up persisted so
-        // the measurement includes the query's own cache builds and no
-        // query inherits (or evicts) another's storage
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val t = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        def runOnce(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def isolate(): Unit = {
+          // drop every frame the previous run persisted so the measurement
+          // includes the query's own cache builds and no query inherits
+          // (or evicts) another's storage. clearCache only covers the
+          // CacheManager; localCheckpoint blocks are freed by the
+          // ContextCleaner on GC — force one so they can't pile up into
+          // storage/GC pressure on later queries.
+          spark.catalog.clearCache()
+          System.gc()
+        }
+        val w = runOnce() // warm-up: JIT, codegen cache, FS metadata
+        isolate()
+        val t = runOnce()
+        isolate()
         System.err.println(f"[bench] $name%-24s cold=$w%8.3f warm=$t%8.3f")
         name -> t
       } catch { case e: Throwable =>

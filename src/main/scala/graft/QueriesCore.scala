@@ -125,6 +125,45 @@ object QueriesCore {
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** join_right: symmetric outer — every customer kept even with no
+    * orders (right side preserved). Same plan class as join_left; Spark
+    * may still broadcast the LEFT side under a right-outer join. */
+  val joinRight: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  val joinRightSql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** join_full: reconciliation/diff — high-balance customers vs customers
+    * with urgent orders, unmatched rows preserved on BOTH sides with
+    * membership flags (the first outer-join shape real users reach for). */
+  val joinFull: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 5000).select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.cast("int").as("in_rich"),
+        col("o_custkey").isNotNull.cast("int").as("in_urgent"))
+      .orderBy("custkey")
+  }
+
+  val joinFullSql =
+    """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  CAST(c_custkey IS NOT NULL AS INT) AS in_rich,
+      |  CAST(o_custkey IS NOT NULL AS INT) AS in_urgent
+      |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+      |FULL JOIN (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderpriority = '1-URGENT') o
+      |ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val joinSemi: Q = (s, dir) => {
     val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
     Tables.customer(s, dir)
@@ -237,6 +276,25 @@ object QueriesCore {
 
   val joinCrossSql =
     "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+
+  /** join_skew_salted: the explicit skew-mitigation join (Skew.saltedJoin)
+    * oracle-gated against the PLAIN join's SQL — salting is result-
+    * identical by construction (SkewSpec), so the hash must match. Only
+    * order-independent aggregates (count/min) so double summation order
+    * can't perturb the gate. */
+  val joinSkewSalted: Q = (s, dir) =>
+    graft.operators.Skew.saltedJoin(
+        Tables.orders(s, dir), Tables.customer(s, dir), "o_custkey", "c_custkey")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        r4(min("o_totalprice")).as("min_price"))
+      .orderBy("c_custkey")
+
+  val joinSkewSaltedSql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  floor((min(o_totalprice)) * 10000 + 0.5) / 10000 AS min_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
   // ---- §2.4 aggregations --------------------------------------------------
 
@@ -639,6 +697,8 @@ object QueriesCore {
     "filter_pred" -> filterPred,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
+    "join_right" -> joinRight,
+    "join_full" -> joinFull,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_theta_band" -> joinThetaBand,
@@ -646,6 +706,7 @@ object QueriesCore {
     "join_asof_native" -> joinAsofNative,
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
+    "join_skew_salted" -> joinSkewSalted,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
@@ -685,6 +746,8 @@ object QueriesCore {
     "filter_pred" -> filterPredSql,
     "join_inner" -> joinInnerSql,
     "join_left" -> joinLeftSql,
+    "join_right" -> joinRightSql,
+    "join_full" -> joinFullSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "join_theta_band" -> joinThetaBandSql,
@@ -692,6 +755,7 @@ object QueriesCore {
     "join_asof_native" -> joinAsofSql,
     "join_interval" -> joinIntervalSql,
     "join_cross" -> joinCrossSql,
+    "join_skew_salted" -> joinSkewSaltedSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,

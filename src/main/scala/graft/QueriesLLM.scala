@@ -54,9 +54,10 @@ object QueriesLLM {
     * Jaccard. */
   val dedupMinhash: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    // signatures are the expensive stage: compute once, share between
-    // candidate generation and verification
-    val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id")).persist()
+    // signatures are the expensive stage: compute once (eager
+    // localCheckpoint — GC-reclaimed, unlike a session-lifetime persist),
+    // share between candidate generation and verification
+    val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id")).localCheckpoint(true)
     val cands = Dedup.candidatesFromSignatures(sigs)
     Dedup.verifyFromSignatures(cands, sigs)
       .filter(col("est_jaccard") >= 0.4)
@@ -119,6 +120,19 @@ object QueriesLLM {
     Components.semanticDedup(pairs).orderBy("vec_id")
   }
 
+  /** dedup_semantic_lsh: the 100 TB wiring of semantic dedup — banded SRP
+    * LSH candidate pairs (no O(n²) stage anywhere in the plan) feed the
+    * same connected-components clustering as [[dedupSemantic]]. Rows-only
+    * (the SRP hash family is not expressible in DuckDB); cluster agreement
+    * vs the exact-pair form on the fixture is asserted in ComponentsSpec
+    * (recall-driven differences measured, not hidden). */
+  val dedupSemanticLsh: Q = (s, dir) => {
+    import graft.operators.Components
+    val pairs = Similarity.pairsLsh(Tables.embeddings(s, dir), 0.35)
+      .select("a_id", "b_id")
+    Components.semanticDedup(pairs).orderBy("vec_id")
+  }
+
   val dedupSemanticSql =
     """WITH RECURSIVE p AS (
       |  SELECT * FROM (
@@ -172,7 +186,7 @@ object QueriesLLM {
     val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id"))
       .join(docs.select("doc_id", "source"), "doc_id")
     val merged = sigs.groupBy("source")
-      .agg(MinHashMerge.minhashMerge(col("sig")).as("sig")).persist()
+      .agg(MinHashMerge.minhashMerge(col("sig")).as("sig")).localCheckpoint(true)
     Dedup.verifyFromSignatures(
         merged.select(col("source").as("a_id")).crossJoin(
           broadcast(merged.select(col("source").as("b_id")))).filter(col("a_id") < col("b_id")),
@@ -312,8 +326,8 @@ object QueriesLLM {
     """WITH t AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |o AS (SELECT doc_id, n_tokens,
-      |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
       |  FROM t)
       |SELECT doc_id, n_tokens, tok_offset,
       |  CAST(floor(tok_offset / 4096) AS BIGINT) AS chunk_id
@@ -364,17 +378,20 @@ object QueriesLLM {
   // ---- multimodal ---------------------------------------------------------
 
   /** multimodal_doc: nested "document" record — text + typed metadata +
-    * embedding norm from a dim join (documents ⋈ embeddings on id). */
+    * embedding norm from a dim join (documents ⋈ embeddings on id).
+    * The nested struct is serialized with to_json for the gate: the
+    * driver's pandas comparator can't hash a raw struct (dict), and both
+    * engines emit identical compact JSON for ASCII struct fields. */
   val multimodalDoc: Q = (s, dir) =>
     Tables.documents(s, dir)
       .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
       .select(col("doc_id"),
-        struct(col("text"), col("lang"), col("source")).as("doc"),
+        to_json(struct(col("text"), col("lang"), col("source"))).as("doc"),
         r4(VectorOps.norm2(col("embedding"))).as("emb_norm2"))
       .orderBy("doc_id")
 
   val multimodalDocSql =
-    """SELECT doc_id, struct_pack(text := text, lang := lang, source := source) AS doc,
+    """SELECT doc_id, CAST(to_json(struct_pack(text := text, lang := lang, source := source)) AS VARCHAR) AS doc,
       |  floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000 AS emb_norm2
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin
@@ -417,6 +434,7 @@ object QueriesLLM {
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_pairs_lsh" -> simPairsLsh,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_lsh" -> dedupSemanticLsh,
     "sketch_source_sim" -> sketchSourceSim,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_multiprobe" -> simAnnMultiprobe,

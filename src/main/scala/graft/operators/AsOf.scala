@@ -40,13 +40,16 @@ object AsOfJoin {
       rightTieBreak: Option[String] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // NULL right times would sort first in the window order and be carried
+    // as matches; SQL's `right.time <= left.time` never matches NULL
+    val rightNonNull = right.filter(col(rightTime).isNotNull)
     val tbType = rightTieBreak.map(tb => right.schema(tb).dataType)
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__t", col(leftTime))
       .withColumn("__tb", tbType.map(t => lit(null).cast(t)).getOrElse(lit(0)))
       .select((leftCols.map(col) ++ payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"), col("__tb"))): _*)
-    val r = right
+    val r = rightNonNull
       .withColumn("__side", lit(0))
       .withColumn("__t", col(rightTime))
       .withColumn("__tb", rightTieBreak.map(col).getOrElse(lit(0)))

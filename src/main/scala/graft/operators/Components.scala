@@ -40,17 +40,27 @@ object Components {
     var round = 0
     var prevSum = Long.MaxValue
     while (round < maxIter) {
-      val neighborMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src")).agg(min("label").as("nbr"))
-      val once = labels.join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-      // pointer jumping: also adopt the label OF the current label —
-      // components collapse in O(log diameter) rounds instead of O(diameter)
-      val ptr = once.select(col("node").as("l_node"), col("label").as("l_label"))
-      val next = once.join(ptr, once("label") === ptr("l_node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
+      // One round = ONE aggregation over the union of three label sources:
+      //   - the node's own label,
+      //   - every neighbor's label (edge propagation),
+      //   - the label OF the node's current label (pointer jumping — so
+      //     components collapse in O(log diameter) rounds, not O(diameter)).
+      // Folding propagate + jump into a single groupBy(min) does the work
+      // of the previous neighborMin/adopt/ptr-jump join chain in two joins
+      // + one aggregate; `labels` is checkpointed, so reading it three
+      // times is a cache scan, not recompute. (The jump uses the
+      // pre-propagation labels — per-round slightly weaker than jumping on
+      // the propagated ones, same monotone fixpoint, same round count on
+      // shallow near-dup graphs.)
+      val byNode = labels.select(col("node").as("src"), col("label"))
+      val viaEdge = sym.join(labels, sym("dst") === labels("node"))
+        .select(col("src"), col("label"))
+      val viaJump = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("src"), col("b.label").as("label"))
+      val next = byNode.unionAll(viaEdge).unionAll(viaJump)
+        .groupBy(col("src")).agg(min("label").as("label"))
+        .select(col("src").as("node"), col("label"))
         .localCheckpoint(true) // eager: cut lineage, one O(1)-deep plan per round
       // labels are monotonically non-increasing, so the label sum strictly
       // decreases until the fixpoint — one tiny aggregate per round

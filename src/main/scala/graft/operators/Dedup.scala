@@ -188,7 +188,11 @@ object Dedup {
       .select(col("doc_id"), size(col("__hs")).cast("long").as("n_sh"),
         explode(col("__hs")).as("sh"))
       .repartition(col("sh"))
-      .persist()
+      // eager localCheckpoint, not persist(): same cached-both-sides
+      // self-join (LogicalRDD keeps the sh-partitioning), but the blocks
+      // are released by the ContextCleaner when this frame goes out of
+      // scope — persist() here leaked storage for the session lifetime
+      .localCheckpoint(true)
     val filtered =
       if (maxDf == Long.MaxValue) posting
       else {

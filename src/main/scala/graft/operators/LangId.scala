@@ -78,7 +78,9 @@ object LangId {
       .select(col("doc_id"), col("lang"),
         col("__s").substr(col("__i"), lit(3)).as("gram"))
       .select(col("doc_id"), col("lang"), col("gram"), xxhash64(col("gram")).as("gram_h"))
-      .persist()
+      // eager localCheckpoint (not persist): shared by two aggregates
+      // below without recompute, blocks GC-reclaimed instead of leaked
+      .localCheckpoint(true)
     val counts = grams.groupBy("lang", "gram", "gram_h").count()
     val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("gram").asc)
     val profile = counts.withColumn("rank", row_number().over(w))

@@ -33,6 +33,17 @@ object Relational {
   def joinLeft(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
     left.join(right, keys, "left_outer")
 
+  def joinRight(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "right_outer")
+
+  /** Full outer join — the reconciliation/diff shape (the ACL copy
+    * preserving unmatched grants on both sides,
+    * `copy_from_template.py:253-261`). Scale: full outer can never
+    * broadcast; both sides shuffle on the key — which is the correct and
+    * only plan, so AQE handles skew and nothing else is needed. */
+  def joinFull(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "full_outer")
+
   /** Existence join — scope-set membership (`copy_from_template.py:109-111`).
     * Scale: semi-joins shuffle only the key columns of the right side. */
   def joinSemi(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =

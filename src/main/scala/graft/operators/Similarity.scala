@@ -215,7 +215,9 @@ object Similarity {
           shiftright(col("__sk"), bd * bitsPerBand).bitwiseAND(lit(mask)).as("band_bits"))): _*)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_bits"))
       .repartition(col("band_id"), col("band_bits"))
-      .persist()
+      // eager localCheckpoint (not persist): partitioning survives via
+      // LogicalRDD and the blocks are GC-reclaimed, not session-leaked
+      .localCheckpoint(true)
     banded.as("a")
       .join(banded.as("b"), col("a.band_id") === col("b.band_id") &&
         col("a.band_bits") === col("b.band_bits") && col("a.id") < col("b.id"))

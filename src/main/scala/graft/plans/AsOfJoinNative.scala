@@ -43,10 +43,17 @@ object AsOfJoinNative {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // registration is check-then-append; synchronize so concurrent callers
+    // on one session can't double-register or lose an append
+    AsOfJoinStrategy.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    // NULL right times sort first under the natural ascending merge order
+    // and would be consumed as "valid" as-of matches — but SQL's
+    // `right.time <= left.time` never matches NULL, so drop them up front
     // fresh exprIds on the right side (self-join safety): alias every used col
-    val rightRenamed = right.select(
+    val rightRenamed = right.filter(col(rightTime).isNotNull).select(
       (keys.map(k => col(k).as(s"__r_$k")) ++
         Seq(col(rightTime).as("__r_time")) ++
         payload.map(p => col(p).as(s"__r_p_$p"))): _*)

@@ -35,7 +35,12 @@ case class MinHashMergeAgg(child: Expression, numPerm: Int,
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      val n = math.min(numPerm, a.numElements())
+      // a numPerm mismatch with the signature producer must fail loudly:
+      // silently min-ing a prefix leaves MaxValue tail positions that
+      // always "agree" across groups and inflate est_jaccard
+      require(a.numElements() == numPerm,
+        s"minhash_merge(numPerm=$numPerm) got a signature of length ${a.numElements()}")
+      val n = numPerm
       var i = 0
       while (i < n) {
         if (!a.isNullAt(i)) {

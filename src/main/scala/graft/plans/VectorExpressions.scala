@@ -21,8 +21,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Semantics match the HOF version bit-for-bit: left-to-right summation
   * in DOUBLE; any null element or null array yields NULL (mirrors
-  * `zip_with` null propagation). Arrays of unequal length use the common
-  * prefix (fixture vectors are fixed 64-dim).
+  * `zip_with` null propagation). Arrays of unequal length yield NULL —
+  * `zip_with` pads the shorter side with nulls, and null · x is null, so
+  * the HOF form's sum is NULL there too.
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,7 +34,8 @@ case class DotProductFloat(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -50,9 +52,10 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
@@ -141,7 +144,12 @@ final class CentroidIndex(val ids: Array[Long], vecs: Array[Array[Float]])
     while (i < ids.length) {
       val m = math.min(vecs(i).length, n)
       val cs = dot(vecs(i), vec, m) / (vn * norms(i))
-      if (cs > bestSim) { bestSim = cs; best = i } // ties keep the smaller id
+      // Double.compare, not `>`: Spark's SQL ordering (and so max_by in
+      // the relational form) ranks NaN above every double — a zero-norm
+      // vector (cs = NaN) must win here too, or the two forms diverge.
+      // NaN-vs-NaN compares equal, so the first (smallest id) is kept,
+      // matching max_by's -centroid_id tiebreak.
+      if (java.lang.Double.compare(cs, bestSim) > 0) { bestSim = cs; best = i }
       i += 1
     }
     ids(best)

@@ -19,6 +19,24 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(out.map(r => Option(r.getString(2)).orNull).toSeq == Seq("b", "c", null, null))
   }
 
+  test("NULL right times never match (both variants) — SQL `rt <= t` semantics") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // the null-time row sorts first under natural ascending order and
+    // would otherwise be consumed as a "valid" as-of match
+    val right = Seq((1L, Option.empty[Long], "poison"), (1L, Some(5L), "ok"))
+      .toDF("k", "rt", "payload")
+    val native = AsOfJoinNative.asOf(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .select("payload").collect().map(_.getString(0))
+    val composed = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .select("payload").collect().map(_.getString(0))
+    assert(native.toSeq == Seq("ok"))
+    assert(composed.toSeq == Seq("ok"))
+    // and a right side with ONLY null times yields no match, not a poison row
+    val onlyNull = Seq((1L, Option.empty[Long], "poison")).toDF("k", "rt", "payload")
+    assert(AsOfJoinNative.asOf(left, onlyNull, Seq("k"), "t", "rt", Seq("payload"))
+      .select("payload").collect().head.isNullAt(0))
+  }
+
   test("native asOf equals union-window asOf on the full events table") {
     val ev = Tables.events(spark, sf).withColumn("ts_us", TimeOps.nsToUs(col("ts")))
     val purchases = ev.filter($"event_type" === "purchase").select("event_id", "user_id", "ts_us")

@@ -48,4 +48,33 @@ class ComponentsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps == Map(1L -> 1L, 10L -> 10L)) // rep == cluster id
   }
+
+  test("LSH-sourced semantic dedup agrees with the exact-pair form on the fixture") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val exactPairs = Similarity.pairsAboveThreshold(emb, 0.35).select("a_id", "b_id")
+    val lshPairs = Similarity.pairsLsh(emb, 0.35).select("a_id", "b_id")
+    val exact = Components.semanticDedup(exactPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Components.semanticDedup(lshPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // LSH pairs ⊆ exact pairs (precision 1 by exact rescore), so every LSH
+    // cluster is a refinement of an exact cluster: nodes the LSH form
+    // clusters together must be together in the exact form too.
+    assert(lsh.keySet.subsetOf(exact.keySet))
+    lsh.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exact).toSet
+      assert(exactLabels.size == 1,
+        s"LSH cluster ${members.keys.toSeq.sorted} spans exact clusters $exactLabels")
+    }
+    // and recall is high enough that the clusterings nearly coincide:
+    // measure agreement instead of hiding it behind the subset property.
+    // τ=0.35 is the hard regime for 16×4 banding (pair recall ≈ 0.9, and
+    // a single missed pair can split a cluster); measured 0.87 on the
+    // sf0.001 fixture — floor at 0.8 so regressions surface without
+    // pinning the hash family's exact recall.
+    val sameLabel = lsh.count { case (n, l) => exact(n) == l }
+    assert(sameLabel.toDouble / lsh.size >= 0.8,
+      s"only $sameLabel/${lsh.size} LSH-clustered nodes share the exact cluster label")
+  }
 }

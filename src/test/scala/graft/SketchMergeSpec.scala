@@ -43,4 +43,14 @@ class SketchMergeSpec extends SparkTestBase {
       if (r.getString(0) == r.getString(1)) assert(j == 1.0)
     }
   }
+
+  test("a numPerm mismatch fails loudly instead of silently biasing the sketch") {
+    // a truncated merge would leave always-agreeing MaxValue tail
+    // positions and inflate est_jaccard — must error, not corrupt
+    val sigs = Seq((1L, Array(1L, 2L, 3L))).toDF("doc_id", "sig")
+    val ex = intercept[Exception] {
+      sigs.agg(MinHashMerge.minhashMerge(col("sig"), numPerm = 64)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -29,6 +29,14 @@ class VectorExprSpec extends SparkTestBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("unequal-length arrays yield NULL, matching the zip_with form") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.dotProduct($"a", $"b").as("fast"),
+      VectorOps.dotHof($"a", $"b").as("ref")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1)) // zip_with pads with null → null sum
+  }
+
   test("dot_product_float is callable from SQL after registration") {
     graft.plans.GraftExtensions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_sql")
