@@ -50,7 +50,7 @@ object Queries {
 
   /** Registry: name -> (spark, sfDir) => DataFrame. */
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.all ++ QueriesLLM.all ++ Map(
+    QueriesCore.all ++ QueriesLLM.all ++ QueriesStreaming.all ++ Map(
       "q1_pricing" -> (q1Pricing _)
     )
 

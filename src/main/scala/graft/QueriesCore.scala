@@ -310,11 +310,14 @@ object QueriesCore {
 
   /** agg_approx_distinct: HLL++ sketch (rows-only — DuckDB's HLL differs;
     * ApproxSpec asserts the estimate against exact counts). At 100 TB this
-    * replaces exact distinct: fixed-size sketch buffers, map-side merge. */
+    * replaces exact distinct: fixed-size sketch buffers, map-side merge.
+    * Default rsd (0.05): register count grows ~1/rsd², and rsd=0.02 made
+    * this query 5× the plain-Spark baseline's cost for precision nothing
+    * downstream needed. */
   val aggApproxDistinct: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 

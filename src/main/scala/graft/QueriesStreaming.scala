@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-only registered queries (SURVEY.md §2.9's watermark trio),
+  * surfaced to the driver as rows-only entries: a MemoryStream replay
+  * harness feeds the batch `events` fixture through the real
+  * `readStream → watermark → window → append-sink` pipeline with a
+  * deterministic batch schedule, so late-data drop semantics are
+  * exercised end-to-end (not just in ScalaTest).
+  *
+  * Not oracle-gated by design: watermark late-drop depends on ARRIVAL
+  * ORDER, which batch SQL cannot express — the harness pins the order
+  * (one on-time batch, one late batch), and StreamingSpec asserts the
+  * exact drop behavior on crafted rows.
+  */
+object QueriesStreaming {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** stream_watermark_late: watermarked tumbling counts over a 2-batch
+    * replay — batch 1 is the later 80% of events (advances the watermark
+    * to max(ts) − 30 min), batch 2 is the earliest 20% (all beyond the
+    * lateness bound → dropped by the watermark). Emitted rows are the
+    * finalized windows of batch 1; deterministic because the batch
+    * boundary is a fixed event-time percentile, not wall-clock.
+    *
+    * The driver-side collect is the REPLAY HARNESS, not the operator: a
+    * bounded 1/16 user slice of the fixture stands in for the unbounded
+    * source that `StreamOps.tumblingCounts` serves in production. */
+  val streamWatermarkLate: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(16)) === lit(0L))
+      // ns → ms via integer `div` (exact; a double division would lose
+      // precision at 1e18-ns magnitudes — see SURVEY.md §7.4)
+      .select(col("event_id"), expr("ts div 1000000").as("ms"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("ms", "event_id")
+      .collect()
+      .map(r => StreamOps.Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val cut = rows(rows.length / 5).ts.getTime // 20th-percentile event time
+    val (early, onTime) = rows.partition(_.ts.getTime < cut)
+    val in = MemoryStream[StreamOps.Event]
+    val agg = StreamOps.tumblingCounts(in.toDF(), "ts", "1 hour", "30 minutes")
+    val sink = "stream_watermark_late_sink"
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData(onTime.toIndexedSeq)  // watermark → max(onTime) − 30 min
+      q.processAllAvailable()
+      in.addData(early.toIndexedSeq)   // every row is beyond lateness → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        graft.functions.Num.r4(col("sum_value")).as("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  val all: Map[String, Q] = Map(
+    "stream_watermark_late" -> streamWatermarkLate
+  )
+}

@@ -54,6 +54,39 @@ class MultimodalLangIdSpec extends SparkTestBase {
     assert(pred(11L) == "B")
   }
 
+  test("langid held-out accuracy: train/test hash-split, classify unseen docs") {
+    import graft.operators.Sampling
+    // synthetic corpus with real per-language signal (the parquet fixture
+    // draws text from one shared vocabulary for every lang label, so
+    // held-out accuracy there measures noise, not the classifier):
+    // 3 languages, disjoint-ish vocabularies, seeded pseudo-random docs
+    val vocab = Map(
+      "A" -> Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta"),
+      "B" -> Vector("zulu", "yankee", "xray", "whiskey", "victor", "uniform"),
+      "C" -> Vector("ichi", "nii", "san", "yon", "go", "roku"))
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map { i =>
+      val lang = Seq("A", "B", "C")(i % 3)
+      val words = (0 until 30).map(_ => vocab(lang)(rnd.nextInt(6)))
+      (i.toLong, words.mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    // the engine's own deterministic splitter drives the train/test flow
+    val split = docs.withColumn("split",
+      Sampling.splitColumn(col("doc_id"), Seq("train" -> 0.8, "test" -> 0.2)))
+    val trainDocs = split.filter(col("split") === "train")
+    val testDocs = split.filter(col("split") === "test")
+    assert(trainDocs.count() > 0 && testDocs.count() > 0)
+    val profile = LangId.train(trainDocs, col("text"), col("lang"), topM = 100)
+    val pred = LangId.predictCompiled(testDocs, col("text"), col("doc_id"), profile)
+    val graded = testDocs.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+    val n = graded.count()
+    val correct = graded.filter(col("lang") === col("pred_lang")).count()
+    assert(n == testDocs.count(), "every held-out doc must get a prediction")
+    assert(correct.toDouble / n >= 0.95,
+      s"held-out accuracy $correct/$n below floor on separable languages")
+  }
+
   test("langid on the fixture returns a prediction for every doc") {
     val docs = Tables.documents(spark, sf)
     val profile = LangId.train(docs, col("text"), col("lang"))
