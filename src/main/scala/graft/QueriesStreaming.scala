@@ -35,16 +35,7 @@ object QueriesStreaming {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
       org.apache.spark.sql.Encoders.product[StreamOps.Event]
-    val rows = Tables.events(s, dir)
-      .filter(pmod(col("user_id"), lit(16)) === lit(0L))
-      // ns → ms via integer `div` (exact; a double division would lose
-      // precision at 1e18-ns magnitudes — see SURVEY.md §7.4)
-      .select(col("event_id"), expr("ts div 1000000").as("ms"),
-        col("user_id"), col("event_type"), col("value"))
-      .orderBy("ms", "event_id")
-      .collect()
-      .map(r => StreamOps.Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1)),
-        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val rows = eventSlice(s, dir)
     val cut = rows(rows.length / 5).ts.getTime // 20th-percentile event time
     val (early, onTime) = rows.partition(_.ts.getTime < cut)
     val in = MemoryStream[StreamOps.Event]
@@ -63,7 +54,81 @@ object QueriesStreaming {
       .orderBy("win_start", "event_type")
   }
 
+  /** stream_dedup_live: watermark-horizon dedup through the streaming
+    * engine — the replay feeds every event TWICE in one batch plus the
+    * first 100 again in a second (still-within-horizon) batch; exactly
+    * one copy of each survives. Rows-only: arrival-order semantics. */
+  val streamDedupLive: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val in = MemoryStream[StreamOps.Event]
+    val dedup = StreamOps.dedupByIdWithinWatermark(in.toDF(), "ts", "event_id", "1 hour")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    val sink = "stream_dedup_live_sink"
+    val q = dedup.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try {
+      in.addData(rows ++ rows)        // in-batch duplicates
+      q.processAllAvailable()
+      in.addData(rows.take(100))      // cross-batch duplicates, same horizon
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy("event_type")
+  }
+
+  /** stream_stateful_live: per-user session scores via
+    * flatMapGroupsWithState through the streaming engine, replayed in
+    * two batches split at the 50th time percentile (sessions spanning the
+    * batch boundary must survive in state). Rows-only; the
+    * batch-recompute equivalence is asserted in StreamingSpec. */
+  val streamStatefulLive: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val scored = StreamOps.sessionScores(in.toDS(), gapMillis = 30L * 60 * 1000)
+    val sink = "stream_stateful_live_sink"
+    val q = scored.toDF().writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2) // sessions open at the boundary continue from state
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .select(col("user_id"), col("n_events"),
+        graft.functions.Num.r4(col("sum_value")).as("sum_value"),
+        col("session_start"), col("session_end"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Deterministic bounded event slice shared by the replay harnesses
+    * (1/16 of users, time-ordered). */
+  private def eventSlice(s: SparkSession, dir: String): IndexedSeq[graft.streaming.StreamOps.Event] = {
+    import graft.streaming.StreamOps
+    Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(16)) === lit(0L))
+      .select(col("event_id"), expr("ts div 1000000").as("ms"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("ms", "event_id")
+      .collect()
+      .map(r => StreamOps.Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toIndexedSeq
+  }
+
   val all: Map[String, Q] = Map(
-    "stream_watermark_late" -> streamWatermarkLate
+    "stream_watermark_late" -> streamWatermarkLate,
+    "stream_dedup_live" -> streamDedupLive,
+    "stream_stateful_live" -> streamStatefulLive
   )
 }
