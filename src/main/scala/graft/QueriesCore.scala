@@ -379,6 +379,47 @@ object QueriesCore {
       |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** agg_pivot: long→wide reshape — one row per order status, one revenue
+    * column per priority. Spark's `pivot(col, values)` with explicit
+    * values compiles to ONE hash aggregate of conditional sums (no extra
+    * shuffle, no second pass to discover the pivot domain) — the shape
+    * that survives 100 TB; the values-discovery overload would add a
+    * distinct scan. Oracle: the equivalent CASE aggregation. */
+  val aggPivot: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .agg(r4(sum("o_totalprice")))
+      .withColumnRenamed("1-URGENT", "p_urgent")
+      .withColumnRenamed("2-HIGH", "p_high")
+      .withColumnRenamed("3-MEDIUM", "p_medium")
+      .orderBy("o_orderstatus")
+
+  val aggPivotSql =
+    """SELECT o_orderstatus,
+      |  floor((sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)) * 10000 + 0.5) / 10000 AS p_urgent,
+      |  floor((sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END)) * 10000 + 0.5) / 10000 AS p_high,
+      |  floor((sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END)) * 10000 + 0.5) / 10000 AS p_medium
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** unpivot_long: wide→long reshape (the inverse) via Spark 4's native
+    * `unpivot` (= SQL UNPIVOT/melt) — a narrow per-row expansion, no
+    * shuffle at all until the ORDER BY. Oracle: UNION ALL of the columns. */
+  val unpivotLong: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"), lit(0.0).as("c_zero"))
+      .unpivot(Array(col("c_custkey")), Array(col("c_acctbal"), col("c_zero")),
+        "measure", "value")
+      .select(col("c_custkey"), col("measure"), r4(col("value")).as("value"))
+      .orderBy("c_custkey", "measure")
+
+  val unpivotLongSql =
+    """SELECT c_custkey, 'c_acctbal' AS measure,
+      |  floor((c_acctbal) * 10000 + 0.5) / 10000 AS value FROM customer
+      |UNION ALL
+      |SELECT c_custkey, 'c_zero', floor((0.0) * 10000 + 0.5) / 10000 FROM customer
+      |ORDER BY c_custkey, measure""".stripMargin
+
   // ---- §2.5 windows -------------------------------------------------------
 
   val winRank: Q = (s, dir) =>
@@ -716,6 +757,8 @@ object QueriesCore {
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_filtered" -> aggFiltered,
+    "agg_pivot" -> aggPivot,
+    "unpivot_long" -> unpivotLong,
     "win_rank" -> winRank,
     "win_analytic" -> winAnalytic,
     "win_frame_rows" -> winFrameRows,
@@ -764,6 +807,8 @@ object QueriesCore {
     "agg_cube" -> aggCubeSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_filtered" -> aggFilteredSql,
+    "agg_pivot" -> aggPivotSql,
+    "unpivot_long" -> unpivotLongSql,
     "win_rank" -> winRankSql,
     "win_analytic" -> winAnalyticSql,
     "win_frame_rows" -> winFrameRowsSql,

@@ -28,13 +28,14 @@ import org.apache.spark.sql.types.StructType
   * sorts — then one forward merge pass per partition attaches payloads
   * with O(1) memory (a single carried row).
   *
-  * Measured honestly (sf0.1, warm): 0.57 s vs 0.33 s for the union-window
-  * form — the interpreted row-at-a-time merge (4 projections + an ordering
-  * compare per row, no codegen) loses to Spark's optimized WindowExec at
-  * this scale, so [[graft.operators.AsOfJoin]] remains the engine's
-  * default. This operator is kept as the full route-(c) extension-surface
-  * demonstration (and the starting point should a codegen'd merge become
-  * worthwhile); it is oracle-gated and differential-tested all the same.
+  * Measured honestly (sf0.1, warm, noop-write action, round 2): 0.50 s
+  * native vs 0.85 s isolated / ~0.35 s in-suite for the union-window form
+  * — caching the right row's projected (key, time) across left rows
+  * (it was re-projected per left row) brought the merge from 0.70 s to
+  * 0.50 s. The two forms are now comparable; [[graft.operators.AsOfJoin]]
+  * stays the default for its codegen'd WindowExec pipeline, and this
+  * operator remains the full route-(c) extension-surface demonstration,
+  * oracle-gated and differential-tested.
   */
 object AsOfJoinNative {
 
@@ -142,16 +143,27 @@ case class AsOfJoinExec(
         private var lastRightPayload: InternalRow = _
         private var lastRightKey: InternalRow = _
         private var nextRight: InternalRow = if (rIter.hasNext) rIter.next() else null
+        // (key, time) of nextRight, projected ONCE per right-side advance —
+        // without the cache it was re-projected for every left row that
+        // merely peeked at the same right row (the common case: |L| >> |R|
+        // advances), which dominated the merge at bench scale
+        private var nextRightKt: InternalRow =
+          if (nextRight != null) rktProj(nextRight).copy() else null
+
+        private def advanceRight(): Unit = {
+          lastRightPayload = pProj(nextRight).copy()
+          lastRightKey = rkProj(nextRight).copy()
+          if (rIter.hasNext) {
+            nextRight = rIter.next()
+            nextRightKt = rktProj(nextRight).copy()
+          } else { nextRight = null; nextRightKt = null }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkt = lktProj(l)
-          while (nextRight != null && ktOrd.compare(rktProj(nextRight), lkt) <= 0) {
-            lastRightPayload = pProj(nextRight).copy()
-            lastRightKey = rkProj(nextRight).copy()
-            nextRight = if (rIter.hasNext) rIter.next() else null
-          }
+          while (nextRight != null && ktOrd.compare(nextRightKt, lkt) <= 0) advanceRight()
           val p =
             if (lastRightKey != null && kOrd.compare(lastRightKey, lkProj(l)) == 0) lastRightPayload
             else nullPayload

@@ -1,0 +1,212 @@
+package graft.sources.v2
+
+import java.util
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 **file-manifest source** — the reference's *file view*
+  * (one row per file in a scope, metadata columns;
+  * `synapseformation_templates/default.yaml:5-10` `EntityViewSchema` over
+  * `includeEntityTypes:['file']`) as a first-class Spark V2 table, the
+  * remaining extension surface next to the custom Expression / Rule /
+  * Strategy work (SURVEY.md §4.3 route (d)):
+  *
+  *  - `TableProvider` → `Table` → `ScanBuilder` → `Batch` → per-partition
+  *    readers;
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers emit
+  *    only the requested fields;
+  *  - **filter pushdown** (`SupportsPushDownFilters`): `ext = 'parquet'`,
+  *    `path LIKE 'prefix%'` and `size`/`mtime_ms` range predicates are
+  *    evaluated DURING the directory walk — pruned files never become
+  *    rows (FileManifestSpec asserts via the rowsEmitted counter);
+  *  - **partition planning**: one input partition per immediate child
+  *    directory of the scope root (+ one for loose root files), so a
+  *    scope with many studies walks in parallel — the V2 analogue of the
+  *    reference's per-study folder layout
+  *    (`copy_from_template.py:316`).
+  *
+  * Usage: `spark.read.format("graft.sources.v2.FileManifestSource")
+  * .load(root)` (or `.option("path", root)`).
+  */
+class FileManifestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileManifestSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val root = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("file-manifest source requires a path"))
+    new ManifestTable(root)
+  }
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object FileManifestSource {
+  /** The "default view columns" of the reference's EntityViewSchema. */
+  val schema: StructType = new StructType()
+    .add("path", StringType, nullable = false)
+    .add("name", StringType, nullable = false)
+    .add("ext", StringType, nullable = false)
+    .add("size", LongType, nullable = false)
+    .add("mtime_ms", LongType, nullable = false)
+
+  /** Rows emitted across all readers in this JVM — the observable
+    * FileManifestSpec uses to prove pushdown prunes work, not just
+    * output. (Test-observability only; local-mode readers share the
+    * driver JVM.) */
+  val rowsEmitted = new AtomicLong(0)
+}
+
+private[v2] class ManifestTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"file_manifest($root)"
+  override def schema(): StructType = FileManifestSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestScanBuilder(root)
+}
+
+private[v2] class ManifestScanBuilder(root: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = FileManifestSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(a, _) if a == "ext" || a == "name" => true
+      case StringStartsWith(a, _) if a == "path" || a == "name" => true
+      case GreaterThan(a, _) if a == "size" || a == "mtime_ms" => true
+      case GreaterThanOrEqual(a, _) if a == "size" || a == "mtime_ms" => true
+      case LessThan(a, _) if a == "size" || a == "mtime_ms" => true
+      case LessThanOrEqual(a, _) if a == "size" || a == "mtime_ms" => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected // Spark re-evaluates these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ManifestScan(root, required, pushed)
+}
+
+private[v2] case class ManifestPartition(dir: String, recursive: Boolean)
+    extends InputPartition
+
+private[v2] class ManifestScan(root: String, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FileManifest root=$root PushedFilters=[${pushed.mkString(", ")}] " +
+      s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  /** One partition per immediate child directory (parallel walk of a
+    * many-study scope) + one non-recursive partition for loose root
+    * files. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    require(java.nio.file.Files.isDirectory(rootPath), s"not a directory: $root")
+    val children = java.nio.file.Files.list(rootPath)
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      children.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.toString).toArray.sorted
+    } finally children.close()
+    (dirs.map(d => ManifestPartition(d, recursive = true)) :+
+      ManifestPartition(root, recursive = false)).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(required, pushed)
+}
+
+private[v2] class ManifestReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ManifestReader(partition.asInstanceOf[ManifestPartition], required, pushed)
+}
+
+/** Walks one directory partition, applying pushed filters BEFORE emitting
+  * — a pruned file costs one stat, never a row. */
+private[v2] class ManifestReader(part: ManifestPartition, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private case class Meta(path: String, name: String, ext: String, size: Long, mtimeMs: Long)
+
+  private val files: Iterator[Meta] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(part.dir)
+    val stream =
+      if (part.recursive) java.nio.file.Files.walk(p)
+      else java.nio.file.Files.list(p)
+    // materialize stat results so the JDK stream closes eagerly; one
+    // partition = one directory subtree, bounded by the scope layout
+    val out = try {
+      stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map { f =>
+          val name = f.getFileName.toString
+          val dot = name.lastIndexOf('.')
+          Meta(f.toString, name, if (dot < 0) "" else name.substring(dot + 1),
+            java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+        .filter(matchesPushed)
+        .toVector
+    } finally stream.close()
+    out.iterator
+  }
+
+  private def matchesPushed(m: Meta): Boolean = pushed.forall {
+    case EqualTo("ext", v) => m.ext == v
+    case EqualTo("name", v) => m.name == v
+    case StringStartsWith("path", v) => m.path.startsWith(v)
+    case StringStartsWith("name", v) => m.name.startsWith(v)
+    case GreaterThan("size", v: Long) => m.size > v
+    case GreaterThanOrEqual("size", v: Long) => m.size >= v
+    case LessThan("size", v: Long) => m.size < v
+    case LessThanOrEqual("size", v: Long) => m.size <= v
+    case GreaterThan("mtime_ms", v: Long) => m.mtimeMs > v
+    case GreaterThanOrEqual("mtime_ms", v: Long) => m.mtimeMs >= v
+    case LessThan("mtime_ms", v: Long) => m.mtimeMs < v
+    case LessThanOrEqual("mtime_ms", v: Long) => m.mtimeMs <= v
+    case _ => true // anything else was rejected in pushFilters
+  }
+
+  private var cur: Meta = _
+
+  override def next(): Boolean =
+    if (files.hasNext) { cur = files.next(); true } else false
+
+  override def get(): InternalRow = {
+    FileManifestSource.rowsEmitted.incrementAndGet()
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      row.update(i, required.fields(i).name match {
+        case "path" => UTF8String.fromString(cur.path)
+        case "name" => UTF8String.fromString(cur.name)
+        case "ext" => UTF8String.fromString(cur.ext)
+        case "size" => cur.size
+        case "mtime_ms" => cur.mtimeMs
+      })
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sources.v2.FileManifestSource
+
+/** The DataSourceV2 file-manifest source: schema, correctness vs a plain
+  * JDK walk, filter pushdown (pruned files never become rows), column
+  * pruning, and per-subdirectory partition planning. */
+class FileManifestSpec extends SparkTestBase {
+
+  private val fmt = classOf[FileManifestSource].getName
+
+  /** Scope layout mirroring the reference's per-study folders. */
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("manifest")
+    Files.writeString(dir.resolve("readme.txt"), "root file")
+    for (study <- Seq("studyA", "studyB")) {
+      val d = Files.createDirectories(dir.resolve(study).resolve("parquet"))
+      Files.writeString(d.resolve("part-0.parquet"), "x" * 100)
+      Files.writeString(d.resolve("part-1.parquet"), "y" * 300)
+      Files.writeString(dir.resolve(study).resolve("meta.json"), """{"a":1}""")
+    }
+    dir.toString
+  }
+
+  test("manifest rows match a plain JDK walk") {
+    val got = spark.read.format(fmt).load(root)
+      .select("path", "size").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = Files.walk(Paths.get(root))
+    val want = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => p.toString -> Files.size(p)).toMap
+    } finally s.close()
+    assert(got == want)
+    assert(got.size == 7) // 1 root + 2×(2 parquet + 1 json)
+  }
+
+  test("ext filter is pushed down: pruned files never become rows") {
+    FileManifestSource.rowsEmitted.set(0)
+    val df = spark.read.format(fmt).load(root).filter(col("ext") === "parquet")
+    val n = df.count()
+    assert(n == 4)
+    // the json/txt files were pruned during the walk, not post-filtered
+    assert(FileManifestSource.rowsEmitted.get() == 4,
+      s"expected 4 emitted rows, got ${FileManifestSource.rowsEmitted.get()}")
+    // and the plan advertises the pushdown
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[EqualTo(ext,parquet)]"), plan)
+  }
+
+  test("size range predicates push down too") {
+    FileManifestSource.rowsEmitted.set(0)
+    val n = spark.read.format(fmt).load(root)
+      .filter(col("size") > 200L && col("ext") === "parquet").count()
+    assert(n == 2)
+    assert(FileManifestSource.rowsEmitted.get() == 2)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format(fmt).load(root).select("ext")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema=ext"), plan)
+    assert(df.distinct().collect().map(_.getString(0)).toSet == Set("txt", "parquet", "json"))
+  }
+
+  test("one input partition per child directory + one for root files") {
+    val df = spark.read.format(fmt).load(root)
+    assert(df.rdd.getNumPartitions == 3) // studyA, studyB, root
+  }
+
+  test("composes with the FileView retype/scan surface downstream") {
+    // the manifest is a plain DataFrame: joins/aggregations Just Work
+    val bySuffix = spark.read.format(fmt).load(root)
+      .groupBy("ext").agg(count(lit(1)).as("n"), sum("size").as("bytes"))
+      .orderBy("ext")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySuffix == Map("json" -> 2L, "parquet" -> 4L, "txt" -> 1L))
+  }
+}
