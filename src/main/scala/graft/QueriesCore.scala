@@ -380,19 +380,22 @@ object QueriesCore {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** agg_pivot: long→wide reshape — one row per order status, one revenue
-    * column per priority. Spark's `pivot(col, values)` with explicit
-    * values compiles to ONE hash aggregate of conditional sums (no extra
-    * shuffle, no second pass to discover the pivot domain) — the shape
-    * that survives 100 TB; the values-discovery overload would add a
-    * distinct scan. Oracle: the equivalent CASE aggregation. */
+    * column per priority. Spark's `pivot(col, values)` with EXPLICIT
+    * values plans the PivotFirst cascade: groupBy(status, priority) sum
+    * (partial+final), then pivotfirst regrouping to one row per status —
+    * two shuffles, but both carry only group-level partials (|statuses ×
+    * priorities| rows), so the shape is 100 TB-safe. The values-discovery
+    * overload would add a collect of the pivot domain to the driver —
+    * that is the variant to avoid. Oracle: the CASE aggregation. */
   val aggPivot: Q = (s, dir) =>
     Tables.orders(s, dir)
       .groupBy("o_orderstatus")
       .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
-      .agg(r4(sum("o_totalprice")))
-      .withColumnRenamed("1-URGENT", "p_urgent")
-      .withColumnRenamed("2-HIGH", "p_high")
-      .withColumnRenamed("3-MEDIUM", "p_medium")
+      .agg(sum("o_totalprice"))
+      .select(col("o_orderstatus"),
+        r4(col("1-URGENT")).as("p_urgent"),
+        r4(col("2-HIGH")).as("p_high"),
+        r4(col("3-MEDIUM")).as("p_medium"))
       .orderBy("o_orderstatus")
 
   val aggPivotSql =

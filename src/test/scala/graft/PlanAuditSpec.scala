@@ -41,4 +41,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("AsOfJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("agg_pivot plans the PivotFirst cascade with no domain-discovery collect") {
+    val p = plan("agg_pivot")
+    // explicit values ⇒ groupBy(k, pivot) partial+final sum, then a
+    // pivotfirst regroup — every shuffle carries group-level partials
+    // only. The values-discovery overload would run a separate collect
+    // job before planning; explicit values keep planning collect-free.
+    assert(p.contains("pivotfirst"), p)
+    assert("HashAggregate".r.findAllIn(p).size == 4, p)
+    assert(!p.contains("CollectLimit"), p)
+  }
+
+  test("unpivot_long expands rows without any pre-sort shuffle") {
+    val p = plan("unpivot_long")
+    // Expand (the unpivot operator) runs directly over the scan; the only
+    // exchange is the final ORDER BY's range partitioning
+    assert(p.contains("Expand"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("join_full shuffles both sides (full outer can never broadcast)") {
+    val p = plan("join_full")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_skew_salted spreads the key across salts, result shape unchanged") {
+    val p = plan("join_skew_salted")
+    // the salt must be part of the join key (the whole point)
+    assert(p.contains("__salt"), p)
+  }
 }
