@@ -423,6 +423,29 @@ object QueriesCore {
       |SELECT c_custkey, 'c_zero', floor((0.0) * 10000 + 0.5) / 10000 FROM customer
       |ORDER BY c_custkey, measure""".stripMargin
 
+  /** agg_percentiles: exact interpolated quantiles per group (the
+    * reference's dashboard-distribution moment). `percentile` (exact) is
+    * oracle-matched by DuckDB `quantile_cont`; at 100 TB the drop-in
+    * sketch replacement is `approx_percentile` (fixed-size buffers,
+    * partial+final merge), registered rows-only via `agg_approx_distinct`'s
+    * precedent. */
+  val aggPercentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(r4(expr("percentile(l_quantity, 0.25)")).as("p25"),
+        r4(expr("percentile(l_quantity, 0.5)")).as("p50"),
+        r4(expr("percentile(l_quantity, 0.75)")).as("p75"),
+        r4(expr("percentile(l_extendedprice, 0.95)")).as("price_p95"))
+      .orderBy("l_returnflag")
+
+  val aggPercentilesSql =
+    """SELECT l_returnflag,
+      |  floor((quantile_cont(l_quantity, 0.25)) * 10000 + 0.5) / 10000 AS p25,
+      |  floor((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+      |  floor((quantile_cont(l_quantity, 0.75)) * 10000 + 0.5) / 10000 AS p75,
+      |  floor((quantile_cont(l_extendedprice, 0.95)) * 10000 + 0.5) / 10000 AS price_p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- §2.5 windows -------------------------------------------------------
 
   val winRank: Q = (s, dir) =>
@@ -480,6 +503,30 @@ object QueriesCore {
       |    PARTITION BY user_id ORDER BY sec
       |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS trailing_7d
       |FROM e ORDER BY event_id""".stripMargin
+
+  /** win_distribution: the ranking-distribution trio — ntile buckets,
+    * percent_rank, cume_dist — per status, ordered by a provably-unique
+    * (totalprice, orderkey) tiebreak so both engines agree on every rank.
+    * Same shuffle shape as win_rank: one exchange on the partition key. */
+  val winDistribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  val winDistributionSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pct_rank,
+      |  floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
 
   // ---- §2.6 sort / top-k --------------------------------------------------
 
@@ -762,7 +809,9 @@ object QueriesCore {
     "agg_filtered" -> aggFiltered,
     "agg_pivot" -> aggPivot,
     "unpivot_long" -> unpivotLong,
+    "agg_percentiles" -> aggPercentiles,
     "win_rank" -> winRank,
+    "win_distribution" -> winDistribution,
     "win_analytic" -> winAnalytic,
     "win_frame_rows" -> winFrameRows,
     "win_frame_range" -> winFrameRange,
@@ -812,7 +861,9 @@ object QueriesCore {
     "agg_filtered" -> aggFilteredSql,
     "agg_pivot" -> aggPivotSql,
     "unpivot_long" -> unpivotLongSql,
+    "agg_percentiles" -> aggPercentilesSql,
     "win_rank" -> winRankSql,
+    "win_distribution" -> winDistributionSql,
     "win_analytic" -> winAnalyticSql,
     "win_frame_rows" -> winFrameRowsSql,
     "win_frame_range" -> winFrameRangeSql,
