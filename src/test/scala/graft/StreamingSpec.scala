@@ -183,4 +183,40 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("file sink + checkpoint restart is exactly-once (no duplicate rows)") {
+    // the reference's fire-and-forget async transaction
+    // (copy_from_template.py:230-232) becomes an awaited checkpoint
+    // commit: stop a query mid-stream, restart from the SAME checkpoint
+    // + sink, and every input row appears exactly once in the output.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("exactly_once")
+    val sink = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val in1 = MemoryStream[Event]
+    def start(in: MemoryStream[Event]) =
+      in.toDF().select($"event_id", $"event_type", $"value")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start(in1)
+    try {
+      in1.addData((1L to 50L).map(i => Event(i, ts(i), i % 5, "click", 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: a fresh source whose batch 0 replays ids 1-50 (the classic
+    // at-least-once replay) plus new rows; the committed checkpoint must
+    // not re-emit the old batch
+    val in2 = MemoryStream[Event]
+    in2.addData((1L to 50L).map(i => Event(i, ts(i), i % 5, "click", 1.0)))
+    val q2 = start(in2)
+    try {
+      in2.addData((51L to 80L).map(i => Event(i, ts(i), i % 5, "click", 1.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == out.select("event_id").distinct().count(),
+      "restart re-emitted rows — sink is not exactly-once")
+    assert(out.select("event_id").distinct().count() == 80)
+  }
 }
