@@ -64,6 +64,8 @@ object QueriesStreaming {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
       org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    // note: a thinner slice was measured and does NOT help — microbatch +
+    // state-store fixed costs dominate, not row volume
     val rows = eventSlice(s, dir)
     val in = MemoryStream[StreamOps.Event]
     val dedup = StreamOps.dedupByIdWithinWatermark(in.toDF(), "ts", "event_id", "1 hour")
@@ -113,10 +115,11 @@ object QueriesStreaming {
 
   /** Deterministic bounded event slice shared by the replay harnesses
     * (1/16 of users, time-ordered). */
-  private def eventSlice(s: SparkSession, dir: String): IndexedSeq[graft.streaming.StreamOps.Event] = {
+  private def eventSlice(s: SparkSession, dir: String,
+      oneInN: Int = 16): IndexedSeq[graft.streaming.StreamOps.Event] = {
     import graft.streaming.StreamOps
     Tables.events(s, dir)
-      .filter(pmod(col("user_id"), lit(16)) === lit(0L))
+      .filter(pmod(col("user_id"), lit(oneInN.toLong)) === lit(0L))
       .select(col("event_id"), expr("ts div 1000000").as("ms"),
         col("user_id"), col("event_type"), col("value"))
       .orderBy("ms", "event_id")
