@@ -423,6 +423,28 @@ object QueriesLLM {
       .orderBy("asset_id")
   }
 
+  /** multimodal_frames: frame-sampling plan for video assets — every 5th
+    * frame index up to 10 per asset, as a pure relational expansion (the
+    * planning step that precedes a distributed frame-decode pass; no
+    * decode happens here, so this IS oracle-checkable). Frame counts are
+    * derived deterministically from asset ids (the fixture carries no
+    * real video). */
+  val multimodalFrames: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    val assets = Multimodal.assetsFromDocuments(Tables.documents(s, dir)).toDF()
+      .filter(col("kind") === "video")
+      .withColumn("n_frames", (pmod(col("asset_id"), lit(100)) + 1).cast("int"))
+    Multimodal.sampleFrameIndices(assets, "n_frames", stride = 5, maxFrames = 10)
+      .select(col("asset_id"), col("frame_idx").cast("int").as("frame_idx"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val multimodalFramesSql =
+    """SELECT doc_id AS asset_id,
+      |  CAST(unnest((range(0, doc_id % 100 + 1, 5))[1:10]) AS INT) AS frame_idx
+      |FROM documents WHERE doc_id % 3 = 2
+      |ORDER BY asset_id, frame_idx""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -452,7 +474,8 @@ object QueriesLLM {
     "pipeline_curate" -> pipelineCurate,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
-    "multimodal_resize" -> multimodalResize
+    "multimodal_resize" -> multimodalResize,
+    "multimodal_frames" -> multimodalFrames
   )
 
   val oracles: Map[String, String] = Map(
@@ -467,6 +490,7 @@ object QueriesLLM {
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,
     "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql,
     "sample_hash" -> sampleHashSql,
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
