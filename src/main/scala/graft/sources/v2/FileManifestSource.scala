@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -105,10 +105,29 @@ private[v2] case class ManifestPartition(dir: String, recursive: Boolean)
     extends InputPartition
 
 private[v2] class ManifestScan(root: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Cost-based-optimizer food: estimated rows = a cheap file count of
+    * the scope (no stats = Spark assumes huge = never broadcasts a
+    * manifest join). Fixed per-row width: 5 metadata columns ≈ 200 B. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val fileCount: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        val it = s.iterator()
+        var n = 0L
+        while (it.hasNext && n < 10_000_000L) { if (java.nio.file.Files.isRegularFile(it.next())) n += 1 }
+        n
+      } finally s.close()
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(fileCount * 200L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(fileCount)
+  }
   override def description(): String =
     s"FileManifest root=$root PushedFilters=[${pushed.mkString(", ")}] " +
       s"ReadSchema=${required.fieldNames.mkString(",")}"

@@ -70,6 +70,16 @@ class FileManifestSpec extends SparkTestBase {
     assert(df.rdd.getNumPartitions == 3) // studyA, studyB, root
   }
 
+  test("reports statistics so a manifest join can broadcast") {
+    val fact = spark.range(1000).selectExpr("concat('f', id) AS name", "id AS x")
+    val manifest = spark.read.format(fmt).load(root)
+    // 7 files × 200 B estimate ≪ the broadcast threshold ⇒ the planner
+    // must broadcast the manifest side
+    val joined = fact.join(manifest, "name")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      joined.queryExecution.executedPlan.toString)
+  }
+
   test("composes with the FileView retype/scan surface downstream") {
     // the manifest is a plain DataFrame: joins/aggregations Just Work
     val bySuffix = spark.read.format(fmt).load(root)

@@ -131,6 +131,38 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: unpivot(pivot(x)) == x for complete long-form tables") {
+    // pivot and unpivot are inverses when every (key, pivot-value) cell is
+    // populated — generate complete grids and round-trip them
+    val keys = Seq("k1", "k2", "k3")
+    val cats = Seq("a", "b")
+    val valGen = Gen.chooseNum(-1000.0, 1000.0)
+    val cells = for {
+      (k, i) <- keys.zipWithIndex
+      (c, j) <- cats.zipWithIndex
+    } yield (k, c, samples(valGen, 7L * (i * 31 + j + 1), 1).head)
+    val long = cells.toDF("key", "cat", "v")
+    val wide = long.groupBy("key").pivot("cat", cats).agg(first("v"))
+    val back = wide.unpivot(Array(col("key")),
+        cats.map(col).toArray, "cat", "v")
+      .select("key", "cat", "v")
+    val a = long.orderBy("key", "cat").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val b = back.orderBy("key", "cat").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("property: pivot equals the manual CASE aggregation on the fixture") {
+    val pv = QueriesCore.aggPivot(spark, sf)
+    val manual = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(
+        graft.functions.Num.r4(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")))).as("p_urgent"),
+        graft.functions.Num.r4(sum(when(col("o_orderpriority") === "2-HIGH", col("o_totalprice")))).as("p_high"),
+        graft.functions.Num.r4(sum(when(col("o_orderpriority") === "3-MEDIUM", col("o_totalprice")))).as("p_medium"))
+      .orderBy("o_orderstatus")
+    assert(pv.except(manual).isEmpty && manual.except(pv).isEmpty)
+  }
+
   test("property: hash-sample fraction monotone and salt-sensitive") {
     import graft.operators.Sampling
     val ids = samples(Gen.chooseNum(0L, 1000000L), seed = 57, n = 500).distinct
