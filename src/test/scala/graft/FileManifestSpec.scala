@@ -80,6 +80,16 @@ class FileManifestSpec extends SparkTestBase {
       joined.queryExecution.executedPlan.toString)
   }
 
+  test("blackhole V2 sink: committed metrics are exact (rows and bytes > 0)") {
+    import graft.sources.v2.BlackholeSink
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val n = df.count()
+    df.write.format(classOf[BlackholeSink].getName).mode("overwrite").save()
+    assert(BlackholeSink.lastCommitRows.get() == n,
+      s"committed ${BlackholeSink.lastCommitRows.get()} rows, expected $n")
+    assert(BlackholeSink.lastCommitBytes.get() > 0)
+  }
+
   test("composes with the FileView retype/scan surface downstream") {
     // the manifest is a plain DataFrame: joins/aggregations Just Work
     val bySuffix = spark.read.format(fmt).load(root)
