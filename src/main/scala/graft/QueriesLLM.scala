@@ -175,6 +175,16 @@ object QueriesLLM {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0), 11)
   }
 
+  /** sim_ann_ivf_kmeans: IVF with Lloyd-refined centroids (deterministic,
+    * RNG-free, 3 rounds) — each round is a zero-shuffle assignment plus
+    * one bounded (centroid, dim) aggregate. Rows-only; recall vs exact
+    * and vs the seed-centroid IVF asserted in DedupSimilaritySpec. */
+  val simAnnIvfKmeans: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.ivfCentroidsKmeans(emb, 16, iters = 3)
+    Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") === 0), 11, centroids)
+  }
+
   /** sketch_source_sim: group-level content sketches — per-source MinHash
     * UNION signatures (fixed-width TypedImperativeAggregate merge; the
     * shuffle moves one 512-byte sketch per source, never documents),
@@ -461,6 +471,7 @@ object QueriesLLM {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,

@@ -117,6 +117,71 @@ object Similarity {
       .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"))
   }
 
+  /** Deterministic Lloyd (k-means) refinement of the IVF coarse
+    * quantizer: start from the hash-free seed ([[ivfAssign]]'s lowest-id
+    * corpus vectors), run `iters` assign→mean rounds. Per round, the
+    * assignment is the zero-shuffle broadcast-literal projection and the
+    * centroid update is ONE (centroid, dim-position) aggregate whose
+    * output is ≤ nCentroids·dim rows — bounded driver traffic, no
+    * RNG, no MLlib. Empty cells keep their previous centroid. Returns
+    * (centroid_id, vector) pairs for [[ivfTopKWith]]. */
+  def ivfCentroidsKmeans(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
+    val seed = corpus.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    var centroids: Array[(Long, Array[Float])] =
+      seed.zipWithIndex.map { case ((_, v), i) => i.toLong -> v }
+    for (_ <- 1 to iters) {
+      val index = new graft.plans.CentroidIndex(centroids.map(_._1), centroids.map(_._2))
+      val assigned = corpus.select(col(vecCol).as("v"),
+        graft.plans.VectorExpressions.nearestCentroid(col(vecCol), index).as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val v = new Array[Float](old.length)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            cid -> v
+          case None => cid -> old // empty cell: centroid unchanged
+        }
+      }
+    }
+    centroids
+  }
+
+  /** [[ivfTopK]] with caller-supplied centroids (e.g. the k-means-refined
+    * set) — same probe-and-rescore plan. */
+  def ivfTopKWith(corpus: DataFrame, query: DataFrame, k: Int,
+      centroids: Array[(Long, Array[Float])], nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val index = new graft.plans.CentroidIndex(centroids.map(_._1), centroids.map(_._2))
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      graft.plans.VectorExpressions.nearestCentroid(col(vecCol), index).as("centroid_id"))
+    val centroidDf = broadcast(
+      centroids.toSeq.toDF("centroid_id", "cvec")
+        .select(col("centroid_id"), col("cvec"),
+          VectorOps.norm(col("cvec")).as("cn")))
+    val qcells = broadcast(
+      query.select(col(vecCol).as("__q"), VectorOps.norm(col(vecCol)).as("__qn"))
+        .crossJoin(centroidDf)
+        .select(col("__q"), col("__qn"), col("centroid_id"),
+          (VectorOps.dot(col("__q"), col("cvec")) / (col("__qn") * col("cn"))).as("csim"))
+        .orderBy(col("csim").desc, col("centroid_id").asc)
+        .limit(nProbe))
+    assigned.join(qcells, "centroid_id")
+      .select(col(idCol),
+        r4(VectorOps.dot(col(vecCol), col("__q")) / (VectorOps.norm(col(vecCol)) * col("__qn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF ANN top-k: probe the `nProbe` centroid cells nearest the query,
     * exact-rescore only those cells' members. The deterministic, shuffle-
     * light alternative to the brute-force cross join; recall rises with

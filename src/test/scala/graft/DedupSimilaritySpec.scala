@@ -112,6 +112,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(full == exact)
   }
 
+  test("k-means-refined IVF: deterministic, recall not below the seed quantizer") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" === 0)
+    val c1 = Similarity.ivfCentroidsKmeans(emb, 16, iters = 3)
+    val c2 = Similarity.ivfCentroidsKmeans(emb, 16, iters = 3)
+    // fully deterministic: same centroids bit-for-bit on re-run
+    assert(c1.map(_._1).sameElements(c2.map(_._1)))
+    c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+    val exact = Similarity.topKCosine(emb, q, 10).collect().map(_.getLong(0)).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(0)).count(exact).toDouble / exact.size
+    val seedR = recall(Similarity.ivfTopK(emb, q, 10, nCentroids = 16, nProbe = 4).collect())
+    val kmR = recall(Similarity.ivfTopKWith(emb, q, 10, c1, nProbe = 4).collect())
+    assert(kmR >= seedR - 0.101,
+      s"k-means recall $kmR fell more than a tolerance below seed recall $seedR")
+    assert(kmR > 0.5, s"k-means IVF recall $kmR too low")
+  }
+
   test("pairsAboveThreshold agrees with cross-join ground truth at small n") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
     val got = Similarity.pairsAboveThreshold(emb, 0.2).collect()

@@ -75,4 +75,19 @@ class RelationalSpec extends SparkTestBase {
         col("b.d") < col("a.d") + expr("INTERVAL 30 DAYS")).count()
     assert(out == 1) // only (1,2) overlap within 30 days
   }
+
+  test("outer-join trio preserves exactly the right unmatched rows") {
+    import spark.implicits._
+    val l = Seq((1, "l1"), (2, "l2")).toDF("k", "lv")
+    val r = Seq((2, "r2"), (3, "r3")).toDF("k", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").collect()
+        .map(x => (x.getInt(0), Option(x.getString(1)), Option(x.getString(2)))).toSet
+    assert(rows(Relational.joinLeft(l, r, Seq("k"))) ==
+      Set((1, Some("l1"), None), (2, Some("l2"), Some("r2"))))
+    assert(rows(Relational.joinRight(l, r, Seq("k"))) ==
+      Set((2, Some("l2"), Some("r2")), (3, None, Some("r3"))))
+    assert(rows(Relational.joinFull(l, r, Seq("k"))) ==
+      Set((1, Some("l1"), None), (2, Some("l2"), Some("r2")), (3, None, Some("r3"))))
+  }
 }
