@@ -452,6 +452,70 @@ object QueriesCore {
       |  floor((quantile_cont(l_extendedprice, 0.95)) * 10000 + 0.5) / 10000 AS price_p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** agg_approx_percentiles: the sketch twin of [[aggPercentiles]] —
+    * `approx_percentile` (QuantileSummaries/GK): fixed-size mergeable
+    * buffers, partial+final, the 100 TB drop-in where exact buffering
+    * won't fit. Rows-only (DuckDB's approx sketch differs); ApproxSpec
+    * asserts each estimate within rank-ε of exact. */
+  val aggApproxPercentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("q"),
+        r4(expr("approx_percentile(l_extendedprice, 0.95, 10000)")).as("price_p95"))
+      .select(col("l_returnflag"),
+        r4(element_at(col("q"), 1)).as("p25"),
+        r4(element_at(col("q"), 2)).as("p50"),
+        r4(element_at(col("q"), 3)).as("p75"),
+        col("price_p95"))
+      .orderBy("l_returnflag")
+
+  /** sub_scalar: scalar subquery in a predicate — orders within 10% of
+    * the global maximum price. Catalyst plans the subquery once (a tiny
+    * 1-row aggregate, broadcast as a literal into the filter), so the
+    * fact scan stays a single pass — the 100 TB shape for "compare to a
+    * global statistic". max (not avg): order-independent, so both
+    * engines compute the identical scalar and no boundary row can flap
+    * on float-summation order (§7.4). Expressed through the SQL surface
+    * (spark.sql) because subqueries ARE a SQL-surface feature. */
+  val subScalar: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_sub")
+    s.sql(
+      """SELECT o_orderkey, floor(o_totalprice * 10000 + 0.5) / 10000 AS price
+        |FROM orders_sub
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders_sub)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val subScalarSql =
+    """SELECT o_orderkey, floor(o_totalprice * 10000 + 0.5) / 10000 AS price
+      |FROM orders
+      |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** sub_correlated: correlated scalar subquery — each customer's
+    * maximum-price order. Catalyst decorrelates this into an aggregate +
+    * join (RewriteCorrelatedScalarSubquery) — no per-row re-execution,
+    * which is what makes correlated subqueries survive scale. Equality
+    * against max of the row's own group is float-safe: max returns an
+    * input value, identically in both engines. */
+  val subCorrelated: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_subc")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  floor(o_totalprice * 10000 + 0.5) / 10000 AS price
+        |FROM orders_subc o
+        |WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders_subc i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val subCorrelatedSql =
+    """SELECT o_orderkey, o_custkey, floor(o_totalprice * 10000 + 0.5) / 10000 AS price
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i
+      |                      WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---- §2.5 windows -------------------------------------------------------
 
   val winRank: Q = (s, dir) =>
@@ -816,6 +880,9 @@ object QueriesCore {
     "agg_pivot" -> aggPivot,
     "unpivot_long" -> unpivotLong,
     "agg_percentiles" -> aggPercentiles,
+    "agg_approx_percentiles" -> aggApproxPercentiles,
+    "sub_scalar" -> subScalar,
+    "sub_correlated" -> subCorrelated,
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
     "win_analytic" -> winAnalytic,
@@ -868,6 +935,8 @@ object QueriesCore {
     "agg_pivot" -> aggPivotSql,
     "unpivot_long" -> unpivotLongSql,
     "agg_percentiles" -> aggPercentilesSql,
+    "sub_scalar" -> subScalarSql,
+    "sub_correlated" -> subCorrelatedSql,
     "win_rank" -> winRankSql,
     "win_distribution" -> winDistributionSql,
     "win_analytic" -> winAnalyticSql,

@@ -129,9 +129,41 @@ object QueriesStreaming {
       .toIndexedSeq
   }
 
+  /** stream_session_live: native `session_window` through the streaming
+    * engine (watermarked, append mode) — the live form of the batch
+    * `stream_session` query. Two deterministic batches; sessions closed
+    * by the watermark emit, the tail stays in state. Rows-only. */
+  val streamSessionLive: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val sessions = in.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"), col("n_events"))
+    val sink = "stream_session_live_sink"
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      in.addData(b2) // advances the watermark; closed sessions emit
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy("user_id", "sess_start")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
-    "stream_stateful_live" -> streamStatefulLive
+    "stream_stateful_live" -> streamStatefulLive,
+    "stream_session_live" -> streamSessionLive
   )
 }

@@ -72,4 +72,21 @@ class PlanAuditSpec extends SparkTestBase {
     // the salt must be part of the join key (the whole point)
     assert(p.contains("__salt"), p)
   }
+
+  test("sub_correlated is decorrelated to an aggregate + join, not per-row re-execution") {
+    val p = plan("sub_correlated")
+    assert(p.contains("Join") || p.contains("join"), p)
+    // a correlated subquery left in place would appear as a Subquery/
+    // InSubquery node re-evaluated per row — decorrelation removes it
+    assert(!p.toLowerCase.contains("subquery"), p)
+  }
+
+  test("sub_scalar plans the statistic as ONE shared scalar subquery") {
+    val p = plan("sub_scalar")
+    // the subquery tree renders once under the Filter and once under the
+    // scan's pushed data filters, but both carry the SAME subquery id —
+    // one execution, its result a literal in the single fact pass
+    val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(ids.size == 1, s"expected one shared scalar subquery, got $ids\n$p")
+  }
 }
