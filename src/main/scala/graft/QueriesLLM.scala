@@ -185,6 +185,13 @@ object QueriesLLM {
     Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") === 0), 11, centroids)
   }
 
+  /** sim_knn_graph: top-5 neighbors of EVERY vector via LSH buckets —
+    * the grouped ANN (kNN-graph) shape; rows-only (SRP family), recall
+    * vs the brute-force graph asserted in DedupSimilaritySpec. */
+  val simKnnGraph: Q = (s, dir) =>
+    Similarity.knnGraph(Tables.embeddings(s, dir), 5)
+      .orderBy("src", "rk")
+
   /** sketch_source_sim: group-level content sketches — per-source MinHash
     * UNION signatures (fixed-width TypedImperativeAggregate merge; the
     * shuffle moves one 512-byte sketch per source, never documents),
@@ -472,6 +479,7 @@ object QueriesLLM {
     "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
+    "sim_knn_graph" -> simKnnGraph,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,

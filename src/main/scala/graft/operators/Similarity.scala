@@ -290,6 +290,35 @@ object Similarity {
       .distinct()
   }
 
+  /** k-NN graph: the top-`k` cosine neighbors of EVERY corpus vector —
+    * the grouped form of ANN (kNN-graph construction for clustering,
+    * diversity sampling, graph-based dedup). Candidates come from the
+    * banded SRP buckets (symmetric: each pair surfaces for both
+    * endpoints), are exactly rescored by id-join (vectors never ride the
+    * band shuffle), and a per-source window keeps the k best. Cost is
+    * candidate volume × dim + one (src-keyed) window — never O(n²).
+    * Recall vs the brute-force kNN graph is asserted in
+    * DedupSimilaritySpec; raise `bands` for more recall. */
+  def knnGraph(corpus: DataFrame, k: Int, bands: Int = 16, bitsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed)
+    // symmetrize: every candidate pair is a neighbor CANDIDATE for both ends
+    val sym = cands.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(cands.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val withNorm = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+    val scored = sym
+      .join(withNorm.select(col("id").as("src"), col("v").as("vs"), col("nrm").as("ns")), "src")
+      .join(withNorm.select(col("id").as("dst"), col("v").as("vd"), col("nrm").as("nd")), "dst")
+      .select(col("src"), col("dst"),
+        r4(VectorOps.dot(col("vs"), col("vd")) / (col("ns") * col("nd"))).as("cosine"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rk"))
+  }
+
   /** Candidate-set size for a banding configuration — the observable the
     * pruning claim is tested on (TextKernelsSpec). */
   def pairsLshCandidateCount(corpus: DataFrame, bands: Int, bitsPerBand: Int,

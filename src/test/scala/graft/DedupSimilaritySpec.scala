@@ -112,6 +112,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(full == exact)
   }
 
+  test("kNN graph: per-source recall vs brute force; scores exact; k respected") {
+    val emb = Tables.embeddings(spark, sf)
+    val knn = Similarity.knnGraph(emb, 5, bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bySrc = knn.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 5))
+    // brute-force truth for a deterministic sample of sources
+    val sample = bySrc.keys.toSeq.sorted.take(20)
+    var hit = 0; var total = 0
+    sample.foreach { src =>
+      val truth = Similarity.topKCosine(emb, emb.filter(col("vec_id") === src), 6)
+        .collect().map(_.getLong(0)).filter(_ != src).take(5).toSet
+      val got = bySrc(src).map(_._2).toSet
+      hit += got.count(truth); total += truth.size
+    }
+    assert(hit.toDouble / total >= 0.5,
+      s"kNN-graph recall $hit/$total below floor at 16x4 banding")
+    // scores are EXACT cosines (rescored), spot-checked against brute force
+    val (s0, d0, c0) = knn.head
+    val brute = Similarity.topKCosine(emb, emb.filter(col("vec_id") === s0), 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(brute(d0) - c0) < 1e-9)
+  }
+
   test("k-means-refined IVF: deterministic, recall not below the seed quantizer") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0)
