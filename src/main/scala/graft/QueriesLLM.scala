@@ -392,6 +392,31 @@ object QueriesLLM {
       |  floor((avg(quality)) * 10000 + 0.5) / 10000 AS avg_quality
       |FROM labeled GROUP BY split ORDER BY split""".stripMargin
 
+  /** pipeline_near_dedup: the NEAR-duplicate curation pipeline end to end
+    * — MinHash signatures (per-row kernel, computed once) → LSH banding
+    * candidates → signature-verify ≥ 0.8 → connected components → one
+    * representative per cluster → kept/deduped summary. The LSH
+    * complement of [[pipelineCurate]]'s exact dedup: every stage is the
+    * documented 100 TB shape (no O(n²) anywhere). Rows-only (hash
+    * family); exact-duplicate texts landing in one cluster is asserted
+    * in DedupSimilaritySpec. */
+  val pipelineNearDedup: Q = (s, dir) => {
+    import graft.operators.Components
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id")).localCheckpoint(true)
+    val pairs = Dedup.verifyFromSignatures(Dedup.candidatesFromSignatures(sigs), sigs)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    val clusters = Components.connectedComponents(pairs)
+    // docs in no near-dup pair represent themselves
+    val reps = docs.select(col("doc_id"))
+      .join(clusters.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+    reps.groupBy((col("doc_id") === col("rep_id")).as("is_kept"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("is_kept")
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   /** multimodal_doc: nested "document" record — text + typed metadata +
@@ -491,6 +516,7 @@ object QueriesLLM {
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_near_dedup" -> pipelineNearDedup,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,

@@ -112,6 +112,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(full == exact)
   }
 
+  test("near-dedup pipeline: exact duplicates share a cluster; counts partition the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val summary = QueriesLLM.pipelineNearDedup(spark, sf)
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // kept + deduped == corpus, and at least the fixture's planted exact
+    // dups must be deduped (identical text ⇒ identical signature ⇒
+    // est_jaccard 1 ≥ 0.8 ⇒ same component)
+    assert(summary.values.sum == nDocs)
+    val exactDupRow = Dedup.exact(docs, col("text"), col("doc_id"))
+      .filter(col("n_dups") > 1)
+      .agg(sum(col("n_dups") - 1)).head()
+    val exactDupDocs = if (exactDupRow.isNullAt(0)) 0L else exactDupRow.getLong(0)
+    assert(summary.getOrElse(false, 0L) >= exactDupDocs,
+      s"deduped ${summary.get(false)} < planted exact-dup surplus $exactDupDocs")
+  }
+
   test("kNN graph: per-source recall vs brute force; scores exact; k respected") {
     val emb = Tables.embeddings(spark, sf)
     val knn = Similarity.knnGraph(emb, 5, bands = 16, bitsPerBand = 4)
