@@ -671,6 +671,80 @@ object QueriesCore {
       |SELECT o_custkey AS c_custkey FROM orders
       |ORDER BY c_custkey""".stripMargin
 
+  /** set_except_all / set_intersect_all: MULTISET semantics — duplicates
+    * preserved with bag arithmetic (EXCEPT ALL subtracts multiplicities).
+    * Spark plans both as one aggregate computing per-key counts on each
+    * side + a generate — no distinct pass, same shuffle shape as the
+    * distinct forms. Output summarized as (key, multiplicity). */
+  val setExceptAll: Q = (s, dir) =>
+    Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      .exceptAll(Tables.customer(s, dir).select(col("c_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  val setExceptAllSql =
+    """SELECT k, count(*) AS n FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  EXCEPT ALL
+      |  SELECT c_custkey FROM customer) t
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  val setIntersectAll: Q = (s, dir) =>
+    Tables.orders(s, dir).select(col("o_custkey").as("k"))
+      .intersectAll(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  val setIntersectAllSql =
+    """SELECT k, count(*) AS n FROM (
+      |  SELECT o_custkey AS k FROM orders
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  /** agg_mode: most frequent value per group, deterministic tie-break
+    * (highest count, then smallest value) — expressed as count + window
+    * rank so both engines agree on ties (the built-in `mode()` breaks
+    * ties arbitrarily in both engines). */
+  val aggMode: Q = (s, dir) => {
+    val counts = Tables.orders(s, dir)
+      .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  val aggModeSql =
+    """SELECT o_orderstatus, mode_priority, cnt FROM (
+      |  SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** fn_regex: the regex function family — global replace, anchored
+    * group extract, match enumeration — over real document text. */
+  val fnRegex: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "\\s+", " ")).as("squeezed_len"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+        // Spark defaults idx=1 (group 1); this pattern has no groups →
+        // pass 0 for the whole match (DuckDB's default)
+        size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).as("n_vowel_runs"))
+      .orderBy("doc_id")
+
+  val fnRegexSql =
+    """SELECT doc_id,
+      |  CAST(length(regexp_replace(text, '\s+', ' ', 'g')) AS INT) AS squeezed_len,
+      |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- §2.8 scalar functions ----------------------------------------------
 
   val fnString: Q = (s, dir) =>
@@ -894,6 +968,10 @@ object QueriesCore {
     "set_union" -> setUnionDistinct,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll,
+    "agg_mode" -> aggMode,
+    "fn_regex" -> fnRegex,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -948,6 +1026,10 @@ object QueriesCore {
     "set_union" -> setUnionDistinctSql,
     "set_intersect" -> setIntersectSql,
     "set_except" -> setExceptSql,
+    "set_except_all" -> setExceptAllSql,
+    "set_intersect_all" -> setIntersectAllSql,
+    "agg_mode" -> aggModeSql,
+    "fn_regex" -> fnRegexSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,
