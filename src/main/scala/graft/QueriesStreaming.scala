@@ -37,6 +37,14 @@ object QueriesStreaming {
       org.apache.spark.sql.Encoders.product[StreamOps.Event]
     val rows = eventSlice(s, dir)
     val cut = rows(rows.length / 5).ts.getTime // 20th-percentile event time
+    // The "every early row is dropped" semantics require the cut to sit
+    // MORE than the 30-min lateness bound before max(ts) — otherwise a
+    // smaller fixture span would silently change what this query means.
+    // Fail loudly instead (ADVICE r02).
+    val maxTs = rows.last.ts.getTime // eventSlice is time-ordered
+    require(cut < maxTs - 30L * 60 * 1000,
+      s"fixture event-time span too small for the 30-min lateness bound: " +
+        s"20th-pct cut=$cut vs max(ts)=$maxTs — early rows would no longer all be late")
     val (early, onTime) = rows.partition(_.ts.getTime < cut)
     val in = MemoryStream[StreamOps.Event]
     val agg = StreamOps.tumblingCounts(in.toDF(), "ts", "1 hour", "30 minutes")

@@ -124,9 +124,17 @@ object Similarity {
     * centroid update is ONE (centroid, dim-position) aggregate whose
     * output is ≤ nCentroids·dim rows — bounded driver traffic, no
     * RNG, no MLlib. Empty cells keep their previous centroid. Returns
-    * (centroid_id, vector) pairs for [[ivfTopKWith]]. */
+    * (centroid_id, vector) pairs for [[ivfTopKWith]].
+    *
+    * Determinism (ADVICE r02): the per-cell mean is computed from an
+    * INTEGER fixed-point sum (`long(x·2²⁴)`), not `avg(double)` — long
+    * addition is associative+commutative, so the result is bit-identical
+    * under ANY partition count or merge order, where a double partial-sum
+    * could drift in the last ulp. The ≤2⁻²⁴ quantization is far below
+    * what a coarse quantizer can distinguish. */
   def ivfCentroidsKmeans(corpus: DataFrame, nCentroids: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
+    val Scale = (1L << 24).toDouble
     val seed = corpus.orderBy(col(idCol).asc).limit(nCentroids)
       .select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
@@ -138,14 +146,17 @@ object Similarity {
         graft.plans.VectorExpressions.nearestCentroid(col(vecCol), index).as("cid"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cid", "pos")
+        .agg(sum((col("x").cast("double") * lit(Scale)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val byCid = means.groupBy(_.getLong(0))
       centroids = centroids.map { case (cid, old) =>
         byCid.get(cid) match {
           case Some(rows) =>
             val v = new Array[Float](old.length)
-            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+            rows.foreach(r => v(r.getInt(1)) =
+              (r.getLong(2).toDouble / Scale / r.getLong(3).toDouble).toFloat)
             cid -> v
           case None => cid -> old // empty cell: centroid unchanged
         }

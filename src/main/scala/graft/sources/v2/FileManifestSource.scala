@@ -74,6 +74,36 @@ private[v2] class ManifestTable(root: String) extends Table with SupportsRead {
     new ManifestScanBuilder(root)
 }
 
+/** The ONE place a source `Filter` is turned into a file-metadata
+  * predicate. `pushFilters` accepts exactly the filters this compiles
+  * (`compile(f).isDefined`), and the reader evaluates exactly the
+  * compiled closures — the accept-set and the evaluation can't drift
+  * apart. Spark does not re-check filters reported as pushed, so a
+  * pushed-but-unevaluable filter would mean silently wrong rows; the
+  * reader therefore THROWS if compile fails on a pushed filter (can
+  * only happen if this object changes between plan and execution,
+  * i.e. a bug — fail loudly, never fall through to `true`). */
+private[v2] object ManifestPredicates {
+  def compile(f: Filter): Option[FileMeta => Boolean] = f match {
+    case EqualTo("ext", v: String) => Some(_.ext == v)
+    case EqualTo("name", v: String) => Some(_.name == v)
+    case StringStartsWith("path", v) => Some(_.path.startsWith(v))
+    case StringStartsWith("name", v) => Some(_.name.startsWith(v))
+    case GreaterThan("size", v: Long) => Some(_.size > v)
+    case GreaterThanOrEqual("size", v: Long) => Some(_.size >= v)
+    case LessThan("size", v: Long) => Some(_.size < v)
+    case LessThanOrEqual("size", v: Long) => Some(_.size <= v)
+    case GreaterThan("mtime_ms", v: Long) => Some(_.mtimeMs > v)
+    case GreaterThanOrEqual("mtime_ms", v: Long) => Some(_.mtimeMs >= v)
+    case LessThan("mtime_ms", v: Long) => Some(_.mtimeMs < v)
+    case LessThanOrEqual("mtime_ms", v: Long) => Some(_.mtimeMs <= v)
+    case _ => None
+  }
+}
+
+private[v2] case class FileMeta(path: String, name: String, ext: String,
+    size: Long, mtimeMs: Long)
+
 private[v2] class ManifestScanBuilder(root: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -81,15 +111,8 @@ private[v2] class ManifestScanBuilder(root: String)
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo(a, _) if a == "ext" || a == "name" => true
-      case StringStartsWith(a, _) if a == "path" || a == "name" => true
-      case GreaterThan(a, _) if a == "size" || a == "mtime_ms" => true
-      case GreaterThanOrEqual(a, _) if a == "size" || a == "mtime_ms" => true
-      case LessThan(a, _) if a == "size" || a == "mtime_ms" => true
-      case LessThanOrEqual(a, _) if a == "size" || a == "mtime_ms" => true
-      case _ => false
-    }
+    val (accepted, rejected) =
+      filters.partition(ManifestPredicates.compile(_).isDefined)
     pushed = accepted
     rejected // Spark re-evaluates these above the scan
   }
@@ -163,9 +186,14 @@ private[v2] class ManifestReaderFactory(required: StructType, pushed: Array[Filt
 private[v2] class ManifestReader(part: ManifestPartition, required: StructType,
     pushed: Array[Filter]) extends PartitionReader[InternalRow] {
 
-  private case class Meta(path: String, name: String, ext: String, size: Long, mtimeMs: Long)
+  // compiled once from the SAME compiler pushFilters used; a filter that
+  // was pushed but no longer compiles is a plan/execution drift → throw
+  private val preds: Array[FileMeta => Boolean] = pushed.map { f =>
+    ManifestPredicates.compile(f).getOrElse(throw new IllegalStateException(
+      s"filter $f was reported as pushed but has no compiled predicate"))
+  }
 
-  private val files: Iterator[Meta] = {
+  private val files: Iterator[FileMeta] = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(part.dir)
     val stream =
@@ -179,33 +207,17 @@ private[v2] class ManifestReader(part: ManifestPartition, required: StructType,
         .map { f =>
           val name = f.getFileName.toString
           val dot = name.lastIndexOf('.')
-          Meta(f.toString, name, if (dot < 0) "" else name.substring(dot + 1),
+          FileMeta(f.toString, name, if (dot < 0) "" else name.substring(dot + 1),
             java.nio.file.Files.size(f),
             java.nio.file.Files.getLastModifiedTime(f).toMillis)
         }
-        .filter(matchesPushed)
+        .filter(m => preds.forall(_(m)))
         .toVector
     } finally stream.close()
     out.iterator
   }
 
-  private def matchesPushed(m: Meta): Boolean = pushed.forall {
-    case EqualTo("ext", v) => m.ext == v
-    case EqualTo("name", v) => m.name == v
-    case StringStartsWith("path", v) => m.path.startsWith(v)
-    case StringStartsWith("name", v) => m.name.startsWith(v)
-    case GreaterThan("size", v: Long) => m.size > v
-    case GreaterThanOrEqual("size", v: Long) => m.size >= v
-    case LessThan("size", v: Long) => m.size < v
-    case LessThanOrEqual("size", v: Long) => m.size <= v
-    case GreaterThan("mtime_ms", v: Long) => m.mtimeMs > v
-    case GreaterThanOrEqual("mtime_ms", v: Long) => m.mtimeMs >= v
-    case LessThan("mtime_ms", v: Long) => m.mtimeMs < v
-    case LessThanOrEqual("mtime_ms", v: Long) => m.mtimeMs <= v
-    case _ => true // anything else was rejected in pushFilters
-  }
-
-  private var cur: Meta = _
+  private var cur: FileMeta = _
 
   override def next(): Boolean =
     if (files.hasNext) { cur = files.next(); true } else false

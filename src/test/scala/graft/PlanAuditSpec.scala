@@ -49,7 +49,10 @@ class PlanAuditSpec extends SparkTestBase {
     // only. The values-discovery overload would run a separate collect
     // job before planning; explicit values keep planning collect-free.
     assert(p.contains("pivotfirst"), p)
-    assert("HashAggregate".r.findAllIn(p).size == 4, p)
+    // ≥2: the partial+final pair must survive; an exact count would break
+    // on any Spark/AQE re-plan that changes partial-aggregate placement
+    // without a real regression (ADVICE r02)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CollectLimit"), p)
   }
 
