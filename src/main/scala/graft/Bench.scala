@@ -79,10 +79,43 @@ object Bench {
         name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision per-query detail → bench_full.json (for BASELINE.md
+    // and the judge). The stdout contract line must survive the driver's
+    // 2000-char output-tail buffer (BENCH_r01/r02 both arrived truncated
+    // → parsed:null), so it gets 3-decimal values and, if still too
+    // long, the CHEAPEST queries folded into an "other_sum"/"other_n"
+    // rollup — failures (-1) and expensive queries stay explicit.
+    locally {
+      val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+          .getBytes("UTF-8"))
+    }
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val sfShort = new java.io.File(sfDir).getName // "sf0.1"
+    def line(folded: Set[String]): String = {
+      val kept = results.filter { case (k, v) => v < 0 || !folded(k) }
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val extra = if (folded.isEmpty) Nil else {
+        val fs = results.filter { case (k, v) => v >= 0 && folded(k) }
+        List("\"other_sum\":" + fmt(fs.map(_._2).sum), "\"other_n\":" + fs.size)
+      }
+      val qs = (kept ++ extra).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+    }
+    val budget = 1900 // tail buffer 2000 minus sbt's trailing [success] line
+    val cheapestFirst = results.filter(_._2 >= 0).sortBy(_._2).map(_._1)
+    var nFold = 0
+    var out = line(Set.empty)
+    while (out.length > budget && nFold < cheapestFirst.size) {
+      nFold = math.min(nFold + 5, cheapestFirst.size)
+      out = line(cheapestFirst.take(nFold).toSet)
+    }
+    println(out)
     spark.stop()
   }
 }
