@@ -19,6 +19,20 @@ object QueriesStreaming {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Run `body` with a smaller shuffle-partition count: every stateful
+    * streaming operator materializes ONE state store per shuffle
+    * partition per microbatch, so the bounded replay fixture pays 32
+    * store load/commit cycles per batch for a few thousand keys. 8
+    * partitions keep the same semantics (state is keyed, not
+    * partition-placed) at a quarter of the fixed cost. Production
+    * streams size this to the key cardinality, not to this harness. */
+  private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** stream_watermark_late: watermarked tumbling counts over a 2-batch
     * replay — batch 1 is the later 80% of events (advances the watermark
     * to max(ts) − 30 min), batch 2 is the earliest 20% (all beyond the
@@ -29,7 +43,7 @@ object QueriesStreaming {
     * The driver-side collect is the REPLAY HARNESS, not the operator: a
     * bounded 1/16 user slice of the fixture stands in for the unbounded
     * source that `StreamOps.tumblingCounts` serves in production. */
-  val streamWatermarkLate: Q = (s, dir) => {
+  val streamWatermarkLate: Q = (s, dir) => withFewPartitions(s) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -66,7 +80,7 @@ object QueriesStreaming {
     * engine — the replay feeds every event TWICE in one batch plus the
     * first 100 again in a second (still-within-horizon) batch; exactly
     * one copy of each survives. Rows-only: arrival-order semantics. */
-  val streamDedupLive: Q = (s, dir) => {
+  val streamDedupLive: Q = (s, dir) => withFewPartitions(s) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -94,7 +108,7 @@ object QueriesStreaming {
     * two batches split at the 50th time percentile (sessions spanning the
     * batch boundary must survive in state). Rows-only; the
     * batch-recompute equivalence is asserted in StreamingSpec. */
-  val streamStatefulLive: Q = (s, dir) => {
+  val streamStatefulLive: Q = (s, dir) => withFewPartitions(s) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -141,7 +155,7 @@ object QueriesStreaming {
     * engine (watermarked, append mode) — the live form of the batch
     * `stream_session` query. Two deterministic batches; sessions closed
     * by the watermark emit, the tail stays in state. Rows-only. */
-  val streamSessionLive: Q = (s, dir) => {
+  val streamSessionLive: Q = (s, dir) => withFewPartitions(s) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
