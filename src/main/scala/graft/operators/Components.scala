@@ -34,8 +34,12 @@ object Components {
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .repartition(col("dst")) // join side below keys on dst
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Init fuses round 0 into the node-set build: label = min(self, all
+    // neighbors) — the same groupBy shuffle a distinct() would pay, but
+    // the first propagation comes free (one fewer 2-join round below).
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var round = 0
     var prevSum = Long.MaxValue
