@@ -469,6 +469,54 @@ object QueriesCore {
         col("price_p95"))
       .orderBy("l_returnflag")
 
+  /** agg_percentile_disc: EXACT discrete percentiles from the value-count
+    * distribution ([[graft.operators.Percentiles.exactDiscrete]]) — the
+    * 100 TB twin of [[aggPercentiles]]: the built-in `percentile` buffers
+    * every value per group (memory O(rows)), the count-distribution form
+    * shuffles (group, value, count) only (memory O(distinct values)).
+    * Oracle: DuckDB's independent `quantile_disc` implementation. */
+  val aggPercentileDisc: Q = (s, dir) =>
+    graft.operators.Percentiles.exactDiscrete(
+        Tables.lineitem(s, dir), "l_quantity", Seq("l_returnflag"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .orderBy("l_returnflag")
+
+  val aggPercentileDiscSql =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.25) AS p25,
+      |  quantile_disc(l_quantity, 0.5) AS p50,
+      |  quantile_disc(l_quantity, 0.75) AS p75,
+      |  quantile_disc(l_quantity, 0.95) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** agg_stats: the second-moment statistic family — correlation,
+    * covariance (sample + population), stddev, variance — all Spark
+    * built-ins with mergeable constant-size buffers (partial+final,
+    * codegen'd), i.e. the statistics that stay one-pass at 100 TB.
+    * r4-rounded: the merge order of double partials differs between
+    * engines in the last ulp (§7.4). */
+  val aggStats: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qp"),
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(stddev_pop(col("l_quantity"))).as("sdp_qty"),
+        r4(var_samp(col("l_discount"))).as("var_disc"),
+        r4(var_pop(col("l_discount"))).as("varp_disc"))
+      .orderBy("l_returnflag")
+
+  val aggStatsSql =
+    """SELECT l_returnflag,
+      |  floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS corr_qp,
+      |  floor((covar_samp(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS covar_qp,
+      |  floor((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000 AS sd_qty,
+      |  floor((stddev_pop(l_quantity)) * 10000 + 0.5) / 10000 AS sdp_qty,
+      |  floor((var_samp(l_discount)) * 10000 + 0.5) / 10000 AS var_disc,
+      |  floor((var_pop(l_discount)) * 10000 + 0.5) / 10000 AS varp_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** sub_scalar: scalar subquery in a predicate — orders within 10% of
     * the global maximum price. Catalyst plans the subquery once (a tiny
     * 1-row aggregate, broadcast as a literal into the filter), so the
@@ -745,6 +793,40 @@ object QueriesCore {
       |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** fn_url: URL decomposition — scheme/host/path/query-param — via
+    * Spark's native `parse_url` (codegen'd, the function a crawl
+    * pipeline normalizes link corpora with). The URLs are built
+    * deterministically from order columns (the fixture has no URL
+    * column), and the oracle re-derives the same parts with anchored
+    * regexes — two independent parsers agreeing on every row. */
+  val fnUrl: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        concat(lit("https://data.example.org/"),
+          lower(regexp_replace(col("o_orderpriority"), "[^A-Za-z0-9]", "-")),
+          lit("/orders/"), col("o_orderkey"),
+          lit("?status="), col("o_orderstatus"),
+          lit("&cust="), col("o_custkey")).as("url"))
+      .select(col("o_orderkey"),
+        expr("parse_url(url, 'PROTOCOL')").as("scheme"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'cust')").as("cust"))
+      .orderBy("o_orderkey")
+
+  val fnUrlSql =
+    """WITH u AS (
+      |  SELECT o_orderkey,
+      |    'https://data.example.org/' || lower(regexp_replace(o_orderpriority, '[^A-Za-z0-9]', '-', 'g'))
+      |      || '/orders/' || o_orderkey || '?status=' || o_orderstatus || '&cust=' || o_custkey AS url
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]cust=([^&#]*)', 1) AS cust
+      |FROM u ORDER BY o_orderkey""".stripMargin
+
   // ---- §2.8 scalar functions ----------------------------------------------
 
   val fnString: Q = (s, dir) =>
@@ -954,6 +1036,8 @@ object QueriesCore {
     "agg_pivot" -> aggPivot,
     "unpivot_long" -> unpivotLong,
     "agg_percentiles" -> aggPercentiles,
+    "agg_percentile_disc" -> aggPercentileDisc,
+    "agg_stats" -> aggStats,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "sub_scalar" -> subScalar,
     "sub_correlated" -> subCorrelated,
@@ -972,6 +1056,7 @@ object QueriesCore {
     "set_intersect_all" -> setIntersectAll,
     "agg_mode" -> aggMode,
     "fn_regex" -> fnRegex,
+    "fn_url" -> fnUrl,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -1013,6 +1098,8 @@ object QueriesCore {
     "agg_pivot" -> aggPivotSql,
     "unpivot_long" -> unpivotLongSql,
     "agg_percentiles" -> aggPercentilesSql,
+    "agg_percentile_disc" -> aggPercentileDiscSql,
+    "agg_stats" -> aggStatsSql,
     "sub_scalar" -> subScalarSql,
     "sub_correlated" -> subCorrelatedSql,
     "win_rank" -> winRankSql,
@@ -1030,6 +1117,7 @@ object QueriesCore {
     "set_intersect_all" -> setIntersectAllSql,
     "agg_mode" -> aggModeSql,
     "fn_regex" -> fnRegexSql,
+    "fn_url" -> fnUrlSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,

@@ -256,6 +256,38 @@ object QueriesLLM {
       |         / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS quality
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** text_pii_scrub: PII redaction — the pre-training hygiene pass that
+    * strips emails and phone numbers before a corpus ships. Two global
+    * regex replaces per row, pure projection: zero shuffle, codegen'd,
+    * embarrassingly parallel at 100 TB. The fixture has no PII, so the
+    * rows are built deterministically from customer columns and then
+    * scrubbed; the oracle applies the identical patterns via DuckDB's
+    * RE2 (`'g'` = Spark's replace-all default). */
+  val textPiiScrub: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit(" <"), lower(col("c_name")), lit("@example.com> tel 555-"),
+          lpad(pmod(col("c_custkey"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" segment "), col("c_mktsegment")).as("raw"))
+      .select(col("c_custkey"),
+        regexp_replace(
+          regexp_replace(col("raw"), "[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+          "\\b555-[0-9]{4}\\b", "[PHONE]").as("scrubbed"))
+      .orderBy("c_custkey")
+
+  val textPiiScrubSql =
+    """WITH raw AS (
+      |  SELECT c_custkey,
+      |    c_name || ' <' || lower(c_name) || '@example.com> tel 555-'
+      |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      |      || ' segment ' || c_mktsegment AS raw
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS scrubbed
+      |FROM raw ORDER BY c_custkey""".stripMargin
+
   val textTokenCount: Q = (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -508,6 +540,7 @@ object QueriesLLM {
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
+    "text_pii_scrub" -> textPiiScrub,
     "text_token_count" -> textTokenCount,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -532,6 +565,7 @@ object QueriesLLM {
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
+    "text_pii_scrub" -> textPiiScrubSql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Percentiles
+
+class PercentilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactDiscrete matches PERCENTILE_DISC semantics on crafted boundaries") {
+    // n=4: p=.5 -> 2nd value, p=.25 -> 1st, p=.75 -> 3rd, p=.95 -> 4th
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
+    val out = Percentiles.exactDiscrete(df, "v", Seq("k"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)).head()
+    assert((out.getDouble(1), out.getDouble(2), out.getDouble(3), out.getDouble(4))
+      == ((1.0, 2.0, 3.0, 4.0)))
+  }
+
+  test("exactDiscrete picks an actual input value, never interpolates") {
+    val df = Seq.tabulate(101)(i => ("g", (i * 3).toDouble)).toDF("k", "v")
+    val out = Percentiles.exactDiscrete(df, "v", Seq("k"), Seq("p37" -> 0.37)).head()
+    val v = out.getDouble(1)
+    assert(v % 3 == 0.0 && v >= 0 && v <= 300)
+  }
+
+  test("exactDiscrete agrees with Spark's buffering percentile on the fixture") {
+    // percentile(v, p) interpolates; on a discrete column compare against
+    // the rank-based definition via sort+index instead: value at
+    // ceil(p*n) (1-based) of the sorted sequence
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag").as("k"),
+      col("l_quantity").as("v"))
+    val got = Percentiles.exactDiscrete(li, "v", Seq("k"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val truth = li.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) =>
+        val sorted = vs.map(_._2).sorted
+        def pick(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+        k -> ((pick(0.25), pick(0.5), pick(0.95)))
+      }
+    assert(got == truth)
+  }
+
+  test("exactDiscrete handles multiple groups and ungrouped (global) form") {
+    val df = Seq(("a", 1.0), ("a", 9.0), ("b", 5.0)).toDF("k", "v")
+    val grouped = Percentiles.exactDiscrete(df, "v", Seq("k"), Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(grouped == Map("a" -> 1.0, "b" -> 5.0))
+    val global = Percentiles.exactDiscrete(df, "v", Nil, Seq("p50" -> 0.5)).head()
+    assert(global.getDouble(0) == 5.0)
+  }
+}
