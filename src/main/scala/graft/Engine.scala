@@ -33,6 +33,10 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // honor KeyGroupedPartitioning reported by V2 sources (the file
+      // manifest reports `dir`), so per-study aggregations and
+      // storage-partitioned joins skip the shuffle
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // request >= core-count input splits for small files. Parquet can
       // only split at row-group boundaries (the fixtures are single-group,
       // so this is best-effort there — operators whose parallelism must

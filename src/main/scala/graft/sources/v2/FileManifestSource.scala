@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,6 +59,11 @@ object FileManifestSource {
     .add("ext", StringType, nullable = false)
     .add("size", LongType, nullable = false)
     .add("mtime_ms", LongType, nullable = false)
+    // the partition identity: immediate child directory of the scope
+    // root this file lives under ('' for loose root files) — reported
+    // as a KeyGroupedPartitioning key, so per-study aggregations and
+    // storage-partitioned joins need no shuffle
+    .add("dir", StringType, nullable = false)
 
   /** Rows emitted across all readers in this JVM — the observable
     * FileManifestSpec uses to prove pushdown prunes work, not just
@@ -97,12 +104,14 @@ private[v2] object ManifestPredicates {
     case GreaterThanOrEqual("mtime_ms", v: Long) => Some(_.mtimeMs >= v)
     case LessThan("mtime_ms", v: Long) => Some(_.mtimeMs < v)
     case LessThanOrEqual("mtime_ms", v: Long) => Some(_.mtimeMs <= v)
+    case EqualTo("dir", v: String) => Some(_.dir == v)
+    case StringStartsWith("dir", v) => Some(_.dir.startsWith(v))
     case _ => None
   }
 }
 
 private[v2] case class FileMeta(path: String, name: String, ext: String,
-    size: Long, mtimeMs: Long)
+    size: Long, mtimeMs: Long, dir: String)
 
 private[v2] class ManifestScanBuilder(root: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -124,14 +133,30 @@ private[v2] class ManifestScanBuilder(root: String)
   override def build(): Scan = new ManifestScan(root, required, pushed)
 }
 
-private[v2] case class ManifestPartition(dir: String, recursive: Boolean)
-    extends InputPartition
+private[v2] case class ManifestPartition(dir: String, recursive: Boolean, key: String)
+    extends InputPartition with HasPartitionKey {
+  // all rows this partition emits share dir == key, which is what makes
+  // the KeyGroupedPartitioning report below sound
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(key)))
+}
 
 private[v2] class ManifestScan(root: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Rows are grouped by `dir` by construction (one input partition per
+    * child directory), so report a KeyGroupedPartitioning on it: with
+    * `spark.sql.sources.v2.bucketing.enabled`, a per-study groupBy or a
+    * storage-partitioned join on `dir` plans with NO shuffle. Only
+    * claimable when `dir` survives column pruning — otherwise the key
+    * can't be resolved against the scan output. */
+  override def outputPartitioning(): Partitioning =
+    if (required.fieldNames.contains("dir"))
+      new KeyGroupedPartitioning(Array(Expressions.identity("dir")), plannedPartitions.length)
+    else new UnknownPartitioning(plannedPartitions.length)
 
   /** Cost-based-optimizer food: estimated rows = a cheap file count of
     * the scope (no stats = Spark assumes huge = never broadcasts a
@@ -157,19 +182,32 @@ private[v2] class ManifestScan(root: String, required: StructType, pushed: Array
 
   /** One partition per immediate child directory (parallel walk of a
     * many-study scope) + one non-recursive partition for loose root
-    * files. */
-  override def planInputPartitions(): Array[InputPartition] = {
+    * files. Pushed `dir` predicates prune WHOLE SUBTREES here, at plan
+    * time — a filtered-out study directory is never even walked (the
+    * source-level analogue of parquet partition pruning). */
+  lazy val plannedPartitions: Array[InputPartition] = {
     val rootPath = java.nio.file.Paths.get(root)
     require(java.nio.file.Files.isDirectory(rootPath), s"not a directory: $root")
+    val dirPreds: Array[String => Boolean] = pushed.collect {
+      case EqualTo("dir", v: String) => (k: String) => k == v
+      case StringStartsWith("dir", v) => (k: String) => k.startsWith(v)
+    }
+    def keep(key: String): Boolean = dirPreds.forall(_(key))
     val children = java.nio.file.Files.list(rootPath)
     val dirs = try {
       import scala.jdk.CollectionConverters._
       children.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
         .map(_.toString).toArray.sorted
     } finally children.close()
-    (dirs.map(d => ManifestPartition(d, recursive = true)) :+
-      ManifestPartition(root, recursive = false)).toArray[InputPartition]
+    val subdirParts = dirs.map(d =>
+        ManifestPartition(d, recursive = true, key = new java.io.File(d).getName))
+      .filter(p => keep(p.key))
+    val rootPart = Some(ManifestPartition(root, recursive = false, key = ""))
+      .filter(p => keep(p.key))
+    (subdirParts ++ rootPart).toArray[InputPartition]
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required, pushed)
@@ -209,7 +247,7 @@ private[v2] class ManifestReader(part: ManifestPartition, required: StructType,
           val dot = name.lastIndexOf('.')
           FileMeta(f.toString, name, if (dot < 0) "" else name.substring(dot + 1),
             java.nio.file.Files.size(f),
-            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+            java.nio.file.Files.getLastModifiedTime(f).toMillis, part.key)
         }
         .filter(m => preds.forall(_(m)))
         .toVector
@@ -233,6 +271,7 @@ private[v2] class ManifestReader(part: ManifestPartition, required: StructType,
         case "ext" => UTF8String.fromString(cur.ext)
         case "size" => cur.size
         case "mtime_ms" => cur.mtimeMs
+        case "dir" => UTF8String.fromString(cur.dir)
       })
       i += 1
     }

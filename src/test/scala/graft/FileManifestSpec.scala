@@ -80,6 +80,37 @@ class FileManifestSpec extends SparkTestBase {
       joined.queryExecution.executedPlan.toString)
   }
 
+  test("dir filter prunes whole subtrees at plan time (partition pruning)") {
+    FileManifestSource.rowsEmitted.set(0)
+    val df = spark.read.format(fmt).load(root).filter(col("dir") === "studyA")
+    // only studyA's partition survives planning: studyB and the root
+    // partition are never even walked
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 3) // 2 parquet + 1 json
+    assert(FileManifestSource.rowsEmitted.get() == 3,
+      s"expected 3 emitted rows, got ${FileManifestSource.rowsEmitted.get()}")
+  }
+
+  test("reported KeyGroupedPartitioning: per-dir aggregation plans without a shuffle") {
+    val df = spark.read.format(fmt).load(root)
+      .groupBy("dir").agg(count(lit(1)).as("n"), sum("size").as("bytes"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("studyA" -> 3L, "studyB" -> 3L, "" -> 1L))
+  }
+
+  test("pruning dir away still reads correctly (partitioning claim withdrawn)") {
+    // without `dir` in the output the key can't resolve; the scan must
+    // fall back to UnknownPartitioning, not claim a bogus grouping
+    val df = spark.read.format(fmt).load(root).select("ext", "size")
+    assert(df.count() == 7)
+    val agg = spark.read.format(fmt).load(root).select("ext")
+      .groupBy("ext").count()
+    // this one DOES need an exchange (grouped by ext, not dir)
+    assert(agg.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("blackhole V2 sink: committed metrics are exact (rows and bytes > 0)") {
     import graft.sources.v2.BlackholeSink
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
