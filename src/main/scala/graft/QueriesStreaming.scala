@@ -182,10 +182,50 @@ object QueriesStreaming {
     s.table(sink).orderBy("user_id", "sess_start")
   }
 
+  /** stream_join_live: stream-stream inner join through the engine —
+    * every `view` matched to the same user's `click`s within 24 hours
+    * (the fixture spans 30 days, so a sub-hour horizon matches nothing),
+    * both sides watermarked so join state expires. Replayed in two
+    * batches split at the 50th time percentile; INNER join output is a
+    * deterministic set regardless of the batch schedule, so the result
+    * (per-user match counts, totally ordered) is stable. Rows-only:
+    * arrival-order/watermark semantics are not batch-SQL-expressible;
+    * StreamingSpec asserts exact pairs on crafted rows and batch-join
+    * equivalence on a fixture slice. */
+  val streamJoinLive: Q = (s, dir) => withFewPartitions(s) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val views = MemoryStream[StreamOps.Event]
+    val clicks = MemoryStream[StreamOps.Event]
+    val joined = StreamOps.followWithin(
+      views.toDF().filter(col("event_type") === "view"),
+      clicks.toDF().filter(col("event_type") === "click"),
+      lateness = "1 hour", horizon = "24 hours")
+    val sink = "stream_join_live_sink"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(sink).start()
+    try {
+      views.addData(b1); clicks.addData(b1)
+      q.processAllAvailable()
+      views.addData(b2); clicks.addData(b2) // pairs spanning the batch cut must match from state
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
     "stream_stateful_live" -> streamStatefulLive,
-    "stream_session_live" -> streamSessionLive
+    "stream_session_live" -> streamSessionLive,
+    "stream_join_live" -> streamJoinLive
   )
 }

@@ -46,6 +46,25 @@ object StreamOps {
       lateness: String): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicates(idCol, tsCol)
 
+  /** Stream-stream INNER join with event-time bounds (stream_join):
+    * each left event matched to the same user's right-stream events
+    * within `[ts, ts + horizon]`. Both sides carry watermarks and the
+    * range condition is on event time, so Spark derives a state
+    * watermark and EXPIRES buffered rows — bounded join state on
+    * unbounded streams, the only shape that survives at scale. Inner
+    * join: the emitted set is independent of batch boundaries. */
+  def followWithin(left: DataFrame, right: DataFrame,
+      lateness: String, horizon: String): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+      col("user_id").as("l_user")).withWatermark("l_ts", lateness)
+    val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user")).withWatermark("r_ts", lateness)
+    l.join(r, expr(
+      s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"))
+      .select(col("l_user").as("user_id"), col("l_id").as("left_id"),
+        col("r_id").as("right_id"), col("l_ts").as("left_ts"), col("r_ts").as("right_ts"))
+  }
+
   /** Custom per-key state (stream_stateful): running session score per
     * user with an inactivity gap, via flatMapGroupsWithState. Emits a
     * SessionScore each time a session closes (event-time gap exceeded,

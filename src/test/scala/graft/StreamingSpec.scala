@@ -219,4 +219,65 @@ class StreamingSpec extends SparkTestBase {
       "restart re-emitted rows — sink is not exactly-once")
     assert(out.select("event_id").distinct().count() == 80)
   }
+
+  test("stream-stream interval join: exact pairs, state survives the batch cut") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamOps.followWithin(views.toDF(), clicks.toDF(),
+      lateness = "10 minutes", horizon = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      // view 1 (user 1, t=100); its in-horizon click arrives in the NEXT
+      // batch (t=400 < 100+600) — must match from buffered state
+      views.addData(Event(1, ts(100), 1, "view", 1.0))
+      clicks.addData(Event(10, ts(50), 1, "click", 1.0)) // before the view: no match
+      q.processAllAvailable()
+      clicks.addData(
+        Event(11, ts(400), 1, "click", 1.0),  // match (cross-batch)
+        Event(12, ts(800), 1, "click", 1.0),  // beyond horizon: no match
+        Event(13, ts(400), 2, "click", 1.0))  // other user: no match
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("user_id", "left_id", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 1L, 11L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream join equals the batch join on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = (1L to 200L).map { i =>
+      Event(i, ts(i * 37 % 3000), i % 7, if (i % 2 == 0) "view" else "click", 1.0)
+    }
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamOps.followWithin(
+      views.toDF().filter($"event_type" === "view"),
+      clicks.toDF().filter($"event_type" === "click"),
+      lateness = "10 minutes", horizon = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_eq_out").start()
+    try {
+      val (b1, b2) = evs.partition(_.ts.getTime < 1500 * 1000L)
+      views.addData(b1); clicks.addData(b1)
+      q.processAllAvailable()
+      views.addData(b2); clicks.addData(b2)
+      q.processAllAvailable()
+      val live = spark.table("ssj_eq_out")
+        .select("left_id", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val df = evs.toDF()
+      val batch = df.filter($"event_type" === "view").as("v")
+        .join(df.filter($"event_type" === "click").as("c"),
+          expr("v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + interval 10 minutes"))
+        .select($"v.event_id", $"c.event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(live == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
