@@ -517,6 +517,24 @@ object QueriesCore {
       |  floor((var_pop(l_discount)) * 10000 + 0.5) / 10000 AS varp_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** agg_collect: set collection into a deterministic scalar — the
+    * distinct values per group, sorted and joined. `collect_set` order is
+    * partition-dependent, so the SORT is what makes the result stable
+    * and cross-engine comparable; DuckDB's ordered string_agg DISTINCT
+    * computes the same value independently. */
+  val aggCollect: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), "|").as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      .orderBy("o_orderstatus")
+
+  val aggCollectSql =
+    """SELECT o_orderstatus,
+      |  string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+      |  count(DISTINCT o_orderpriority) AS n_prio
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** sub_scalar: scalar subquery in a predicate — orders within 10% of
     * the global maximum price. Catalyst plans the subquery once (a tiny
     * 1-row aggregate, broadcast as a literal into the filter), so the
@@ -563,6 +581,33 @@ object QueriesCore {
       |WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i
       |                      WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** join_lateral: correlated LATERAL subquery with ORDER BY + LIMIT —
+    * "each customer's top-2 orders by price", the per-key-top-n shape
+    * expressed as a lateral join. Catalyst decorrelates it into a
+    * window-filter plan (no per-row re-execution), the same physical
+    * shape as win_rank — which is what makes LATERAL survive scale. */
+  val joinLateral: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey,
+        |  floor(t.o_totalprice * 10000 + 0.5) / 10000 AS price
+        |FROM customer_lat c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
+  }
+
+  val joinLateralSql =
+    """SELECT c.c_custkey, t.o_orderkey,
+      |  floor(t.o_totalprice * 10000 + 0.5) / 10000 AS price
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
 
   // ---- §2.5 windows -------------------------------------------------------
 
@@ -827,6 +872,28 @@ object QueriesCore {
       |  regexp_extract(url, '[?&]cust=([^&#]*)', 1) AS cust
       |FROM u ORDER BY o_orderkey""".stripMargin
 
+  /** fn_bitwise: the bit-manipulation family — and/or/xor, shifts,
+    * popcount — all codegen'd integer ops (ID packing, bitmask flags,
+    * the building blocks the SimHash/SRP kernels are made of). */
+  val fnBitwise: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("and_lo"),
+        col("o_orderkey").bitwiseOR(col("o_custkey")).as("or_keys"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_keys"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        bit_count(col("o_orderkey")).as("bits"))
+      .orderBy("o_orderkey")
+
+  val fnBitwiseSql =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS and_lo,
+      |  o_orderkey | o_custkey AS or_keys,
+      |  xor(o_orderkey, o_custkey) AS xor_keys,
+      |  o_orderkey << 3 AS shl3,
+      |  CAST(bit_count(o_orderkey) AS INT) AS bits
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ---- §2.8 scalar functions ----------------------------------------------
 
   val fnString: Q = (s, dir) =>
@@ -1038,9 +1105,11 @@ object QueriesCore {
     "agg_percentiles" -> aggPercentiles,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_stats" -> aggStats,
+    "agg_collect" -> aggCollect,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "sub_scalar" -> subScalar,
     "sub_correlated" -> subCorrelated,
+    "join_lateral" -> joinLateral,
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
     "win_analytic" -> winAnalytic,
@@ -1057,6 +1126,7 @@ object QueriesCore {
     "agg_mode" -> aggMode,
     "fn_regex" -> fnRegex,
     "fn_url" -> fnUrl,
+    "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -1100,8 +1170,10 @@ object QueriesCore {
     "agg_percentiles" -> aggPercentilesSql,
     "agg_percentile_disc" -> aggPercentileDiscSql,
     "agg_stats" -> aggStatsSql,
+    "agg_collect" -> aggCollectSql,
     "sub_scalar" -> subScalarSql,
     "sub_correlated" -> subCorrelatedSql,
+    "join_lateral" -> joinLateralSql,
     "win_rank" -> winRankSql,
     "win_distribution" -> winDistributionSql,
     "win_analytic" -> winAnalyticSql,
@@ -1118,6 +1190,7 @@ object QueriesCore {
     "agg_mode" -> aggModeSql,
     "fn_regex" -> fnRegexSql,
     "fn_url" -> fnUrlSql,
+    "fn_bitwise" -> fnBitwiseSql,
     "fn_string" -> fnStringSql,
     "fn_date" -> fnDateSql,
     "fn_math" -> fnMathSql,

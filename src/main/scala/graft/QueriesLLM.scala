@@ -300,6 +300,23 @@ object QueriesLLM {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** text_vocab: corpus vocabulary build — explode tokens, count, keep
+    * the top 50 by frequency (the first step of any tokenizer train /
+    * coverage audit). Partial-aggregated explode+count, then
+    * TakeOrderedAndProject — per-partition heaps, never a full sort.
+    * Ties broken by token so both engines agree on the cut. */
+  val textVocab: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
+  val textVocabSql =
+    """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      |SELECT token, count(*) AS n FROM toks GROUP BY token
+      |ORDER BY n DESC, token LIMIT 50""".stripMargin
+
   /** text_langid: Cavnar-Trenkle trigram-profile classifier trained on the
     * labeled fixture itself (rows-only; accuracy asserted in LangIdSpec). */
   val textLangid: Q = (s, dir) =>
@@ -327,6 +344,26 @@ object QueriesLLM {
     Sampling.hashSample(Tables.documents(s, dir), col("doc_id"), 0.1)
       .select("doc_id", "lang")
       .orderBy("doc_id")
+
+  /** sample_mixture: the corpus-mixture knob — per-source keep rates
+    * (80% src0 / 50% src1 / 25% src2 / 10% long tail), decided by the
+    * same engine-portable md5 threshold as sample_hash. One narrow
+    * filter; the oracle draws the IDENTICAL mixture. */
+  val sampleMixture: Q = (s, dir) =>
+    Sampling.mixtureSample(Tables.documents(s, dir), col("doc_id"), col("source"),
+        Seq("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  val sampleMixtureSql =
+    """SELECT doc_id, source FROM documents
+      |WHERE md5(doc_id || ':s0') <
+      |  CASE source
+      |    WHEN 'src0' THEN 'cccccccccccccccccccccccccccccccc'
+      |    WHEN 'src1' THEN '80000000000000000000000000000000'
+      |    WHEN 'src2' THEN '40000000000000000000000000000000'
+      |    ELSE '19999999999999999999999999999999' END
+      |ORDER BY doc_id""".stripMargin
 
   val sampleHashSql =
     """SELECT doc_id, lang FROM documents
@@ -541,10 +578,12 @@ object QueriesLLM {
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_pii_scrub" -> textPiiScrub,
+    "text_vocab" -> textVocab,
     "text_token_count" -> textTokenCount,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
+    "sample_mixture" -> sampleMixture,
     "split_assign" -> splitAssign,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
@@ -566,11 +605,13 @@ object QueriesLLM {
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_pii_scrub" -> textPiiScrubSql,
+    "text_vocab" -> textVocabSql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "sample_hash" -> sampleHashSql,
+    "sample_mixture" -> sampleMixtureSql,
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,

@@ -49,6 +49,21 @@ object Sampling {
     }
   }
 
+  /** Corpus-MIXTURE sampling: per-source keep fractions — the
+    * training-data mixture knob ("80% of src0, 25% of src2, 10% of the
+    * long tail"). The row's source selects its hash threshold; sources
+    * not listed use `default`. Same md5-threshold machinery as
+    * [[hashSample]]: deterministic, partition-independent, a narrow
+    * zero-shuffle filter at any scale, and any engine with md5 draws
+    * the identical mixture (oracle-gated as `sample_mixture`). */
+  def mixtureSample(df: DataFrame, key: Column, source: Column,
+      rates: Seq[(String, Double)], default: Double, salt: String = "s0"): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(default))) {
+      case (acc, (name, f)) => when(source === lit(name), lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.filter(coord(key, salt) < threshold)
+  }
+
   /** Stratified hash sample: within each stratum value, keep ~`fraction`
     * of rows. The stratum participates in the hash so strata are sampled
     * independently; still a pure narrow filter. */

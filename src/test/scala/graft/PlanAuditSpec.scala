@@ -56,6 +56,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CollectLimit"), p)
   }
 
+  test("join_lateral decorrelates to a window-group-limit, no per-row loop") {
+    val p = plan("join_lateral")
+    // the correlated ORDER BY+LIMIT lateral must become a group-limit
+    // window plan (per-partition heaps), not a per-outer-row re-execution
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("unpivot_long expands rows without any pre-sort shuffle") {
     val p = plan("unpivot_long")
     // Expand (the unpivot operator) runs directly over the scan; the only
