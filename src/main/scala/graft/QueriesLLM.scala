@@ -48,6 +48,73 @@ object QueriesLLM {
       |WHERE jaccard >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** dedup_url: web-corpus URL dedup — canonicalize
+    * (lowercase host, drop default port, strip utm params + trailing
+    * slash), then group. The fixture has no URL column, so four noisy
+    * variants of each customer's URL are built deterministically from
+    * orders (case/port/tracking/slash noise keyed by orderkey%4); the
+    * canonical groups collapse them. Zero-shuffle projection + one
+    * count aggregate — the canonical 100 TB dedup shape. */
+  val dedupUrl: Q = (s, dir) => {
+    val noisy = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 4).as("v"))
+      .select(col("o_custkey"),
+        when(col("v") === 0, concat(lit("https://data.example.org/c/"), col("o_custkey")))
+          .when(col("v") === 1, concat(lit("HTTPS://DATA.EXAMPLE.ORG/c/"), col("o_custkey")))
+          .when(col("v") === 2, concat(lit("https://data.example.org:443/c/"), col("o_custkey")))
+          .otherwise(concat(lit("https://data.example.org/c/"), col("o_custkey"),
+            lit("/?utm_source=feed"))).as("url"))
+    noisy.select(col("o_custkey"), TextOps.canonicalizeUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"), min("o_custkey").as("keep_key"))
+      .orderBy("canon_url")
+  }
+
+  val dedupUrlSql =
+    """WITH noisy AS (
+      |  SELECT o_custkey,
+      |    CASE o_orderkey % 4
+      |      WHEN 0 THEN 'https://data.example.org/c/' || o_custkey
+      |      WHEN 1 THEN 'HTTPS://DATA.EXAMPLE.ORG/c/' || o_custkey
+      |      WHEN 2 THEN 'https://data.example.org:443/c/' || o_custkey
+      |      ELSE 'https://data.example.org/c/' || o_custkey || '/?utm_source=feed'
+      |    END AS url
+      |  FROM orders),
+      |canon AS (
+      |  SELECT o_custkey, regexp_replace(regexp_replace(regexp_replace(
+      |    lower(regexp_extract(url, '^([^/]+://[^/]+)', 1)) || regexp_replace(url, '^[^/]+://[^/]+', ''),
+      |    ':443/', '/'), '[?&]utm_[a-z]+=[^&]*', '', 'g'), '/$', '') AS canon_url
+      |  FROM noisy)
+      |SELECT canon_url, count(*) AS n_dups, min(o_custkey) AS keep_key
+      |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
+  /** contamination_check: benchmark decontamination — flag corpus docs
+    * sharing any verbatim 5-gram with a (stand-in) eval set, with the
+    * count of distinct shared grams. The benchmark's gram set broadcasts
+    * (eval sets are tiny); the corpus side is a narrow explode into a
+    * broadcast join — the corpus is NEVER shuffled; only matched rows
+    * reach the per-doc aggregate. */
+  val contaminationCheck: Q = (s, dir) => {
+    import graft.operators.Contamination
+    val docs = Tables.documents(s, dir)
+    Contamination.flagged(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), n = 5)
+      .orderBy("doc_id")
+  }
+
+  val contaminationCheckSql =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
+      |  FROM tk),
+      |bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(DISTINCT g.sh) AS n_hits
+      |FROM g JOIN bench USING (sh)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** dedup_minhash: LSH candidates + signature-estimated Jaccard.
     * Hash family is salted xxhash64 — not expressible in DuckDB, so this
     * is rows-only; MinhashSpec property-tests the estimate against exact
@@ -560,6 +627,8 @@ object QueriesLLM {
 
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_url" -> dedupUrl,
+    "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -597,6 +666,8 @@ object QueriesLLM {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_url" -> dedupUrlSql,
+    "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_pairs_threshold" -> simPairsThresholdSql,

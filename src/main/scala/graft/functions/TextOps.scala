@@ -122,4 +122,19 @@ object TextOps {
         explode(sequence(lit(1), length(col("__s")) - (n - 1))).as("__i"))
       .select(col("doc_id"), col("__s").substr(col("__i"), lit(n)).as("gram"))
   }
+
+  /** URL canonicalization for web-corpus dedup: lowercase the
+    * scheme://host prefix, drop a `:443` default port, strip `utm_*`
+    * tracking params and a trailing slash. A pure codegen'd
+    * string-function chain (no UDF); every replacement is literal (no
+    * group backreferences), so the identical chain runs in any
+    * RE2/Java-regex engine — the DuckDB oracle applies the same steps. */
+  def canonicalizeUrl(u: Column): Column = {
+    val hostLower = concat(
+      lower(regexp_extract(u, "^([^/]+://[^/]+)", 1)),
+      regexp_replace(u, "^[^/]+://[^/]+", ""))
+    val noPort = regexp_replace(hostLower, ":443/", "/")
+    val noUtm = regexp_replace(noPort, "[?&]utm_[a-z]+=[^&]*", "")
+    regexp_replace(noUtm, "/$", "")
+  }
 }
