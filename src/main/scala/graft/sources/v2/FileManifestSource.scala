@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -142,7 +143,28 @@ private[v2] case class ManifestPartition(dir: String, recursive: Boolean, key: S
 }
 
 private[v2] class ManifestScan(root: String, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
+
+  /** Dynamic partition pruning for the V2 source: when this scan sits
+    * under a join whose other side filters `dir`, Spark evaluates that
+    * side first and calls [[filter]] with the surviving dir values —
+    * BEFORE partitions are planned. A 10 000-study scope joined to one
+    * study's metadata then walks ONE directory. Runtime filters arrive
+    * as `In(dir, values)`/`EqualTo(dir, v)`; anything else is ignored
+    * (pruning is an optimization, correctness comes from the join). */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("dir"))
+
+  @volatile private var runtimeDirs: Option[Set[String]] = None
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val dirs = filters.collect {
+      case In("dir", vs) => vs.collect { case s: String => s }.toSet
+      case EqualTo("dir", v: String) => Set(v)
+    }
+    if (dirs.nonEmpty) runtimeDirs = Some(dirs.reduce(_ intersect _))
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -185,14 +207,27 @@ private[v2] class ManifestScan(root: String, required: StructType, pushed: Array
     * files. Pushed `dir` predicates prune WHOLE SUBTREES here, at plan
     * time — a filtered-out study directory is never even walked (the
     * source-level analogue of parquet partition pruning). */
-  lazy val plannedPartitions: Array[InputPartition] = {
+  private var cachedParts: Option[(Option[Set[String]], Array[InputPartition])] = None
+
+  def plannedPartitions: Array[InputPartition] = synchronized {
+    cachedParts match {
+      case Some((k, parts)) if k == runtimeDirs => parts
+      case _ =>
+        val parts = computePartitions()
+        cachedParts = Some((runtimeDirs, parts))
+        parts
+    }
+  }
+
+  private def computePartitions(): Array[InputPartition] = {
     val rootPath = java.nio.file.Paths.get(root)
     require(java.nio.file.Files.isDirectory(rootPath), s"not a directory: $root")
     val dirPreds: Array[String => Boolean] = pushed.collect {
       case EqualTo("dir", v: String) => (k: String) => k == v
       case StringStartsWith("dir", v) => (k: String) => k.startsWith(v)
     }
-    def keep(key: String): Boolean = dirPreds.forall(_(key))
+    def keep(key: String): Boolean =
+      dirPreds.forall(_(key)) && runtimeDirs.forall(_.contains(key))
     val children = java.nio.file.Files.list(rootPath)
     val dirs = try {
       import scala.jdk.CollectionConverters._

@@ -111,6 +111,27 @@ class FileManifestSpec extends SparkTestBase {
     assert(agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("runtime filtering: a join on dir prunes partitions at execution time") {
+    import spark.implicits._
+    // the dim must be a FILE relation: a LocalRelation folds its filter
+    // away and DPP's selective-predicate check never sees one
+    val dimPath = Files.createTempDirectory("manifest_dim").resolve("dim").toString
+    Seq(("studyA", "active"), ("studyB", "retired"))
+      .toDF("dir", "status").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.read.format(fmt).load(root)
+      .join(dim.filter(col("status") === "active"), "dir")
+    // the plan carries a dynamic-pruning runtime filter on dir...
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      joined.queryExecution.executedPlan.toString)
+    FileManifestSource.rowsEmitted.set(0)
+    assert(joined.count() == 3) // studyA's files only
+    // ...and it reached ManifestScan.filter BEFORE the walk: studyB and
+    // the root partition were never even walked
+    assert(FileManifestSource.rowsEmitted.get() == 3,
+      s"expected 3 emitted rows (studyA only), got ${FileManifestSource.rowsEmitted.get()}")
+  }
+
   test("blackhole V2 sink: committed metrics are exact (rows and bytes > 0)") {
     import graft.sources.v2.BlackholeSink
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
