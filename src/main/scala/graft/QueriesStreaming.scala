@@ -221,11 +221,44 @@ object QueriesStreaming {
       .orderBy("user_id")
   }
 
+  /** stream_enrich_live: stream-STATIC enrichment join — the stateless
+    * dimension lookup every event pipeline starts with. The static side
+    * (a user→tier dim) is a plain DataFrame joined into each microbatch
+    * (broadcast, no state store at all); output is the per-tier value
+    * rollup. Rows-only by harness nature; the same join as a batch
+    * query is trivially identical because no state is involved. */
+  val streamEnrichLive: Q = (s, dir) => withFewPartitions(s) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    // static dim: every user in the fixture, tiered deterministically
+    val dim = Tables.events(s, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), concat(lit("tier"), pmod(col("user_id"), lit(3L))).as("tier"))
+    val in = MemoryStream[StreamOps.Event]
+    val enriched = in.toDF().join(broadcast(dim), "user_id")
+      .groupBy("tier").agg(count(lit(1)).as("n_events"),
+        graft.functions.Num.r4(sum("value")).as("sum_value"))
+    val sink = "stream_enrich_live_sink"
+    val q = enriched.writeStream.outputMode("complete").format("memory")
+      .queryName(sink).start()
+    try {
+      in.addData(rows.take(rows.length / 2))
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.length / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy("tier")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
     "stream_stateful_live" -> streamStatefulLive,
     "stream_session_live" -> streamSessionLive,
-    "stream_join_live" -> streamJoinLive
+    "stream_join_live" -> streamJoinLive,
+    "stream_enrich_live" -> streamEnrichLive
   )
 }
