@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{Contamination, Sampling}
+
+/** Unit coverage for the round-3 curation operators (each is also
+  * oracle-gated end-to-end): URL canonicalization, benchmark
+  * decontamination, mixture sampling. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("canonicalizeUrl collapses case/port/utm/slash noise to one form") {
+    val urls = Seq(
+      "https://data.example.org/c/7",
+      "HTTPS://DATA.EXAMPLE.ORG/c/7",
+      "https://data.example.org:443/c/7",
+      "https://data.example.org/c/7/?utm_source=feed",
+      "https://data.example.org/c/7?utm_campaign=x&utm_source=feed"
+    ).toDF("url")
+    val canon = urls.select(TextOps.canonicalizeUrl($"url").as("c"))
+      .distinct().collect().map(_.getString(0))
+    assert(canon.toSeq == Seq("https://data.example.org/c/7"))
+  }
+
+  test("canonicalizeUrl is idempotent and preserves non-noise query params") {
+    val df = Seq("https://Data.Example.org/p?id=5&utm_medium=m").toDF("url")
+    val once = df.select(TextOps.canonicalizeUrl($"url").as("c"))
+    val twice = once.select(TextOps.canonicalizeUrl($"c").as("c"))
+    assert(once.head().getString(0) == "https://data.example.org/p?id=5")
+    assert(twice.head().getString(0) == once.head().getString(0))
+  }
+
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "txt")
+    val corpus = Seq(
+      (10L, "he saw the quick brown fox jumps over a fence"), // shares 5-grams
+      (11L, "entirely different words with no overlap at all"),
+      (12L, "quick brown fox jumps over")                      // exactly one 5-gram
+    ).toDF("id", "txt")
+    val got = Contamination.flagged(corpus, bench, col("txt"), col("id"), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 10: "the quick brown fox jumps" + "quick brown fox jumps over" = 2 hits
+    assert(got == Map(10L -> 2L, 12L -> 1L))
+  }
+
+  test("contamination: benchmark gram set is broadcast (corpus side not shuffled before the join)") {
+    val bench = Seq((1L, "a b c d e f")).toDF("id", "txt")
+    val corpus = Seq((2L, "a b c d e g")).toDF("id", "txt")
+    val plan = Contamination.flagged(corpus, bench, col("txt"), col("id"), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("mixtureSample approximates the per-source target rates and is deterministic") {
+    val df = (1L to 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val rates = Seq("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25)
+    val kept = Sampling.mixtureSample(df, $"id", $"src", rates, default = 0.1)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 candidates per source; md5 is uniform, so ±~15% absolute slack
+    def frac(s: String) = bySrc.getOrElse(s, 0L) / 1000.0
+    assert(math.abs(frac("src0") - 0.8) < 0.1, bySrc)
+    assert(math.abs(frac("src1") - 0.5) < 0.1, bySrc)
+    assert(math.abs(frac("src2") - 0.25) < 0.1, bySrc)
+    assert(math.abs(frac("src3") - 0.1) < 0.1, bySrc)
+    // determinism: the same rows are kept on re-run and under repartition
+    val again = Sampling.mixtureSample(df.repartition(7), $"id", $"src", rates, 0.1)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+}
