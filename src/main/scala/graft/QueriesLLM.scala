@@ -384,6 +384,24 @@ object QueriesLLM {
       |SELECT token, count(*) AS n FROM toks GROUP BY token
       |ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** text_vocab_approx: [[textVocab]] through the SpaceSaving
+    * heavy-hitters aggregate ([[graft.plans.SpaceSavingAgg]]) — the
+    * bounded-memory form whose buffers stay O(capacity) no matter how
+    * many distinct items flow through (URLs, n-grams, ids). Oracle-gated
+    * with the SAME SQL as text_vocab: with capacity (1024) above the
+    * fixture's distinct-token count the sketch never evicts and is
+    * provably exact; SketchMergeSpec asserts the approximate regime
+    * (domain ≫ capacity) separately. */
+  val textVocabApprox: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .agg(graft.plans.SpaceSaving.approxTopK(col("token"), 50, 1024).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item").as("token"), col("t.est_count").as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+
+  val textVocabApproxSql = textVocabSql
+
   /** text_langid: Cavnar-Trenkle trigram-profile classifier trained on the
     * labeled fixture itself (rows-only; accuracy asserted in LangIdSpec). */
   val textLangid: Q = (s, dir) =>
@@ -648,6 +666,7 @@ object QueriesLLM {
     "text_quality" -> textQuality,
     "text_pii_scrub" -> textPiiScrub,
     "text_vocab" -> textVocab,
+    "text_vocab_approx" -> textVocabApprox,
     "text_token_count" -> textTokenCount,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -677,6 +696,7 @@ object QueriesLLM {
     "text_quality" -> textQualitySql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_vocab" -> textVocabSql,
+    "text_vocab_approx" -> textVocabApproxSql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,
     "multimodal_features" -> multimodalFeaturesSql,

@@ -53,4 +53,42 @@ class SketchMergeSpec extends SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  // ---- SpaceSaving heavy hitters -------------------------------------------
+
+  import graft.plans.SpaceSaving
+
+  private def topK(df: org.apache.spark.sql.DataFrame, k: Int, cap: Int): Seq[(String, Long)] =
+    df.agg(SpaceSaving.approxTopK(col("item"), k, cap).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.item"), col("t.est_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  test("approx_top_k is exact when capacity exceeds the distinct domain") {
+    val df = (1L to 3000L).map(i => s"it${i % 40}").toDF("item")
+    val got = topK(df, 40, 256).toMap
+    val want = df.groupBy("item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want) // no eviction ever happened ⇒ counts exact
+  }
+
+  test("approx_top_k: heavy hitters survive a domain far beyond capacity") {
+    // 3000 'hot' (30%) + 7000 distinct cold singletons, capacity 64:
+    // freq(hot)=0.3 > 1/64 ⇒ hot is guaranteed present, and its
+    // estimate overestimates by at most N/capacity
+    val rows = (1L to 3000L).map(_ => "hot") ++ (1L to 7000L).map(i => s"cold$i")
+    val df = spark.sparkContext.parallelize(rows, 13).toDF("item")
+    val got = topK(df, 5, 64).toMap
+    assert(got.contains("hot"), got)
+    val n = 10000L
+    assert(got("hot") >= 3000L && got("hot") <= 3000L + n / 64 * 13,
+      s"est=${got("hot")}") // per-partial εN bound, summed across partials
+  }
+
+  test("approx_top_k respects k and orders by (count desc, item asc)") {
+    val df = (1L to 100L).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"i$i")).toDF("item")
+    val got = topK(df, 3, 128)
+    assert(got.map(_._1) == Seq("i1", "i2", "i3"))
+    assert(got.map(_._2).forall(_ == 50L))
+  }
 }
