@@ -40,7 +40,11 @@ object GraftExtensions {
     "winnow_fingerprints" -> ((exprs: Seq[Expression]) =>
       WinnowFingerprintExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
     "srp_sketch" -> ((exprs: Seq[Expression]) =>
-      SrpSketchExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
+      SrpSketchExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    "approx_top_k" -> ((exprs: Seq[Expression]) =>
+      SpaceSavingAgg(exprs(0), intLit(exprs(1)), intLit(exprs(2))).toAggregateExpression()),
+    "minhash_merge" -> ((exprs: Seq[Expression]) =>
+      MinHashMergeAgg(exprs(0), intLit(exprs(1))).toAggregateExpression())
   )
 
   /** Imperative registration for an already-built session. */

@@ -85,6 +85,16 @@ class SketchMergeSpec extends SparkTestBase {
       s"est=${got("hot")}") // per-partial εN bound, summed across partials
   }
 
+  test("approx_top_k and minhash_merge are reachable from the SQL surface") {
+    graft.plans.GraftExtensions.register(spark)
+    (1L to 90L).map(i => s"w${i % 3}").toDF("item").createOrReplaceTempView("ss_sql")
+    val rows = spark.sql(
+      "SELECT approx_top_k(item, 2, 16) AS top FROM ss_sql")
+      .selectExpr("explode(top) AS t").selectExpr("t.item", "t.est_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.toSeq == Seq("w0" -> 30L, "w1" -> 30L)) // k=2, tie → item asc
+  }
+
   test("approx_top_k respects k and orders by (count desc, item asc)") {
     val df = (1L to 100L).flatMap(i => Seq.fill(if (i <= 3) 50 else 1)(s"i$i")).toDF("item")
     val got = topK(df, 3, 128)
