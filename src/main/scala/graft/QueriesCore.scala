@@ -469,6 +469,24 @@ object QueriesCore {
         col("price_p95"))
       .orderBy("l_returnflag")
 
+  /** agg_bool: boolean aggregation — bool_and/bool_or (= SQL
+    * EVERY/ANY) plus filtered counts; constant-size buffers like any
+    * and/or fold. */
+  val aggBool: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(bool_and(col("l_discount") <= lit(0.1)).as("all_small_disc"),
+        bool_or(col("l_quantity") >= lit(49)).as("any_big_qty"),
+        count(when(col("l_tax") === 0, 1)).as("n_taxfree"))
+      .orderBy("l_returnflag")
+
+  val aggBoolSql =
+    """SELECT l_returnflag,
+      |  bool_and(l_discount <= 0.1) AS all_small_disc,
+      |  bool_or(l_quantity >= 49) AS any_big_qty,
+      |  count(CASE WHEN l_tax = 0 THEN 1 END) AS n_taxfree
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** agg_percentile_disc: EXACT discrete percentiles from the value-count
     * distribution ([[graft.operators.Percentiles.exactDiscrete]]) — the
     * 100 TB twin of [[aggPercentiles]]: the built-in `percentile` buffers
@@ -689,6 +707,33 @@ object QueriesCore {
       |  floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cume
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** win_first_last: the value-navigation window family — first_value,
+    * last_value (with the full-partition frame, NOT the default
+    * running frame — the classic last_value trap), nth_value. Unique
+    * (totalprice, orderkey) ordering so both engines agree on every
+    * navigated value. Same single exchange on the partition key. */
+  val winFirstLast: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("best_order"),
+        last(col("o_orderkey")).over(w).as("worst_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy("o_orderkey")
+  }
+
+  val winFirstLastSql =
+    """SELECT o_orderkey, o_custkey,
+      |  first_value(o_orderkey) OVER w AS best_order,
+      |  last_value(o_orderkey) OVER w AS worst_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
 
   // ---- §2.6 sort / top-k --------------------------------------------------
@@ -1106,12 +1151,14 @@ object QueriesCore {
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
+    "agg_bool" -> aggBool,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "sub_scalar" -> subScalar,
     "sub_correlated" -> subCorrelated,
     "join_lateral" -> joinLateral,
     "win_rank" -> winRank,
     "win_distribution" -> winDistribution,
+    "win_first_last" -> winFirstLast,
     "win_analytic" -> winAnalytic,
     "win_frame_rows" -> winFrameRows,
     "win_frame_range" -> winFrameRange,
@@ -1171,11 +1218,13 @@ object QueriesCore {
     "agg_percentile_disc" -> aggPercentileDiscSql,
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,
+    "agg_bool" -> aggBoolSql,
     "sub_scalar" -> subScalarSql,
     "sub_correlated" -> subCorrelatedSql,
     "join_lateral" -> joinLateralSql,
     "win_rank" -> winRankSql,
     "win_distribution" -> winDistributionSql,
+    "win_first_last" -> winFirstLastSql,
     "win_analytic" -> winAnalyticSql,
     "win_frame_rows" -> winFrameRowsSql,
     "win_frame_range" -> winFrameRangeSql,
