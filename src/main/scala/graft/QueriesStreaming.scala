@@ -198,7 +198,11 @@ object QueriesStreaming {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
       org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    // only the two joined event types ride the streams — the other 3/5
+    // of the slice would be filtered inside the query anyway, but
+    // MemoryStream ingestion is per-row driver work worth avoiding
     val rows = eventSlice(s, dir)
+      .filter(e => e.event_type == "view" || e.event_type == "click")
     val cut = rows(rows.length / 2).ts.getTime
     val (b2, b1) = rows.partition(_.ts.getTime >= cut)
     val views = MemoryStream[StreamOps.Event]
