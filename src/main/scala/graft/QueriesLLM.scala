@@ -546,6 +546,75 @@ object QueriesLLM {
       |  floor((avg(quality)) * 10000 + 0.5) / 10000 AS avg_quality
       |FROM labeled GROUP BY split ORDER BY split""".stripMargin
 
+  /** pipeline_pretrain: the full pretraining-corpus prep, one declarative
+    * plan — quality filter → benchmark DEcontamination (anti-join against
+    * the broadcast eval-gram set) → exact dedup (keep min-id per digest)
+    * → per-source mixture sampling → train/val/test split → per
+    * (split, source) doc/token accounting. Every stage is the documented
+    * 100 TB shape: narrow filters + one digest shuffle + broadcast
+    * anti-join; the fact table is shuffled exactly once (dedup).
+    *
+    * The mixture and split hashes use DIFFERENT salts — with a shared
+    * salt the two decisions correlate (a source kept at rate 0.8 would
+    * land entirely in 'train'); independent decisions need independent
+    * coordinates. Oracle: the same WITH-chain in DuckDB. */
+  val pipelinePretrain: Q = (s, dir) => {
+    import graft.operators.Contamination
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val quality = corpus.withColumn("quality", TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    val contaminated = Contamination.flagged(quality, bench, col("text"), col("doc_id"), n = 5)
+      .select("doc_id")
+    val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+    val keep = Dedup.exact(clean, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val deduped = clean.join(keep, "doc_id")
+    val mixed = Sampling.mixtureSample(deduped, col("doc_id"), col("source"),
+      Seq("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), default = 0.1, salt = "mix")
+    mixed.select(col("source"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("split", "source")
+  }
+
+  val pipelinePretrainSql =
+    """WITH q AS (
+      |  SELECT doc_id, text, source,
+      |    floor(((n_tokens / (n_tokens + 50.0)) *
+      |      (1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0)
+      |           / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS quality
+      |  FROM (SELECT doc_id, text, source, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |          CAST(length(text) AS DOUBLE) AS n_chars FROM documents
+      |        WHERE doc_id % 97 <> 0) t),
+      |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+      |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
+      |  FROM tk),
+      |bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0),
+      |cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (sh) WHERE doc_id % 97 <> 0),
+      |clean AS (SELECT * FROM qf WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(lower(trim(text)))),
+      |ded AS (SELECT clean.* FROM clean JOIN keep USING (doc_id)),
+      |mixed AS (SELECT * FROM ded WHERE md5(doc_id || ':mix') <
+      |  CASE source
+      |    WHEN 'src0' THEN 'cccccccccccccccccccccccccccccccc'
+      |    WHEN 'src1' THEN '80000000000000000000000000000000'
+      |    WHEN 'src2' THEN '40000000000000000000000000000000'
+      |    ELSE '19999999999999999999999999999999' END),
+      |lab AS (SELECT source, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |  CASE WHEN md5(doc_id || ':s0') < 'cccccccccccccccccccccccccccccccc' THEN 'train'
+      |       WHEN md5(doc_id || ':s0') < 'e6666666666666666666666666666666' THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM mixed)
+      |SELECT split, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM lab GROUP BY split, source ORDER BY split, source""".stripMargin
+
   /** pipeline_near_dedup: the NEAR-duplicate curation pipeline end to end
     * — MinHash signatures (per-row kernel, computed once) → LSH banding
     * candidates → signature-verify ≥ 0.8 → connected components → one
@@ -676,6 +745,7 @@ object QueriesLLM {
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
     "pipeline_curate" -> pipelineCurate,
+    "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_near_dedup" -> pipelineNearDedup,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
@@ -706,6 +776,7 @@ object QueriesLLM {
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
-    "pipeline_curate" -> pipelineCurateSql
+    "pipeline_curate" -> pipelineCurateSql,
+    "pipeline_pretrain" -> pipelinePretrainSql
   )
 }
