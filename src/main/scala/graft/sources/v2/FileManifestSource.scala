@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -114,11 +115,56 @@ private[v2] object ManifestPredicates {
 private[v2] case class FileMeta(path: String, name: String, ext: String,
     size: Long, mtimeMs: Long, dir: String)
 
+/** The per-file accumulators an aggregate pushdown compiles to. */
+private[v2] sealed trait AggSpec
+private[v2] case object CountAll extends AggSpec
+private[v2] case class MinOf(field: String) extends AggSpec
+private[v2] case class MaxOf(field: String) extends AggSpec
+private[v2] case class SumOf(field: String) extends AggSpec
+
 private[v2] class ManifestScanBuilder(root: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = FileManifestSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Seq[String], Seq[AggSpec])] = None
+
+  /** Aggregate pushdown (PARTIAL): count/min/max/sum over the long
+    * metadata fields, optionally grouped by `dir`, fold into the
+    * directory walk itself — the scan returns ONE pre-aggregated row
+    * per partition instead of one row per file, and Spark's final
+    * aggregate merges the partials. "How many files / how big is the
+    * scope" — the manifest query every pipeline run starts with —
+    * never materializes a file row. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def longField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+          (f.fieldNames()(0) == "size" || f.fieldNames()(0) == "mtime_ms") =>
+          Some(f.fieldNames()(0))
+        case _ => None
+      }
+    val groups: Option[Seq[String]] =
+      agg.groupByExpressions.toSeq.foldLeft(Option(Seq.empty[String])) {
+        case (Some(acc), f: NamedReference)
+          if f.fieldNames.length == 1 && f.fieldNames()(0) == "dir" => Some(acc :+ "dir")
+        case _ => None
+      }
+    val specs: Option[Seq[AggSpec]] =
+      agg.aggregateExpressions.toSeq.foldLeft(Option(Seq.empty[AggSpec])) {
+        case (Some(acc), _: CountStar) => Some(acc :+ CountAll)
+        case (Some(acc), m: Min) => longField(m.column).map(acc :+ MinOf(_))
+        case (Some(acc), m: Max) => longField(m.column).map(acc :+ MaxOf(_))
+        case (Some(acc), s: Sum) if !s.isDistinct => longField(s.column).map(acc :+ SumOf(_))
+        case _ => None
+      }
+    (groups, specs) match {
+      case (Some(g), Some(sp)) if sp.nonEmpty =>
+        pushedAgg = Some((g, sp)); true
+      case _ => false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) =
@@ -131,7 +177,10 @@ private[v2] class ManifestScanBuilder(root: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ManifestScan(root, required, pushed)
+  override def build(): Scan = pushedAgg match {
+    case Some((groups, specs)) => new ManifestAggScan(root, pushed, groups, specs)
+    case None => new ManifestScan(root, required, pushed)
+  }
 }
 
 private[v2] case class ManifestPartition(dir: String, recursive: Boolean, key: String)
@@ -313,5 +362,117 @@ private[v2] class ManifestReader(part: ManifestPartition, required: StructType,
     row
   }
 
+  override def close(): Unit = ()
+}
+
+/** The aggregate-pushdown scan: same partition planning and pushed
+  * filters as [[ManifestScan]], but each reader emits ONE row of
+  * partial aggregates per directory partition (group columns first,
+  * then one column per [[AggSpec]]); Spark's final aggregate merges
+  * them. A count over a million-file scope moves one row per study. */
+private[v2] class ManifestAggScan(root: String, pushed: Array[Filter],
+    groups: Seq[String], specs: Seq[AggSpec]) extends Scan with Batch
+    with SupportsReportPartitioning {
+
+  /** Grouped-by-dir partials are still one-partition-per-dir, so the
+    * KeyGroupedPartitioning report carries over: the FINAL aggregate
+    * over the partials also needs no exchange. */
+  override def outputPartitioning(): Partitioning =
+    if (groups.contains("dir"))
+      new KeyGroupedPartitioning(Array(Expressions.identity("dir")), planInputPartitions().length)
+    else new UnknownPartitioning(planInputPartitions().length)
+
+  override def readSchema(): StructType = {
+    val g = groups.foldLeft(new StructType())((s, n) => s.add(n, StringType, nullable = false))
+    specs.foldLeft(g) {
+      case (s, CountAll) => s.add("count", LongType, nullable = false)
+      case (s, MinOf(f)) => s.add(s"min_$f", LongType, nullable = true)
+      case (s, MaxOf(f)) => s.add(s"max_$f", LongType, nullable = true)
+      case (s, SumOf(f)) => s.add(s"sum_$f", LongType, nullable = true)
+    }
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FileManifest root=$root PushedFilters=[${pushed.mkString(", ")}] " +
+      s"PushedAggregation=[groupBy=${groups.mkString(",")} aggs=${specs.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    new ManifestScan(root, FileManifestSource.schema, pushed).plannedPartitions
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestAggReaderFactory(pushed, groups, specs)
+}
+
+private[v2] class ManifestAggReaderFactory(pushed: Array[Filter],
+    groups: Seq[String], specs: Seq[AggSpec]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ManifestAggReader(partition.asInstanceOf[ManifestPartition], pushed, groups, specs)
+}
+
+/** Walks one partition accumulating the pushed aggregates; emits a
+  * single partial row. GLOBAL aggregation emits count=0/null partials
+  * for empty partitions (a global agg always has a result row); GROUPED
+  * aggregation emits nothing for them — a group with no input rows must
+  * not exist, per SQL semantics. */
+private[v2] class ManifestAggReader(part: ManifestPartition, pushed: Array[Filter],
+    groups: Seq[String], specs: Seq[AggSpec]) extends PartitionReader[InternalRow] {
+
+  private val preds: Array[FileMeta => Boolean] = pushed.map { f =>
+    ManifestPredicates.compile(f).getOrElse(throw new IllegalStateException(
+      s"filter $f was reported as pushed but has no compiled predicate"))
+  }
+
+  private var emitted = false
+
+  private lazy val partial: Option[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    var count = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Long]
+    val maxs = scala.collection.mutable.Map.empty[String, Long]
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+    val p = java.nio.file.Paths.get(part.dir)
+    val stream =
+      if (part.recursive) java.nio.file.Files.walk(p)
+      else java.nio.file.Files.list(p)
+    try {
+      stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .foreach { f =>
+          val name = f.getFileName.toString
+          val dot = name.lastIndexOf('.')
+          val m = FileMeta(f.toString, name, if (dot < 0) "" else name.substring(dot + 1),
+            java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis, part.key)
+          if (preds.forall(_(m))) {
+            count += 1
+            def fv(field: String): Long = if (field == "size") m.size else m.mtimeMs
+            specs.foreach {
+              case MinOf(fl) => val v = fv(fl); if (!mins.contains(fl) || v < mins(fl)) mins(fl) = v
+              case MaxOf(fl) => val v = fv(fl); if (!maxs.contains(fl) || v > maxs(fl)) maxs(fl) = v
+              case SumOf(fl) => sums(fl) = sums.getOrElse(fl, 0L) + fv(fl)
+              case CountAll => ()
+            }
+          }
+        }
+    } finally stream.close()
+    if (count == 0 && groups.nonEmpty) None
+    else {
+      val vals = new Array[Any](groups.length + specs.length)
+      groups.zipWithIndex.foreach { case (_, i) => vals(i) = UTF8String.fromString(part.key) }
+      specs.zipWithIndex.foreach { case (spec, i) =>
+        vals(groups.length + i) = spec match {
+          case CountAll => count
+          case MinOf(fl) => mins.get(fl).map(Long.box).orNull
+          case MaxOf(fl) => maxs.get(fl).map(Long.box).orNull
+          case SumOf(fl) => if (count == 0) null else Long.box(sums.getOrElse(fl, 0L))
+        }
+      }
+      Some(new GenericInternalRow(vals))
+    }
+  }
+
+  override def next(): Boolean =
+    if (emitted || partial.isEmpty) false else { emitted = true; true }
+  override def get(): InternalRow = partial.get
   override def close(): Unit = ()
 }

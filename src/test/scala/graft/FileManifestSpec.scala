@@ -40,7 +40,9 @@ class FileManifestSpec extends SparkTestBase {
   test("ext filter is pushed down: pruned files never become rows") {
     FileManifestSource.rowsEmitted.set(0)
     val df = spark.read.format(fmt).load(root).filter(col("ext") === "parquet")
-    val n = df.count()
+    // collect, not count(): count() now pushes the aggregate into the
+    // source and no file row would be materialized at all
+    val n = df.collect().length
     assert(n == 4)
     // the json/txt files were pruned during the walk, not post-filtered
     assert(FileManifestSource.rowsEmitted.get() == 4,
@@ -53,7 +55,7 @@ class FileManifestSpec extends SparkTestBase {
   test("size range predicates push down too") {
     FileManifestSource.rowsEmitted.set(0)
     val n = spark.read.format(fmt).load(root)
-      .filter(col("size") > 200L && col("ext") === "parquet").count()
+      .filter(col("size") > 200L && col("ext") === "parquet").collect().length
     assert(n == 2)
     assert(FileManifestSource.rowsEmitted.get() == 2)
   }
@@ -86,16 +88,23 @@ class FileManifestSpec extends SparkTestBase {
     // only studyA's partition survives planning: studyB and the root
     // partition are never even walked
     assert(df.rdd.getNumPartitions == 1)
-    assert(df.count() == 3) // 2 parquet + 1 json
+    assert(df.collect().length == 3) // 2 parquet + 1 json
     assert(FileManifestSource.rowsEmitted.get() == 3,
       s"expected 3 emitted rows, got ${FileManifestSource.rowsEmitted.get()}")
   }
 
   test("reported KeyGroupedPartitioning: per-dir aggregation plans without a shuffle") {
+    // min(name) is not aggregate-pushable (string column), so this runs
+    // as a row-scan aggregation and demonstrates the LAYOUT report in
+    // its pure form. (When the aggregate IS pushed, Spark aliases the
+    // group column in a Project and the key-grouped match doesn't carry
+    // through — the exchange it keeps moves one partial row per dir,
+    // which is noise; the per-file win already happened in the scan.)
     val df = spark.read.format(fmt).load(root)
-      .groupBy("dir").agg(count(lit(1)).as("n"), sum("size").as("bytes"))
+      .groupBy("dir").agg(count(lit(1)).as("n"), min("name").as("first_name"))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("PushedAggregation"), plan)
     val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("studyA" -> 3L, "studyB" -> 3L, "" -> 1L))
   }
@@ -130,6 +139,38 @@ class FileManifestSpec extends SparkTestBase {
     // the root partition were never even walked
     assert(FileManifestSource.rowsEmitted.get() == 3,
       s"expected 3 emitted rows (studyA only), got ${FileManifestSource.rowsEmitted.get()}")
+  }
+
+  test("aggregate pushdown: count/min/max/sum fold into the walk, no file rows") {
+    FileManifestSource.rowsEmitted.set(0)
+    val df = spark.read.format(fmt).load(root)
+      .agg(count(lit(1)).as("n"), min("size").as("mn"),
+        max("size").as("mx"), sum("size").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+    val r = df.head()
+    assert(r.getLong(0) == 7)
+    assert(r.getLong(1) == 7)   // meta.json {"a":1}
+    assert(r.getLong(2) == 300) // part-1.parquet
+    assert(r.getLong(3) == 9 + 2 * (100 + 300 + 7)) // readme + 2×(p0+p1+meta)
+    // the scan emitted partial rows, never file rows
+    assert(FileManifestSource.rowsEmitted.get() == 0,
+      s"file rows were materialized: ${FileManifestSource.rowsEmitted.get()}")
+  }
+
+  test("aggregate pushdown composes with pushed filters and groupBy(dir)") {
+    val df = spark.read.format(fmt).load(root)
+      .filter(col("ext") === "parquet")
+      .groupBy("dir").agg(count(lit(1)).as("n"), sum("size").as("bytes"))
+    assert(df.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("studyA" -> ((2L, 400L)), "studyB" -> ((2L, 400L))))
+  }
+
+  test("unsupported aggregates fall back to the row scan (min on a string column)") {
+    val df = spark.read.format(fmt).load(root).agg(min("name"))
+    assert(!df.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(df.head().getString(0) == "meta.json")
   }
 
   test("blackhole V2 sink: committed metrics are exact (rows and bytes > 0)") {
