@@ -175,4 +175,55 @@ class PropertySpec extends SparkTestBase {
     assert(other != f25) // a different salt draws a different sample
     assert(math.abs(f50.size.toDouble / ids.size - 0.5) < 0.1)
   }
+
+  test("property: exactDiscrete == sorted-rank PERCENTILE_DISC on generated multisets") {
+    import graft.operators.Percentiles
+    val valGen = Gen.chooseNum(-20, 20).map(_.toDouble)
+    val listGen = Gen.chooseNum(1, 200).flatMap(n => Gen.listOfN(n, valGen))
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    samples(listGen, seed = 31, n = 12).zipWithIndex.foreach { case (vs, i) =>
+      val df = vs.map(v => ("g", v)).toDF("k", "v")
+      val got = Percentiles.exactDiscrete(df, "v", Seq("k"),
+        probs.zipWithIndex.map { case (p, j) => s"p$j" -> p }).head()
+      val sorted = vs.sorted
+      probs.zipWithIndex.foreach { case (p, j) =>
+        val want = sorted(math.ceil(p * sorted.length).toInt.max(1) - 1)
+        assert(got.getDouble(1 + j) == want, s"case $i p=$p: ${got.getDouble(1 + j)} != $want")
+      }
+    }
+  }
+
+  test("property: canonicalizeUrl is idempotent on generated noisy URLs") {
+    import graft.functions.TextOps
+    val host = Gen.oneOf("Data.Example.ORG", "cdn.example.org", "A.B.example.net")
+    val port = Gen.oneOf("", ":443")
+    val path = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b7", "x-y")).map(_.mkString("/", "/", "")))
+    val tail = Gen.oneOf("", "/", "?utm_source=z", "/?utm_medium=m", "?id=3&utm_campaign=c")
+    val urlGen = for { h <- host; p <- port; pa <- path; t <- tail }
+      yield s"https://$h$p$pa$t"
+    val urls = samples(urlGen, seed = 17, n = 60)
+    val df = urls.toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"), TextOps.canonicalizeUrl(col("c1")).as("c2"))
+    assert(df.filter(!(col("c1") <=> col("c2"))).count() == 0)
+    // and the canonical form never retains the noise markers
+    val canon = df.select("c1").collect().map(_.getString(0))
+    assert(canon.forall(u => !u.contains(":443") && !u.contains("utm_") &&
+      !u.takeWhile(_ != '/').exists(_.isUpper) && !u.endsWith("/")))
+  }
+
+  test("property: approx_top_k == exact counts whenever capacity covers the domain") {
+    import graft.plans.SpaceSaving
+    val itemGen = Gen.chooseNum(0, 30).map(i => s"t$i") // domain 31 < capacity
+    val listGen = Gen.chooseNum(50, 400).flatMap(n => Gen.listOfN(n, itemGen))
+    samples(listGen, seed = 23, n = 6).foreach { items =>
+      val df = items.toDF("item").repartition(5)
+      val got = df.agg(SpaceSaving.approxTopK(col("item"), 31, 64).as("top"))
+        .selectExpr("explode(top) AS t").selectExpr("t.item", "t.est_count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want)
+    }
+  }
 }
