@@ -66,5 +66,21 @@ class UserJourneySpec extends SparkTestBase {
       .groupBy("split", "lang").agg(count(lit(1)).as("n"),
         graft.functions.Num.r4(avg("quality")).as("avg_q"))
     assert(dash.count() > 0)
+
+    // 7. round-3 hygiene passes compose on the same frames: PII scrub is
+    //    a projection, decontamination an anti-join, vocab a bounded agg
+    val published = spark.read.parquet(s"$dir/curated")
+    val scrubbed = published.withColumn("text",
+      regexp_replace(col("text"), "[A-Za-z0-9._%+#-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"))
+    assert(scrubbed.count() == published.count())
+    val bench = published.limit(2)
+    val flagged = graft.operators.Contamination.flagged(
+      published, bench, col("text"), col("doc_id"), n = 3)
+    // the benchmark docs themselves overlap trivially — they must flag
+    assert(flagged.count() >= bench.count())
+    val vocab = published
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("item"))
+      .agg(graft.plans.SpaceSaving.approxTopK(col("item"), 5, 64).as("top"))
+    assert(vocab.selectExpr("size(top)").head().getInt(0) > 0)
   }
 }
