@@ -1066,13 +1066,20 @@ object QueriesCore {
       |GROUP BY 1 ORDER BY win_start""".stripMargin
 
   val streamSession: Q = (s, dir) =>
-    Sessionize.sessions(Tables.events(s, dir), col("ts"), 1800, col("user_id"))
+    // WHOLE-SECOND event times on both sides (§7.4): the oracle's
+    // gaps-and-islands works on truncated seconds, and a pair whose true
+    // gap is 1799.x s can truncate to exactly 1800 — split there, merged
+    // here — if Spark sessions over full-precision µs (seen at sf0.1:
+    // one session of difference in 95k)
+    Sessionize.sessions(Tables.events(s, dir),
+        expr("ts div 1000000000") * lit(1_000_000_000L),
+        1800, col("user_id"))
       .orderBy("user_id", "session_start")
 
   val streamSessionSql =
     """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
       |m AS (SELECT user_id, sec,
-      |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+      |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
       |g AS (SELECT user_id, sec,
       |  sum(new_s) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
