@@ -402,6 +402,26 @@ object QueriesLLM {
 
   val textVocabApproxSql = textVocabSql
 
+  /** sketch_hll_union: the distinct-count analogue of
+    * [[sketchSourceSim]]'s MinHash unification — per-(source, lang)
+    * Datasketches HLL sketches of the token space, UNIONED up to
+    * per-source sketches, then estimated. This is how 100 TB keeps
+    * distinct counts re-aggregatable: sketches are built once near the
+    * data and every rollup level is a cheap fixed-width union, never a
+    * re-scan. Rows-only (sketch internals aren't DuckDB-expressible);
+    * the spec asserts union(estimates) vs exact distinct counts. */
+  val sketchHllUnion: Q = (s, dir) => {
+    val tokens = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+    val perCell = tokens.groupBy("source", "lang")
+      .agg(expr("hll_sketch_agg(token, 12)").as("sk"))
+    perCell.groupBy("source")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct_tokens"),
+        count(lit(1)).as("n_langs"))
+      .orderBy("source")
+  }
+
   /** text_langid: Cavnar-Trenkle trigram-profile classifier trained on the
     * labeled fixture itself (rows-only; accuracy asserted in LangIdSpec). */
   val textLangid: Q = (s, dir) =>
@@ -725,6 +745,7 @@ object QueriesLLM {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_lsh" -> dedupSemanticLsh,
     "sketch_source_sim" -> sketchSourceSim,
+    "sketch_hll_union" -> sketchHllUnion,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
     "sim_ann_ivf" -> simAnnIvf,

@@ -54,6 +54,27 @@ class SketchMergeSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("hll sketch union: per-source estimates track exact distinct counts") {
+    val tokens = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+    // build per-(source,lang), union to per-source — the re-aggregation
+    // path — and compare to exact distinct per source
+    val est = tokens.groupBy("source", "lang")
+      .agg(expr("hll_sketch_agg(token, 12)").as("sk"))
+      .groupBy("source")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = tokens.groupBy("source")
+      .agg(countDistinct("token").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (src, n) =>
+      assert(math.abs(est(src) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$src: est=${est(src)} exact=$n")
+    }
+  }
+
   // ---- SpaceSaving heavy hitters -------------------------------------------
 
   import graft.plans.SpaceSaving
