@@ -487,6 +487,46 @@ object QueriesCore {
       |  count(CASE WHEN l_tax = 0 THEN 1 END) AS n_taxfree
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** profile_columns: one-pass data profiling — per column: null count,
+    * min, max, mean — emitted long-form (column, metric rows) from a
+    * SINGLE aggregation over the table. The audit every ingest runs; at
+    * 100 TB the one-pass shape matters (df.summary() per column would
+    * re-scan). All metrics are constant-size buffers, partial+final. */
+  val profileColumns: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}__nulls"),
+        r4(min(col(c))).as(s"${c}__min"),
+        r4(max(col(c))).as(s"${c}__max"),
+        r4(avg(col(c))).as(s"${c}__mean"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    // long form: one row per (column, metric) — stable to add columns
+    val pairs = cols.flatMap(c => Seq("nulls", "min", "max", "mean").map(m => (c, m)))
+    val stacked = pairs.map { case (c, m) =>
+      struct(lit(c).as("col"), lit(m).as("metric"),
+        col(s"${c}__$m").cast("double").as("value"))
+    }
+    wide.select(explode(array(stacked: _*)).as("r"))
+      .select(col("r.col"), col("r.metric"), col("r.value"))
+      .orderBy("col", "metric")
+  }
+
+  val profileColumnsSql = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val cells = cols.flatMap { c =>
+      Seq(
+        s"struct_pack(col := '$c', metric := 'nulls', value := CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE))",
+        s"struct_pack(col := '$c', metric := 'min', value := floor((min($c)) * 10000 + 0.5) / 10000)",
+        s"struct_pack(col := '$c', metric := 'max', value := floor((max($c)) * 10000 + 0.5) / 10000)",
+        s"struct_pack(col := '$c', metric := 'mean', value := floor((avg($c)) * 10000 + 0.5) / 10000)")
+    }
+    s"""WITH w AS (SELECT unnest([${cells.mkString(", ")}]) AS r FROM lineitem)
+       |SELECT r.col AS col, r.metric AS metric, r.value AS value
+       |FROM w ORDER BY col, metric""".stripMargin
+  }
+
   /** agg_percentile_disc: EXACT discrete percentiles from the value-count
     * distribution ([[graft.operators.Percentiles.exactDiscrete]]) — the
     * 100 TB twin of [[aggPercentiles]]: the built-in `percentile` buffers
@@ -1159,6 +1199,7 @@ object QueriesCore {
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
     "agg_bool" -> aggBool,
+    "profile_columns" -> profileColumns,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "sub_scalar" -> subScalar,
     "sub_correlated" -> subCorrelated,
@@ -1226,6 +1267,7 @@ object QueriesCore {
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,
     "agg_bool" -> aggBoolSql,
+    "profile_columns" -> profileColumnsSql,
     "sub_scalar" -> subScalarSql,
     "sub_correlated" -> subCorrelatedSql,
     "join_lateral" -> joinLateralSql,
