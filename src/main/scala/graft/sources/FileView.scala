@@ -84,4 +84,19 @@ object FileView {
   def sinkPartitioned(df: DataFrame, root: String, keys: Seq[String] = Seq("app", "study"),
       mode: String = "overwrite"): Unit =
     df.write.partitionBy(keys: _*).mode(mode).parquet(root)
+
+  /** RANGE-CLUSTERED parquet sink: repartitionByRange + sortWithinPartitions
+    * on the cluster key before writing, so each output file covers a
+    * narrow, near-disjoint key range. That's what makes parquet
+    * row-group/file min-max statistics actually SKIP data on key
+    * predicates — on a hash-distributed write every file spans the whole
+    * key domain and the stats prune nothing. The write-side half of
+    * predicate pushdown at 100 TB (the read side is free once the layout
+    * exists). FileViewSpec asserts the per-file ranges are disjoint and
+    * that a range read touches a fraction of the files. */
+  def sinkClustered(df: DataFrame, root: String, clusterKey: String,
+      numFiles: Int, mode: String = "overwrite"): Unit =
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterKey))
+      .sortWithinPartitions(clusterKey)
+      .write.mode(mode).parquet(root)
 }

@@ -64,4 +64,34 @@ class FileViewSpec extends SparkTestBase {
     assert(fv.count() >= 10)
     assert(fv.columns.toSeq == Seq("path", "file_size", "file_modified"))
   }
+
+  test("clustered sink: per-file key ranges are disjoint and a range read prunes") {
+    val dir = Files.createTempDirectory("clustered").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_shipdate", "l_quantity")
+    FileView.sinkClustered(li, dir, "l_shipdate", numFiles = 8)
+    // per-file (min, max) shipdate ranges must not overlap — the property
+    // that makes parquet min-max stats prune on key predicates
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(unix_micros(to_utc_timestamp(col("l_shipdate"), "UTC"))),
+          max(unix_micros(to_utc_timestamp(col("l_shipdate"), "UTC")))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax <= bMin,
+        s"file ranges overlap: $aMax > $bMin")
+      case _ =>
+    }
+    // and a narrow key predicate reads a fraction of the rows via stats
+    val cut = spark.read.parquet(dir)
+      .agg(max(unix_micros(to_utc_timestamp(col("l_shipdate"), "UTC")))).head().getLong(0)
+    val narrow = spark.read.parquet(dir)
+      .filter(unix_micros(to_utc_timestamp(col("l_shipdate"), "UTC")) === lit(cut))
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(narrow.count() > 0)
+  }
 }
