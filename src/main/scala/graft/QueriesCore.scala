@@ -593,6 +593,26 @@ object QueriesCore {
       |  count(DISTINCT o_orderpriority) AS n_prio
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** agg_multi_distinct: several DISTINCT aggregates over different
+    * columns in one query — Catalyst plans this with an Expand (one
+    * input row fans out per distinct group) feeding a single aggregate
+    * tree, not one re-scan per distinct column; the shape that keeps
+    * multi-distinct reporting one-pass at scale. */
+  val aggMultiDistinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val aggMultiDistinctSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** sub_scalar: scalar subquery in a predicate — orders within 10% of
     * the global maximum price. Catalyst plans the subquery once (a tiny
     * 1-row aggregate, broadcast as a literal into the filter), so the
@@ -1166,6 +1186,46 @@ object QueriesCore {
     """SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
       |FROM documents WHERE doc_id < 50 ORDER BY doc_id, token""".stripMargin
 
+  /** udtf_posexplode: the POSITIONAL generator — token order survives the
+    * expansion (the property sequence models, n-gram windows and packers
+    * rely on; plain explode loses it). Codegen'd Generate, zero shuffle
+    * before the output sort. */
+  val udtfPosexplode: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  val udtfPosexplodeSql =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS token
+      |FROM tk, unnest(range(1, len(t) + 1)) AS u(i)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** fn_variant: Spark 4's VARIANT type — schema-flexible semi-structured
+    * values parsed once (`parse_json` → binary variant) and navigated
+    * with typed `variant_get` paths, the engine-native answer to
+    * schema-on-read JSON columns (vs per-access string re-parsing in
+    * [[fnJson]]). The oracle navigates the same JSON with DuckDB's
+    * native JSON type. */
+  val fnVariant: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"), expr("parse_json(props)").as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("cast(variant_get(v, '$.k') as string)").as("k_str"),
+        expr("variant_get(v, '$.missing', 'int')").as("absent"))
+      .orderBy("event_id")
+
+  val fnVariantSql =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k,
+      |  CAST(CAST(json_extract(props, '$.k') AS INT) AS VARCHAR) AS k_str,
+      |  CAST(json_extract(props, '$.missing') AS INT) AS absent
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1200,6 +1260,7 @@ object QueriesCore {
     "agg_collect" -> aggCollect,
     "agg_bool" -> aggBool,
     "profile_columns" -> profileColumns,
+    "agg_multi_distinct" -> aggMultiDistinct,
     "agg_approx_percentiles" -> aggApproxPercentiles,
     "sub_scalar" -> subScalar,
     "sub_correlated" -> subCorrelated,
@@ -1234,7 +1295,9 @@ object QueriesCore {
     "stream_session" -> streamSession,
     "udf_scalar" -> udfScalar,
     "udaf_weighted_mean" -> udafWeightedMean,
-    "udtf_tokens" -> udtfTokens
+    "udtf_tokens" -> udtfTokens,
+    "udtf_posexplode" -> udtfPosexplode,
+    "fn_variant" -> fnVariant
   )
 
   val oracles: Map[String, String] = Map(
@@ -1268,6 +1331,7 @@ object QueriesCore {
     "agg_collect" -> aggCollectSql,
     "agg_bool" -> aggBoolSql,
     "profile_columns" -> profileColumnsSql,
+    "agg_multi_distinct" -> aggMultiDistinctSql,
     "sub_scalar" -> subScalarSql,
     "sub_correlated" -> subCorrelatedSql,
     "join_lateral" -> joinLateralSql,
@@ -1301,6 +1365,8 @@ object QueriesCore {
     "stream_session" -> streamSessionSql,
     "udf_scalar" -> udfScalarSql,
     "udaf_weighted_mean" -> udafWeightedMeanSql,
-    "udtf_tokens" -> udtfTokensSql
+    "udtf_tokens" -> udtfTokensSql,
+    "udtf_posexplode" -> udtfPosexplodeSql,
+    "fn_variant" -> fnVariantSql
   )
 }
