@@ -687,6 +687,98 @@ object QueriesCore {
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
 
+  /** merge_upsert: the MERGE/upsert moment — a deterministic update batch
+    * (keys ≡0 mod 10 get +100 balance and a new segment) plus an insert
+    * batch (keys ≡0 mod 100 re-keyed past the existing id range) applied
+    * onto customer via [[Relational.mergeUpsert]] (full-outer join +
+    * per-column COALESCE). The oracle replays the same MERGE as explicit
+    * FULL JOIN SQL. */
+  val mergeUpsert: Q = (s, dir) => {
+    val customer = Tables.customer(s, dir)
+    val updates = customer
+      .filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+        lit(null).cast("int").as("c_nationkey"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("UPDATED").as("c_mktsegment"))
+    val inserts = customer
+      .filter(pmod(col("c_custkey"), lit(100)) === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), lit("INSERTED").as("c_mktsegment"))
+    Relational.mergeUpsert(customer, updates.unionByName(inserts), "c_custkey")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        r4(col("c_acctbal")).as("acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val mergeUpsertSql =
+    """WITH upd AS (
+      |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+      |    CAST(NULL AS INT) AS c_nationkey,
+      |    c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |ins AS (
+      |  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+      |    c_acctbal, 'INSERTED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 100 = 0),
+      |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+      |  COALESCE(s.c_name, t.c_name) AS c_name,
+      |  COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+      |  floor(COALESCE(s.c_acctbal, t.c_acctbal) * 10000 + 0.5) / 10000 AS acctbal,
+      |  COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+      |FROM customer t FULL JOIN src s ON t.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** join_existence: EXISTS as a projected flag (a mark/existence join) —
+    * "does this customer have any >100k order", keeping every customer
+    * row exactly once. Catalyst plans an ExistenceJoin: the probe side
+    * streams once, the right side is reduced to its join keys — unlike a
+    * LEFT JOIN + IS NOT NULL it can never duplicate probe rows, and
+    * unlike a semi-join it keeps the negatives. */
+  val joinExistence: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_ex")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_ex")
+    s.sql(
+      """SELECT c.c_custkey,
+        |  EXISTS(SELECT 1 FROM orders_ex o
+        |         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |    AS has_big_order
+        |FROM customer_ex c ORDER BY c_custkey""".stripMargin)
+  }
+
+  val joinExistenceSql =
+    """SELECT c.c_custkey,
+      |  EXISTS(SELECT 1 FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      |    AS has_big_order
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
+  /** agg_histogram: equi-width histogram of order prices — bucket label,
+    * count, observed min/max, and each bucket's share of all rows. The
+    * share is a window over the *aggregated* buckets (bounded rows — the
+    * single-partition window runs over ~25 bucket rows, never over the
+    * input), so the only full-data pass is the one hash aggregate. */
+  val aggHistogram: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy((floor(col("o_totalprice") / 25000) * 25000).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n"),
+        r4(min("o_totalprice")).as("lo"),
+        r4(max("o_totalprice")).as("hi"))
+      .withColumn("frac", r4(col("n") / sum("n").over(Window.partitionBy())))
+      .orderBy("bucket_lo")
+
+  val aggHistogramSql =
+    """WITH b AS (
+      |  SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS bucket_lo,
+      |    count(*) AS n,
+      |    floor(min(o_totalprice) * 10000 + 0.5) / 10000 AS lo,
+      |    floor(max(o_totalprice) * 10000 + 0.5) / 10000 AS hi
+      |  FROM orders GROUP BY 1)
+      |SELECT bucket_lo, n, lo, hi,
+      |  floor(n / sum(n) OVER () * 10000 + 0.5) / 10000 AS frac
+      |FROM b ORDER BY bucket_lo""".stripMargin
+
   // ---- §2.5 windows -------------------------------------------------------
 
   val winRank: Q = (s, dir) =>
@@ -795,6 +887,36 @@ object QueriesCore {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** win_fill_forward: last-observation-carried-forward — gap-filling a
+    * sparsely-observed metric per user (only every 3rd event carries a
+    * reading; nulls take the most recent prior reading). IGNORE NULLS
+    * navigation over a running ROWS frame; rows before the first
+    * observation stay NULL. One shuffle on user_id, per-partition sort —
+    * the standard scalable sensor/telemetry gap-fill shape. */
+  val winFillForward: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", TimeOps.nsToUs(col("ts")))
+      .withColumn("v", when(pmod(col("event_id"), lit(3)) === 0, col("value")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        r4(last("v", ignoreNulls = true).over(w)).as("filled"))
+      .orderBy("event_id")
+  }
+
+  val winFillForwardSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN event_id % 3 = 0 THEN value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id, ts_us,
+      |  floor(last_value(v IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 + 0.5) / 10000
+      |    AS filled
+      |FROM e ORDER BY event_id""".stripMargin
 
   // ---- §2.6 sort / top-k --------------------------------------------------
 
@@ -1106,6 +1228,46 @@ object QueriesCore {
       |  count(*) AS n_orders, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
       |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin
 
+  /** fn_hash: content digests — md5 and sha-256 over document text, the
+    * primitives exact dedup and cache keys are built from. Both engines
+    * emit lowercase hex, so the digests compare bit-for-bit. */
+  val fnHash: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("h_md5"),
+        sha2(col("text"), 256).as("h_sha256"))
+      .orderBy("doc_id")
+
+  val fnHashSql =
+    """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** fn_editdist: Levenshtein distance — raw text prefix vs its
+    * vowel-stripped normalization (distance = vowels removed), plus the
+    * thresholded form (Spark's banded levenshtein stops early and returns
+    * -1 past the cap; the oracle replays the cap arithmetically). The
+    * fuzzy-match primitive for typo-tolerant joins and near-identical
+    * field reconciliation. */
+  val fnEditdist: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("raw", substring(col("text"), 1, 40))
+      .withColumn("clean", regexp_replace(substring(col("text"), 1, 40), "[aeiou]", ""))
+      .select(col("doc_id"),
+        levenshtein(col("raw"), col("clean")).as("dist"),
+        levenshtein(col("raw"), col("clean"), 5).as("dist_capped"))
+      .orderBy("doc_id")
+
+  val fnEditdistSql =
+    """WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 40) AS raw,
+      |    regexp_replace(substr(text, 1, 40), '[aeiou]', '', 'g') AS clean
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(levenshtein(raw, clean) AS INT) AS dist,
+      |  CAST(CASE WHEN levenshtein(raw, clean) > 5 THEN -1
+      |            ELSE levenshtein(raw, clean) END AS INT) AS dist_capped
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ---- §2.9 streaming shapes (batch-checkable forms) ----------------------
 
   val streamTumbling: Q = (s, dir) =>
@@ -1250,7 +1412,13 @@ object QueriesCore {
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
     "join_skew_salted" -> joinSkewSalted,
+    "merge_upsert" -> mergeUpsert,
+    "join_existence" -> joinExistence,
     "agg_distinct" -> aggDistinct,
+    "agg_histogram" -> aggHistogram,
+    "win_fill_forward" -> winFillForward,
+    "fn_hash" -> fnHash,
+    "fn_editdist" -> fnEditdist,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -1316,6 +1484,12 @@ object QueriesCore {
     "join_full" -> joinFullSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
+    "merge_upsert" -> mergeUpsertSql,
+    "join_existence" -> joinExistenceSql,
+    "agg_histogram" -> aggHistogramSql,
+    "win_fill_forward" -> winFillForwardSql,
+    "fn_hash" -> fnHashSql,
+    "fn_editdist" -> fnEditdistSql,
     "join_theta_band" -> joinThetaBandSql,
     "join_asof" -> joinAsofSql,
     "join_asof_native" -> joinAsofSql,

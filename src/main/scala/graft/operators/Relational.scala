@@ -69,6 +69,26 @@ object Relational {
     left.join(right, cond)
   }
 
+  /** MERGE / upsert (SCD-1): apply `source` rows onto `target` by `key` —
+    * matched keys take the source's non-NULL column values (NULL source
+    * cells keep the target's value: partial updates compose), unmatched
+    * source keys are inserts, unmatched target keys pass through. The
+    * declarative form is one full-outer join + per-column COALESCE, so
+    * Catalyst keeps join selection: both sides shuffle on the key (a full
+    * outer can't broadcast), AQE splits skewed keys. At 100 TB the source
+    * batch is usually ≪ target; the shuffle moves each side once — the
+    * same cost profile as Delta/Iceberg's copy-on-write MERGE planning. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val t = target.as("mu_t")
+    val s = source.as("mu_s")
+    val merged = t.join(s, col(s"mu_t.$key") === col(s"mu_s.$key"), "full_outer")
+    val cols = coalesce(col(s"mu_s.$key"), col(s"mu_t.$key")).as(key) +:
+      target.columns.filterNot(_ == key).toSeq.map { c =>
+        coalesce(col(s"mu_s.$c"), col(s"mu_t.$c")).as(c)
+      }
+    merged.select(cols: _*)
+  }
+
   /** Multi-key total sort. Spark plans a range-partitioned global sort
     * (sampling-based partitioner) — no single-node bottleneck. */
   def sortMulti(df: DataFrame, keys: Column*): DataFrame = df.orderBy(keys: _*)

@@ -100,4 +100,21 @@ class PlanAuditSpec extends SparkTestBase {
     val ids = "Subquery subquery#(\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
     assert(ids.size == 1, s"expected one shared scalar subquery, got $ids\n$p")
   }
+
+  test("join_existence plans an ExistenceJoin (probe rows never duplicated)") {
+    val p = plan("join_existence")
+    assert(p.contains("ExistenceJoin"), p)
+    // the orders side is filtered before the join, not after
+    assert(p.indexOf("Filter") < p.length && !p.contains("CollectLimit"), p)
+  }
+
+  test("agg_histogram's share-of-total window runs over the aggregate, not the input") {
+    val p = plan("agg_histogram")
+    // Window must appear ABOVE HashAggregate in the tree (post-agg, bounded
+    // rows); if it ever ran over raw orders the single partition would be
+    // the full table
+    val win = p.indexOf("Window")
+    val agg = p.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg, p)
+  }
 }

@@ -90,4 +90,22 @@ class RelationalSpec extends SparkTestBase {
     assert(rows(Relational.joinFull(l, r, Seq("k"))) ==
       Set((1, Some("l1"), None), (2, Some("l2"), Some("r2")), (3, None, Some("r3"))))
   }
+
+  test("mergeUpsert: update, partial update, insert, passthrough") {
+    import spark.implicits._
+    val target = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val source = Seq(
+      (2, Some("B"), Some(200.0)),   // full update
+      (3, None, Some(300.0)),        // partial update: name stays "c"
+      (4, Some("d"), Some(40.0)))    // insert
+      .toDF("k", "name", "bal")
+    val out = Relational.mergeUpsert(target, source, "k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (1, "a", 10.0),     // untouched target row passes through
+      (2, "B", 200.0),
+      (3, "c", 300.0),    // NULL source cell kept the target value
+      (4, "d", 40.0)))
+  }
 }
