@@ -50,13 +50,14 @@ object Queries {
 
   /** Registry: name -> (spark, sfDir) => DataFrame. */
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.all ++ QueriesLLM.all ++ QueriesStreaming.all ++ Map(
+    QueriesCore.all ++ QueriesLLM.all ++ QueriesStreaming.all ++
+      QueriesAnalytics.all ++ Map(
       "q1_pricing" -> (q1Pricing _)
     )
 
   /** Registry: name -> DuckDB oracle SQL (subset of `all`'s keys). */
   val oracles: Map[String, String] =
-    QueriesCore.oracles ++ QueriesLLM.oracles ++ Map(
+    QueriesCore.oracles ++ QueriesLLM.oracles ++ QueriesAnalytics.oracles ++ Map(
       "q1_pricing" -> q1PricingSql
     )
 }

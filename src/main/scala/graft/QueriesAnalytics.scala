@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Num.r4
+import graft.functions.VectorOps
+import graft.operators.{BloomJoin, RangeJoin, Relational, Temporal}
+
+/** Round-3 additions: temporal analytics (resample / SCD-2 history /
+  * funnel), scale-path joins (Bloom-prefiltered semi, bucketed interval
+  * self-join), deterministic reservoir-style sampling, and embedding
+  * quantization. Conventions per SURVEY.md §7.4 (total ORDER BY, r4 on
+  * doubles, BIGINT-ns event timestamps ↔ `epoch_ns(ts)`).
+  */
+object QueriesAnalytics {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** 6 hours in microseconds — the resample grid step over `events.ts`
+    * (µs domain on both sides per SURVEY.md §7.4: DuckDB's Parquet reader
+    * truncates NANOS to µs). */
+  private val BucketUs = 21600000000L
+
+  /** ts_resample: per-user 6-hour grid with forward-filled bucket sums —
+    * the gap-filling resample every time-series dashboard needs. Grid is
+    * generated per user over [min,max] observed buckets (narrow explode);
+    * the fill window partitions by user. One exchange on user_id total. */
+  val tsResample: Q = (s, dir) =>
+    Temporal.resampleFill(Tables.events(s, dir), "user_id",
+        // exact integral ns→µs→bucket (div is long division — no double
+        // roundoff at 1e18 magnitudes)
+        expr(s"(ts div 1000) div $BucketUs"),
+        col("value"), v => r4(sum(v)))
+      .orderBy("user_id", "b")
+
+  val tsResampleSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 21600000000 AS b, value FROM events),
+      |obs AS (
+      |  SELECT user_id, b, floor(sum(value) * 10000 + 0.5) / 10000 AS v
+      |  FROM e GROUP BY user_id, b),
+      |grid AS (
+      |  SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+      |  FROM e GROUP BY user_id)
+      |SELECT g.user_id, g.b,
+      |  last_value(o.v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+      |ORDER BY g.user_id, g.b""".stripMargin
+
+  /** scd2_intervals: run-length event-type history per user — the SCD-2
+    * validity-interval build ([eff_from, eff_to), NULL-open tail).
+    * Timestamps in the µs domain on both sides (§7.4). */
+  val scd2Intervals: Q = (s, dir) =>
+    Temporal.scd2(Tables.events(s, dir), "user_id",
+        expr("ts div 1000"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("run"), col("attr").as("event_type"),
+        col("eff_from"), col("eff_to"), col("n_rows"))
+      .orderBy("user_id", "run")
+
+  val scd2IntervalsSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      |  FROM e),
+      |runs AS (
+      |  SELECT user_id, run, min(event_type) AS event_type,
+      |    min(ts) AS eff_from, count(*) AS n_rows
+      |  FROM r GROUP BY user_id, run)
+      |SELECT user_id, run, event_type, eff_from,
+      |  lead(eff_from) OVER (PARTITION BY user_id ORDER BY run) AS eff_to,
+      |  n_rows
+      |FROM runs ORDER BY user_id, run""".stripMargin
+
+  /** funnel_steps: signup → first-purchase-after conversion funnel over
+    * the whole fixture — two co-partitioned aggregations + one summary
+    * row (counts + r4 mean hours-to-convert). */
+  val funnelSteps: Q = (s, dir) =>
+    Temporal.funnel(Tables.events(s, dir), "user_id",
+        expr("ts div 1000"), col("event_type"), "signup", "purchase")
+      .agg(count(lit(1)).as("n_signup_users"),
+        count(col("b_ts")).as("n_converted"),
+        r4(avg((col("b_ts") - col("a_ts")) / lit(3.6e9))).as("avg_hours_to_convert"))
+
+  val funnelStepsSql =
+    """WITH a AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS a_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |b AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS b_ts
+      |  FROM events e JOIN a ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > a.a_ts
+      |  GROUP BY e.user_id)
+      |SELECT count(*) AS n_signup_users, count(b.b_ts) AS n_converted,
+      |  floor((avg((b.b_ts - a.a_ts) / 3600000000.0)) * 10000 + 0.5) / 10000
+      |    AS avg_hours_to_convert
+      |FROM a LEFT JOIN b ON a.user_id = b.user_id""".stripMargin
+
+  /** sample_reservoir: deterministic k-uniform sample as smallest-k by
+    * content hash — the distributed equivalent of reservoir sampling
+    * (per-partition k-heaps + driver merge of k, via
+    * TakeOrderedAndProject; never a full sort, never a full collect).
+    * Unlike rand()-based sampling it is partition- and retry-stable, and
+    * any engine draws the identical sample — which is what makes it
+    * oracle-checkable at all. */
+  val sampleReservoir: Q = (s, dir) =>
+    Relational.topK(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("h", md5(concat_ws("-", col("l_orderkey"), col("l_linenumber")))),
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (measured:
+      // 11 785 duplicate pairs at sf0.01) — the price tie-break makes the
+      // order total ((okey, lnum, price) is unique at every SF)
+      200, col("h").asc, col("l_extendedprice").asc)
+
+  val sampleReservoirSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  md5(concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))) AS h
+      |FROM lineitem
+      |ORDER BY h, l_extendedprice LIMIT 200""".stripMargin
+
+  /** join_bloom: orders of BUILDING-segment customers via a Bloom
+    * pre-filter + exact semi-join. Result-identical to the plain
+    * semi-join (its SQL is the oracle); the sketch pass is the 100 TB
+    * fact-to-huge-dim shape — see BloomJoin.semiWithBloom. Expected-item
+    * count is a generous fixed bound (≤ customer table size), not a
+    * data-dependent count() pass: oversizing a Bloom filter only wastes
+    * bits, never correctness. */
+  val joinBloom: Q = (s, dir) => {
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    BloomJoin.semiWithBloom(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey", dim, "c_custkey", expectedItems = 20000L)
+      .orderBy("o_orderkey")
+  }
+
+  val joinBloomSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** join_interval_bucketed: overlap self-join of 7-day order windows
+    * with NO equi key (across customers), as a bucketed equi-join —
+    * weekly co-occurrence counts of big urgent orders. The oracle is the
+    * plain non-equi self-join; the engine never runs O(n²): intervals
+    * replicate to ≤ 2 week-buckets each and meet only inside a bucket
+    * (RangeJoin.overlapSelfBucketed keeps exactly the canonical bucket,
+    * so no distinct pass is needed). */
+  val joinIntervalBucketed: Q = (s, dir) => {
+    val base = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("sd"))
+    RangeJoin.overlapSelfBucketed(base, "o_orderkey", "sd", len = 7, bucket = 7)
+      .groupBy(floor(greatest(col("a_sd"), col("b_sd")) / 7).as("wk"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("wk")
+  }
+
+  val joinIntervalBucketedSql =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS sd
+      |  FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000)
+      |SELECT CAST(floor(greatest(a.sd, b.sd) / 7.0) AS BIGINT) AS wk,
+      |  count(*) AS n_pairs
+      |FROM base a JOIN base b
+      |  ON a.o_orderkey < b.o_orderkey AND a.sd < b.sd + 7 AND b.sd < a.sd + 7
+      |GROUP BY wk ORDER BY wk""".stripMargin
+
+  /** vec_quantize_int8: per-vector symmetric int8 quantization of the
+    * embedding column — scale = max|x|/127, codes = half-up(x/scale).
+    * Projected as (scale, code sum/min/max) so the oracle compares
+    * scalars; the arithmetic is pure IEEE double, bit-identical across
+    * engines. Narrow per-row pass, zero shuffle. */
+  val vecQuantizeInt8: Q = (s, dir) => {
+    // materialize the scale ONCE per row: inlining the absMax aggregate
+    // into the transform lambda would re-evaluate it per ELEMENT (64×
+    // redundant work — measured 1.8 s → 0.3 s at sf0.1)
+    Tables.embeddings(s, dir)
+      .withColumn("scl", VectorOps.int8Scale(col("embedding")))
+      .withColumn("qv", VectorOps.quantizeInt8(col("embedding"), col("scl")))
+      .select(col("vec_id"), r4(col("scl")).as("scale4"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  val vecQuantizeInt8Sql =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, amax / 127.0 AS scl,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) AS BIGINT)) AS qv
+      |  FROM a)
+      |SELECT vec_id, floor(scl * 10000 + 0.5) / 10000 AS scale4,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |  CAST(list_min(qv) AS BIGINT) AS q_min,
+      |  CAST(list_max(qv) AS BIGINT) AS q_max
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "ts_resample" -> tsResample,
+    "scd2_intervals" -> scd2Intervals,
+    "funnel_steps" -> funnelSteps,
+    "sample_reservoir" -> sampleReservoir,
+    "join_bloom" -> joinBloom,
+    "join_interval_bucketed" -> joinIntervalBucketed,
+    "vec_quantize_int8" -> vecQuantizeInt8
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ts_resample" -> tsResampleSql,
+    "scd2_intervals" -> scd2IntervalsSql,
+    "funnel_steps" -> funnelStepsSql,
+    "sample_reservoir" -> sampleReservoirSql,
+    "join_bloom" -> joinBloomSql,
+    "join_interval_bucketed" -> joinIntervalBucketedSql,
+    "vec_quantize_int8" -> vecQuantizeInt8Sql
+  )
+}

@@ -136,19 +136,29 @@ object QueriesStreaming {
   }
 
   /** Deterministic bounded event slice shared by the replay harnesses
-    * (1/16 of users, time-ordered). */
+    * (1/16 of users, time-ordered). Memoized per (dir, oneInN): the slice
+    * is immutable REPLAY INPUT — six registered harnesses would otherwise
+    * each pay the same scan+sort+collect to rebuild identical rows. The
+    * memo is harness state, not operator state (production streams read
+    * from a real source, not a driver-side vector). */
+  private val sliceMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      IndexedSeq[graft.streaming.StreamOps.Event]]()
+
   private def eventSlice(s: SparkSession, dir: String,
       oneInN: Int = 16): IndexedSeq[graft.streaming.StreamOps.Event] = {
     import graft.streaming.StreamOps
-    Tables.events(s, dir)
-      .filter(pmod(col("user_id"), lit(oneInN.toLong)) === lit(0L))
-      .select(col("event_id"), expr("ts div 1000000").as("ms"),
-        col("user_id"), col("event_type"), col("value"))
-      .orderBy("ms", "event_id")
-      .collect()
-      .map(r => StreamOps.Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1)),
-        r.getLong(2), r.getString(3), r.getDouble(4)))
-      .toIndexedSeq
+    sliceMemo.computeIfAbsent((dir, oneInN), { _ =>
+      Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(oneInN.toLong)) === lit(0L))
+        .select(col("event_id"), expr("ts div 1000000").as("ms"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("ms", "event_id")
+        .collect()
+        .map(r => StreamOps.Event(r.getLong(0), new java.sql.Timestamp(r.getLong(1)),
+          r.getLong(2), r.getString(3), r.getDouble(4)))
+        .toIndexedSeq
+    })
   }
 
   /** stream_session_live: native `session_window` through the streaming

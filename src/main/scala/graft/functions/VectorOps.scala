@@ -39,4 +39,26 @@ object VectorOps {
   /** Cosine similarity; null-safe for zero vectors is the caller's concern
     * (fixture vectors are non-zero). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** max(|x|) over the vector — the symmetric-quantization range. */
+  def absMax(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Per-vector symmetric int8 quantization scale (absMax/127). */
+  def int8Scale(a: Column): Column = absMax(a) / lit(127.0)
+
+  /** Quantize to int8 codes with the given per-vector scale:
+    * `floor(x/scale + 0.5)` — explicit half-up rounding in pure IEEE
+    * double arithmetic, bit-reproducible across engines (the same reason
+    * Num.r4 avoids `round`). Elements are LONG for cross-engine schema
+    * agreement; values fit [-127, 127].
+    *
+    * Storage view: 64 floats (256 B) become 64 int8 codes + one float
+    * scale (~68 B) — the standard 4× embedding-store compression. The
+    * arithmetic is per-row and narrow (zero shuffle); at 100 TB the HOF
+    * pair here is the semantics reference, and a fused codegen kernel à la
+    * [[graft.plans.VectorExpressions]] is the declared fast path if the
+    * quantize pass ever dominates a profile. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a, x => floor(x.cast("double") / scale + lit(0.5)))
 }

@@ -43,4 +43,43 @@ object Percentiles {
   /** Smallest value whose cumulative count reaches ceil(p·n). */
   private def pick(valueCol: String, p: Double): Column =
     min(when(col("__cum") >= ceil(lit(p) * col("__n")), col(valueCol)))
+
+  /** Exact CONTINUOUS (interpolated) percentiles — SQL `PERCENTILE_CONT`
+    * = DuckDB `quantile_cont` = Spark `percentile` semantics: with
+    * 0-indexed position `pos = p·(n−1)`, interpolate between the sorted
+    * values at `floor(pos)` and `ceil(pos)`.
+    *
+    * Same scale shape as [[exactDiscrete]]: the only full-data pass is
+    * the partial-aggregated (group, value, count) groupBy; the sorted
+    * walk happens on the distribution (O(distinct) rows), not the data.
+    * The value at index i is "the smallest value whose cumulative count
+    * reaches i+1", so each quantile needs two conditional mins over the
+    * distribution — constant-size buffers, never a per-group value
+    * array. Replaces the built-in `percentile` (which buffers every row
+    * per group — the thing that OOMs at 100 TB) for exact analytics. */
+  def exactContinuous(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty, "need at least one (name, prob)")
+    val g = groupCols.map(col)
+    val counts = df.groupBy(g :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = counts
+      .withColumn("__cum",
+        sum("__cnt").over(Window.partitionBy(g: _*).orderBy(col(valueCol))))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(g: _*)))
+    def pos(p: Double): Column = lit(p) * (col("__n").cast("double") - 1.0)
+    val aggs = probs.flatMap { case (name, p) =>
+      Seq(
+        min(when(col("__cum") >= floor(pos(p)) + 1, col(valueCol))).as(s"__lo_$name"),
+        min(when(col("__cum") >= ceil(pos(p)) + 1, col(valueCol))).as(s"__hi_$name"))
+    } :+ max("__n").as("__n")
+    val picked = cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    val outs = probs.map { case (name, p) =>
+      val fr = pos(p) - floor(pos(p))
+      (col(s"__lo_$name") +
+        fr * (col(s"__hi_$name").cast("double") - col(s"__lo_$name").cast("double")))
+        .as(name)
+    }
+    picked.select(g ++ outs: _*)
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale paths for joins whose predicate is not an equi-key:
+  *
+  *  - [[BloomJoin.semiWithBloom]] — semi/existence join where the lookup
+  *    side is too large to broadcast as a hash relation but its Bloom
+  *    sketch (~10 bits/key at 1% FP) still fits: pre-filter the big side
+  *    with the broadcast sketch, then run the exact join on the survivors.
+  *    Result-identical to the plain semi-join (false positives are removed
+  *    by the exact join), which is why the plain join's SQL is the oracle.
+  *
+  *  - [[RangeJoin.overlapSelfBucketed]] — interval-overlap self-join with
+  *    NO equi key. The naive plan is a broadcast-nested-loop (O(n²) work,
+  *    one side broadcast whole); the scale shape decomposes time into
+  *    fixed buckets, replicates each interval to the buckets it touches
+  *    (bounded by interval_len/bucket + 2), and equi-joins on the bucket.
+  *    Each overlapping pair meets in every shared bucket, so the join
+  *    keeps only the canonical one — the bucket containing the later
+  *    start — making the output duplicate-free WITHOUT a distinct pass.
+  */
+object RangeJoin {
+
+  /** Pairs (a, b) of `intervals` rows with `a.idCol < b.idCol` whose
+    * half-open intervals `[startCol, startCol+len)` overlap, computed as a
+    * bucketed equi-join. `startCol` must be a non-negative integral
+    * day/hour/slot index; `len` and `bucket` are in the same unit.
+    *
+    * Returns the joined frame with every `a.*` column prefixed `a_` and
+    * every `b.*` prefixed `b_`. Shuffle: both replicated sides hash on
+    * `bkt` — bucket size should be chosen ≈ interval length so the
+    * replication factor stays ≤ 2 and each bucket's population is bounded
+    * (at 100 TB, add the start-bucket to the hash key salt if one bucket
+    * is hot). Never O(n²): work is Σ_bucket |bucket|². */
+  def overlapSelfBucketed(intervals: DataFrame, idCol: String,
+      startCol: String, len: Int, bucket: Int): DataFrame = {
+    require(len > 0 && bucket > 0)
+    // interval [s, s+len) touches buckets floor(s/b) .. floor((s+len-1)/b)
+    val withBkt = intervals.withColumn("bkt",
+      explode(sequence(floor(col(startCol) / bucket),
+        floor((col(startCol) + lit(len - 1)) / bucket))))
+    val a = withBkt.select(withBkt.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = withBkt.select(withBkt.columns.map(c => col(c).as(s"b_$c")): _*)
+    a.join(b,
+      col("a_bkt") === col("b_bkt") &&
+      col(s"a_$idCol") < col(s"b_$idCol") &&
+      // overlap of [a_s, a_s+len) and [b_s, b_s+len)
+      col(s"a_$startCol") < col(s"b_$startCol") + len &&
+      col(s"b_$startCol") < col(s"a_$startCol") + len &&
+      // canonical bucket: the one holding the later start — dedup-free
+      col("a_bkt") === floor(greatest(col(s"a_$startCol"), col(s"b_$startCol")) / bucket))
+  }
+}
+
+object BloomJoin {
+
+  /** `left SEMI JOIN keys` with a Bloom pre-filter: build the sketch over
+    * `keys[keyRight]` (one aggregation, fixed-size mergeable buffers —
+    * numBits/8 bytes per partial), broadcast it inside the filter closure,
+    * drop non-members of `left` before the exact semi-join sees them.
+    *
+    * The sketch build collects ONE BloomFilter object (bounded:
+    * `expectedItems`·10 bits at fpp=0.01), never the keys. At 100 TB this
+    * is the standard shape for "join a fact to a 10⁹-key dim": the dim's
+    * hash relation (~16 B/key) blows the broadcast budget 10× sooner than
+    * its Bloom sketch does, and the pre-filter cuts the fact's shuffle
+    * volume by the join's selectivity. False positives only cost shuffled
+    * bytes — the exact join removes them, so results are bit-identical to
+    * the plain semi-join. */
+  def semiWithBloom(left: DataFrame, leftKey: String,
+      keys: DataFrame, keyRight: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = keys.stat.bloomFilter(keyRight, expectedItems, fpp)
+    val might = udf((k: Long) => bf.mightContain(k))
+    left.filter(col(leftKey).isNotNull && might(col(leftKey)))
+      .join(keys, col(leftKey) === keys(keyRight), "left_semi")
+  }
+}

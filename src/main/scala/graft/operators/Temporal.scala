@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/event-history operators: time-series resampling, SCD-2 style
+  * run-length history, and funnel conversion — the event-analytics layer a
+  * study dashboard sits on (the reference's wiki graphs aggregate the
+  * file view over time, `src/copy_from_template.py:14-16`; its
+  * `date_cols` re-typing pass, `:179-182`, exists precisely so these
+  * time-keyed queries work).
+  *
+  * Scale posture shared by all three: every window is partitioned by the
+  * series key (`user_id`) — state per partition is one series, never the
+  * global table; grids are generated per-series with `sequence`+`explode`
+  * (narrow, no shuffle); the only exchanges are the hash partitions on the
+  * series key that any per-series computation needs.
+  */
+object Temporal {
+
+  /** Resample an event series onto a fixed-size time grid per key with
+    * forward-fill: bucket each observation, aggregate per (key, bucket),
+    * then generate each key's [min..max] bucket range and carry the last
+    * observed value across empty buckets.
+    *
+    * The grid is derived per key (`sequence(min_b, max_b)`), so a key
+    * active for one hour generates one row, not the global span — at
+    * 100 TB the output is Σ per-key spans, and the fill window scans each
+    * series once. The first grid row of every key is observed by
+    * construction (the span starts at an observed bucket), so the filled
+    * value is never NULL.
+    *
+    * Shuffle profile: the raw input is exchanged ONCE (partial+final agg
+    * on (key, bucket)); the span/grid/join/window stages all operate on
+    * the aggregated bucket frame — orders of magnitude smaller — and the
+    * grid derives from `observed` (not the raw input) so the aggregation
+    * subtree is shared and Catalyst's ReuseExchange materializes it once. */
+  def resampleFill(events: DataFrame, key: String, bucket: Column,
+      value: Column, agg: Column => Column): DataFrame = {
+    val e = events.select(col(key), bucket.as("b"), value.as("v"))
+    val observed = e.groupBy(col(key), col("b")).agg(agg(col("v")).as("v"))
+    val grid = observed.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy(key).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"),
+        last("v", ignoreNulls = true).over(w).as("v_filled"))
+  }
+
+  /** SCD-2 style history build: collapse each key's consecutive runs of an
+    * equal attribute value into validity intervals
+    * `[eff_from, eff_to)` (`eff_to` NULL for the current/open run) —
+    * gaps-and-islands run-length encoding, the batch form of a
+    * slowly-changing-dimension type-2 load.
+    *
+    * Two window passes over the same (key, ts) clustering: the change-flag
+    * cumsum (per-row state O(1)) and the `lead` for eff_to (runs at the
+    * aggregated run level, far smaller than the input). Both windows and
+    * the run aggregation share one hash partitioning on the key, so the
+    * whole history build is a single exchange of the input. */
+  def scd2(events: DataFrame, key: String, ts: Column, tie: Column,
+      attr: Column): DataFrame = {
+    // windows bind to the RENAMED projection below, not the caller's exprs
+    val wRow = Window.partitionBy(key).orderBy(col("ts"), col("tie"))
+    val wCum = wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = events
+      .select(col(key), ts.as("ts"), tie.as("tie"), attr.as("attr"))
+      .withColumn("chg",
+        when(lag("attr", 1).over(wRow).isNull ||
+             lag("attr", 1).over(wRow) =!= col("attr"), 1L).otherwise(0L))
+      .withColumn("run", sum("chg").over(wCum))
+      .groupBy(col(key), col("run"))
+      .agg(min("attr").as("attr"), // constant within a run
+        min("ts").as("eff_from"), count(lit(1)).as("n_rows"))
+    runs.withColumn("eff_to",
+      lead("eff_from", 1).over(Window.partitionBy(key).orderBy("run")))
+  }
+
+  /** Two-step funnel: per key, the first `stepA` event and the first
+    * `stepB` event strictly after it; returns per-key rows (key,
+    * a_ts, b_ts nullable). Conversion statistics are one aggregate on
+    * top. Both aggregations and the join hash-partition on the key — the
+    * funnel is two co-partitioned passes, no all-pairs matching. */
+  def funnel(events: DataFrame, key: String, ts: Column, typ: Column,
+      stepA: String, stepB: String): DataFrame = {
+    val e = events.select(col(key), ts.as("ts"), typ.as("typ"))
+    val a = e.filter(col("typ") === stepA).groupBy(col(key)).agg(min("ts").as("a_ts"))
+    val b = e.filter(col("typ") === stepB).join(a, Seq(key))
+      .filter(col("ts") > col("a_ts"))
+      .groupBy(col(key)).agg(min("ts").as("b_ts"))
+    a.join(b, Seq(key), "left_outer")
+  }
+}

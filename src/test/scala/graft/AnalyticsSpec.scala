@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.{BloomJoin, RangeJoin, Temporal}
+
+/** Unit coverage for the round-3 analytics operators (QueriesAnalytics):
+  * hand-computed expectations on crafted frames, plus equivalence of the
+  * scale-path joins against their naive forms on the fixture. */
+class AnalyticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("resampleFill fills gaps with the last observed bucket value") {
+    val e = Seq(
+      (1L, 0L, 1.0), (1L, 0L, 2.0), // bucket 0 -> 3.0
+      (1L, 3L, 5.0),                // buckets 1,2 empty -> carry 3.0
+      (2L, 10L, 7.0)                // single-bucket series
+    ).toDF("user_id", "b", "value")
+    val out = Temporal.resampleFill(e, "user_id", col("b"), col("value"),
+        v => sum(v)).orderBy("user_id", "b")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 0L, 3.0), (1L, 1L, 3.0), (1L, 2L, 3.0), (1L, 3L, 5.0),
+      (2L, 10L, 7.0)))
+  }
+
+  test("scd2 collapses runs into [eff_from, eff_to) with an open tail") {
+    val e = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "a"), (1L, 30L, 102L, "b"),
+      (1L, 40L, 103L, "a"),
+      (2L, 10L, 200L, "x")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.scd2(e, "user_id", col("ts"), col("event_id"), col("event_type"))
+      .select("user_id", "run", "attr", "eff_from", "eff_to", "n_rows")
+      .orderBy("user_id", "run")
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, "a", 10L, Some(30L), 2L),
+      (1L, 2L, "b", 30L, Some(40L), 1L),
+      (1L, 3L, "a", 40L, None, 1L),
+      (2L, 1L, "x", 10L, None, 1L)))
+  }
+
+  test("scd2 ties on ts break by the tie column, not arbitrarily") {
+    val e = Seq( // same ts, event_id decides order: a(1), b(2)
+      (1L, 10L, 2L, "b"), (1L, 10L, 1L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.scd2(e, "user_id", col("ts"), col("event_id"), col("event_type"))
+      .orderBy("run").select("attr").as[String].collect()
+    assert(out.toSeq === Seq("a", "b"))
+  }
+
+  test("funnel: first stepB strictly after first stepA, per key") {
+    val e = Seq(
+      (1L, 10L, "signup"), (1L, 5L, "purchase"),  // purchase BEFORE signup: no conversion
+      (1L, 30L, "purchase"), (1L, 40L, "purchase"), // first after = 30
+      (2L, 10L, "signup"),                          // never converts
+      (3L, 10L, "purchase")                         // no signup: not in funnel
+    ).toDF("user_id", "ts", "event_type")
+    val out = Temporal.funnel(e, "user_id", col("ts"), col("event_type"),
+        "signup", "purchase")
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(out.toSeq === Seq((1L, 10L, Some(30L)), (2L, 10L, None)))
+  }
+
+  test("overlapSelfBucketed equals the naive non-equi self-join on the fixture") {
+    val base = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("sd"))
+    val len = 7
+    val bucketed = RangeJoin.overlapSelfBucketed(base, "o_orderkey", "sd", len, bucket = 7)
+      .select(col("a_o_orderkey").as("ka"), col("b_o_orderkey").as("kb"))
+    val a = base.select(col("o_orderkey").as("ka"), col("sd").as("sa"))
+    val b = base.select(col("o_orderkey").as("kb"), col("sd").as("sb"))
+    val naive = a.join(b, col("ka") < col("kb") &&
+      col("sa") < col("sb") + len && col("sb") < col("sa") + len)
+      .select("ka", "kb")
+    assert(bucketed.count() === naive.count()) // no duplicate pairs
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
+  }
+
+  test("overlapSelfBucketed: interval length not a multiple of the bucket") {
+    val iv = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 25L)).toDF("id", "s")
+    // len=11: [0,11) x [9,20) overlap; [9,20) x [10,21) overlap; 25 alone
+    val got = RangeJoin.overlapSelfBucketed(iv, "id", "s", len = 11, bucket = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("semiWithBloom is bit-identical to the plain semi-join") {
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val withBloom = BloomJoin.semiWithBloom(orders, "o_custkey", dim, "c_custkey", 1000L)
+    val plain = orders.join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+    assert(withBloom.exceptAll(plain).isEmpty && plain.exceptAll(withBloom).isEmpty)
+  }
+
+  test("quantizeInt8: codes bounded by ±127 and dequantize error ≤ scale/2") {
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .withColumn("scl", VectorOps.int8Scale(col("embedding")))
+      .withColumn("qv", VectorOps.quantizeInt8(col("embedding"), col("scl")))
+    val bad = df.select(
+      aggregate(col("qv"), lit(0), (acc, x) =>
+        acc + when(abs(x) > 127, 1).otherwise(0)).as("oob"),
+      aggregate(zip_with(col("embedding"), col("qv"),
+          (e, q) => abs(e.cast("double") - q * col("scl"))),
+        lit(0.0), (acc, d) => greatest(acc, d)).as("maxerr"),
+      (col("scl") / 2 + lit(1e-12)).as("halfscale"))
+      .filter(col("oob") > 0 || col("maxerr") > col("halfscale"))
+    assert(bad.isEmpty, "quantization out of bounds or error above scale/2")
+  }
+
+  test("registered analytics queries return rows at sf0.001") {
+    for ((name, q) <- QueriesAnalytics.all) {
+      val n = q(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

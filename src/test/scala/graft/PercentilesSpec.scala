@@ -40,6 +40,27 @@ class PercentilesSpec extends SparkTestBase {
     assert(got == truth)
   }
 
+  test("exactContinuous is bit-identical to Spark's buffering percentile") {
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag").as("k"),
+      col("l_quantity").as("v"))
+    val got = Percentiles.exactContinuous(li, "v", Seq("k"),
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val want = li.groupBy("k")
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> {
+        val q = r.getSeq[Double](1); (q(0), q(1), q(2), q(3)) }).toMap
+    assert(got == want)
+  }
+
+  test("exactContinuous interpolates between adjacent values") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
+    // pos = .5*(4-1) = 1.5 -> between sorted[1]=2 and sorted[2]=3 -> 2.5
+    val out = Percentiles.exactContinuous(df, "v", Seq("k"), Seq("p50" -> 0.5)).head()
+    assert(out.getDouble(1) == 2.5)
+  }
+
   test("exactDiscrete handles multiple groups and ungrouped (global) form") {
     val df = Seq(("a", 1.0), ("a", 9.0), ("b", 5.0)).toDF("k", "v")
     val grouped = Percentiles.exactDiscrete(df, "v", Seq("k"), Seq("p50" -> 0.5))

@@ -117,4 +117,34 @@ class PlanAuditSpec extends SparkTestBase {
     val agg = p.indexOf("HashAggregate")
     assert(win >= 0 && agg >= 0 && win < agg, p)
   }
+
+  test("sample_reservoir plans TakeOrderedAndProject (per-partition k-heaps)") {
+    val p = plan("sample_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p) // never a full global sort
+  }
+
+  test("join_interval_bucketed never plans a nested-loop or cartesian join") {
+    val p = plan("join_interval_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("join_bloom filters the fact BEFORE the exact semi-join") {
+    val p = plan("join_bloom")
+    val join = p.indexOf("LeftSemi")
+    val filt = p.indexOf("UDF") // the bloom mightContain filter
+    assert(join >= 0, p)
+    // tree prints top-down: the filter must sit BELOW the join (fact subtree)
+    assert(filt > join, p)
+  }
+
+  test("ts_resample never shuffles raw event rows — only bucket partials") {
+    val p = plan("ts_resample")
+    // both branches (observed sums, grid span) must partial-aggregate
+    // map-side BEFORE their exchange: the shuffle moves (key, bucket)
+    // partials, never raw events. partial_sum = observed branch;
+    // partial_min/max = span branch.
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_min"), p)
+  }
 }
