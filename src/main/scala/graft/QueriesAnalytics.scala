@@ -213,7 +213,85 @@ object QueriesAnalytics {
       |  CAST(list_max(qv) AS BIGINT) AS q_max
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** dedup_embedding_quant: exact dedup of vectors by their coarse
+    * quantization signature — groupBy on the int8 code ARRAY, min-id
+    * representative per bucket. The vector-side twin of `dedup_exact`:
+    * one hash aggregation whose shuffle moves (codes, id) — 64 bytes of
+    * codes instead of 256 bytes of floats — and near-identical vectors
+    * (differing below half a quantization step) collapse to one row.
+    * Coarse 3-level-per-dim codes (scale = absMax/3) widen the buckets;
+    * the downstream semantic path for anything coarser is `pairsLsh`. */
+  val dedupEmbeddingQuant: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .withColumn("scl", VectorOps.absMax(col("embedding")) / lit(3.0))
+      .withColumn("qv", VectorOps.quantizeInt8(col("embedding"), col("scl")))
+      .groupBy(col("qv"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("n_vecs"))
+      .select(col("rep_id"), col("n_vecs"))
+      .orderBy("rep_id")
+
+  val dedupEmbeddingQuantSql =
+    """WITH a AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 3.0 AS scl
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / scl + 0.5) AS BIGINT)) AS qv
+      |  FROM a)
+      |SELECT min(vec_id) AS rep_id, count(*) AS n_vecs
+      |FROM q GROUP BY qv ORDER BY rep_id""".stripMargin
+
+  /** agg_regression: per-group least-squares fit + correlation — the
+    * moments family closed under partial aggregation (constant-size
+    * buffers, partial+final merge; the same scale shape as avg). Fits
+    * price ~ quantity per return flag. */
+  val aggRegression: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        r4(expr("regr_intercept(l_extendedprice, l_quantity)")).as("intercept"),
+        r4(expr("regr_r2(l_extendedprice, l_quantity)")).as("r2"),
+        r4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_xy"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val aggRegressionSql =
+    """SELECT l_returnflag,
+      |  floor((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS slope,
+      |  floor((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS intercept,
+      |  floor((regr_r2(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS r2,
+      |  floor((corr(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS corr_xy,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** agg_bitmap_distinct: EXACT distinct counts that re-aggregate — the
+    * deterministic middle ground between countDistinct (exact, but a
+    * distinct shuffle per query) and HLL sketches (mergeable, approximate).
+    * Stage 1 compresses each (group, 32k-id bucket) to one bitmap —
+    * partial+final, fixed ≤4 KB buffers; stage 2 ORs bitmaps and sums
+    * bit counts. Persisted per-bucket bitmaps roll up to ANY coarser
+    * grouping later without touching raw data (the same property
+    * sketch_hll_union demonstrates, exactly). Oracle: plain
+    * COUNT(DISTINCT). */
+  val aggBitmapDistinct: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("ndv"))
+      .orderBy("event_type")
+
+  val aggBitmapDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS ndv
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "dedup_embedding_quant" -> dedupEmbeddingQuant,
+    "agg_regression" -> aggRegression,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
@@ -224,6 +302,9 @@ object QueriesAnalytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_embedding_quant" -> dedupEmbeddingQuantSql,
+    "agg_regression" -> aggRegressionSql,
+    "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,

@@ -26,10 +26,10 @@ object QueriesStreaming {
     * partitions keep the same semantics (state is keyed, not
     * partition-placed) at a quarter of the fixed cost. Production
     * streams size this to the key cardinality, not to this harness. */
-  private def withFewPartitions[T](s: SparkSession)(body: => T): T = {
+  private def withFewPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
+    s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -202,7 +202,11 @@ object QueriesStreaming {
     * arrival-order/watermark semantics are not batch-SQL-expressible;
     * StreamingSpec asserts exact pairs on crafted rows and batch-join
     * equivalence on a fixture slice. */
-  val streamJoinLive: Q = (s, dir) => withFewPartitions(s) {
+  // 4 partitions (not 8): a stream-stream join materializes FOUR state
+  // stores per partition per microbatch (left/right rows + watermark
+  // counters), so the fixed store cost is 4× a windowed agg's — halving
+  // partitions halves it with identical keyed-state semantics
+  val streamJoinLive: Q = (s, dir) => withFewPartitions(s, 4) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -62,15 +62,20 @@ object Components {
       val viaJump = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("src"), col("b.label").as("label"))
+      // labels are monotonically non-increasing, so the label sum strictly
+      // decreases until the fixpoint. The sum rides the CHECKPOINT job as
+      // an `observe` metric instead of a second aggregate action — one job
+      // per round, not two (the bench wobble of the CC rows at toy SF is
+      // larger than the saved job, but at scale one fewer action per round
+      // is one fewer full scheduler round-trip). (On graphs where sum(id)
+      // could wrap an Int64, switch back to the join-based changed count.)
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = byNode.unionAll(viaEdge).unionAll(viaJump)
         .groupBy(col("src")).agg(min("label").as("label"))
         .select(col("src").as("node"), col("label"))
+        .observe(obs, sum("label").as("s"))
         .localCheckpoint(true) // eager: cut lineage, one O(1)-deep plan per round
-      // labels are monotonically non-increasing, so the label sum strictly
-      // decreases until the fixpoint — one tiny aggregate per round
-      // replaces a change-detection join. (On graphs where sum(id) could
-      // wrap an Int64, switch back to the join-based changed count.)
-      val curSum = next.agg(sum("label")).head().getLong(0)
+      val curSum = obs.get("s").asInstanceOf[Long]
       labels = next
       round += 1
       if (curSum == prevSum) round = maxIter

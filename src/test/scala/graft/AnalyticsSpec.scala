@@ -114,6 +114,41 @@ class AnalyticsSpec extends SparkTestBase {
     assert(bad.isEmpty, "quantization out of bounds or error above scale/2")
   }
 
+  test("quantization-bucket dedup collapses near-identical vectors") {
+    val v = Array.tabulate(4)(i => (i + 1).toFloat)         // [1,2,3,4]
+    val nearDup = v.clone(); nearDup(0) = 1.01f             // < half a step away
+    val far = v.map(-_)                                     // different bucket
+    val df = Seq((1L, v.toSeq), (2L, nearDup.toSeq), (3L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = df
+      .withColumn("scl", VectorOps.absMax(col("embedding")) / lit(3.0))
+      .withColumn("qv", VectorOps.quantizeInt8(col("embedding"), col("scl")))
+      .groupBy("qv").agg(min("vec_id").as("rep_id"), count(lit(1)).as("n"))
+      .select("rep_id", "n").orderBy("rep_id")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L))) // 1+2 collapse, 3 alone
+  }
+
+  test("bitmap distinct equals countDistinct on the fixture") {
+    val got = QueriesAnalytics.aggBitmapDistinct(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("ndv"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("regression slope/intercept reproduce the closed-form fit") {
+    val df = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0)).toDF("x", "y") // y = 2x+1
+    val r = df.agg(
+      expr("regr_slope(y, x)").as("m"), expr("regr_intercept(y, x)").as("b"),
+      expr("regr_r2(y, x)").as("r2")).head()
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
