@@ -99,4 +99,57 @@ object FileView {
     df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(clusterKey))
       .sortWithinPartitions(clusterKey)
       .write.mode(mode).parquet(root)
+
+  /** Z-ORDER interleave of two non-negative integral key columns — the
+    * multi-dimensional complement of [[sinkClustered]]: a range-clustered
+    * layout prunes on ONE key and leaves the other scattered across every
+    * file; interleaving the keys' bits (Morton order) keeps files compact
+    * in BOTH dimensions, so min-max stats skip on either predicate.
+    * `bits` caps each dimension (values are clamped); 16+16 bits fits one
+    * BIGINT with room to spare. Pure codegen'd bit arithmetic (a chain of
+    * shift/mask ops à la the classic magic-number bit spread) — no UDF. */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 16, "bits per dimension must be 1..16")
+    def spread(c: Column): Column = {
+      // clamp into [0, 2^bits), then spread bits apart (x -> x with zeros
+      // interleaved) via the standard shift-or + mask cascade on BIGINT
+      val clamped = least(greatest(c.cast("long"), lit(0L)), lit((1L << bits) - 1))
+      val s1 = (clamped.bitwiseOR(shiftleft(clamped, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      val s2 = (s1.bitwiseOR(shiftleft(s1, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val s3 = (s2.bitwiseOR(shiftleft(s2, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val s4 = (s3.bitwiseOR(shiftleft(s3, 2))).bitwiseAND(lit(0x3333333333333333L))
+      (s4.bitwiseOR(shiftleft(s4, 1))).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ORDER-CLUSTERED parquet sink: range-partition + sort on the Morton
+    * code of (keyA, keyB), so each file covers a compact rectangle of the
+    * 2-D key space and min-max stats prune on EITHER key's predicate.
+    *
+    * Both keys are min-max-normalized to the full `bits` range before
+    * interleaving — REQUIRED, not cosmetic: with raw values the wider
+    * domain's high bits dominate the sort and the narrow dimension
+    * degenerates to an ordinary single-key cluster. (Engines like Delta
+    * use per-column range ids for the same reason; min-max scaling is the
+    * collect-one-row version.) The min/max pass is one bounded aggregate;
+    * the interleave column is dropped before writing — it's a layout
+    * artifact, not data. FileViewSpec asserts both-dimension skipping. */
+  def sinkZOrdered(df: DataFrame, root: String, keyA: String, keyB: String,
+      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
+    val r = df.agg(min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+      min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    def norm(c: Column, mn: Double, mx: Double): Column = {
+      val span = math.max(mx - mn, 1.0)
+      floor((c.cast("double") - mn) / (span + 1) * (1L << bits)).cast("long")
+    }
+    val z = "__zorder"
+    df.withColumn(z, mortonCode(
+        norm(col(keyA), r.getDouble(0), r.getDouble(1)),
+        norm(col(keyB), r.getDouble(2), r.getDouble(3)), bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode(mode).parquet(root)
+  }
 }

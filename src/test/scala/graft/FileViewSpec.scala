@@ -94,4 +94,37 @@ class FileViewSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters"), plan)
     assert(narrow.count() > 0)
   }
+
+  test("mortonCode interleaves bits; z-ordered sink keeps BOTH key dims compact per file") {
+    // interleave correctness on known bit patterns
+    val m = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("a", "b")
+      .select(FileView.mortonCode(col("a"), col("b"), 3).as("z"))
+      .as[Long].collect().toSeq
+    // spread(3)=0b101? no: spread(0b11)=0b0101=5; spread(5=0b101)=0b010001=17; z=5|17<<1=39
+    assert(m == Seq(0L, 1L, 2L, 39L))
+
+    val dir = Files.createTempDirectory("zorder").toString
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    FileView.sinkZOrdered(o, dir, "o_orderkey", "o_custkey", numFiles = 8)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    // per-file (min,max) spans of EACH key: a narrow predicate on either
+    // dimension must overlap only a strict subset of the files — the
+    // property a single-key range cluster has for one dim only
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("o_orderkey"), max("o_orderkey"), min("o_custkey"), max("o_custkey")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    def overlapping(lo: Long, hi: Long, dim: Char): Int = spans.count { s =>
+      val (mn, mx) = if (dim == 'a') (s._1, s._2) else (s._3, s._4)
+      mn <= hi && lo <= mx
+    }
+    val aMax = spans.map(_._2).max; val bMax = spans.map(_._4).max
+    assert(overlapping(0, aMax / 8, 'a') < files.length,
+      s"orderkey not clustered: $spans")
+    assert(overlapping(0, bMax / 8, 'b') < files.length,
+      s"custkey not clustered: $spans")
+  }
 }

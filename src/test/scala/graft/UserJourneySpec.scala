@@ -82,5 +82,24 @@ class UserJourneySpec extends SparkTestBase {
       .select(explode(graft.functions.TextOps.tokens(col("text"))).as("item"))
       .agg(graft.plans.SpaceSaving.approxTopK(col("item"), 5, 64).as("top"))
     assert(vocab.selectExpr("size(top)").head().getInt(0) > 0)
+
+    // 8. round-4 temporal dashboard over the events stream table: gap-free
+    //    per-user series (resample + fill) and the signup→purchase funnel —
+    //    the time-keyed queries the reference's date_cols re-typing exists for
+    val events = Tables.events(spark, sf)
+    val series = graft.operators.Temporal.resampleFill(events, "user_id",
+      expr("(ts div 1000) div 21600000000"), col("value"), v => sum(v))
+    assert(series.filter(col("v_filled").isNull).count() == 0) // gap-free
+    val funnel = graft.operators.Temporal.funnel(events, "user_id",
+      expr("ts div 1000"), col("event_type"), "signup", "purchase")
+    assert(funnel.count() > 0)
+
+    // 9. embedding-side curation: quantize (4× storage) then dedup by
+    //    quantization signature on the same session
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("scl", graft.functions.VectorOps.int8Scale(col("embedding")))
+      .withColumn("qv", graft.functions.VectorOps.quantizeInt8(col("embedding"), col("scl")))
+    val reps = emb.groupBy("qv").agg(min("vec_id").as("rep_id"))
+    assert(reps.count() <= emb.count() && reps.count() > 0)
   }
 }
