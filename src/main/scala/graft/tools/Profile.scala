@@ -20,7 +20,9 @@ object Profile {
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[profile] $name run$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.3f")
+      val cc = Option(graft.operators.Components.lastRounds.get())
+        .filter(_ > 0).map(r => s" cc_rounds=$r").getOrElse("")
+      println(f"[profile] $name run$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.3f$cc")
     }
     spark.stop()
   }

@@ -226,4 +226,78 @@ class PropertySpec extends SparkTestBase {
       assert(got == want)
     }
   }
+
+  test("property: resampleFill output = one row per key-bucket in each key's span, no NULLs, idempotent sums") {
+    import graft.operators.Temporal
+    val obsGen = for {
+      k <- Gen.chooseNum(1L, 5L); b <- Gen.chooseNum(0L, 20L)
+      v <- Gen.chooseNum(-50, 50).map(_.toDouble)
+    } yield (k, b, v)
+    val rowsGen = Gen.chooseNum(10, 80).flatMap(n => Gen.listOfN(n, obsGen))
+    samples(rowsGen, seed = 31, n = 4).foreach { rows =>
+      val df = rows.toDF("k", "b", "v").repartition(5)
+      val out = Temporal.resampleFill(df, "k", col("b"), col("v"), v => sum(v))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+      val spans = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> (rs.map(_._2).min, rs.map(_._2).max) }
+      val wantRows = spans.map { case (_, (lo, hi)) => hi - lo + 1 }.sum
+      assert(out.length == wantRows, s"grid size mismatch: ${out.length} vs $wantRows")
+      assert(out.forall(_._3 != null), "filled value must never be NULL")
+      // observed buckets carry the exact bucket sum
+      val sums = rows.groupBy(r => (r._1, r._2)).map { case (kb, rs) => kb -> rs.map(_._3).sum }
+      out.foreach { case (k, b, v) =>
+        sums.get((k, b)).foreach(s => assert(math.abs(s - v.asInstanceOf[Double]) < 1e-9)) }
+    }
+  }
+
+  test("property: scd2 run rows partition the input (n_rows sums per key; runs contiguous)") {
+    import graft.operators.Temporal
+    val evGen = for {
+      k <- Gen.chooseNum(1L, 4L); t <- Gen.chooseNum(0L, 1000L)
+      a <- Gen.oneOf("x", "y", "z")
+    } yield (k, t, a)
+    val rowsGen = Gen.chooseNum(15, 60).flatMap(n => Gen.listOfN(n, evGen))
+    samples(rowsGen, seed = 37, n = 4).foreach { rows =>
+      val withId = rows.zipWithIndex.map { case ((k, t, a), i) => (k, t, i.toLong, a) }
+      val df = withId.toDF("k", "ts", "id", "attr").repartition(5)
+      val out = Temporal.scd2(df, "k", col("ts"), col("id"), col("attr"))
+        .select("k", "run", "n_rows", "eff_from", "eff_to")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      val byKey = withId.groupBy(_._1)
+      // row conservation per key
+      byKey.foreach { case (k, rs) =>
+        assert(out.filter(_._1 == k).map(_._3).sum == rs.size) }
+      // runs are numbered 1..maxRun with each eff_to == next run's eff_from
+      out.groupBy(_._1).foreach { case (_, runs) =>
+        val sorted = runs.sortBy(_._2)
+        assert(sorted.map(_._2) sameElements (1L to sorted.length))
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._5.contains(b._4), s"gap between runs: $a -> $b")
+          case _ =>
+        }
+        assert(sorted.last._5.isEmpty, "last run must be open")
+      }
+    }
+  }
+
+  test("property: morton code preserves per-dimension containment at every bucket granularity") {
+    import graft.sources.FileView
+    val vGen = Gen.chooseNum(0L, 255L)
+    val pairGen = for { a <- vGen; b <- vGen } yield (a, b)
+    samples(Gen.listOfN(64, pairGen), seed = 41, n = 3).foreach { pts =>
+      val z = pts.toDF("a", "b")
+        .select(col("a"), col("b"), FileView.mortonCode(col("a"), col("b"), 8).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // two points sharing the top 2k bits of z must share the top k bits
+      // of BOTH dimensions (z-order's locality guarantee, the property the
+      // sink's per-file pruning rests on)
+      for (k <- 1 to 4; pair <- z.combinations(2); p = pair(0); q = pair(1)) {
+        if ((p._3 >> (16 - 2 * k)) == (q._3 >> (16 - 2 * k))) {
+          assert((p._1 >> (8 - k)) == (q._1 >> (8 - k)), s"$p $q k=$k dim a")
+          assert((p._2 >> (8 - k)) == (q._2 >> (8 - k)), s"$p $q k=$k dim b")
+        }
+      }
+    }
+  }
 }
