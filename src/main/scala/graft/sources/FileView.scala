@@ -18,13 +18,45 @@ object FileView {
   /** One row per file: path/size/mtime (the "default view columns") —
     * metadata only, content is never read (`binaryFile` prunes the
     * `content` column when unselected). Annotations, in Bridge, ride as a
-    * JSON sidecar/annotation map; callers join or `from_json` them on. */
+    * JSON sidecar/annotation map; callers join or `from_json` them on,
+    * or use [[scanAnnotated]] for the full `addAnnotationColumns`
+    * semantics. */
   def scan(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
       .select(
         col("path"),
         col("length").as("file_size"),
         col("modificationTime").as("file_modified"))
+
+  /** The reference view's `addAnnotationColumns: true` semantics
+    * (`synapseformation_templates/default.yaml:9`): columns = default
+    * file metadata ∪ EVERY annotation key found on the files. Annotations
+    * arrive as a (path, json) sidecar frame; each distinct key across the
+    * corpus is promoted to a top-level STRING column (missing → NULL),
+    * exactly how an entity view materializes a schema from data. The
+    * promoted columns are the "first draft" the re-typing pass
+    * ([[retype]]) then corrects — the reference's two-step posture
+    * (`copy_from_template.py:164-232`).
+    *
+    * Scale: the key-vocabulary discovery is one aggregation collecting
+    * DISTINCT KEYS only (annotation vocabularies are small by
+    * construction — the reference caps them as typed view columns;
+    * `maxKeys` guards the collect). Parsing is one narrow `from_json`
+    * into a map + one projection; no shuffle of file contents. */
+  def scanAnnotated(spark: SparkSession, glob: String,
+      annotations: DataFrame, maxKeys: Int = 200): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ann = annotations.select(col("path"),
+      from_json(col("json"), MapType(StringType, StringType)).as("__ann"))
+    val keys = ann.select(explode(map_keys(col("__ann"))).as("k"))
+      .distinct().orderBy("k").limit(maxKeys + 1)
+      .collect().map(_.getString(0))
+    require(keys.length <= maxKeys,
+      s"annotation vocabulary exceeds $maxKeys keys — widen maxKeys deliberately")
+    val promoted = keys.toSeq.map(k => element_at(col("__ann"), k).as(k))
+    scan(spark, glob).join(ann, Seq("path"), "left_outer")
+      .select(col("path") +: col("file_size") +: col("file_modified") +: promoted: _*)
+  }
 
   /** The reference's exact re-typing vocabulary
     * (`src/copy_from_template.py:177-190`, verbatim). */

@@ -95,6 +95,30 @@ class FileViewSpec extends SparkTestBase {
     assert(narrow.count() > 0)
   }
 
+  test("scanAnnotated promotes every annotation key to a column (addAnnotationColumns)") {
+    val dir = Files.createTempDirectory("annview").toString
+    Tables.region(spark, sf).write.parquet(s"$dir/files")
+    val paths = FileView.scan(spark, s"$dir/files/*.parquet")
+      .select("path").as[String].collect().sorted
+    // sidecar: first file annotated with two keys, second (if any) with one
+    val ann = paths.zipWithIndex.map { case (p, i) =>
+      if (i == 0) (p, """{"recordId": "r-0", "assessmentId": "a-9"}""")
+      else (p, s"""{"recordId": "r-$i"}""")
+    }.toSeq.toDF("path", "json")
+    val view = FileView.scanAnnotated(spark, s"$dir/files/*.parquet", ann)
+    // columns = default view columns ∪ all annotation keys, sorted
+    assert(view.columns.toSeq ==
+      Seq("path", "file_size", "file_modified", "assessmentId", "recordId"))
+    val first = view.orderBy("path").head()
+    assert(first.getAs[String]("recordId") == "r-0")
+    assert(first.getAs[String]("assessmentId") == "a-9")
+    // the promoted draft flows into the reference's re-typing pass
+    val typed = FileView.retype(view.withColumnRenamed("assessmentId", "participantVersion")
+      .withColumn("participantVersion", lit("7")))
+    assert(typed.schema("participantVersion").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("mortonCode interleaves bits; z-ordered sink keeps BOTH key dims compact per file") {
     // interleave correctness on known bit patterns
     val m = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("a", "b")
