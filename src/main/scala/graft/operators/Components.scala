@@ -99,4 +99,76 @@ object Components {
   def semanticDedup(pairs: DataFrame): DataFrame =
     connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("cluster_id"))
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond" — the
+    * large-star/small-star algorithm): instead of propagating labels
+    * across a FIXED edge list (rounds = graph diameter for min-label
+    * flow), each round REWRITES the edges themselves —
+    *
+    *  - large-star: every node's strictly-larger neighbors are
+    *    re-attached to its minimum neighbor (incl. itself);
+    *  - small-star: every node and its smaller neighbors are re-attached
+    *    to the smallest of them —
+    *
+    * so components contract toward stars centered at their minimum and
+    * the edge list SHRINKS as it flattens. Same output contract as
+    * [[connectedComponents]] (node → min reachable id); equality is
+    * asserted on fixtures and generated graphs (ComponentsSpec).
+    *
+    * Scale shape per round: one groupBy(min) + one join on the current
+    * edge frame + distinct, all partial+final; the frame is
+    * checkpointed eagerly (O(1) plan depth) and only a (count, sum)
+    * fingerprint crosses the driver per round (observe metrics on the
+    * checkpoint job). Preferable to label propagation when components
+    * are DEEP (chains): rounds track O(log n) contraction, not
+    * diameter. On the fixture near-dup graphs (diameter ≈ 7) both run
+    * in the same ~7 rounds at roughly equal cost — measured; kept as
+    * the documented alternative for adversarial-depth graphs rather
+    * than the default. */
+  def connectedComponentsStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val allNodes = edges.select(col("a_id").as("node"))
+      .unionAll(edges.select(col("b_id").as("node"))).distinct()
+      .localCheckpoint(true)
+    var e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var round = 0
+    var prev = (-1L, -1L)
+    while (round < maxIter) {
+      // large-star
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star on the large-star output (edges directed big -> small)
+      val dir = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mS = dir.groupBy("u").agg(min("v").as("m"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_stars_$round")
+      val ss = dir.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        // fingerprint = (count, XOR of xxhash64(u,v)): order-independent
+        // and collision-resistant (and unlike sum, cannot overflow under
+        // ANSI), so "unchanged fingerprint" ⇒ fixpoint
+        .observe(obs, count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(u, v))").as("h"))
+        .localCheckpoint(true)
+      e = ss
+      round += 1
+      lastRounds.set(round)
+      val cur = (obs.get("n").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
+      if (cur == prev) round = maxIter
+      prev = cur
+    }
+    // converged: e is (node -> component min) for every non-root node
+    allNodes.join(e.select(col("u").as("node"), col("v").as("label")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("label"), col("node")).as("cluster_id"))
+  }
 }

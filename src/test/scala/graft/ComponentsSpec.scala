@@ -41,6 +41,45 @@ class ComponentsSpec extends SparkTestBase {
     assert(cc(edges) == want)
   }
 
+  private def ccStars(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponentsStars(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction == label propagation on chain / clique / forest / random graphs") {
+    val chain = (1L to 40L).map(i => (i, i + 1))
+    val clique = (for (i <- 1L to 8L; j <- (i + 1) to 8L) yield (i, j)).toSeq
+    val forest = Seq((1L, 5L), (5L, 9L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 30L))
+    val rnd = new scala.util.Random(17)
+    val random = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    for (g <- Seq(chain, clique, forest, random)) {
+      assert(ccStars(g) == cc(g), s"star/propagation mismatch on ${g.take(5)}...")
+    }
+  }
+
+  test("star contraction rounds beat diameter on a deep chain") {
+    val chain = (1L to 200L).map(i => (i, i + 1))
+    ccStars(chain) // 201-node path: propagation needs ~log2(200)+ rounds with
+    val starRounds = Components.lastRounds.get()
+    cc(chain)
+    val propRounds = Components.lastRounds.get()
+    // star contraction must converge well under the propagation round count
+    // on adversarial depth (this is WHY it's kept as the deep-graph path)
+    assert(starRounds <= propRounds,
+      s"stars took $starRounds rounds vs propagation $propRounds")
+  }
+
+  test("star contraction on the fixture LSH pair graph matches the default CC") {
+    import graft.operators.Similarity
+    val pairs = Similarity.pairsLsh(Tables.embeddings(spark, sf), 0.35)
+      .select("a_id", "b_id")
+    val a = Components.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Components.connectedComponentsStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("semantic dedup keeps one representative per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val clusters = Components.semanticDedup(pairs)
