@@ -13,9 +13,13 @@ import scala.concurrent.ExecutionContext.Implicits.global
 class ConcurrencySpec extends SparkTestBase {
 
   test("a mixed batch of registered queries is result-identical under concurrency") {
-    // spans joins, aggs, windows, dedup, sampling, percentiles, url parse
+    // spans joins, aggs, windows, dedup, sampling, percentiles, url parse,
+    // and the iterative CC loop (its per-round observe metrics are keyed
+    // by (name, dataset id) in ObservationManager, so concurrent runs with
+    // identical metric names must not cross-talk — pinned here)
     val names = Seq("q1_pricing", "join_inner", "win_rank", "dedup_exact",
-      "sample_mixture", "agg_percentile_disc", "fn_url", "agg_multi_distinct")
+      "sample_mixture", "agg_percentile_disc", "fn_url", "agg_multi_distinct",
+      "dedup_semantic")
     def run(name: String): Map[String, String] =
       SparkEntry.queries(name)(spark, sf).collect()
         .map(_.toString).groupBy(identity).map { case (k, v) => k -> v.length.toString }
