@@ -288,8 +288,40 @@ object QueriesAnalytics {
     """SELECT event_type, count(DISTINCT user_id) AS ndv
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** graph_bfs: min hop distances from one part across the bipartite
+    * part↔supplier co-occurrence graph (nodes encoded part→2k,
+    * supplier→2k+1) — the iterative-frontier answer to SQL's
+    * `WITH RECURSIVE`, which Spark lacks. Depth-capped identically on
+    * both engines so cyclic reachability is well-defined. */
+  val graphBfs: Q = (s, dir) => {
+    val ed = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.bfs(sym, seed = 2L, maxDepth = 6).orderBy("node")
+  }
+
+  val graphBfsSql =
+    """WITH RECURSIVE sym AS (
+      |  SELECT src, dst FROM (
+      |    SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |    FROM lineitem) e
+      |  UNION ALL
+      |  SELECT dst, src FROM (
+      |    SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |    FROM lineitem) e2),
+      |walk(node, dist) AS (
+      |  SELECT CAST(2 AS BIGINT) AS node, 0 AS dist
+      |  UNION
+      |  SELECT s.dst AS node, w.dist + 1 AS dist
+      |  FROM walk w JOIN sym s ON s.src = w.node
+      |  WHERE w.dist < 6)
+      |SELECT node, MIN(dist) AS dist FROM walk
+      |GROUP BY node ORDER BY node""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
+    "graph_bfs" -> graphBfs,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
@@ -303,6 +335,7 @@ object QueriesAnalytics {
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuantSql,
+    "graph_bfs" -> graphBfsSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,

@@ -149,6 +149,25 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("bfs: exact distances on a crafted graph with cycle, tie, and unreachable node") {
+    import graft.operators.Graph
+    //  1→2→3→4 (chain), 1→5, 5→4 (shortcut: 4 at dist 2), 4→1 (cycle),
+    //  9→1 (unreachable FROM 1: directed), 7 isolated (never appears)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 4L), (4L, 1L), (9L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.bfs(e, seed = 1L, maxDepth = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 4L -> 2))
+  }
+
+  test("bfs: depth cap truncates the frontier exactly") {
+    import graft.operators.Graph
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.bfs(chain, seed = 1L, maxDepth = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
