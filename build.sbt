@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single stdout JSON line; sbt's default
+// LoggedOutput strategy prefixes forked-run stdout with "[info] ", which
+// broke that parse (BENCH_r01-r03 "parsed": null). StdoutOutput passes
+// the forked process's streams through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

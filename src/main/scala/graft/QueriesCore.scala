@@ -430,21 +430,22 @@ object QueriesCore {
     * partial+final merge), registered rows-only via `agg_approx_distinct`'s
     * precedent. */
   val aggPercentiles: Q = (s, dir) => {
-    // Hybrid by value-domain, the honest 100 TB decision:
-    //  - l_quantity is DISCRETE (≈50 distinct) → counts-based
-    //    Percentiles.exactContinuous: the only full-data pass is a
-    //    partial-aggregated groupBy; memory O(distinct), never O(rows).
-    //  - l_extendedprice is near-UNIQUE → its count distribution IS the
-    //    data, so the counts trick degenerates (measured: a 600 k-row
-    //    3-partition window); the built-in buffering `percentile` wins
-    //    here, and the true at-scale answer for continuous domains is the
-    //    sketch twin (`agg_approx_percentiles`).
+    // Both columns ride the counts-based Percentiles.exactContinuous —
+    // the only full-data pass is a partial-aggregated (group, value)
+    // groupBy, so aggregation-buffer memory is CONSTANT per task:
+    //  - l_quantity is DISCRETE (≈50 distinct): the distribution is tiny.
+    //  - l_extendedprice is near-UNIQUE: the distribution is O(rows), but
+    //    it arrives SPILLED ACROSS THE SHUFFLE as ordinary rows, where the
+    //    built-in buffering `percentile` holds an O(rows-per-group) counts
+    //    map inside ONE aggregation buffer — an executor-OOM candidate at
+    //    100 TB (VERDICT r03). The true at-scale answer for continuous
+    //    domains remains the sketch twin (`agg_approx_percentiles`).
     val li = Tables.lineitem(s, dir)
     val qty = graft.operators.Percentiles.exactContinuous(
       li, "l_quantity", Seq("l_returnflag"),
       Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-    val price = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    val price = graft.operators.Percentiles.exactContinuous(
+      li, "l_extendedprice", Seq("l_returnflag"), Seq("p95" -> 0.95))
     qty.join(price, Seq("l_returnflag"))
       .select(col("l_returnflag"),
         r4(col("p25")).as("p25"), r4(col("p50")).as("p50"),

@@ -44,8 +44,18 @@ object VectorOps {
   def absMax(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
 
-  /** Per-vector symmetric int8 quantization scale (absMax/127). */
-  def int8Scale(a: Column): Column = absMax(a) / lit(127.0)
+  /** Per-vector symmetric int8 quantization scale (absMax/127). The
+    * all-zero vector has absMax 0 — clamped to a tiny positive floor so
+    * [[quantizeInt8]] yields 0/tiny = 0 codes instead of a 0/0 division
+    * (an ANSI-mode error; with ANSI off, NaN codes whose engine-dependent
+    * equality would poison a groupBy). The floor is 1e-300, not
+    * `Double.MinPositiveValue`: the subnormal minimum UNDERFLOWS back to
+    * exactly 0 when divided by 127. Any vector with a representable
+    * non-zero element has absMax ≥ ~1e-45 (float), far above the floor,
+    * so `greatest` returns absMax unchanged and the oracle arithmetic is
+    * bit-identical. */
+  def int8Scale(a: Column): Column =
+    greatest(absMax(a), lit(1e-300)) / lit(127.0)
 
   /** Quantize to int8 codes with the given per-vector scale:
     * `floor(x/scale + 0.5)` — explicit half-up rounding in pure IEEE

@@ -34,9 +34,10 @@ object Components {
   /** (node, cluster_id = min reachable node id) for every node that
     * appears in `edges` (columns `a_id`, `b_id`). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .repartition(col("dst")) // join side below keys on dst
+    val sym = Dist.byKeys(
+      edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))),
+      col("dst")) // join side below keys on dst
       .persist()
     // Init fuses round 0 into the node-set build: label = min(self, all
     // neighbors) — the same groupBy shuffle a distinct() would pay, but
@@ -46,7 +47,7 @@ object Components {
       .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var round = 0
-    var prevSum = Long.MaxValue
+    var prevFp = (-1L, -1L)
     while (round < maxIter) {
       // One round = ONE aggregation over the union of three label sources:
       //   - the node's own label,
@@ -70,25 +71,29 @@ object Components {
       // NOT reduce rounds on the fixture pair graphs: measured 7/8 rounds
       // either way at sf0.1, because the round count is limited by min-label
       // flow across EDGES, not by label-chain length. Kept single-hop.)
-      // labels are monotonically non-increasing, so the label sum strictly
-      // decreases until the fixpoint. The sum rides the CHECKPOINT job as
-      // an `observe` metric instead of a second aggregate action — one job
+      // labels are monotonically non-increasing, so the label multiset
+      // changes every round until the fixpoint. Convergence is detected by
+      // the same order-independent, overflow-proof fingerprint as the
+      // stars variant: (row count, XOR of xxhash64(node, label)) — XOR is
+      // commutative/associative and, unlike sum(label), cannot overflow
+      // under ANSI on huge graphs. It rides the CHECKPOINT job as an
+      // `observe` metric instead of a second aggregate action — one job
       // per round, not two (the bench wobble of the CC rows at toy SF is
       // larger than the saved job, but at scale one fewer action per round
-      // is one fewer full scheduler round-trip). (On graphs where sum(id)
-      // could wrap an Int64, switch back to the join-based changed count.)
+      // is one fewer full scheduler round-trip).
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = byNode.unionAll(viaEdge).unionAll(viaJump)
         .groupBy(col("src")).agg(min("label").as("label"))
         .select(col("src").as("node"), col("label"))
-        .observe(obs, sum("label").as("s"))
+        .observe(obs, count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(node, label))").as("h"))
         .localCheckpoint(true) // eager: cut lineage, one O(1)-deep plan per round
-      val curSum = obs.get("s").asInstanceOf[Long]
+      val cur = (obs.get("n").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
       labels = next
       round += 1
       lastRounds.set(round)
-      if (curSum == prevSum) round = maxIter
-      prevSum = curSum
+      if (cur == prevFp) round = maxIter
+      prevFp = cur
     }
     sym.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))

@@ -80,27 +80,23 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
 
   /** Candidate near-dup pairs from LSH buckets (a_id < b_id, distinct).
-    * Self-join per bucket: bucket sizes are small by construction; a hot
-    * bucket (all-identical spam) is the one skew case — cap with a
-    * document-frequency guard at scale. */
+    * Self-join per bucket: bucket sizes are small by construction; the one
+    * skew case — a hot bucket (all-identical viral spam) — is capped by
+    * [[HotBucket.guardedSelfJoinPairs]]'s frequency guard. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
       numPerm: Int = 64, shingleSize: Int = 3, bands: Int = 16): DataFrame =
     candidatesFromSignatures(minhashSignatures(df, text, id, numPerm, shingleSize), numPerm, bands)
 
   /** Candidate pairs from a precomputed signatures frame — callers doing
     * candidates + verification persist the signatures once and reuse them
-    * (the signature aggregate is the expensive stage). */
-  def candidatesFromSignatures(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
-    // bucket-key distribution before the self-join (see jaccardPairs)
-    val banded = lshBands(sigs, bands, numPerm / bands)
-      .repartition(col("band_id"), col("band_hash"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band_id") === col("b.band_id") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    * (the signature aggregate is the expensive stage). `maxBucket` is the
+    * hot-bucket guard (see [[HotBucket]]): buckets above it contribute
+    * star pairs to their minimum id instead of all pairs. */
+  def candidatesFromSignatures(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16,
+      maxBucket: Int = HotBucket.defaultMaxBucket): DataFrame = {
+    // bucket-key distribution + checkpoint live inside the guard
+    HotBucket.guardedSelfJoinPairs(lshBands(sigs, bands, numPerm / bands),
+      Seq("band_id", "band_hash"), "doc_id", maxBucket)
   }
 
   /** MinHash estimated Jaccard for candidate pairs: fraction of agreeing
@@ -146,11 +142,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // 16 bits each; Hamming<=3 => >=1 chunk equal
     val sh = simhashSketches(df, text, id)
-    val banded = sh.select(col("doc_id"), col("sh"),
-      explode(array((0 until chunks).map(c => struct(lit(c).as("chunk_id"),
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("c"))
-      .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val"))
-      .repartition(col("chunk_id"), col("chunk_val")) // see jaccardPairs
+    val banded = Dist.byKeys(
+      sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until chunks).map(c => struct(lit(c).as("chunk_id"),
+          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("c"))
+        .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val")),
+      col("chunk_id"), col("chunk_val")) // see jaccardPairs
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.chunk_id") === col("b.chunk_id") &&
@@ -183,11 +180,12 @@ object Dedup {
     // parquet is a single row group — a fully narrow pipeline would
     // serialize the join onto one task). This replaces the relational
     // form's three pre-join shuffles (distinct, set sizes, size join). */
-    val posting = df.select(id.as("doc_id"),
-        graft.plans.TextExpressions.shingleHashSet(text, shingleSize).as("__hs"))
-      .select(col("doc_id"), size(col("__hs")).cast("long").as("n_sh"),
-        explode(col("__hs")).as("sh"))
-      .repartition(col("sh"))
+    val posting = Dist.byKeys(
+      df.select(id.as("doc_id"),
+          graft.plans.TextExpressions.shingleHashSet(text, shingleSize).as("__hs"))
+        .select(col("doc_id"), size(col("__hs")).cast("long").as("n_sh"),
+          explode(col("__hs")).as("sh")),
+      col("sh"))
       // eager localCheckpoint, not persist(): same cached-both-sides
       // self-join (LogicalRDD keeps the sh-partitioning), but the blocks
       // are released by the ContextCleaner when this frame goes out of

@@ -28,8 +28,7 @@ object Graph {
     require(maxDepth >= 0)
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+    val e = Dist.byKeys(edges.select(col("src"), col("dst")), col("src")).persist()
     var visited = Seq((seed, 0)).toDF("node", "dist").localCheckpoint(true)
     var frontier = visited
     var depth = 0

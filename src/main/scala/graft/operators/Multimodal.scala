@@ -80,7 +80,105 @@ object Multimodal {
     }
   }
 
-  /** Resized asset: STUB resize (real pipeline: codec scale). The
+  /** Resized asset row: payload + TRUE decoded source dimensions (−1 when
+    * the payload wasn't a decodable image and the stub path ran). */
+  case class ResizedAsset(asset_id: Long, kind: String, bytes: Array[Byte],
+      decoded: Boolean, orig_width: Int, orig_height: Int,
+      meta_width: Int, meta_height: Int)
+
+  /** Deterministic PNG fixture generator: a real, decodable `width`×`height`
+    * RGB PNG whose pixels come from an LCG over `seed` — so the REAL
+    * decode path below can be exercised reproducibly without media
+    * libraries or binary fixtures in the repo. */
+  def renderPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Swap image-kind payloads for real rendered PNGs (dimensions derived
+    * from the asset id, kept small so decode cost stays bounded) — the
+    * fixture step that lets [[resizeImages]] run a true decode over the
+    * driver's documents table. Per-partition batch pass like the rest. */
+  def withRenderedImages(assets: Dataset[Asset]): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.kind != "image") a
+        else {
+          val w = (a.asset_id % 64 + 8).toInt
+          val h = (a.asset_id % 48 + 8).toInt
+          a.copy(bytes = renderPng(w, h, a.asset_id), meta_width = w, meta_height = h)
+        }
+      }
+    }
+  }
+
+  /** REAL image decode + resize via `javax.imageio` (pure JVM — replaces
+    * the round-3 stub scaler for decodable payloads): decode the bytes,
+    * report the TRUE source dimensions, scale into (width, height) with
+    * bilinear interpolation, re-encode as PNG. Non-decodable payloads
+    * (audio/video kinds, junk bytes) fall back to the deterministic stub
+    * so the operator stays total over mixed corpora. Same per-partition
+    * batch shape as [[extractFeatures]] — the codec/graphics pipeline
+    * initializes once per partition, rows stream through it; decode
+    * parallelism is the upstream partition count, untouched by any later
+    * shuffle. */
+  def resizeImages(assets: Dataset[Asset], width: Int, height: Int): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+          catch { case _: Exception => null }
+        if (img == null) {
+          val stub = stubResizeBytes(a, width, height)
+          ResizedAsset(a.asset_id, a.kind, stub, decoded = false, -1, -1, width, height)
+        } else {
+          val out = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedAsset(a.asset_id, a.kind, bos.toByteArray, decoded = true,
+            img.getWidth, img.getHeight, width, height)
+        }
+      }
+    }
+  }
+
+  private def stubResizeBytes(a: Asset, width: Int, height: Int): Array[Byte] = {
+    val h = FakeDecoder.digest(a.bytes) ^ (width.toLong << 32 | height.toLong)
+    val out = new Array[Byte](math.max(1, math.min(a.bytes.length, width * height / 64)))
+    var s = h
+    var i = 0
+    while (i < out.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(i) = (s >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** STUB resize (real pipeline: codec scale) — kept as the cross-check /
+    * non-media path; [[resizeImages]] is the real-decode form. The
     * deterministic fake derives the resized payload from (bytes, w, h) so
     * tests are reproducible; metadata is updated for real. Runs in the
     * same per-partition batch pass as feature extraction. */
@@ -88,18 +186,8 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // real pipeline: val scaler = Codec.openScaler(width, height)
-      it.map { a =>
-        val h = FakeDecoder.digest(a.bytes) ^ (width.toLong << 32 | height.toLong)
-        val out = new Array[Byte](math.max(1, math.min(a.bytes.length, width * height / 64)))
-        var s = h
-        var i = 0
-        while (i < out.length) {
-          s = s * 6364136223846793005L + 1442695040888963407L
-          out(i) = (s >>> 56).toByte
-          i += 1
-        }
-        a.copy(bytes = out, meta_width = width, meta_height = height)
-      }
+      it.map(a => a.copy(bytes = stubResizeBytes(a, width, height),
+        meta_width = width, meta_height = height))
     }
   }
 

@@ -25,8 +25,11 @@ object RangeJoin {
 
   /** Pairs (a, b) of `intervals` rows with `a.idCol < b.idCol` whose
     * half-open intervals `[startCol, startCol+len)` overlap, computed as a
-    * bucketed equi-join. `startCol` must be a non-negative integral
-    * day/hour/slot index; `len` and `bucket` are in the same unit.
+    * bucketed equi-join. `startCol` is an integral day/hour/slot index —
+    * negative values are fully supported (`floor(col/bucket)` is true
+    * floor division, so pre-epoch indices land in the right bucket; the
+    * production caller feeds TPC-H dates before its 1995 epoch as
+    * negative days); `len` and `bucket` are in the same unit.
     *
     * Returns the joined frame with every `a.*` column prefixed `a_` and
     * every `b.*` prefixed `b_`. Shuffle: both replicated sides hash on
@@ -72,8 +75,19 @@ object BloomJoin {
   def semiWithBloom(left: DataFrame, leftKey: String,
       keys: DataFrame, keyRight: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
     val bf = keys.stat.bloomFilter(keyRight, expectedItems, fpp)
-    val might = udf((k: Long) => bf.mightContain(k))
+    // membership probe dispatched on the key's type — `stat.bloomFilter`
+    // itself accepts integral and string columns, so the probe must too
+    // (a Long-only UDF on a string key would die in an ANSI cast far from
+    // this call site)
+    val might = keys.schema(keyRight).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: Long) => bf.mightContainLong(k))
+      case StringType => udf((k: String) => bf.mightContainString(k))
+      case t => throw new IllegalArgumentException(
+        s"semiWithBloom supports integral and string keys, got $t for $keyRight")
+    }
     left.filter(col(leftKey).isNotNull && might(col(leftKey)))
       .join(keys, col(leftKey) === keys(keyRight), "left_semi")
   }

@@ -46,8 +46,9 @@ object Similarity {
       VectorOps.norm(col(vecCol)).as("nrm"))
     // the broadcast-NL join's parallelism is its stream side's partition
     // count — distribute it explicitly so a single-split input does not
-    // serialize the O(n²) compare onto one task
-    val a = withNorm.repartition(col("id")).as("a")
+    // serialize the O(n²) compare onto one task (explicit count: a bare
+    // repartition is an AQE coalesce target, Dist.byKeys)
+    val a = Dist.byKeys(withNorm, col("id")).as("a")
     val b = withNorm.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
@@ -264,8 +265,9 @@ object Similarity {
     * re-joins the corpus by id rather than carrying vectors through the
     * band shuffle (ids are 8 bytes; embeddings are dim·4). */
   def pairsLsh(corpus: DataFrame, tau: Double, bands: Int = 16, bitsPerBand: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42): DataFrame = {
-    val cands = lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed)
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42,
+      maxBucket: Int = HotBucket.defaultMaxBucket): DataFrame = {
+    val cands = lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed, maxBucket)
     val withNorm = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorOps.norm(col(vecCol)).as("nrm"))
     cands
@@ -276,29 +278,26 @@ object Similarity {
       .filter(col("cosine") >= tau)
   }
 
-  /** Distinct candidate pairs from banded SRP buckets (a_id < b_id). */
+  /** Distinct candidate pairs from banded SRP buckets (a_id < b_id).
+    * Hot buckets (over `maxBucket` members — e.g. one embedding duplicated
+    * virally) contribute star pairs to their minimum id instead of all
+    * pairs ([[HotBucket.guardedSelfJoinPairs]]), capping the one skew case
+    * of the banded plan. */
   private def lshCandidates(corpus: DataFrame, bands: Int, bitsPerBand: Int,
-      idCol: String, vecCol: String, seed: Int): DataFrame = {
+      idCol: String, vecCol: String, seed: Int,
+      maxBucket: Int = HotBucket.defaultMaxBucket): DataFrame = {
     require(bands * bitsPerBand <= 64, "sketch must fit one BIGINT")
     val sk = corpus.select(col(idCol).as("id"),
       srpBucket(col(vecCol), bands * bitsPerBand, seed).as("__sk"))
     val mask = (1L << bitsPerBand) - 1
-    // distributed on the join key before the persist: the self-join then
-    // runs exchange-free over the cached partitioning, with parallelism
-    // independent of the input's split count (see Dedup.jaccardPairs)
+    // distribution + checkpoint of the banded frame live inside the
+    // guard (one explicit bucket-key shuffle, one window, one cache —
+    // every downstream branch reads it exchange-free)
     val banded = sk.select(col("id"),
         explode(array((0 until bands).map(bd => struct(lit(bd).as("band_id"),
           shiftright(col("__sk"), bd * bitsPerBand).bitwiseAND(lit(mask)).as("band_bits"))): _*)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_bits"))
-      .repartition(col("band_id"), col("band_bits"))
-      // eager localCheckpoint (not persist): partitioning survives via
-      // LogicalRDD and the blocks are GC-reclaimed, not session-leaked
-      .localCheckpoint(true)
-    banded.as("a")
-      .join(banded.as("b"), col("a.band_id") === col("b.band_id") &&
-        col("a.band_bits") === col("b.band_bits") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    HotBucket.guardedSelfJoinPairs(banded, Seq("band_id", "band_bits"), "id", maxBucket)
   }
 
   /** k-NN graph: the top-`k` cosine neighbors of EVERY corpus vector —
@@ -313,7 +312,10 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int, bands: Int = 16, bitsPerBand: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // checkpoint: the symmetrize below reads the candidate frame TWICE —
+    // without it the band self-join + distinct execute twice
     val cands = lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed)
+      .localCheckpoint(true)
     // symmetrize: every candidate pair is a neighbor CANDIDATE for both ends
     val sym = cands.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(cands.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -331,10 +333,12 @@ object Similarity {
   }
 
   /** Candidate-set size for a banding configuration — the observable the
-    * pruning claim is tested on (TextKernelsSpec). */
+    * pruning claim (and the hot-bucket cap) is tested on (TextKernelsSpec,
+    * HotBucketSpec). */
   def pairsLshCandidateCount(corpus: DataFrame, bands: Int, bitsPerBand: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42): Long =
-    lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed).count()
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Int = 42,
+      maxBucket: Int = HotBucket.defaultMaxBucket): Long =
+    lshCandidates(corpus, bands, bitsPerBand, idCol, vecCol, seed, maxBucket).count()
 
   /** ANN top-k via SRP bucketing: restrict the exact rescore to the
     * query's bucket (plus optionally nearby buckets at higher recall

@@ -53,6 +53,12 @@ object FileView {
       .collect().map(_.getString(0))
     require(keys.length <= maxKeys,
       s"annotation vocabulary exceeds $maxKeys keys — widen maxKeys deliberately")
+    // fail fast on keys that would shadow the default view columns — a
+    // promoted "path" column would make col("path") ambiguous downstream
+    val reserved = keys.filter(Set("path", "file_size", "file_modified"))
+    require(reserved.isEmpty,
+      s"annotation keys collide with default view columns: ${reserved.mkString(", ")}" +
+        " — rename or prefix them in the sidecar")
     val promoted = keys.toSeq.map(k => element_at(col("__ann"), k).as(k))
     scan(spark, glob).join(ann, Seq("path"), "left_outer")
       .select(col("path") +: col("file_size") +: col("file_modified") +: promoted: _*)
@@ -105,6 +111,39 @@ object FileView {
     else df
       .withColumn("violations", array_compact(array(checks.toSeq: _*)))
       .filter(size(col("violations")) > 0)
+  }
+
+  /** Read ONE logical dataset ACROSS a schema change — the engine's
+    * answer to the reference's one true DDL moment, the atomic ordered
+    * column-change transaction (`TableSchemaChangeRequest` +
+    * `orderedColumnIds`, `copy_from_template.py:219-232`): a study's
+    * parquet gets written for months, then a column is ADDED and another
+    * RETYPED, and new files coexist with old ones forever after.
+    *
+    * `target` plays the role of `orderedColumnIds`: its field ORDER is
+    * the output column order, its types are the post-change contract.
+    * Each directory is read with its own embedded schema, then projected
+    * onto the target — columns missing in older files are filled with
+    * typed NULLs, present columns are cast (`try_cast` semantics are the
+    * caller's choice via [[retype]]; here the files were engine-written,
+    * so a plain cast is the honest contract). One narrow projection per
+    * directory + a by-position union of identically-shaped frames — no
+    * shuffle, and partition pruning/pushdown still reach each scan.
+    *
+    * (`spark.read.schema(target)` alone null-fills missing columns but
+    * rejects files whose physical type differs from the target; the
+    * per-directory cast handles the retype half of the transaction.) */
+  def readEvolved(spark: SparkSession, target: StructType, dirs: String*): DataFrame = {
+    require(dirs.nonEmpty, "need at least one directory")
+    dirs.map { d =>
+      val raw = spark.read.parquet(d)
+      val have = raw.schema.fieldNames.toSet
+      val cols = target.fields.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      raw.select(cols.toSeq: _*)
+    }.reduce(_ unionAll _)
   }
 
   /** Partitioned parquet sink mirroring the S3 layout
@@ -171,6 +210,12 @@ object FileView {
       numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
     val r = df.agg(min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
+    // degenerate input (empty frame or an all-NULL key): there is no range
+    // to interleave — write directly instead of NPE-ing on the null min/max
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      df.write.mode(mode).parquet(root)
+      return
+    }
     def norm(c: Column, mn: Double, mx: Double): Column = {
       val span = math.max(mx - mn, 1.0)
       floor((c.cast("double") - mn) / (span + 1) * (1L << bits)).cast("long")

@@ -99,6 +99,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(withBloom.exceptAll(plain).isEmpty && plain.exceptAll(withBloom).isEmpty)
   }
 
+  test("semiWithBloom dispatches on key type: string keys work, others rejected") {
+    val dim = Tables.nation(spark, sf).select("n_name")
+    val facts = Tables.nation(spark, sf).select(col("n_name").as("k"), col("n_nationkey"))
+      .unionAll(Seq(("NOT-A-NATION", 99L)).toDF("k", "n_nationkey"))
+    val withBloom = BloomJoin.semiWithBloom(facts, "k", dim, "n_name", 100L)
+    val plain = facts.join(dim, col("k") === col("n_name"), "left_semi")
+    assert(withBloom.exceptAll(plain).isEmpty && plain.exceptAll(withBloom).isEmpty)
+    // unsupported key types fail fast at the build site (Spark's own
+    // bloomFilter analysis rejects the column before our dispatch would)
+    val e = intercept[Exception] {
+      BloomJoin.semiWithBloom(
+        facts.withColumn("k", col("n_nationkey").cast("double")), "k",
+        dim.withColumn("n_name", lit(1.0)), "n_name", 100L)
+    }
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e.isInstanceOf[IllegalArgumentException], e.toString)
+  }
+
+  test("int8Scale zero-vector guard: all-zero embedding quantizes to zeros, not NaN") {
+    val df = Seq((1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(1f, -2f, 3f, -4f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("scl", VectorOps.int8Scale(col("embedding")))
+      .withColumn("qv", VectorOps.quantizeInt8(col("embedding"), col("scl")))
+    val rows = df.orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Long](3).forall(_ == 0L))
+    // non-zero vectors are untouched by the clamp: scale is still absMax/127
+    assert(math.abs(rows(1).getDouble(2) - 4.0 / 127.0) < 1e-12)
+  }
+
   test("quantizeInt8: codes bounded by ±127 and dequantize error ≤ scale/2") {
     val df = Tables.embeddings(spark, sf).limit(50)
       .withColumn("scl", VectorOps.int8Scale(col("embedding")))

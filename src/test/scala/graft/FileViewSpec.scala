@@ -151,4 +151,67 @@ class FileViewSpec extends SparkTestBase {
     assert(overlapping(0, bMax / 8, 'b') < files.length,
       s"custkey not clustered: $spans")
   }
+
+  test("scanAnnotated rejects annotation keys that shadow default view columns") {
+    val dir = Files.createTempDirectory("anncollide").toString
+    Tables.region(spark, sf).write.parquet(s"$dir/files")
+    val paths = FileView.scan(spark, s"$dir/files/*.parquet")
+      .select("path").as[String].collect().sorted
+    val ann = Seq((paths.head, """{"path": "shadow", "recordId": "r-0"}"""))
+      .toDF("path", "json")
+    val e = intercept[IllegalArgumentException] {
+      FileView.scanAnnotated(spark, s"$dir/files/*.parquet", ann)
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
+  test("sinkZOrdered degenerate inputs: empty frame and all-NULL key write cleanly") {
+    val dirEmpty = Files.createTempDirectory("zempty").toString + "/out"
+    val schema = "a LONG, b LONG"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL(schema))
+    FileView.sinkZOrdered(empty, dirEmpty, "a", "b", numFiles = 4)
+    assert(spark.read.parquet(dirEmpty).count() == 0)
+
+    val dirNull = Files.createTempDirectory("znull").toString + "/out"
+    val nulls = Seq((Some(1L), Option.empty[Long]), (Some(2L), Option.empty[Long]))
+      .toDF("a", "b")
+    FileView.sinkZOrdered(nulls, dirNull, "a", "b", numFiles = 4)
+    assert(spark.read.parquet(dirNull).count() == 2)
+  }
+
+  test("schema evolution: read one dataset across an add + retype change") {
+    // the reference's TableSchemaChangeRequest moment
+    // (copy_from_template.py:219-232) replayed on a lake layout: v1 files
+    // predate the change, v2 files follow it; readEvolved presents ONE
+    // table under the post-change contract.
+    val root = Files.createTempDirectory("evolve").toString
+    // v1: participantVersion still a STRING, no startedOn column yet
+    Seq(("r1", "7"), ("r2", "12"))
+      .toDF("recordId", "participantVersion")
+      .write.parquet(s"$root/v1")
+    // v2: participantVersion retyped INT, startedOn ADDED
+    Seq(("r3", 3, java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+      .toDF("recordId", "participantVersion", "startedOn")
+      .write.parquet(s"$root/v2")
+    val target = StructType(Seq(
+      StructField("recordId", StringType),
+      StructField("participantVersion", IntegerType),
+      StructField("startedOn", TimestampType)))
+    val out = FileView.readEvolved(spark, target, s"$root/v1", s"$root/v2")
+      .orderBy("recordId")
+    // ordered column contract (the orderedColumnIds analogue)
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      target.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rows = out.collect()
+    assert(rows.length == 3)
+    // v1 rows: retyped value, null-filled added column
+    assert(rows(0).getAs[Int]("participantVersion") == 7 &&
+      rows(0).isNullAt(2))
+    assert(rows(1).getAs[Int]("participantVersion") == 12)
+    // v2 rows intact
+    assert(rows(2).getAs[Int]("participantVersion") == 3 &&
+      rows(2).getAs[java.sql.Timestamp]("startedOn") != null)
+  }
 }

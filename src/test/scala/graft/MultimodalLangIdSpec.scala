@@ -31,6 +31,31 @@ class MultimodalLangIdSpec extends SparkTestBase {
     assert(r1.forall(_.bytes.length <= 64 * 48 / 64))
   }
 
+  test("real imageio decode: rendered PNG round-trips true dimensions through resize") {
+    // a real PNG decodes to its true size
+    val png = Multimodal.renderPng(10, 7, seed = 99L)
+    val direct = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(direct.getWidth == 10 && direct.getHeight == 7)
+    // distributed path: image kinds get real PNGs, decode reports TRUE
+    // source dims, output re-decodes at the target dims
+    val assets = Multimodal.withRenderedImages(
+      Multimodal.assetsFromDocuments(Tables.documents(spark, sf)))
+    val resized = Multimodal.resizeImages(assets, 4, 3).collect().sortBy(_.asset_id)
+    val images = resized.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      assert(r.decoded, s"asset ${r.asset_id} should have decoded")
+      assert(r.orig_width == (r.asset_id % 64 + 8).toInt &&
+        r.orig_height == (r.asset_id % 48 + 8).toInt,
+        s"asset ${r.asset_id}: wrong decoded dims ${r.orig_width}x${r.orig_height}")
+      val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      assert(out.getWidth == 4 && out.getHeight == 3)
+    }
+    // non-image payloads (text bytes) fall back to the stub, flagged as such
+    val others = resized.filter(_.kind != "image")
+    assert(others.nonEmpty && others.forall(r => !r.decoded && r.orig_width == -1))
+  }
+
   test("frame sampling expands video assets by stride") {
     val df = Seq((1L, 10), (2L, 3)).toDF("asset_id", "n_frames")
     val out = Multimodal.sampleFrameIndices(df, "n_frames", stride = 2, maxFrames = 100)
