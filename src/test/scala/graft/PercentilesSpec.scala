@@ -61,6 +61,41 @@ class PercentilesSpec extends SparkTestBase {
     assert(out.getDouble(1) == 2.5)
   }
 
+  test("exactContinuousSorted and exactContinuousMulti agree with exactContinuous") {
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag").as("k"),
+      col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+    val probsQ = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+    val base = Percentiles.exactContinuous(li, "p", Seq("k"), Seq("p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sorted = Percentiles.exactContinuousSorted(li, "p", Seq("k"), Seq("p95" -> 0.95))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sorted == base) // bit-identical picks under ties
+    val baseQ = Percentiles.exactContinuous(li, "q", Seq("k"), probsQ)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // multi: both columns fused; bucket width must not affect results
+    for (widths <- Seq((1.0, 2000.0), (7.0, 123.0))) {
+      val multi = Percentiles.exactContinuousMulti(li, Seq("k"),
+        Seq(("q", widths._1, probsQ), ("p", widths._2, Seq("p95" -> 0.95))))
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getDouble(4))).toMap
+      assert(multi.view.mapValues(_._1).toMap == baseQ, s"qty mismatch at $widths")
+      assert(multi.view.mapValues(_._2).toMap == base, s"price mismatch at $widths")
+    }
+  }
+
+  test("exactContinuousMulti handles negative values and tied runs across buckets") {
+    val df = (Seq.fill(40)(-3.0) ++ Seq.fill(40)(2.0) ++ Seq(-10.0, 11.0))
+      .map(("g", _)).toDF("k", "v")
+    val base = Percentiles.exactContinuous(df, "v", Seq("k"),
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    val multi = Percentiles.exactContinuousMulti(df, Seq("k"),
+      Seq(("v", 2.5, Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    assert(multi == base)
+  }
+
   test("exactDiscrete handles multiple groups and ungrouped (global) form") {
     val df = Seq(("a", 1.0), ("a", 9.0), ("b", 5.0)).toDF("k", "v")
     val grouped = Percentiles.exactDiscrete(df, "v", Seq("k"), Seq("p50" -> 0.5))
