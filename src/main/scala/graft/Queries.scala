@@ -48,16 +48,36 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** sql_dashboard: the reference's THIRD entry point — wiki dashboards
+    * whose graphs run SQL against the provisioned view (SURVEY §3.3,
+    * `copy_from_template.py:14-16, 343-356`) — as a SQL STRING through
+    * [[SqlFrontEnd]]. The SAME text is the DuckDB oracle: zero
+    * translation between engines is the point of the packaging (the
+    * dialect-portable determinism rules of §7.4 — explicit casts,
+    * half-up `floor` rounding, total ORDER BY — make that possible). */
+  val sqlDashboardText: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY yr, o_orderpriority""".stripMargin
+
+  def sqlDashboard(spark: SparkSession, dir: String): DataFrame =
+    SqlFrontEnd.run(spark, dir, sqlDashboardText)
+
   /** Registry: name -> (spark, sfDir) => DataFrame. */
   val all: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.all ++ QueriesLLM.all ++ QueriesStreaming.all ++
       QueriesAnalytics.all ++ Map(
-      "q1_pricing" -> (q1Pricing _)
+      "q1_pricing" -> (q1Pricing _),
+      "sql_dashboard" -> (sqlDashboard _)
     )
 
   /** Registry: name -> DuckDB oracle SQL (subset of `all`'s keys). */
   val oracles: Map[String, String] =
     QueriesCore.oracles ++ QueriesLLM.oracles ++ QueriesAnalytics.oracles ++ Map(
-      "q1_pricing" -> q1PricingSql
+      "q1_pricing" -> q1PricingSql,
+      "sql_dashboard" -> sqlDashboardText
     )
 }

@@ -135,29 +135,46 @@ object Components {
     val allNodes = edges.select(col("a_id").as("node"))
       .unionAll(edges.select(col("b_id").as("node"))).distinct()
       .localCheckpoint(true)
-    var e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    var round = 0
-    var prev = (-1L, -1L)
-    while (round < maxIter) {
+    // one large-star + small-star contraction, lazily composed
+    def contract(e0: DataFrame): DataFrame = {
       // large-star
-      val sym = e.select(col("u"), col("v"))
-        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = e0.select(col("u"), col("v"))
+        .unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       val mL = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val ls = sym.filter(col("v") > col("u"))
         .join(mL, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-      // small-star on the large-star output (edges directed big -> small)
+      // small-star on the large-star output (edges directed big -> small).
+      // The directed frame is read TWICE (its min-aggregate and the
+      // join), so it is materialized once — without this the whole
+      // large-star subtree re-executes per reference (the same
+      // multi-reference rule the propagation variant's per-round label
+      // checkpoint follows)
       val dir = ls.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+        .localCheckpoint(true)
       val mS = dir.groupBy("u").agg(min("v").as("m"))
-      val obs = new org.apache.spark.sql.Observation(s"cc_stars_$round")
-      val ss = dir.join(mS, "u")
+      dir.join(mS, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
+    }
+    var e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var round = 0
+    var prev = (-1L, -1L)
+    while (round < maxIter) {
+      // ONE contraction per checkpointed action. (Pairing two
+      // contractions between checkpoints was tried and is a measured
+      // 3× REGRESSION: a contraction references its input ~4 times —
+      // sym union, groupBy, join — so without a materialization between
+      // them the first contraction re-executes per reference and the
+      // recompute fans out multiplicatively. The checkpoint is what
+      // makes each round O(1) work.)
+      val obs = new org.apache.spark.sql.Observation(s"cc_stars_$round")
+      val ss = contract(e)
         // fingerprint = (count, XOR of xxhash64(u,v)): order-independent
         // and collision-resistant (and unlike sum, cannot overflow under
         // ANSI), so "unchanged fingerprint" ⇒ fixpoint
