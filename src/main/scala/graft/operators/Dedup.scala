@@ -175,11 +175,16 @@ object Dedup {
     // array length, so no size joins are needed after the posting join.
     // One explicit shuffle ON THE JOIN KEY (the inverted-index
     // distribution): both self-join sides read the same cached,
-    // sh-partitioned frame, so the join needs no further exchange and its
-    // parallelism is independent of the input's split count (the fixture
-    // parquet is a single row group — a fully narrow pipeline would
-    // serialize the join onto one task). This replaces the relational
-    // form's three pre-join shuffles (distinct, set sizes, size join). */
+    // sh-partitioned frame, so join parallelism is independent of the
+    // input's split count (the fixture parquet is a single row group — a
+    // fully narrow pipeline would serialize the join onto one task).
+    // Caveat learned in r04: the checkpoint's LogicalRDD loses its
+    // partitioning DECLARATION under self-join attribute dedup, so a
+    // sort-merge regime re-exchanges the cached blocks (one extra
+    // exchange of ids+hashes, not a recompute); in the broadcast regime
+    // the stream side reads the blocks exchange-free. This still
+    // replaces the relational form's three pre-join shuffles
+    // (distinct, set sizes, size join). */
     val posting = Dist.byKeys(
       df.select(id.as("doc_id"),
           graft.plans.TextExpressions.shingleHashSet(text, shingleSize).as("__hs"))

@@ -147,4 +147,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), p)
     assert(p.contains("partial_min"), p)
   }
+
+  test("agg_percentiles contains no buffering percentile aggregate") {
+    val p = plan("agg_percentiles")
+    // the O(rows-per-group)-buffer built-in must never reappear (VERDICT
+    // r03 #3); the plan is the bucketed two-phase form: a window for
+    // within-bucket ranks + a broadcast join for the bucket bases
+    assert(!p.contains("percentile("), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the Expand of the unpivot is the only row multiplier — no cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql_dashboard: the SQL front-end plan prunes to the three used columns") {
+    val p = plan("sql_dashboard")
+    // SQL text → same Catalyst machinery: scan must read only the
+    // referenced columns (pruning reaches the parquet reader through the
+    // temp view) and aggregate partial+final
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").map(_.takeWhile(_ != ':')).toSet ==
+      Set("o_orderpriority", "o_totalprice", "o_orderdate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dedup_minhash: guarded candidate join stays a bucket equi-join") {
+    val p = plan("dedup_minhash")
+    // the hot-bucket guard must not degrade the bucket self-join into a
+    // nested-loop or cartesian — candidates always meet on bucket keys
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
