@@ -33,6 +33,42 @@ object QueriesStreaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Memory-backed checkpoint dir for the replay harnesses: every
+    * microbatch fsyncs offset/commit logs plus one state-store delta per
+    * partition; on the default java.io.tmpdir that is real disk I/O
+    * paid per batch for bookkeeping no one reads back (the harness
+    * replays from scratch each run). tmpfs when available, /tmp
+    * otherwise; the caller deletes the dir after `stop()`. Production
+    * streams want the DURABLE location — this is a replay-harness
+    * setting, not an engine default. */
+  private def tmpCheckpointDir(): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft-ckpt-")
+    else java.nio.file.Files.createTempDirectory("graft-ckpt-")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  /** start() with a tmpfs checkpoint; pairs with [[stopAndClean]]. */
+  private def startCheckpointed[T](
+      w: org.apache.spark.sql.streaming.DataStreamWriter[T])
+      : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
+    val dir = tmpCheckpointDir()
+    (w.option("checkpointLocation", dir.toString).start(), dir)
+  }
+
+  private def stopAndClean(q: org.apache.spark.sql.streaming.StreamingQuery,
+      dir: java.nio.file.Path): Unit = {
+    try q.stop() finally deleteRecursively(dir)
+  }
+
   /** stream_watermark_late: watermarked tumbling counts over a 2-batch
     * replay — batch 1 is the later 80% of events (advances the watermark
     * to max(ts) − 30 min), batch 2 is the earliest 20% (all beyond the
@@ -63,13 +99,14 @@ object QueriesStreaming {
     val in = MemoryStream[StreamOps.Event]
     val agg = StreamOps.tumblingCounts(in.toDF(), "ts", "1 hour", "30 minutes")
     val sink = "stream_watermark_late_sink"
-    val q = agg.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    val (q, ckpt) = startCheckpointed(
+      agg.writeStream.outputMode("append").format("memory").queryName(sink))
     try {
       in.addData(onTime.toIndexedSeq)  // watermark → max(onTime) − 30 min
       q.processAllAvailable()
       in.addData(early.toIndexedSeq)   // every row is beyond lateness → dropped
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopAndClean(q, ckpt)
     s.table(sink)
       .select(col("win_start"), col("event_type"), col("n_events"),
         graft.functions.Num.r4(col("sum_value")).as("sum_value"))
@@ -93,13 +130,14 @@ object QueriesStreaming {
     val dedup = StreamOps.dedupByIdWithinWatermark(in.toDF(), "ts", "event_id", "1 hour")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
     val sink = "stream_dedup_live_sink"
-    val q = dedup.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    val (q, ckpt) = startCheckpointed(
+      dedup.writeStream.outputMode("complete").format("memory").queryName(sink))
     try {
       in.addData(rows ++ rows)        // in-batch duplicates
       q.processAllAvailable()
       in.addData(rows.take(100))      // cross-batch duplicates, same horizon
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopAndClean(q, ckpt)
     s.table(sink).orderBy("event_type")
   }
 
@@ -120,14 +158,15 @@ object QueriesStreaming {
     val in = MemoryStream[StreamOps.Event]
     val scored = StreamOps.sessionScores(in.toDS(), gapMillis = 30L * 60 * 1000)
     val sink = "stream_stateful_live_sink"
-    val q = scored.toDF().writeStream.outputMode("append").format("memory")
-      .queryName(sink).start()
+    val (q, ckpt) = startCheckpointed(
+      scored.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(sink))
     try {
       in.addData(b1)
       q.processAllAvailable()
       in.addData(b2) // sessions open at the boundary continue from state
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopAndClean(q, ckpt)
     s.table(sink)
       .select(col("user_id"), col("n_events"),
         graft.functions.Num.r4(col("sum_value")).as("sum_value"),
@@ -181,14 +220,15 @@ object QueriesStreaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("sess_start"), col("user_id"), col("n_events"))
     val sink = "stream_session_live_sink"
-    val q = sessions.writeStream.outputMode("append").format("memory")
-      .queryName(sink).start()
+    val (q, ckpt) = startCheckpointed(
+      sessions.writeStream.outputMode("append").format("memory")
+        .queryName(sink))
     try {
       in.addData(b1)
       q.processAllAvailable()
       in.addData(b2) // advances the watermark; closed sessions emit
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopAndClean(q, ckpt)
     s.table(sink).orderBy("user_id", "sess_start")
   }
 
@@ -226,14 +266,15 @@ object QueriesStreaming {
       clicks.toDF().filter(col("event_type") === "click"),
       lateness = "1 hour", horizon = "24 hours")
     val sink = "stream_join_live_sink"
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(sink).start()
+    val (q, ckpt) = startCheckpointed(
+      joined.writeStream.outputMode("append").format("memory")
+        .queryName(sink))
     try {
       views.addData(b1); clicks.addData(b1)
       q.processAllAvailable()
       views.addData(b2); clicks.addData(b2) // pairs spanning the batch cut must match from state
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopAndClean(q, ckpt)
     s.table(sink)
       .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
@@ -260,14 +301,15 @@ object QueriesStreaming {
       .groupBy("tier").agg(count(lit(1)).as("n_events"),
         graft.functions.Num.r4(sum("value")).as("sum_value"))
     val sink = "stream_enrich_live_sink"
-    val q = enriched.writeStream.outputMode("complete").format("memory")
-      .queryName(sink).start()
+    val (q, ckpt) = startCheckpointed(
+      enriched.writeStream.outputMode("complete").format("memory")
+        .queryName(sink))
     try {
       in.addData(rows.take(rows.length / 2))
       q.processAllAvailable()
       in.addData(rows.drop(rows.length / 2))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally stopAndClean(q, ckpt)
     s.table(sink).orderBy("tier")
   }
 
