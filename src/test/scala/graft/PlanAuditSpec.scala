@@ -177,4 +177,21 @@ class PlanAuditSpec extends SparkTestBase {
     // nested-loop or cartesian — candidates always meet on bucket keys
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("Dist.byKeys defeats AQE partition coalescing (the r03 sim_knn_graph trap)") {
+    // a bare repartition(cols) is an AQE coalesce target: on a small
+    // frame AQE collapsed it to ONE partition, serializing the banded
+    // LSH self-join onto one task. Dist.byKeys pins the count.
+    import spark.implicits._
+    val tiny = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "k")
+    val pinned = graft.operators.Dist.byKeys(tiny, org.apache.spark.sql.functions.col("k"))
+    assert(pinned.rdd.getNumPartitions ==
+      spark.sessionState.conf.numShufflePartitions,
+      s"pinned repartition coalesced to ${pinned.rdd.getNumPartitions}")
+    // and it plans as REPARTITION_BY_NUM — the AQE-exempt marker. (In the
+    // LSH operators the repartition executes inside an eager checkpoint,
+    // so the marker is visible only in plans that keep the exchange,
+    // e.g. dedup_simhash's un-checkpointed band frame.)
+    assert(plan("dedup_simhash").contains("REPARTITION_BY_NUM"))
+  }
 }
