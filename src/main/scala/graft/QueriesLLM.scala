@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.r4
 
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{Dedup, LangId, Packing, Sampling, Similarity}
+import graft.operators.{Bpe, Dedup, LangId, Packing, Sampling, Similarity}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.11 + driver north
   * star): dedup family, similarity search, text analysis, multimodal
@@ -374,6 +374,34 @@ object QueriesLLM {
     """SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** bpe_merges: train a REAL byte-pair-encoding tokenizer on the corpus
+    * ([[graft.operators.Bpe]], Sennrich et al. 2016) and emit the learned
+    * merge table. Distributed word-frequency aggregation (the only
+    * corpus-scale stage) → bounded top-V collect → deterministic driver
+    * merge loop. Rows-only: iterative argmax-and-retokenize is not
+    * SQL-expressible; BpeSpec pins the merges against the paper's
+    * hand-computed example, determinism, and roundtrip identity. */
+  val bpeMerges: Q = (s, dir) => {
+    val merges = Bpe.train(Tables.documents(s, dir), "text",
+      nMerges = 200, maxWords = 20000)
+    Bpe.mergesFrame(s, merges).orderBy("rank")
+  }
+
+  /** bpe_encode: apply the trained tokenizer corpus-wide — broadcast
+    * rank table, zero-shuffle per-row greedy encode (the shape that
+    * tokenizes 100 TB: train once on bounded word stats, encode as a
+    * narrow map over every shard). Output is per-doc subword count plus
+    * the first 8 tokens as an audit preview. */
+  val bpeEncode: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", nMerges = 200, maxWords = 20000)
+    Bpe.encode(docs, "text", merges, "bpe")
+      .select(col("doc_id"),
+        size(col("bpe")).cast("int").as("n_bpe_tokens"),
+        concat_ws("|", slice(col("bpe"), 1, 8)).as("head_tokens"))
+      .orderBy("doc_id")
+  }
 
   /** text_vocab: corpus vocabulary build — explode tokens, count, keep
     * the top 50 by frequency (the first step of any tokenizer train /
@@ -779,6 +807,8 @@ object QueriesLLM {
     "text_vocab" -> textVocab,
     "text_vocab_approx" -> textVocabApprox,
     "text_token_count" -> textTokenCount,
+    "bpe_merges" -> bpeMerges,
+    "bpe_encode" -> bpeEncode,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
