@@ -1,0 +1,79 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve probe (SCALE.md evidence): run a headline query subset
+  * at ALL THREE fixture scale factors in one JVM and report the time
+  * curve per query. The fixtures span 100× on the relational tables
+  * (lineitem 6 k → 600 k, events 1 k → 100 k) and 10×/4× on
+  * documents/embeddings, so the curve separates fixed cost (scheduler
+  * floor, plan compile — flat across SFs) from data cost (should grow
+  * ≤ linearly with rows). A query whose time grows FASTER than its
+  * input is a scale bug; one whose time barely moves is floor-bound and
+  * will amortize on a cluster.
+  *
+  * Methodology matches Bench: noop-sink write (full rows), one warm run,
+  * then median of three timed runs (the iterative rows wobble ±25%),
+  * cache + GC isolation between runs. Writes `scale_curve.json`.
+  *
+  * Args: optional query names (default: the headline set below).
+  */
+object ScaleProbe {
+  private val headline = Seq(
+    // relational core (lineitem/orders/customer: 100× span)
+    "q1_pricing", "join_inner", "win_rank", "topk", "agg_percentiles",
+    "fn_math", "sort_multi",
+    // events (100× span): temporal + sessionization
+    "ts_resample", "scd2_intervals", "stream_session", "fn_json",
+    // graph/iterative (events-derived edges)
+    "graph_bfs",
+    // documents (10× span at the top step): text + dedup families
+    "dedup_exact", "dedup_minhash", "dedup_jaccard", "text_langid",
+    "pack_chunks", "bpe_encode",
+    // embeddings (4× span): similarity families
+    "sim_topk_cosine", "sim_pairs_lsh", "sim_knn_graph",
+    "dedup_semantic_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val spark = Engine.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
+      cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+      else headline.filter(SparkEntry.queries.contains)
+    def isolate(): Unit = { spark.catalog.clearCache(); System.gc() }
+    // per query per SF: warm once, median of three
+    val rows = for (name <- names) yield {
+      val fn = SparkEntry.queries(name)
+      val perSf = for (dir <- sfDirs) yield {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        try {
+          once(); isolate() // warm: JIT, codegen, footer caches
+          val ts = Seq.fill(3) { val t = once(); isolate(); t }.sorted
+          ts(1) // median
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+          -1.0
+        }
+      }
+      System.err.println(f"[scale] $name%-20s " +
+        perSf.map(t => f"$t%7.3f").mkString(" "))
+      name -> perSf
+    }
+    val json = rows.map { case (n, ts) =>
+      "\"" + n + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_curve.json"),
+      s"""{"sfs":["sf0.001","sf0.01","sf0.1"],"median_of_3_sec":$json}"""
+        .getBytes("UTF-8"))
+    println(s"""{"metric":"scale_curve","queries":${rows.size}}""")
+    spark.stop()
+  }
+}
