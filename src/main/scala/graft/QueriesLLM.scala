@@ -28,6 +28,33 @@ object QueriesLLM {
       |  count(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
 
+  /** dedup_incremental: the production ingestion shape — dedup today's
+    * batch against yesterday's persisted digest state instead of
+    * re-deduping the whole corpus ([[Dedup.incrementalExact]]). The
+    * fixture split is SF-independent: docs with doc_id % 5 < 2 are the
+    * already-ingested state, the rest arrive as the new batch; only
+    * first-seen content survives the anti-join. */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val state = Dedup.exact(docs.filter(col("doc_id") % 5 < 2),
+      col("text"), col("doc_id")).select("text_hash")
+    Dedup.incrementalExact(docs.filter(col("doc_id") % 5 >= 2), state,
+      col("text"), col("doc_id"))
+      .orderBy("text_hash")
+  }
+
+  val dedupIncrementalSql =
+    """WITH state AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS text_hash
+      |  FROM documents WHERE doc_id % 5 < 2),
+      |batch AS (
+      |  SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
+      |    count(*) AS n_batch_dups
+      |  FROM documents WHERE doc_id % 5 >= 2 GROUP BY 1)
+      |SELECT b.text_hash, b.keep_id, b.n_batch_dups FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.text_hash = b.text_hash)
+      |ORDER BY b.text_hash""".stripMargin
+
   /** dedup_jaccard: exact shingle-set Jaccard >= 0.5 via inverted-index
     * join (no O(n²) pair enumeration). */
   val dedupJaccard: Q = (s, dir) =>
@@ -783,6 +810,7 @@ object QueriesLLM {
 
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_url" -> dedupUrl,
     "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,
@@ -827,6 +855,7 @@ object QueriesLLM {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_url" -> dedupUrlSql,
     "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,

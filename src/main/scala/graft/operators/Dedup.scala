@@ -30,6 +30,27 @@ object Dedup {
     df.groupBy(md5(lower(trim(text))).as("text_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the PRODUCTION shape of corpus ingestion:
+    * at 100 TB you never re-dedup the world, you dedup today's batch
+    * against yesterday's state. `stateHashes` is the persisted digest set
+    * from prior runs (one `text_hash` column); the batch is deduped
+    * within itself (min-id per digest, batch dup count carried) and then
+    * anti-joined against the state, so only first-seen content survives.
+    *
+    * Scale: the anti-join shuffles 16-byte digests, never text — the
+    * state side ships (digest) and the batch side ships (digest, id,
+    * count). The batch is typically ≪ state; with the state stored
+    * hash-bucketed ([[graft.sources.Bucketing]]) the state side's
+    * exchange disappears, and a bloom prefilter
+    * ([[RangeJoin.semiWithBloom]]'s complement) can drop most of the
+    * batch before the exact anti-join. New state = old state ∪ the
+    * emitted hashes — same column, appendable without rewrite. */
+  def incrementalExact(batch: DataFrame, stateHashes: DataFrame,
+      text: Column, id: Column): DataFrame =
+    batch.groupBy(md5(lower(trim(text))).as("text_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_batch_dups"))
+      .join(stateHashes.select(col("text_hash")), Seq("text_hash"), "left_anti")
+
   /** MinHash signatures as a DataFrame (doc_id, sig ARRAY<BIGINT>):
     * `numPerm` permutations approximated by salted xxhash64 over
     * `shingleSize`-word shingles (deterministic, no RNG).

@@ -25,6 +25,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(once.count() == twice.count())
   }
 
+  test("incremental dedup: seen content is dropped, batch dups collapse") {
+    val state = docsDf(Seq((1L, "a b c"), (2L, "x y z")))
+    val stateHashes = Dedup.exact(state, col("text"), col("doc_id")).select("text_hash")
+    // 10 re-sends normalized-equal state content; 11/12 are an intra-batch dup pair
+    val batch = docsDf(Seq((10L, " A B C "), (11L, "new stuff"), (12L, "NEW stuff"), (13L, "other")))
+    val out = Dedup.incrementalExact(batch, stateHashes, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
+  test("incremental dedup: state ∪ increment == full-corpus dedup (hash sets)") {
+    val docs = Tables.documents(spark, sf)
+    val stateDocs = docs.filter(col("doc_id") % 5 < 2)
+    val batchDocs = docs.filter(col("doc_id") % 5 >= 2)
+    val stateH = Dedup.exact(stateDocs, col("text"), col("doc_id")).select("text_hash")
+    val incH = Dedup.incrementalExact(batchDocs, stateH, col("text"), col("doc_id"))
+      .select("text_hash")
+    val fullH = Dedup.exact(docs, col("text"), col("doc_id")).select("text_hash")
+    assert(stateH.intersect(incH).count() == 0, "increment must not re-emit state content")
+    assert(stateH.union(incH).distinct().count() == fullH.count(),
+      "state plus increment must cover exactly the full dedup's content")
+  }
+
+  test("incremental dedup with empty state degenerates to exact dedup") {
+    val batch = docsDf(Seq((1L, "a"), (2L, "A "), (3L, "b")))
+    val empty = spark.emptyDataset[String].toDF("text_hash")
+    val inc = Dedup.incrementalExact(batch, empty, col("text"), col("doc_id"))
+    val full = Dedup.exact(batch, col("text"), col("doc_id"))
+      .select("text_hash", "keep_id", "n_dups")
+    assert(inc.select("text_hash", "keep_id", "n_batch_dups").except(full).count() == 0)
+    assert(inc.count() == full.count())
+  }
+
   test("minhash estimate tracks exact jaccard within 0.2 on near-dups") {
     // doc pairs with known high/low overlap
     val base = (1 to 60).map(i => s"w$i").mkString(" ")

@@ -128,6 +128,24 @@ class MultimodalLangIdSpec extends SparkTestBase {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("langid train-once/classify-many: profile persists to parquet and back") {
+    // the SCALE.md "persisted artifact" path: train writes a tiny parquet
+    // model; any later job loads it and classifies with zero training cost
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("langid_model").toString
+    try {
+      LangId.train(docs, col("text"), col("lang")).write
+        .mode("overwrite").parquet(dir)
+      val loaded = spark.read.parquet(dir)
+      val a = LangId.predictCompiled(docs, col("text"), col("doc_id"), loaded)
+      val b = LangId.predictCompiled(docs, col("text"), col("doc_id"),
+        LangId.train(docs, col("text"), col("lang")))
+      assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("broadcast-literal langid scoring == relational form on the fixture") {
     val docs = Tables.documents(spark, sf)
     val a = LangId.selfLabelPredict(docs, col("text"), col("doc_id"), col("lang"))
