@@ -313,12 +313,71 @@ object QueriesStreaming {
     s.table(sink).orderBy("tier")
   }
 
+  /** stream_restart_exactly_once: checkpoint-recovery through a FILE
+    * sink — the restart-safety contract every production ingestion
+    * pipeline leans on. Batch A is processed and the query STOPPED; a
+    * second query starts from the SAME checkpoint + output path, first
+    * drains nothing (committed offsets — a restart must not re-emit A),
+    * then processes batch B. The parquet sink's `_spark_metadata`
+    * transaction log makes the directory an exactly-once view even if a
+    * crash had left stray part-files: readers trust the log, not the
+    * listing. The harness `require`s |out| == |A| + |B| — duplicates or
+    * losses across the restart fail loudly rather than skew the rows.
+    * Rows-only: restart scheduling is not batch-SQL-expressible; the
+    * registered result is the bounded per-type rollup of the recovered
+    * output (verified exactly-once by the require + StreamingSpec). */
+  val streamRestartExactlyOnce: Q = (s, dir) => withFewPartitions(s) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[StreamOps.Event]
+    val ckpt = tmpCheckpointDir()
+    val outDir = tmpCheckpointDir() // same tmpfs policy as the ckpt
+    def start() = in.toDF().writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      val q1 = start()
+      in.addData(a)
+      q1.processAllAvailable()
+      q1.stop() // planned restart; offsets + sink log are committed
+      val q2 = start()
+      q2.processAllAvailable() // recovery drain: MUST re-emit nothing
+      in.addData(b)
+      q2.processAllAvailable()
+      q2.stop()
+      val out = s.read.parquet(outDir.toString) // reads via _spark_metadata
+      val n = out.count()
+      require(n == rows.length,
+        s"exactly-once violated across restart: wrote $n rows, fed ${rows.length}")
+      // bounded driver traffic: one row per event_type (fixture has 5)
+      val agg = out.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Num.r4(sum("value")).as("sum_value"))
+        .orderBy("event_type").collect()
+      s.createDataFrame(java.util.Arrays.asList(agg: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_value",
+            org.apache.spark.sql.types.DoubleType))))
+    } finally { deleteRecursively(ckpt); deleteRecursively(outDir) }
+  }
+
   val all: Map[String, Q] = Map(
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
     "stream_stateful_live" -> streamStatefulLive,
     "stream_session_live" -> streamSessionLive,
     "stream_join_live" -> streamJoinLive,
-    "stream_enrich_live" -> streamEnrichLive
+    "stream_enrich_live" -> streamEnrichLive,
+    "stream_restart_exactly_once" -> streamRestartExactlyOnce
   )
 }

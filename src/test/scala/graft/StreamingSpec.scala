@@ -280,4 +280,47 @@ class StreamingSpec extends SparkTestBase {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("file-sink restart from checkpoint is exactly-once: no re-emit, no loss") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("eo_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("eo_out").toString
+    def start() = in.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      val a = (1 to 50).map(i => Event(i, ts(i), i % 3, "click", 1.0))
+      val b = (51 to 80).map(i => Event(i, ts(i), i % 3, "view", 2.0))
+      val q1 = start()
+      in.addData(a); q1.processAllAvailable(); q1.stop()
+      val afterA = spark.read.parquet(out).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(afterA == a.map(_.event_id.toLong).toSet)
+      val q2 = start()
+      q2.processAllAvailable() // recovery drain: committed offsets, no re-emit
+      val afterRestart = spark.read.parquet(out).count()
+      assert(afterRestart == a.size, s"restart re-emitted rows: $afterRestart")
+      in.addData(b); q2.processAllAvailable(); q2.stop()
+      val all = spark.read.parquet(out).select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(all.size == all.distinct.size, "duplicate event_ids after restart")
+      assert(all.toSet == (a ++ b).map(_.event_id.toLong).toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("stream_restart_exactly_once registered query matches the batch rollup") {
+    val q = QueriesStreaming.all("stream_restart_exactly_once")(spark, sf)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the same 1/16-user slice the harness feeds, rolled up in batch
+    val expect = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(16L)) === lit(0L))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
 }
