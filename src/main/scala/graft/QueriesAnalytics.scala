@@ -200,7 +200,8 @@ object QueriesAnalytics {
   val vecQuantizeInt8Sql =
     """WITH a AS (
       |  SELECT vec_id, embedding,
-      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+      |      1e-300) AS amax
       |  FROM embeddings),
       |q AS (
       |  SELECT vec_id, amax / 127.0 AS scl,

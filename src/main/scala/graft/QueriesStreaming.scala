@@ -48,13 +48,10 @@ object QueriesStreaming {
     else java.nio.file.Files.createTempDirectory("graft-ckpt-")
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    // commons-io closes its directory handles; a hand-rolled Files.walk
+    // leaks the stream's descriptors once per harness run
+    org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
 
   /** start() with a tmpfs checkpoint; pairs with [[stopAndClean]]. */
   private def startCheckpointed[T](
@@ -341,16 +338,19 @@ object QueriesStreaming {
       .option("path", outDir.toString)
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
+    // the active query must be stopped BEFORE the finally deletes the
+    // checkpoint under it (same discipline as stopAndClean)
+    var active: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
-      val q1 = start()
+      val q1 = start(); active = Some(q1)
       in.addData(a)
       q1.processAllAvailable()
-      q1.stop() // planned restart; offsets + sink log are committed
-      val q2 = start()
+      q1.stop(); active = None // planned restart; offsets + sink log committed
+      val q2 = start(); active = Some(q2)
       q2.processAllAvailable() // recovery drain: MUST re-emit nothing
       in.addData(b)
       q2.processAllAvailable()
-      q2.stop()
+      q2.stop(); active = None
       val out = s.read.parquet(outDir.toString) // reads via _spark_metadata
       val n = out.count()
       require(n == rows.length,
@@ -368,7 +368,10 @@ object QueriesStreaming {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("sum_value",
             org.apache.spark.sql.types.DoubleType))))
-    } finally { deleteRecursively(ckpt); deleteRecursively(outDir) }
+    } finally {
+      active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      deleteRecursively(ckpt); deleteRecursively(outDir)
+    }
   }
 
   val all: Map[String, Q] = Map(

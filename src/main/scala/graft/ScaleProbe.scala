@@ -67,8 +67,12 @@ object ScaleProbe {
         perSf.map(t => f"$t%7.3f").mkString(" "))
       name -> perSf
     }
+    // Locale.ROOT: the f-interpolator is locale-dependent and a
+    // comma-decimal default locale would emit invalid JSON
+    def d3(t: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val json = rows.map { case (n, ts) =>
-      "\"" + n + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+      "\"" + n + "\":[" + ts.map(d3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_curve.json"),
       s"""{"sfs":["sf0.001","sf0.01","sf0.1"],"median_of_3_sec":$json}"""

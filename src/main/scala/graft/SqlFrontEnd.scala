@@ -39,12 +39,18 @@ object SqlFrontEnd {
       case "embeddings" => Tables.embeddings(spark, dir)
     }
 
-  /** Bind all tables for `dir` as temp views, then run `sql`. The
-    * rebinding-per-call mirrors the reference's per-study entityMap
-    * substitution: the same query text targets whichever dataset
-    * directory the session is pointed at. */
+  /** Bind all tables for `dir` as temp views, run `sql`, then DROP the
+    * views: the binding is scoped to the call. The per-call rebinding
+    * mirrors the reference's per-study entityMap substitution (the same
+    * query text targets whichever dataset directory is passed); dropping
+    * afterwards keeps bare names like `lineitem` from silently resolving
+    * to a stale directory in later, unrelated `spark.sql` text in the
+    * same session (a wrong-data trap in multi-SF runs). `spark.sql`
+    * analyzes eagerly, so the returned DataFrame stays valid after the
+    * drop. */
   def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
     tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    spark.sql(sql)
+    try spark.sql(sql)
+    finally tableNames.foreach(spark.catalog.dropTempView(_))
   }
 }

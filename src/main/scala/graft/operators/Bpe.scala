@@ -170,6 +170,10 @@ object Bpe {
   /** Narrow per-row encode: broadcast the rank table once, tokenize each
     * document's words independently. Returns (input frame + `tokensCol`
     * array column). Zero shuffle; the broadcast is O(nMerges) strings. */
+  // compiled once per executor (String.split would Pattern.compile the
+  // regex on EVERY row of the corpus-scale encode stage)
+  private val wordSplit = java.util.regex.Pattern.compile("\\s+")
+
   def encode(docs: DataFrame, textCol: String, merges: Seq[Merge],
       tokensCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -177,7 +181,7 @@ object Bpe {
       merges.map(m => ((m.left, m.right), m.rank)).toMap)
     val enc = udf { text: String =>
       if (text == null) Array.empty[String]
-      else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      else wordSplit.split(text.toLowerCase).filter(_.nonEmpty)
         .flatMap(w => encodeWord(w, bc.value))
     }
     docs.withColumn(tokensCol, enc(col(textCol)))

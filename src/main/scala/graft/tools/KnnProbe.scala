@@ -17,7 +17,7 @@ object KnnProbe {
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
     println(s"n=$n")
-    for ((bands, bits) <- Seq((16, 4), (12, 5), (8, 8), (16, 4))) {
+    for ((bands, bits) <- Seq((16, 4), (12, 5), (8, 8))) {
       val cand = Similarity.pairsLshCandidateCount(emb, bands, bits)
       val t0 = System.nanoTime()
       val knn = Similarity.knnGraph(emb, 5, bands, bits)
