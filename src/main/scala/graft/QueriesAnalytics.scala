@@ -104,6 +104,48 @@ object QueriesAnalytics {
       |    AS avg_hours_to_convert
       |FROM a LEFT JOIN b ON a.user_id = b.user_id""".stripMargin
 
+  /** retention_cohorts: classic cohort retention over `events` — cohort =
+    * the DAY of a user's first purchase, retention(k) = the share of that
+    * cohort purchasing again k days later. THE product-analytics staple
+    * next to [[funnelSteps]] (daily grain on the conversion event keeps
+    * the fixture's retention curve non-degenerate: 0.08–1.0 measured).
+    *
+    * Scale shape: the event-type filter pushes to the scan; activity
+    * collapses to distinct (user, day) with map-side partials; the
+    * first-day aggregate is co-keyed on user_id with that frame; and
+    * everything after the user-keyed join is O(cohorts × days) — a few
+    * hundred rows at any corpus size. Days are integer floor-division of
+    * the BIGINT-ns timestamp, so the oracle reproduces buckets exactly
+    * (no calendar functions, no timezone). */
+  val retentionCohorts: Q = (s, dir) => {
+    val dayNs = 86400000000000L // 24 * 3600 * 1e9
+    val uw = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("active_users"), col("cohort_users"),
+        r4(col("active_users") / col("cohort_users")).as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionCohortsSql =
+    """WITH uw AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |            FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM uw GROUP BY user_id),
+      |sizes AS (SELECT cohort_day, count(*) AS cohort_users FROM c GROUP BY cohort_day),
+      |act AS (SELECT c.cohort_day, uw.day - c.cohort_day AS day_offset,
+      |               count(*) AS active_users
+      |        FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_users,
+      |  floor((a.active_users * 1.0 / s.cohort_users) * 10000 + 0.5) / 10000 AS retention
+      |FROM act a JOIN sizes s USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin
+
   /** sample_reservoir: deterministic k-uniform sample as smallest-k by
     * content hash — the distributed equivalent of reservoir sampling
     * (per-partition k-heaps + driver merge of k, via
@@ -328,6 +370,7 @@ object QueriesAnalytics {
     "ts_resample" -> tsResample,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
+    "retention_cohorts" -> retentionCohorts,
     "sample_reservoir" -> sampleReservoir,
     "join_bloom" -> joinBloom,
     "join_interval_bucketed" -> joinIntervalBucketed,
@@ -342,6 +385,7 @@ object QueriesAnalytics {
     "ts_resample" -> tsResampleSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,
+    "retention_cohorts" -> retentionCohortsSql,
     "sample_reservoir" -> sampleReservoirSql,
     "join_bloom" -> joinBloomSql,
     "join_interval_bucketed" -> joinIntervalBucketedSql,

@@ -40,6 +40,40 @@ object QueriesCore {
   val scanJsonSql =
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id"
 
+  /** scan_csv: CSV write→read ROUNDTRIP through a scratch directory — the
+    * interchange format the reference's CSVs-on-a-share world actually
+    * uses. The read side is the part that matters at scale: an EXPLICIT
+    * schema (no inference pass over a million files), header skip, and
+    * the same pruned-scan behavior as parquet. The oracle is the identity
+    * contract: the roundtripped rows must equal the source table —
+    * `nation` keeps the column set integral/string so the text format is
+    * lossless by construction (doubles would round-trip through decimal
+    * strings; that's a different, weaker contract). */
+  val scanCsvRoundtrip: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(dir).getName}/nation_csv"
+    Tables.nation(s, dir).write.mode("overwrite").option("header", true).csv(out)
+    s.read.schema(Tables.nationSchema).option("header", true).csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  val scanCsvRoundtripSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** scan_orc: ORC write→read roundtrip — the second columnar format a
+    * lake ingests from (Hive-era pipelines). Typed columns (LONG/DOUBLE/
+    * STRING) round-trip bit-exactly, so the identity oracle is the full
+    * `customer` table; the read uses the explicit schema like every other
+    * scan (footer inference skipped, pushdown/pruning intact). */
+  val scanOrcRoundtrip: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(dir).getName}/customer_orc"
+    Tables.customer(s, dir).write.mode("overwrite").orc(out)
+    s.read.schema(Tables.customerSchema).orc(out)
+      .orderBy("c_custkey")
+  }
+
+  val scanOrcRoundtripSql =
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey"
+
   /** schema_cast: the reference's re-typing pass as a relational projection
     * (`copy_from_template.py:177-218`): numeric→string, double→int (via
     * floor — CAST semantics differ between engines), ns→sec. */
@@ -1405,6 +1439,8 @@ object QueriesCore {
   val all: Map[String, Q] = Map(
     "scan_parquet" -> scanParquet,
     "scan_json" -> scanJson,
+    "scan_csv" -> scanCsvRoundtrip,
+    "scan_orc" -> scanOrcRoundtrip,
     "schema_cast" -> schemaCast,
     "project_compute" -> projectCompute,
     "filter_pred" -> filterPred,
@@ -1483,6 +1519,8 @@ object QueriesCore {
   val oracles: Map[String, String] = Map(
     "scan_parquet" -> scanParquetSql,
     "scan_json" -> scanJsonSql,
+    "scan_csv" -> scanCsvRoundtripSql,
+    "scan_orc" -> scanOrcRoundtripSql,
     "schema_cast" -> schemaCastSql,
     "project_compute" -> projectComputeSql,
     "filter_pred" -> filterPredSql,

@@ -358,6 +358,86 @@ object QueriesLLM {
       |         / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS quality
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** text_repetition: the Gopher/MassiveText repetition signals (Rae et
+    * al. 2021, §A1.1 — reimplemented from the paper's published rules,
+    * not any code) — per document and per n-gram order (2 and 3):
+    * total n-gram occurrences, the fraction held by the MOST FREQUENT
+    * n-gram, and the fraction held by n-grams occurring more than once.
+    * High values flag boilerplate/spam ("batch batch batch...") that
+    * perplexity filters miss; these are THE standard pre-training
+    * repetition gates.
+    *
+    * Scale shape: one scan, explode to (doc, n, gram) — per-row work
+    * only — then a (doc_id, gram_n, gram) count with map-side partial
+    * aggregation, then a second, much smaller (doc_id, gram_n) rollup.
+    * No joins, no windows; both shuffles shrink the data. At 100 TB the
+    * gram count's key space is per-document so skew is bounded by the
+    * longest document, not corpus hot keys. */
+  val textRepetition: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def grams(n: Int) = docs.select(col("doc_id"), lit(n).as("gram_n"),
+      explode(TextOps.shingles(col("text"), n)).as("gram"))
+    grams(2).unionAll(grams(3))
+      .groupBy("doc_id", "gram_n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "gram_n")
+      .agg(sum("c").as("n_grams"),
+        r4(max("c") / sum("c")).as("top_frac"),
+        r4(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) / sum("c")).as("dup_frac"))
+      .orderBy("doc_id", "gram_n")
+  }
+
+  val textRepetitionSql =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g2 AS (SELECT doc_id, 2 AS gram_n, t, unnest(range(1, len(t))) AS i FROM toks),
+      |g3 AS (SELECT doc_id, 3 AS gram_n, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+      |grams AS (
+      |  SELECT doc_id, gram_n, t[i] || ' ' || t[i + 1] AS gram FROM g2
+      |  UNION ALL
+      |  SELECT doc_id, gram_n, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram FROM g3),
+      |counts AS (SELECT doc_id, gram_n, gram, count(*) AS c
+      |           FROM grams GROUP BY doc_id, gram_n, gram)
+      |SELECT doc_id, gram_n, sum(c) AS n_grams,
+      |  floor((max(c) * 1.0 / sum(c)) * 10000 + 0.5) / 10000 AS top_frac,
+      |  floor((sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)) * 10000 + 0.5) / 10000 AS dup_frac
+      |FROM counts GROUP BY doc_id, gram_n ORDER BY doc_id, gram_n""".stripMargin
+
+  /** text_ngram_lm: CCNet-style language-model quality scoring (Wenzek et
+    * al. 2020's perplexity gate, with the corpus itself as the LM) — per
+    * document, the cross-entropy under the corpus UNIGRAM model:
+    * `H(d) = ln N − (1/|d|) Σ_w ln c(w)`. Common-word documents score
+    * low (fluent/boilerplate), rare-word soup scores high; the standard
+    * cheap proxy for "is this document language-like" when a trained LM
+    * isn't on the cluster.
+    *
+    * Scale shape: the vocabulary aggregate is the only corpus-wide
+    * shuffle and collapses to O(vocab); the scoring join BROADCASTS the
+    * vocabulary (a classic dim table — swap to a shuffle join only past
+    * ~100 M types), the total-token count rides a 1-row broadcast cross
+    * join, and the per-doc aggregate is co-keyed with the explode. */
+  val textNgramLm: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(log(col("c"))).as("sum_log_c"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(log(col("n_total")) - col("sum_log_c") / col("n_tokens")).as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val textNgramLmSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+      |total AS (SELECT count(*) AS n_total FROM tok),
+      |d AS (SELECT t.doc_id, count(*) AS n_tokens, sum(ln(v.c)) AS sum_log_c
+      |      FROM tok t JOIN vocab v USING (token) GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  floor((ln(n_total) - sum_log_c / n_tokens) * 10000 + 0.5) / 10000 AS cross_entropy
+      |FROM d, total ORDER BY doc_id""".stripMargin
+
   /** text_pii_scrub: PII redaction — the pre-training hygiene pass that
     * strips emails and phone numbers before a corpus ships. Two global
     * regex replaces per row, pure projection: zero shuffle, codegen'd,
@@ -831,6 +911,8 @@ object QueriesLLM {
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
+    "text_ngram_lm" -> textNgramLm,
     "text_pii_scrub" -> textPiiScrub,
     "text_vocab" -> textVocab,
     "text_vocab_approx" -> textVocabApprox,
@@ -865,6 +947,8 @@ object QueriesLLM {
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
+    "text_repetition" -> textRepetitionSql,
+    "text_ngram_lm" -> textNgramLmSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_vocab" -> textVocabSql,
     "text_vocab_approx" -> textVocabApproxSql,

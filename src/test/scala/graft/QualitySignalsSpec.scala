@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: Gopher-style repetition signals, unigram-LM
+  * cross-entropy scoring, weekly cohort retention, and the CSV/ORC
+  * roundtrip scans. Hand-computed expectations on crafted frames plus
+  * invariants on the shared fixture.
+  */
+class QualitySignalsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- text_repetition ----------------------------------------------------
+
+  test("repetition metrics match a hand computation on a crafted doc") {
+    // Route the registered query's exact aggregation over a tiny frame by
+    // re-deriving it from TextOps.shingles — same code path as the query.
+    val docs = Seq(
+      (1L, "a b a b c"), // 2-grams: [a b, b a, a b, b c] -> top 2/4, dup 2/4
+      (2L, "x x x x"),   // 2-grams: [x x, x x, x x]      -> top 3/3, dup 3/3
+      (3L, "u v w")      // 2-grams: [u v, v w]           -> top 1/2, dup 0
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        explode(graft.functions.TextOps.shingles(col("text"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), max("c").as("m"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("d"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 4L, 2L, 2L), (2L, 3L, 3L, 3L), (3L, 2L, 1L, 0L)))
+  }
+
+  test("repetition query on the fixture: bounds hold and doc 0 repeats") {
+    val out = QueriesLLM.textRepetition(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (top, dup) = (r.getDouble(3), r.getDouble(4))
+      assert(top > 0.0 && top <= 1.0, s"top_frac out of range: $r")
+      assert(dup >= 0.0 && dup <= 1.0, s"dup_frac out of range: $r")
+    }
+    // fixture doc 0 contains "batch batch batch" -> duplicated 2-gram
+    val d0 = rows.find(r => r.getLong(0) == 0L && r.getInt(1) == 2).get
+    assert(d0.getDouble(4) > 0.0)
+  }
+
+  // ---- text_ngram_lm ------------------------------------------------------
+
+  test("unigram cross-entropy: uniform corpus scores exactly ln(vocab)") {
+    // 4 tokens, all distinct, one doc: H = ln N - (1/n)*sum ln 1 = ln 4
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id"),
+      explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val n = tok.count().toDouble
+    val h = tok.join(vocab, "token").groupBy("doc_id")
+      .agg((log(lit(n)) - sum(log(col("c"))) / count(lit(1))).as("h"))
+      .as[(Long, Double)].head()._2
+    assert(math.abs(h - math.log(4.0)) < 1e-12)
+  }
+
+  test("ngram_lm query on the fixture: positive, bounded, common < rare") {
+    val out = QueriesLLM.textNgramLm(spark, sf).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    val nTotal = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextOps.tokens(col("text")))).count().toDouble
+    out.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h > 0.0 && h <= math.log(nTotal) + 1e-9, s"H out of range: $r")
+    }
+  }
+
+  // ---- retention_cohorts --------------------------------------------------
+
+  test("retention: offset 0 is always 1.0 and later offsets never exceed it") {
+    val rows = QueriesAnalytics.retentionCohorts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (_, rs) =>
+      val zero = rs.find(_.getLong(1) == 0L).get
+      assert(zero.getDouble(4) === 1.0, s"cohort week-0 retention must be 1: $zero")
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0L, s"negative offset: $r")
+        assert(r.getLong(2) <= r.getLong(3), s"active > cohort size: $r")
+      }
+    }
+  }
+
+  test("retention on a crafted frame matches the hand-computed table") {
+    val wk = 604800000000000L
+    val ev = Seq( // users 1,2 start week 0; user 2 returns week 1; user 3 starts week 1
+      (1L, 0L * wk), (2L, 0L * wk), (2L, 1L * wk + 5L), (3L, 1L * wk),
+      (1L, 0L * wk + 7L) // same-week duplicate activity collapses
+    ).toDF("user_id", "ts")
+    val uw = ev.select(col("user_id"), expr(s"ts div ${wk}L").as("week")).distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    val out = uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("off"))
+      .agg(count(lit(1)).as("active"))
+      .join(sizes, "cohort_week")
+      .orderBy("cohort_week", "off")
+      .select("cohort_week", "off", "active", "cohort_users")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((0L, 0L, 2L, 2L), (0L, 1L, 1L, 2L), (1L, 0L, 1L, 1L)))
+  }
+
+  // ---- plan audits --------------------------------------------------------
+
+  test("retention pushes the purchase filter to the parquet scan") {
+    val p = QueriesAnalytics.retentionCohorts(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p)
+  }
+
+  test("ngram_lm broadcasts the vocabulary and the 1-row total") {
+    val p = QueriesLLM.textNgramLm(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // vocab dim join
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row total cross join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("repetition is join-free: two aggregate stages, nothing else wide") {
+    val p = QueriesLLM.textRepetition(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  // ---- scan roundtrips ----------------------------------------------------
+
+  test("CSV roundtrip reproduces nation exactly") {
+    val rt = QueriesCore.scanCsvRoundtrip(spark, sf).collect().toSeq
+    val src = Tables.nation(spark, sf).orderBy("n_nationkey").collect().toSeq
+    assert(rt === src)
+  }
+
+  test("ORC roundtrip reproduces customer exactly (doubles bit-for-bit)") {
+    val rt = QueriesCore.scanOrcRoundtrip(spark, sf).collect().toSeq
+    val src = Tables.customer(spark, sf).orderBy("c_custkey").collect().toSeq
+    assert(rt === src)
+  }
+}
