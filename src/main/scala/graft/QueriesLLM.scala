@@ -438,6 +438,92 @@ object QueriesLLM {
       |  floor((ln(n_total) - sum_log_c / n_tokens) * 10000 + 0.5) / 10000 AS cross_entropy
       |FROM d, total ORDER BY doc_id""".stripMargin
 
+  /** pipeline_quality_filter: the quality-gate composition — every
+    * document is scored by the three signals ([[textQuality]]'s rational
+    * score, [[textRepetition]]'s duplicated-2-gram fraction,
+    * [[textNgramLm]]'s unigram cross-entropy) and attributed to its
+    * FIRST failing gate (low_quality → repetitive → rare_soup → kept),
+    * rolled up per source. This is the accounting view a curation run
+    * ships with: how much of each source survived, and why the rest fell.
+    *
+    * Thresholds are calibrated on the fixture (quality ≥ 0.35 ≈ p25,
+    * dup ≤ 0.15 ≈ p93, H ≤ 3.41 ≈ p90) and compare the ROUNDED value on
+    * both engines (SURVEY §7.4: never threshold an unrounded double).
+    *
+    * Scale shape: three per-doc signal frames, each ending in a doc_id
+    * aggregate (the 2-gram count and the token explode are the only
+    * corpus-expanding stages, both collapsing immediately), joined on
+    * doc_id — co-partitioned post-aggregate — then a tiny per-source
+    * rollup. The vocabulary broadcast is the only non-doc_id exchange. */
+  val pipelineQualityFilter: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("source"),
+      r4(TextOps.qualityScore(col("text"))).as("q"))
+    val dup2 = docs.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 2)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(r4(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) / sum("c")).as("dup"))
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val xent = tok.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(log(col("c"))).as("slc"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), r4(log(col("n_total")) - col("slc") / col("n_tokens")).as("h"))
+    base.join(dup2, Seq("doc_id"), "left").join(xent, Seq("doc_id"))
+      .select(col("source"),
+        when(col("q") < 0.35, "low_quality")
+          .when(coalesce(col("dup"), lit(0.0)) > 0.15, "repetitive")
+          .when(col("h") > 3.41, "rare_soup")
+          .otherwise("kept").as("verdict"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("verdict") === "kept", 1)).as("n_kept"),
+        count(when(col("verdict") === "low_quality", 1)).as("n_low_quality"),
+        count(when(col("verdict") === "repetitive", 1)).as("n_repetitive"),
+        count(when(col("verdict") === "rare_soup", 1)).as("n_rare_soup"))
+      .orderBy("source")
+  }
+
+  val pipelineQualityFilterSql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |    CAST(length(text) AS DOUBLE) AS n_chars FROM documents),
+      |base AS (SELECT doc_id, source,
+      |  floor(((n_tokens / (n_tokens + 50.0)) *
+      |    (1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0)
+      |         / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS q
+      |  FROM t),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |g2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+      |gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+      |dup2 AS (SELECT doc_id,
+      |  floor((sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)) * 10000 + 0.5) / 10000 AS dup
+      |  FROM gc GROUP BY doc_id),
+      |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+      |total AS (SELECT count(*) AS n_total FROM tok),
+      |xent AS (SELECT d.doc_id,
+      |  floor((ln(n_total) - d.slc / d.n_tokens) * 10000 + 0.5) / 10000 AS h
+      |  FROM (SELECT t.doc_id, count(*) AS n_tokens, sum(ln(v.c)) AS slc
+      |        FROM tok t JOIN vocab v USING (token) GROUP BY t.doc_id) d, total),
+      |verdicts AS (
+      |  SELECT base.source,
+      |    CASE WHEN base.q < 0.35 THEN 'low_quality'
+      |         WHEN coalesce(dup2.dup, 0.0) > 0.15 THEN 'repetitive'
+      |         WHEN xent.h > 3.41 THEN 'rare_soup'
+      |         ELSE 'kept' END AS verdict
+      |  FROM base LEFT JOIN dup2 USING (doc_id) JOIN xent USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  count(CASE WHEN verdict = 'kept' THEN 1 END) AS n_kept,
+      |  count(CASE WHEN verdict = 'low_quality' THEN 1 END) AS n_low_quality,
+      |  count(CASE WHEN verdict = 'repetitive' THEN 1 END) AS n_repetitive,
+      |  count(CASE WHEN verdict = 'rare_soup' THEN 1 END) AS n_rare_soup
+      |FROM verdicts GROUP BY source ORDER BY source""".stripMargin
+
   /** text_pii_scrub: PII redaction — the pre-training hygiene pass that
     * strips emails and phone numbers before a corpus ships. Two global
     * regex replaces per row, pure projection: zero shuffle, codegen'd,
@@ -913,6 +999,7 @@ object QueriesLLM {
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "text_ngram_lm" -> textNgramLm,
+    "pipeline_quality_filter" -> pipelineQualityFilter,
     "text_pii_scrub" -> textPiiScrub,
     "text_vocab" -> textVocab,
     "text_vocab_approx" -> textVocabApprox,
@@ -949,6 +1036,7 @@ object QueriesLLM {
     "text_quality" -> textQualitySql,
     "text_repetition" -> textRepetitionSql,
     "text_ngram_lm" -> textNgramLmSql,
+    "pipeline_quality_filter" -> pipelineQualityFilterSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_vocab" -> textVocabSql,
     "text_vocab_approx" -> textVocabApproxSql,

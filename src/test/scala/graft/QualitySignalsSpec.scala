@@ -107,6 +107,22 @@ class QualitySignalsSpec extends SparkTestBase {
     assert(out.toSeq === Seq((0L, 0L, 2L, 2L), (0L, 1L, 1L, 2L), (1L, 0L, 1L, 1L)))
   }
 
+  // ---- pipeline_quality_filter -------------------------------------------
+
+  test("quality filter: verdict counts partition every document") {
+    val rows = QueriesLLM.pipelineQualityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val total = r.getLong(1)
+      val parts = r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5)
+      assert(parts === total, s"verdicts don't partition the docs: $r")
+    }
+    // the gates actually bite on the fixture: something kept, something dropped
+    val kept = rows.map(_.getLong(2)).sum
+    val docs = rows.map(_.getLong(1)).sum
+    assert(kept > 0 && kept < docs)
+  }
+
   // ---- plan audits --------------------------------------------------------
 
   test("retention pushes the purchase filter to the parquet scan") {
