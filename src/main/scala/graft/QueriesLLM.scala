@@ -367,22 +367,28 @@ object QueriesLLM {
     * perplexity filters miss; these are THE standard pre-training
     * repetition gates.
     *
-    * Scale shape: one scan, explode to (doc, n, gram) — per-row work
-    * only — then a (doc_id, gram_n, gram) count with map-side partial
-    * aggregation, then a second, much smaller (doc_id, gram_n) rollup.
-    * No joins, no windows; both shuffles shrink the data. At 100 TB the
-    * gram count's key space is per-document so skew is bounded by the
-    * longest document, not corpus hot keys. */
+    * Scale shape: ZERO shuffle (bar the gate's ORDER BY) — the statistic
+    * is per-document, so it is computed per-row by the
+    * [[graft.plans.TextKernels.repetitionStats]] codegen kernel (one
+    * exact hash-count pass over the doc's grams, byte-compared keys)
+    * instead of exploding every gram and shuffling the full string corpus
+    * through a (doc_id, gram_n, gram) groupBy. Both n-gram orders ride
+    * one scan via an inline 2-element array; per-row memory is bounded by
+    * the longest document. (The explode+groupBy form this replaced was
+    * 5.1 s at sf0.1 — the gram shuffle WAS the query; an `aggregate`-HOF
+    * run-length fold was 32 s — per-element interpreted lambdas. The
+    * kernel is the only per-row form that is also FAST.) */
   val textRepetition: Q = (s, dir) => {
+    import graft.plans.TextExpressions
     val docs = Tables.documents(s, dir)
-    def grams(n: Int) = docs.select(col("doc_id"), lit(n).as("gram_n"),
-      explode(TextOps.shingles(col("text"), n)).as("gram"))
-    grams(2).unionAll(grams(3))
-      .groupBy("doc_id", "gram_n", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "gram_n")
-      .agg(sum("c").as("n_grams"),
-        r4(max("c") / sum("c")).as("top_frac"),
-        r4(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) / sum("c")).as("dup_frac"))
+    def stats(n: Int) = struct(lit(n).as("gram_n"),
+      TextExpressions.repetitionStats(col("text"), n).as("st"))
+    docs.select(col("doc_id"), explode(array(stats(2), stats(3))).as("s"))
+      .filter(col("s.st.n_grams") > 0) // docs with < n tokens have no row
+      .select(col("doc_id"), col("s.gram_n").as("gram_n"),
+        col("s.st.n_grams").as("n_grams"),
+        r4(col("s.st.max_c") / col("s.st.n_grams")).as("top_frac"),
+        r4(col("s.st.dup_c") / col("s.st.n_grams")).as("dup_frac"))
       .orderBy("doc_id", "gram_n")
   }
 

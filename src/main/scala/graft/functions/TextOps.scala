@@ -33,6 +33,40 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Per-row n-gram repetition statistics: `struct(max_c, dup_c)` where
+    * `max_c` is the count of the most frequent gram and `dup_c` the total
+    * occurrences of grams appearing more than once. Sorts the gram array
+    * (any total order works) so equal grams are adjacent, then one
+    * run-length fold via the `aggregate` HOF — the accumulator carries
+    * (prev gram, current run, best run, duplicated mass) and the null
+    * initial `prev` makes the first element open a run through the
+    * `otherwise` branch without a sentinel value.
+    *
+    * This replaces a corpus-wide `groupBy(doc_id, gram_n, gram)` — the
+    * statistic is per-document, so shuffling every gram string across the
+    * cluster only to collapse it back per doc is pure waste. Per-row cost
+    * is O(g log g) in the doc's gram count, memory bounded by the longest
+    * document, zero shuffle, whole-stage codegen throughout. */
+  def repetitionStats(grams: Column): Column = {
+    val sorted = array_sort(grams)
+    val init = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("maxc"), lit(0L).as("dupc"))
+    def closeMax(acc: Column) = greatest(acc("maxc"), acc("run"))
+    def closeDup(acc: Column) =
+      acc("dupc") + when(acc("run") > 1, acc("run")).otherwise(lit(0L))
+    aggregate(sorted, init,
+      (acc, x) => {
+        val same = x === acc("prev") // null prev → null → otherwise
+        struct(
+          x.as("prev"),
+          when(same, acc("run") + lit(1L)).otherwise(lit(1L)).as("run"),
+          when(same, acc("maxc")).otherwise(closeMax(acc)).as("maxc"),
+          when(same, acc("dupc")).otherwise(closeDup(acc)).as("dupc"))
+      },
+      acc => struct(closeMax(acc).as("max_c"), closeDup(acc).as("dup_c")))
+  }
+
   /** Regex token count — a BPE-ish approximation: alphabetic runs, digit
     * runs, and lone non-space symbols each count as one token. */
   def regexTokenCount(text: Column): Column =

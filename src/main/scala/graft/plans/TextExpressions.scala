@@ -72,6 +72,25 @@ case class ShingleHashSetExpr(child: Expression, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** repetition_stats(text, n): STRUCT<n_grams, max_c, dup_c BIGINT> —
+  * per-row word n-gram repetition signals (total grams, top-gram count,
+  * duplicated-gram mass). Exact byte-compared counts. */
+case class RepetitionStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("max_c", LongType, nullable = false),
+    StructField("dup_c", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(InternalRow) graft.plans.TextKernels.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** srp_sketch(vec): sign-random-projection LSH sketch of an ARRAY<FLOAT>
   * (bits hyperplanes, deterministic from seed). */
 case class SrpSketchExpr(child: Expression, bits: Int, seed: Int)
@@ -101,4 +120,7 @@ object TextExpressions {
 
   def srpSketch(vec: Column, bits: Int, seed: Int = 42): Column =
     ColumnBridge.column(SrpSketchExpr(ColumnBridge.expression(vec), bits, seed))
+
+  def repetitionStats(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text), n))
 }

@@ -232,6 +232,85 @@ object TextKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** Per-row word n-gram repetition statistics of `lower(text)`:
+    * (n_grams, max_c, dup_c) where `n_grams` is the total n-gram count,
+    * `max_c` the occurrences of the most frequent n-gram, and `dup_c`
+    * the total occurrences of n-grams appearing more than once — the
+    * Gopher/MassiveText repetition signals. Identical to exploding the
+    * `concat_ws(" ", slice(tokens, i, n))` shingles and counting
+    * (asserted in TextKernelsSpec): tokens contain no whitespace, so the
+    * space-joined byte range in the normalized buffer is a bijective key
+    * for the token tuple, and equality is checked on the actual BYTES
+    * (open addressing, xxhash64 probe, byte-compare on collision) — no
+    * hash-collision wobble, exact counts.
+    *
+    * This is the zero-shuffle substitute for a corpus-wide
+    * `groupBy(doc_id, gram_n, gram)`: the statistic is per-document, so
+    * the gram strings never need to leave the row. */
+  def repetitionStats(s: UTF8String, n: Int): Any = {
+    val b = s.toLowerCase.getBytes
+    val spans = tokenSpans(b)
+    val nTok = spans.length / 2
+    if (nTok < n)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L, 0L))
+    // normalize: tokens joined by single spaces (same buffer as minhashSig)
+    var total = 0
+    var t = 0
+    while (t < spans.length) { total += spans(t + 1) - spans(t); t += 2 }
+    val norm = new Array[Byte](total + nTok - 1)
+    val tokStart = new Array[Int](nTok)
+    var pos = 0
+    var ti = 0
+    t = 0
+    while (t < spans.length) {
+      tokStart(ti) = pos
+      val l = spans(t + 1) - spans(t)
+      System.arraycopy(b, spans(t), norm, pos, l)
+      pos += l
+      if (ti < nTok - 1) { norm(pos) = ' '; pos += 1 }
+      ti += 1; t += 2
+    }
+    val nG = nTok - n + 1
+    // open-addressing table at load factor <= 0.5; cnt == 0 marks empty
+    var cap = 4
+    while (cap < nG * 2) cap <<= 1
+    val mask = cap - 1
+    val hkey = new Array[Long](cap)
+    val hoff = new Array[Int](cap)
+    val hlen = new Array[Int](cap)
+    val hcnt = new Array[Int](cap)
+    var maxC = 0
+    var i = 0
+    while (i < nG) {
+      val start = tokStart(i)
+      val end = if (i + n < nTok) tokStart(i + n) - 1 else pos
+      val len = end - start
+      val h = XXH64.hashUnsafeBytes(norm, Platform.BYTE_ARRAY_OFFSET + start, len, Seed)
+      var slot = (h & mask).toInt
+      var done = false
+      while (!done) {
+        if (hcnt(slot) == 0) {
+          hkey(slot) = h; hoff(slot) = start; hlen(slot) = len; hcnt(slot) = 1
+          if (maxC < 1) maxC = 1
+          done = true
+        } else if (hkey(slot) == h && hlen(slot) == len &&
+            java.util.Arrays.equals(norm, hoff(slot), hoff(slot) + len,
+              norm, start, start + len)) {
+          hcnt(slot) += 1
+          if (hcnt(slot) > maxC) maxC = hcnt(slot)
+          done = true
+        } else slot = (slot + 1) & mask
+      }
+      i += 1
+    }
+    var dup = 0L
+    var j = 0
+    while (j < cap) { if (hcnt(j) > 1) dup += hcnt(j); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nG.toLong, maxC.toLong, dup))
+  }
+
   /** Distinct character trigrams of `lower(text)` with occurrence counts,
     * as rows of (gram STRING, cnt INT). Trigram identity is the xxhash64
     * of its bytes — the same key every LangId shuffle/join already uses

@@ -138,10 +138,13 @@ class QualitySignalsSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("repetition is join-free: two aggregate stages, nothing else wide") {
+  test("repetition is join- and aggregate-free: per-row kernel, narrow until the sort") {
     val p = QueriesLLM.textRepetition(spark, sf).queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p)
-    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the gram counting happens inside the row — no aggregate, and the
+    // only exchange is the gate ORDER BY's range partitioning
+    assert(!p.contains("HashAggregate"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
   // ---- scan roundtrips ----------------------------------------------------

@@ -61,6 +61,39 @@ class TextKernelsSpec extends SparkTestBase {
       TextExpressions.winnowFingerprints(col("text")), TextOps.fingerprints(col("text")))
   }
 
+  test("repetition stats kernel == explode+count form == HOF fold (fixture + edges)") {
+    for (df <- Seq(fixtureDf, edgeDf); n <- Seq(2, 3)) {
+      // HOF reference: n_grams from the shingle array size, (max_c, dup_c)
+      // from the run-length fold — both composable, both exact
+      val sh = TextOps.shingles(col("text"), n)
+      val hof = TextOps.repetitionStats(sh)
+      assertEqual(df, TextExpressions.repetitionStats(col("text"), n),
+        struct(size(sh).cast("long").as("n_grams"),
+          hof("max_c").as("max_c"), hof("dup_c").as("dup_c")))
+      // relational reference: the groupBy the kernel replaced (docs with
+      // < n tokens drop out of the explode, so inner-join the survivors)
+      val kernel = df.select(col("doc_id"),
+          TextExpressions.repetitionStats(col("text"), n).as("st"))
+        .filter(col("st.n_grams") > 0)
+        .select(col("doc_id"), col("st.n_grams").as("n"),
+          col("st.max_c").as("m"), col("st.dup_c").as("d"))
+      val grouped = df.select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), n)).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), max("c").as("m"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("d"))
+      assert(kernel.except(grouped).isEmpty && grouped.except(kernel).isEmpty)
+    }
+  }
+
+  test("repetition query plan: zero shuffles before the gate ORDER BY") {
+    val plan = QueriesLLM.textRepetition(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly the one range-partitioning exchange the sort gate requires
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
   test("shingle hash set kernel == relational distinct set (fixture + edges)") {
     for (df <- Seq(fixtureDf, edgeDf)) {
       val kernel = df.select(col("doc_id"),
