@@ -467,13 +467,14 @@ object QueriesCore {
     // Constant aggregation-buffer memory — the built-in buffering
     // `percentile` (O(rows-per-group) inside ONE buffer, the executor-OOM
     // candidate VERDICT r03 flagged) is not used anywhere. Both columns
-    // ride Percentiles.exactContinuousMulti: one unpivot, one bucketed
-    // two-phase prefix sum for the cumulative counts (window parallelism
-    // = bucket count, not group count), one final aggregate — no
-    // per-column re-scan, no join. Bucket widths span the columns'
-    // domains in tens of buckets (results are width-independent). The
-    // at-scale answer when exactness is negotiable remains the sketch
-    // twin (`agg_approx_percentiles`).
+    // ride Percentiles.exactContinuousMulti: a map-side-combined bucket
+    // histogram is the only full-data aggregate (the shuffle moves
+    // O(buckets) rows), then ONLY the buckets containing a requested
+    // rank are sorted — the data itself is never shuffled or sorted.
+    // Bucket widths span the columns' domains in tens of buckets
+    // (results are width-independent). The at-scale answer when
+    // exactness is negotiable remains the sketch twin
+    // (`agg_approx_percentiles`).
     val li = Tables.lineitem(s, dir)
     graft.operators.Percentiles.exactContinuousMulti(
         li, Seq("l_returnflag"),

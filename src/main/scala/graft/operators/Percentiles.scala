@@ -99,33 +99,39 @@ object Percentiles {
     interpolateFromCum(cum, valueCol, g, probs)
   }
 
-  /** Exact CONTINUOUS percentiles for SEVERAL value columns in ONE pass,
-    * with window parallelism DECOUPLED from the group count — the fused,
-    * bucketed form of per-column [[exactContinuousSorted]] calls.
+  /** Exact CONTINUOUS percentiles for SEVERAL value columns in ONE pass
+    * via histogram + target-bucket refinement — the full data never
+    * rides a shuffle and is never sorted.
     *
-    * A window partitioned by the group key alone runs one task per
-    * (group, column) — 6 tasks on a 3-group query whatever the cluster
-    * size (the same single-task window trap [[Packing.packChunks]]
-    * documents for global prefix sums). The cumulative count is instead
-    * computed as a two-phase prefix sum over VALUE-RANGE buckets:
+    * The selection problem (value at rank r of a sorted run) doesn't
+    * need the run sorted — only the bucket CONTAINING rank r does:
     *
     *   1. unpivot the columns to (group…, column, value) rows and bucket
     *      each row by `floor(value / width_col)` — order-preserving, so
     *      per-(group, column) the buckets partition the sorted run;
-    *   2. within-bucket `row_number` (window partitioned by
-    *      (group…, column, bucket) — parallelism = bucket count);
-    *   3. per-bucket counts (tiny aggregate) prefix-summed per
-    *      (group, column) and broadcast back as bucket base offsets;
-    *      global `__cum` = base + local rank, `__n` = the group total.
+    *   2. histogram: count per (group…, column, bucket) — the only
+    *      full-data aggregate, map-side combined, so the shuffle moves
+    *      O(buckets) rows; a window over the tiny histogram yields each
+    *      bucket's exclusive prefix `__base` and the group total `__n`;
+    *   3. mark the buckets whose (base, base+cnt] span contains a
+    *      requested rank `floor/ceil(p·(n−1))+1` — a column predicate,
+    *      no driver round-trip — and broadcast-join the marks back:
+    *      only rows in target buckets (≈ quantiles × bucket population)
+    *      survive to the within-bucket `row_number` sort;
+    *   4. the rank-r value is picked by equality on
+    *      `__cum = base + local rank` — globally valid because bucket
+    *      order is value order.
     *
-    * One data exchange (on the bucket key), spill-managed sorts of
-    * bucket-sized runs, constant aggregation buffers throughout. Pick
-    * arithmetic is identical to the single-column forms, so oracle
-    * hashes are unchanged; equality with [[exactContinuous]] is asserted
-    * in PercentilesSpec. Specs are (column, bucketWidth, quantiles);
-    * width only affects parallelism, never results (any positive width
-    * is correct — aim for tens-to-hundreds of buckets over the column's
-    * domain). Quantile names must be unique across specs. */
+    * Costs: two narrow scans (histogram, refinement filter), one
+    * O(buckets) shuffle, one sort of only the target buckets. Ties
+    * never straddle buckets (equal values share a bucket), so picks are
+    * bit-identical to [[exactContinuous]] — asserted in PercentilesSpec.
+    * Specs are (column, bucketWidth, quantiles); width only affects the
+    * refinement selectivity, never results (any positive width is
+    * correct — aim for tens-to-hundreds of buckets over the column's
+    * domain). Quantile names must be unique across specs. At 100 TB the
+    * broadcast is O(groups × quantiles) marked buckets — bounded like
+    * the pivot domain, and per-bucket sorts are spill-managed. */
   def exactContinuousMulti(df: DataFrame, groupCols: Seq[String],
       specs: Seq[(String, Double, Seq[(String, Double)])]): DataFrame = {
     require(specs.nonEmpty && specs.forall(_._3.nonEmpty), "need (col, width, probs) specs")
@@ -141,38 +147,35 @@ object Percentiles {
       .withColumn("__bkt", floor(col("__v") / widthFor.tail.foldLeft(
         widthFor.head._2) { case (acc, (c, wd)) => when(col("__c") === c, wd).otherwise(acc) })
         .cast("long"))
-    // ONE explicit bucket-key shuffle shape on both phases. The two
-    // consumers (ranked frame → picks; bucket counts → bases) plan as
-    // independent AQE stages that materialize CONCURRENTLY — measured
-    // faster than serializing them through a localCheckpoint of the
-    // ranked frame (1.2 M-row block materialization cost exceeds the
-    // duplicated window, which is bucket-local and parallel). The
-    // explicit partition count (Dist.byKeys) keeps AQE from coalescing
-    // the window's parallelism away on a small exchange.
-    val bucketed = Dist.byKeys(long, (g :+ col("__c")) :+ col("__bkt"): _*)
-    // phase 2: parallel within-bucket ranks — the only data-sized window
-    val wLocal = Window.partitionBy((g :+ col("__c")) :+ col("__bkt"): _*)
-      .orderBy(col("__v"))
-    val local = bucketed.withColumn("__rk", row_number().over(wLocal).cast("long"))
-    // phase 3: per-bucket counts → per-(group, column) exclusive prefix +
-    // group totals — bounded by bucket count, broadcast back
+    def pos(p: Double): Column = lit(p) * (col("__n").cast("double") - 1.0)
+    // phase 2: histogram + prefix sums over it (tiny window)
     val wBase = Window.partitionBy(g :+ col("__c"): _*).orderBy(col("__bkt").asc)
-    val bases = local.groupBy((g :+ col("__c")) :+ col("__bkt"): _*)
-      .agg(max("__rk").as("__cnt"))
+    val bases = long.groupBy((g :+ col("__c")) :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__base", coalesce(sum(col("__cnt")).over(
         wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)), lit(0L)))
       .withColumn("__n", sum(col("__cnt")).over(
         wBase.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // phase 3: keep only buckets containing a requested rank
+    def hits(r: Column): Column = col("__base") < r && r <= col("__base") + col("__cnt")
+    val neededCond = specs.map { case (c, _, probs) =>
+      col("__c") === c && probs.map { case (_, p) =>
+        hits(floor(pos(p)) + 1) || hits(ceil(pos(p)) + 1)
+      }.reduce(_ || _)
+    }.reduce(_ || _)
+    val needed = bases.filter(neededCond)
       .select((gn.map(col) :+ col("__c") :+ col("__bkt") :+ col("__base") :+ col("__n")): _*)
-    val cum = local.join(broadcast(bases), gn ++ Seq("__c", "__bkt"))
-      .withColumn("__cum", col("__base") + col("__rk"))
-    def pos(p: Double): Column = lit(p) * (col("__n").cast("double") - 1.0)
+    // phase 4: sort ONLY the target buckets; equality pick on the rank
+    val wLocal = Window.partitionBy((g :+ col("__c")) :+ col("__bkt"): _*)
+      .orderBy(col("__v"))
+    val cum = long.join(broadcast(needed), gn ++ Seq("__c", "__bkt"))
+      .withColumn("__cum", col("__base") + row_number().over(wLocal).cast("long"))
     val aggs = specs.flatMap { case (c, _, probs) =>
       probs.flatMap { case (name, p) =>
         Seq(
-          min(when(col("__c") === c && col("__cum") >= floor(pos(p)) + 1, col("__v")))
+          min(when(col("__c") === c && col("__cum") === floor(pos(p)) + 1, col("__v")))
             .as(s"__lo_$name"),
-          min(when(col("__c") === c && col("__cum") >= ceil(pos(p)) + 1, col("__v")))
+          min(when(col("__c") === c && col("__cum") === ceil(pos(p)) + 1, col("__v")))
             .as(s"__hi_$name"))
       }
     } ++ specs.map { case (c, _, _) =>
