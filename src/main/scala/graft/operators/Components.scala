@@ -135,30 +135,35 @@ object Components {
     val allNodes = edges.select(col("a_id").as("node"))
       .unionAll(edges.select(col("b_id").as("node"))).distinct()
       .localCheckpoint(true)
-    // one large-star + small-star contraction, lazily composed
+    // One large-star + small-star contraction, lazily composed. Both
+    // stars are SINGLE-PASS WINDOW forms: the per-neighborhood minimum
+    // rides a full-frame window over the attachment key instead of a
+    // groupBy + self-join, so each star reads its input exactly once —
+    // no inner materialization (the former small-star checkpoint was 2
+    // eager actions per round; this is 1) and no join exchanges. The
+    // small-star emits both outputs (neighbors→min, center→min) in the
+    // same pass via a row_number-guarded explode; duplicate edges out
+    // of large-star are harmless under min/row_number and are swept by
+    // the final distinct, so large-star needs no distinct of its own.
     def contract(e0: DataFrame): DataFrame = {
-      // large-star
+      import org.apache.spark.sql.expressions.Window
+      val wFull = Window.partitionBy("u").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // large-star: strictly-larger neighbors attach to min(nbhd ∪ self)
       val sym = e0.select(col("u"), col("v"))
         .unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      val mL = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = sym.filter(col("v") > col("u"))
-        .join(mL, "u")
+      val ls = sym.withColumn("m", least(col("u"), min("v").over(wFull)))
+        .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
-      // small-star on the large-star output (edges directed big -> small).
-      // The directed frame is read TWICE (its min-aggregate and the
-      // join), so it is materialized once — without this the whole
-      // large-star subtree re-executes per reference (the same
-      // multi-reference rule the propagation variant's per-round label
-      // checkpoint follows)
+        .filter(col("u") =!= col("v"))
+      // small-star (edges directed big -> small): the center and its
+      // smaller neighbors all attach to the smallest of them
       val dir = ls.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-        .localCheckpoint(true)
-      val mS = dir.groupBy("u").agg(min("v").as("m"))
-      dir.join(mS, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(mS.select(col("u"), col("m").as("v")))
+      dir.withColumn("m", min("v").over(wFull))
+        .withColumn("rn", row_number().over(Window.partitionBy("u").orderBy("v")))
+        .select(explode(when(col("rn") === 1, array(col("v"), col("u")))
+          .otherwise(array(col("v")))).as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
     }
     var e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
