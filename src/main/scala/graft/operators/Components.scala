@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * count per round, O(graph diameter) rounds; near-dup components are
   * shallow). Lineage is cut every round with an eager localCheckpoint so
   * plans stay O(1) deep instead of O(rounds). The classic
-  * large-star/small-star optimization (Kiveris et al., "Connected
-  * Components in MapReduce") halves round counts on adversarial chains;
-  * documented as the upgrade path if components ever get deep.
+  * large-star/small-star alternative (Kiveris et al., "Connected
+  * Components in MapReduce") is [[connectedComponentsStars]] below:
+  * its contraction rounds track O(log n) rather than diameter, so it
+  * wins on deep (chain-like) components, while propagation with
+  * pointer jumping stays faster on the shallow graphs near-dup
+  * actually produces (both measured; BASELINE.md round 4).
   */
 object Components {
 

@@ -96,6 +96,23 @@ class PercentilesSpec extends SparkTestBase {
     assert(multi == base)
   }
 
+  test("exactContinuousMulti degenerate groups: n=1, all-equal, one-bucket-wide") {
+    // n=1 (pos=0, lo==hi rank 1), an all-equal group (every rank in one
+    // bucket), and a width so wide the whole group is a single bucket
+    // (refinement degenerates to sorting the group — still correct)
+    val df = (Seq(("solo", 7.5)) ++ Seq.fill(9)(("same", 4.0)) ++
+      (1 to 10).map(i => ("wide", i.toDouble))).toDF("k", "v")
+    for (width <- Seq(0.5, 1e6)) {
+      val got = Percentiles.exactContinuousMulti(df, Seq("k"),
+        Seq(("v", width, Seq("p25" -> 0.25, "p50" -> 0.5))))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(got("solo") == ((7.5, 7.5)), s"width=$width")
+      assert(got("same") == ((4.0, 4.0)), s"width=$width")
+      // wide: pos25 = .25*9 = 2.25 -> 3.0 + .25*(4-3) = 3.25; pos50 = 4.5 -> 5.5
+      assert(got("wide") == ((3.25, 5.5)), s"width=$width")
+    }
+  }
+
   test("exactDiscrete handles multiple groups and ungrouped (global) form") {
     val df = Seq(("a", 1.0), ("a", 9.0), ("b", 5.0)).toDF("k", "v")
     val grouped = Percentiles.exactDiscrete(df, "v", Seq("k"), Seq("p50" -> 0.5))
