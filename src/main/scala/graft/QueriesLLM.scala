@@ -456,20 +456,26 @@ object QueriesLLM {
     * dup ≤ 0.15 ≈ p93, H ≤ 3.41 ≈ p90) and compare the ROUNDED value on
     * both engines (SURVEY §7.4: never threshold an unrounded double).
     *
-    * Scale shape: three per-doc signal frames, each ending in a doc_id
-    * aggregate (the 2-gram count and the token explode are the only
-    * corpus-expanding stages, both collapsing immediately), joined on
-    * doc_id — co-partitioned post-aggregate — then a tiny per-source
-    * rollup. The vocabulary broadcast is the only non-doc_id exchange. */
+    * Scale shape: quality and repetition are per-row (codegen kernels,
+    * zero shuffle); only the corpus-relative cross-entropy pays a token
+    * explode + doc_id aggregate, with its vocabulary and total sides
+    * broadcast. One doc_id join, then a tiny per-source rollup. */
   val pipelineQualityFilter: Q = (s, dir) => {
+    import graft.plans.TextExpressions
     val docs = Tables.documents(s, dir)
-    val base = docs.select(col("doc_id"), col("source"),
-      r4(TextOps.qualityScore(col("text"))).as("q"))
-    val dup2 = docs.select(col("doc_id"),
-        explode(TextOps.shingles(col("text"), 2)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(r4(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) / sum("c")).as("dup"))
+    // quality + repetition are PER-ROW signals: the rational score and
+    // the duplicated-2-gram fraction (repetitionStats codegen kernel —
+    // the same swap that took text_repetition 5.1 s → 0.3 s; the gram
+    // corpus is never exploded or shuffled) ride one narrow projection.
+    // Only the cross-entropy signal is genuinely corpus-relative
+    // (vocabulary counts), so only the token explode below pays a
+    // shuffle — and its vocabulary/total sides broadcast.
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        r4(TextOps.qualityScore(col("text"))).as("q"),
+        TextExpressions.repetitionStats(col("text"), 2).as("st"))
+      .select(col("doc_id"), col("source"), col("q"),
+        r4(col("st.dup_c") / col("st.n_grams")).as("dup"))
     val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).as("n_total"))
@@ -478,7 +484,7 @@ object QueriesLLM {
       .agg(count(lit(1)).as("n_tokens"), sum(log(col("c"))).as("slc"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), r4(log(col("n_total")) - col("slc") / col("n_tokens")).as("h"))
-    base.join(dup2, Seq("doc_id"), "left").join(xent, Seq("doc_id"))
+    base.join(xent, Seq("doc_id"))
       .select(col("source"),
         when(col("q") < 0.35, "low_quality")
           .when(coalesce(col("dup"), lit(0.0)) > 0.15, "repetitive")
