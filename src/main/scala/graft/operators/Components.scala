@@ -37,9 +37,15 @@ object Components {
   /** (node, cluster_id = min reachable node id) for every node that
     * appears in `edges` (columns `a_id`, `b_id`). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Materialize the incoming pair frame ONCE before symmetrizing: the
+    // union reads it twice, and without this the whole upstream pipeline
+    // (e.g. the banded-LSH candidate join feeding dedup_semantic_lsh)
+    // executes twice inside the first action — measured as the dominant
+    // share of that query's cost and variance.
+    val base = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint(true)
     val sym = Dist.byKeys(
-      edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(edges.select(col("b_id").as("src"), col("a_id").as("dst"))),
+      base.union(base.select(col("dst").as("src"), col("src").as("dst"))),
       col("dst")) // join side below keys on dst
       .persist()
     // Init fuses round 0 into the node-set build: label = min(self, all
@@ -135,8 +141,13 @@ object Components {
     * the documented alternative for adversarial-depth graphs rather
     * than the default. */
   def connectedComponentsStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val allNodes = edges.select(col("a_id").as("node"))
-      .unionAll(edges.select(col("b_id").as("node"))).distinct()
+    // One upstream execution (see connectedComponents): allNodes and the
+    // initial edge frame both read the pair source, so materialize it
+    // first or the candidate pipeline runs twice.
+    val base = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint(true)
+    val allNodes = base.select(col("u").as("node"))
+      .unionAll(base.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
     // One large-star + small-star contraction, lazily composed. Both
     // stars are SINGLE-PASS WINDOW forms: the per-neighborhood minimum
@@ -169,8 +180,7 @@ object Components {
           .otherwise(array(col("v")))).as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
     }
-    var e = edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var e = base.filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var round = 0
     var prev = (-1L, -1L)
     while (round < maxIter) {

@@ -56,6 +56,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CollectLimit"), p)
   }
 
+  test("agg_percentiles: refinement join broadcasts; data never rides a sort-merge join") {
+    val p = plan("agg_percentiles")
+    // histogram + target-bucket refinement: the bucket marks come back
+    // as a BROADCAST (bounded by groups × quantiles), so the full-data
+    // side is never shuffled for the join; the only sorts are the
+    // per-target-bucket window and the 3-row gate ORDER BY
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the full-data histogram must keep its partial+final pair (the
+    // map-side combine is what bounds the shuffle to O(buckets) rows)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("join_lateral decorrelates to a window-group-limit, no per-row loop") {
     val p = plan("join_lateral")
     // the correlated ORDER BY+LIMIT lateral must become a group-limit
