@@ -281,6 +281,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: bucket-refinement percentiles == buffering percentile on random frames") {
+    import graft.operators.Percentiles
+    // random groups, random doubles (negatives, heavy ties via rounding),
+    // random bucket widths — the refinement path must agree with Spark's
+    // buffering percentile bit-for-bit on every draw
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+      tie <- Gen.oneOf(true, false)
+    } yield (g, if (tie) math.rint(v / 10) * 10 else v)
+    val probs = Seq("p10" -> 0.1, "p50" -> 0.5, "p77" -> 0.77, "p99" -> 0.99)
+    for ((seed, width) <- Seq((101L, 7.0), (202L, 333.3), (303L, 1e9))) {
+      val df = samples(rowGen, seed, n = 400).toDF("k", "v")
+      val got = Percentiles.exactContinuousMulti(df, Seq("k"),
+        Seq(("v", width, probs)))
+        .collect().map(r => r.getString(0) ->
+          (1 to 4).map(r.getDouble).toList).toMap
+      val want = df.groupBy("k")
+        .agg(expr("percentile(v, array(0.1, 0.5, 0.77, 0.99))").as("q"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+      assert(got.keySet == want.keySet, s"seed=$seed width=$width")
+      // interpolation formulas (lo + fr*(hi-lo) vs (1-fr)*lo + fr*hi) are
+      // algebraically equal but may differ in the final ulp on arbitrary
+      // doubles — compare to 1e-12 relative (the oracle gate rounds to 4
+      // decimals, so this is far tighter than the gated contract)
+      for (k <- want.keySet; (g, w) <- got(k).zip(want(k)))
+        assert(math.abs(g - w) <= 1e-12 * math.max(1.0, math.abs(w)),
+          s"seed=$seed width=$width k=$k got=$g want=$w")
+    }
+  }
+
+  test("property: stars CC == propagation CC on random pair graphs") {
+    import graft.operators.Components
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 60L); b <- Gen.chooseNum(0L, 60L)
+    } yield (a, b)
+    for (seed <- Seq(11L, 22L, 33L)) {
+      val edges = samples(edgeGen, seed, n = 80).toDF("a_id", "b_id")
+      val stars = Components.connectedComponentsStars(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Components.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stars == prop, s"seed=$seed")
+    }
+  }
+
   test("property: morton code preserves per-dimension containment at every bucket granularity") {
     import graft.sources.FileView
     val vGen = Gen.chooseNum(0L, 255L)
