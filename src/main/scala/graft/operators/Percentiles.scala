@@ -30,7 +30,9 @@ object Percentiles {
       probs: Seq[(String, Double)]): DataFrame = {
     require(probs.nonEmpty, "need at least one (name, prob)")
     val g = groupCols.map(col)
-    val counts = df.groupBy(g :+ col(valueCol): _*)
+    // NULLs are ignored, matching SQL PERCENTILE_*/Spark `percentile`
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol): _*)
       .agg(count(lit(1)).as("__cnt"))
     val cum = counts
       .withColumn("__cum",
@@ -61,7 +63,9 @@ object Percentiles {
       probs: Seq[(String, Double)]): DataFrame = {
     require(probs.nonEmpty, "need at least one (name, prob)")
     val g = groupCols.map(col)
-    val counts = df.groupBy(g :+ col(valueCol): _*)
+    // NULLs are ignored, matching SQL PERCENTILE_*/Spark `percentile`
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol): _*)
       .agg(count(lit(1)).as("__cnt"))
     // __n rides the SAME ordered window spec with an explicit full frame,
     // so both expressions share one exchange + one sort (a second
@@ -93,6 +97,7 @@ object Percentiles {
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
     val cum = df.select(g :+ col(valueCol): _*)
+      .filter(col(valueCol).isNotNull) // match SQL PERCENTILE_* null handling
       .withColumn("__cum", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -144,6 +149,10 @@ object Percentiles {
     val long = df
       .select(g ++ specs.map { case (c, _, _) => col(c).cast("double").as(c) }: _*)
       .unpivot(g.toArray, specs.map(s => col(s._1)).toArray, "__c", "__v")
+      // unpivot already drops null measure values (so NULLs are ignored,
+      // matching SQL PERCENTILE_*), but keep the filter explicit: the
+      // contract must not silently change if the reshape ever does
+      .filter(col("__v").isNotNull)
       .withColumn("__bkt", floor(col("__v") / widthFor.tail.foldLeft(
         widthFor.head._2) { case (acc, (c, wd)) => when(col("__c") === c, wd).otherwise(acc) })
         .cast("long"))

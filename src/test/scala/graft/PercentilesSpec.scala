@@ -113,6 +113,22 @@ class PercentilesSpec extends SparkTestBase {
     }
   }
 
+  test("all forms ignore NULL values, matching Spark's percentile") {
+    val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(2.0)), ("g", None),
+      ("g", Some(3.0)), ("g", Some(4.0))).toDF("k", "v")
+    val want = df.groupBy("k").agg(expr("percentile(v, 0.5)")).head.getDouble(1)
+    assert(want == 2.5) // sanity: nulls excluded from n
+    assert(Percentiles.exactContinuous(df, "v", Seq("k"), Seq("p50" -> 0.5))
+      .head.getDouble(1) == want)
+    assert(Percentiles.exactContinuousSorted(df, "v", Seq("k"), Seq("p50" -> 0.5))
+      .head.getDouble(1) == want)
+    assert(Percentiles.exactContinuousMulti(df, Seq("k"),
+      Seq(("v", 1.0, Seq("p50" -> 0.5)))).head.getDouble(1) == want)
+    // discrete: smallest value whose cumulative count reaches ceil(.5*4)=2
+    assert(Percentiles.exactDiscrete(df, "v", Seq("k"), Seq("p50" -> 0.5))
+      .head.getDouble(1) == 2.0)
+  }
+
   test("exactDiscrete handles multiple groups and ungrouped (global) form") {
     val df = Seq(("a", 1.0), ("a", 9.0), ("b", 5.0)).toDF("k", "v")
     val grouped = Percentiles.exactDiscrete(df, "v", Seq("k"), Seq("p50" -> 0.5))
