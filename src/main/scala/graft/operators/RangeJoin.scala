@@ -44,8 +44,8 @@ object RangeJoin {
     val withBkt = intervals.withColumn("bkt",
       explode(sequence(floor(col(startCol) / bucket),
         floor((col(startCol) + lit(len - 1)) / bucket))))
-    val a = withBkt.select(withBkt.columns.map(c => col(c).as(s"a_$c")): _*)
-    val b = withBkt.select(withBkt.columns.map(c => col(c).as(s"b_$c")): _*)
+    val a = withBkt.select(withBkt.columns.toIndexedSeq.map(c => col(c).as(s"a_$c")): _*)
+    val b = withBkt.select(withBkt.columns.toIndexedSeq.map(c => col(c).as(s"b_$c")): _*)
     a.join(b,
       col("a_bkt") === col("b_bkt") &&
       col(s"a_$idCol") < col(s"b_$idCol") &&
