@@ -402,7 +402,7 @@ object QueriesLLM {
       |  SELECT doc_id, gram_n, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram FROM g3),
       |counts AS (SELECT doc_id, gram_n, gram, count(*) AS c
       |           FROM grams GROUP BY doc_id, gram_n, gram)
-      |SELECT doc_id, gram_n, sum(c) AS n_grams,
+      |SELECT doc_id, gram_n, CAST(sum(c) AS BIGINT) AS n_grams,
       |  floor((max(c) * 1.0 / sum(c)) * 10000 + 0.5) / 10000 AS top_frac,
       |  floor((sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)) * 10000 + 0.5) / 10000 AS dup_frac
       |FROM counts GROUP BY doc_id, gram_n ORDER BY doc_id, gram_n""".stripMargin

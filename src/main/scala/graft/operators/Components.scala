@@ -31,19 +31,42 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Rounds executed by the most recent [[connectedComponents]] call on
-    * this thread — diagnostic only (benchmarking/round-count audits). */
+    * this thread — diagnostic only (benchmarking/round-count audits).
+    * 0 = the driver union-find fast path ran (no distributed rounds). */
   val lastRounds = new ThreadLocal[Int]
+
+  /** Edge-count threshold at or under which [[connectedComponents]]
+    * finishes with a driver-side union-find instead of the distributed
+    * loop. Iterative CC pays a fixed scheduler round-trip per round
+    * (~0.5 s each at any scale); a verified near-dup pair graph is
+    * usually TINY relative to the corpus it came from (pairs are the
+    * rare case dedup exists to find), so at 100 TB the pair frame very
+    * often still fits this bound. 2²⁰ edges ≈ 16 MB of (long, long) on
+    * the driver — the same bounded-collect budget as the BPE word table
+    * and the IVF centroid frame; past it, the checkpoint-per-round loop
+    * below takes over unchanged. */
+  val defaultMaxDriverEdges: Long = 1L << 20
 
   /** (node, cluster_id = min reachable node id) for every node that
     * appears in `edges` (columns `a_id`, `b_id`). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      maxDriverEdges: Long = defaultMaxDriverEdges): DataFrame = {
     // Materialize the incoming pair frame ONCE before symmetrizing: the
     // union reads it twice, and without this the whole upstream pipeline
     // (e.g. the banded-LSH candidate join feeding dedup_semantic_lsh)
     // executes twice inside the first action — measured as the dominant
-    // share of that query's cost and variance.
+    // share of that query's cost and variance. The edge count rides the
+    // checkpoint job as an observe metric (no second action) and routes
+    // tiny graphs to the union-find finisher.
+    val cntObs = new org.apache.spark.sql.Observation()
     val base = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .observe(cntObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    val nEdges = cntObs.get("n").asInstanceOf[Long]
+    if (nEdges <= maxDriverEdges) {
+      lastRounds.set(0)
+      return driverUnionFind(base)
+    }
     val sym = Dist.byKeys(
       base.union(base.select(col("dst").as("src"), col("src").as("dst"))),
       col("dst")) // join side below keys on dst
@@ -106,6 +129,46 @@ object Components {
     }
     sym.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Bounded-collect finisher for small pair graphs: classic union-find
+    * (path halving + union-by-min, so the root IS the component minimum)
+    * over the already-materialized edge frame. One collect replaces
+    * O(rounds) scheduler round-trips; the result comes back as a
+    * LocalRelation, so the downstream representative join broadcasts
+    * without a shuffle. Only reachable under [[defaultMaxDriverEdges]]
+    * (≤ ~16 MB collected); output contract and values are identical to
+    * the distributed loop (property-asserted in ComponentsSpec). */
+  private def driverUnionFind(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val idType = base.schema("src").dataType
+    val edges = base.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      nodes.update(a, ()); nodes.update(b, ())
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    nodes.keysIterator.map(n => (n, find(n))).toSeq
+      .toDF("node", "cluster_id")
+      .select(col("node").cast(idType).as("node"),
+        col("cluster_id").cast(idType).as("cluster_id"))
   }
 
   /** Semantic dedup summary: cluster every node of the near-dup pair

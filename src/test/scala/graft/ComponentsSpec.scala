@@ -61,12 +61,25 @@ class ComponentsSpec extends SparkTestBase {
     val chain = (1L to 200L).map(i => (i, i + 1))
     ccStars(chain) // 201-node path: propagation needs ~log2(200)+ rounds with
     val starRounds = Components.lastRounds.get()
-    cc(chain)
+    // force the distributed loop (the driver union-find path runs 0 rounds)
+    Components.connectedComponents(chain.toDF("a_id", "b_id"), maxDriverEdges = -1L).collect()
     val propRounds = Components.lastRounds.get()
     // star contraction must converge well under the propagation round count
     // on adversarial depth (this is WHY it's kept as the deep-graph path)
     assert(starRounds <= propRounds,
       s"stars took $starRounds rounds vs propagation $propRounds")
+  }
+
+  test("driver union-find path == distributed loop, and runs 0 rounds") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = cc(edges) // tiny graph -> union-find finisher
+    assert(Components.lastRounds.get() == 0)
+    val dist = Components.connectedComponents(edges.toDF("a_id", "b_id"), maxDriverEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Components.lastRounds.get() > 0)
+    assert(got == dist)
   }
 
   test("star contraction on the fixture LSH pair graph matches the default CC") {

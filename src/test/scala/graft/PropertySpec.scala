@@ -312,7 +312,7 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("property: stars CC == propagation CC on random pair graphs") {
+  test("property: stars CC == propagation CC == driver union-find on random pair graphs") {
     import graft.operators.Components
     val edgeGen = for {
       a <- Gen.chooseNum(0L, 60L); b <- Gen.chooseNum(0L, 60L)
@@ -321,9 +321,13 @@ class PropertySpec extends SparkTestBase {
       val edges = samples(edgeGen, seed, n = 80).toDF("a_id", "b_id")
       val stars = Components.connectedComponentsStars(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val prop = Components.connectedComponents(edges)
+      // maxDriverEdges = -1 forces the distributed propagation loop
+      val prop = Components.connectedComponents(edges, maxDriverEdges = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val uf = Components.connectedComponents(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(stars == prop, s"seed=$seed")
+      assert(uf == prop, s"seed=$seed (driver union-find vs distributed)")
     }
   }
 
