@@ -69,8 +69,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampNTZType)))
 
-  /** `ts` is Parquet INT64(TIMESTAMP NANOS) read as BIGINT nanoseconds —
-    * requires `spark.sql.legacy.parquet.nanosAsLong=true` (Engine sets it).
+  /** LOGICAL schema of `events`: `ts` is BIGINT epoch **nanoseconds** —
+    * the engine-wide event-time contract every operator converts from
+    * (see [[graft.functions.TimeOps]]). The fixture's PHYSICAL type has
+    * varied across driver generations — INT64(TIMESTAMP NANOS) (read as
+    * long under `spark.sql.legacy.parquet.nanosAsLong=true`, which Engine
+    * still sets) vs TIMESTAMP(MICROS, NTZ) — so [[events]] sniffs the
+    * footer once on the driver and normalizes to this schema; operators
+    * never see the physical variance.
     */
   val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -102,7 +108,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part", partSchema)
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem", lineitemSchema)
-  def events(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "events", eventsSchema)
+  def events(spark: SparkSession, dir: String): DataFrame    =
+    normalizeEvents(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Normalize a footer-inferred (or stream-schema'd) `events` frame to
+    * [[eventsSchema]] — in particular `ts` → BIGINT epoch nanoseconds.
+    * Physical variants handled:
+    *  - `LongType` (INT64 TIMESTAMP(NANOS) under `nanosAsLong`): already
+    *    nanos, pass through.
+    *  - `TimestampType` / `TimestampNTZType` (µs precision): NTZ is cast
+    *    through session-TZ (UTC in [[Engine]], so value-preserving) and
+    *    widened with `unix_micros * 1000`.
+    * One footer read on the driver; the projection stays a codegen'd
+    * narrow map over the vectorized scan — nothing shuffles.
+    */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros, lit}
+    val withNs = raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+    withNs.select(eventsSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+  }
+
+  /** PHYSICAL schema of `<dir>/events.parquet` (footer-sniffed) — what a
+    * `readStream.schema(...)` must declare before [[normalizeEvents]]. */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 }
