@@ -91,6 +91,73 @@ object QueriesCore {
       |  epoch_ns(ts) // 1000000000 AS ts_sec
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** schema_retype: the reference's FULL re-typing ladder
+    * (`copy_from_template.py:177-218`) run end-to-end by
+    * [[graft.sources.FileView.retype]] — not the 3-column shadow
+    * `schema_cast` keeps for the plain-cast semantics. A schema-on-read
+    * "first draft" is staged from `documents` with one column per rung of
+    * the ladder: an ignore-col (`name`), a date string (`eventTimestamp`),
+    * a "true"/"false" string (`isFirstAssessment`), a digit string with
+    * injected malformed values (`assessmentRevision` — try_cast→NULL, the
+    * view-correction semantics), two xl strings (`clientInfo`/`appInfo`,
+    * 512) and a default-width string (`comment`, 128). Output = the typed
+    * row projected to hash-canonical primitives + `n_viol`, the per-row
+    * width-violation count from [[graft.sources.FileView.violationsArray]]
+    * (`maximumSize`, `copy_from_template.py:166-168,207-210`).
+    * One codegen'd narrow projection over the scan — no shuffle. */
+  val schemaRetype: Q = (s, dir) => {
+    import graft.sources.FileView
+    val draft = Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("source").as("name"),
+      from_unixtime(col("doc_id") % 1000000L, "yyyy-MM-dd HH:mm:ss").as("eventTimestamp"),
+      (col("doc_id") % 2 === 0).cast("string").as("isFirstAssessment"),
+      when(col("doc_id") % 10 === 0, lit("x"))
+        .otherwise((col("doc_id") % 97).cast("string")).as("assessmentRevision"),
+      col("text").as("clientInfo"),
+      col("lang").as("appInfo"),
+      col("text").as("comment"))
+    val typed = FileView.retype(draft)
+    typed
+      .withColumn("n_viol", size(FileView.violationsArray(typed)))
+      .select(
+        col("doc_id"),
+        col("name"),
+        unix_timestamp(col("eventTimestamp")).as("ts_sec"),
+        col("isFirstAssessment").as("is_first"),
+        col("assessmentRevision").as("rev"),
+        col("n_viol"))
+      .orderBy("doc_id")
+  }
+
+  val schemaRetypeSql =
+    """WITH draft AS (
+      |  SELECT doc_id,
+      |         source AS name,
+      |         strftime(make_timestamp((doc_id % 1000000) * 1000000), '%Y-%m-%d %H:%M:%S') AS eventTimestamp,
+      |         CAST(doc_id % 2 = 0 AS VARCHAR) AS isFirstAssessment,
+      |         CASE WHEN doc_id % 10 = 0 THEN 'x'
+      |              ELSE CAST(doc_id % 97 AS VARCHAR) END AS assessmentRevision,
+      |         text AS clientInfo,
+      |         lang AS appInfo,
+      |         text AS comment
+      |  FROM documents),
+      |typed AS (
+      |  SELECT doc_id, name,
+      |         try_cast(eventTimestamp AS TIMESTAMP) AS eventTimestamp,
+      |         try_cast(isFirstAssessment AS BOOLEAN) AS isFirstAssessment,
+      |         try_cast(assessmentRevision AS INTEGER) AS assessmentRevision,
+      |         clientInfo, appInfo, comment
+      |  FROM draft)
+      |SELECT doc_id, name,
+      |       CAST(epoch(eventTimestamp) AS BIGINT) AS ts_sec,
+      |       isFirstAssessment AS is_first,
+      |       assessmentRevision AS rev,
+      |       (CASE WHEN length(clientInfo) > 512 THEN 1 ELSE 0 END
+      |        + CASE WHEN length(appInfo) > 512 THEN 1 ELSE 0 END
+      |        + CASE WHEN length(comment) > 128 THEN 1 ELSE 0 END) AS n_viol
+      |FROM typed ORDER BY doc_id""".stripMargin
+
   // ---- §2.2 projection / filter ------------------------------------------
 
   val projectCompute: Q = (s, dir) =>
@@ -1443,6 +1510,7 @@ object QueriesCore {
     "scan_csv" -> scanCsvRoundtrip,
     "scan_orc" -> scanOrcRoundtrip,
     "schema_cast" -> schemaCast,
+    "schema_retype" -> schemaRetype,
     "project_compute" -> projectCompute,
     "filter_pred" -> filterPred,
     "join_inner" -> joinInner,
@@ -1523,6 +1591,7 @@ object QueriesCore {
     "scan_csv" -> scanCsvRoundtripSql,
     "scan_orc" -> scanOrcRoundtripSql,
     "schema_cast" -> schemaCastSql,
+    "schema_retype" -> schemaRetypeSql,
     "project_compute" -> projectComputeSql,
     "filter_pred" -> filterPredSql,
     "join_inner" -> joinInnerSql,

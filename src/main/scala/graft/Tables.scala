@@ -109,16 +109,21 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem", lineitemSchema)
   def events(spark: SparkSession, dir: String): DataFrame    =
-    normalizeEvents(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeEvents(spark.read.schema(eventsRawSchema(spark, dir))
+      .parquet(s"$dir/events.parquet"))
 
   /** Normalize a footer-inferred (or stream-schema'd) `events` frame to
     * [[eventsSchema]] — in particular `ts` → BIGINT epoch nanoseconds.
     * Physical variants handled:
     *  - `LongType` (INT64 TIMESTAMP(NANOS) under `nanosAsLong`): already
     *    nanos, pass through.
-    *  - `TimestampType` / `TimestampNTZType` (µs precision): NTZ is cast
-    *    through session-TZ (UTC in [[Engine]], so value-preserving) and
-    *    widened with `unix_micros * 1000`.
+    *  - `TimestampType` (µs instant): `unix_micros * 1000`, TZ-independent.
+    *  - `TimestampNTZType` (µs wall-clock): the cast to `TimestampType`
+    *    reinterprets in the session TZ, so it is value-preserving only
+    *    under UTC — enforced loudly rather than silently shifting every
+    *    event time on a misconfigured session.
+    * Any other physical type is a hard error (a silent `cast` would
+    * null the column instead of flagging a genuinely new fixture drift).
     * One footer read on the driver; the projection stays a codegen'd
     * narrow map over the vectorized scan — nothing shuffles.
     */
@@ -126,16 +131,38 @@ object Tables {
     import org.apache.spark.sql.functions.{col, unix_micros, lit}
     val withNs = raw.schema("ts").dataType match {
       case LongType => raw
-      case _ => raw.withColumn(
-        "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ: normalization requires session timeZone=UTC (got $tz); " +
+            "a non-UTC cast would silently shift every event time")
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; expected BIGINT(ns), TIMESTAMP or TIMESTAMP_NTZ")
     }
     withNs.select(eventsSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
   }
 
+  /** Physical `ts` variants the engine accepts in `events.parquet`
+    * (see [[normalizeEvents]]); anything else is fixture drift. */
+  val eventsTsPhysicalVariants: Set[DataType] =
+    Set(LongType, TimestampType, TimestampNTZType)
+
+  private val eventsFooterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** PHYSICAL schema of `<dir>/events.parquet` (footer-sniffed) — what a
-    * `readStream.schema(...)` must declare before [[normalizeEvents]]. */
+    * `readStream.schema(...)` must declare before [[normalizeEvents]].
+    * Cached per dir: `events` is the sanctioned exception to the
+    * no-inference rule above (its physical type varies across fixture
+    * generations), and the cache keeps that to one footer read per
+    * directory per JVM instead of one per query. */
   def eventsRawSchema(spark: SparkSession, dir: String): StructType =
-    spark.read.parquet(s"$dir/events.parquet").schema
+    eventsFooterCache.computeIfAbsent(dir,
+      d => spark.read.parquet(s"$d/events.parquet").schema)
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 }

@@ -60,35 +60,70 @@ object RangeJoin {
 object BloomJoin {
 
   /** `left SEMI JOIN keys` with a Bloom pre-filter: build the sketch over
-    * `keys[keyRight]` (one aggregation, fixed-size mergeable buffers —
-    * numBits/8 bytes per partial), broadcast it inside the filter closure,
-    * drop non-members of `left` before the exact semi-join sees them.
+    * `xxhash64(keys[keyRight])` with Spark's own `BloomFilterAggregate`
+    * (one aggregation, fixed-size mergeable buffers — numBits/8 bytes per
+    * partial), then probe with the codegen'd `BloomFilterMightContain` —
+    * the exact expression pair Spark's runtime row-level filters inject.
+    * The probe therefore stays INSIDE whole-stage codegen on the 100 TB
+    * fact side (no boxed per-row UDF; PlanAuditSpec asserts no ScalaUDF in
+    * the probe filter), and any xxhash64-able key type works — integral,
+    * string, double, date — not just the integral/string pair the old
+    * `stat.bloomFilter` path supported.
     *
-    * The sketch build collects ONE BloomFilter object (bounded:
-    * `expectedItems`·10 bits at fpp=0.01), never the keys. At 100 TB this
-    * is the standard shape for "join a fact to a 10⁹-key dim": the dim's
-    * hash relation (~16 B/key) blows the broadcast budget 10× sooner than
-    * its Bloom sketch does, and the pre-filter cuts the fact's shuffle
-    * volume by the join's selectivity. False positives only cost shuffled
-    * bytes — the exact join removes them, so results are bit-identical to
-    * the plain semi-join. */
+    * Key-type skew between the two sides is normalized BEFORE hashing
+    * (xxhash64 is width-sensitive: the same value hashes differently as
+    * INT vs BIGINT): integral-vs-integral both widen to BIGINT; otherwise
+    * the probe casts to the build key's type. Equal values always survive
+    * the cast, so no true match is ever dropped; a truncation alias can
+    * only ADD a false positive, which the exact join removes.
+    *
+    * The sketch build collects ONE binary blob (bounded: optimal-bits for
+    * `expectedItems` at `fpp`, further capped by Spark's
+    * `runtime.bloomFilter.maxNumBits` inside the aggregate — past the cap
+    * the fpp degrades, costing only shuffled bytes), never the keys. At
+    * 100 TB this is the standard shape for "join a fact to a 10⁹-key dim":
+    * the dim's hash relation (~16 B/key) blows the broadcast budget 10×
+    * sooner than its Bloom sketch does, and the pre-filter cuts the fact's
+    * shuffle volume by the join's selectivity. False positives only cost
+    * shuffled bytes — the exact join removes them, so results are
+    * bit-identical to the plain semi-join. */
   def semiWithBloom(left: DataFrame, leftKey: String,
       keys: DataFrame, keyRight: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
-    val bf = keys.stat.bloomFilter(keyRight, expectedItems, fpp)
-    // membership probe dispatched on the key's type — `stat.bloomFilter`
-    // itself accepts integral and string columns, so the probe must too
-    // (a Long-only UDF on a string key would die in an ANSI cast far from
-    // this call site)
-    val might = keys.schema(keyRight).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        udf((k: Long) => bf.mightContainLong(k))
-      case StringType => udf((k: String) => bf.mightContainString(k))
-      case t => throw new IllegalArgumentException(
-        s"semiWithBloom supports integral and string keys, got $t for $keyRight")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+
+    val lt = left.schema(leftKey).dataType
+    val rt = keys.schema(keyRight).dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (probeKey, buildKey) =
+      if (lt == rt) (col(leftKey), keys(keyRight))
+      else if (integral(lt) && integral(rt))
+        (col(leftKey).cast(LongType), keys(keyRight).cast(LongType))
+      else (col(leftKey).cast(rt), keys(keyRight))
+
+    // classic optimal sizing m = -n·ln(p)/ln²2 (~10 bits/key at 1% fpp)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val sketch = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(buildKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bytes = keys.select(sketch).head().getAs[Array[Byte]](0)
+    if (bytes == null) {
+      // empty build side: the semi-join is empty by definition — skip the
+      // probe (BloomFilterMightContain on a null sketch is undefined)
+      left.filter(lit(false)).join(keys, col(leftKey) === keys(keyRight), "left_semi")
+    } else {
+      val probe = ColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        ColumnBridge.expression(xxhash64(probeKey))))
+      left.filter(col(leftKey).isNotNull && probe)
+        .join(keys, col(leftKey) === keys(keyRight), "left_semi")
     }
-    left.filter(col(leftKey).isNotNull && might(col(leftKey)))
-      .join(keys, col(leftKey) === keys(keyRight), "left_semi")
   }
 }

@@ -98,20 +98,29 @@ object FileView {
     df.select(cols.toSeq: _*)
   }
 
-  /** Rows violating the reference's string-width contract
-    * (`maximumSize`: 512 for clientInfo/appInfo, 128 default). */
-  def widthViolations(df: DataFrame): DataFrame = {
+  /** Per-row array of `"col:len"` entries breaking the reference's
+    * string-width contract (`maximumSize`: 512 for clientInfo/appInfo,
+    * 128 default) — empty array when the row is clean. Shared by
+    * [[widthViolations]] and the `schema_retype` correctness query. */
+  def violationsArray(df: DataFrame): Column = {
     val checks = df.schema.fields.collect {
       case f if f.dataType == StringType && !ignoreCols.contains(f.name) =>
         val max = if (xlStrFields.contains(f.name)) xlStrLength else defaultStrLength
         when(length(col(f.name)) > max,
           concat_ws(":", lit(f.name), length(col(f.name)).cast("string")))
     }
-    if (checks.isEmpty) df.sparkSession.emptyDataFrame
-    else df
-      .withColumn("violations", array_compact(array(checks.toSeq: _*)))
-      .filter(size(col("violations")) > 0)
+    if (checks.isEmpty) array().cast(ArrayType(StringType))
+    else array_compact(array(checks.toSeq: _*))
   }
+
+  /** Rows violating the reference's string-width contract
+    * (`maximumSize`: 512 for clientInfo/appInfo, 128 default). */
+  def widthViolations(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(f => f.dataType == StringType && !ignoreCols.contains(f.name)))
+      df.sparkSession.emptyDataFrame
+    else df
+      .withColumn("violations", violationsArray(df))
+      .filter(size(col("violations")) > 0)
 
   /** Read ONE logical dataset ACROSS a schema change — the engine's
     * answer to the reference's one true DDL moment, the atomic ordered

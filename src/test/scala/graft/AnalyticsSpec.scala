@@ -99,22 +99,36 @@ class AnalyticsSpec extends SparkTestBase {
     assert(withBloom.exceptAll(plain).isEmpty && plain.exceptAll(withBloom).isEmpty)
   }
 
-  test("semiWithBloom dispatches on key type: string keys work, others rejected") {
+  test("semiWithBloom handles string, mixed-width integral, and double keys") {
     val dim = Tables.nation(spark, sf).select("n_name")
     val facts = Tables.nation(spark, sf).select(col("n_name").as("k"), col("n_nationkey"))
       .unionAll(Seq(("NOT-A-NATION", 99L)).toDF("k", "n_nationkey"))
     val withBloom = BloomJoin.semiWithBloom(facts, "k", dim, "n_name", 100L)
     val plain = facts.join(dim, col("k") === col("n_name"), "left_semi")
     assert(withBloom.exceptAll(plain).isEmpty && plain.exceptAll(withBloom).isEmpty)
-    // unsupported key types fail fast at the build site (Spark's own
-    // bloomFilter analysis rejects the column before our dispatch would)
-    val e = intercept[Exception] {
-      BloomJoin.semiWithBloom(
-        facts.withColumn("k", col("n_nationkey").cast("double")), "k",
-        dim.withColumn("n_name", lit(1.0)), "n_name", 100L)
-    }
-    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
-      e.isInstanceOf[IllegalArgumentException], e.toString)
+    // mixed integral widths: xxhash64 is width-sensitive, so both sides
+    // must be widened to BIGINT before hashing or every probe misses
+    val factsL = Tables.orders(spark, sf).select("o_orderkey", "o_custkey") // BIGINT key
+    val dimI = Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("int").as("ck")) // INT key
+    val bloomI = BloomJoin.semiWithBloom(factsL, "o_custkey", dimI, "ck", 1000L)
+    val plainI = factsL.join(dimI, col("o_custkey") === col("ck"), "left_semi")
+    assert(bloomI.count() > 0)
+    assert(bloomI.exceptAll(plainI).isEmpty && plainI.exceptAll(bloomI).isEmpty)
+    // the codegen'd xxhash64 probe lifts the old integral/string-only
+    // restriction: double keys work too
+    val factsD = facts.withColumn("k", col("n_nationkey").cast("double"))
+    val dimD = Tables.nation(spark, sf)
+      .filter(col("n_regionkey") === 1).select(col("n_nationkey").cast("double").as("nk"))
+    val bloomD = BloomJoin.semiWithBloom(factsD, "k", dimD, "nk", 100L)
+    val plainD = factsD.join(dimD, col("k") === col("nk"), "left_semi")
+    assert(bloomD.exceptAll(plainD).isEmpty && plainD.exceptAll(bloomD).isEmpty)
+  }
+
+  test("semiWithBloom on an empty build side returns the empty semi-join") {
+    val dim = Tables.nation(spark, sf).filter(lit(false)).select("n_name")
+    val facts = Tables.nation(spark, sf).select(col("n_name").as("k"))
+    assert(BloomJoin.semiWithBloom(facts, "k", dim, "n_name", 100L).count() === 0)
   }
 
   test("int8Scale zero-vector guard: all-zero embedding quantizes to zeros, not NaN") {

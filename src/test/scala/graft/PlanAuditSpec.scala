@@ -142,13 +142,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("join_bloom filters the fact BEFORE the exact semi-join") {
+  test("join_bloom probes with codegen'd might_contain below the semi-join, no UDF") {
     val p = plan("join_bloom")
     val join = p.indexOf("LeftSemi")
-    val filt = p.indexOf("UDF") // the bloom mightContain filter
+    val filt = p.indexOf("might_contain") // Spark's codegen'd bloom probe
     assert(join >= 0, p)
     // tree prints top-down: the filter must sit BELOW the join (fact subtree)
     assert(filt > join, p)
+    // the probe must stay inside whole-stage codegen: no boxed ScalaUDF
+    // anywhere in the plan
+    assert(!p.contains("UDF"), p)
   }
 
   test("ts_resample never shuffles raw event rows — only bucket partials") {

@@ -145,8 +145,9 @@ class StreamingSpec extends SparkTestBase {
       dir.resolve("part1.parquet"))
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("part2.parquet"))
-    val stream = spark.readStream.schema(Tables.eventsSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(Tables.eventsRawSchema(spark, sf))
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
       .groupBy("event_type").agg(count(lit(1)).as("n"))
     val q = stream.writeStream.outputMode("complete").format("memory")
       .queryName("ratelim_out").start()
@@ -169,17 +170,22 @@ class StreamingSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("evstream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = StreamOps.parquetStream(spark, Tables.eventsSchema, dir.toString)
+    // aggregate ts too, so batch-vs-stream divergence in the ts
+    // normalization path (not just row routing) fails this test
+    val stream = Tables.normalizeEvents(
+      StreamOps.parquetStream(spark, Tables.eventsRawSchema(spark, sf), dir.toString))
       .withColumn("ts_sec", graft.functions.TimeOps.nsToSec(col("ts")))
-      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("ts_sec").as("ts_sum"))
     val q = stream.writeStream.outputMode("complete").format("memory")
       .queryName("unify_out").start()
     try {
       q.processAllAvailable()
       val streamed = spark.table("unify_out").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val batch = Tables.events(spark, sf).groupBy("event_type").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = Tables.events(spark, sf)
+        .withColumn("ts_sec", graft.functions.TimeOps.nsToSec(col("ts")))
+        .groupBy("event_type").agg(count(lit(1)).as("n"), sum("ts_sec").as("ts_sum"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(streamed == batch)
     } finally q.stop()
   }

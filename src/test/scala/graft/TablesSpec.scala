@@ -9,7 +9,7 @@ class TablesSpec extends SparkTestBase {
     "region" -> Tables.regionSchema, "nation" -> Tables.nationSchema,
     "customer" -> Tables.customerSchema, "supplier" -> Tables.supplierSchema,
     "part" -> Tables.partSchema, "orders" -> Tables.ordersSchema,
-    "lineitem" -> Tables.lineitemSchema, "events" -> Tables.eventsSchema,
+    "lineitem" -> Tables.lineitemSchema,
     "documents" -> Tables.documentsSchema, "embeddings" -> Tables.embeddingsSchema)
 
   tables.foreach { case (name, declared) =>
@@ -18,5 +18,34 @@ class TablesSpec extends SparkTestBase {
       assert(inferred.fields.map(f => (f.name, f.dataType)).toSeq ==
         declared.fields.map(f => (f.name, f.dataType)).toSeq)
     }
+  }
+
+  // `events.ts` has legitimately varied physically across fixture
+  // generations (INT64 nanos-as-long vs TIMESTAMP_NTZ micros), which
+  // Tables.normalizeEvents absorbs at read time. Guard the LOGICAL
+  // contract the engine actually depends on, and separately pin the raw
+  // footer to the declared variant set so a genuinely NEW physical type
+  // still fails loudly here.
+  test("events: normalized schema matches the logical BIGINT-ns contract") {
+    assert(Tables.events(spark, sf).schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Tables.eventsSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("events: raw footer is a declared physical variant") {
+    val raw = Tables.eventsRawSchema(spark, sf)
+    assert(raw.fields.map(_.name).toSeq == Tables.eventsSchema.fields.map(_.name).toSeq)
+    assert(Tables.eventsTsPhysicalVariants.contains(raw("ts").dataType),
+      s"new events.ts physical type ${raw("ts").dataType} — extend normalizeEvents + this variant set")
+    raw.fields.filterNot(_.name == "ts").foreach { f =>
+      assert(f.dataType == Tables.eventsSchema(f.name).dataType,
+        s"events.${f.name} drifted to ${f.dataType}")
+    }
+  }
+
+  test("normalizeEvents rejects an undeclared ts physical type loudly") {
+    import org.apache.spark.sql.functions.col
+    val bad = Tables.events(spark, sf).withColumn("ts", col("ts").cast("string"))
+    val e = intercept[IllegalStateException](Tables.normalizeEvents(bad))
+    assert(e.getMessage.contains("unsupported physical type"))
   }
 }
