@@ -329,4 +329,22 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == expect)
   }
+
+  test("bench-fast replay (one batch, 2 partitions) is result-identical for schedule-independent harnesses") {
+    // graft.Bench sets -Dgraft.bench.fast=1 to trim the replay harnesses'
+    // micro-batch fixed cost; this guard pins the claim that the trim
+    // never changes what the four schedule-independent harnesses return.
+    // (watermark_late and restart_exactly_once keep their schedules: the
+    // batch cut IS their semantics.)
+    val names = Seq("stream_dedup_live", "stream_join_live",
+      "stream_session_live", "stream_enrich_live")
+    for (n <- names) {
+      val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
+      System.setProperty("graft.bench.fast", "1")
+      try {
+        val fast = QueriesStreaming.all(n)(spark, sf).collect().toSeq
+        assert(fast == slow, s"$n diverges under graft.bench.fast")
+      } finally System.clearProperty("graft.bench.fast")
+    }
+  }
 }
