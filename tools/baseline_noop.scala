@@ -13,7 +13,16 @@ val sf = "/root/testdata/sf0.1"
 val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
 val orders = spark.read.parquet(s"$sf/orders.parquet")
 val customer = spark.read.parquet(s"$sf/customer.parquet")
-val events = spark.read.parquet(s"$sf/events.parquet")
+// the fixture's physical ts type has varied across driver generations
+// (INT64 nanos-as-long vs TIMESTAMP_NTZ micros); normalize to the BIGINT
+// nanos the two events queries assume -- same narrow cast the engine does
+val events = {
+  val raw = spark.read.parquet(s"$sf/events.parquet")
+  raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => raw
+    case _ => raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+  }
+}
 val documents = spark.read.parquet(s"$sf/documents.parquet")
 val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
 
