@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage cut for per-round ITERATIVE state (CC label frames, BFS
+  * frontiers) — the deployment-dependent half of the iterative operators'
+  * contract (SCALE.md "Iterative checkpointing at 100 TB").
+  *
+  * Default (no conf): eager `localCheckpoint` — blocks in executor-local
+  * store, per-round floor at the scheduler minimum. Correct wherever an
+  * executor loss is impossible (local[·]) or a loop restart is cheap.
+  *
+  * With `spark.graft.checkpointDir` set (100 TB clusters: an object-store
+  * path), the state checkpoints RELIABLY instead: each round pays one
+  * write+read of the per-vertex frame (|V| × ~16 B), and losing an
+  * executor mid-loop costs one task retry rather than restarting a
+  * 20-round job from round 0. localCheckpoint blocks carry NO fault
+  * tolerance — their lineage is severed by construction — and they also
+  * pin executors against dynamic-allocation shrink; neither is acceptable
+  * on a 1000-executor loop.
+  *
+  * The operators decide WHICH frames are per-round state; this helper
+  * owns only the mechanism, keyed off the session conf so a deployment
+  * flips it without touching operator code. Retention stays O(1) either
+  * way: only the latest round's frame is referenced (the round cap —
+  * `maxIter`/`maxDepth` — bounds worst-case accumulation; see SCALE.md
+  * for the object-store TTL note).
+  */
+object Checkpointing {
+
+  val confKey = "spark.graft.checkpointDir"
+
+  // last conf value this helper pointed the context at — getCheckpointDir
+  // returns Spark's resolved UUID subdir, so it can't be compared to the
+  // conf string directly; re-pointing on every cut would mint a fresh
+  // subdir per round
+  private val pointedAt = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Cut lineage on `df`, eagerly: reliable checkpoint when [[confKey]]
+    * is set, executor-local otherwise. */
+  def cut(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption(confKey) match {
+      case Some(dir) if dir.nonEmpty =>
+        if (pointedAt.getAndSet(dir) != dir || s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(eager = true)
+    }
+  }
+}

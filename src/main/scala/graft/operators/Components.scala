@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Connected components over an undirected edge list — the clustering
   * step of semantic dedup: near-dup PAIRS (from exact, LSH, MinHash or
@@ -19,8 +20,11 @@ import org.apache.spark.sql.functions._
   * symmetric edge list + one min-aggregate — all partial+final, no
   * driver-side data. The driver only runs the convergence loop (one
   * count per round, O(graph diameter) rounds; near-dup components are
-  * shallow). Lineage is cut every round with an eager localCheckpoint so
-  * plans stay O(1) deep instead of O(rounds). The classic
+  * shallow). Lineage is cut every round with [[Checkpointing.cut]] so
+  * plans stay O(1) deep instead of O(rounds) — executor-local blocks
+  * under local[·], reliable object-store checkpoints when
+  * `spark.graft.checkpointDir` is set (the 100 TB fault-tolerance
+  * switch; SCALE.md "Iterative checkpointing"). The classic
   * large-star/small-star alternative (Kiveris et al., "Connected
   * Components in MapReduce") is [[connectedComponentsStars]] below:
   * its contraction rounds track O(log n) rather than diameter, so it
@@ -61,7 +65,7 @@ object Components {
     val cntObs = new org.apache.spark.sql.Observation()
     val base = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .observe(cntObs, count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .pipe(Checkpointing.cut)
     val nEdges = cntObs.get("n").asInstanceOf[Long]
     if (nEdges <= maxDriverEdges) {
       lastRounds.set(0)
@@ -77,7 +81,7 @@ object Components {
     var labels = sym.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("label"))
-      .localCheckpoint(true)
+      .pipe(Checkpointing.cut)
     var round = 0
     var prevFp = (-1L, -1L)
     while (round < maxIter) {
@@ -119,7 +123,7 @@ object Components {
         .select(col("src").as("node"), col("label"))
         .observe(obs, count(lit(1)).as("n"),
           expr("bit_xor(xxhash64(node, label))").as("h"))
-        .localCheckpoint(true) // eager: cut lineage, one O(1)-deep plan per round
+        .pipe(Checkpointing.cut) // eager: cut lineage, one O(1)-deep plan per round
       val cur = (obs.get("n").asInstanceOf[Long], obs.get("h").asInstanceOf[Long])
       labels = next
       round += 1
@@ -208,10 +212,10 @@ object Components {
     // initial edge frame both read the pair source, so materialize it
     // first or the candidate pipeline runs twice.
     val base = edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .localCheckpoint(true)
+      .pipe(Checkpointing.cut)
     val allNodes = base.select(col("u").as("node"))
       .unionAll(base.select(col("v").as("node"))).distinct()
-      .localCheckpoint(true)
+      .pipe(Checkpointing.cut)
     // One large-star + small-star contraction, lazily composed. Both
     // stars are SINGLE-PASS WINDOW forms: the per-neighborhood minimum
     // rides a full-frame window over the attachment key instead of a
@@ -243,7 +247,7 @@ object Components {
           .otherwise(array(col("v")))).as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
     }
-    var e = base.filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var e = base.filter(col("u") =!= col("v")).distinct().pipe(Checkpointing.cut)
     var round = 0
     var prev = (-1L, -1L)
     while (round < maxIter) {
@@ -261,7 +265,7 @@ object Components {
         // ANSI), so "unchanged fingerprint" ⇒ fixpoint
         .observe(obs, count(lit(1)).as("n"),
           expr("bit_xor(xxhash64(u, v))").as("h"))
-        .localCheckpoint(true)
+        .pipe(Checkpointing.cut)
       e = ss
       round += 1
       lastRounds.set(round)

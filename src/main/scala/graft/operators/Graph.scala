@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Iterative graph traversal — the capability SQL expresses with
   * `WITH RECURSIVE` and Spark has no built-in for: breadth-first
@@ -29,7 +30,7 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = Dist.byKeys(edges.select(col("src"), col("dst")), col("src")).persist()
-    var visited = Seq((seed, 0)).toDF("node", "dist").localCheckpoint(true)
+    var visited = Seq((seed, 0)).toDF("node", "dist").pipe(Checkpointing.cut)
     var frontier = visited
     var depth = 0
     var done = false
@@ -40,7 +41,7 @@ object Graph {
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(depth + 1).as("dist"))
         .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint(true)
+        .pipe(Checkpointing.cut)
       done = obs.get("n").asInstanceOf[Long] == 0
       if (!done) {
         // no checkpoint on visited: it's a union of ≤ maxDepth frames that

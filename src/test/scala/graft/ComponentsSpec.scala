@@ -129,4 +129,28 @@ class ComponentsSpec extends SparkTestBase {
     assert(sameLabel.toDouble / lsh.size >= 0.8,
       s"only $sameLabel/${lsh.size} LSH-clustered nodes share the exact cluster label")
   }
+
+  test("spark.graft.checkpointDir switches the loop to reliable checkpoints, same result") {
+    // the 100 TB fault-tolerance switch (Checkpointing.cut, SCALE.md):
+    // identical labels, and the per-round state actually lands in the
+    // configured dir instead of executor-local store.
+    // maxDriverEdges=0 forces the distributed loop on this small graph.
+    import graft.operators.{Checkpointing, Components}
+    val edges = (1L to 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val plain = Components.connectedComponents(edges, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set(Checkpointing.confKey, dir.toString)
+    try {
+      val reliable = Components.connectedComponents(edges, maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == plain)
+      val files = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files written under $dir")
+    } finally {
+      spark.conf.unset(Checkpointing.confKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
