@@ -74,9 +74,10 @@ object QueriesCore {
   val scanOrcRoundtripSql =
     "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey"
 
-  /** schema_cast: the reference's re-typing pass as a relational projection
-    * (`copy_from_template.py:177-218`): numeric→string, double→int (via
-    * floor — CAST semantics differ between engines), ns→sec. */
+  /** schema_cast: plain-CAST semantics probe (`copy_from_template.py:
+    * 177-218`): numeric→string, double→int (via floor — CAST semantics
+    * differ between engines), ns→sec. The reference's FULL re-typing
+    * ladder is the separate oracle-gated [[schemaRetype]] query. */
   val schemaCast: Q = (s, dir) =>
     Tables.events(s, dir)
       .select(col("event_id"),

@@ -230,7 +230,12 @@ object QueriesLLM {
     import graft.operators.Components
     val pairs = Similarity.pairsLsh(Tables.embeddings(s, dir), 0.35)
       .select("a_id", "b_id")
-    Components.connectedComponentsStars(pairs)
+    // tiered CC (driver union-find ≤ 2²⁰ edges → one-round contraction →
+    // distributed loop): the verified near-dup pair graph is tiny relative
+    // to the corpus (3.9k edges at sf0.1), so the bounded fast paths
+    // engage; connectedComponentsStars stays the deep-graph alternative
+    // (identical output, property-asserted in ComponentsSpec).
+    Components.connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
   }

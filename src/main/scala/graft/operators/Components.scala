@@ -82,6 +82,41 @@ object Components {
       .agg(min(col("dst")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .pipe(Checkpointing.cut)
+    // CONTRACTION FINISHER: one relabel pass maps every raw edge into
+    // label space — the QUOTIENT graph. Connectivity is preserved (every
+    // node is adjacent to its own label by construction: label(u) ∈ {u} ∪
+    // N(u), so contracting u onto label(u) never disconnects anything),
+    // and near-dup CLUSTERS collapse to self-loops, so a dup-heavy pair
+    // graph's quotient is typically orders of magnitude smaller than the
+    // raw graph even when the raw graph exceeds the driver bound (the
+    // sf0.1 LSH fixture: >2²⁰ raw edges, quotient well under it). If the
+    // quotient fits the SAME bounded-collect budget, finish with the
+    // driver union-find: quotient cluster ids are true component minima
+    // (the component min m has label(m) = m, so m survives contraction
+    // as its own quotient node), and label∘quotientCluster is exactly
+    // the distributed loop's fixpoint — one distributed round + one
+    // bounded collect instead of O(diameter) scheduler round-trips.
+    val qObs = new org.apache.spark.sql.Observation()
+    val lu = labels.select(col("node").as("__u"), col("label").as("__lu"))
+    val lv = labels.select(col("node").as("__v"), col("label").as("__lv"))
+    val quotient = base
+      .join(lu, base("src") === col("__u"))
+      .join(lv, base("dst") === col("__v"))
+      .select(col("__lu").as("src"), col("__lv").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .observe(qObs, count(lit(1)).as("n"))
+      .pipe(Checkpointing.cut)
+    if (qObs.get("n").asInstanceOf[Long] <= maxDriverEdges) {
+      lastRounds.set(1)
+      val qcc = driverUnionFind(quotient).withColumnRenamed("node", "label")
+      val out = labels
+        .join(qcc, Seq("label"), "left") // labels absent from the quotient are final
+        .select(col("node"), coalesce(col("cluster_id"), col("label")).as("cluster_id"))
+        .pipe(Checkpointing.cut) // materialize before sym.unpersist
+      sym.unpersist()
+      return out
+    }
     var round = 0
     var prevFp = (-1L, -1L)
     while (round < maxIter) {

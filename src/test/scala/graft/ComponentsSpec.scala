@@ -130,6 +130,24 @@ class ComponentsSpec extends SparkTestBase {
       s"only $sameLabel/${lsh.size} LSH-clustered nodes share the exact cluster label")
   }
 
+  test("contraction finisher (raw > bound ≥ quotient) matches full resolution") {
+    // force the middle path: raw edge count above maxDriverEdges, so the
+    // direct union-find is skipped, but the one-round quotient graph fits
+    // the bound — the contraction finisher must produce the same labels
+    // as the unrestricted resolution on the same graph.
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("a_id", "b_id")
+    val want = Components.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Components.connectedComponents(df, maxDriverEdges = edges.size - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(Components.lastRounds.get() <= 1,
+      s"expected the 1-round contraction finisher, ran ${Components.lastRounds.get()} rounds")
+  }
+
   test("spark.graft.checkpointDir switches the loop to reliable checkpoints, same result") {
     // the 100 TB fault-tolerance switch (Checkpointing.cut, SCALE.md):
     // identical labels, and the per-round state actually lands in the
