@@ -142,6 +142,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("schema_retype is one narrow projection over the scan — no join, no aggregate, no UDF") {
+    val p = plan("schema_retype")
+    assert(!p.contains("Join") && !p.contains("Aggregate") && !p.contains("UDF"), p)
+    // the only exchange is the final ORDER BY's range partitioning —
+    // the retype ladder itself never shuffles
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"), p)
+  }
+
   test("join_bloom probes with codegen'd might_contain below the semi-join, no UDF") {
     val p = plan("join_bloom")
     val join = p.indexOf("LeftSemi")
