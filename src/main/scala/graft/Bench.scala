@@ -55,7 +55,7 @@ object Bench {
     }
     // Fixed-work machine-speed probe (round-5 ask #5 / round-6 ask #4):
     // a data-independent, purely codegen'd job — 200M-row range through
-    // two xxhash64 chains into one sum, no fixture I/O, no shuffle —
+    // two xxhash64 chains into one bit_xor, no fixture I/O, no shuffle —
     // whose runtime tracks host/JVM throughput, not engine changes.
     // Per-round totals have swung ±25% on machine phase alone (r4-r6:
     // 128→108→86 s); dividing any query's time by the same round's

@@ -88,14 +88,17 @@ object Components {
     // N(u), so contracting u onto label(u) never disconnects anything),
     // and near-dup CLUSTERS collapse to self-loops, so a dup-heavy pair
     // graph's quotient is typically orders of magnitude smaller than the
-    // raw graph even when the raw graph exceeds the driver bound (the
-    // sf0.1 LSH fixture: >2²⁰ raw edges, quotient well under it). If the
+    // raw graph even when the raw graph exceeds the driver bound. If the
     // quotient fits the SAME bounded-collect budget, finish with the
     // driver union-find: quotient cluster ids are true component minima
     // (the component min m has label(m) = m, so m survives contraction
     // as its own quotient node), and label∘quotientCluster is exactly
     // the distributed loop's fixpoint — one distributed round + one
     // bounded collect instead of O(diameter) scheduler round-trips.
+    // (The current fixtures' pair graphs all sit under the raw bound and
+    // take the direct union-find path above — ComponentsSpec forces this
+    // tier explicitly; at 100 TB it is the common case for a dup-heavy
+    // corpus whose raw pair list overflows the bound.)
     val qObs = new org.apache.spark.sql.Observation()
     val lu = labels.select(col("node").as("__u"), col("label").as("__lu"))
     val lv = labels.select(col("node").as("__v"), col("label").as("__lv"))
