@@ -39,6 +39,23 @@ class FileViewSpec extends SparkTestBase {
     assert(r4.isNullAt(r4.fieldIndex("participantVersion")))
   }
 
+  test("retype is idempotent: a second pass is a no-op") {
+    // after one pass the corrected columns are no longer StringType, so
+    // the ladder passes them through untouched — re-running an already
+    // corrected view (the reference's script CAN run twice against the
+    // same study) must neither re-cast nor null anything
+    val once = FileView.retype(viewFixture)
+    val twice = FileView.retype(once)
+    assert(once.schema == twice.schema)
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("violationsArray on a frame with no checkable strings is the empty array") {
+    val df = viewFixture.select($"participantVersion", $"name") // name is an ignore-col
+    val out = df.select(FileView.violationsArray(df).as("v")).head()
+    assert(out.getSeq[String](0).isEmpty)
+  }
+
   test("widthViolations flags the over-width clientInfo row only") {
     val v = FileView.widthViolations(viewFixture).collect()
     assert(v.length == 1)
