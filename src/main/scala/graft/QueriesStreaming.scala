@@ -42,11 +42,25 @@ object QueriesStreaming {
     * partitions keep the same semantics (state is keyed, not
     * partition-placed) at a quarter of the fixed cost. Production
     * streams size this to the key cardinality, not to this harness. */
-  private def withFewPartitions[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+  private def withFewPartitions[T](s: SparkSession, n: Int = 8,
+      skipNoDataBatches: Boolean = false)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNoData = s.conf.get(noDataKey)
     s.conf.set(key, (if (benchFast) 2 else n).toString)
-    try body finally s.conf.set(key, prev)
+    // benchFast only, and ONLY for harnesses whose emission does not ride
+    // the post-data no-data batch: complete-mode rollups re-emit on every
+    // data batch, and the inner stream-stream join emits during data
+    // processing (its watermark only evicts state). Append-mode windowed
+    // aggregations (session_live, watermark_late) NEED the no-data batch
+    // to flush watermark-closed windows — they never set this. The
+    // flag-on ≡ flag-off StreamingSpec guard pins all of this.
+    if (benchFast && skipNoDataBatches) s.conf.set(noDataKey, "false")
+    try body finally {
+      s.conf.set(key, prev)
+      s.conf.set(noDataKey, prevNoData)
+    }
   }
 
   /** Memory-backed checkpoint dir for the replay harnesses: every
@@ -130,7 +144,7 @@ object QueriesStreaming {
     * engine — the replay feeds every event TWICE in one batch plus the
     * first 100 again in a second (still-within-horizon) batch; exactly
     * one copy of each survives. Rows-only: arrival-order semantics. */
-  val streamDedupLive: Q = (s, dir) => withFewPartitions(s) {
+  val streamDedupLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -269,7 +283,7 @@ object QueriesStreaming {
   // stores per partition per microbatch (left/right rows + watermark
   // counters), so the fixed store cost is 4× a windowed agg's — halving
   // partitions halves it with identical keyed-state semantics
-  val streamJoinLive: Q = (s, dir) => withFewPartitions(s, 4) {
+  val streamJoinLive: Q = (s, dir) => withFewPartitions(s, 4, skipNoDataBatches = true) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -314,7 +328,7 @@ object QueriesStreaming {
     * (broadcast, no state store at all); output is the per-tier value
     * rollup. Rows-only by harness nature; the same join as a batch
     * query is trivially identical because no state is involved. */
-  val streamEnrichLive: Q = (s, dir) => withFewPartitions(s) {
+  val streamEnrichLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamOps
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
