@@ -26,13 +26,17 @@ object QueriesStreaming {
     * (calibration-normalized). Under `-Dgraft.bench.fast=1` (set ONLY by
     * [[graft.Bench]]) the harnesses (a) run with 2 shuffle partitions
     * instead of 8/4 — identical keyed-state semantics, fewer store
-    * load/commit cycles — and (b) replay in ONE batch instead of two
+    * load/commit cycles — (b) replay in ONE batch instead of two
     * wherever the registered output is batch-schedule-INDEPENDENT
     * (dedup/join/session/enrich; watermark_late's late-drop and
     * restart's stop/start ARE their batch schedules, so those keep
-    * theirs). Verify and StreamingSpec never set the flag, so the
-    * correctness surfaces keep exercising the cross-batch state
-    * survival the two-batch schedules exist to show. */
+    * theirs), and (c) skip no-data micro-batches where emission does
+    * not ride them (see [[withFewPartitions]]'s skipNoDataBatches).
+    * Verify and StreamingSpec never set the flag, so the correctness
+    * surfaces keep exercising the cross-batch state survival the
+    * two-batch schedules exist to show; the flag-on ≡ flag-off
+    * StreamingSpec guard pins result identity for every trimmed
+    * harness. */
   private def benchFast: Boolean = sys.props.get("graft.bench.fast").contains("1")
 
   /** Run `body` with a smaller shuffle-partition count: every stateful
