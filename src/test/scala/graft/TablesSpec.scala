@@ -48,4 +48,30 @@ class TablesSpec extends SparkTestBase {
     val e = intercept[IllegalStateException](Tables.normalizeEvents(bad))
     assert(e.getMessage.contains("unsupported physical type"))
   }
+
+  test("normalizeEvents: all declared physical variants of the same data normalize identically") {
+    import org.apache.spark.sql.functions._
+    // stage the SAME logical events three ways — BIGINT nanos (the
+    // engine contract), TIMESTAMP micros, TIMESTAMP_NTZ micros — and
+    // require bit-identical normalized frames, so the next fixture
+    // regeneration in any of these shapes cannot silently shift ts.
+    // (micros chosen sub-ns-exact so the ns→µs write loses nothing)
+    val canonical = Tables.events(spark, sf)
+      .withColumn("ts", (col("ts") - pmod(col("ts"), lit(1000L))))
+    val dir = java.nio.file.Files.createTempDirectory("ev-variants")
+    try {
+      canonical.write.parquet(s"$dir/as_long")
+      canonical.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .write.parquet(s"$dir/as_ts")
+      canonical.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        .write.parquet(s"$dir/as_ntz")
+      val Seq(a, b, c) = Seq("as_long", "as_ts", "as_ntz").map { v =>
+        Tables.normalizeEvents(spark.read.parquet(s"$dir/$v"))
+      }
+      assert(a.schema == b.schema && b.schema == c.schema)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
