@@ -72,10 +72,18 @@ object BloomJoin {
     *
     * Key-type skew between the two sides is normalized BEFORE hashing
     * (xxhash64 is width-sensitive: the same value hashes differently as
-    * INT vs BIGINT): integral-vs-integral both widen to BIGINT; otherwise
-    * the probe casts to the build key's type. Equal values always survive
-    * the cast, so no true match is ever dropped; a truncation alias can
-    * only ADD a false positive, which the exact join removes.
+    * INT vs BIGINT): integral-vs-integral both widen to BIGINT and
+    * numeric-vs-numeric both widen to DOUBLE — both casts are functions of
+    * the numeric VALUE alone, so two keys the join's type coercion deems
+    * equal always hash identically and no true match is ever dropped (a
+    * rounding alias can only ADD a false positive, which the exact join
+    * removes). Any other mixed-type pair (string-vs-numeric, date-vs-
+    * string, …) compares under engine- and ANSI-mode-dependent coercion —
+    * e.g. under ANSI, build STRING "007" join-matches probe BIGINT 7, but
+    * xxhash64("007") ≠ xxhash64("7"), so ANY single-type hash would drop
+    * the match. For those pairs the sketch is skipped entirely and the
+    * plain semi-join runs — result-identity is the contract; the sketch is
+    * only an optimization.
     *
     * The sketch build collects ONE binary blob (bounded: optimal-bits for
     * `expectedItems` at `fpp`, further capped by Spark's
@@ -100,11 +108,23 @@ object BloomJoin {
     val lt = left.schema(leftKey).dataType
     val rt = keys.schema(keyRight).dataType
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
-    val (probeKey, buildKey) =
-      if (lt == rt) (col(leftKey), keys(keyRight))
+    def numeric(t: DataType): Boolean = t.isInstanceOf[NumericType]
+    // A shared hash type is only safe when the cast to it is a function of
+    // the key's VALUE under the join's own coercion — otherwise two keys
+    // the join deems equal can hash apart and the sketch drops true
+    // matches. Same-type, integral→BIGINT, and numeric→DOUBLE qualify;
+    // everything else (e.g. STRING vs BIGINT) does not → None = no sketch.
+    val hashKeys: Option[(Column, Column)] =
+      if (lt == rt) Some((col(leftKey), keys(keyRight)))
       else if (integral(lt) && integral(rt))
-        (col(leftKey).cast(LongType), keys(keyRight).cast(LongType))
-      else (col(leftKey).cast(rt), keys(keyRight))
+        Some((col(leftKey).cast(LongType), keys(keyRight).cast(LongType)))
+      else if (numeric(lt) && numeric(rt))
+        Some((col(leftKey).cast(DoubleType), keys(keyRight).cast(DoubleType)))
+      else None
+    if (hashKeys.isEmpty) {
+      return left.join(keys, col(leftKey) === keys(keyRight), "left_semi")
+    }
+    val (probeKey, buildKey) = hashKeys.get
 
     // classic optimal sizing m = -n·ln(p)/ln²2 (~10 bits/key at 1% fpp)
     val numBits = math.max(64L,

@@ -125,6 +125,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(bloomD.exceptAll(plainD).isEmpty && plainD.exceptAll(bloomD).isEmpty)
   }
 
+  test("semiWithBloom string-vs-numeric keys: coercion matches survive (no sketch false negative)") {
+    // Under ANSI coercion the build STRING "007" join-matches probe BIGINT 7,
+    // but xxhash64("007") != xxhash64("7") under any single-type hash — so
+    // the mixed pair must bypass the sketch and still return the match.
+    val facts = Seq(7L, 8L, 99L).toDF("k")
+    val dim = Seq("007", "8").toDF("sk")
+    val withBloom = BloomJoin.semiWithBloom(facts, "k", dim, "sk", 10L)
+    val plain = facts.join(dim, col("k") === col("sk"), "left_semi")
+    val got = withBloom.as[Long].collect().toSet
+    assert(got === plain.as[Long].collect().toSet)
+    assert(got === Set(7L, 8L), "coercion-equal pairs must not be dropped")
+    // int-vs-double mixed numerics hash at DOUBLE on both sides: identical
+    val factsI = Seq(1, 2, 5).toDF("k")
+    val dimD = Seq(1.0d, 2.0d, 3.0d).toDF("dk")
+    val bloomMix = BloomJoin.semiWithBloom(factsI, "k", dimD, "dk", 10L)
+    val plainMix = factsI.join(dimD, col("k") === col("dk"), "left_semi")
+    assert(bloomMix.as[Int].collect().toSet === plainMix.as[Int].collect().toSet)
+    assert(bloomMix.as[Int].collect().toSet === Set(1, 2))
+  }
+
   test("semiWithBloom on an empty build side returns the empty semi-join") {
     val dim = Tables.nation(spark, sf).filter(lit(false)).select("n_name")
     val facts = Tables.nation(spark, sf).select(col("n_name").as("k"))
