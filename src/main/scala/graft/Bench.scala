@@ -122,8 +122,14 @@ object Bench {
     locally {
       val full = resultsOut.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // record which streaming-harness mode produced these numbers
+      // (graft.bench.fast trims the replay harnesses' fixed cost;
+      // flag-on != flag-off totals are not raw-comparable) alongside the
+      // machine-phase calibration context — consumers must not have to
+      // guess either.
+      val streamFast = System.getProperty("graft.bench.fast", "0") == "1"
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"calibration":$calibration,"queries":$full,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     }
     def fmt(v: Double): String =

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The BASELINE.md matched-suite comparison, apples-to-apples (round-7
+  * verdict ask #1).
+  *
+  * Earlier rounds measured the plain-Spark baseline in a separate
+  * spark-shell JVM minutes apart from the engine run, and the baseline
+  * queries returned leaner, unordered output — so four sub-second rows
+  * compared an engine query carrying a total ORDER BY + 4-decimal rounding
+  * against a baseline doing strictly less work, in a different machine
+  * phase. This main removes both asymmetries:
+  *
+  *  - ONE JVM, ONE SparkSession: each matched pair runs back-to-back
+  *    (baseline, then engine) so machine-phase drift cannot land on one
+  *    side of the table. Config is the engine's own (local[4]-style,
+  *    shuffle=4 by default) applied to BOTH sides equally.
+  *  - IDENTICAL output contract, asserted not claimed: before timing, each
+  *    pair's two DataFrames are collected once and compared row-for-row
+  *    (both carry a total ORDER BY, so plain equality) — a baseline query
+  *    that does less work than its engine twin fails the run.
+  *
+  * The baseline closures below use ONLY `org.apache.spark.sql.functions`
+  * and `spark.read.parquet` — no graft operators, kernels, or Tables
+  * schemas — i.e. what a competent user writes against stock Spark.
+  * Methodology matches graft.Bench: noop-sink write, JIT preamble, warm
+  * run untimed, cache cleared + GC between timed runs, fixed-work
+  * calibration probe for cross-round normalization.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=4 \
+  *        sbt "runMain graft.MatchedBench"
+  */
+object MatchedBench {
+
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / lit(10000.0)
+
+  /** Plain-Spark twins of the 10 matched engine queries, same output
+    * contract (columns, rounding, total ORDER BY) as the gated forms. */
+  def baselines(spark: SparkSession, sf: String): Seq[(String, String, () => DataFrame)] = {
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val events = {
+      val raw = spark.read.parquet(s"$sf/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ => raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      }
+    }
+    val documents = spark.read.parquet(s"$sf/documents.parquet")
+    val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    def q1 = lineitem.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+    def q3 = lineitem.filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
+      .join(orders.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+
+    def winRank = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+
+    def distinctApprox = lineitem.groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+    def rollupQ = orders.rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+    def jsonExtract = events
+      .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .orderBy(col("k").asc_nulls_first)
+
+    def sessionWin = events
+      .groupBy(session_window(timestamp_seconds(expr("ts div 1000000000")), "1800 seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").cast("long").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+    def dedupExact = documents
+      .groupBy(md5(lower(trim(col("text")))).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("text_hash")
+
+    def topkCosine = {
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (s, x) => s + x)
+      def nrm(a: Column): Column =
+        sqrt(aggregate(a, lit(0.0), (s, x) => s + x.cast("double") * x.cast("double")))
+      val q = embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), nrm(col("embedding")).as("qn"))
+      embeddings.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          r4(dot(col("embedding"), col("qe")) / (nrm(col("embedding")) * col("qn"))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(11)
+    }
+
+    def unionAll = orders
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(col("o_orderkey").as("k"))
+      .union(orders
+        .filter(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM")).select(col("o_orderkey").as("k")))
+      .orderBy("k")
+
+    // (matched-table row name, engine query name, plain-Spark twin)
+    Seq(
+      ("q1_agg_pricing", "q1_pricing", () => q1),
+      ("q3_join3", "join_inner", () => q3),
+      ("window_rank", "win_rank", () => winRank),
+      ("distinct_approx", "agg_approx_distinct", () => distinctApprox),
+      ("rollup", "agg_rollup", () => rollupQ),
+      ("json_extract", "fn_json", () => jsonExtract),
+      ("session_window", "stream_session", () => sessionWin),
+      ("dedup_exact", "dedup_exact", () => dedupExact),
+      ("topk_cosine", "sim_topk_cosine", () => topkCosine),
+      ("set_union_all", "set_union_all", () => unionAll))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Engine.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-matched-bench"),
+      cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // JIT preamble — identical to graft.Bench
+    locally {
+      val li = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      for (_ <- 1 to 2) {
+        li.filter(col("l_quantity") > 0)
+          .groupBy("l_returnflag").agg(sum("l_quantity"), approx_count_distinct("l_partkey"))
+          .orderBy("l_returnflag")
+          .write.format("noop").mode("overwrite").save()
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"),
+            row_number().over(Window.partitionBy("o_custkey").orderBy("l_orderkey")).as("rk"))
+          .filter(col("rk") <= 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+    }
+
+    val calibration: Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, cpus.toInt)
+          .selectExpr("xxhash64(id) AS h")
+          .selectExpr("bit_xor(xxhash64(h)) AS s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val ts = Seq(once(), once(), once()).sorted
+      System.err.println(f"[matched] calibration median=${ts(1)}%8.3f")
+      ts(1)
+    }
+
+    def isolate(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def timeNoop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val engineQ = SparkEntry.queries
+    var baseTotal = 0.0
+    var engTotal = 0.0
+    val rows = baselines(spark, sfDir).map { case (rowName, engName, base) =>
+      val eng = () => engineQ(engName)(spark, sfDir)
+      // contract check: both sides carry a total ORDER BY, so plain
+      // row-list equality. Collected once, untimed.
+      val bRows = base().collect().toSeq
+      val eRows = eng().collect().toSeq
+      require(bRows == eRows,
+        s"$rowName: baseline and engine outputs differ " +
+          s"(${bRows.size} vs ${eRows.size} rows; first diff: " +
+          s"${bRows.zip(eRows).find { case (a, b) => a != b }.orNull})")
+      isolate()
+      // warm both plans (JIT + codegen cache), then time back-to-back
+      base().write.format("noop").mode("overwrite").save(); isolate()
+      eng().write.format("noop").mode("overwrite").save(); isolate()
+      val bt = timeNoop(base()); isolate()
+      val et = timeNoop(eng()); isolate()
+      baseTotal += bt; engTotal += et
+      System.err.println(f"[matched] $rowName%-18s base=$bt%7.3f engine=$et%7.3f ratio=${et / bt}%5.2fx")
+      (rowName, bt, et)
+    }
+
+    val json = rows.map { case (n, b, e) =>
+      f""""$n":{"baseline":$b%.3f,"engine":$e%.3f}"""
+    }.mkString("{", ",", "}")
+    val out =
+      f"""{"metric":"matched_ratio","value":${engTotal / baseTotal}%.3f,"baseline_total":$baseTotal%.3f,"engine_total":$engTotal%.3f,"calibration":$calibration%.3f,"queries":$json,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("matched_bench.json"),
+      out.getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}
