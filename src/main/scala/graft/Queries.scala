@@ -66,18 +66,75 @@ object Queries {
   def sqlDashboard(spark: SparkSession, dir: String): DataFrame =
     SqlFrontEnd.run(spark, dir, sqlDashboardText)
 
+  /** dashboard_uploads_monthly: the reference wiki's uploads-over-time
+    * graph shape (`copy_from_template.py:343-356` — a time-bucketed count
+    * over the provisioned view's `exportedOn`-shaped column), on the
+    * fixture's order stream: monthly volume + revenue. `date_trunc` is
+    * dialect-portable (Spark and DuckDB agree on 'month'/TIMESTAMP→
+    * TIMESTAMP; the DATE cast normalizes the physical value for the hash
+    * gate). Scale: ~84 output groups regardless of input rows — the
+    * shuffle ships partial aggregates only. */
+  val dashboardUploadsMonthlyText: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n_orders,
+      |  floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS revenue
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
+  def dashboardUploadsMonthly(spark: SparkSession, dir: String): DataFrame =
+    SqlFrontEnd.run(spark, dir, dashboardUploadsMonthlyText)
+
+  /** dashboard_study_rollup: the per-study assessment rollup graph — the
+    * reference provisions one parquet dataset per (app, study) and its
+    * wiki graphs aggregate per study (`copy_from_template.py:14-16`). The
+    * fixture analogue is the documents corpus's `source` (the study axis)
+    * × `lang` (the assessment axis) with a ROLLUP subtotal row per
+    * source, exactly the drill-down a dashboard pivot renders. */
+  val dashboardStudyRollupText: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  floor(avg(n_chars) * 10000 + 0.5) / 10000 AS avg_chars
+      |FROM documents
+      |GROUP BY ROLLUP (source, lang)
+      |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  def dashboardStudyRollup(spark: SparkSession, dir: String): DataFrame =
+    SqlFrontEnd.run(spark, dir, dashboardStudyRollupText)
+
+  /** dashboard_segment_geo: the cross-entity graph — share of customers
+    * and balance by market segment × nation (the view-join shape of the
+    * reference's annotated file view: study metadata joined onto rows).
+    * Small-dim join: nation broadcasts in Spark; DuckDB hash-joins — same
+    * rows either way. */
+  val dashboardSegmentGeoText: String =
+    """SELECT c_mktsegment, n_name,
+      |  count(*) AS n_cust,
+      |  floor(sum(c_acctbal) * 10000 + 0.5) / 10000 AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_mktsegment, n_name
+      |ORDER BY c_mktsegment, n_name""".stripMargin
+
+  def dashboardSegmentGeo(spark: SparkSession, dir: String): DataFrame =
+    SqlFrontEnd.run(spark, dir, dashboardSegmentGeoText)
+
   /** Registry: name -> (spark, sfDir) => DataFrame. */
   val all: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.all ++ QueriesLLM.all ++ QueriesStreaming.all ++
       QueriesAnalytics.all ++ Map(
       "q1_pricing" -> (q1Pricing _),
-      "sql_dashboard" -> (sqlDashboard _)
+      "sql_dashboard" -> (sqlDashboard _),
+      "dashboard_uploads_monthly" -> (dashboardUploadsMonthly _),
+      "dashboard_study_rollup" -> (dashboardStudyRollup _),
+      "dashboard_segment_geo" -> (dashboardSegmentGeo _)
     )
 
   /** Registry: name -> DuckDB oracle SQL (subset of `all`'s keys). */
   val oracles: Map[String, String] =
     QueriesCore.oracles ++ QueriesLLM.oracles ++ QueriesAnalytics.oracles ++ Map(
       "q1_pricing" -> q1PricingSql,
-      "sql_dashboard" -> sqlDashboardText
+      "sql_dashboard" -> sqlDashboardText,
+      "dashboard_uploads_monthly" -> dashboardUploadsMonthlyText,
+      "dashboard_study_rollup" -> dashboardStudyRollupText,
+      "dashboard_segment_geo" -> dashboardSegmentGeoText
     )
 }

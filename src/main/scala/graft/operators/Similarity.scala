@@ -332,6 +332,32 @@ object Similarity {
       .select(col("src"), col("dst"), col("cosine"), col("rk"))
   }
 
+  /** Exact kNN graph — the brute-force sibling of [[knnGraph]] and the
+    * oracle-gatable truth it is recall-tested against: every ordered pair
+    * (src ≠ dst) is scored and a per-src window keeps the k best under the
+    * (cosine desc, dst asc) deterministic order. O(n²) compare by
+    * definition — the DECLARED small-SF baseline; [[knnGraph]] is the
+    * scale path (banded candidates, never all-pairs). The stream side is
+    * explicitly distributed so a single-split input does not serialize the
+    * O(n²) compare onto one task; the dst side rides a broadcast. */
+  def knnGraphExact(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withNorm = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.norm(col(vecCol)).as("nrm"))
+    val a = Dist.byKeys(withNorm, col("id"))
+      .select(col("id").as("src"), col("v").as("vs"), col("nrm").as("ns"))
+    val b = withNorm
+      .select(col("id").as("dst"), col("v").as("vd"), col("nrm").as("nd"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        r4(VectorOps.dot(col("vs"), col("vd")) / (col("ns") * col("nd"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rk"))
+  }
+
   /** Candidate-set size for a banding configuration — the observable the
     * pruning claim (and the hot-bucket cap) is tested on (TextKernelsSpec,
     * HotBucketSpec). */
