@@ -45,6 +45,14 @@ object Engine {
       // JSON/CSV do split. On a 100 TB cluster inputs are already
       // thousands of splits.
       .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
+      // reliable checkpoints (Checkpointing.cut under spark.graft
+      // .checkpointDir) are deleted by the ContextCleaner once their RDD
+      // is GC'd — without this, every CC/BFS round's per-vertex frame
+      // accumulates under the checkpoint dir for the life of the job.
+      // Must be set BEFORE the context starts (the cleaner reads it at
+      // construction), which is why it lives here and not in
+      // Checkpointing.cut.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

@@ -130,7 +130,8 @@ object Queries {
 
   /** Registry: name -> DuckDB oracle SQL (subset of `all`'s keys). */
   val oracles: Map[String, String] =
-    QueriesCore.oracles ++ QueriesLLM.oracles ++ QueriesAnalytics.oracles ++ Map(
+    QueriesCore.oracles ++ QueriesLLM.oracles ++ QueriesAnalytics.oracles ++
+      QueriesStreaming.oracles ++ Map(
       "q1_pricing" -> q1PricingSql,
       "sql_dashboard" -> sqlDashboardText,
       "dashboard_uploads_monthly" -> dashboardUploadsMonthlyText,

@@ -139,7 +139,10 @@ object QueriesStreaming {
       q.processAllAvailable()
     } finally stopAndClean(q, ckpt)
     s.table(sink)
-      .select(col("win_start"), col("event_type"), col("n_events"),
+      // epoch-seconds BIGINT (not Timestamp): engine-portable for the
+      // DuckDB oracle hash, same convention as stream_tumbling
+      .select(col("win_start").cast("long").as("win_start"),
+        col("event_type"), col("n_events"),
         graft.functions.Num.r4(col("sum_value")).as("sum_value"))
       .orderBy("win_start", "event_type")
   }
@@ -254,7 +257,10 @@ object QueriesStreaming {
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("session_window.start").as("sess_start"), col("user_id"), col("n_events"))
+      // epoch-ms BIGINT (not Timestamp): session starts carry ms
+      // precision, and the numeric form is what the DuckDB oracle hashes
+      .select(unix_millis(col("session_window.start")).as("sess_start"),
+        col("user_id"), col("n_events"))
     val sink = "stream_session_live_sink"
     val (q, ckpt) = startCheckpointed(
       sessions.writeStream.outputMode("append").format("memory")
@@ -436,5 +442,99 @@ object QueriesStreaming {
     "stream_join_live" -> streamJoinLive,
     "stream_enrich_live" -> streamEnrichLive,
     "stream_restart_exactly_once" -> streamRestartExactlyOnce
+  )
+
+  /** DuckDB oracles for the live harnesses (round-8: these rows were
+    * previously rows-only). Each harness's FINAL emitted set is a
+    * deterministic function of the fixture — the batch schedules exist
+    * to exercise state survival, not to change the answer — so the
+    * batch-SQL recomputation below is exact:
+    *  - dedup/enrich/restart: plain rollups of the 1/16 slice (dedup
+    *    feeds every event 2-3×; exactly one copy survives).
+    *  - join: the inner-join pair set is schedule-independent (doc on
+    *    [[streamJoinLive]]; no cross-batch match can expire early
+    *    because the b2 rows' timestamps bound the b1 watermark).
+    *  - stateful (fMGWS, NoTimeout): a session emits only when a LATER
+    *    event of the same user closes it ⇒ final set = every session
+    *    except each user's last.
+    *  - session_live / watermark_late (append mode): emitted ⇔ the
+    *    window end precedes the final watermark max(ts) − 30 min (the
+    *    late feed in watermark_late never advances it).
+    * The shared `s` CTE mirrors [[eventSlice]]; `ms` mirrors the
+    * harness's `ts div 1000000`. */
+  private val sliceCte =
+    """WITH s AS (
+      |  SELECT event_id, epoch_ns(ts) // 1000000 AS ms, user_id, event_type, value
+      |  FROM events WHERE user_id % 16 = 0)""".stripMargin
+
+  /** Sessions of the slice at the harness's 30-min gap (break when the
+    * gap to the previous event is >= the bound — `>=`, matching
+    * [[graft.streaming.StreamOps.sessionScores]]), one row per
+    * (user, session). */
+  private val sessionsCte =
+    """o AS (
+      |  SELECT user_id, ms, event_id, value,
+      |    CASE WHEN lag(ms) OVER w IS NULL
+      |              OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS brk
+      |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o),
+      |agg AS (
+      |  SELECT user_id, sess, count(*) AS n_events,
+      |    floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value,
+      |    min(ms) AS session_start, max(ms) AS session_end
+      |  FROM g GROUP BY user_id, sess)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "stream_dedup_live" -> s"""$sliceCte
+      |SELECT event_type, count(*) AS n_events
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_enrich_live" -> s"""$sliceCte
+      |SELECT 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier,
+      |  count(*) AS n_events,
+      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM s GROUP BY 1 ORDER BY tier""".stripMargin,
+    "stream_restart_exactly_once" -> s"""$sliceCte
+      |SELECT event_type, count(*) AS n_events,
+      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_join_live" -> s"""$sliceCte
+      |SELECT v.user_id AS user_id, count(*) AS n_pairs
+      |FROM (SELECT * FROM s WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM s WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id
+      | AND c.ms >= v.ms AND c.ms <= v.ms + 86400000
+      |GROUP BY v.user_id ORDER BY user_id""".stripMargin,
+    "stream_stateful_live" -> s"""$sliceCte,
+      |$sessionsCte
+      |SELECT a.user_id, n_events, sum_value, session_start, session_end
+      |FROM agg a
+      |JOIN (SELECT user_id, max(sess) AS last_sess FROM agg GROUP BY user_id) l
+      |  ON a.user_id = l.user_id AND a.sess < l.last_sess
+      |ORDER BY a.user_id, session_start""".stripMargin,
+    "stream_session_live" -> s"""$sliceCte,
+      |$sessionsCte
+      |SELECT session_start AS sess_start, user_id, n_events
+      |FROM agg
+      |WHERE session_end + 1800000 <= (SELECT max(ms) FROM s) - 1800000
+      |ORDER BY user_id, sess_start""".stripMargin,
+    "stream_watermark_late" -> s"""$sliceCte,
+      |r AS (
+      |  SELECT ms, row_number() OVER (ORDER BY ms, event_id) - 1 AS rn,
+      |    count(*) OVER () AS n
+      |  FROM s),
+      |ot AS (
+      |  SELECT * FROM s
+      |  WHERE ms >= (SELECT ms FROM r WHERE rn = n // 5))
+      |SELECT (ms // 3600000) * 3600 AS win_start, event_type,
+      |  count(*) AS n_events,
+      |  floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+      |FROM ot
+      |GROUP BY 1, 2
+      |HAVING (min(ms) // 3600000) * 3600000 + 3600000
+      |         <= (SELECT max(ms) FROM ot) - 1800000
+      |ORDER BY win_start, event_type""".stripMargin
   )
 }

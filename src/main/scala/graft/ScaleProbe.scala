@@ -35,8 +35,12 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // fourth point: the SynthScale ×10 slice (≈ sf1), when generated —
+    // extends the measured span to 1000× on the relational tables
+    val synth = sys.env.getOrElse("SPARK_GRAFT_SYNTH_DIR", "target/synth-sf1")
     val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1") ++
+      (if (new java.io.File(synth).isDirectory) Seq(synth) else Nil)
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
       cpus.toInt
@@ -74,8 +78,10 @@ object ScaleProbe {
     val json = rows.map { case (n, ts) =>
       "\"" + n + "\":[" + ts.map(d3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val sfNames = sfDirs.map(d =>
+      "\"" + d.split('/').last.stripPrefix("synth-") + "\"").mkString(",")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_curve.json"),
-      s"""{"sfs":["sf0.001","sf0.01","sf0.1"],"median_of_3_sec":$json}"""
+      s"""{"sfs":[$sfNames],"median_of_3_sec":$json}"""
         .getBytes("UTF-8"))
     println(s"""{"metric":"scale_curve","queries":${rows.size}}""")
     spark.stop()

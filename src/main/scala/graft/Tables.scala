@@ -156,13 +156,22 @@ object Tables {
 
   /** PHYSICAL schema of `<dir>/events.parquet` (footer-sniffed) — what a
     * `readStream.schema(...)` must declare before [[normalizeEvents]].
-    * Cached per dir: `events` is the sanctioned exception to the
-    * no-inference rule above (its physical type varies across fixture
-    * generations), and the cache keeps that to one footer read per
-    * directory per JVM instead of one per query. */
-  def eventsRawSchema(spark: SparkSession, dir: String): StructType =
-    eventsFooterCache.computeIfAbsent(dir,
-      d => spark.read.parquet(s"$d/events.parquet").schema)
+    * Cached per (dir, file length+mtime fingerprint): `events` is the
+    * sanctioned exception to the no-inference rule above (its physical
+    * type varies across fixture generations), and the cache keeps that
+    * to one footer read per fixture GENERATION per JVM instead of one
+    * per query — the fingerprint (one listStatus, no file open)
+    * invalidates the entry when a fixture at the same path is
+    * regenerated in-process with a different physical ts type. */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+    eventsFooterCache.computeIfAbsent(s"$dir|$fp",
+      _ => spark.read.parquet(s"$dir/events.parquet").schema)
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 }

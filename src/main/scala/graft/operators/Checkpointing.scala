@@ -24,7 +24,12 @@ import org.apache.spark.sql.DataFrame
   * flips it without touching operator code. Retention stays O(1) either
   * way: only the latest round's frame is referenced (the round cap —
   * `maxIter`/`maxDepth` — bounds worst-case accumulation; see SCALE.md
-  * for the object-store TTL note).
+  * for the object-store TTL note). Reliable checkpoint FILES are
+  * reclaimed intra-job by the ContextCleaner
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+  * set by [[graft.Engine.configure]]) once a round's frame is dropped
+  * and GC'd; sessions built outside Engine.configure must set that conf
+  * before the context starts, or rely on the object-store TTL.
   */
 object Checkpointing {
 

@@ -330,14 +330,19 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expect)
   }
 
-  test("bench-fast replay (one batch, 2 partitions) is result-identical for schedule-independent harnesses") {
+  test("bench-fast replay (one batch, 2 partitions) is result-identical for ALL live harnesses") {
     // graft.Bench sets -Dgraft.bench.fast=1 to trim the replay harnesses'
     // micro-batch fixed cost; this guard pins the claim that the trim
-    // never changes what the four schedule-independent harnesses return.
-    // (watermark_late and restart_exactly_once keep their schedules: the
-    // batch cut IS their semantics.)
+    // never changes what ANY of the seven live harnesses return.
+    // dedup/join/session/enrich additionally collapse to one batch under
+    // the flag; stateful/watermark_late/restart_exactly_once keep their
+    // batch schedules (the batch cut IS their semantics) but still take
+    // the 2-shuffle-partition trim — covered here so the trim stays
+    // honest for them too.
     val names = Seq("stream_dedup_live", "stream_join_live",
-      "stream_session_live", "stream_enrich_live")
+      "stream_session_live", "stream_enrich_live",
+      "stream_stateful_live", "stream_watermark_late",
+      "stream_restart_exactly_once")
     for (n <- names) {
       val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
       System.setProperty("graft.bench.fast", "1")
