@@ -198,10 +198,63 @@ object QueriesLLM {
     * the scale path replacing brute-force sim_pairs_threshold (no O(n²)
     * stage; exact rescore of bucket-colliding candidates only).
     * Rows-only (bucketing hash not expressible in DuckDB); precision 1 /
-    * recall vs the brute-force truth asserted in DedupSimilaritySpec. */
+    * recall vs the brute-force truth asserted in DedupSimilaritySpec.
+    *
+    * τ=0.35 is the LOOSE-threshold demonstrator: at this τ the SRP gap
+    * (p₁=0.61 vs p₂=0.5) is too small for LSH amplification, so the
+    * fixed 16×4 banding admits ~64% of all pairs as candidates and the
+    * cost scales like the exact form's n² (measured in the round-8 ×10
+    * probe — SCALE.md). That is a property of the τ regime, not the
+    * plan; [[simPairsLshAuto]] is the production near-dup regime with
+    * n^ρ-sized parameters. */
   val simPairsLsh: Q = (s, dir) =>
     Similarity.pairsLsh(Tables.embeddings(s, dir), 0.35)
       .orderBy("a_id", "b_id")
+
+  /** sim_pairs_lsh_auto: the production near-dup regime (τ=0.8) with
+    * parameters auto-sized from the corpus count by the classic n^ρ rule
+    * ([[Similarity.autoLshParams]]): band width grows with ⌈log₂ n⌉ so
+    * RANDOM collisions stay ~linear in n, band count with n^ρ (ρ≈0.33
+    * at τ=0.8) so recall holds — the configuration a 100 TB dedup run
+    * would compute, demonstrated live. Multi-word sketches carry
+    * bands×bits > 64.
+    *
+    * The fixture has no pairs above cos ≈ 0.48, so the near-dup corpus
+    * is built IN-QUERY: every vector gets a deterministic twin
+    * (id + 10⁶, each component + 2⁻⁶ — exact in binary, so Spark's
+    * float add and the oracle's CAST(x + 0.015625 AS FLOAT) produce
+    * BIT-IDENTICAL values; twin cosine ≈ 0.9999, cross pairs stay
+    * < 0.5). ORACLE-GATED — the first LSH row that is: sizing for the
+    * τ=0.8 WORST CASE makes the per-twin-pair miss probability
+    * (1 − p₁^r)^b ≈ 10⁻⁴³ at the fixture similarity, so LSH output =
+    * exact output deterministically, and DuckDB recomputes the exact
+    * form over the same planted corpus. Precision-1/recall and the
+    * sizing rule are additionally asserted in DedupSimilaritySpec. */
+  val simPairsLshAuto: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.015625f)).as("embedding"))
+    val u = emb.unionAll(twins)
+    val p = Similarity.autoLshParams(2L * emb.count(), tau = 0.8)
+    Similarity.pairsLsh(u, 0.8, p.bands, p.bitsPerBand)
+      .orderBy("a_id", "b_id")
+  }
+
+  val simPairsLshAutoSql =
+    """WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(embedding, x -> CAST(x + 0.015625 AS FLOAT)) AS embedding
+      |  FROM embeddings)
+      |SELECT * FROM (
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id, floor((
+      |  list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |FROM u a JOIN u b ON a.vec_id < b.vec_id
+      |) sub WHERE cosine >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** dedup_semantic: embedding near-dup pairs clustered into components
     * (min-label propagation to fixpoint) — each vector labeled with the
@@ -1045,6 +1098,7 @@ object QueriesLLM {
     "sim_topk_cosine" -> simTopkCosine,
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_pairs_lsh" -> simPairsLsh,
+    "sim_pairs_lsh_auto" -> simPairsLshAuto,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_lsh" -> dedupSemanticLsh,
     "sketch_source_sim" -> sketchSourceSim,
@@ -1092,6 +1146,7 @@ object QueriesLLM {
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_pairs_threshold" -> simPairsThresholdSql,
+    "sim_pairs_lsh_auto" -> simPairsLshAutoSql,
     "dedup_semantic" -> dedupSemanticSql,
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,

@@ -29,9 +29,11 @@ object ScaleProbe {
     // documents (10× span at the top step): text + dedup families
     "dedup_exact", "dedup_minhash", "dedup_jaccard", "text_langid",
     "pack_chunks", "bpe_encode",
-    // embeddings (4× span): similarity families
-    "sim_topk_cosine", "sim_pairs_lsh", "sim_knn_graph",
-    "dedup_semantic_lsh")
+    // embeddings (4× span): similarity families. sim_pairs_lsh (loose
+    // τ=0.35, fixed 16×4 bands) is the declared n²-candidate regime;
+    // sim_pairs_lsh_auto (τ=0.8, n^ρ auto-sizing) is the scale path.
+    "sim_topk_cosine", "sim_pairs_lsh", "sim_pairs_lsh_auto",
+    "sim_knn_graph", "dedup_semantic_lsh")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

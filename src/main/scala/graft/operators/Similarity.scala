@@ -278,24 +278,72 @@ object Similarity {
       .filter(col("cosine") >= tau)
   }
 
+  /** A banded-LSH configuration. `bands × bitsPerBand` may exceed 64:
+    * bands are packed ⌊64/bitsPerBand⌋ per 64-bit sketch WORD, each word
+    * its own kernel call with a distinct seed (a band never straddles
+    * words). */
+  final case class LshParams(bands: Int, bitsPerBand: Int) {
+    def bandsPerWord: Int = math.max(1, 64 / bitsPerBand)
+    def words: Int = (bands + bandsPerWord - 1) / bandsPerWord
+  }
+
+  /** Size banded SRP LSH from (corpus size, threshold, recall target) —
+    * the classic n^ρ sizing (Indyk–Motwani; Gionis et al., VLDB '99),
+    * which the round-8 ×10 scale probe showed fixed parameters need:
+    * with band width fixed, RANDOM collisions (p₂ = 1/2 per bit for
+    * near-orthogonal vectors) cost ~bands·n²·2^(−r) pairs — super-linear
+    * in n. Growing the band width with the corpus keeps them linear:
+    *
+    *  - `bitsPerBand` r = ⌈log₂ n⌉ (≥ 4) ⇒ expected random candidates
+    *    ≈ bands · n²/2^r ≈ bands · n.
+    *  - `bands` b solves recall = 1 − (1 − p₁^r)^b at `targetRecall`
+    *    for p₁ = 1 − acos(τ)/π ⇒ b ≈ n^ρ · ln(1/(1−recall)),
+    *    ρ = ln(1/p₁)/ln(1/p₂) (τ=0.8 ⇒ ρ≈0.33), capped at `maxBands`.
+    *
+    * The cap is the honesty valve: at LOOSE thresholds (τ ≲ 0.5) p₁
+    * approaches p₂ and the required b explodes past any cap — recall
+    * collapses and the returned config documents (by its cap) that LSH
+    * cannot prune that regime; brute force or IVF is the right tool
+    * (the doc on [[pairsLsh]]). Near-dup thresholds (τ ≥ 0.8, the
+    * production dedup case) stay comfortably under the cap through
+    * millions of rows. */
+  def autoLshParams(n: Long, tau: Double, targetRecall: Double = 0.9,
+      maxBands: Int = 96): LshParams = {
+    require(n >= 1 && tau > 0 && tau < 1 && targetRecall > 0 && targetRecall < 1)
+    val p1 = 1.0 - math.acos(tau) / math.Pi
+    val r = math.max(4, math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt)
+    val pr = math.pow(p1, r)
+    val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-pr))
+    LshParams(math.min(maxBands, math.max(1, b.toInt)), r)
+  }
+
   /** Distinct candidate pairs from banded SRP buckets (a_id < b_id).
     * Hot buckets (over `maxBucket` members — e.g. one embedding duplicated
     * virally) contribute star pairs to their minimum id instead of all
     * pairs ([[HotBucket.guardedSelfJoinPairs]]), capping the one skew case
-    * of the banded plan. */
+    * of the banded plan. Multi-word sketches (bands×bits > 64) per
+    * [[LshParams]]; for configurations that fit one word the layout and
+    * results are bit-identical to the single-kernel form. */
   private def lshCandidates(corpus: DataFrame, bands: Int, bitsPerBand: Int,
       idCol: String, vecCol: String, seed: Int,
       maxBucket: Int = HotBucket.defaultMaxBucket): DataFrame = {
-    require(bands * bitsPerBand <= 64, "sketch must fit one BIGINT")
-    val sk = corpus.select(col(idCol).as("id"),
-      srpBucket(col(vecCol), bands * bitsPerBand, seed).as("__sk"))
+    val p = LshParams(bands, bitsPerBand)
+    val sk = corpus.select(col(idCol).as("id") +:
+      (0 until p.words).map { w =>
+        val bandsInWord = math.min(p.bandsPerWord, bands - w * p.bandsPerWord)
+        srpBucket(col(vecCol), bandsInWord * bitsPerBand, seed + w).as(s"__sk$w")
+      }: _*)
     val mask = (1L << bitsPerBand) - 1
     // distribution + checkpoint of the banded frame live inside the
     // guard (one explicit bucket-key shuffle, one window, one cache —
     // every downstream branch reads it exchange-free)
     val banded = sk.select(col("id"),
-        explode(array((0 until bands).map(bd => struct(lit(bd).as("band_id"),
-          shiftright(col("__sk"), bd * bitsPerBand).bitwiseAND(lit(mask)).as("band_bits"))): _*)).as("b"))
+        explode(array((0 until bands).map { bd =>
+          val w = bd / p.bandsPerWord
+          val off = (bd % p.bandsPerWord) * bitsPerBand
+          struct(lit(bd).as("band_id"),
+            shiftright(col(s"__sk$w"), off).bitwiseAND(lit(mask)).as("band_bits"))
+        }: _*)).as("b"))
       .select(col("id"), col("b.band_id"), col("b.band_bits"))
     HotBucket.guardedSelfJoinPairs(banded, Seq("band_id", "band_bits"), "id", maxBucket)
   }

@@ -19,14 +19,20 @@ import graft.{Engine, Tables}
   * scaling facts against fixed dims is the TPC-H shape and keeps the
   * broadcast-ability of every dim join unchanged.
   *
-  * Near-dup structure is PRESERVED rather than degenerated:
-  *  - `documents.text` gets a per-copy one-token suffix, so cross-copy
-  *    texts are near-duplicates (Jaccard ≈ 1⁻) instead of exact ones —
-  *    minhash/jaccard/simhash at the target SF stress banding, not the
-  *    exact-digest collapse.
-  *  - `embeddings.embedding` gets a per-copy ε on component 0
-  *    (cos ≈ 1⁻): LSH buckets fill realistically and the hot-bucket
-  *    guard sees genuine near-dup mass, not bit-identical vectors.
+  * Copies are DISTINCT, not clones (measured round 8: a first cut that
+  * made every copy a near-duplicate of its source — ε-perturbed vectors,
+  * one-token text suffix — inflated TRUE pair counts ~100× per ×10, so
+  * every pair-emitting query (jaccard/LSH pairs/semantic CC) measured
+  * super-linear for fixture reasons, not plan reasons, and the kNN
+  * rescore OOM'd under the 10-clone bucket mass). Instead:
+  *  - `documents.text`: every 5th word is replaced by a (copy,
+  *    position)-tagged token — cross-copy shingle Jaccard ≈ 0, while
+  *    WITHIN a copy the source's duplicate structure is preserved
+  *    exactly (identical sources stay identical) ⇒ true dup/near-dup
+  *    pairs grow linearly with K.
+  *  - `embeddings.embedding`: components rotated by copy×7 (coprime
+  *    with the dim) — cross-copy cosine decorrelates, within-copy
+  *    geometry is isometric ⇒ true similarity pairs grow linearly.
   *
   * Output physical types match the source contract (`events.ts` stays
   * BIGINT nanoseconds via [[Tables.events]]'s normalized logical
@@ -88,23 +94,30 @@ object SynthScale {
       Map("l_orderkey" -> orderStride)), "lineitem", 32)
     write(replicate(Tables.events(spark, src), k,
       Map("event_id" -> eventStride, "user_id" -> userStride)), "events", 16)
-    // near-dup (not exact-dup) text across copies: one-token suffix
+    // distinct text per copy: every 5th word → (copy, position) token;
+    // within-copy duplicate structure preserved exactly
     write(replicate(Tables.documents(spark, src), k,
       Map("doc_id" -> docStride),
       (d, copy) => d
         .withColumn("text",
           when(copy === 0L, col("text"))
-            .otherwise(concat(col("text"), lit(" c"), copy.cast("string"))))
+            .otherwise(array_join(
+              transform(split(col("text"), " "), (w, i) =>
+                when(pmod(i, lit(5)) === lit(4),
+                  concat(lit("zq"), copy.cast("string"), lit("x"),
+                    (i / 5).cast("string")))
+                  .otherwise(w)),
+              " ")))
         .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents", 8)
-    // near-identical vectors across copies: ε on component 0 keeps
-    // cos ≈ 1⁻ (genuine near-dup mass for LSH) without bit-identity
+    // distinct vectors per copy: rotate components by copy×7 (within-copy
+    // isometric, cross-copy decorrelated)
     write(replicate(Tables.embeddings(spark, src), k,
       Map("vec_id" -> vecStride),
       (d, copy) => d.withColumn("embedding",
-        transform(col("embedding"),
-          (x, i) => when(i === 0, (x + copy.cast("float") * lit(0.001f)).cast("float"))
-            .otherwise(x)))),
+        transform(col("embedding"), (x, i) =>
+          element_at(col("embedding"),
+            pmod(i + copy.cast("int") * lit(7), size(col("embedding"))) + 1)))),
       "embeddings", 4)
 
     println(s"""{"metric":"synth","src":"$src","dst":"$dst","k":$k}""")

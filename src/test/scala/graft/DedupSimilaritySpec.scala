@@ -204,6 +204,57 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(kmR > 0.5, s"k-means IVF recall $kmR too low")
   }
 
+  test("autoLshParams: n^rho sizing rule — band width log2(n), bands meet recall, loose-tau cap") {
+    // band width follows ceil(log2 n), floored at 4
+    assert(Similarity.autoLshParams(16, 0.8).bitsPerBand == 4)
+    assert(Similarity.autoLshParams(2000, 0.8).bitsPerBand == 11)
+    assert(Similarity.autoLshParams(4000, 0.8).bitsPerBand == 12)
+    // uncapped band count satisfies the recall identity 1-(1-p1^r)^b >= target
+    for (n <- Seq(500L, 2000L, 20000L); tau <- Seq(0.8, 0.9)) {
+      val p = Similarity.autoLshParams(n, tau)
+      val p1 = 1.0 - math.acos(tau) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p1, p.bitsPerBand), p.bands)
+      assert(p.bands < 96 && recall >= 0.9 - 1e-9,
+        s"n=$n tau=$tau -> $p recall $recall")
+    }
+    // bands grow with n (the n^rho law) while width tracks log2 n
+    assert(Similarity.autoLshParams(100000L, 0.8).bands >
+      Similarity.autoLshParams(500L, 0.8).bands)
+    // LOOSE tau: required bands explode past the cap — the documented
+    // "LSH cannot prune this regime" signal
+    assert(Similarity.autoLshParams(1L << 20, 0.35).bands == 96)
+    // multi-word packing: a band never straddles words, words cover all bands
+    val mp = Similarity.autoLshParams(4000, 0.8) // e.g. 12-bit bands
+    assert(mp.bands * mp.bitsPerBand > 64, "fixture case should need >1 word")
+    assert(mp.bandsPerWord == 64 / mp.bitsPerBand)
+    assert(mp.words == (mp.bands + mp.bandsPerWord - 1) / mp.bandsPerWord)
+  }
+
+  test("sim_pairs_lsh_auto == exact pairs on the planted near-dup corpus (multi-word sketches)") {
+    // the registered query plants a deterministic twin per vector; at the
+    // auto-sized worst-case-tau banding the per-pair miss probability is
+    // ~1e-43, so LSH output must EQUAL the exact form — the property that
+    // lets the row be oracle-gated (QueriesLLM.simPairsLshAuto doc)
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val twins = emb.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", x => x + lit(0.015625f)).as("embedding"))
+    val u = emb.unionAll(twins)
+    val lsh = QueriesLLM.all("sim_pairs_lsh_auto")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = Similarity.pairsAboveThreshold(u, 0.8)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exact.nonEmpty, "planted twins must produce pairs")
+    assert(lsh == exact, s"LSH(${lsh.size}) != exact(${exact.size})")
+    // every planted twin pair recovered, nothing else crosses tau=0.8
+    assert(exact.size == emb.count(),
+      s"expected one pair per vector, got ${exact.size}")
+    // determinism across runs
+    val again = QueriesLLM.all("sim_pairs_lsh_auto")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == lsh)
+  }
+
   test("pairsAboveThreshold agrees with cross-join ground truth at small n") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
     val got = Similarity.pairsAboveThreshold(emb, 0.2).collect()
