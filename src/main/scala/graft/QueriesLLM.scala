@@ -352,6 +352,22 @@ object QueriesLLM {
     Similarity.knnGraph(Tables.embeddings(s, dir), 5)
       .orderBy("src", "rk")
 
+  /** sim_knn_graph_ivf: kNN-graph construction via IVF cells — the
+    * LINEAR-work scale path ([[Similarity.knnGraphIvf]]): this corpus'
+    * top-k neighbors sit at cos ≈ 0.3–0.5, below LSH's amplification
+    * regime, so the banded form's candidates degrade toward all pairs
+    * at scale (measured, SCALE.md round 8); IVF cells cap candidate
+    * mass at n × targetCellSize instead. nCentroids is auto-sized to
+    * ~n/128. Rows-only (centroid geometry not expressible in DuckDB);
+    * recall vs the exact graph + exactness of emitted scores asserted
+    * in DedupSimilaritySpec. */
+  val simKnnGraphIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val nCells = math.max(8L, emb.count() / 128L).toInt
+    Similarity.knnGraphIvf(emb, 5, nCells)
+      .orderBy("src", "rk")
+  }
+
   /** sim_knn_exact: the brute-force kNN graph the LSH form is
     * recall-tested against, as its own oracle-gated query (round-7
     * verdict ask #2): top-5 neighbors of every vector under the
@@ -1108,6 +1124,7 @@ object QueriesLLM {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_knn_graph" -> simKnnGraph,
+    "sim_knn_graph_ivf" -> simKnnGraphIvf,
     "sim_knn_exact" -> simKnnExact,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,

@@ -33,7 +33,7 @@ object ScaleProbe {
     // τ=0.35, fixed 16×4 bands) is the declared n²-candidate regime;
     // sim_pairs_lsh_auto (τ=0.8, n^ρ auto-sizing) is the scale path.
     "sim_topk_cosine", "sim_pairs_lsh", "sim_pairs_lsh_auto",
-    "sim_knn_graph", "dedup_semantic_lsh")
+    "sim_knn_graph", "sim_knn_graph_ivf", "dedup_semantic_lsh")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -19,13 +19,14 @@ import scala.util.chaining._
   *
   * ONE hop per round is deliberate (round-8 measurement): a two-hop
   * variant — both depths fused into one checkpointed action, hop-2
-  * anti-joining visited ∪ hop-1 — was implemented and measured ~2×
-  * SLOWER at every SF (graph_bfs 0.58/0.82/2.34 s → 1.08/1.36/4.29 s
-  * across sf0.001/0.01/0.1), with or without persisting the hop-1
-  * frame: the per-round fixed cost is per SHUFFLE STAGE, not per
-  * action, and the fused round serializes the same stages while adding
-  * a union and a wider anti-join. SCALE.md "graph_bfs two-hop
-  * experiment" records the numbers.
+  * anti-joining visited ∪ hop-1 — was implemented and measured
+  * consistently SLOWER at every SF (two-hop 1.08–1.19/1.36–1.69/
+  * 4.20–4.29 s vs one-hop 0.86–0.99/1.25–1.33/3.27–3.41 s at
+  * sf0.001/0.01/0.1), with or without persisting the hop-1 frame: the
+  * per-round fixed cost is per SHUFFLE STAGE, not per action, and the
+  * fused round serializes the same stages while adding a union and a
+  * wider anti-join. SCALE.md "graph_bfs two-hop experiment" records
+  * the numbers.
   */
 object Graph {
 

@@ -380,6 +380,49 @@ object Similarity {
       .select(col("src"), col("dst"), col("cosine"), col("rk"))
   }
 
+  /** k-NN graph via IVF cells — the scale path for kNN-graph
+    * construction when the corpus' neighbor similarities sit BELOW the
+    * LSH amplification regime (this fixture's top-5 neighbors run
+    * cos ≈ 0.3–0.5, where banded SRP candidates degrade toward all
+    * pairs — measured in the round-8 ×10 probe): candidates are pairs
+    * sharing a k-means IVF cell, so candidate mass is Σ|cell|² ≈
+    * n²/nCentroids — choose nCentroids ≈ n/targetCellSize and total
+    * work stays ~n·targetCellSize, LINEAR in n at fixed cell size.
+    * Assignment is the zero-shuffle broadcast-literal argmax
+    * ([[ivfAssign]]/[[ivfCentroidsKmeans]]); rescore is exact; a
+    * per-src window keeps the k best. Recall = probability a true
+    * neighbor lands in the same cell (cluster-local by construction;
+    * k-means refinement raises it, as does a multi-cell assignment —
+    * the standard IVF recall levers). At corpora past ~10⁷ rows the
+    * flat centroid argmax (nCentroids·dim per row) wants a trained /
+    * hierarchical coarse quantizer instead — the declared boundary of
+    * this implementation. */
+  def knnGraphIvf(corpus: DataFrame, k: Int, nCentroids: Int, kmeansIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = ivfCentroidsKmeans(corpus, nCentroids, kmeansIters, idCol, vecCol)
+    val index = new graft.plans.CentroidIndex(centroids.map(_._1), centroids.map(_._2))
+    // one explicit cell-key shuffle; both self-join sides read the
+    // cached cell-partitioned blocks (same discipline as the banded
+    // LSH frame)
+    val assigned = Dist.byKeys(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorOps.norm(col(vecCol)).as("nrm"),
+        graft.plans.VectorExpressions.nearestCentroid(col(vecCol), index).as("cell")),
+      col("cell"))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cell"), col("id").as("src"), col("v").as("vs"), col("nrm").as("ns"))
+    val b = assigned.select(col("cell"), col("id").as("dst"), col("v").as("vd"), col("nrm").as("nd"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        r4(VectorOps.dot(col("vs"), col("vd")) / (col("ns") * col("nd"))).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rk"))
+  }
+
   /** Exact kNN graph — the brute-force sibling of [[knnGraph]] and the
     * oracle-gatable truth it is recall-tested against: every ordered pair
     * (src ≠ dst) is scored and a per-src window keeps the k best under the

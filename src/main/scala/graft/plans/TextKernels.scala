@@ -354,21 +354,49 @@ object TextKernels {
     * — identical (same hash chain, same left-to-right double summation)
     * to the HOF form in `Similarity.srpBucketHof`. A null element makes
     * every plane dot NULL there, which zeroes every bit; mirrored here. */
+  // Hyperplane components are ROW-INDEPENDENT (hash of (seed, bit,
+  // component) only), so they are computed once per (bits, seed, dim)
+  // and cached — the hot loop is then pure multiply-add instead of
+  // bits×dim xxhash64 calls per row (the dominant cost of wide
+  // auto-sized sketches: ~90 bands × 16 bits × 64 dims ≈ 92k hashes per
+  // row before this cache). Same formula, bit-identical results
+  // (TextKernelsSpec pins kernel == HOF). Executor-side static; one
+  // entry per distinct config, bits·dim doubles each.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planes(bits: Int, seed: Int, n: Int): Array[Double] =
+    planeCache.computeIfAbsent((bits, seed, n), { _ =>
+      val p = new Array[Double](bits * n)
+      var i = 0
+      while (i < bits) {
+        val hs = XXH64.hashInt(i, XXH64.hashInt(seed, Seed))
+        var j = 0
+        while (j < n) {
+          val h = XXH64.hashInt(j, hs)
+          var r = h % 2000001L
+          if (r < 0) r += 2000001L
+          p(i * n + j) = r.toDouble / 1000000.0 - 1.0
+          j += 1
+        }
+        i += 1
+      }
+      p
+    })
+
   def srpSketch(vec: ArrayData, bits: Int, seed: Int): Long = {
     val n = vec.numElements()
     var j = 0
     while (j < n) { if (vec.isNullAt(j)) return 0L; j += 1 }
+    val p = planes(bits, seed, n)
     var sketch = 0L
     var i = 0
     while (i < bits) {
-      val hs = XXH64.hashInt(i, XXH64.hashInt(seed, Seed))
       var d = 0.0
+      val off = i * n
       j = 0
       while (j < n) {
-        val h = XXH64.hashInt(j, hs)
-        var r = h % 2000001L
-        if (r < 0) r += 2000001L
-        d += vec.getFloat(j).toDouble * (r.toDouble / 1000000.0 - 1.0)
+        d += vec.getFloat(j).toDouble * p(off + j)
         j += 1
       }
       if (d > 0) sketch |= (1L << i)

@@ -255,6 +255,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again == lsh)
   }
 
+  test("kNN graph via IVF cells: recall vs brute force, scores exact, k respected, deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val nCells = math.max(8L, emb.count() / 128L).toInt
+    val knn = Similarity.knnGraphIvf(emb, 5, nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bySrc = knn.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 5))
+    // every vector appears as a source (its cell has >= 2 members at
+    // this cell size), and neighbors are cell-local candidates only
+    assert(bySrc.size.toLong == emb.count(),
+      s"${bySrc.size} sources for ${emb.count()} vectors")
+    // per-source recall vs brute-force truth on a deterministic sample
+    val sample = bySrc.keys.toSeq.sorted.take(20)
+    var hit = 0; var total = 0
+    sample.foreach { src =>
+      val truth = Similarity.topKCosine(emb, emb.filter(col("vec_id") === src), 6)
+        .collect().map(_.getLong(0)).filter(_ != src).take(5).toSet
+      val got = bySrc(src).map(_._2).toSet
+      hit += got.count(truth); total += truth.size
+    }
+    assert(hit.toDouble / total >= 0.4,
+      s"IVF kNN-graph recall $hit/$total below floor at n/128 cells")
+    // emitted scores are EXACT rescored cosines
+    val (s0, d0, c0) = knn.head
+    val brute = Similarity.topKCosine(emb, emb.filter(col("vec_id") === s0), 2000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(brute(d0) - c0) < 1e-9)
+    // deterministic (k-means seed + argmax ties are all deterministic)
+    val again = Similarity.knnGraphIvf(emb, 5, nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sorted.toSeq == knn.sorted.toSeq)
+  }
+
   test("pairsAboveThreshold agrees with cross-join ground truth at small n") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
     val got = Similarity.pairsAboveThreshold(emb, 0.2).collect()
