@@ -59,6 +59,29 @@ object QueriesCore {
   val scanCsvRoundtripSql =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** lake_compact: small-files compaction as a verifiable job
+    * ([[graft.sources.FileView.compact]]): scatter `documents` into 40
+    * deliberately-small parquet files in a scratch dir, compact to the
+    * target size (one file at fixture scale), and emit the job's
+    * result contract as a row — file counts are DETERMINISTIC (40
+    * non-empty round-robin partitions in; ⌈bytes/target⌉ = 1 out) and
+    * the row count must survive the rewrite, which is exactly what the
+    * oracle pins. The interesting work is the safety path inside
+    * `compact` (temp-sibling write → row-count verify → two-rename
+    * swap); FileViewSpec exercises it directly. */
+  val lakeCompact: Q = (s, dir) => {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(dir).getName}/docs_compact"
+    Tables.documents(s, dir).repartition(40)
+      .write.mode("overwrite").parquet(out)
+    val (before, after, rows) = graft.sources.FileView.compact(s, out)
+    Seq((before, after, rows)).toDF("files_before", "files_after", "n_rows")
+  }
+
+  val lakeCompactSql =
+    """SELECT CAST(40 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+      |  count(*) AS n_rows FROM documents""".stripMargin
+
   /** scan_orc: ORC write→read roundtrip — the second columnar format a
     * lake ingests from (Hive-era pipelines). Typed columns (LONG/DOUBLE/
     * STRING) round-trip bit-exactly, so the identity oracle is the full
@@ -1510,6 +1533,7 @@ object QueriesCore {
     "scan_json" -> scanJson,
     "scan_csv" -> scanCsvRoundtrip,
     "scan_orc" -> scanOrcRoundtrip,
+    "lake_compact" -> lakeCompact,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
     "project_compute" -> projectCompute,
@@ -1591,6 +1615,7 @@ object QueriesCore {
     "scan_json" -> scanJsonSql,
     "scan_csv" -> scanCsvRoundtripSql,
     "scan_orc" -> scanOrcRoundtripSql,
+    "lake_compact" -> lakeCompactSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,
     "project_compute" -> projectComputeSql,

@@ -43,6 +43,31 @@ object QueriesLLM {
       .orderBy("text_hash")
   }
 
+  /** dedup_incremental_minhash: the NEAR-dup half of the ingestion
+    * shape ([[Dedup.incrementalMinhash]]): today's batch against the
+    * persisted minhash-SIGNATURE state (corpus text never re-read,
+    * never shuffled — fixed-width signatures only). Same SF-independent
+    * split as dedup_incremental, plus planted re-sends: the batch
+    * carries the state's 10 lowest docs again (id + 10⁶) — identical
+    * text ⇒ identical signature ⇒ est 1.0, caught with certainty.
+    * Rows-only (signature hash family; exact sibling
+    * `dedup_incremental` is the oracle-gated one); batch-vs-state
+    * semantics, planted-re-send certainty, and the state-bucket cap
+    * are asserted in DedupSimilaritySpec. */
+  val dedupIncrementalMinhash: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val stateDocs = docs.filter(col("doc_id") % 5 < 2)
+    // state as it would be PERSISTED: (doc_id, sig), written at ingest
+    val stateSigs = Dedup.minhashSignatures(stateDocs, col("text"), col("doc_id"))
+    val resend = stateDocs.orderBy("doc_id").limit(10)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 5 >= 2)
+      .select(col("doc_id"), col("text")).unionAll(resend)
+    Dedup.incrementalMinhash(batch, stateSigs, col("text"), col("doc_id"),
+      threshold = 0.8)
+      .orderBy("doc_id")
+  }
+
   val dedupIncrementalSql =
     """WITH state AS (
       |  SELECT DISTINCT md5(lower(trim(text))) AS text_hash
@@ -1106,6 +1131,7 @@ object QueriesLLM {
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "dedup_url" -> dedupUrl,
     "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,

@@ -137,6 +137,59 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / numPerm))
       .select("a_id", "b_id", "est_jaccard")
 
+  /** Incremental NEAR-dup dedup: which `batch` docs are near-duplicates
+    * (estimated Jaccard ≥ `threshold`) of a PERSISTED corpus state —
+    * the production shape of continuous ingestion at 100 TB. The state
+    * side is the (doc_id, sig) minhash-signature table written once at
+    * ingest: corpus TEXT is never re-read and never shuffles; only
+    * fixed-width signatures (numPerm ints) and banded keys move. The
+    * batch computes its signatures fresh with the per-row kernel, and
+    * candidates come from a banded batch×state JOIN — linear in
+    * colliding buckets, never |batch|·|state|. Band-key skew on the
+    * state side (a viral duplicate family) is bounded by `maxStateDf`:
+    * state buckets above it are truncated to their `maxStateDf` lowest
+    * ids — any batch doc near-dup to the family still collides with
+    * the survivors (identical band hash), so dup DETECTION is
+    * unaffected; only WHICH family member is reported as the match is
+    * narrowed. One row per batch doc:
+    * (doc_id, is_dup, matched_id, est_jaccard) — matched_id the best
+    * state match (highest estimate, lowest id) above threshold, NULL
+    * for novel docs. Exact-sibling: [[incrementalExact]]. */
+  def incrementalMinhash(batch: DataFrame, stateSigs: DataFrame,
+      text: Column, id: Column, threshold: Double = 0.8,
+      numPerm: Int = 64, shingleSize: Int = 3, bands: Int = 16,
+      maxStateDf: Int = HotBucket.defaultMaxBucket): DataFrame = {
+    val r = numPerm / bands
+    val bsigs = minhashSignatures(batch, text, id, numPerm, shingleSize)
+      .localCheckpoint(true) // read twice: banding + estimate join
+    val stateBands = {
+      val sb = lshBands(stateSigs, bands, r)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_id", "band_hash").orderBy(col("doc_id").asc)
+      sb.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= maxStateDf).drop("__rk")
+    }
+    val cands = lshBands(bsigs, bands, r)
+      .join(stateBands.withColumnRenamed("doc_id", "state_id"),
+        Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("state_id")).distinct()
+    val est = cands
+      .join(bsigs, "doc_id")
+      .join(stateSigs.select(col("doc_id").as("state_id"), col("sig").as("ssig")), "state_id")
+      .select(col("doc_id"), col("state_id"),
+        r4(aggregate(zip_with(col("sig"), col("ssig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val best = est.groupBy("doc_id")
+      .agg(max_by(struct(col("state_id"), col("est_jaccard")),
+        struct(col("est_jaccard"), -col("state_id"))).as("m"))
+      .select(col("doc_id"), col("m.state_id").as("matched_id"),
+        col("m.est_jaccard").as("est_jaccard"))
+    batch.select(id.as("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("matched_id").isNotNull.as("is_dup"),
+        col("matched_id"), col("est_jaccard"))
+  }
+
   /** SimHash sketches as a DataFrame (doc_id, sh BIGINT). Per-row codegen
     * kernel ([[graft.plans.TextKernels.simhash64]]) — a narrow projection
     * with zero shuffle; bit-identical to [[simhashSketchesAgg]] and to the

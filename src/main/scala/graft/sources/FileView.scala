@@ -238,4 +238,53 @@ object FileView {
       .drop(z)
       .write.mode(mode).parquet(root)
   }
+
+  /** Small-files COMPACTION — the lake-maintenance job every
+    * continuously-ingested dataset needs: streaming/batch appends leave
+    * many small parquet files, and at 100 TB the per-file
+    * open + footer + task-schedule cost of a million small files
+    * dominates reads long before row count does. Rewrites the flat
+    * parquet directory `root` into ⌈totalBytes / targetFileBytes⌉
+    * files (optionally re-clustered on `sortKey` — compaction is the
+    * natural moment to restore a [[sinkClustered]] layout that appends
+    * have degraded).
+    *
+    * Safety contract: the rewrite lands in a temp sibling first, the
+    * rewritten ROW COUNT is verified against the source (a failed or
+    * short write never replaces data), and only then is the directory
+    * swapped via two renames — a crash before the swap leaves the
+    * original untouched; after, the new layout is complete. On a raw
+    * directory the swap is the filesystem-atomic approximation;
+    * concurrent readers during the swap window want a table format's
+    * transactional commit instead — the declared boundary of this job.
+    *
+    * Returns (filesBefore, filesAfter, rows). */
+  def compact(spark: SparkSession, root: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortKey: Option[String] = None): (Long, Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(dir: org.apache.hadoop.fs.Path) =
+      fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parts(p)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(root)
+    val rows = df.count() // parquet metadata count — no data scan
+    val tmp = new org.apache.hadoop.fs.Path(root + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(root + "__compact_old")
+    val out = sortKey match {
+      case Some(k) => df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(nOut)
+    }
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val rewritten = spark.read.parquet(tmp.toString).count()
+    require(rewritten == rows,
+      s"compaction rewrite lost rows ($rewritten != $rows) — original left untouched at $root")
+    require(fs.rename(p, old), s"compaction swap failed moving $root aside")
+    require(fs.rename(tmp, p), s"compaction swap failed installing $tmp")
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(root)
+    (before.length.toLong, parts(p).length.toLong, rows)
+  }
 }

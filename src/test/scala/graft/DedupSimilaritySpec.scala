@@ -288,6 +288,60 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(again.sorted.toSeq == knn.sorted.toSeq)
   }
 
+  test("incremental minhash: re-sent state content caught with certainty, batch-complete, precise") {
+    val docs = Tables.documents(spark, sf)
+    val out = QueriesLLM.all("dedup_incremental_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    // one row per batch doc (the %5>=2 slice + 10 planted re-sends)
+    val nBatch = docs.filter(col("doc_id") % 5 >= 2).count() + 10
+    assert(out.length.toLong == nBatch)
+    // planted re-sends: identical text => identical signature => est 1.0,
+    // flagged with certainty (no banding probability involved)
+    val resent = out.filter(_._1 >= 1000000L)
+    assert(resent.length == 10)
+    assert(resent.forall(_._2), s"missed re-sends: ${resent.filterNot(_._2).map(_._1).toSeq}")
+    assert(resent.forall(_._4 == 1.0))
+    // precision: every flagged row's estimate recomputes identically from
+    // the two signature frames (the operator reported real agreement)
+    val stateSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 5 < 2), col("text"), col("doc_id"))
+    val resendDocs = docs.filter(col("doc_id") % 5 < 2).orderBy("doc_id").limit(10)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val batchDocs = docs.filter(col("doc_id") % 5 >= 2)
+      .select(col("doc_id"), col("text")).unionAll(resendDocs)
+    val allSigs = stateSigs.unionAll(
+      Dedup.minhashSignatures(batchDocs, col("text"), col("doc_id")))
+    val flagged = out.filter(_._2)
+    assert(flagged.nonEmpty)
+    val cands = flagged.map(f => (f._1, f._3)).toSeq.toDF("a_id", "b_id")
+    val recomputed = Dedup.verifyFromSignatures(cands, allSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    flagged.foreach { f =>
+      assert(recomputed((f._1, f._3)) == f._4, s"estimate mismatch for $f")
+      assert(f._4 >= 0.8)
+    }
+  }
+
+  test("incremental minhash: viral state bucket capped by maxStateDf without losing detection") {
+    val viral = "the same viral chain letter text forwarded again and again"
+    val state = (0 until 100).map(i => (i.toLong, viral)).toDF("doc_id", "text")
+    val stateSigs = Dedup.minhashSignatures(state, col("text"), col("doc_id"))
+    val batch = Seq((5000L, viral), (5001L, "completely unrelated fresh content with new words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(batch, stateSigs, col("text"), col("doc_id"),
+        threshold = 0.8, maxStateDf = 2)
+      .orderBy("doc_id").collect()
+    // the batch copy of the viral text is still caught (identical band
+    // hashes collide with the 2 surviving family members) and matched to
+    // the family minimum; the fresh doc passes
+    assert(out(0).getLong(0) == 5000L && out(0).getBoolean(1))
+    assert(out(0).getLong(2) == 0L)
+    assert(out(1).getLong(0) == 5001L && !out(1).getBoolean(1))
+    assert(out(1).isNullAt(2))
+  }
+
   test("pairsAboveThreshold agrees with cross-join ground truth at small n") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
     val got = Similarity.pairsAboveThreshold(emb, 0.2).collect()

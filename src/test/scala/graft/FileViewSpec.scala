@@ -112,6 +112,31 @@ class FileViewSpec extends SparkTestBase {
     assert(narrow.count() > 0)
   }
 
+  test("compact: many small files become few, rows and content survive, optional re-cluster holds") {
+    val dir = Files.createTempDirectory("compact").toString + "/docs"
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(37).write.mode("overwrite").parquet(dir)
+    val nFilesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFilesBefore == 37)
+    val (before, after, rows) =
+      FileView.compact(spark, dir, sortKey = Some("doc_id"))
+    assert(before == 37 && after == 1L)
+    assert(rows == docs.count())
+    // content identical after the swap
+    val back = spark.read.schema(Tables.documentsSchema).parquet(dir)
+    assert(back.count() == rows)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // temp/old siblings cleaned up
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet == Set("docs"),
+      parent.listFiles().map(_.getName).mkString(","))
+    // re-cluster: with sortKey the single output file is doc_id-sorted
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted)
+  }
+
   test("scanAnnotated promotes every annotation key to a column (addAnnotationColumns)") {
     val dir = Files.createTempDirectory("annview").toString
     Tables.region(spark, sf).write.parquet(s"$dir/files")
