@@ -27,8 +27,8 @@ object ScaleProbe {
     // graph/iterative (events-derived edges)
     "graph_bfs",
     // documents (10× span at the top step): text + dedup families
-    "dedup_exact", "dedup_minhash", "dedup_jaccard", "text_langid",
-    "pack_chunks", "bpe_encode",
+    "dedup_exact", "dedup_minhash", "dedup_incremental_minhash",
+    "dedup_jaccard", "text_langid", "pack_chunks", "bpe_encode",
     // embeddings (4× span): similarity families. sim_pairs_lsh (loose
     // τ=0.35, fixed 16×4 bands) is the declared n²-candidate regime;
     // sim_pairs_lsh_auto (τ=0.8, n^ρ auto-sizing) is the scale path.
@@ -77,15 +77,32 @@ object ScaleProbe {
     // comma-decimal default locale would emit invalid JSON
     def d3(t: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
-    val json = rows.map { case (n, ts) =>
-      "\"" + n + "\":[" + ts.map(d3).mkString(",") + "]"
-    }.mkString("{", ",", "}")
     val sfNames = sfDirs.map(d =>
       "\"" + d.split('/').last.stripPrefix("synth-") + "\"").mkString(",")
-    java.nio.file.Files.write(java.nio.file.Paths.get("scale_curve.json"),
+    // a SUBSET run (explicit query args) MERGES into an existing curve
+    // file with the same SF axis instead of clobbering the full table —
+    // the per-query re-measurement workflow would otherwise silently
+    // drop every other row
+    val file = java.nio.file.Paths.get("scale_curve.json")
+    val existing: Seq[(String, String)] =
+      if (args.nonEmpty && java.nio.file.Files.exists(file)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(file), "UTF-8")
+        if (txt.startsWith(s"""{"sfs":[$sfNames]"""))
+          "\"([A-Za-z0-9_]+)\":(\\[[-0-9.,]+\\])".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).toSeq
+        else Seq.empty
+      } else Seq.empty
+    val fresh = rows.map { case (n, ts) =>
+      n -> ("[" + ts.map(d3).mkString(",") + "]")
+    }
+    val freshNames = fresh.map(_._1).toSet
+    val merged = existing.filterNot(e => freshNames(e._1)) ++ fresh
+    val json = merged.map { case (n, v) => "\"" + n + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(file,
       s"""{"sfs":[$sfNames],"median_of_3_sec":$json}"""
         .getBytes("UTF-8"))
-    println(s"""{"metric":"scale_curve","queries":${rows.size}}""")
+    println(s"""{"metric":"scale_curve","queries":${merged.size}}""")
     spark.stop()
   }
 }
