@@ -362,9 +362,47 @@ object QueriesAnalytics {
       |SELECT node, MIN(dist) AS dist FROM walk
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** graph_pagerank: power-iteration PageRank over the same symmetrized
+    * part↔supplier graph as [[graphBfs]] ([[graft.operators.Graph.pagerank]]
+    * — the web-graph source-quality signal). A FIXED 6 rounds with
+    * per-round rounding makes the result a deterministic function of the
+    * input, so the oracle can recompute it by unrolling the identical six
+    * rounds as plain CTEs (aggregation is illegal inside `WITH RECURSIVE`,
+    * so unrolling — not recursion — is the SQL-expressible form). */
+  val graphPagerankIters = 6
+
+  val graphPagerank: Q = (s, dir) => {
+    val ed = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pagerank(sym, iters = graphPagerankIters).orderBy("node")
+  }
+
+  val graphPagerankSql: String = {
+    val rounds = (1 to graphPagerankIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank / deg.outdeg) AS w
+         |  FROM r${i - 1} JOIN e ON e.src = r${i - 1}.node JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT no.node,
+         |    floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(c$i.w, 0.0)) * 10000 + 0.5) / 10000 AS rank
+         |  FROM nodes no CROSS JOIN nn LEFT JOIN c$i ON c$i.node = no.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, floor((1.0 / nn.n) * 10000 + 0.5) / 10000 AS rank
+       |  FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, rank FROM r$graphPagerankIters ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
+    "graph_pagerank" -> graphPagerank,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
@@ -380,6 +418,7 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuantSql,
     "graph_bfs" -> graphBfsSql,
+    "graph_pagerank" -> graphPagerankSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Num.r4
 
 import graft.functions.{TextOps, VectorOps}
-import graft.operators.{Bpe, Dedup, LangId, Packing, Sampling, Similarity}
+import graft.operators.{Bpe, Dedup, LangId, Packing, Sampling, Search, Similarity}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.11 + driver north
   * star): dedup family, similarity search, text analysis, multimodal
@@ -1126,10 +1126,69 @@ object QueriesLLM {
       |FROM documents WHERE doc_id % 3 = 2
       |ORDER BY asset_id, frame_idx""".stripMargin
 
+  /** search_bm25: topic-relevance selection over the corpus —
+    * [[graft.operators.Search.bm25]] (inverted-index shape: postings
+    * filtered to the broadcast query-term set BEFORE any shuffle, stats
+    * and document frequencies broadcast back, heap top-k). The oracle
+    * recomputes the identical Okapi formula in SQL; scores are rounded
+    * before the ordering so both engines agree on the cut. */
+  val searchBm25: Q = (s, dir) =>
+    Search.bm25(Tables.documents(s, dir), col("text"), col("doc_id"),
+      queryTerms = Seq("spark", "join", "window"), topK = 20)
+
+  val searchBm25Sql =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+      |tok AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+      |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+      |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |scored AS (SELECT p.doc_id,
+      |    sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |        * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))) AS raw,
+      |    count(*) AS n_terms
+      |  FROM post p JOIN dfreq f USING (term) CROSS JOIN stats s GROUP BY 1)
+      |SELECT doc_id, CAST(n_terms AS INT) AS n_terms,
+      |  floor(raw * 10000 + 0.5) / 10000 AS score
+      |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** dedup_spans: C4-style span-level exact dedup —
+    * [[graft.operators.Dedup.spanDedup]] tiles docs into 10-token spans,
+    * keeps each span's first corpus occurrence, reassembles. Winner
+    * election ships (digest, ids) only; the oracle elects winners over
+    * the span TEXT itself (md5-equal ⇔ text-equal), so a digest-side
+    * mistake cannot silently agree. */
+  val dedupSpans: Q = (s, dir) =>
+    Dedup.spanDedup(Tables.documents(s, dir), col("text"), col("doc_id"),
+        tileTokens = 10)
+      .orderBy("doc_id")
+
+  val dedupSpansSql =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |tiles AS (SELECT doc_id, ts,
+      |    unnest(generate_series(0, CAST(ceil(len(ts) / 10.0) AS BIGINT) - 1)) AS tile_idx
+      |  FROM toks),
+      |tt AS (SELECT doc_id, tile_idx,
+      |    array_to_string(ts[(tile_idx * 10 + 1):(tile_idx * 10 + 10)], ' ') AS tile_text
+      |  FROM tiles),
+      |win AS (SELECT doc_id, tile_idx, tile_text,
+      |    row_number() OVER (PARTITION BY tile_text ORDER BY doc_id, tile_idx) AS rn
+      |  FROM tt),
+      |kept AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tile_text, ' ' ORDER BY tile_idx) AS dedup_text
+      |  FROM win WHERE rn = 1 GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(ceil(len(t.ts) / 10.0) AS INT) AS n_tiles,
+      |  CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+      |  coalesce(k.dedup_text, '') AS dedup_text
+      |FROM toks t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_spans" -> dedupSpans,
+    "search_bm25" -> searchBm25,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "dedup_url" -> dedupUrl,
@@ -1182,6 +1241,8 @@ object QueriesLLM {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_spans" -> dedupSpansSql,
+    "search_bm25" -> searchBm25Sql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_url" -> dedupUrlSql,
     "contamination_check" -> contaminationCheckSql,

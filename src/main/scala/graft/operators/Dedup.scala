@@ -286,4 +286,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
+
+  /** Span-level exact dedup (the C4/RefinedWeb "remove repeated
+    * boilerplate" pass): tile every document into consecutive
+    * `tileTokens`-token spans, keep each distinct span's FIRST corpus
+    * occurrence (min (doc_id, tile_idx)), and reassemble documents from
+    * their surviving tiles. Unlike document-level [[exact]], this strips
+    * the shared span from the 99 later copies while keeping the rest of
+    * each document.
+    *
+    * Scale shape: tiling is a narrow HOF pass (sequence → slice →
+    * array_join — no explode of corpus token mass); winner election
+    * shuffles (16-byte digest, doc_id, tile_idx) — NEVER span text; the
+    * keep-set folds back to one row per doc (sorted int array) and the
+    * final reassembly re-derives surviving span text narrowly from the
+    * doc's own token array. The only text-bearing movement is the output
+    * sort itself.
+    *
+    * Returns (doc_id, n_tiles, n_kept, dedup_text) for every input doc
+    * (fully-duplicated docs survive with empty text). */
+  def spanDedup(df: DataFrame, text: Column, id: Column,
+      tileTokens: Int = 10): DataFrame = {
+    require(tileTokens > 0)
+    val w = lit(tileTokens)
+    val toks = df.select(id.as("doc_id"), TextOps.tokens(text).as("ts"))
+    val nTiles = ceil(size(col("ts")) / w.cast("double")).cast("int")
+    val tileAt = (i: Column) => array_join(slice(col("ts"), i * w + 1, w), " ")
+
+    val tiles = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nTiles - 1), tileAt)))
+      .toDF("doc_id", "tile_idx", "tile_text")
+
+    val winners = tiles
+      .select(md5(col("tile_text")).as("digest"), col("doc_id"), col("tile_idx"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("digest")).orderBy(col("doc_id"), col("tile_idx"))))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tile_idx"))).as("keep_idx"),
+        count(lit(1)).cast("int").as("n_kept"))
+
+    toks.join(winners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nTiles.as("n_tiles"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(array_join(transform(col("keep_idx"), tileAt), " "), lit(""))
+          .as("dedup_text"))
+  }
 }

@@ -74,4 +74,52 @@ object Graph {
     e.unpersist()
     visited
   }
+
+  /** PageRank by power iteration over DIRECTED edges (`src`, `dst`) —
+    * the web-graph quality signal pretraining pipelines rank crawl
+    * sources with. A fixed iteration count (not a convergence test)
+    * keeps the result a deterministic function of the input so a plain
+    * SQL oracle can recompute it by unrolling the same rounds.
+    *
+    * Per round: rank(v) ← (1−d)/N + d·Σ_{u→v} rank(u)/outdeg(u).
+    * Dangling mass (nodes with no out-edges) is dropped, identically on
+    * both engines; callers wanting mass conservation symmetrize or add
+    * self-loops upstream.
+    *
+    * Scale shape (same discipline as [[bfs]]/[[Components]]): the
+    * degree-annotated edge list is partitioned on `src` and persisted
+    * ONCE; each round joins the current rank frame against it, shuffles
+    * (dst, contribution) pairs only — never edges, never text — and
+    * checkpoints the |V|-row rank frame so plans stay O(1) deep.
+    * Ranks are rounded ([[graft.functions.Num.r4]]) each round, which
+    * both pins cross-engine agreement (the next round's input is
+    * bit-identical on both sides) and stops float-association noise
+    * accumulating across rounds. */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    import graft.functions.Num.r4
+    require(iters >= 0)
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct() // Dataset.union is UNION ALL — dedup for the node set
+      .pipe(Checkpointing.cut)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).persist()
+    val n = nodes.count() // scalar aggregate, never a row collect
+    var ranks = nodes.withColumn("rank", r4(lit(1.0) / lit(n.toDouble)))
+      .pipe(Checkpointing.cut)
+    val base = lit(1.0 - damping) / lit(n.toDouble)
+    for (_ <- 0 until iters) {
+      val contrib = ranks.join(ed, ranks("node") === ed("src"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("w"))
+        .groupBy("node").agg(sum(col("w")).as("w"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          r4(base + lit(damping) * coalesce(col("w"), lit(0.0))).as("rank"))
+        .pipe(Checkpointing.cut)
+    }
+    ed.unpersist()
+    ranks
+  }
 }

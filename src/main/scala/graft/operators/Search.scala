@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.functions.Num.r4
+
+/** Relevance search over a document corpus — BM25 (Robertson/Spärck
+  * Jones; the Okapi form with the +1 idf floor used by Lucene), the
+  * data-selection primitive a pretraining pipeline uses to pull
+  * topic-relevant slices out of a web corpus ("find the 1M documents
+  * most about X").
+  *
+  * Scale design (the inverted-index discipline, not a scan-per-query):
+  *  - The query-term set is a tiny broadcast LITERAL — the per-document
+  *    pass keeps only postings for query terms, so the one shuffle
+  *    (`groupBy(doc_id, term)`) carries rows proportional to the number
+  *    of query-term OCCURRENCES, never the corpus token count.
+  *  - Corpus stats (N, avgdl) and per-term document frequencies are
+  *    O(1) / O(|query|) frames, broadcast back onto the postings; the
+  *    fact table is touched exactly once.
+  *  - Final scoring aggregates ≤|query| rows per matching document and
+  *    takes top-k via `TakeOrderedAndProject` (per-partition heaps —
+  *    no global sort of the scored set).
+  *
+  * Cross-engine determinism: scores are rounded (`Num.r4`) BEFORE the
+  * top-k order, and ties break on doc id, so Spark and the SQL oracle
+  * agree on the cut row-for-row.
+  */
+object Search {
+
+  /** Score `docs` against `queryTerms` with BM25; return the top `topK`
+    * as (doc_id, n_terms, score), score rounded to 4 decimals,
+    * descending with id tiebreak. `k1`/`b` are the standard free
+    * parameters (term-frequency saturation / length normalization). */
+  def bm25(docs: DataFrame, text: Column, id: Column, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(id.as("doc_id"), TextOps.tokens(text).as("ts"))
+
+    // one tiny row: corpus size + average doc length (exact long sum /
+    // count, divided once — both engines do the same IEEE division)
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(col("ts"))).cast("double") / count(lit(1))).as("avgdl"))
+
+    // postings for QUERY TERMS ONLY: the isin filter runs before the
+    // shuffle, so corpus-scale token mass never moves
+    val post = toks
+      .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+    // document frequency per query term: ≤|query| rows → broadcast
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val termScore =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+
+    post
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(termScore).as("raw"), count(lit(1)).cast("int").as("n_terms"))
+      .select(col("doc_id"), col("n_terms"), r4(col("raw")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Graph, Search}
+
+/** Unit coverage for the round-8 additions: BM25 relevance search,
+  * power-iteration PageRank, and span-level exact dedup — hand-computed
+  * expectations on crafted frames (the fixture-scale oracle gate runs
+  * the DuckDB twin; these pin the semantics on inputs small enough to
+  * reason about by hand). */
+class SearchGraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "spark join spark spark"), // tf(spark)=3, dl=4
+    (2L, "join stream window sort"), // tf(join)=1, dl=4
+    (3L, "scan filter agg sort group limit sort scan") // no query terms, dl=8
+  ).toDF("doc_id", "text")
+
+  private def bm25Ref(tf: Long, dl: Long, df: Long, n: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      (tf * (k1 + 1)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+  private def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  test("bm25 matches the closed-form score and excludes non-matching docs") {
+    val out = Search.bm25(corpus, col("text"), col("doc_id"),
+        Seq("spark", "join"), topK = 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    val avgdl = 16.0 / 3
+    // doc1: spark(tf=3,df=1) + join(tf=1,df=2); doc2: join(tf=1,df=2)
+    val d1 = r4(bm25Ref(3, 4, 1, 3, avgdl) + bm25Ref(1, 4, 2, 3, avgdl))
+    val d2 = r4(bm25Ref(1, 4, 2, 3, avgdl))
+    assert(out === Seq((1L, 2, d1), (2L, 1, d2))) // doc3 absent, desc order
+  }
+
+  test("bm25 rarer terms score higher at equal tf/dl (idf monotonicity)") {
+    val docs = Seq(
+      (1L, "rare filler filler filler"),
+      (2L, "common filler filler filler"),
+      (3L, "common filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = Search.bm25(docs, col("text"), col("doc_id"),
+        Seq("rare", "common"), topK = 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.head._1 === 1L) // df(rare)=1 < df(common)=2 -> higher idf
+    assert(out.map(_._1) === Seq(1L, 2L, 3L)) // equal scores tie-break by id
+    assert(out(1)._3 === out(2)._3)
+  }
+
+  test("bm25 topK truncates after the rounded-score ordering") {
+    val docs = (1L to 30L).map(i => (i, "term " + ("pad " * i.toInt).trim))
+      .toDF("doc_id", "text")
+    val out = Search.bm25(docs, col("text"), col("doc_id"), Seq("term"), topK = 5)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.size === 5)
+    // shortest docs win under length normalization
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  // ---- PageRank -----------------------------------------------------------
+
+  test("pagerank on a symmetric 2-cycle is uniform and mass-conserving") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.pagerank(e, iters = 5).as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("pagerank ranks a star center above its leaves; total mass ~1") {
+    // undirected star: center 0 <-> leaves 1..4
+    val leaves = (1L to 4L)
+    val e = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L))).toDF("src", "dst")
+    val out = Graph.pagerank(e, iters = 8).as[(Long, Double)].collect().toMap
+    assert(out(0L) > out(1L) * 2)
+    leaves.foreach(l => assert(out(l) === out(1L))) // symmetry
+    // symmetrized graph has no dangling mass; drift is rounding only
+    assert(math.abs(out.values.sum - 1.0) < 1e-3)
+  }
+
+  test("pagerank with zero iterations returns the uniform start vector") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pagerank(e, iters = 0).as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 0.3333, 2L -> 0.3333, 3L -> 0.3333))
+  }
+
+  test("pagerank drops dangling mass deterministically (directed chain)") {
+    // 1 -> 2 -> 3; node 3 dangles. After one round at d=0.85, N=3:
+    // base = 0.15/3 = 0.05; contribs: 2 gets 0.3333, 3 gets 0.3333
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.pagerank(e, iters = 1).as[(Long, Double)].collect().toMap
+    val expect2 = r4(0.15 / 3 + 0.85 * 0.3333)
+    assert(out(1L) === 0.05)
+    assert(out(2L) === expect2)
+    assert(out(3L) === expect2)
+  }
+
+  // ---- span dedup ---------------------------------------------------------
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("spanDedup strips a shared tile from the later doc only") {
+    val shared = words("s", 10)
+    val docs = Seq(
+      (1L, shared + " " + words("a", 10)),
+      (2L, shared + " " + words("b", 10))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("text"), col("doc_id"), tileTokens = 10)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2, 2, shared + " " + words("a", 10)), // first occurrence keeps all
+      (2L, 2, 1, words("b", 10)))) // later copy loses the shared span
+  }
+
+  test("spanDedup: an exact duplicate doc survives as an empty row") {
+    val t = words("x", 20)
+    val docs = Seq((5L, t), (9L, t)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("text"), col("doc_id"), tileTokens = 10)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(out === Seq((5L, 2, 2, t), (9L, 2, 0, "")))
+  }
+
+  test("spanDedup tiles a ragged tail and preserves in-doc order") {
+    val t = words("w", 25) // tiles: [0,10) [10,20) [20,25)
+    val docs = Seq((1L, t)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("text"), col("doc_id"), tileTokens = 10)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out === Seq((1L, 3, 3, t))) // reassembly is the identity here
+  }
+
+  test("spanDedup within-doc repeats collapse to the first tile") {
+    val tile = words("r", 10)
+    val docs = Seq((1L, tile + " " + tile + " " + tile)).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, col("text"), col("doc_id"), tileTokens = 10)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out === Seq((1L, 3, 1, tile)))
+  }
+}
