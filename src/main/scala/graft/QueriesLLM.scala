@@ -832,6 +832,30 @@ object QueriesLLM {
       |    ELSE '19999999999999999999999999999999' END
       |ORDER BY doc_id""".stripMargin
 
+  /** sample_temperature: α-balanced source mixture
+    * ([[graft.operators.Sampling.temperatureSample]]) — keep counts
+    * derived from the data (∝ n_s^0.5, head flattened), selection by
+    * cross-engine hash rank. The oracle recomputes targets AND the
+    * ranked selection, so both the arithmetic and the per-source cut
+    * are gated row-for-row. */
+  val sampleTemperature: Q = (s, dir) =>
+    Sampling.temperatureSample(Tables.events(s, dir).select("event_id", "event_type"),
+        col("event_id"), col("event_type"), alpha = 0.5, keepRatio = 0.2)
+      .orderBy("event_id")
+
+  val sampleTemperatureSql =
+    """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, sum(pow(n, 0.5)) AS wsum FROM cnt),
+      |tgt AS (SELECT c.event_type,
+      |    least(c.n, CAST(floor(0.2 * t.total * pow(c.n, 0.5) / t.wsum + 0.5) AS BIGINT)) AS t
+      |  FROM cnt c CROSS JOIN tot t),
+      |ranked AS (SELECT event_id, event_type,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY md5(event_id || ':s0'), event_id) AS rn
+      |  FROM events)
+      |SELECT r.event_id, r.event_type FROM ranked r JOIN tgt USING (event_type)
+      |WHERE r.rn <= tgt.t ORDER BY r.event_id""".stripMargin
+
   val sampleHashSql =
     """SELECT doc_id, lang FROM documents
       |WHERE md5(doc_id || ':s0') < '19999999999999999999999999999999'
@@ -1227,6 +1251,7 @@ object QueriesLLM {
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
     "split_assign" -> splitAssign,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
@@ -1268,6 +1293,7 @@ object QueriesLLM {
     "multimodal_frames" -> multimodalFramesSql,
     "sample_hash" -> sampleHashSql,
     "sample_mixture" -> sampleMixtureSql,
+    "sample_temperature" -> sampleTemperatureSql,
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,

@@ -71,4 +71,41 @@ object Sampling {
       salt: String = "s0"): DataFrame =
     df.filter(md5(concat(stratum.cast("string"), lit("|"), key.cast("string"),
       lit(":" + salt)).cast("binary")) < lit(hexThreshold(fraction)))
+
+  /** Temperature-resampled source mixture — the α-balancing recipe
+    * multilingual/pretraining corpora use (sample source s in proportion
+    * to n_s^α instead of n_s, α<1 flattening the head so low-resource
+    * sources keep representation). Unlike [[mixtureSample]]'s
+    * caller-fixed rates, the rates here are DERIVED FROM THE DATA:
+    * target_s = min(n_s, round(keepRatio·N·n_s^α / Σ n_t^α)), then each
+    * source keeps exactly its target count, chosen by hash rank (the
+    * md5 coordinate orders rows "randomly" but identically on every
+    * engine, so the selected set is deterministic and oracle-checkable
+    * row-for-row).
+    *
+    * Scale shape: the count/target frames are O(#sources) and broadcast;
+    * the EXACT-count selection ranks rows per source (one shuffle +
+    * per-source sort). At 100 TB exactness is usually traded away: keep
+    * the same targets but select by threshold `coord < t_s/n_s` — a pure
+    * narrow filter off the same broadcast target frame (±√n count
+    * noise), the [[hashSample]] shape. */
+  def temperatureSample(df: DataFrame, key: Column, source: Column,
+      alpha: Double, keepRatio: Double, salt: String = "s0"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0,1]")
+    require(keepRatio > 0 && keepRatio <= 1, s"keepRatio $keepRatio out of (0,1]")
+    def w(n: Column) = pow(n.cast("double"), lit(alpha))
+    val cnt = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    val tot = cnt.agg(sum(col("__n")).as("__total"), sum(w(col("__n"))).as("__wsum"))
+    val tgt = cnt.crossJoin(broadcast(tot))
+      .select(col("__src"),
+        least(col("__n"),
+          floor(lit(keepRatio) * col("__total") * w(col("__n")) / col("__wsum")
+            + lit(0.5)).cast("long")).as("__t"))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy(coord(key, salt), key))
+    df.withColumn("__rn", rn)
+      .join(broadcast(tgt), source === col("__src"))
+      .filter(col("__rn") <= col("__t"))
+      .drop("__rn", "__src", "__t")
+  }
 }

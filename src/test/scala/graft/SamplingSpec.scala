@@ -70,4 +70,35 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("temperature sampling flattens the head: small sources gain share") {
+    // sources: 160 "big" rows, 10 "small" rows; α=0.5 boosts small's
+    // share from 10/170 to sqrt(10)/(sqrt(160)+sqrt(10)) ≈ 0.2
+    val rows = (1L to 160L).map(i => (i, "big")) ++ (201L to 210L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.temperatureSample(df, col("id"), col("src"),
+        alpha = 0.5, keepRatio = 0.5)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets: W = sqrt(160)+sqrt(10) ≈ 15.81; K = 85
+    // big -> round(85*12.65/15.81) = 68, small -> min(10, round(85*3.16/15.81)) = 10
+    assert(out === Map("big" -> 68L, "small" -> 10L))
+  }
+
+  test("temperature sampling with α=1 reproduces proportional targets") {
+    val rows = (1L to 100L).map(i => (i, "a")) ++ (101L to 150L).map(i => (i, "b"))
+    val out = Sampling.temperatureSample(rows.toDF("id", "src"), col("id"), col("src"),
+        alpha = 1.0, keepRatio = 0.5)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 50L, "b" -> 25L)) // plain 50% of each
+  }
+
+  test("temperature sampling is deterministic and partition-independent") {
+    val df = docs.select(col("doc_id"), col("source"))
+    val a = Sampling.temperatureSample(df, col("doc_id"), col("source"), 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(df.repartition(17, (col("doc_id") * 7) % 13),
+        col("doc_id"), col("source"), 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
