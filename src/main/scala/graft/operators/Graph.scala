@@ -95,31 +95,55 @@ object Graph {
     * both pins cross-engine agreement (the next round's input is
     * bit-identical on both sides) and stops float-association noise
     * accumulating across rounds. */
-  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 0): DataFrame = {
     import graft.functions.Num.r4
     require(iters >= 0)
-    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).distinct()
+    // localCheckpoint(true), not persist(): both frames are referenced by
+    // every remaining round, so they can't be unpersisted before the
+    // caller's action — checkpoint blocks are reclaimed by the
+    // ContextCleaner when the frames are GC'd. It also cuts the distinct
+    // lineage, so reuse is a block read, not a recompute.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct() // Dataset.union is UNION ALL — dedup for the node set
-      .pipe(Checkpointing.cut)
+      .localCheckpoint(true)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).persist()
+    val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).localCheckpoint(true)
     val n = nodes.count() // scalar aggregate, never a row collect
     var ranks = nodes.withColumn("rank", r4(lit(1.0) / lit(n.toDouble)))
-      .pipe(Checkpointing.cut)
     val base = lit(1.0 - damping) / lit(n.toDouble)
-    for (_ <- 0 until iters) {
+    // Nodes with NO in-edges never receive contributions — their rank is
+    // the constant base from round 1 on. Computing that set ONCE and
+    // appending it per round replaces a per-round |V|⋈|V| left join
+    // (which re-exchanged the node set every round) with a union of a
+    // frame that is EMPTY for symmetrized graphs. base + d·0.0 ≡ base,
+    // so this is exactly the left-join-with-coalesce semantics.
+    val noRecv = nodes
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      .withColumn("rank", r4(base))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
       val contrib = ranks.join(ed, ranks("node") === ed("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("w"))
         .groupBy("node").agg(sum(col("w")).as("w"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          r4(base + lit(damping) * coalesce(col("w"), lit(0.0))).as("rank"))
-        .pipe(Checkpointing.cut)
+      ranks = contrib
+        .select(col("node"), r4(base + lit(damping) * col("w")).as("rank"))
+        .unionAll(noRecv)
+      // Unlike the while-driven BFS/CC loops, a FIXED small round count
+      // needs no per-round action at all: left lazy, the rounds compose
+      // into ONE DAG — AQE plans every stage, nothing materializes
+      // per-round, and the scheduler floor is paid once (measured at
+      // sf0.1 warm: 5-7 s eager-per-round → ~4.5 s lazy-with-left-join
+      // → the union form plans exactly one exchange per round plus the
+      // output sort — 7 total for 6 rounds). `checkpointEvery`
+      // (default off) restores the cut for LONG loops — a 50-round run
+      // on a 1000-executor cluster wants bounded plans and restartable
+      // state more than single-DAG scheduling.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        ranks = Checkpointing.cut(ranks)
     }
-    ed.unpersist()
     ranks
   }
 }
