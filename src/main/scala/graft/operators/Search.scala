@@ -17,11 +17,18 @@ import graft.functions.Num.r4
   *    (`groupBy(doc_id, term)`) carries rows proportional to the number
   *    of query-term OCCURRENCES, never the corpus token count.
   *  - Corpus stats (N, avgdl) and per-term document frequencies are
-  *    O(1) / O(|query|) frames, broadcast back onto the postings; the
-  *    fact table is touched exactly once.
+  *    O(1) / O(|query|) frames, broadcast back onto the postings.
   *  - Final scoring aggregates ≤|query| rows per matching document and
   *    takes top-k via `TakeOrderedAndProject` (per-partition heaps —
   *    no global sort of the scored set).
+  *  - Pass count, honestly: scoring inputs (stats, df) must exist
+  *    before scoring, so with no precomputed metadata the corpus is
+  *    read by THREE column-pruned subtrees (stats / postings / df —
+  *    Catalyst has no cross-subtree CSE); a SQL engine's CTE form pays
+  *    the same. `corpusStats` removes the stats subtree; df stays a
+  *    recompute rather than a `count OVER (PARTITION BY term)` window
+  *    because the window would pool a common term's whole posting list
+  *    in one partition — the one skew hazard this shape must avoid.
   *
   * Cross-engine determinism: scores are rounded (`Num.r4`) BEFORE the
   * top-k order, and ties break on doc id, so Spark and the SQL oracle
@@ -32,17 +39,30 @@ object Search {
   /** Score `docs` against `queryTerms` with BM25; return the top `topK`
     * as (doc_id, n_terms, score), score rounded to 4 decimals,
     * descending with id tiebreak. `k1`/`b` are the standard free
-    * parameters (term-frequency saturation / length normalization). */
+    * parameters (term-frequency saturation / length normalization).
+    *
+    * `corpusStats` = Some((nDocs, avgdl)) skips the corpus-stats
+    * aggregate subtree — without it the plan scans the (2-column-pruned)
+    * corpus twice, once for stats and once for postings. A production
+    * deployment knows N and avgdl as dataset metadata (they change only
+    * on ingest), so repeated queries against the same corpus should pass
+    * them and pay exactly ONE scan. */
   def bm25(docs: DataFrame, text: Column, id: Column, queryTerms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      corpusStats: Option[(Long, Double)] = None): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toks = docs.select(id.as("doc_id"), TextOps.tokens(text).as("ts"))
 
     // one tiny row: corpus size + average doc length (exact long sum /
     // count, divided once — both engines do the same IEEE division)
-    val stats = toks.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(size(col("ts"))).cast("double") / count(lit(1))).as("avgdl"))
+    val stats = corpusStats match {
+      case Some((nDocs, avgdl)) =>
+        docs.sparkSession.range(1)
+          .select(lit(nDocs).as("n_docs"), lit(avgdl).as("avgdl"))
+      case None => toks.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(size(col("ts"))).cast("double") / count(lit(1))).as("avgdl"))
+    }
 
     // postings for QUERY TERMS ONLY: the isin filter runs before the
     // shuffle, so corpus-scale token mass never moves

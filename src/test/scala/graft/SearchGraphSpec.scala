@@ -62,6 +62,21 @@ class SearchGraphSpec extends SparkTestBase {
     assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("bm25 with precomputed corpus stats is identical and saves a scan") {
+    val withStats = Search.bm25(corpus, col("text"), col("doc_id"),
+      Seq("spark", "join"), topK = 10, corpusStats = Some((3L, 16.0 / 3)))
+    val derived = Search.bm25(corpus, col("text"), col("doc_id"),
+      Seq("spark", "join"), topK = 10)
+    assert(withStats.collect().toSeq === derived.collect().toSeq)
+    def nAggs(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+    // stats subtree gone; postings + df-dedup + df + scoring remain
+    assert(nAggs(withStats) === 4, s"got ${nAggs(withStats)}")
+    assert(nAggs(derived) === 5, s"got ${nAggs(derived)}")
+  }
+
   // ---- PageRank -----------------------------------------------------------
 
   test("pagerank on a symmetric 2-cycle is uniform and mass-conserving") {
