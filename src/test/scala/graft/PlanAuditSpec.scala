@@ -218,4 +218,42 @@ class PlanAuditSpec extends SparkTestBase {
     // e.g. dedup_simhash's un-checkpointed band frame.)
     assert(plan("dedup_simhash").contains("REPARTITION_BY_NUM"))
   }
+
+  test("search_bm25: heap top-k, broadcast stats/df, query-term filter before the shuffle") {
+    val p = plan("search_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // df frame broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats cross join
+    // the isin prune sits under the postings aggregate, not after it
+    assert(p.contains("spark,join,window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("graph_pagerank plans exactly one contribution shuffle per round plus the sort") {
+    val p = plan("graph_pagerank")
+    val contrib = p.linesIterator.count(_.contains("Exchange hashpartitioning(node#"))
+    val sort = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(contrib == QueriesAnalytics.graphPagerankIters && sort == 1,
+      s"expected ${QueriesAnalytics.graphPagerankIters}+1 exchanges, got $contrib+$sort\n$p")
+  }
+
+  test("dedup_spans: winner election ships digests, never span text") {
+    val p = plan("dedup_spans")
+    assert(p.contains("WindowGroupLimit"), p) // rn=1 pre-limited per partition
+    // the md5 digest is computed DIRECTLY below the winner-election
+    // shuffle (no exchange between them), so span text never crosses a
+    // wire: the exchange carries (digest, doc_id, tile_idx) only
+    val exIdx = p.indexOf("Exchange hashpartitioning(digest#")
+    val md5Idx = p.indexOf("Project [md5(")
+    assert(exIdx >= 0 && md5Idx > exIdx, p)
+    assert(!p.substring(exIdx + 1, md5Idx).contains("Exchange"),
+      "an exchange sits between the digest projection and the winner shuffle")
+  }
+
+  test("sample_temperature broadcasts the target frame; one rank shuffle") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
