@@ -128,6 +128,70 @@ object MatchedBench {
         .filter(col("o_orderpriority").isin("2-HIGH", "3-MEDIUM")).select(col("o_orderkey").as("k")))
       .orderBy("k")
 
+    // The textbook plain-Spark iterative recipe: per-round eager
+    // localCheckpoint (the standard guard against iterative lineage
+    // growth), per-round |V| left join against the node set. Identical
+    // arithmetic and rounding to the engine form, so outputs are equal
+    // row-for-row; what's measured is the DESIGN delta (engine: one lazy
+    // DAG, no-in-edge set precomputed, one shuffle per round).
+    def pagerankNaive = {
+      val e0 = lineitem
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val ed = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val nodes = ed.select(col("src").as("node"))
+        .union(ed.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+      val ew = ed.join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint(true)
+      val n = nodes.count()
+      var ranks = nodes.withColumn("rank", r4(lit(1.0) / lit(n.toDouble)))
+        .localCheckpoint(true)
+      for (_ <- 1 to 6) {
+        val contrib = ranks.join(ew, ranks("node") === ew("src"))
+          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("w"))
+          .groupBy("node").agg(sum(col("w")).as("w"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            r4(lit(1.0 - 0.85) / lit(n.toDouble)
+              + lit(0.85) * coalesce(col("w"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks.orderBy("node")
+    }
+
+    // The straightforward user span dedup: explode every token, rebuild
+    // tiles with a sorted collect, elect winners by windowing over the
+    // tile TEXT itself (text crosses every shuffle), join the kept tiles
+    // back and re-aggregate the text. Same output as the engine form,
+    // which ships only digests+ids and re-derives text narrowly.
+    def spanDedupNaive = {
+      val toks = documents.select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+      val tiles = toks
+        .select(col("doc_id"), posexplode(col("ts")))
+        .select(col("doc_id"), (col("pos") / 10).cast("int").as("tile_idx"),
+          col("pos"), col("col"))
+        .groupBy("doc_id", "tile_idx")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          s => s.getField("col")), " ").as("tile_text"))
+      val kept = tiles
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("tile_text").orderBy("doc_id", "tile_idx")))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("tile_idx"), col("tile_text")))),
+            s => s.getField("tile_text")), " ").as("dedup_text"))
+      toks.select(col("doc_id"),
+          ceil(size(col("ts")) / lit(10.0)).cast("int").as("n_tiles"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tiles"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"),
+          coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+        .orderBy("doc_id")
+    }
+
     // (matched-table row name, engine query name, plain-Spark twin)
     Seq(
       ("q1_agg_pricing", "q1_pricing", () => q1),
@@ -139,7 +203,9 @@ object MatchedBench {
       ("session_window", "stream_session", () => sessionWin),
       ("dedup_exact", "dedup_exact", () => dedupExact),
       ("topk_cosine", "sim_topk_cosine", () => topkCosine),
-      ("set_union_all", "set_union_all", () => unionAll))
+      ("set_union_all", "set_union_all", () => unionAll),
+      ("pagerank_naive", "graph_pagerank", () => pagerankNaive),
+      ("span_dedup_naive", "dedup_spans", () => spanDedupNaive))
   }
 
   def main(args: Array[String]): Unit = {
@@ -185,9 +251,14 @@ object MatchedBench {
     }
 
     def isolate(): Unit = { spark.catalog.clearCache(); System.gc() }
-    def timeNoop(df: DataFrame): Double = {
+    // the clock wraps CONSTRUCTION + write: iterative forms (pagerank,
+    // both naive and engine) do real work — eager checkpoints, a node
+    // count — while the DataFrame is being built, and that work must not
+    // escape the timer on either side. For lazy one-shot queries the
+    // construction cost is plan building, sub-millisecond.
+    def timeNoop(mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -208,8 +279,8 @@ object MatchedBench {
       // warm both plans (JIT + codegen cache), then time back-to-back
       base().write.format("noop").mode("overwrite").save(); isolate()
       eng().write.format("noop").mode("overwrite").save(); isolate()
-      val bt = timeNoop(base()); isolate()
-      val et = timeNoop(eng()); isolate()
+      val bt = timeNoop(base); isolate()
+      val et = timeNoop(eng); isolate()
       baseTotal += bt; engTotal += et
       System.err.println(f"[matched] $rowName%-18s base=$bt%7.3f engine=$et%7.3f ratio=${et / bt}%5.2fx")
       (rowName, bt, et)
