@@ -362,6 +362,68 @@ object QueriesAnalytics {
       |SELECT node, MIN(dist) AS dist FROM walk
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** dq_audit: relational data-quality audit — the validation-rules half
+    * of the reference's data-hygiene concern (schema-level checks live in
+    * `FileView.retype`'s violations array; THESE are the cross-row /
+    * cross-table rules a schema can't express): primary-key uniqueness,
+    * referential integrity, domain ranges, null contracts. One long-form
+    * report row per check, (violations, checked) — the shape a data
+    * platform alerts on.
+    *
+    * Scale shape: each check is a single exact aggregate over its table
+    * (constant-size buffers, map-side combined); the FK check rides ONE
+    * left join co-keyed on the fact's join column, counting misses and
+    * rows in the same pass. No check collects rows — violations are
+    * COUNTED here; the drill-down query that lists offenders is a
+    * pushed-filter scan a user writes next. */
+  val dqAudit: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val e = Tables.events(s, dir)
+    val c = Tables.customer(s, dir)
+    import graft.operators.Relational.{dqCheck, dqCheckFk}
+    val pkUnique = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+      .select(lit("orders_pk_unique").as("check_name"), col("n_violations"), col("n_checked"))
+    pkUnique
+      .unionAll(dqCheckFk(li, col("l_orderkey"), o, col("o_orderkey"), "lineitem_fk_orders"))
+      .unionAll(dqCheck(li, "lineitem_qty_1_50",
+        col("l_quantity") < 1 || col("l_quantity") > 50))
+      .unionAll(dqCheck(li, "lineitem_price_positive", col("l_extendedprice") <= 0))
+      .unionAll(dqCheck(e, "events_ts_nonnull", col("ts").isNull))
+      .unionAll(dqCheck(c, "customer_name_nonempty",
+        col("c_name").isNull || length(col("c_name")) === 0))
+      .orderBy("check_name")
+  }
+
+  val dqAuditSql =
+    """SELECT * FROM (
+      |  SELECT 'orders_pk_unique' AS check_name,
+      |    count(*) - count(DISTINCT o_orderkey) AS n_violations, count(*) AS n_checked
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders',
+      |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END), count(*)
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_1_50',
+      |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END), count(*)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_price_positive',
+      |    count(CASE WHEN l_extendedprice <= 0 THEN 1 END), count(*)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events_ts_nonnull',
+      |    count(CASE WHEN ts IS NULL THEN 1 END), count(*)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'customer_name_nonempty',
+      |    count(CASE WHEN c_name IS NULL OR length(c_name) = 0 THEN 1 END), count(*)
+      |  FROM customer)
+      |ORDER BY check_name""".stripMargin
+
   /** graph_pagerank: power-iteration PageRank over the same symmetrized
     * part↔supplier graph as [[graphBfs]] ([[graft.operators.Graph.pagerank]]
     * — the web-graph source-quality signal). A FIXED 6 rounds with
@@ -403,6 +465,7 @@ object QueriesAnalytics {
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
     "graph_pagerank" -> graphPagerank,
+    "dq_audit" -> dqAudit,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
@@ -419,6 +482,7 @@ object QueriesAnalytics {
     "dedup_embedding_quant" -> dedupEmbeddingQuantSql,
     "graph_bfs" -> graphBfsSql,
     "graph_pagerank" -> graphPagerankSql,
+    "dq_audit" -> dqAuditSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,

@@ -25,10 +25,11 @@ object ScaleProbe {
     // events (100× span): temporal + sessionization
     "ts_resample", "scd2_intervals", "stream_session", "fn_json",
     // graph/iterative (events-derived edges)
-    "graph_bfs",
+    "graph_bfs", "graph_pagerank",
     // documents (10× span at the top step): text + dedup families
     "dedup_exact", "dedup_minhash", "dedup_incremental_minhash",
     "dedup_jaccard", "text_langid", "pack_chunks", "bpe_encode",
+    "search_bm25", "dedup_spans", "sample_temperature",
     // embeddings (4× span): similarity families. sim_pairs_lsh (loose
     // τ=0.35, fixed 16×4 bands) is the declared n²-candidate regime;
     // sim_pairs_lsh_auto (τ=0.8, n^ρ auto-sizing) is the scale path.

@@ -24,6 +24,26 @@ object Relational {
     rows(0)
   }
 
+  /** One data-quality check: count rows violating `bad` in a single
+    * exact aggregate (constant-size buffers, map-side combined) — the
+    * per-table building block of the `dq_audit` report. Violations are
+    * COUNTED, never collected; listing offenders is a pushed-filter scan
+    * the caller writes separately. */
+  def dqCheck(df: DataFrame, name: String, bad: Column): DataFrame =
+    df.agg(count(when(bad, 1)).as("n_violations"), count(lit(1)).as("n_checked"))
+      .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+
+  /** Referential-integrity check: `fact` rows whose `factKey` has no
+    * match in `dim.dimKey`, counted in the same pass that counts the
+    * fact (ONE left join co-keyed on the fact's join column). */
+  def dqCheckFk(fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
+      name: String): DataFrame =
+    fact.join(dim.select(dimKey.as("__dq_dim_key")),
+        factKey === col("__dq_dim_key"), "left")
+      .agg(count(when(col("__dq_dim_key").isNull, 1)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+
   /** Inner equi-join with optional broadcast of the (small) right side.
     * Scale: broadcast eliminates the shuffle entirely for bounded dims;
     * otherwise Spark shuffles both sides on the key (sort-merge / AQE). */

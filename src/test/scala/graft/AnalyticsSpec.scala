@@ -232,6 +232,23 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("dqCheck counts violations on dirty data; dqCheckFk finds orphans") {
+    import graft.operators.Relational.{dqCheck, dqCheckFk}
+    val fact = Seq((1L, 10.0), (2L, -3.0), (3L, 0.0), (9L, 5.0))
+      .toDF("fk", "amount")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val range = dqCheck(fact, "amount_positive", col("amount") <= 0)
+      .as[(String, Long, Long)].head()
+    assert(range === ("amount_positive", 2L, 4L))
+    val fk = dqCheckFk(fact, col("fk"), dim, col("id"), "fact_fk_dim")
+      .as[(String, Long, Long)].head()
+    assert(fk === ("fact_fk_dim", 1L, 4L)) // fk=9 has no dim row
+    // a clean table reports zero violations, full checked count
+    val clean = dqCheck(dim, "id_nonnull", col("id").isNull)
+      .as[(String, Long, Long)].head()
+    assert(clean === ("id_nonnull", 0L, 3L))
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
