@@ -331,6 +331,109 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: spanDedup equals the in-memory reference on random corpora") {
+    val texts = samples(docGen, seed = 33, n = 30)
+    // inject shared spans: doc i+200 reuses doc i's first 20 tokens
+    val docs: Seq[(Long, String)] = texts.zipWithIndex.flatMap { case (t, i) =>
+      val borrowed = (t.split(" ").take(20) ++ Seq(s"own${i}a", s"own${i}b",
+        s"own${i}c", s"own${i}d", s"own${i}e")).mkString(" ")
+      Seq((i.toLong, t), ((i + 200).toLong, borrowed))
+    }
+    def tilesOf(t: String): Vector[String] =
+      t.toLowerCase.split("\\s+").grouped(10).map(_.mkString(" ")).toVector
+    val winners = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      tilesOf(t).zipWithIndex.foreach { case (tile, i) =>
+        if (!winners.contains(tile)) winners(tile) = (id, i)
+      }
+    }
+    val expected = docs.sortBy(_._1).map { case (id, t) =>
+      val ts = tilesOf(t)
+      val kept = ts.zipWithIndex.filter { case (tile, i) => winners(tile) == ((id, i)) }
+      (id, ts.size, kept.size, kept.map(_._1).mkString(" "))
+    }
+    val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), col("text"), col("doc_id"),
+        tileTokens = 10)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("property: pagerank matches the in-memory power iteration on random digraphs") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 15L); b <- Gen.chooseNum(0L, 15L) if a != b
+    } yield (a, b)
+    for (seed <- Seq(3L, 17L, 29L)) {
+      val edges = samples(Gen.listOfN(40, edgeGen), seed, 1).head.distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val n = nodes.size
+      def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      var ranks = nodes.map(_ -> r4d(1.0 / n)).toMap
+      val base = (1.0 - 0.85) / n
+      for (_ <- 1 to 6) {
+        val contrib = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => ranks(u) / out(u) }.sum).toMap
+        ranks = nodes.map(v => v -> r4d(base + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+      }
+      val got = graft.operators.Graph.pagerank(edges.toDF("src", "dst"), iters = 6)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == ranks.keySet, s"seed=$seed")
+      // float-association order differs between the reference's Seq.sum
+      // and Spark's partial aggregation, so a rounding boundary could
+      // flip one 1e-4 step; anything larger is a real bug
+      for (v <- nodes)
+        assert(math.abs(got(v) - ranks(v)) <= 1.001e-4, s"seed=$seed node=$v")
+    }
+  }
+
+  test("property: bm25 matches the in-memory reference on random corpora") {
+    val texts = samples(docGen, seed = 55, n = 40)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val q = Seq("w1", "w2", "w3")
+    val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }.toMap
+    val nDocs = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    val dfreq = q.map(term => term -> toks.count(_._2.contains(term))).toMap
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val expected = docs.flatMap { case (id, _) =>
+      val matched = q.filter(t => toks(id).contains(t))
+      if (matched.isEmpty) None else {
+        val dl = toks(id).size
+        val score = matched.map { t =>
+          val tf = toks(id).count(_ == t)
+          math.log(1.0 + (nDocs - dfreq(t) + 0.5) / (dfreq(t) + 0.5)) *
+            (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        }.sum
+        Some((id, matched.size, r4d(score)))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }
+    val got = graft.operators.Search.bm25(docs.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), q, topK = 1000)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("property: temperatureSample selects exactly the reference's ranked prefix") {
+    val srcGen = Gen.frequency(6 -> Gen.const("a"), 3 -> Gen.const("b"), 1 -> Gen.const("c"))
+    val rows = samples(srcGen, seed = 61, n = 200).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val bySrc = rows.groupBy(_._2)
+    val total = rows.size
+    val wsum = bySrc.values.map(g => math.pow(g.size.toDouble, 0.5)).sum
+    val expected = bySrc.flatMap { case (src, g) =>
+      val t = math.min(g.size.toLong,
+        math.floor(0.4 * total * math.pow(g.size.toDouble, 0.5) / wsum + 0.5).toLong)
+      g.map { case (id, _) => (md5hex(id + ":s0"), id) }.sorted.take(t.toInt).map(_._2)
+    }.toSet
+    val got = graft.operators.Sampling.temperatureSample(rows.toDF("id", "src"),
+        col("id"), col("src"), alpha = 0.5, keepRatio = 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
   test("property: morton code preserves per-dimension containment at every bucket granularity") {
     import graft.sources.FileView
     val vGen = Gen.chooseNum(0L, 255L)
