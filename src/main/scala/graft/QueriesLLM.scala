@@ -1177,6 +1177,41 @@ object QueriesLLM {
       |  floor(raw * 10000 + 0.5) / 10000 AS score
       |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** search_bm25_batch: [[searchBm25]]'s production shape — queries as a
+    * TABLE, every query's top-k from ONE corpus pass, scoring shared
+    * across queries that share terms ([[Search.bm25Batch]]). */
+  val searchBm25Batch: Q = (s, dir) => {
+    import s.implicits._
+    val queries = Seq((1, "spark"), (1, "join"), (2, "window"), (2, "stream"),
+      (3, "scan"), (3, "join")).toDF("query_id", "term")
+    Search.bm25Batch(Tables.documents(s, dir), col("text"), col("doc_id"),
+      queries, topK = 10)
+  }
+
+  val searchBm25BatchSql =
+    """WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'window'),
+      |    (2, 'stream'), (3, 'scan'), (3, 'join')),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM toks),
+      |tok AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM toks),
+      |post AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+      |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |scored AS (SELECT q.query_id, p.doc_id,
+      |    sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |        * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))) AS raw,
+      |    count(*) AS n_terms
+      |  FROM post p JOIN dfreq f USING (term) JOIN q USING (term)
+      |  CROSS JOIN stats s GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, CAST(n_terms AS INT) AS n_terms,
+      |    floor(raw * 10000 + 0.5) / 10000 AS score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY floor(raw * 10000 + 0.5) / 10000 DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, doc_id, n_terms, score FROM ranked WHERE rn <= 10
+      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
   /** dedup_spans: C4-style span-level exact dedup —
     * [[graft.operators.Dedup.spanDedup]] tiles docs into 10-token spans,
     * keeps each span's first corpus occurrence, reassembles. Winner
@@ -1213,6 +1248,7 @@ object QueriesLLM {
     "dedup_exact" -> dedupExact,
     "dedup_spans" -> dedupSpans,
     "search_bm25" -> searchBm25,
+    "search_bm25_batch" -> searchBm25Batch,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "dedup_url" -> dedupUrl,
@@ -1268,6 +1304,7 @@ object QueriesLLM {
     "dedup_exact" -> dedupExactSql,
     "dedup_spans" -> dedupSpansSql,
     "search_bm25" -> searchBm25Sql,
+    "search_bm25_batch" -> searchBm25BatchSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_url" -> dedupUrlSql,
     "contamination_check" -> contaminationCheckSql,

@@ -89,4 +89,52 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** Batch BM25 — the production retrieval workload: `queries` is a
+    * TABLE of (query_id, term), not a literal list, and every query's
+    * top-`topK` comes out of ONE pass over the corpus. Postings are
+    * semi-joined against the broadcast term set (union of all queries'
+    * terms), scored once per (doc, term), then fanned out to queries by
+    * a broadcast term→query join; per-query top-k runs as a
+    * WindowGroupLimit (per-partition heaps before the query_id
+    * shuffle). Scoring work is shared across queries that share terms —
+    * the property that makes thousand-query batches affordable where
+    * thousand single-query scans are not. */
+  def bm25Batch(docs: DataFrame, text: Column, id: Column, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+      corpusStats: Option[(Long, Double)] = None): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), TextOps.tokens(text).as("ts"))
+    val stats = corpusStats match {
+      case Some((nDocs, avgdl)) =>
+        docs.sparkSession.range(1)
+          .select(lit(nDocs).as("n_docs"), lit(avgdl).as("avgdl"))
+      case None => toks.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(size(col("ts"))).cast("double") / count(lit(1))).as("avgdl"))
+    }
+    val terms = queries.select(col("term")).distinct()
+    val post = toks
+      .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val termScore =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    post
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(termScore).as("raw"), count(lit(1)).cast("int").as("n_terms"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"), r4(col("raw")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .drop("rn")
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
 }

@@ -77,6 +77,17 @@ class SearchGraphSpec extends SparkTestBase {
     assert(nAggs(derived) === 5, s"got ${nAggs(derived)}")
   }
 
+  test("bm25Batch equals the single-query form, query by query") {
+    val queries = Seq((1, "spark"), (1, "join"), (2, "window")).toDF("query_id", "term")
+    val batch = Search.bm25Batch(corpus, col("text"), col("doc_id"), queries, topK = 10)
+      .as[(Int, Long, Int, Double)].collect().toSeq
+    def single(qid: Int, terms: Seq[String]) =
+      Search.bm25(corpus, col("text"), col("doc_id"), terms, topK = 10)
+        .as[(Long, Int, Double)].collect().toSeq
+        .map { case (d, n, s) => (qid, d, n, s) }
+    assert(batch === single(1, Seq("spark", "join")) ++ single(2, Seq("window")))
+  }
+
   // ---- PageRank -----------------------------------------------------------
 
   test("pagerank on a symmetric 2-cycle is uniform and mass-conserving") {
