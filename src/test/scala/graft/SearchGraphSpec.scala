@@ -113,6 +113,14 @@ class SearchGraphSpec extends SparkTestBase {
     assert(out === Map(1L -> 0.3333, 2L -> 0.3333, 3L -> 0.3333))
   }
 
+  test("pagerank checkpointEvery (long-loop mode) is result-identical to the lazy DAG") {
+    val leaves = (1L to 4L)
+    val e = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L))).toDF("src", "dst")
+    val lazyForm = Graph.pagerank(e, iters = 8).collect().toSet
+    val cut = Graph.pagerank(e, iters = 8, checkpointEvery = 2).collect().toSet
+    assert(cut === lazyForm)
+  }
+
   test("pagerank drops dangling mass deterministically (directed chain)") {
     // 1 -> 2 -> 3; node 3 dangles. After one round at d=0.85, N=3:
     // base = 0.15/3 = 0.05; contribs: 2 gets 0.3333, 3 gets 0.3333
