@@ -76,6 +76,21 @@ object Bench {
       System.err.println(f"[bench] calibration median=${ts(1)}%8.3f (${ts.mkString(", ")})")
       ts(1)
     }
+    // Second probe, 10× the work in ONE burst (~2 s): the round-8 runs
+    // showed the short probe reading a near-clean phase while every
+    // query ran a uniform ~1.3× slower — sustained background load slips
+    // between 0.2 s bursts. A single long burst samples it. Both ride in
+    // `queries`; the short one keeps its cross-round comparability.
+    val calibrationSustained: Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("bit_xor(xxhash64(h)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] calibration_sustained=$t%8.3f")
+      t
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
@@ -111,7 +126,8 @@ object Bench {
     // stays OUT of `total` — totals remain engine-work-only and
     // comparable across rounds
     val total = results.map(_._2).filter(_ >= 0).sum
-    val resultsOut = results :+ ("calibration" -> calibration)
+    val resultsOut = results :+ ("calibration" -> calibration) :+
+      ("calibration_sustained" -> calibrationSustained)
 
     // Full-precision per-query detail → bench_full.json (for BASELINE.md
     // and the judge). The stdout contract line must survive the driver's
@@ -129,7 +145,7 @@ object Bench {
       // guess either.
       val streamFast = System.getProperty("graft.bench.fast", "0") == "1"
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"calibration":$calibration,"queries":$full,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"queries":$full,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     }
     def fmt(v: Double): String =
