@@ -29,7 +29,8 @@ object ScaleProbe {
     // documents (10× span at the top step): text + dedup families
     "dedup_exact", "dedup_minhash", "dedup_incremental_minhash",
     "dedup_jaccard", "text_langid", "pack_chunks", "bpe_encode",
-    "search_bm25", "dedup_spans", "sample_temperature",
+    "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
+    "dq_audit",
     // embeddings (4× span): similarity families. sim_pairs_lsh (loose
     // τ=0.35, fixed 16×4 bands) is the declared n²-candidate regime;
     // sim_pairs_lsh_auto (τ=0.8, n^ρ auto-sizing) is the scale path.
