@@ -37,8 +37,9 @@ object MatchedBench {
 
   private def r4(c: Column): Column = floor(c * 10000 + 0.5) / lit(10000.0)
 
-  /** Plain-Spark twins of the 10 matched engine queries, same output
-    * contract (columns, rounding, total ORDER BY) as the gated forms. */
+  /** Plain-Spark twins of the matched engine queries (10 parity rows +
+    * 2 design-delta rows, pagerank/span-dedup), same output contract
+    * (columns, rounding, total ORDER BY) as the gated forms. */
   def baselines(spark: SparkSession, sf: String): Seq[(String, String, () => DataFrame)] = {
     val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
     val orders = spark.read.parquet(s"$sf/orders.parquet")

@@ -405,7 +405,8 @@ object QueriesAnalytics {
       |  UNION ALL
       |  SELECT 'lineitem_fk_orders',
       |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END), count(*)
-      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON l.l_orderkey = o.o_orderkey
       |  UNION ALL
       |  SELECT 'lineitem_qty_1_50',
       |    count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END), count(*)

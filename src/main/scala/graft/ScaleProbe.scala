@@ -89,10 +89,17 @@ object ScaleProbe {
     val existing: Seq[(String, String)] =
       if (args.nonEmpty && java.nio.file.Files.exists(file)) {
         val txt = new String(java.nio.file.Files.readAllBytes(file), "UTF-8")
-        if (txt.startsWith(s"""{"sfs":[$sfNames]"""))
-          "\"([A-Za-z0-9_]+)\":(\\[[-0-9.,]+\\])".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2)).toSeq
-        else Seq.empty
+        // an axis mismatch on a SUBSET run must ABORT, not silently
+        // rewrite the committed multi-SF table down to this run's rows —
+        // the common cause is target/synth-sf1 missing after a clean
+        // (3-point axis vs the file's 4-point axis)
+        require(txt.startsWith(s"""{"sfs":[$sfNames]"""),
+          s"scale_curve.json has a different SF axis than this run " +
+            s"([$sfNames]); regenerate the synth slice " +
+            s"(runMain graft.tools.SynthScale) or run with no args to " +
+            s"rebuild the full curve on the new axis")
+        "\"([A-Za-z0-9_]+)\":(\\[[-0-9.,]+\\])".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toSeq
       } else Seq.empty
     val fresh = rows.map { case (n, ts) =>
       n -> ("[" + ts.map(d3).mkString(",") + "]")

@@ -148,10 +148,15 @@ object Dedup {
     * colliding buckets, never |batch|·|state|. Band-key skew on the
     * state side (a viral duplicate family) is bounded by `maxStateDf`:
     * state buckets above it are truncated to their `maxStateDf` lowest
-    * ids — any batch doc near-dup to the family still collides with
-    * the survivors (identical band hash), so dup DETECTION is
-    * unaffected; only WHICH family member is reported as the match is
-    * narrowed. One row per batch doc:
+    * ids. For a family of IDENTICAL signatures (the viral-copy case the
+    * cap exists for) detection is unaffected — a batch doc colliding
+    * with the family collides with the survivors too, and every member
+    * yields the same estimate. For a family of near-VARIANTS sharing a
+    * band hash, truncation can drop the batch doc's closest variant:
+    * the doc still collides, but its best surviving estimate may be
+    * lower, and at the threshold boundary a match can be missed — the
+    * skew cap trades that tail for bounded bucket cost (raise
+    * `maxStateDf` to shift the trade). One row per batch doc:
     * (doc_id, is_dup, matched_id, est_jaccard) — matched_id the best
     * state match (highest estimate, lowest id) above threshold, NULL
     * for novel docs. Exact-sibling: [[incrementalExact]]. */
@@ -162,8 +167,12 @@ object Dedup {
     val r = numPerm / bands
     val bsigs = minhashSignatures(batch, text, id, numPerm, shingleSize)
       .localCheckpoint(true) // read twice: banding + estimate join
+    // same read-twice shape on the state side (banding + estimate join):
+    // when the caller passes a LIVE computation rather than a persisted
+    // table, recomputing it per subtree would double the state scan
+    val state = stateSigs.localCheckpoint(true)
     val stateBands = {
-      val sb = lshBands(stateSigs, bands, r)
+      val sb = lshBands(state, bands, r)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("band_id", "band_hash").orderBy(col("doc_id").asc)
       sb.withColumn("__rk", row_number().over(w))
@@ -175,7 +184,7 @@ object Dedup {
       .select(col("doc_id"), col("state_id")).distinct()
     val est = cands
       .join(bsigs, "doc_id")
-      .join(stateSigs.select(col("doc_id").as("state_id"), col("sig").as("ssig")), "state_id")
+      .join(state.select(col("doc_id").as("state_id"), col("sig").as("ssig")), "state_id")
       .select(col("doc_id"), col("state_id"),
         r4(aggregate(zip_with(col("sig"), col("ssig"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / numPerm).as("est_jaccard"))

@@ -35,10 +35,13 @@ object Relational {
 
   /** Referential-integrity check: `fact` rows whose `factKey` has no
     * match in `dim.dimKey`, counted in the same pass that counts the
-    * fact (ONE left join co-keyed on the fact's join column). */
+    * fact (ONE left join co-keyed on the fact's join column). The dim
+    * side is DEDUPLICATED first — a duplicated dimension key (exactly
+    * the dirty data a DQ audit targets) must not multiply matched fact
+    * rows and inflate `n_checked`. */
   def dqCheckFk(fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
       name: String): DataFrame =
-    fact.join(dim.select(dimKey.as("__dq_dim_key")),
+    fact.join(dim.select(dimKey.as("__dq_dim_key")).distinct(),
         factKey === col("__dq_dim_key"), "left")
       .agg(count(when(col("__dq_dim_key").isNull, 1)).as("n_violations"),
         count(lit(1)).as("n_checked"))

@@ -128,7 +128,10 @@ object Search {
     post
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      // distinct: a duplicated (query_id, term) row must not double that
+      // term's contribution — the single-query form's isin dedups, and
+      // the two APIs must agree on the same logical query
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(termScore).as("raw"), count(lit(1)).cast("int").as("n_terms"))
       .select(col("query_id"), col("doc_id"), col("n_terms"), r4(col("raw")).as("score"))

@@ -283,6 +283,11 @@ object Similarity {
     * its own kernel call with a distinct seed (a band never straddles
     * words). */
   final case class LshParams(bands: Int, bitsPerBand: Int) {
+    // 63-bit cap: at 64, (1L << bitsPerBand) - 1 wraps to 0 (JVM shifts
+    // are mod 64) and every band's bits mask to zero — all rows would
+    // collide in every band with no error raised
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 63,
+      s"bands=$bands bitsPerBand=$bitsPerBand out of range (1..∞, 1..63)")
     def bandsPerWord: Int = math.max(1, 64 / bitsPerBand)
     def words: Int = (bands + bandsPerWord - 1) / bandsPerWord
   }

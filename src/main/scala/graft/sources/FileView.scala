@@ -252,11 +252,15 @@ object FileView {
     * Safety contract: the rewrite lands in a temp sibling first, the
     * rewritten ROW COUNT is verified against the source (a failed or
     * short write never replaces data), and only then is the directory
-    * swapped via two renames — a crash before the swap leaves the
-    * original untouched; after, the new layout is complete. On a raw
-    * directory the swap is the filesystem-atomic approximation;
-    * concurrent readers during the swap window want a table format's
-    * transactional commit instead — the declared boundary of this job.
+    * swapped via two renames. A crash before the first rename leaves
+    * the original untouched. Between the two renames there is a window
+    * where `root` does not exist — the data is intact, parked at
+    * `root__compact_old` — and the NEXT compact (or any caller of this
+    * method) self-heals by renaming it back before doing anything
+    * else. On a raw directory that window is the floor two
+    * non-transactional renames can reach; concurrent readers during
+    * the swap want a table format's transactional commit instead —
+    * the declared boundary of this job.
     *
     * Returns (filesBefore, filesAfter, rows). */
   def compact(spark: SparkSession, root: String,
@@ -264,6 +268,12 @@ object FileView {
       sortKey: Option[String] = None): (Long, Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(root + "__compact_old")
+    // self-heal a previous run killed mid-swap: root missing but the
+    // parked original present — restore it first
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"recovery failed restoring $old to $root")
     def parts(dir: org.apache.hadoop.fs.Path) =
       fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = parts(p)
@@ -271,8 +281,6 @@ object FileView {
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(root)
     val rows = df.count() // parquet metadata count — no data scan
-    val tmp = new org.apache.hadoop.fs.Path(root + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(root + "__compact_old")
     val out = sortKey match {
       case Some(k) => df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
       case None => df.repartition(nOut)
@@ -281,6 +289,10 @@ object FileView {
     val rewritten = spark.read.parquet(tmp.toString).count()
     require(rewritten == rows,
       s"compaction rewrite lost rows ($rewritten != $rows) — original left untouched at $root")
+    // a stale parked dir from an earlier completed-then-killed run must
+    // go first: Hadoop rename INTO an existing directory nests instead
+    // of replacing, which would corrupt the swap
+    if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(p, old), s"compaction swap failed moving $root aside")
     require(fs.rename(tmp, p), s"compaction swap failed installing $tmp")
     fs.delete(old, true)

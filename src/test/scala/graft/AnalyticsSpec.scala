@@ -243,6 +243,12 @@ class AnalyticsSpec extends SparkTestBase {
     val fk = dqCheckFk(fact, col("fk"), dim, col("id"), "fact_fk_dim")
       .as[(String, Long, Long)].head()
     assert(fk === ("fact_fk_dim", 1L, 4L)) // fk=9 has no dim row
+    // a DUPLICATED dim key (the dirty data the audit targets) must not
+    // multiply matched fact rows and inflate the denominator
+    val dirtyDim = Seq(1L, 1L, 2L, 3L).toDF("id")
+    val fkDirty = dqCheckFk(fact, col("fk"), dirtyDim, col("id"), "fact_fk_dim")
+      .as[(String, Long, Long)].head()
+    assert(fkDirty === ("fact_fk_dim", 1L, 4L))
     // a clean table reports zero violations, full checked count
     val clean = dqCheck(dim, "id_nonnull", col("id").isNull)
       .as[(String, Long, Long)].head()

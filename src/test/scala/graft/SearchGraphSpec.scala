@@ -86,6 +86,12 @@ class SearchGraphSpec extends SparkTestBase {
         .as[(Long, Int, Double)].collect().toSeq
         .map { case (d, n, s) => (qid, d, n, s) }
     assert(batch === single(1, Seq("spark", "join")) ++ single(2, Seq("window")))
+    // a duplicated (query_id, term) row must not double-count the term —
+    // the single form's isin dedups, and the two APIs must agree
+    val dupQueries = Seq((1, "spark"), (1, "spark"), (1, "join")).toDF("query_id", "term")
+    val dedupBatch = Search.bm25Batch(corpus, col("text"), col("doc_id"), dupQueries, topK = 10)
+      .as[(Int, Long, Int, Double)].collect().toSeq
+    assert(dedupBatch === single(1, Seq("spark", "join")))
   }
 
   // ---- PageRank -----------------------------------------------------------
