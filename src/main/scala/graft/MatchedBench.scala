@@ -145,7 +145,8 @@ object MatchedBench {
       val ew = ed.join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
         .localCheckpoint(true)
       val n = nodes.count()
-      var ranks = nodes.withColumn("rank", r4(lit(1.0) / lit(n.toDouble)))
+      def r8(c: Column): Column = floor(c * 100000000L + 0.5) / lit(100000000.0)
+      var ranks = nodes.withColumn("rank", r8(lit(1.0) / lit(n.toDouble)))
         .localCheckpoint(true)
       for (_ <- 1 to 6) {
         val contrib = ranks.join(ew, ranks("node") === ew("src"))
@@ -153,7 +154,7 @@ object MatchedBench {
           .groupBy("node").agg(sum(col("w")).as("w"))
         ranks = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            r4(lit(1.0 - 0.85) / lit(n.toDouble)
+            r8(lit(1.0 - 0.85) / lit(n.toDouble)
               + lit(0.85) * coalesce(col("w"), lit(0.0))).as("rank"))
           .localCheckpoint(true)
       }

@@ -404,7 +404,8 @@ object QueriesAnalytics {
       |  FROM orders
       |  UNION ALL
       |  SELECT 'lineitem_fk_orders',
-      |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END), count(*)
+      |    count(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+      |               THEN 1 END), count(*)
       |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
       |    ON l.l_orderkey = o.o_orderkey
       |  UNION ALL
@@ -448,7 +449,7 @@ object QueriesAnalytics {
          |  FROM r${i - 1} JOIN e ON e.src = r${i - 1}.node JOIN deg ON deg.src = e.src
          |  GROUP BY e.dst),
          |r$i AS (SELECT no.node,
-         |    floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(c$i.w, 0.0)) * 10000 + 0.5) / 10000 AS rank
+         |    floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(c$i.w, 0.0)) * 100000000 + 0.5) / 100000000 AS rank
          |  FROM nodes no CROSS JOIN nn LEFT JOIN c$i ON c$i.node = no.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
@@ -456,7 +457,7 @@ object QueriesAnalytics {
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |nn AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT node, floor((1.0 / nn.n) * 10000 + 0.5) / 10000 AS rank
+       |r0 AS (SELECT node, floor((1.0 / nn.n) * 100000000 + 0.5) / 100000000 AS rank
        |  FROM nodes CROSS JOIN nn),
        |$rounds
        |SELECT node, rank FROM r$graphPagerankIters ORDER BY node""".stripMargin

@@ -22,4 +22,15 @@ object Num {
 
   /** The same formula as oracle-SQL text. */
   def r4Sql(inner: String): String = s"floor(($inner) * 10000 + 0.5) / 10000"
+
+  /** 8-decimal variant for quantities that are O(1/N) of a large N —
+    * PageRank ranks, probabilities. r4's 1e-4 grid quantizes such
+    * values to ZERO once N passes ~10⁴ (caught live: every sf0.1
+    * pagerank rank rounded to 0.0); the 1e-8 grid carries N up to ~10⁷
+    * with ≥10 signal steps. Same half-up floor form, same cross-engine
+    * bit-reproducibility. */
+  def r8(c: Column): Column = floor(c * 100000000L + 0.5) / lit(100000000.0)
+
+  def r8Sql(inner: String): String =
+    s"floor(($inner) * 100000000 + 0.5) / 100000000"
 }

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the **union-sort trick**, not a range join:
   * tag each side, union, then one window pass per key ordered by
-  * (time, side) carrying the last-seen right payload forward
-  * (`last(_, ignoreNulls = true)` over an unbounded-preceding ROWS frame).
+  * (time, side) carrying the last-seen right payload forward as ONE
+  * struct (`last(struct, ignoreNulls = true)` over an
+  * unbounded-preceding ROWS frame — the struct is NULL only on
+  * left-side filler rows, so a right row's genuinely NULL payload
+  * fields survive and fields never mix across right rows).
   *
   * Scale rationale: a range join is O(|L|·|R|) per key and needs a
   * broadcast or BNLJ; the union trick is one shuffle on the equi key plus
@@ -41,31 +44,42 @@ object AsOfJoin {
 
     val leftCols = left.columns.toSeq
     // NULL right times would sort first in the window order and be carried
-    // as matches; SQL's `right.time <= left.time` never matches NULL
-    val rightNonNull = right.filter(col(rightTime).isNotNull)
+    // as matches; SQL's `right.time <= left.time` never matches NULL.
+    // NULL right KEYS likewise never equi-match in SQL, but
+    // Window.partitionBy groups NULL keys together — filter them so a
+    // NULL-key left row gets a NULL payload, not a NULL-key right row.
+    val rightNonNull = keys.foldLeft(right.filter(col(rightTime).isNotNull)) {
+      (df, k) => df.filter(col(k).isNotNull)
+    }
     val tbType = rightTieBreak.map(tb => right.schema(tb).dataType)
+    // the payload is carried as ONE struct, not per-column: per-column
+    // last(_, ignoreNulls) cannot distinguish the left-side filler NULL
+    // from a genuinely NULL payload VALUE, so a NULL field in the latest
+    // right row would be silently replaced by an older row's value —
+    // mixing fields from different right rows. The struct is NULL only
+    // on filler rows; a real right row's NULL fields survive inside it.
+    val pStructType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     val l = left
       .withColumn("__side", lit(1))
       .withColumn("__t", col(leftTime))
       .withColumn("__tb", tbType.map(t => lit(null).cast(t)).getOrElse(lit(0)))
-      .select((leftCols.map(col) ++ payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"), col("__tb"))): _*)
+      .select((leftCols.map(col) ++ Seq(lit(null).cast(pStructType).as("__p"),
+        col("__side"), col("__t"), col("__tb"))): _*)
     val r = rightNonNull
       .withColumn("__side", lit(0))
       .withColumn("__t", col(rightTime))
       .withColumn("__tb", rightTieBreak.map(col).getOrElse(lit(0)))
       .select((leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")) ++ Seq(col("__side"), col("__t"), col("__tb"))): _*)
+        Seq(struct(payload.map(col): _*).as("__p"), col("__side"), col("__t"), col("__tb"))): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tb").asc_nulls_last, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
-
-    carried
+    l.unionByName(r)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(p))): _*)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"__c.$p").as(p))): _*)
   }
 }

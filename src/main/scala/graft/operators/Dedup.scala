@@ -85,10 +85,16 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
     // docs with < shingleSize tokens emit no shingle rows: restore them
-    // with the sentinel signature (identical short docs still collide)
-    df.select(id.as("doc_id")).join(sigs, Seq("doc_id"), "left")
+    // with the sentinel signature (identical short docs still collide).
+    // NULL-text docs ALSO emit no rows but must restore to a NULL
+    // signature — the kernel form's contract — not the sentinel, which
+    // would make them collide in every band with every short doc
+    df.select(id.as("doc_id"), text.isNull.as("__null_text"))
+      .join(sigs, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("sig"), array_repeat(lit(Long.MaxValue), numPerm)).as("sig"))
+        when(col("__null_text"), lit(null))
+          .otherwise(coalesce(col("sig"), array_repeat(lit(Long.MaxValue), numPerm)))
+          .as("sig"))
   }
 
   /** LSH banding over a signatures frame: (doc_id, band_id, band_hash)
@@ -231,6 +237,10 @@ object Dedup {
           shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk_val"))): _*)).as("c"))
         .select(col("doc_id"), col("sh"), col("c.chunk_id"), col("c.chunk_val")),
       col("chunk_id"), col("chunk_val")) // see jaccardPairs
+      // eager checkpoint so both self-join sides read the same cached
+      // blocks (the jaccardPairs shape — a narrow pipeline on a
+      // single-row-group fixture would serialize the join onto one task)
+      .localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.chunk_id") === col("b.chunk_id") &&
@@ -238,8 +248,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: a pair colliding on one chunk
+      // with Hamming > maxHamming is decided right at the join — shipping
+      // it through distinct() only to drop it afterwards would put the
+      // entire rejected-candidate mass on the exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact shingle-set Jaccard similarity join: all pairs with

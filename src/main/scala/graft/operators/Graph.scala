@@ -91,13 +91,14 @@ object Graph {
     * ONCE; each round joins the current rank frame against it, shuffles
     * (dst, contribution) pairs only — never edges, never text — and
     * checkpoints the |V|-row rank frame so plans stay O(1) deep.
-    * Ranks are rounded ([[graft.functions.Num.r4]]) each round, which
+    * Ranks are rounded ([[graft.functions.Num.r8]] — 1e-8; the r4 grid
+    * zeroes O(1/N) ranks past ~10⁴ nodes) each round, which
     * both pins cross-engine agreement (the next round's input is
     * bit-identical on both sides) and stops float-association noise
     * accumulating across rounds. */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       checkpointEvery: Int = 0): DataFrame = {
-    import graft.functions.Num.r4
+    import graft.functions.Num.r8
     require(iters >= 0)
     val e = edges.select(col("src"), col("dst")).distinct()
     // localCheckpoint(true), not persist(): both frames are referenced by
@@ -112,7 +113,7 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).localCheckpoint(true)
     val n = nodes.count() // scalar aggregate, never a row collect
-    var ranks = nodes.withColumn("rank", r4(lit(1.0) / lit(n.toDouble)))
+    var ranks = nodes.withColumn("rank", r8(lit(1.0) / lit(n.toDouble)))
     val base = lit(1.0 - damping) / lit(n.toDouble)
     // Nodes with NO in-edges never receive contributions — their rank is
     // the constant base from round 1 on. Computing that set ONCE and
@@ -122,14 +123,14 @@ object Graph {
     // so this is exactly the left-join-with-coalesce semantics.
     val noRecv = nodes
       .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-      .withColumn("rank", r4(base))
+      .withColumn("rank", r8(base))
       .localCheckpoint(true)
     for (i <- 1 to iters) {
       val contrib = ranks.join(ed, ranks("node") === ed("src"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("w"))
         .groupBy("node").agg(sum(col("w")).as("w"))
       ranks = contrib
-        .select(col("node"), r4(base + lit(damping) * col("w")).as("rank"))
+        .select(col("node"), r8(base + lit(damping) * col("w")).as("rank"))
         .unionAll(noRecv)
       // Unlike the while-driven BFS/CC loops, a FIXED small round count
       // needs no per-round action at all: left lazy, the rounds compose

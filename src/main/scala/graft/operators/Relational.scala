@@ -38,12 +38,15 @@ object Relational {
     * fact (ONE left join co-keyed on the fact's join column). The dim
     * side is DEDUPLICATED first — a duplicated dimension key (exactly
     * the dirty data a DQ audit targets) must not multiply matched fact
-    * rows and inflate `n_checked`. */
+    * rows and inflate `n_checked`. A NULL `factKey` satisfies the
+    * constraint (SQL FK semantics — a missing value is not a dangling
+    * reference; audit null rates with a separate [[dqCheck]]). */
   def dqCheckFk(fact: DataFrame, factKey: Column, dim: DataFrame, dimKey: Column,
       name: String): DataFrame =
     fact.join(dim.select(dimKey.as("__dq_dim_key")).distinct(),
         factKey === col("__dq_dim_key"), "left")
-      .agg(count(when(col("__dq_dim_key").isNull, 1)).as("n_violations"),
+      .agg(count(when(factKey.isNotNull && col("__dq_dim_key").isNull, 1))
+          .as("n_violations"),
         count(lit(1)).as("n_checked"))
       .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
 

@@ -22,10 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** floor(2^128 · f) as a 32-hex-char literal (exact integer math). */
+  /** floor(2^128 · round(f·10⁹)/10⁹) as a 32-hex-char literal — exact
+    * integer math over the fraction quantized to 1e-9 (the quantization
+    * keeps round decimal fractions' hex literals stable for the oracle
+    * SQL while supporting fractions down to ~1e-9; the old 1e-6 grid
+    * silently emptied samples below 5e-7 — a real regime when drawing
+    * ~10⁶ docs from a 10¹³-row corpus). Fractions too small for the
+    * grid throw instead of silently selecting nothing. */
   private def hexThreshold(f: Double): String = {
     require(f >= 0 && f <= 1, s"fraction $f out of [0,1]")
-    val num = (BigInt(1) << 128) * BigInt((f * 1e6).round) / BigInt(1000000)
+    val q = (f * 1e9).round
+    require(f == 0 || q >= 1,
+      s"fraction $f below the 1e-9 threshold grid — would select nothing")
+    val num = (BigInt(1) << 128) * BigInt(q) / BigInt(1000000000)
     val h = num.toString(16)
     if (h.length > 32) "f" * 32 else ("0" * (32 - h.length)) + h
   }

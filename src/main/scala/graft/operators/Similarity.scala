@@ -309,9 +309,14 @@ object Similarity {
     * approaches p₂ and the required b explodes past any cap — recall
     * collapses and the returned config documents (by its cap) that LSH
     * cannot prune that regime; brute force or IVF is the right tool
-    * (the doc on [[pairsLsh]]). Near-dup thresholds (τ ≥ 0.8, the
-    * production dedup case) stay comfortably under the cap through
-    * millions of rows. */
+    * (the doc on [[pairsLsh]]). Be precise about WHERE the cap binds
+    * even at τ = 0.8, recall 0.9: uncapped b ≈ 113 at n = 10⁵ and
+    * ≈ 225 at 10⁶ (vs cap 96), so past ~3·10⁴ rows the default cap
+    * trades recall (≈ 0.86 at 10⁵, ≈ 0.63 at 10⁶) for bounded band
+    * count; the fixture's planted twins sit FAR above worst-case τ, so
+    * their realized recall stays ~1 regardless. Callers who need the
+    * recall target honored at corpus scale raise `maxBands` (cost is
+    * linear in bands) rather than trusting the default. */
   def autoLshParams(n: Long, tau: Double, targetRecall: Double = 0.9,
       maxBands: Int = 96): LshParams = {
     require(n >= 1 && tau > 0 && tau < 1 && targetRecall > 0 && targetRecall < 1)

@@ -52,9 +52,15 @@ object AsOfJoinNative {
     }
     // NULL right times sort first under the natural ascending merge order
     // and would be consumed as "valid" as-of matches — but SQL's
-    // `right.time <= left.time` never matches NULL, so drop them up front
+    // `right.time <= left.time` never matches NULL, so drop them up front.
+    // NULL right KEYS likewise never equi-match in SQL, while the merge's
+    // natural-ordering compare would treat NULL==NULL — drop them too
+    // (NULL-key LEFT rows then find no right run and get NULL payload).
     // fresh exprIds on the right side (self-join safety): alias every used col
-    val rightRenamed = right.filter(col(rightTime).isNotNull).select(
+    val rightNonNullKeys = keys.foldLeft(right.filter(col(rightTime).isNotNull)) {
+      (df, k) => df.filter(col(k).isNotNull)
+    }
+    val rightRenamed = rightNonNullKeys.select(
       (keys.map(k => col(k).as(s"__r_$k")) ++
         Seq(col(rightTime).as("__r_time")) ++
         payload.map(p => col(p).as(s"__r_p_$p"))): _*)

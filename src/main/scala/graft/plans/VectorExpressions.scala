@@ -134,6 +134,13 @@ final class CentroidIndex(val ids: Array[Long], vecs: Array[Array[Float]])
 
   def assign(vec: ArrayData): Long = {
     val n = vec.numElements()
+    // fail loudly on a dimension mismatch: a silent min-length truncation
+    // would score the prefix against the FULL centroid norm and return a
+    // confident wrong argmax, while the relational form's zip_with dot
+    // nulls out — the two forms this expression is asserted identical to
+    // would diverge
+    require(ids.isEmpty || vecs(0).length == n,
+      s"vector dim $n != centroid dim ${if (ids.isEmpty) -1 else vecs(0).length}")
     var vn = 0.0
     var i = 0
     while (i < n) { val x = vec.getFloat(i).toDouble; vn += x * x; i += 1 }
@@ -142,7 +149,7 @@ final class CentroidIndex(val ids: Array[Long], vecs: Array[Array[Float]])
     var bestSim = Double.NegativeInfinity
     i = 0
     while (i < ids.length) {
-      val m = math.min(vecs(i).length, n)
+      val m = vecs(i).length
       val cs = dot(vecs(i), vec, m) / (vn * norms(i))
       // Double.compare, not `>`: Spark's SQL ordering (and so max_by in
       // the relational form) ranks NaN above every double — a zero-norm

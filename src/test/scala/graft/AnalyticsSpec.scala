@@ -249,6 +249,11 @@ class AnalyticsSpec extends SparkTestBase {
     val fkDirty = dqCheckFk(fact, col("fk"), dirtyDim, col("id"), "fact_fk_dim")
       .as[(String, Long, Long)].head()
     assert(fkDirty === ("fact_fk_dim", 1L, 4L))
+    // SQL FK semantics: a NULL foreign key SATISFIES the constraint
+    val nullFact = Seq(Some(1L), None, Some(9L)).toDF("fk")
+    val fkNull = dqCheckFk(nullFact, col("fk"), dim, col("id"), "fact_fk_dim")
+      .as[(String, Long, Long)].head()
+    assert(fkNull === ("fact_fk_dim", 1L, 3L)) // only fk=9 violates
     // a clean table reports zero violations, full checked count
     val clean = dqCheck(dim, "id_nonnull", col("id").isNull)
       .as[(String, Long, Long)].head()

@@ -51,6 +51,36 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
+  test("both asOf forms preserve a NULL payload FIELD in the winning right row") {
+    // right t=2's qty is genuinely NULL: the correct result is the whole
+    // t=2 row (price=20, qty=NULL) — per-column ignoreNulls carry would
+    // fabricate (20, 2), mixing fields from different right rows
+    val left = Seq((1L, 3L)).toDF("k", "t")
+    val right = Seq((1L, 1L, Some(10.0), Some(2L)), (1L, 2L, Some(20.0), None))
+      .toDF("k", "rt", "price", "qty")
+    val expect = Seq((1L, 3L, Some(20.0), Option.empty[Long]))
+    val composed = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("price", "qty"))
+      .as[(Long, Long, Option[Double], Option[Long])].collect().toSeq
+    val native = AsOfJoinNative.asOf(left, right, Seq("k"), "t", "rt", Seq("price", "qty"))
+      .as[(Long, Long, Option[Double], Option[Long])].collect().toSeq
+    assert(composed === expect)
+    assert(native === expect)
+  }
+
+  test("both asOf forms never match NULL equi-keys (SQL semantics)") {
+    val left = Seq((Option.empty[Long], 5L), (Some(1L), 5L)).toDF("k", "t")
+    val right = Seq((Option.empty[Long], 3L, 99.0), (Some(1L), 3L, 7.0))
+      .toDF("k", "rt", "v")
+    val expect = Set((Option.empty[Long], 5L, Option.empty[Double]),
+      (Some(1L), 5L, Some(7.0)))
+    val composed = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .as[(Option[Long], Long, Option[Double])].collect().toSet
+    val native = AsOfJoinNative.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .as[(Option[Long], Long, Option[Double])].collect().toSet
+    assert(composed === expect)
+    assert(native === expect)
+  }
+
   test("native asOf plans one shuffle per side and no window operator") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")

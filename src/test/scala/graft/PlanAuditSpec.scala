@@ -213,10 +213,11 @@ class PlanAuditSpec extends SparkTestBase {
       spark.sessionState.conf.numShufflePartitions,
       s"pinned repartition coalesced to ${pinned.rdd.getNumPartitions}")
     // and it plans as REPARTITION_BY_NUM — the AQE-exempt marker. (In the
-    // LSH operators the repartition executes inside an eager checkpoint,
-    // so the marker is visible only in plans that keep the exchange,
-    // e.g. dedup_simhash's un-checkpointed band frame.)
-    assert(plan("dedup_simhash").contains("REPARTITION_BY_NUM"))
+    // LSH operators the repartition executes inside an eager checkpoint —
+    // round 8 extended that to dedup_simhash's band frame too — so the
+    // marker is asserted on the pinned frame's own plan.)
+    assert(pinned.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"),
+      pinned.queryExecution.executedPlan.toString)
   }
 
   test("search_bm25: heap top-k, broadcast stats/df, query-term filter before the shuffle") {

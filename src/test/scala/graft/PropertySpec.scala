@@ -111,9 +111,14 @@ class PropertySpec extends SparkTestBase {
         TextOps.fingerprints(col("text")).as("r_fp"))
       .filter(!(col("k_sh") <=> col("r_sh")) || !(col("k_fp") <=> col("r_fp")))
     assert(mismatch.isEmpty)
-    val a = Dedup.minhashSignatures(df, col("text"), col("doc_id"))
-    val b = Dedup.minhashSignaturesAgg(df, col("text"), col("doc_id"))
+    // include a NULL-text doc here: the agg form must restore it as a
+    // NULL signature (the kernel form's contract), not the short-doc
+    // sentinel that collides in every band
+    val dfN = df.unionByName(Seq((999L, Option.empty[String])).toDF("doc_id", "text"))
+    val a = Dedup.minhashSignatures(dfN, col("text"), col("doc_id"))
+    val b = Dedup.minhashSignaturesAgg(dfN, col("text"), col("doc_id"))
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(b.filter(col("doc_id") === 999L).filter(col("sig").isNull).count() == 1)
   }
 
   test("property: two-phase packing == naive window on generated lengths and sparse keys") {
@@ -367,22 +372,22 @@ class PropertySpec extends SparkTestBase {
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
       val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
       val n = nodes.size
-      def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
-      var ranks = nodes.map(_ -> r4d(1.0 / n)).toMap
+      def r8d(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+      var ranks = nodes.map(_ -> r8d(1.0 / n)).toMap
       val base = (1.0 - 0.85) / n
       for (_ <- 1 to 6) {
         val contrib = edges.groupBy(_._2).view.mapValues(
           _.map { case (u, _) => ranks(u) / out(u) }.sum).toMap
-        ranks = nodes.map(v => v -> r4d(base + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+        ranks = nodes.map(v => v -> r8d(base + 0.85 * contrib.getOrElse(v, 0.0))).toMap
       }
       val got = graft.operators.Graph.pagerank(edges.toDF("src", "dst"), iters = 6)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet == ranks.keySet, s"seed=$seed")
       // float-association order differs between the reference's Seq.sum
       // and Spark's partial aggregation, so a rounding boundary could
-      // flip one 1e-4 step; anything larger is a real bug
+      // flip one 1e-8 step; anything larger is a real bug
       for (v <- nodes)
-        assert(math.abs(got(v) - ranks(v)) <= 1.001e-4, s"seed=$seed node=$v")
+        assert(math.abs(got(v) - ranks(v)) <= 1.001e-8, s"seed=$seed node=$v")
     }
   }
 

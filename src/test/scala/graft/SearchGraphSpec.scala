@@ -116,7 +116,7 @@ class SearchGraphSpec extends SparkTestBase {
   test("pagerank with zero iterations returns the uniform start vector") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val out = Graph.pagerank(e, iters = 0).as[(Long, Double)].collect().toMap
-    assert(out === Map(1L -> 0.3333, 2L -> 0.3333, 3L -> 0.3333))
+    assert(out === Map(1L -> 0.33333333, 2L -> 0.33333333, 3L -> 0.33333333))
   }
 
   test("pagerank checkpointEvery (long-loop mode) is result-identical to the lazy DAG") {
@@ -132,7 +132,8 @@ class SearchGraphSpec extends SparkTestBase {
     // base = 0.15/3 = 0.05; contribs: 2 gets 0.3333, 3 gets 0.3333
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val out = Graph.pagerank(e, iters = 1).as[(Long, Double)].collect().toMap
-    val expect2 = r4(0.15 / 3 + 0.85 * 0.3333)
+    def r8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+    val expect2 = r8(0.15 / 3 + 0.85 * 0.33333333)
     assert(out(1L) === 0.05)
     assert(out(2L) === expect2)
     assert(out(3L) === expect2)
