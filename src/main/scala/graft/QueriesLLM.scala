@@ -132,11 +132,17 @@ object QueriesLLM {
       |      ELSE 'https://data.example.org/c/' || o_custkey || '/?utm_source=feed'
       |    END AS url
       |  FROM orders),
-      |canon AS (
-      |  SELECT o_custkey, regexp_replace(regexp_replace(regexp_replace(
+      |canon0 AS (
+      |  SELECT o_custkey, regexp_replace(replace(regexp_replace(
       |    lower(regexp_extract(url, '^([^/]+://[^/]+)', 1)) || regexp_replace(url, '^[^/]+://[^/]+', ''),
-      |    ':443/', '/'), '[?&]utm_[a-z]+=[^&]*', '', 'g'), '/$', '') AS canon_url
-      |  FROM noisy)
+      |    ':443/', '/'), '?', '&'), '&utm_[a-z]+=[^&]*', '', 'g') AS p
+      |  FROM noisy),
+      |canon AS (
+      |  SELECT o_custkey, regexp_replace(
+      |    CASE WHEN strpos(p, '&') > 0
+      |         THEN split_part(p, '&', 1) || '?' || substr(p, strpos(p, '&') + 1)
+      |         ELSE p END, '/$', '') AS canon_url
+      |  FROM canon0)
       |SELECT canon_url, count(*) AS n_dups, min(o_custkey) AS keep_key
       |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
 

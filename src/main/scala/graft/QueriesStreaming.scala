@@ -92,7 +92,12 @@ object QueriesStreaming {
       w: org.apache.spark.sql.streaming.DataStreamWriter[T])
       : (org.apache.spark.sql.streaming.StreamingQuery, java.nio.file.Path) = {
     val dir = tmpCheckpointDir()
-    (w.option("checkpointLocation", dir.toString).start(), dir)
+    try (w.option("checkpointLocation", dir.toString).start(), dir)
+    catch { case e: Throwable =>
+      // start() can fail (unsupported plan, sink error) before the
+      // (query, dir) pair reaches stopAndClean — don't leak the tmpfs dir
+      deleteRecursively(dir); throw e
+    }
   }
 
   private def stopAndClean(q: org.apache.spark.sql.streaming.StreamingQuery,

@@ -107,7 +107,14 @@ object TextOps {
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03 — public
     * algorithm): rolling xxhash64 over char k-grams, then the minimum of
     * each w-window, deduplicated. Returns the sorted distinct fingerprint
-    * array. */
+    * array.
+    *
+    * REFERENCE form only — interpreted HOFs have no common-subexpression
+    * elimination, so the `hashes` transform re-evaluates once per window
+    * position: O(len²) hash evaluations per row. Production queries use
+    * the per-row codegen kernel
+    * ([[graft.plans.TextExpressions.winnowFingerprints]]), which this
+    * form exists to cross-check (TextKernelsSpec, PropertySpec). */
   def fingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
     val n = length(text)
     val hashes = transform(
@@ -168,7 +175,17 @@ object TextOps {
       lower(regexp_extract(u, "^([^/]+://[^/]+)", 1)),
       regexp_replace(u, "^[^/]+://[^/]+", ""))
     val noPort = regexp_replace(hostLower, ":443/", "/")
-    val noUtm = regexp_replace(noPort, "[?&]utm_[a-z]+=[^&]*", "")
-    regexp_replace(noUtm, "/$", "")
+    // normalize the query-start to '&' so every utm param matches ONE
+    // literal pattern — stripping '[?&]utm_...' directly would turn
+    // '?utm_x=1&id=2' into the malformed (and dedup-splitting) '&id=2'
+    val qAmp = regexp_replace(noPort, "\\?", "&")
+    val noUtm = regexp_replace(qAmp, "&utm_[a-z]+=[^&]*", "")
+    // restore the first surviving separator to '?'
+    val amp = instr(noUtm, "&")
+    val restored = when(amp > 0,
+        concat(substring_index(noUtm, "&", 1), lit("?"),
+          noUtm.substr(amp + 1, length(noUtm))))
+      .otherwise(noUtm)
+    regexp_replace(restored, "/$", "")
   }
 }

@@ -117,7 +117,10 @@ object FileView {
     * (`maximumSize`: 512 for clientInfo/appInfo, 128 default). */
   def widthViolations(df: DataFrame): DataFrame =
     if (!df.schema.fields.exists(f => f.dataType == StringType && !ignoreCols.contains(f.name)))
-      df.sparkSession.emptyDataFrame
+      // SAME schema as the normal path (df's columns + an empty
+      // violations array), so callers can select/union without a
+      // degenerate-input special case
+      df.withColumn("violations", array().cast("array<string>")).filter(lit(false))
     else df
       .withColumn("violations", violationsArray(df))
       .filter(size(col("violations")) > 0)
@@ -225,10 +228,18 @@ object FileView {
       df.write.mode(mode).parquet(root)
       return
     }
-    def norm(c: Column, mn: Double, mx: Double): Column = {
-      val span = math.max(mx - mn, 1.0)
-      floor((c.cast("double") - mn) / (span + 1) * (1L << bits)).cast("long")
-    }
+    def norm(c: Column, mn: Double, mx: Double): Column =
+      if (mx > mn) {
+        // scale by the REAL span: flooring it at 1.0 (the old form) left
+        // any key with a sub-1.0 domain (scores, rates) compressed into a
+        // fraction of the code range, so the other key's high bits
+        // dominated the interleave and that dimension degenerated to a
+        // single-key cluster — the exact failure the normalization exists
+        // to prevent
+        val scale = ((1L << bits) - 1).toDouble / (mx - mn)
+        least(floor((c.cast("double") - mn) * scale).cast("long"),
+          lit((1L << bits) - 1))
+      } else lit(0L)
     val z = "__zorder"
     df.withColumn(z, mortonCode(
         norm(col(keyA), r.getDouble(0), r.getDouble(1)),

@@ -396,8 +396,13 @@ private[v2] class ManifestAggScan(root: String, pushed: Array[Filter],
     s"FileManifest root=$root PushedFilters=[${pushed.mkString(", ")}] " +
       s"PushedAggregation=[groupBy=${groups.mkString(",")} aggs=${specs.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  // one listing for the scan's lifetime: planInputPartitions() and
+  // outputPartitioning() are each called (possibly repeatedly) during
+  // planning, and a fresh ManifestScan per call re-listed the root
+  private lazy val partitions: Array[InputPartition] =
     new ManifestScan(root, FileManifestSource.schema, pushed).plannedPartitions
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestAggReaderFactory(pushed, groups, specs)

@@ -12,8 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale notes: windowed aggregations shuffle on (window, keys) exactly as
   * in batch; state lives in the state store partitioned by key, and the
-  * watermark bounds state size — without it, 100 TB of stream history
-  * accumulates in the store. All sinks are checkpointed; the reference's
+  * watermark bounds state size for the windowed/dedup/join ops — without
+  * it, 100 TB of stream history accumulates in the store. (Exception:
+  * the session-score ops run `NoTimeout` by design — their state is
+  * bounded by DISTINCT USERS, not the watermark; see [[sessionScores]]
+  * for the trade and the production timeout recipe.) All sinks are
+  * checkpointed; the reference's
   * fire-and-forget async transaction (`copy_from_template.py:230-232`)
   * becomes an awaited, exactly-once checkpoint commit.
   */
@@ -40,11 +44,15 @@ object StreamOps {
         col("n_events"), col("sum_value"))
 
   /** Stateful dedup by event id within the watermark horizon
-    * (stream_dedup): state = one entry per id seen, expired with the
-    * watermark — bounded memory at any scale. */
+    * (stream_dedup): state = one entry per ID seen, expired `lateness`
+    * after its event time — bounded memory at any scale. Dedup is by id
+    * ALONE (`dropDuplicatesWithinWatermark`): an at-least-once source
+    * that re-stamps a redelivered event's timestamp still collapses to
+    * one row, where a (id, ts)-subset `dropDuplicates` would emit both
+    * copies. */
   def dedupByIdWithinWatermark(events: DataFrame, tsCol: String, idCol: String,
       lateness: String): DataFrame =
-    events.withWatermark(tsCol, lateness).dropDuplicates(idCol, tsCol)
+    events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(idCol)
 
   /** Stream-stream INNER join with event-time bounds (stream_join):
     * each left event matched to the same user's right-stream events
@@ -67,9 +75,18 @@ object StreamOps {
 
   /** Custom per-key state (stream_stateful): running session score per
     * user with an inactivity gap, via flatMapGroupsWithState. Emits a
-    * SessionScore each time a session closes (event-time gap exceeded,
-    * detected on the next arriving event or at timeout). Batch-equivalent
-    * recomputation = Sessionize.sessions; asserted in StreamingSpec. */
+    * SessionScore each time a session CLOSES, detected on the next
+    * arriving event for that user — deliberately `NoTimeout`: each
+    * user's final (still-open) session stays in state and is never
+    * emitted, and per-idle-user state lives for the query lifetime. The
+    * trade is testability: timeout emission never fires in batch
+    * execution, so the streaming≡batch equality this op is gated on
+    * (StreamingSpec; the oracle scores "every session except each
+    * user's last") would be unassertable with timeouts on. A production
+    * deployment that needs final sessions flushed and idle-user state
+    * reclaimed adds `EventTimeTimeout` + `setTimeoutTimestamp(lastTs +
+    * gap)` and emits on `state.hasTimedOut` — the semantics then depend
+    * on watermark progress, which only a live clock exercises. */
   def sessionScores(events: Dataset[Event], gapMillis: Long): Dataset[SessionScore] = {
     import events.sparkSession.implicits._
     events
@@ -78,33 +95,48 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         // state: (sessionStart, nEvents, sumValue, lastTs, userId)
         case (userId, rows, state: GroupState[(Long, Long, Double, Long, Long)]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var out = List.empty[SessionScore]
-          var st = state.getOption.getOrElse((0L, 0L, 0.0, Long.MinValue, userId))
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            if (st._4 == Long.MinValue) {
-              st = (t, 1L, e.value, t, userId)
-            } else if (t - st._4 >= gapMillis) {
-              out ::= SessionScore(userId, st._2, st._3, st._1, st._4)
-              st = (t, 1L, e.value, t, userId)
-            } else {
-              st = (st._1, st._2 + 1, st._3 + e.value, t, userId)
-            }
-          }
-          state.update(st)
-          out.reverse.iterator
+          val prev = state.getOption.map(t => SessionState(t._1, t._2, t._3, t._4))
+          val (st, out) = foldSessions(userId, rows, prev, gapMillis)
+          state.update((st.start, st.n, st.sum, st.last, userId))
+          out.iterator
       }
   }
 
-  /** Per-user session state carried by [[SessionScoreProcessor]]. */
+  /** Per-user session state carried by both stateful formulations. */
   case class SessionState(start: Long, n: Long, sum: Double, last: Long)
 
+  /** ONE session fold shared by [[sessionScores]] (fMGWS) and
+    * [[SessionScoreProcessor]] (transformWithState): sort the batch's
+    * rows, break sessions at gaps >= gapMillis, emit each CLOSED session,
+    * return the still-open state. A single implementation keeps the two
+    * formulations' asserted equivalence structural, not coincidental. */
+  private def foldSessions(userId: Long, rows: Iterator[Event],
+      prev: Option[SessionState], gapMillis: Long): (SessionState, List[SessionScore]) = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var out = List.empty[SessionScore]
+    var st = prev.getOrElse(SessionState(0L, 0L, 0.0, Long.MinValue))
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      if (st.last == Long.MinValue) {
+        st = SessionState(t, 1L, e.value, t)
+      } else if (t - st.last >= gapMillis) {
+        out ::= SessionScore(userId, st.n, st.sum, st.start, st.last)
+        st = SessionState(t, 1L, e.value, t)
+      } else {
+        st = SessionState(st.start, st.n + 1, st.sum + e.value, t)
+      }
+    }
+    (st, out.reverse)
+  }
+
   /** The `transformWithState` (Spark 4 arbitrary-state v2) formulation of
-    * [[sessionScores]]: identical session semantics, but state lives in a
-    * named, schema'd `ValueState` in the RocksDB state store — evolvable
-    * schema, per-state TTL, and timers, which flatMapGroupsWithState
-    * cannot express. Requires
+    * [[sessionScores]]: identical session semantics (including the same
+    * deliberate no-timeout trade — final sessions emit on the next event,
+    * state bounded by distinct users; see [[sessionScores]]), but state
+    * lives in a named, schema'd `ValueState` in the RocksDB state store —
+    * the API additionally OFFERS evolvable schema, per-state TTL, and
+    * timers (unused here so the fMGWS equality stays assertable).
+    * Requires
     * `spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider`. */
   class SessionScoreProcessor(gapMillis: Long)
       extends StatefulProcessor[Long, Event, SessionScore] {
@@ -116,22 +148,10 @@ object StreamOps {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[SessionScore] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var out = List.empty[SessionScore]
-      var st = if (state.exists()) state.get() else SessionState(0L, 0L, 0.0, Long.MinValue)
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        if (st.last == Long.MinValue) {
-          st = SessionState(t, 1L, e.value, t)
-        } else if (t - st.last >= gapMillis) {
-          out ::= SessionScore(userId, st.n, st.sum, st.start, st.last)
-          st = SessionState(t, 1L, e.value, t)
-        } else {
-          st = SessionState(st.start, st.n + 1, st.sum + e.value, t)
-        }
-      }
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (st, out) = foldSessions(userId, rows, prev, gapMillis)
       state.update(st)
-      out.reverse.iterator
+      out.iterator
     }
   }
 

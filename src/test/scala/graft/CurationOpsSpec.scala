@@ -31,6 +31,19 @@ class CurationOpsSpec extends SparkTestBase {
     assert(twice.head().getString(0) == once.head().getString(0))
   }
 
+  test("canonicalizeUrl handles a LEADING utm param without leaving a dangling '&'") {
+    // utm-first and utm-last orderings of the same logical URL must
+    // collapse to the same canonical key
+    val urls = Seq(
+      "https://a.com/p?utm_source=x&id=1",
+      "https://a.com/p?id=1&utm_source=x",
+      "https://a.com/p?id=1"
+    ).toDF("url")
+    val canon = urls.select(TextOps.canonicalizeUrl($"url").as("c"))
+      .distinct().collect().map(_.getString(0))
+    assert(canon.toSeq == Seq("https://a.com/p?id=1"))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "txt")
     val corpus = Seq(

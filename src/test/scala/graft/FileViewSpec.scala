@@ -207,6 +207,24 @@ class FileViewSpec extends SparkTestBase {
     assert(e.getMessage.contains("collide"), e.getMessage)
   }
 
+  test("sinkZOrdered clusters BOTH dims when one key's domain is narrower than 1.0") {
+    // a fractional score in [0, 0.0255]: the old span-floor-at-1.0 norm
+    // compressed it into ~8 of 16 code bits, so the wide key dominated
+    // every interleaved pair and this dimension degenerated to unclustered
+    val dir = Files.createTempDirectory("zorder-narrow").toString
+    val df = (0 until 4096).map(i => (i.toLong, (i % 256) / 10000.0)).toDF("a", "s")
+    FileView.sinkZOrdered(df, dir, "a", "s", numFiles = 8)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("s"), max("s")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // a predicate on the narrow key's bottom eighth must skip files
+    val hit = spans.count { case (mn, mx) => mn <= 0.0255 / 8 && 0.0 <= mx }
+    assert(hit < files.length, s"narrow key not clustered: ${spans.toSeq}")
+  }
+
   test("sinkZOrdered degenerate inputs: empty frame and all-NULL key write cleanly") {
     val dirEmpty = Files.createTempDirectory("zempty").toString + "/out"
     val schema = "a LONG, b LONG"

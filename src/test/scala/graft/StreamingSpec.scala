@@ -49,6 +49,11 @@ class StreamingSpec extends SparkTestBase {
       in.addData(Event(1, ts(10), 1, "click", 1.0)) // duplicate across batches
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == 2)
+      // an at-least-once redelivery with a RE-STAMPED timestamp (same id,
+      // ts moved within the horizon) must still collapse to one row
+      in.addData(Event(2, ts(25), 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
   }
 
