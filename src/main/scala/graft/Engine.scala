@@ -62,6 +62,15 @@ object Engine {
       SparkSession.builder().master(master).appName("graft"),
       shufflePartitions
     ).getOrCreate()
+    // getOrCreate RETURNS a pre-existing session unchanged — builder
+    // configs are silently ignored, and the failures then surface far
+    // from the cause (events reads die on TIMESTAMP(NANOS) without
+    // nanosAsLong; join_asof_native fails to plan without the
+    // extensions). Fail HERE, loudly, instead.
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Engine.session got a pre-existing SparkSession missing the engine's " +
+        "required configs (nanosAsLong/extensions/UTC) — stop the other " +
+        "session first, or build through Engine.configure yourself")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -37,6 +37,16 @@ object QueriesCore {
           .getField("k").as("k"))
       .orderBy("event_id")
 
+  /** Scratch-dir key for the write-then-read queries: full-path hash +
+    * basename — keying by basename alone collided distinct fixture dirs
+    * sharing a leaf name (and concurrent JVMs on one machine), and the
+    * lazily-read roundtrip DataFrames would silently serve the OTHER
+    * dir's rows after its eager overwrite. */
+  private def scratchKey(dir: String): String = {
+    val full = new java.io.File(dir).getAbsolutePath
+    f"${java.lang.Integer.toHexString(full.hashCode)}%s-${new java.io.File(dir).getName}%s"
+  }
+
   val scanJsonSql =
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id"
 
@@ -50,7 +60,7 @@ object QueriesCore {
     * lossless by construction (doubles would round-trip through decimal
     * strings; that's a different, weaker contract). */
   val scanCsvRoundtrip: Q = (s, dir) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(dir).getName}/nation_csv"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/nation_csv"
     Tables.nation(s, dir).write.mode("overwrite").option("header", true).csv(out)
     s.read.schema(Tables.nationSchema).option("header", true).csv(out)
       .orderBy("n_nationkey")
@@ -71,7 +81,7 @@ object QueriesCore {
     * swap); FileViewSpec exercises it directly. */
   val lakeCompact: Q = (s, dir) => {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(dir).getName}/docs_compact"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_compact"
     Tables.documents(s, dir).repartition(40)
       .write.mode("overwrite").parquet(out)
     val (before, after, rows) = graft.sources.FileView.compact(s, out)
@@ -88,7 +98,7 @@ object QueriesCore {
     * `customer` table; the read uses the explicit schema like every other
     * scan (footer inference skipped, pushdown/pruning intact). */
   val scanOrcRoundtrip: Q = (s, dir) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${new java.io.File(dir).getName}/customer_orc"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/customer_orc"
     Tables.customer(s, dir).write.mode("overwrite").orc(out)
     s.read.schema(Tables.customerSchema).orc(out)
       .orderBy("c_custkey")
@@ -473,15 +483,23 @@ object QueriesCore {
   /** agg_grouping_sets: explicit grouping-set totals (the third member of
     * the rollup/cube family) — SQL form, since the Dataset API exposes
     * only rollup/cube. */
-  val aggGroupingSets: Q = (s, dir) => {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
-    s.sql(
+  /** Register temp views, run the SQL, then DROP the views — spark.sql
+    * analyzes eagerly, so the result stays valid after the drop. Without
+    * the drop, each SQL-surface query leaked per-dir bindings into the
+    * session (the multi-SF wrong-data trap SqlFrontEnd.run documents). */
+  private def withViews(s: SparkSession, views: (String, DataFrame)*)(sql: String): DataFrame =
+    try {
+      views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      s.sql(sql)
+    } finally views.foreach { case (n, _) => s.catalog.dropTempView(n) }
+
+  val aggGroupingSets: Q = (s, dir) =>
+    withViews(s, "orders_gs" -> Tables.orders(s, dir))(
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n_orders,
         |  floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
         |FROM orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
-  }
 
   val aggGroupingSetsSql =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
@@ -755,14 +773,12 @@ object QueriesCore {
     * engines compute the identical scalar and no boundary row can flap
     * on float-summation order (§7.4). Expressed through the SQL surface
     * (spark.sql) because subqueries ARE a SQL-surface feature. */
-  val subScalar: Q = (s, dir) => {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_sub")
-    s.sql(
+  val subScalar: Q = (s, dir) =>
+    withViews(s, "orders_sub" -> Tables.orders(s, dir))(
       """SELECT o_orderkey, floor(o_totalprice * 10000 + 0.5) / 10000 AS price
         |FROM orders_sub
         |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders_sub)
         |ORDER BY o_orderkey""".stripMargin)
-  }
 
   val subScalarSql =
     """SELECT o_orderkey, floor(o_totalprice * 10000 + 0.5) / 10000 AS price
@@ -776,16 +792,14 @@ object QueriesCore {
     * which is what makes correlated subqueries survive scale. Equality
     * against max of the row's own group is float-safe: max returns an
     * input value, identically in both engines. */
-  val subCorrelated: Q = (s, dir) => {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_subc")
-    s.sql(
+  val subCorrelated: Q = (s, dir) =>
+    withViews(s, "orders_subc" -> Tables.orders(s, dir))(
       """SELECT o_orderkey, o_custkey,
         |  floor(o_totalprice * 10000 + 0.5) / 10000 AS price
         |FROM orders_subc o
         |WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders_subc i
         |                      WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
-  }
 
   val subCorrelatedSql =
     """SELECT o_orderkey, o_custkey, floor(o_totalprice * 10000 + 0.5) / 10000 AS price
@@ -799,10 +813,9 @@ object QueriesCore {
     * expressed as a lateral join. Catalyst decorrelates it into a
     * window-filter plan (no per-row re-execution), the same physical
     * shape as win_rank — which is what makes LATERAL survive scale. */
-  val joinLateral: Q = (s, dir) => {
-    Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
-    Tables.orders(s, dir).createOrReplaceTempView("orders_lat")
-    s.sql(
+  val joinLateral: Q = (s, dir) =>
+    withViews(s, "customer_lat" -> Tables.customer(s, dir),
+        "orders_lat" -> Tables.orders(s, dir))(
       """SELECT c.c_custkey, t.o_orderkey,
         |  floor(t.o_totalprice * 10000 + 0.5) / 10000 AS price
         |FROM customer_lat c,
@@ -810,7 +823,6 @@ object QueriesCore {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin)
-  }
 
   val joinLateralSql =
     """SELECT c.c_custkey, t.o_orderkey,
@@ -870,16 +882,14 @@ object QueriesCore {
     * streams once, the right side is reduced to its join keys — unlike a
     * LEFT JOIN + IS NOT NULL it can never duplicate probe rows, and
     * unlike a semi-join it keeps the negatives. */
-  val joinExistence: Q = (s, dir) => {
-    Tables.customer(s, dir).createOrReplaceTempView("customer_ex")
-    Tables.orders(s, dir).createOrReplaceTempView("orders_ex")
-    s.sql(
+  val joinExistence: Q = (s, dir) =>
+    withViews(s, "customer_ex" -> Tables.customer(s, dir),
+        "orders_ex" -> Tables.orders(s, dir))(
       """SELECT c.c_custkey,
         |  EXISTS(SELECT 1 FROM orders_ex o
         |         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         |    AS has_big_order
         |FROM customer_ex c ORDER BY c_custkey""".stripMargin)
-  }
 
   val joinExistenceSql =
     """SELECT c.c_custkey,

@@ -135,7 +135,7 @@ object QueriesLLM {
       |canon0 AS (
       |  SELECT o_custkey, regexp_replace(replace(regexp_replace(
       |    lower(regexp_extract(url, '^([^/]+://[^/]+)', 1)) || regexp_replace(url, '^[^/]+://[^/]+', ''),
-      |    ':443/', '/'), '?', '&'), '&utm_[a-z]+=[^&]*', '', 'g') AS p
+      |    ':443/', '/', 'g'), '?', '&'), '&utm_[a-z]+=[^&]*', '', 'g') AS p
       |  FROM noisy),
       |canon AS (
       |  SELECT o_custkey, regexp_replace(
@@ -602,7 +602,11 @@ object QueriesLLM {
         r4(TextOps.qualityScore(col("text"))).as("q"),
         TextExpressions.repetitionStats(col("text"), 2).as("st"))
       .select(col("doc_id"), col("source"), col("q"),
-        r4(col("st.dup_c") / col("st.n_grams")).as("dup"))
+        // a doc with < 2 tokens has zero 2-grams: ANSI mode (Spark 4
+        // default) throws on 0/0, and the oracle's LEFT JOIN + coalesce
+        // scores such docs dup = 0.0 — mirror that, don't divide
+        r4(when(col("st.n_grams") > 0, col("st.dup_c") / col("st.n_grams"))
+          .otherwise(lit(0.0))).as("dup"))
     val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).as("n_total"))
@@ -851,9 +855,13 @@ object QueriesLLM {
 
   val sampleTemperatureSql =
     """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
-      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, sum(pow(n, 0.5)) AS wsum FROM cnt),
+      |tot AS (SELECT CAST(floor(0.2 * CAST(sum(n) AS BIGINT) + 0.5) AS BIGINT) AS k,
+      |    CAST(sum(CAST(floor(pow(n, 0.5) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS wq_sum
+      |  FROM cnt),
       |tgt AS (SELECT c.event_type,
-      |    least(c.n, CAST(floor(0.2 * t.total * pow(c.n, 0.5) / t.wsum + 0.5) AS BIGINT)) AS t
+      |    least(c.n, CAST(floor(CAST(t.k AS DOUBLE)
+      |      * CAST(CAST(floor(pow(c.n, 0.5) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+      |      / CAST(t.wq_sum AS DOUBLE) + 0.5) AS BIGINT)) AS t
       |  FROM cnt c CROSS JOIN tot t),
       |ranked AS (SELECT event_id, event_type,
       |    row_number() OVER (PARTITION BY event_type

@@ -49,8 +49,13 @@ object SqlFrontEnd {
     * analyzes eagerly, so the returned DataFrame stays valid after the
     * drop. */
   def run(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    try spark.sql(sql)
-    finally tableNames.foreach(spark.catalog.dropTempView(_))
+    // registration INSIDE the try: table loads are eager (path
+    // resolution, the events footer sniff), so a failure partway must
+    // still drop the views already bound — or they'd silently serve this
+    // dir's data to later unrelated spark.sql text
+    try {
+      tableNames.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      spark.sql(sql)
+    } finally tableNames.foreach(spark.catalog.dropTempView(_))
   }
 }

@@ -102,14 +102,25 @@ object Sampling {
       alpha: Double, keepRatio: Double, salt: String = "s0"): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha $alpha out of (0,1]")
     require(keepRatio > 0 && keepRatio <= 1, s"keepRatio $keepRatio out of (0,1]")
-    def w(n: Column) = pow(n.cast("double"), lit(alpha))
+    // Cross-engine-deterministic targets: per-source weights are n^α
+    // QUANTIZED TO INTEGER micro-units (pow's last-ulp wobble vanishes
+    // into the round), the weight sum is an exact integer (no
+    // float-association order), and the final ratio is a single chain of
+    // IEEE ops over identical integer inputs — both engines floor the
+    // same double. Thresholding a raw pow/float-sum expression instead
+    // could flip a source's keep count by one row whenever a target
+    // landed within an ulp of a .5 boundary (§7.4's rule).
+    def wq(n: Column) =
+      floor(pow(n.cast("double"), lit(alpha)) * lit(1000000.0) + lit(0.5)).cast("long")
     val cnt = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
-    val tot = cnt.agg(sum(col("__n")).as("__total"), sum(w(col("__n"))).as("__wsum"))
+    val tot = cnt.agg(sum(col("__n")).as("__total"), sum(wq(col("__n"))).as("__wq"))
+      .select(floor(lit(keepRatio) * col("__total") + lit(0.5)).cast("long").as("__k"),
+        col("__wq"))
     val tgt = cnt.crossJoin(broadcast(tot))
       .select(col("__src"),
         least(col("__n"),
-          floor(lit(keepRatio) * col("__total") * w(col("__n")) / col("__wsum")
-            + lit(0.5)).cast("long")).as("__t"))
+          floor(col("__k").cast("double") * wq(col("__n")).cast("double")
+            / col("__wq").cast("double") + lit(0.5)).cast("long")).as("__t"))
     val rn = row_number().over(org.apache.spark.sql.expressions.Window
       .partitionBy(source).orderBy(coord(key, salt), key))
     df.withColumn("__rn", rn)

@@ -427,10 +427,12 @@ class PropertySpec extends SparkTestBase {
         .map("%02x".format(_)).mkString
     val bySrc = rows.groupBy(_._2)
     val total = rows.size
-    val wsum = bySrc.values.map(g => math.pow(g.size.toDouble, 0.5)).sum
+    def wq(n: Int): Long = math.floor(math.pow(n.toDouble, 0.5) * 1000000.0 + 0.5).toLong
+    val wqSum = bySrc.values.map(g => wq(g.size)).sum
+    val k = math.floor(0.4 * total + 0.5).toLong
     val expected = bySrc.flatMap { case (src, g) =>
       val t = math.min(g.size.toLong,
-        math.floor(0.4 * total * math.pow(g.size.toDouble, 0.5) / wsum + 0.5).toLong)
+        math.floor(k.toDouble * wq(g.size).toDouble / wqSum.toDouble + 0.5).toLong)
       g.map { case (id, _) => (md5hex(id + ":s0"), id) }.sorted.take(t.toInt).map(_._2)
     }.toSet
     val got = graft.operators.Sampling.temperatureSample(rows.toDF("id", "src"),
