@@ -486,12 +486,20 @@ object QueriesCore {
   /** Register temp views, run the SQL, then DROP the views — spark.sql
     * analyzes eagerly, so the result stays valid after the drop. Without
     * the drop, each SQL-surface query leaked per-dir bindings into the
-    * session (the multi-SF wrong-data trap SqlFrontEnd.run documents). */
+    * session (the multi-SF wrong-data trap SqlFrontEnd.run documents).
+    * The short register→analyze→drop window is serialized per view name:
+    * two CONCURRENT invocations of the same query would otherwise race
+    * one thread's drop against the other's analysis (execution itself is
+    * lazy and happens safely after the drop). */
+  private val viewLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withViews(s: SparkSession, views: (String, DataFrame)*)(sql: String): DataFrame =
-    try {
-      views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      s.sql(sql)
-    } finally views.foreach { case (n, _) => s.catalog.dropTempView(n) }
+    viewLocks.computeIfAbsent(views.head._1, _ => new Object).synchronized {
+      try {
+        views.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        s.sql(sql)
+      } finally views.foreach { case (n, _) => s.catalog.dropTempView(n) }
+    }
 
   val aggGroupingSets: Q = (s, dir) =>
     withViews(s, "orders_gs" -> Tables.orders(s, dir))(

@@ -19,7 +19,9 @@ class ConcurrencySpec extends SparkTestBase {
     // identical metric names must not cross-talk — pinned here)
     val names = Seq("q1_pricing", "join_inner", "win_rank", "dedup_exact",
       "sample_mixture", "agg_percentile_disc", "fn_url", "agg_multi_distinct",
-      "dedup_semantic")
+      "dedup_semantic",
+      // SQL-surface queries (scoped temp views) and round-8 additions
+      "sub_scalar", "join_existence", "search_bm25", "dq_audit")
     def run(name: String): Map[String, String] =
       SparkEntry.queries(name)(spark, sf).collect()
         .map(_.toString).groupBy(identity).map { case (k, v) => k -> v.length.toString }
@@ -29,6 +31,16 @@ class ConcurrencySpec extends SparkTestBase {
     names.foreach { n =>
       assert(concurrent(n) == sequential(n), s"$n diverged under concurrency")
     }
+  }
+
+  test("the SAME SQL-surface query run concurrently with itself stays correct") {
+    // withViews serializes the register->analyze->drop window per view
+    // name; without it one thread's drop races another's analysis
+    val expected = SparkEntry.queries("sub_scalar")(spark, sf).count()
+    val counts = Await.result(Future.sequence(
+      (1 to 4).map(_ => Future(SparkEntry.queries("sub_scalar")(spark, sf).count()))),
+      5.minutes)
+    assert(counts.forall(_ == expected), counts.toString)
   }
 
   test("the streaming harness's config override never bleeds across threads") {
