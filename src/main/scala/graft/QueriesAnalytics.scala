@@ -445,11 +445,12 @@ object QueriesAnalytics {
 
   val graphPagerankSql: String = {
     val rounds = (1 to graphPagerankIters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank / deg.outdeg) AS w
+      s"""c$i AS (SELECT e.dst AS node,
+         |    sum(CAST(floor(r${i - 1}.rank * 100000000 / deg.outdeg + 0.5) AS BIGINT)) AS wq
          |  FROM r${i - 1} JOIN e ON e.src = r${i - 1}.node JOIN deg ON deg.src = e.src
          |  GROUP BY e.dst),
          |r$i AS (SELECT no.node,
-         |    floor(((1.0 - 0.85) / nn.n + 0.85 * coalesce(c$i.w, 0.0)) * 100000000 + 0.5) / 100000000 AS rank
+         |    floor(((1.0 - 0.85) / nn.n + 0.85 * (coalesce(c$i.wq, 0) / 100000000.0)) * 100000000 + 0.5) / 100000000 AS rank
          |  FROM nodes no CROSS JOIN nn LEFT JOIN c$i ON c$i.node = no.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),

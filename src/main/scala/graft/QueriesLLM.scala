@@ -133,16 +133,22 @@ object QueriesLLM {
       |    END AS url
       |  FROM orders),
       |canon0 AS (
-      |  SELECT o_custkey, regexp_replace(replace(regexp_replace(
+      |  SELECT o_custkey, regexp_replace(
       |    lower(regexp_extract(url, '^([^/]+://[^/]+)', 1)) || regexp_replace(url, '^[^/]+://[^/]+', ''),
-      |    ':443/', '/', 'g'), '?', '&'), '&utm_[a-z]+=[^&]*', '', 'g') AS p
+      |    ':443/', '/', 'g') AS p
       |  FROM noisy),
+      |canon1 AS (
+      |  SELECT o_custkey, strpos(p, '?') AS qpos,
+      |    CASE WHEN strpos(p, '?') > 0 THEN substr(p, 1, strpos(p, '?') - 1) ELSE p END AS path,
+      |    regexp_replace(regexp_replace(
+      |      '&' || CASE WHEN strpos(p, '?') > 0 THEN substr(p, strpos(p, '?') + 1) ELSE '' END,
+      |      '&utm_[a-z]+=[^&]*', '', 'g'), '^&', '') AS q
+      |  FROM canon0),
       |canon AS (
       |  SELECT o_custkey, regexp_replace(
-      |    CASE WHEN strpos(p, '&') > 0
-      |         THEN split_part(p, '&', 1) || '?' || substr(p, strpos(p, '&') + 1)
-      |         ELSE p END, '/$', '') AS canon_url
-      |  FROM canon0)
+      |    CASE WHEN qpos > 0 AND length(q) > 0 THEN path || '?' || q ELSE path END,
+      |    '/$', '') AS canon_url
+      |  FROM canon1)
       |SELECT canon_url, count(*) AS n_dups, min(o_custkey) AS keep_key
       |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
 

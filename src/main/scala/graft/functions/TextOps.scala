@@ -175,17 +175,20 @@ object TextOps {
       lower(regexp_extract(u, "^([^/]+://[^/]+)", 1)),
       regexp_replace(u, "^[^/]+://[^/]+", ""))
     val noPort = regexp_replace(hostLower, ":443/", "/")
-    // normalize the query-start to '&' so every utm param matches ONE
-    // literal pattern — stripping '[?&]utm_...' directly would turn
-    // '?utm_x=1&id=2' into the malformed (and dedup-splitting) '&id=2'
-    val qAmp = regexp_replace(noPort, "\\?", "&")
-    val noUtm = regexp_replace(qAmp, "&utm_[a-z]+=[^&]*", "")
-    // restore the first surviving separator to '?'
-    val amp = instr(noUtm, "&")
-    val restored = when(amp > 0,
-        concat(substring_index(noUtm, "&", 1), lit("?"),
-          noUtm.substr(amp + 1, length(noUtm))))
-      .otherwise(noUtm)
+    // split at the FIRST '?' only: a literal '&' (or later '?') in the
+    // PATH is legal and must survive untouched — rewriting all '?' to
+    // '&' and restoring the first '&' would turn the query-less
+    // 'a.com/x&y' into 'a.com/x?y', merging it with a distinct URL
+    val qpos = instr(noPort, "?")
+    val path = when(qpos > 0, noPort.substr(lit(1), qpos - 1)).otherwise(noPort)
+    // utm stripping is confined to the query substring; the '&' sentinel
+    // prefix lets one literal pattern match leading and inner params
+    val query = when(qpos > 0, noPort.substr(qpos + 1, length(noPort))).otherwise(lit(""))
+    val qNoUtm = regexp_replace(
+      regexp_replace(concat(lit("&"), query), "&utm_[a-z]+=[^&]*", ""), "^&", "")
+    val restored = when(qpos > 0 && length(qNoUtm) > 0,
+        concat(path, lit("?"), qNoUtm))
+      .otherwise(path)
     regexp_replace(restored, "/$", "")
   }
 }

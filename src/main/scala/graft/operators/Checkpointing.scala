@@ -41,6 +41,34 @@ object Checkpointing {
   // subdir per round
   private val pointedAt = new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** True when `df` is already cheap to evaluate twice — a bare source
+    * scan (possibly under projection/filter/alias) or an
+    * already-checkpointed/cached frame. Operators whose plan reads an
+    * input twice use this to decide whether materializing it buys
+    * anything: for a persisted 100 TB state TABLE, re-scanning parquet
+    * twice is far cheaper than copying the whole state into executor
+    * block storage (ADVICE r8 on incrementalMinhash); only a LIVE
+    * computation (joins/aggregates upstream) is worth checkpointing. */
+  def isCheapRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case p: Project       => ok(p.child)
+      case f: Filter        => ok(f.child)
+      case a: SubqueryAlias => ok(a.child)
+      case leaf: LeafNode   =>
+        // every leaf is a source: file relations (v1 + DSv2), local data,
+        // checkpointed RDD frames (LogicalRDD), cached views
+        leaf.getClass.getSimpleName match {
+          case "LogicalRelation" | "DataSourceV2Relation"
+             | "DataSourceV2ScanRelation" | "LogicalRDD" | "LocalRelation"
+             | "InMemoryRelation" => true
+          case _ => false
+        }
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
+
   /** Cut lineage on `df`, eagerly: reliable checkpoint when [[confKey]]
     * is set, executor-local otherwise. */
   def cut(df: DataFrame): DataFrame = {

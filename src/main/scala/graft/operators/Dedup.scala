@@ -173,10 +173,17 @@ object Dedup {
     val r = numPerm / bands
     val bsigs = minhashSignatures(batch, text, id, numPerm, shingleSize)
       .localCheckpoint(true) // read twice: banding + estimate join
-    // same read-twice shape on the state side (banding + estimate join):
-    // when the caller passes a LIVE computation rather than a persisted
-    // table, recomputing it per subtree would double the state scan
-    val state = stateSigs.localCheckpoint(true)
+    // The state side is ALSO read twice (banding + estimate join), but
+    // only a LIVE computation is worth materializing: for the production
+    // shape — a persisted signature TABLE backing a 100 TB corpus —
+    // eagerly checkpointing would copy the entire state into executor
+    // block storage per batch, an unbounded cost to save one parquet
+    // re-scan (ADVICE r8). A plain scan (or an already-cached/
+    // checkpointed frame) is left as-is; anything with upstream
+    // joins/aggregates gets the cut.
+    val state =
+      if (Checkpointing.isCheapRescan(stateSigs)) stateSigs
+      else stateSigs.localCheckpoint(true)
     val stateBands = {
       val sb = lshBands(state, bands, r)
       val w = org.apache.spark.sql.expressions.Window
@@ -336,8 +343,14 @@ object Dedup {
     val nTiles = ceil(size(col("ts")) / w.cast("double")).cast("int")
     val tileAt = (i: Column) => array_join(slice(col("ts"), i * w + 1, w), " ")
 
+    // nTiles == 0 guard (ADVICE r8): sequence(0, -1) yields a DESCENDING
+    // [0, -1] and tileAt(-1) would slice from the END of the token
+    // array — silently wrong tiles. Unreachable only because split()
+    // never returns an empty array today; the guard (same as shingles())
+    // keeps the invariant out of the tokenizer's hands.
     val tiles = toks.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), nTiles - 1), tileAt)))
+      posexplode(when(nTiles < 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nTiles - 1), tileAt))))
       .toDF("doc_id", "tile_idx", "tile_text")
 
     val winners = tiles

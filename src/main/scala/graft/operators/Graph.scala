@@ -126,11 +126,22 @@ object Graph {
       .withColumn("rank", r8(base))
       .localCheckpoint(true)
     for (i <- 1 to iters) {
+      // Contributions are quantized to the 1e-8 grid BEFORE the sum and
+      // summed as LONGs (ADVICE r8): long addition is associative and
+      // commutative, so the per-node total is bit-identical under ANY
+      // partition count or merge order — a double sum's accumulation
+      // order differs between Spark partial aggregation and a
+      // single-threaded oracle, and a total landing within an ulp of a
+      // rounding boundary would flip the r8 grid step and cascade
+      // through later rounds. The oracle applies the identical
+      // floor(rank·1e8/outdeg + 0.5) before ITS sum.
       val contrib = ranks.join(ed, ranks("node") === ed("src"))
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("w"))
-        .groupBy("node").agg(sum(col("w")).as("w"))
+        .select(col("dst").as("node"),
+          floor(col("rank") * lit(100000000L) / col("outdeg") + lit(0.5)).cast("long").as("wq"))
+        .groupBy("node").agg(sum(col("wq")).as("wq"))
       ranks = contrib
-        .select(col("node"), r8(base + lit(damping) * col("w")).as("rank"))
+        .select(col("node"),
+          r8(base + lit(damping) * (col("wq").cast("double") / lit(100000000.0))).as("rank"))
         .unionAll(noRecv)
       // Unlike the while-driven BFS/CC loops, a FIXED small round count
       // needs no per-round action at all: left lazy, the rounds compose

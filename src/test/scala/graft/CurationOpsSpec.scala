@@ -44,6 +44,24 @@ class CurationOpsSpec extends SparkTestBase {
     assert(canon.toSeq == Seq("https://a.com/p?id=1"))
   }
 
+  test("canonicalizeUrl leaves a literal path '&' (no query) untouched — ADVICE r8") {
+    // 'a.com/x&y' (path ampersand, legal in real crawls) and 'a.com/x?y'
+    // (a genuine query) are DISTINCT documents and must not merge
+    val df = Seq(
+      "https://a.com/x&y",
+      "https://a.com/x?y",
+      "https://a.com/a?b&c",          // query with inner '&': both params kept
+      "https://a.com/p&q?utm_source=x" // path '&' plus an all-utm query
+    ).toDF("url")
+    val canon = df.select(TextOps.canonicalizeUrl($"url").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(canon == Seq(
+      "https://a.com/x&y",
+      "https://a.com/x?y",
+      "https://a.com/a?b&c",
+      "https://a.com/p&q"))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "txt")
     val corpus = Seq(

@@ -376,18 +376,23 @@ class PropertySpec extends SparkTestBase {
       var ranks = nodes.map(_ -> r8d(1.0 / n)).toMap
       val base = (1.0 - 0.85) / n
       for (_ <- 1 to 6) {
+        // contributions quantized to the 1e-8 grid BEFORE the sum and
+        // summed as longs — the operator's exact arithmetic (ADVICE r8),
+        // so the reference is bit-identical, not merely within an ulp
         val contrib = edges.groupBy(_._2).view.mapValues(
-          _.map { case (u, _) => ranks(u) / out(u) }.sum).toMap
-        ranks = nodes.map(v => v -> r8d(base + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+          _.map { case (u, _) => math.floor(ranks(u) * 1e8 / out(u) + 0.5).toLong }.sum).toMap
+        ranks = nodes.map(v =>
+          v -> r8d(base + 0.85 * (contrib.getOrElse(v, 0L).toDouble / 1e8))).toMap
       }
       val got = graft.operators.Graph.pagerank(edges.toDF("src", "dst"), iters = 6)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet == ranks.keySet, s"seed=$seed")
-      // float-association order differs between the reference's Seq.sum
-      // and Spark's partial aggregation, so a rounding boundary could
-      // flip one 1e-8 step; anything larger is a real bug
+      // integer contribution sums are associative+commutative, so the
+      // result is EXACT under any partition count or merge order — no
+      // grid-step tolerance needed (that was the flakiness the
+      // quantization removed)
       for (v <- nodes)
-        assert(math.abs(got(v) - ranks(v)) <= 1.001e-8, s"seed=$seed node=$v")
+        assert(got(v) == ranks(v), s"seed=$seed node=$v got=${got(v)} want=${ranks(v)}")
     }
   }
 
