@@ -231,24 +231,24 @@ object QueriesLLM {
       |) sub WHERE cosine >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** sim_pairs_lsh: embedding-cosine near-dup pairs via banded SRP LSH —
-    * the scale path replacing brute-force sim_pairs_threshold (no O(n²)
-    * stage; exact rescore of bucket-colliding candidates only).
-    * Rows-only (bucketing hash not expressible in DuckDB); precision 1 /
-    * recall vs the brute-force truth asserted in DedupSimilaritySpec.
-    *
-    * τ=0.35 is the LOOSE-threshold demonstrator: at this τ the SRP gap
-    * (p₁=0.61 vs p₂=0.5) is too small for LSH amplification, so the
-    * fixed 16×4 banding admits ~64% of all pairs as candidates and the
-    * cost scales like the exact form's n² (measured in the round-8 ×10
-    * probe — SCALE.md). That is a property of the τ regime, not the
-    * plan; [[simPairsLshAuto]] is the production near-dup regime with
-    * n^ρ-sized parameters. */
-  val simPairsLsh: Q = (s, dir) =>
+  /** sim_pairs_lsh_loose: the LOOSE-threshold (τ=0.35) DEMONSTRATOR —
+    * deliberately NOT the primary name (round-8 verdict ask #1): at this
+    * τ the SRP gap (p₁=0.61 vs p₂=0.5) is too small for LSH
+    * amplification, so the fixed 16×4 banding admits ~64% of all pairs
+    * as candidates and the cost scales like the exact form's n²
+    * (measured in the round-8 ×10 probe — 32× per 10× input, SCALE.md).
+    * That is a property of the τ REGIME, not the plan; it is kept,
+    * suffixed, precisely to document where banded LSH stops working.
+    * [[simPairsLsh]] (the primary name) is the production near-dup
+    * regime with n^ρ-sized parameters; below τ ≈ 0.3 brute force
+    * ([[simPairsThreshold]]) or IVF is the right tool. Rows-only
+    * (bucketing hash not expressible in DuckDB); precision 1 / recall
+    * vs the brute-force truth asserted in DedupSimilaritySpec. */
+  val simPairsLshLoose: Q = (s, dir) =>
     Similarity.pairsLsh(Tables.embeddings(s, dir), 0.35)
       .orderBy("a_id", "b_id")
 
-  /** sim_pairs_lsh_auto: the production near-dup regime (τ=0.8) with
+  /** sim_pairs_lsh: the production near-dup regime (τ=0.8) with
     * parameters auto-sized from the corpus count by the classic n^ρ rule
     * ([[Similarity.autoLshParams]]): band width grows with ⌈log₂ n⌉ so
     * RANDOM collisions stay ~linear in n, band count with n^ρ (ρ≈0.33
@@ -266,8 +266,11 @@ object QueriesLLM {
     * (1 − p₁^r)^b ≈ 10⁻⁴³ at the fixture similarity, so LSH output =
     * exact output deterministically, and DuckDB recomputes the exact
     * form over the same planted corpus. Precision-1/recall and the
-    * sizing rule are additionally asserted in DedupSimilaritySpec. */
-  val simPairsLshAuto: Q = (s, dir) => {
+    * sizing rule are additionally asserted in DedupSimilaritySpec.
+    * PRIMARY name since round 9 (was `sim_pairs_lsh_auto`): the default
+    * a user reaches for must be the configuration that survives scale;
+    * the fixed-band loose-τ form lives on as [[simPairsLshLoose]]. */
+  val simPairsLsh: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
       transform(col("embedding"), x => x + lit(0.015625f)).as("embedding"))
@@ -277,7 +280,7 @@ object QueriesLLM {
       .orderBy("a_id", "b_id")
   }
 
-  val simPairsLshAutoSql =
+  val simPairsLshSql =
     """WITH u AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
@@ -304,19 +307,14 @@ object QueriesLLM {
     Components.semanticDedup(pairs).orderBy("vec_id")
   }
 
-  /** dedup_semantic_lsh: the 100 TB wiring of semantic dedup — banded SRP
-    * LSH candidate pairs (no O(n²) stage anywhere in the plan) feed
-    * connected components. Clustering runs STAR CONTRACTION
-    * ([[graft.operators.Components.connectedComponentsStars]]) rather than
-    * label propagation: identical output contract (node → min reachable
-    * id, equality asserted on this very pair graph in ComponentsSpec) but
-    * the edge frame shrinks per round and convergence tracks O(log n)
-    * contraction, not graph diameter — measured 5 rounds vs propagation's
-    * 8 on the fixture graph, and the round gap widens on deep components.
-    * Rows-only (the SRP hash family is not expressible in DuckDB); cluster
-    * agreement vs the exact-pair form is asserted in ComponentsSpec
-    * (recall-driven differences measured, not hidden). */
-  val dedupSemanticLsh: Q = (s, dir) => {
+  /** dedup_semantic_lsh_loose: the τ=0.35 DEMONSTRATOR of LSH-fed
+    * semantic dedup — suffixed, not primary (round-8 verdict ask #1),
+    * because its pair generator rides the loose-τ regime where banded
+    * SRP degrades toward all-pairs (22× per 10× input at the ×10 probe,
+    * SCALE.md). Kept to document the τ floor; [[dedupSemanticLsh]] is
+    * the production-regime primary. Rows-only (SRP hash family); cluster
+    * agreement vs the exact-pair form asserted in ComponentsSpec. */
+  val dedupSemanticLshLoose: Q = (s, dir) => {
     import graft.operators.Components
     val pairs = Similarity.pairsLsh(Tables.embeddings(s, dir), 0.35)
       .select("a_id", "b_id")
@@ -329,6 +327,56 @@ object QueriesLLM {
       .select(col("node").as("vec_id"), col("cluster_id"))
       .orderBy("vec_id")
   }
+
+  /** dedup_semantic_lsh: the 100 TB wiring of semantic dedup — banded
+    * SRP LSH candidate pairs (no O(n²) stage anywhere in the plan) feed
+    * tiered connected components ([[graft.operators.Components]]).
+    * PRIMARY name runs the PRODUCTION regime (round-8 verdict ask #1):
+    * near-dup threshold τ=0.8 with [[Similarity.autoLshParams]] n^ρ
+    * sizing — band width ⌈log₂ n⌉ keeps random collisions linear in n,
+    * band count n^ρ holds recall. The fixture has no natural pairs
+    * above cos ≈ 0.48, so the near-dup corpus is built IN-QUERY exactly
+    * as [[simPairsLsh]]: a deterministic twin per vector (id + 10⁶,
+    * components + 2⁻⁶ — exact in binary on both engines). ORACLE-GATED:
+    * worst-case-τ sizing puts the per-pair miss probability ≈ 10⁻⁴³,
+    * so the LSH pair set ≡ the exact pair set deterministically, and
+    * DuckDB recomputes exact pairs + a WITH RECURSIVE transitive
+    * closure over them. */
+  val dedupSemanticLsh: Q = (s, dir) => {
+    import graft.operators.Components
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.015625f)).as("embedding"))
+    val u = emb.unionAll(twins)
+    val p = Similarity.autoLshParams(2L * emb.count(), tau = 0.8)
+    val pairs = Similarity.pairsLsh(u, 0.8, p.bands, p.bitsPerBand)
+      .select("a_id", "b_id")
+    Components.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticLshSql =
+    """WITH RECURSIVE u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(embedding, x -> CAST(x + 0.015625 AS FLOAT)) AS embedding
+      |  FROM embeddings),
+      |p AS (SELECT * FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, floor((
+      |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+      |  ) sub WHERE cosine >= 0.8),
+      |e AS (SELECT a_id AS s, b_id AS d FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |r(n, m) AS (
+      |  SELECT s, s FROM e
+      |  UNION
+      |  SELECT r.n, e.d FROM r JOIN e ON r.m = e.s
+      |)
+      |SELECT n AS vec_id, min(m) AS cluster_id FROM r GROUP BY n ORDER BY vec_id""".stripMargin
 
   val dedupSemanticSql =
     """WITH RECURSIVE p AS (
@@ -382,28 +430,76 @@ object QueriesLLM {
     Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") === 0), 11, centroids)
   }
 
-  /** sim_knn_graph: top-5 neighbors of EVERY vector via LSH buckets —
-    * the grouped ANN (kNN-graph) shape; rows-only (SRP family), recall
-    * vs the brute-force graph asserted in DedupSimilaritySpec. */
-  val simKnnGraph: Q = (s, dir) =>
+  /** sim_knn_graph_banded: the banded-SRP kNN-graph DEMONSTRATOR —
+    * suffixed, not primary (round-8 verdict ask #1): this corpus'
+    * top-k neighbors sit at cos ≈ 0.3–0.5, below LSH's amplification
+    * regime, so banded candidates degrade toward all pairs at scale
+    * (33× per 10× input at the ×10 probe, SCALE.md). Kept to document
+    * the regime boundary; [[simKnnGraph]] (IVF cells) is the primary.
+    * Rows-only (SRP family), recall vs the brute-force graph asserted
+    * in DedupSimilaritySpec. */
+  val simKnnGraphBanded: Q = (s, dir) =>
     Similarity.knnGraph(Tables.embeddings(s, dir), 5)
       .orderBy("src", "rk")
 
-  /** sim_knn_graph_ivf: kNN-graph construction via IVF cells — the
-    * LINEAR-work scale path ([[Similarity.knnGraphIvf]]): this corpus'
-    * top-k neighbors sit at cos ≈ 0.3–0.5, below LSH's amplification
-    * regime, so the banded form's candidates degrade toward all pairs
-    * at scale (measured, SCALE.md round 8); IVF cells cap candidate
-    * mass at n × targetCellSize instead. nCentroids is auto-sized to
-    * ~n/128. Rows-only (centroid geometry not expressible in DuckDB);
+  /** sim_knn_graph: kNN-graph construction via IVF cells — the
+    * LINEAR-work scale path ([[Similarity.knnGraphIvf]]), and the
+    * PRIMARY name since round 9: a user asking for "the kNN graph"
+    * gets the plan that survives 100 TB (2.4× per 10× input at the
+    * probe), not the banded form whose candidates degrade toward
+    * all-pairs on this corpus geometry (33×; see
+    * [[simKnnGraphBanded]]). IVF cells cap candidate mass at
+    * n × targetCellSize; nCentroids is auto-sized to ~n/128.
+    * Rows-only (centroid geometry not expressible in DuckDB);
     * recall vs the exact graph + exactness of emitted scores asserted
-    * in DedupSimilaritySpec. */
-  val simKnnGraphIvf: Q = (s, dir) => {
+    * in DedupSimilaritySpec; [[simKnnGraphIvfTwins]] is the
+    * oracle-gated sibling on the planted-twin corpus. */
+  val simKnnGraph: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val nCells = math.max(8L, emb.count() / 128L).toInt
     Similarity.knnGraphIvf(emb, 5, nCells)
       .orderBy("src", "rk")
   }
+
+  /** sim_knn_graph_ivf_twins: ORACLE-GATED IVF kNN graph (round-8
+    * verdict ask #5) — the planted-corpus trick of [[simPairsLsh]]
+    * applied to IVF: every vector gets an IDENTICAL twin (id + 10⁶,
+    * same floats). An identical vector produces a bit-identical
+    * centroid argmax, so each (v, twin) pair co-locates in one IVF cell
+    * BY CONSTRUCTION — no near-boundary probability argument — and
+    * v's exact top-1 neighbor (cosine 1.0; any natural exact duplicate
+    * also co-locates for the same reason) is always in-cell. Hence
+    * IVF top-1 ≡ exact top-1 deterministically, and DuckDB recomputes
+    * the brute-force ranking over the same doubled corpus. Gates the
+    * whole IVF pipeline end-to-end: k-means centroid determinism,
+    * zero-shuffle assignment, in-cell candidate join, rescore grid,
+    * window tie-breaks. */
+  val simKnnGraphIvfTwins: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      col("embedding"))
+    val u = emb.unionAll(twins)
+    val nCells = math.max(8L, emb.count() / 64L).toInt
+    Similarity.knnGraphIvf(u, 1, nCells)
+      .orderBy("src", "rk")
+  }
+
+  val simKnnGraphIvfTwinsSql =
+    """WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst, floor((
+      |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |  FROM u a JOIN u b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst, cosine,
+      |  row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      |  FROM p)
+      |SELECT src, dst, cosine, rk FROM r WHERE rk <= 1
+      |ORDER BY src, rk""".stripMargin
 
   /** sim_knn_exact: the brute-force kNN graph the LSH form is
     * recall-tested against, as its own oracle-gated query (round-7
@@ -1279,9 +1375,10 @@ object QueriesLLM {
     "sim_topk_cosine" -> simTopkCosine,
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_pairs_lsh" -> simPairsLsh,
-    "sim_pairs_lsh_auto" -> simPairsLshAuto,
+    "sim_pairs_lsh_loose" -> simPairsLshLoose,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_lsh" -> dedupSemanticLsh,
+    "dedup_semantic_lsh_loose" -> dedupSemanticLshLoose,
     "sketch_source_sim" -> sketchSourceSim,
     "sketch_hll_union" -> sketchHllUnion,
     "sim_ann_lsh" -> simAnnLsh,
@@ -1289,7 +1386,8 @@ object QueriesLLM {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_knn_graph" -> simKnnGraph,
-    "sim_knn_graph_ivf" -> simKnnGraphIvf,
+    "sim_knn_graph_banded" -> simKnnGraphBanded,
+    "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwins,
     "sim_knn_exact" -> simKnnExact,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
@@ -1331,9 +1429,11 @@ object QueriesLLM {
     "dedup_jaccard" -> dedupJaccardSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
+    "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,
     "sim_pairs_threshold" -> simPairsThresholdSql,
-    "sim_pairs_lsh_auto" -> simPairsLshAutoSql,
+    "sim_pairs_lsh" -> simPairsLshSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_lsh" -> dedupSemanticLshSql,
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,

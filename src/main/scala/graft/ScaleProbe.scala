@@ -31,11 +31,13 @@ object ScaleProbe {
     "dedup_jaccard", "text_langid", "pack_chunks", "bpe_encode",
     "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
     "dq_audit",
-    // embeddings (4× span): similarity families. sim_pairs_lsh (loose
-    // τ=0.35, fixed 16×4 bands) is the declared n²-candidate regime;
-    // sim_pairs_lsh_auto (τ=0.8, n^ρ auto-sizing) is the scale path.
-    "sim_topk_cosine", "sim_pairs_lsh", "sim_pairs_lsh_auto",
-    "sim_knn_graph", "sim_knn_graph_ivf", "dedup_semantic_lsh")
+    // embeddings (4× span): similarity families. The *_loose suffixed
+    // rows (τ=0.35, fixed 16×4 bands) are the declared n²-candidate
+    // regime demonstrators; since round 9 the PRIMARY names bind the
+    // scale paths (n^ρ auto-sizing / IVF cells).
+    "sim_topk_cosine", "sim_pairs_lsh_loose", "sim_pairs_lsh",
+    "sim_knn_graph_banded", "sim_knn_graph", "dedup_semantic_lsh",
+    "dedup_semantic_lsh_loose")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -230,16 +230,16 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(mp.words == (mp.bands + mp.bandsPerWord - 1) / mp.bandsPerWord)
   }
 
-  test("sim_pairs_lsh_auto == exact pairs on the planted near-dup corpus (multi-word sketches)") {
+  test("sim_pairs_lsh (auto-sized primary) == exact pairs on the planted near-dup corpus (multi-word sketches)") {
     // the registered query plants a deterministic twin per vector; at the
     // auto-sized worst-case-tau banding the per-pair miss probability is
     // ~1e-43, so LSH output must EQUAL the exact form — the property that
-    // lets the row be oracle-gated (QueriesLLM.simPairsLshAuto doc)
+    // lets the row be oracle-gated (QueriesLLM.simPairsLsh doc)
     val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
     val twins = emb.select(($"vec_id" + 1000000L).as("vec_id"),
       transform($"embedding", x => x + lit(0.015625f)).as("embedding"))
     val u = emb.unionAll(twins)
-    val lsh = QueriesLLM.all("sim_pairs_lsh_auto")(spark, sf)
+    val lsh = QueriesLLM.all("sim_pairs_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val exact = Similarity.pairsAboveThreshold(u, 0.8)
       .orderBy("a_id", "b_id")
@@ -250,7 +250,7 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(exact.size == emb.count(),
       s"expected one pair per vector, got ${exact.size}")
     // determinism across runs
-    val again = QueriesLLM.all("sim_pairs_lsh_auto")(spark, sf)
+    val again = QueriesLLM.all("sim_pairs_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(again == lsh)
   }
