@@ -972,6 +972,39 @@ object QueriesLLM {
       |SELECT r.event_id, r.event_type FROM ranked r JOIN tgt USING (event_type)
       |WHERE r.rn <= tgt.t ORDER BY r.event_id""".stripMargin
 
+  /** sample_temperature_fast: the zero-shuffle threshold variant of
+    * sample_temperature ([[Sampling.temperatureSampleFast]]; round-8
+    * verdict ask #2) — same integer-quantized α-balanced targets, but
+    * selection by per-source 48-bit md5-prefix threshold: the fact
+    * table is never shuffled (no rank window), so the plan survives
+    * 100 TB where the exact form's per-source sort is the measured
+    * scale-killer. Oracle recomputes targets, thresholds, and the
+    * hex-prefix comparison exactly. */
+  val sampleTemperatureFast: Q = (s, dir) =>
+    Sampling.temperatureSampleFast(Tables.events(s, dir).select("event_id", "event_type"),
+        col("event_id"), col("event_type"), alpha = 0.5, keepRatio = 0.2)
+      .orderBy("event_id")
+
+  val sampleTemperatureFastSql =
+    """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(floor(0.2 * CAST(sum(n) AS BIGINT) + 0.5) AS BIGINT) AS k,
+      |    CAST(sum(CAST(floor(pow(n, 0.5) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS wq_sum
+      |  FROM cnt),
+      |tgt AS (SELECT c.event_type, c.n,
+      |    least(c.n, CAST(floor(CAST(t.k AS DOUBLE)
+      |      * CAST(CAST(floor(pow(c.n, 0.5) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+      |      / CAST(t.wq_sum AS DOUBLE) + 0.5) AS BIGINT)) AS t
+      |  FROM cnt c CROSS JOIN tot t),
+      |thr AS (SELECT event_type,
+      |    CAST(floor(281474976710656.0
+      |      * CAST(floor(1000000000.0 * CAST(t AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS DOUBLE)
+      |      / 1000000000.0) AS BIGINT) AS thr
+      |  FROM tgt)
+      |SELECT e.event_id, e.event_type
+      |FROM events e JOIN thr USING (event_type)
+      |WHERE CAST('0x' || substr(md5(e.event_id || ':s0'), 1, 12) AS BIGINT) < thr.thr
+      |ORDER BY e.event_id""".stripMargin
+
   val sampleHashSql =
     """SELECT doc_id, lang FROM documents
       |WHERE md5(doc_id || ':s0') < '19999999999999999999999999999999'
@@ -1406,6 +1439,7 @@ object QueriesLLM {
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
+    "sample_temperature_fast" -> sampleTemperatureFast,
     "split_assign" -> splitAssign,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
@@ -1451,6 +1485,7 @@ object QueriesLLM {
     "sample_hash" -> sampleHashSql,
     "sample_mixture" -> sampleMixtureSql,
     "sample_temperature" -> sampleTemperatureSql,
+    "sample_temperature_fast" -> sampleTemperatureFastSql,
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,

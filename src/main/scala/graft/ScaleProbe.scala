@@ -30,7 +30,7 @@ object ScaleProbe {
     "dedup_exact", "dedup_minhash", "dedup_incremental_minhash",
     "dedup_jaccard", "text_langid", "pack_chunks", "bpe_encode",
     "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
-    "dq_audit",
+    "sample_temperature_fast", "dq_audit",
     // embeddings (4× span): similarity families. The *_loose suffixed
     // rows (τ=0.35, fixed 16×4 bands) are the declared n²-candidate
     // regime demonstrators; since round 9 the PRIMARY names bind the

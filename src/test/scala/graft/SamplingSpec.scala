@@ -101,4 +101,34 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("temperatureSampleFast: counts near exact targets, deterministic, no rank window") {
+    val df = docs.select(col("doc_id"), col("source"))
+    // exact-form counts ARE the targets (asserted above); the threshold
+    // form must land within binomial noise of them, per source
+    val exact = Sampling.temperatureSample(df, col("doc_id"), col("source"), 0.5, 0.3)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fast = Sampling.temperatureSampleFast(df, col("doc_id"), col("source"), 0.5, 0.3)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, t) <- exact) {
+      val got = fast.getOrElse(src, 0L)
+      val tol = math.max(8.0, 4.0 * math.sqrt(t.toDouble))
+      assert(math.abs(got - t) <= tol, s"source=$src fast=$got target=$t tol=$tol")
+    }
+    // partition-independence (the hash-threshold property)
+    val again = Sampling.temperatureSampleFast(
+        df.repartition(17, (col("doc_id") * 7) % 13),
+        col("doc_id"), col("source"), 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureSampleFast(df, col("doc_id"), col("source"), 0.5, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first && first.nonEmpty)
+    // keepRatio=1 keeps everything (t_s = n_s ⇒ threshold 2^48 > any u)
+    val all = Sampling.temperatureSampleFast(df, col("doc_id"), col("source"), 0.5, 1.0)
+    assert(all.count() == df.count())
+    // the scale claim: no window/sort over the fact side in the plan
+    val plan = Sampling.temperatureSampleFast(df, col("doc_id"), col("source"), 0.5, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "threshold form must not rank the fact table")
+  }
 }
