@@ -195,6 +195,47 @@ object QueriesLLM {
       .orderBy("a_id", "b_id")
   }
 
+  /** dedup_minhash_exact: ORACLE-GATED exact-verify stage of the minhash
+    * pipeline (round-8 verdict ask #5) — banded LSH candidates filtered
+    * by an EXACT digest verify. An identical-text pair has an identical
+    * signature, hence collides in EVERY band, so candidate recall on
+    * the digest-equal family is 1 BY CONSTRUCTION — no probability
+    * argument (the 10⁴ hot-bucket cap sits far above any fixture
+    * family) — and the verified output is exactly the identical-text
+    * pair set, which DuckDB recomputes with a digest self-join. The
+    * fixture has no digest-equal pairs below sf0.1, so an identical-text
+    * twin (doc_id + 10⁶) is planted per doc, the [[simPairsLsh]] trick:
+    * every doc then carries ≥1 true pair and the gate is non-vacuous at
+    * every SF. Gates the candidate plumbing — kernel signatures,
+    * banding, bucket self-join, hot-bucket guard pass-through —
+    * end-to-end; the estimate arithmetic stays property-tested
+    * (rows-only) in `dedup_minhash` itself. */
+  val dedupMinhashExact: Q = (s, dir) => {
+    val docs0 = Tables.documents(s, dir).select("doc_id", "text")
+    val twins = docs0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val docs = docs0.unionAll(twins)
+    val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id")).localCheckpoint(true)
+    val cands = Dedup.candidatesFromSignatures(sigs)
+    val dig = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("__d"))
+    cands
+      .join(dig.select(col("doc_id").as("a_id"), col("__d").as("__da")), "a_id")
+      .join(dig.select(col("doc_id").as("b_id"), col("__d").as("__db")), "b_id")
+      .filter(col("__da") === col("__db"))
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupMinhashExactSql =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM u a JOIN u b
+      |  ON a.doc_id < b.doc_id
+      | AND md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** dedup_simhash: near-dup pairs at Hamming <= 3 over 64-bit SimHash
     * (banded; rows-only — hash family not expressible in DuckDB). */
   val dedupSimhash: Q = (s, dir) =>
@@ -1404,6 +1445,7 @@ object QueriesLLM {
     "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_exact" -> dedupMinhashExact,
     "dedup_simhash" -> dedupSimhash,
     "sim_topk_cosine" -> simTopkCosine,
     "sim_pairs_threshold" -> simPairsThreshold,
@@ -1461,6 +1503,7 @@ object QueriesLLM {
     "dedup_url" -> dedupUrlSql,
     "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash_exact" -> dedupMinhashExactSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,
