@@ -101,17 +101,24 @@ object Graph {
     import graft.functions.Num.r8
     require(iters >= 0)
     val e = edges.select(col("src"), col("dst")).distinct()
-    // localCheckpoint(true), not persist(): both frames are referenced by
-    // every remaining round, so they can't be unpersisted before the
-    // caller's action — checkpoint blocks are reclaimed by the
-    // ContextCleaner when the frames are GC'd. It also cuts the distinct
-    // lineage, so reuse is a block read, not a recompute.
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct() // Dataset.union is UNION ALL — dedup for the node set
-      .localCheckpoint(true)
+    // Setup is TWO eager materializations, not four (round-9: the iters=0
+    // probe showed setup at ~60% of the toy-SF total, dominated by
+    // per-job scheduling floors, and the interleaved A/B read 5.4 s vs
+    // 7.5 s for the four-checkpoint form at sf0.1):
+    //  1. `ed` — the degree-annotated, src-partitioned edge list every
+    //     round joins (localCheckpoint(true): blocks reclaimed by the
+    //     ContextCleaner when the frame is GC'd, unlike persist()).
+    //  2. `nodes` — derived FROM ed's cached blocks (the inner degree
+    //     join preserves every edge row, so ed's endpoint set ≡ e's),
+    //     not from a second scan of the e lineage.
+    // `noRecv` stays LAZY: its identical subplan recurs once per round
+    // in the single DAG and exchange reuse dedups it there.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node")))
+      .distinct() // Dataset.union is UNION ALL — dedup for the node set
+      .localCheckpoint(true)
     val n = nodes.count() // scalar aggregate, never a row collect
     var ranks = nodes.withColumn("rank", r8(lit(1.0) / lit(n.toDouble)))
     val base = lit(1.0 - damping) / lit(n.toDouble)
@@ -122,9 +129,8 @@ object Graph {
     // frame that is EMPTY for symmetrized graphs. base + d·0.0 ≡ base,
     // so this is exactly the left-join-with-coalesce semantics.
     val noRecv = nodes
-      .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+      .join(ed.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
       .withColumn("rank", r8(base))
-      .localCheckpoint(true)
     for (i <- 1 to iters) {
       // Contributions are quantized to the 1e-8 grid BEFORE the sum and
       // summed as LONGs (ADVICE r8): long addition is associative and
