@@ -146,7 +146,7 @@ object Percentiles {
     val g = groupCols.map(col)
     val gn = groupCols
     val widthFor = specs.map { case (c, wd, _) => (c, lit(wd)) }
-    val long = df
+    def mkLong(base: DataFrame): DataFrame = base
       .select(g ++ specs.map { case (c, _, _) => col(c).cast("double").as(c) }: _*)
       .unpivot(g.toArray, specs.map(s => col(s._1)).toArray, "__c", "__v")
       // unpivot already drops null measure values (so NULLs are ignored,
@@ -156,6 +156,7 @@ object Percentiles {
       .withColumn("__bkt", floor(col("__v") / widthFor.tail.foldLeft(
         widthFor.head._2) { case (acc, (c, wd)) => when(col("__c") === c, wd).otherwise(acc) })
         .cast("long"))
+    val long = mkLong(df)
     def pos(p: Double): Column = lit(p) * (col("__n").cast("double") - 1.0)
     // phase 2: histogram + prefix sums over it (tiny window)
     val wBase = Window.partitionBy(g :+ col("__c"): _*).orderBy(col("__bkt").asc)
@@ -174,18 +175,52 @@ object Percentiles {
     }.reduce(_ || _)
     val needed = bases.filter(neededCond)
       .select((gn.map(col) :+ col("__c") :+ col("__bkt") :+ col("__base") :+ col("__n")): _*)
-    // phase 4: sort ONLY the target buckets; equality pick on the rank
+      // tiny by construction (O(groups × quantiles) rows); materialized
+      // once so the refinement branch below reads cached blocks instead
+      // of re-running the whole histogram subtree inside the big plan
+      .localCheckpoint(true)
+    // phase 3.5 (round 9 — the probe read the refinement pass at ~80% of
+    // the query's sf1 cost): collect the target BUCKET IDS (bounded like
+    // the pivot domain, the IVF-centroid collect pattern) and turn them
+    // into RAW-COLUMN range predicates, so the second pass reaches the
+    // parquet reader as pushable value-range filters instead of a full
+    // re-scan. The ±1-bucket pad makes the range form a guaranteed
+    // superset of floor(v/w) membership (the two can disagree by an ulp
+    // at a boundary); the __bkt equi-join below restores exact
+    // membership.
+    val bktsByCol: Map[String, Array[Long]] = needed
+      .select(col("__c"), col("__bkt")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (c, rows) => c -> rows.map(_.getLong(1)) }
+    val rawPrefilter = specs.map { case (c, wd, _) =>
+      bktsByCol.get(c) match {
+        case Some(bkts) => bkts.map(b =>
+          col(c).cast("double") >= lit((b - 1) * wd) &&
+            col(c).cast("double") < lit((b + 2) * wd)).reduce(_ || _)
+        case None => lit(false)
+      }
+    }.reduce(_ || _)
+    // phase 4: refine ONLY the target buckets — and never ship raw rows:
+    // target-bucket rows collapse to their per-VALUE counts first (a
+    // map-side-combined aggregate, so the shuffle moves distinct values,
+    // not rows), then one window over the per-value distribution assigns
+    // cumulative ranks. The rank-r value is the one whose cumulative
+    // span (cum−vc, cum] contains r — identical picks to a row_number
+    // form (ties share a value row), asserted in PercentilesSpec.
     val wLocal = Window.partitionBy((g :+ col("__c")) :+ col("__bkt"): _*)
       .orderBy(col("__v"))
-    val cum = long.join(broadcast(needed), gn ++ Seq("__c", "__bkt"))
-      .withColumn("__cum", col("__base") + row_number().over(wLocal).cast("long"))
+    val cum = mkLong(df.filter(rawPrefilter)).join(broadcast(needed), gn ++ Seq("__c", "__bkt"))
+      .groupBy((g :+ col("__c") :+ col("__bkt") :+ col("__base") :+ col("__n")) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__vc"))
+      .withColumn("__cum", col("__base") + sum(col("__vc")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def atRank(c: String, r: Column): Column =
+      when(col("__c") === c && r > col("__cum") - col("__vc") && r <= col("__cum"),
+        col("__v"))
     val aggs = specs.flatMap { case (c, _, probs) =>
       probs.flatMap { case (name, p) =>
         Seq(
-          min(when(col("__c") === c && col("__cum") === floor(pos(p)) + 1, col("__v")))
-            .as(s"__lo_$name"),
-          min(when(col("__c") === c && col("__cum") === ceil(pos(p)) + 1, col("__v")))
-            .as(s"__hi_$name"))
+          min(atRank(c, floor(pos(p)) + 1)).as(s"__lo_$name"),
+          min(atRank(c, ceil(pos(p)) + 1)).as(s"__hi_$name"))
       }
     } ++ specs.map { case (c, _, _) =>
       max(when(col("__c") === c, col("__n"))).as(s"__n_$c")
