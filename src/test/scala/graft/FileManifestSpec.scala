@@ -183,6 +183,19 @@ class FileManifestSpec extends SparkTestBase {
     assert(BlackholeSink.lastCommitBytes.get() > 0)
   }
 
+  test("dashboard_fileview joins the manifest half to real table reads (exact values)") {
+    // the registered end-to-end dashboard row (round-8 verdict ask #7):
+    // V2 manifest resolves the scope's tables; the normal reader counts
+    // their rows; output is host-path-free and exactly predictable
+    val out = Queries.dashboardFileview(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = Seq(
+      ("documents", 1L, Tables.documents(spark, sf).count()),
+      ("lineitem", 1L, Tables.lineitem(spark, sf).count()),
+      ("orders", 1L, Tables.orders(spark, sf).count()))
+    assert(out.toSeq == expect, s"got ${out.toSeq}")
+  }
+
   test("composes with the FileView retype/scan surface downstream") {
     // the manifest is a plain DataFrame: joins/aggregations Just Work
     val bySuffix = spark.read.format(fmt).load(root)
