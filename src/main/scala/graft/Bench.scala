@@ -144,8 +144,15 @@ object Bench {
       // machine-phase calibration context — consumers must not have to
       // guess either.
       val streamFast = System.getProperty("graft.bench.fast", "0") == "1"
+      // queries_norm: per-row t / calibration_sustained (round-8 verdict
+      // ask #3) — the phase-normalized value two rounds can compare
+      // directly; tools/bench_compare.py consumes it (and re-derives it
+      // for older rounds that lack the field).
+      val norm = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) v else v / calibrationSustained)
+      }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"queries":$full,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"queries":$full,"queries_norm":$norm,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     }
     def fmt(v: Double): String =
