@@ -103,34 +103,36 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
     // Setup is TWO eager materializations, not four (round-9: the iters=0
     // probe showed setup at ~60% of the toy-SF total, dominated by
-    // per-job scheduling floors, and the interleaved A/B read 5.4 s vs
-    // 7.5 s for the four-checkpoint form at sf0.1):
+    // per-job scheduling floors; interleaved A/B read 5.4 s vs 7.5 s at
+    // sf0.1 for the four-checkpoint form):
     //  1. `ed` — the degree-annotated, src-partitioned edge list every
     //     round joins (localCheckpoint(true): blocks reclaimed by the
     //     ContextCleaner when the frame is GC'd, unlike persist()).
     //  2. `nodes` — derived FROM ed's cached blocks (the inner degree
     //     join preserves every edge row, so ed's endpoint set ≡ e's),
-    //     not from a second scan of the e lineage.
-    // `noRecv` stays LAZY: its identical subplan recurs once per round
-    // in the single DAG and exchange reuse dedups it there.
+    //     with the has-inbound flag folded INTO the same endpoint
+    //     aggregate: the old separate noRecv anti-join checkpoint — and
+    //     the tempting lazy alternative, which turned out to re-plan a
+    //     full |E| dst-distinct EVERY round (per-round expression ids
+    //     defeat exchange reuse) — both collapse into a per-round
+    //     NARROW FILTER over these cached blocks.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).localCheckpoint(true)
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node")))
-      .distinct() // Dataset.union is UNION ALL — dedup for the node set
+    val nodes = ed.select(col("src").as("node"), lit(false).as("recv"))
+      .unionAll(ed.select(col("dst").as("node"), lit(true).as("recv")))
+      .groupBy("node").agg(bool_or(col("recv")).as("recv"))
       .localCheckpoint(true)
     val n = nodes.count() // scalar aggregate, never a row collect
-    var ranks = nodes.withColumn("rank", r8(lit(1.0) / lit(n.toDouble)))
+    var ranks = nodes.select(col("node"), r8(lit(1.0) / lit(n.toDouble)).as("rank"))
     val base = lit(1.0 - damping) / lit(n.toDouble)
     // Nodes with NO in-edges never receive contributions — their rank is
-    // the constant base from round 1 on. Computing that set ONCE and
-    // appending it per round replaces a per-round |V|⋈|V| left join
-    // (which re-exchanged the node set every round) with a union of a
-    // frame that is EMPTY for symmetrized graphs. base + d·0.0 ≡ base,
-    // so this is exactly the left-join-with-coalesce semantics.
-    val noRecv = nodes
-      .join(ed.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
-      .withColumn("rank", r8(base))
+    // the constant base from round 1 on. Appending that set per round
+    // replaces a per-round |V|⋈|V| left join with a union of a frame
+    // that is EMPTY for symmetrized graphs (base + d·0.0 ≡ base, so this
+    // is exactly the left-join-with-coalesce semantics) — and since the
+    // flag rides the nodes checkpoint, the set costs one cached-block
+    // filter per round, no exchange, no distinct.
+    val noRecv = nodes.filter(!col("recv")).select(col("node"), r8(base).as("rank"))
     for (i <- 1 to iters) {
       // Contributions are quantized to the 1e-8 grid BEFORE the sum and
       // summed as LONGs (ADVICE r8): long addition is associative and
