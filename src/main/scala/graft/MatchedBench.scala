@@ -149,13 +149,19 @@ object MatchedBench {
       var ranks = nodes.withColumn("rank", r8(lit(1.0) / lit(n.toDouble)))
         .localCheckpoint(true)
       for (_ <- 1 to 6) {
+        // same grid-quantized integer contribution sums as the engine
+        // (round-9 ADVICE fix) — the design delta under test is the
+        // eager-per-round plan vs the lazy DAG, not the arithmetic
         val contrib = ranks.join(ew, ranks("node") === ew("src"))
-          .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("w"))
-          .groupBy("node").agg(sum(col("w")).as("w"))
+          .select(col("dst").as("node"),
+            floor(col("rank") * lit(100000000L) / col("outdeg") + lit(0.5))
+              .cast("long").as("wq"))
+          .groupBy("node").agg(sum(col("wq")).as("wq"))
         ranks = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             r8(lit(1.0 - 0.85) / lit(n.toDouble)
-              + lit(0.85) * coalesce(col("w"), lit(0.0))).as("rank"))
+              + lit(0.85) * (coalesce(col("wq"), lit(0L)).cast("double")
+                / lit(100000000.0))).as("rank"))
           .localCheckpoint(true)
       }
       ranks.orderBy("node")
