@@ -68,6 +68,64 @@ object QueriesLLM {
       .orderBy("doc_id")
   }
 
+  /** dedup_incremental_minhash_exact: ORACLE-GATED sibling of the
+    * incremental near-dup pipeline — the [[dedupMinhashExact]] argument
+    * applied to the batch×state shape. At threshold 1.0 a batch doc is
+    * a dup iff its FULL 64-perm signature equals a state doc's, and
+    * full-signature equality guarantees collision in EVERY band, so
+    * candidate recall on that set is 1 BY CONSTRUCTION — no probability
+    * argument. The corpus is fully SYNTHETIC (keyed off `doc_id` only):
+    * every 3-token shingle of a state doc contains its own id token, so
+    * cross-doc shingle sets are DISJOINT and distinct docs cannot share
+    * a signature. The natural fixture cannot play this role — its
+    * near-dup families sit at J ≈ 0.98 where P(all 64 minhashes agree)
+    * = J⁶⁴ ≈ 0.27, and a batch twin then legitimately matches a
+    * different family member by signature while the digest oracle names
+    * the text-equal one (observed live: twin of doc 369 matched doc 16).
+    * Appended-suffix "novel" perturbations fail the same way (~15% keep
+    * an identical signature because no new shingle beats any
+    * permutation's min). Batch = identical-text twins of doc_id%3==0
+    * (dups; matched_id = that state doc) + disjoint-pattern novels for
+    * doc_id%3==1. DuckDB recomputes the whole contract from digest
+    * equality. */
+  val dedupIncrementalMinhashExact: Q = (s, dir) => {
+    val ids = Tables.documents(s, dir).select("doc_id")
+    def synth(prefix: String): org.apache.spark.sql.Column =
+      concat(lit(prefix + " "), col("doc_id").cast("string"),
+        lit(" alpha "), col("doc_id").cast("string"),
+        lit(" beta "), col("doc_id").cast("string"),
+        lit(" gamma "), col("doc_id").cast("string"))
+    val state = ids.select(col("doc_id"), synth("doc").as("text"))
+    val batch = state.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      .unionAll(ids.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          synth("novel").as("text")))
+    val stateSigs = Dedup.minhashSignatures(state, col("text"), col("doc_id"))
+    Dedup.incrementalMinhash(batch, stateSigs, col("text"), col("doc_id"),
+      threshold = 1.0)
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalMinhashExactSql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |state AS (SELECT doc_id,
+      |    md5('doc ' || doc_id || ' alpha ' || doc_id || ' beta ' || doc_id || ' gamma ' || doc_id) AS d
+      |  FROM ids),
+      |batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, d
+      |  FROM state WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    md5('novel ' || doc_id || ' alpha ' || doc_id || ' beta ' || doc_id || ' gamma ' || doc_id) AS d
+      |  FROM ids WHERE doc_id % 3 = 1),
+      |m AS (SELECT b.doc_id, min(s.doc_id) AS matched_id
+      |  FROM batch b JOIN state s ON b.d = s.d GROUP BY b.doc_id)
+      |SELECT b.doc_id, m.matched_id IS NOT NULL AS is_dup, m.matched_id,
+      |  CASE WHEN m.matched_id IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE NULL END AS est_jaccard
+      |FROM batch b LEFT JOIN m USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val dedupIncrementalSql =
     """WITH state AS (
       |  SELECT DISTINCT md5(lower(trim(text))) AS text_hash
@@ -1441,6 +1499,7 @@ object QueriesLLM {
     "search_bm25_batch" -> searchBm25Batch,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_minhash" -> dedupIncrementalMinhash,
+    "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExact,
     "dedup_url" -> dedupUrl,
     "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,
@@ -1504,6 +1563,7 @@ object QueriesLLM {
     "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,
+    "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExactSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,
