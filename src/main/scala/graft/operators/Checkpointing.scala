@@ -51,8 +51,18 @@ object Checkpointing {
     * computation (joins/aggregates upstream) is worth checkpointing. */
   def isCheapRescan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
     def ok(p: LogicalPlan): Boolean = p match {
-      case p: Project       => ok(p.child)
+      case p: Project       =>
+        // only COLUMN-SHUFFLING projections are cheap to re-run; a
+        // projection computing real work (e.g. a 64-perm minhash kernel)
+        // would pay that work once per scan — checkpoint those
+        p.projectList.forall {
+          case _: AttributeReference => true
+          case a: Alias => a.child.isInstanceOf[AttributeReference] ||
+            a.child.isInstanceOf[Literal]
+          case _ => false
+        } && ok(p.child)
       case f: Filter        => ok(f.child)
       case a: SubqueryAlias => ok(a.child)
       case leaf: LeafNode   =>

@@ -257,4 +257,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("sample_temperature_fast: no window/sort; fact side never shuffled") {
+    val p = plan("sample_temperature_fast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), "the threshold form must not rank the fact table\n" + p)
+    // the only exchanges belong to the tiny target/threshold subtree
+    // (per-source counts) and the broadcast itself — the events scan
+    // feeds the join directly
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("isCheapRescan: scans and column-shuffles yes; computed projections and aggregates no") {
+    import graft.operators.Checkpointing.isCheapRescan
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    assert(isCheapRescan(docs))
+    assert(isCheapRescan(docs.select("doc_id", "text")))
+    assert(isCheapRescan(docs.filter(col("doc_id") > 10).select(col("text").as("t"))))
+    // a projection that COMPUTES (the incrementalMinhash live-state case,
+    // ADVICE r8) must not count as cheap — re-scanning would re-run the work
+    assert(!isCheapRescan(docs.select(md5(col("text")).as("d"))))
+    assert(!isCheapRescan(
+      graft.operators.Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+    assert(!isCheapRescan(docs.groupBy("source").count()))
+    // already-materialized frames are cheap again
+    assert(isCheapRescan(docs.groupBy("source").count().localCheckpoint(true)))
+  }
 }
