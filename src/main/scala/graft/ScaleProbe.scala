@@ -47,11 +47,15 @@ object ScaleProbe {
     val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1") ++
       (if (new java.io.File(synth).isDirectory) Seq(synth) else Nil)
-    val spark = Engine.configure(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
-      cpus.toInt
-    ).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def freshSession(): org.apache.spark.sql.SparkSession = {
+      val s = Engine.configure(
+        SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
+        cpus.toInt
+      ).getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = freshSession()
     val names = if (args.nonEmpty) args.toSeq
       else headline.filter(SparkEntry.queries.contains)
     def isolate(): Unit = { spark.catalog.clearCache(); System.gc() }
@@ -70,6 +74,17 @@ object ScaleProbe {
           ts(1) // median
         } catch { case e: Throwable =>
           System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+          // An executor OOM in local mode kills the shared context; left
+          // as-is it poisons EVERY later row with bogus -1s (observed
+          // round 9: one 48 GiB-hungry demonstrator cell zeroed the
+          // three queries after it). Recreate the session so one row's
+          // death stays one row's death.
+          if (spark.sparkContext.isStopped) {
+            System.err.println(s"[scale] context died — recreating session")
+            SparkSession.clearActiveSession()
+            SparkSession.clearDefaultSession()
+            spark = freshSession()
+          }
           -1.0
         }
       }
