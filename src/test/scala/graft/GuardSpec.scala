@@ -57,14 +57,17 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       "MatchedBench.scala" -> 2, // bench-only: baseline/engine row compare
       "QueriesStreaming.scala" -> 2 // harness fixtures feeding MemoryStream
     )
-    val found: Map[String, Int] = Files.walk(mainRoot).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala") && !p.toString.contains("/tools/"))
-      .flatMap { p: Path =>
-        val rel = mainRoot.relativize(p).toString
-        val n = Files.readString(p).sliding(".collect()".length)
-          .count(_ == ".collect()")
-        if (n > 0) Some(rel -> n) else None
-      }.toMap
+    val walk = Files.walk(mainRoot)
+    val found: Map[String, Int] =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala") && !p.toString.contains("/tools/"))
+        .flatMap { p: Path =>
+          val rel = mainRoot.relativize(p).toString
+          val n = Files.readString(p).sliding(".collect()".length)
+            .count(_ == ".collect()")
+          if (n > 0) Some(rel -> n) else None
+        }.toMap
+      finally walk.close()
     assert(found == allowed,
       s"collect() inventory drifted.\n  found:   $found\n  allowed: $allowed\n" +
         "New driver collects need a boundedness argument here AND in SURVEY.md.")
