@@ -548,14 +548,21 @@ object QueriesLLM {
     * probe), not the banded form whose candidates degrade toward
     * all-pairs on this corpus geometry (33×; see
     * [[simKnnGraphBanded]]). IVF cells cap candidate mass at
-    * n × targetCellSize; nCentroids is auto-sized to ~n/128.
+    * n × targetCellSize; nCentroids is auto-sized to ~√n — the flat
+    * coarse quantizer's balance point: assignment costs n·cells·d and
+    * candidate mass n·(n/cells)·d, so cells = √n puts BOTH at n^1.5·d
+    * where the round-9 ×100 probe showed the old n/128 rule letting
+    * the assignment term grow quadratically (29.6 s vs 17.4 s at
+    * n = 200 k, measured). Past ~10⁷ rows the declared answer is a
+    * trained/hierarchical quantizer, not a flat argmax.
     * Rows-only (centroid geometry not expressible in DuckDB);
     * recall vs the exact graph + exactness of emitted scores asserted
     * in DedupSimilaritySpec; [[simKnnGraphIvfTwins]] is the
     * oracle-gated sibling on the planted-twin corpus. */
   val simKnnGraph: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val nCells = math.max(8L, emb.count() / 128L).toInt
+    val nCells = math.max(8L,
+      math.ceil(math.sqrt(emb.count().toDouble)).toLong).toInt
     Similarity.knnGraphIvf(emb, 5, nCells)
       .orderBy("src", "rk")
   }
