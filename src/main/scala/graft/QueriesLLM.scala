@@ -1301,6 +1301,53 @@ object QueriesLLM {
       .orderBy("is_kept")
   }
 
+  /** pipeline_near_dedup_exact: the near-dedup PIPELINE gated end to end
+    * (signatures → banding → candidates → signature-verify → connected
+    * components → per-doc representative) — the [[dedupMinhashExact]]
+    * construction lifted to the whole composition. Threshold 1.0 makes
+    * cluster membership ≡ full-signature equality (an equivalence
+    * relation, so CC's transitive closure adds nothing new), and the
+    * disjoint-shingle synthetic corpus (every 3-shingle carries the
+    * doc's own id; identical-text twins planted for doc_id%2==0) makes
+    * signature equality ≡ digest equality — so DuckDB recomputes every
+    * doc's representative as the min doc_id sharing its digest. */
+  val pipelineNearDedupExact: Q = (s, dir) => {
+    import graft.operators.Components
+    val ids = Tables.documents(s, dir).select("doc_id")
+    def synth: org.apache.spark.sql.Column =
+      concat(lit("doc "), col("doc_id").cast("string"),
+        lit(" alpha "), col("doc_id").cast("string"),
+        lit(" beta "), col("doc_id").cast("string"),
+        lit(" gamma "), col("doc_id").cast("string"))
+    val base = ids.select(col("doc_id"), synth.as("text"))
+    val twins = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val docs = base.unionAll(twins)
+    val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id")).localCheckpoint(true)
+    val pairs = Dedup.verifyFromSignatures(Dedup.candidatesFromSignatures(sigs), sigs)
+      .filter(col("est_jaccard") >= 1.0)
+      .select(col("a_id"), col("b_id"))
+    val clusters = Components.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineNearDedupExactSql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    md5('doc ' || doc_id || ' alpha ' || doc_id || ' beta ' || doc_id || ' gamma ' || doc_id) AS d
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    md5('doc ' || doc_id || ' alpha ' || doc_id || ' beta ' || doc_id || ' gamma ' || doc_id) AS d
+      |  FROM ids WHERE doc_id % 2 = 0)
+      |SELECT a.doc_id, min(b.doc_id) AS rep_id
+      |FROM u a JOIN u b ON a.d = b.d
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------
 
   /** multimodal_doc: nested "document" record — text + typed metadata +
@@ -1554,6 +1601,7 @@ object QueriesLLM {
     "pipeline_curate" -> pipelineCurate,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_near_dedup" -> pipelineNearDedup,
+    "pipeline_near_dedup_exact" -> pipelineNearDedupExact,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
@@ -1571,6 +1619,7 @@ object QueriesLLM {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,
     "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExactSql,
+    "pipeline_near_dedup_exact" -> pipelineNearDedupExactSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,
