@@ -607,6 +607,24 @@ object QueriesLLM {
       |SELECT src, dst, cosine, rk FROM r WHERE rk <= 1
       |ORDER BY src, rk""".stripMargin
 
+  /** sim_knn_graph_banded_twins: ORACLE-GATED banded-SRP kNN — the
+    * identical-twin construction applied to the BANDED path, so every
+    * similarity family now has a gated member (exact / auto-LSH / IVF /
+    * banded-LSH). An identical vector produces an identical SRP sketch
+    * word-for-word, so each (v, twin) pair collides in EVERY band by
+    * construction — candidate recall 1 on the cos-1.0 set, no
+    * probability argument — and the exact rescore ranks the twin top-1
+    * deterministically (natural cos ≤ 0.48 can't tie; any natural
+    * exact-duplicate vector also shares all buckets). DuckDB recomputes
+    * the brute-force top-1 ranking. */
+  val simKnnGraphBandedTwins: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      col("embedding"))
+    Similarity.knnGraph(emb.unionAll(twins), 1)
+      .orderBy("src", "rk")
+  }
+
   /** sim_knn_exact: the brute-force kNN graph the LSH form is
     * recall-tested against, as its own oracle-gated query (round-7
     * verdict ask #2): top-5 neighbors of every vector under the
@@ -1576,6 +1594,7 @@ object QueriesLLM {
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_graph_banded" -> simKnnGraphBanded,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwins,
+    "sim_knn_graph_banded_twins" -> simKnnGraphBandedTwins,
     "sim_knn_exact" -> simKnnExact,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
@@ -1623,6 +1642,7 @@ object QueriesLLM {
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,
+    "sim_knn_graph_banded_twins" -> simKnnGraphIvfTwinsSql,
     "sim_pairs_threshold" -> simPairsThresholdSql,
     "sim_pairs_lsh" -> simPairsLshSql,
     "dedup_semantic" -> dedupSemanticSql,
