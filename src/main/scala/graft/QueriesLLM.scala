@@ -1027,6 +1027,42 @@ object QueriesLLM {
         col("text"), col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** text_langid_exact: ORACLE-GATED language-ID (round 9) — the same
+    * Cavnar-Trenkle classifier with inverse-rank weights quantized to
+    * integer micro-units ([[LangId.selfLabelPredictExact]]), so the
+    * per-(doc, lang) score is exact long arithmetic and DuckDB
+    * recomputes profile building, scoring, and the argmax tie-break
+    * identically. The kernel-scored primary (`text_langid`) remains the
+    * production path; this gates the family's semantics. */
+  val textLangidExact: Q = (s, dir) =>
+    LangId.selfLabelPredictExact(Tables.documents(s, dir),
+        col("text"), col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val textLangidExactSql =
+    """WITH s AS (
+      |  SELECT doc_id, lang, lower(text) AS t FROM documents
+      |  WHERE length(lower(text)) >= 3),
+      |g AS (
+      |  SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS gram
+      |  FROM s, unnest(range(1, length(t) - 1)) AS r(i)),
+      |counts AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |prof AS (
+      |  SELECT lang AS p_lang, gram,
+      |    CAST(floor(1000000.0 / rank + 0.5) AS BIGINT) AS wq
+      |  FROM (SELECT lang, gram,
+      |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rank
+      |    FROM counts)
+      |  WHERE rank <= 200),
+      |dc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |sc AS (SELECT dc.doc_id, prof.p_lang, sum(prof.wq * dc.cnt) AS score
+      |  FROM dc JOIN prof USING (gram) GROUP BY 1, 2),
+      |best AS (SELECT doc_id, p_lang,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang DESC) AS rn
+      |  FROM sc)
+      |SELECT doc_id, p_lang AS pred_lang FROM best WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   /** text_fingerprint: winnowing fingerprints (rows-only — rolling
     * xxhash64 not expressible in DuckDB). Codegen kernel expression;
     * bit-identical to the HOF form (TextKernelsSpec). */
@@ -1609,6 +1645,7 @@ object QueriesLLM {
     "bpe_merges" -> bpeMerges,
     "bpe_encode" -> bpeEncode,
     "text_langid" -> textLangid,
+    "text_langid_exact" -> textLangidExact,
     "text_fingerprint" -> textFingerprint,
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
@@ -1639,6 +1676,7 @@ object QueriesLLM {
     "dedup_minhash_exact" -> dedupMinhashExactSql,
     "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExactSql,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExactSql,
+    "text_langid_exact" -> textLangidExactSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,

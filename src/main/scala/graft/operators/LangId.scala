@@ -94,6 +94,43 @@ object LangId {
       .agg(max_by(col("p_lang"), struct(col("score"), col("p_lang"))).as("pred_lang"))
   }
 
+  /** The ORACLE-GATEABLE formulation of [[selfLabelPredictRelational]]
+    * (round 9): identical Cavnar-Trenkle semantics, but the inverse-rank
+    * weights are QUANTIZED TO INTEGER micro-units
+    * (`wq = ⌊10⁶/rank + 0.5⌋`) so the per-(doc, lang) score
+    * `Σ wq·cnt` is exact long arithmetic — associative and commutative,
+    * bit-identical under ANY partition count, merge order, or engine.
+    * A raw `Σ (1/rank)·cnt` double sum accumulates in engine-specific
+    * order, and a score pair landing within an ulp of equal would flip
+    * the argmax between engines; the ≤5·10⁻⁷ weight quantization is far
+    * below anything a trigram profile can distinguish. Argmax tie-break
+    * = max (score, lang) lexicographically, mirrored exactly in SQL.
+    * Same plan shape as the relational form: shared trigram frame, one
+    * broadcast profile join, two aggregate shuffles. */
+  def selfLabelPredictExact(docs: DataFrame, text: Column, id: Column, lang: Column,
+      topM: Int = 200): DataFrame = {
+    val s = docs.select(id.as("doc_id"), lang.as("lang"), lower(text).as("__s"))
+      .filter(length(col("__s")) >= 3)
+    val grams = s
+      .select(col("doc_id"), col("lang"), col("__s"),
+        explode(sequence(lit(1), length(col("__s")) - 2)).as("__i"))
+      .select(col("doc_id"), col("lang"),
+        col("__s").substr(col("__i"), lit(3)).as("gram"))
+      .localCheckpoint(true) // shared by the two aggregates below
+    val counts = grams.groupBy("lang", "gram").count()
+    val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("gram").asc)
+    val profile = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topM)
+      .select(col("lang").as("p_lang"), col("gram"),
+        floor(lit(1000000.0) / col("rank") + lit(0.5)).cast("long").as("wq"))
+    val gramCounts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    gramCounts.join(broadcast(profile), "gram")
+      .groupBy("doc_id", "p_lang")
+      .agg(sum(col("wq") * col("cnt")).as("score"))
+      .groupBy("doc_id")
+      .agg(max_by(col("p_lang"), struct(col("score"), col("p_lang"))).as("pred_lang"))
+  }
+
   /** Classify against an externally-trained profile (the train-once /
     * classify-many flow: persist `train()`'s output, then score any
     * corpus) with the broadcast-literal scoring expression — the profile

@@ -155,4 +155,14 @@ class MultimodalLangIdSpec extends SparkTestBase {
     val nEx = "Exchange".r.findAllIn(a.queryExecution.executedPlan.toString).size
     assert(nEx == 0, s"scoring stage should not shuffle:\n${a.queryExecution.executedPlan}")
   }
+
+  test("integer-quantized (oracle-gated) langid == the kernel primary on the fixture") {
+    // the ≤5e-7 weight quantization must not flip a single argmax here —
+    // if it ever does, the gated row and the primary have genuinely
+    // diverged and both need a look
+    val docs = Tables.documents(spark, sf)
+    val a = LangId.selfLabelPredict(docs, col("text"), col("doc_id"), col("lang"))
+    val c = LangId.selfLabelPredictExact(docs, col("text"), col("doc_id"), col("lang"))
+    assert(a.except(c).isEmpty && c.except(a).isEmpty)
+  }
 }
