@@ -220,6 +220,30 @@ object QueriesCore {
       |   OR o_orderpriority LIKE '5-%'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** guard_exactly_one: the reference's "exactly one entity or raise"
+    * guard (`copy_from_template.py:113-121`) run END-TO-END as a gated
+    * query (round 9 — previously spec-only): the guarded lookup either
+    * yields its single row or the query FAILS (a second ASIA row would
+    * trip the require, not slip through), and the driver's oracle
+    * recomputes the same single-row lookup. `limit(2)` keeps the driver
+    * boundary at two rows max regardless of table size. */
+  val guardExactlyOne: Q = (s, dir) => {
+    val row = graft.operators.Relational.exactlyOne(
+      Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select("r_regionkey", "r_name"),
+      what = "ASIA region")
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(Seq(row).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r_regionkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("r_name",
+          org.apache.spark.sql.types.StringType))))
+  }
+
+  val guardExactlyOneSql =
+    """SELECT r_regionkey, r_name FROM region WHERE r_name = 'ASIA'""".stripMargin
+
   // ---- §2.3 joins ---------------------------------------------------------
 
   /** join_inner: TPC-H Q3 shape — 3-way join where the filtered customer
@@ -1556,6 +1580,7 @@ object QueriesCore {
     "schema_retype" -> schemaRetype,
     "project_compute" -> projectCompute,
     "filter_pred" -> filterPred,
+    "guard_exactly_one" -> guardExactlyOne,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
     "join_right" -> joinRight,
@@ -1638,6 +1663,7 @@ object QueriesCore {
     "schema_retype" -> schemaRetypeSql,
     "project_compute" -> projectComputeSql,
     "filter_pred" -> filterPredSql,
+    "guard_exactly_one" -> guardExactlyOneSql,
     "join_inner" -> joinInnerSql,
     "join_left" -> joinLeftSql,
     "join_right" -> joinRightSql,
