@@ -300,6 +300,43 @@ object QueriesLLM {
     Dedup.simhashPairs(Tables.documents(s, dir), col("text"), col("doc_id"))
       .orderBy("a_id", "b_id")
 
+  /** dedup_simhash_exact: ORACLE-GATED SimHash — the
+    * [[dedupMinhashExact]] construction applied to the SimHash family,
+    * which until round 9 carried no gated member. Identical text yields
+    * an identical 64-bit sketch, so every identical-text pair has
+    * Hamming distance 0, collides in all four 16-bit chunks, and is
+    * emitted deterministically; restricting the verified output to
+    * digest-equal pairs makes it exactly the identical-text pair set,
+    * which DuckDB recomputes with a digest self-join. An identical-text
+    * twin (doc_id + 10⁶) is planted per doc so the gate is non-vacuous
+    * at every SF. Gates the sketch kernel, chunk banding, bucket
+    * self-join and Hamming rescore end-to-end; the near-dup (0 <
+    * Hamming ≤ 3) behavior stays property-tested in `dedup_simhash`. */
+  val dedupSimhashExact: Q = (s, dir) => {
+    val docs0 = Tables.documents(s, dir).select("doc_id", "text")
+    val twins = docs0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val docs = docs0.unionAll(twins)
+    val pairs = Dedup.simhashPairs(docs, col("text"), col("doc_id"))
+    val dig = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("__d"))
+    pairs
+      .join(dig.select(col("doc_id").as("a_id"), col("__d").as("__da")), "a_id")
+      .join(dig.select(col("doc_id").as("b_id"), col("__d").as("__db")), "b_id")
+      .filter(col("__da") === col("__db"))
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  val dedupSimhashExactSql =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM u a JOIN u b
+      |  ON a.doc_id < b.doc_id
+      | AND md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ---- similarity search --------------------------------------------------
 
   val simTopkCosine: Q = (s, dir) => {
@@ -529,6 +566,75 @@ object QueriesLLM {
     Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") === 0), 11, centroids)
   }
 
+  /** Doubled corpus for the ANN twins gates: every vector gets an
+    * IDENTICAL twin at id + 10⁶ (same floats, bit for bit). */
+  private def annTwinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    emb.unionAll(emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      col("embedding")))
+  }
+
+  /** sim_ann_lsh_twins: ORACLE-GATED SRP-bucketed ANN — the planted
+    * identical-twin construction of [[simKnnGraphBandedTwins]] applied
+    * to the ANN QUERY path, whose family (sim_ann_*) carried no gated
+    * member until round 9. The query (vector 0) and its twin are
+    * bit-identical, so their SRP buckets are equal BY CONSTRUCTION —
+    * the twin is always a candidate — and at k = 2 the exact top-2
+    * {query itself, its twin}, both cosine 1.0, is entirely in-bucket
+    * (this corpus' natural cosines top out ≈ 0.48, and any natural
+    * exact-duplicate vector would share the bucket for the same
+    * reason). Hence bucketed ANN ≡ brute force deterministically, and
+    * DuckDB recomputes the brute-force top-2 over the doubled corpus.
+    * Gates the sketch kernel, bucket equi-join, broadcast query side,
+    * exact rescore and (cosine, id) tie-break end-to-end; recall at
+    * k > 2 stays property-tested in `sim_ann_lsh`. */
+  val simAnnLshTwins: Q = (s, dir) => {
+    val u = annTwinCorpus(s, dir)
+    Similarity.annTopK(u, u.filter(col("vec_id") === 0), 2, 4)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+  }
+
+  /** sim_ann_multiprobe_twins: ORACLE-GATED multi-probe ANN — same
+    * construction as [[simAnnLshTwins]]; the probe set (query bucket +
+    * all Hamming-1 buckets) is a superset of the exact-bucket probe, so
+    * the twin-candidate guarantee carries over verbatim. Gates the
+    * probe-list explode and the multi-bucket join. */
+  val simAnnMultiprobeTwins: Q = (s, dir) => {
+    val u = annTwinCorpus(s, dir)
+    Similarity.annTopKMultiProbe(u, u.filter(col("vec_id") === 0), 2, 4)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+  }
+
+  /** sim_ann_ivf_twins: ORACLE-GATED IVF ANN — the identical twin
+    * produces a bit-identical centroid argmax, so query, twin and the
+    * query's own corpus row co-locate in one IVF cell by construction,
+    * and the query's top-ranked probe cell is that cell (its own
+    * centroid similarity ≈ 1.0 vs ≤ 0.48 for every other centroid —
+    * no tie is possible). IVF top-2 ≡ brute-force top-2
+    * deterministically; DuckDB recomputes it. Gates seed-centroid
+    * selection, zero-shuffle assignment, probe-cell ranking and the
+    * in-cell rescore. */
+  val simAnnIvfTwins: Q = (s, dir) => {
+    val u = annTwinCorpus(s, dir)
+    Similarity.ivfTopK(u, u.filter(col("vec_id") === 0), 2)
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+  }
+
+  /** Shared oracle for the three ANN twins gates: brute-force top-2 from
+    * query vector 0 over the doubled corpus. */
+  val simAnnTwinsSql =
+    """WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, floor((
+      |  list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |FROM u CROSS JOIN q
+      |ORDER BY cosine DESC, vec_id LIMIT 2""".stripMargin
+
   /** sim_knn_graph_banded: the banded-SRP kNN-graph DEMONSTRATOR —
     * suffixed, not primary (round-8 verdict ask #1): this corpus'
     * top-k neighbors sit at cos ≈ 0.3–0.5, below LSH's amplification
@@ -665,6 +771,51 @@ object QueriesLLM {
         merged.withColumnRenamed("source", "doc_id"))
       .orderBy("a_id", "b_id")
   }
+
+  /** sketch_source_sim_exact: the EXACT quantity [[sketchSourceSim]]'s
+    * merged MinHash sketches estimate — pairwise Jaccard between the
+    * sources' distinct 3-word-shingle SETS — as its own oracle-gated
+    * query (until round 9 the group-sketch family had no gated member).
+    * Shape: distinct (source, shingle) via one aggregate, then an
+    * inverted-index self-join ON THE SHINGLE (posting lists are ≤
+    * #sources long after the distinct, so the join is linear in
+    * distinct shingles — never |source|² × |shingles|), then one
+    * bounded size-join over the handful of source pairs. DuckDB
+    * recomputes the identical set arithmetic. At 100 TB the distinct
+    * is the only wide stage and runs map-side-combined on (source,
+    * shingle); the sketch form stays the cheap path (one 512-byte
+    * sketch per source over the wire), with this as its audit. */
+  val sketchSourceSimExact: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sh = TextOps.shingleRows(docs, col("text"), col("doc_id"), 3)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "sh").distinct()
+      .localCheckpoint(true) // both self-join sides read the same blocks
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("a_id"), col("b.source").as("b_id"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("source").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("source").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        r4(col("ni") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val sketchSourceSimExactSql =
+    """WITH tk AS (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT source, unnest(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM tk),
+      |i AS (SELECT a.source AS a_id, b.source AS b_id, count(*) AS ni
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2),
+      |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1)
+      |SELECT a_id, b_id,
+      |  floor((ni * 1.0 / (sa.n + sb.n - ni)) * 10000 + 0.5) / 10000 AS jaccard
+      |FROM i JOIN sz sa ON i.a_id = sa.source JOIN sz sb ON i.b_id = sb.source
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---- text analysis ------------------------------------------------------
 
@@ -1020,6 +1171,28 @@ object QueriesLLM {
       .orderBy("source")
   }
 
+  /** sketch_hll_union_exact: the exact quantity [[sketchHllUnion]]'s
+    * HLL rollup estimates — per-source distinct tokens and the
+    * (source, lang) cell count — oracle-gated. Distinct-shuffle on
+    * (source, token) with map-side combine; the sketch form remains the
+    * re-aggregatable scale path, with this as its audit (the same
+    * exact-vs-estimate pairing the spec asserts, lifted to the gate). */
+  val sketchHllUnionExact: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(countDistinct(col("token")).as("distinct_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+
+  val sketchHllUnionExactSql =
+    """SELECT source, count(DISTINCT token) AS distinct_tokens,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM (SELECT source, lang, unnest(string_split(lower(text), ' ')) AS token
+      |      FROM documents) t
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** text_langid: Cavnar-Trenkle trigram-profile classifier trained on the
     * labeled fixture itself (rows-only; accuracy asserted in LangIdSpec). */
   val textLangid: Q = (s, dir) =>
@@ -1074,6 +1247,59 @@ object QueriesLLM {
         element_at(TextExpressions.winnowFingerprints(col("text")), 1).as("min_fp"))
       .orderBy("doc_id")
   }
+
+  /** text_fingerprint_dedup: ORACLE-GATED winnowing — dedup by FULL
+    * fingerprint-set identity (group on the winnow array, keep the min
+    * doc_id), the document-level use of [[textFingerprint]]'s kernel.
+    * Natural near-dup families cannot gate this (a small edit whose
+    * char-grams are never window-minima leaves the selected set
+    * unchanged — the FIXTURES.md §A0 lesson, which bites winnowing
+    * exactly as it bites MinHash signatures), so the corpus is the
+    * disjoint synthetic one: each doc's text is three md5 hex words
+    * derived from its own id — any two distinct docs differ in ~96% of
+    * characters, and full fingerprint-SET equality between them would
+    * need every selected 8-gram hash to coincide (≪ 10⁻²⁰; a single
+    * accidental shared gram, ~10⁻⁶ per pair, cannot flip set
+    * equality). Identical-text twins (doc_id%2 == 0 → id + 10⁶) make
+    * the gate non-vacuous: identical text ⇒ identical fingerprint
+    * array, deterministically. DuckDB recomputes every doc's keeper as
+    * the min doc_id sharing its text digest. The groupBy ships the
+    * fingerprint arrays themselves (~w⁻¹ of the gram count, the point
+    * of winnowing) — at 100 TB this is the standard fingerprint-dedup
+    * shuffle, bounded by selection density, never by text. */
+  val textFingerprintDedup: Q = (s, dir) => {
+    import graft.plans.TextExpressions
+    val ids = Tables.documents(s, dir).select("doc_id")
+    def synth: org.apache.spark.sql.Column =
+      concat_ws(" ",
+        md5(concat(col("doc_id").cast("string"), lit(":a"))),
+        md5(concat(col("doc_id").cast("string"), lit(":b"))),
+        md5(concat(col("doc_id").cast("string"), lit(":c"))))
+    val base = ids.select(col("doc_id"), synth.as("text"))
+    val twins = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val docs = base.unionAll(twins)
+    val fps = docs.select(col("doc_id"),
+      TextExpressions.winnowFingerprints(col("text")).as("fp"))
+    val keep = fps.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    fps.join(keep, "fp")
+      .select("doc_id", "keep_id")
+      .orderBy("doc_id")
+  }
+
+  val textFingerprintDedupSql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    md5(md5(doc_id || ':a') || ' ' || md5(doc_id || ':b') || ' ' || md5(doc_id || ':c')) AS d
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    md5(md5(doc_id || ':a') || ' ' || md5(doc_id || ':b') || ' ' || md5(doc_id || ':c')) AS d
+      |  FROM ids WHERE doc_id % 2 = 0)
+      |SELECT a.doc_id, min(b.doc_id) AS keep_id
+      |FROM u a JOIN u b ON a.d = b.d
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
 
   // ---- deterministic sampling / splits -------------------------------------
 
@@ -1614,6 +1840,7 @@ object QueriesLLM {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_exact" -> dedupMinhashExact,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_exact" -> dedupSimhashExact,
     "sim_topk_cosine" -> simTopkCosine,
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_pairs_lsh" -> simPairsLsh,
@@ -1622,10 +1849,15 @@ object QueriesLLM {
     "dedup_semantic_lsh" -> dedupSemanticLsh,
     "dedup_semantic_lsh_loose" -> dedupSemanticLshLoose,
     "sketch_source_sim" -> sketchSourceSim,
+    "sketch_source_sim_exact" -> sketchSourceSimExact,
     "sketch_hll_union" -> sketchHllUnion,
+    "sketch_hll_union_exact" -> sketchHllUnionExact,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_lsh_twins" -> simAnnLshTwins,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
+    "sim_ann_multiprobe_twins" -> simAnnMultiprobeTwins,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_twins" -> simAnnIvfTwins,
     "sim_ann_ivf_kmeans" -> simAnnIvfKmeans,
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_graph_banded" -> simKnnGraphBanded,
@@ -1647,6 +1879,7 @@ object QueriesLLM {
     "text_langid" -> textLangid,
     "text_langid_exact" -> textLangidExact,
     "text_fingerprint" -> textFingerprint,
+    "text_fingerprint_dedup" -> textFingerprintDedup,
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
@@ -1674,6 +1907,13 @@ object QueriesLLM {
     "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,
+    "dedup_simhash_exact" -> dedupSimhashExactSql,
+    "sketch_source_sim_exact" -> sketchSourceSimExactSql,
+    "sketch_hll_union_exact" -> sketchHllUnionExactSql,
+    "sim_ann_lsh_twins" -> simAnnTwinsSql,
+    "sim_ann_multiprobe_twins" -> simAnnTwinsSql,
+    "sim_ann_ivf_twins" -> simAnnTwinsSql,
+    "text_fingerprint_dedup" -> textFingerprintDedupSql,
     "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExactSql,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExactSql,
     "text_langid_exact" -> textLangidExactSql,

@@ -342,6 +342,55 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out(1).isNullAt(2))
   }
 
+  test("dedup_simhash_exact: output == identical-text pair set, twins detected (round-9 gate)") {
+    val got = QueriesLLM.all("dedup_simhash_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs0 = Tables.documents(spark, sf).select("doc_id", "text")
+    val u = docs0.unionAll(docs0.select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    val dig = u.select($"doc_id", md5(lower(trim($"text"))).as("d"))
+    val want = dig.as("a").join(dig.as("b"),
+        $"a.d" === $"b.d" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "planted twins must produce pairs")
+    assert(got == want, s"simhash-exact ${got.size} pairs != digest ${want.size}")
+    // every planted twin pair is present (Hamming 0 by construction)
+    val n = docs0.count()
+    assert(got.count { case (a, b) => b == a + 1000000L } == n)
+  }
+
+  test("ANN twins gates: top-2 is {query, twin} at cosine 1.0 for all three variants (round-9 gates)") {
+    for (q <- Seq("sim_ann_lsh_twins", "sim_ann_multiprobe_twins", "sim_ann_ivf_twins")) {
+      val rows = QueriesLLM.all(q)(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == Seq((0L, 1.0), (1000000L, 1.0)),
+        s"$q returned $rows — the bit-identical twin must be in-bucket/in-cell")
+    }
+  }
+
+  test("text_fingerprint_dedup: twins collapse to their base doc, distinct docs never merge (round-9 gate)") {
+    val rows = QueriesLLM.all("text_fingerprint_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, keep) =>
+      val want = if (id >= 1000000L) id - 1000000L else id
+      assert(keep == want, s"doc $id kept by $want expected, got $keep")
+    }
+  }
+
+  test("sketch_source_sim estimate tracks the exact per-source Jaccard (round-9 exact sibling)") {
+    val est = QueriesLLM.all("sketch_source_sim")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = QueriesLLM.all("sketch_source_sim_exact")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet == est.keySet)
+    // 64-perm MinHash Jaccard stderr is sqrt(J(1-J)/64) <= 0.0625; 0.25
+    // is a 4-sigma-plus envelope across every source pair
+    exact.foreach { case (k, j) =>
+      assert(math.abs(est(k) - j) <= 0.25, s"pair $k: est ${est(k)} vs exact $j")
+    }
+  }
+
   test("pairsAboveThreshold agrees with cross-join ground truth at small n") {
     val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 60)
     val got = Similarity.pairsAboveThreshold(emb, 0.2).collect()
