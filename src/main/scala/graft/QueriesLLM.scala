@@ -1445,6 +1445,73 @@ object QueriesLLM {
       |  CAST(floor(tok_offset / 4096) AS BIGINT) AS chunk_id
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** pack_shards: deterministic shuffled sharding — the layout step that
+    * turns a curated corpus into equal-size training shard files. Docs
+    * are ranked by a reproducible 48-bit md5 coordinate (a global
+    * pseudo-random shuffle both engines can replay) and cut into
+    * 100-doc shards. Rank is the scalable two-phase prefix form
+    * ([[Packing.shardAssign]]) — range-bucketed windows, never one
+    * global window task; DuckDB recomputes the identical ranking with
+    * a single ROW_NUMBER. */
+  val packShards: Q = (s, dir) =>
+    Packing.shardAssign(Tables.documents(s, dir), col("doc_id"), 100L)
+      .orderBy("doc_id")
+
+  val packShardsSql =
+    """WITH u AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(doc_id || ':shard'), 1, 12) AS BIGINT) AS u
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY u, doc_id) AS BIGINT) AS rank
+      |  FROM u)
+      |SELECT doc_id, rank, CAST(floor((rank - 1) / 100) AS BIGINT) AS shard_id
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** curriculum_bins: curriculum-learning difficulty bins — per-source
+    * quality deciles (NTILE over the quality order) with per-bin
+    * accounting, the standard prelude to quality-ordered training
+    * schedules. Determinism across engines: the order key is the
+    * r4-QUANTIZED quality (both engines agree on the grid value —
+    * ordering by the raw double would let a sub-grid disagreement flip
+    * a bin) with doc_id tie-break, and the per-bin mean is computed on
+    * integer micro-units (exact long sum, one final division) so no
+    * float accumulation order can flip the rounded output. One window
+    * + one aggregate, both partitioned by source — the 100 TB shape. */
+  val curriculumBins: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        r4(TextOps.qualityScore(col("text"))).as("q"))
+      // floor(+0.5), not a bare cast: q is an r4 grid value whose ×10⁴ can
+      // land a hair under the integer (0.1234 → 1233.999…), and Spark's
+      // long cast truncates where DuckDB's rounds — half-up on both sides
+      .withColumn("__qi", floor(col("q") * 10000 + 0.5).cast("long"))
+    val w = Window.partitionBy("source").orderBy(col("q").asc, col("doc_id").asc)
+    docs.withColumn("bin", ntile(10).over(w))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        r4(sum(col("__qi")) / (count(lit(1)) * 10000.0)).as("avg_quality"),
+        min("q").as("min_quality"),
+        max("q").as("max_quality"))
+      .orderBy("source", "bin")
+  }
+
+  val curriculumBinsSql =
+    """WITH q AS (
+      |  SELECT source, doc_id,
+      |    floor(((n_tokens / (n_tokens + 50.0)) *
+      |      (1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0)
+      |           / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS q
+      |  FROM (SELECT source, doc_id, CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |          CAST(length(text) AS DOUBLE) AS n_chars FROM documents) t),
+      |b AS (SELECT source, doc_id, q, CAST(floor(q * 10000 + 0.5) AS BIGINT) AS qi,
+      |    ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS bin
+      |  FROM q)
+      |SELECT source, bin, count(*) AS n_docs,
+      |  floor((CAST(sum(qi) AS DOUBLE) / (count(*) * 10000.0)) * 10000 + 0.5) / 10000 AS avg_quality,
+      |  min(q) AS min_quality, max(q) AS max_quality
+      |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   /** pipeline_curate: the end-to-end curation pipeline as ONE declarative
     * plan — quality gate → exact dedup (keep min doc_id) → deterministic
     * train/val/test split → per-split summary. Every stage is an operator
@@ -1887,6 +1954,8 @@ object QueriesLLM {
     "split_assign" -> splitAssign,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
+    "pack_shards" -> packShards,
+    "curriculum_bins" -> curriculumBins,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_near_dedup" -> pipelineNearDedup,
@@ -1946,6 +2015,8 @@ object QueriesLLM {
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
+    "pack_shards" -> packShardsSql,
+    "curriculum_bins" -> curriculumBinsSql,
     "pipeline_curate" -> pipelineCurateSql,
     "pipeline_pretrain" -> pipelinePretrainSql
   )

@@ -62,6 +62,46 @@ object Packing {
           .cast("long").as("chunk_id"))
   }
 
+  /** Deterministic shuffled sharding — the training-data layout step
+    * after curation: give every doc a pseudo-random but reproducible
+    * position (48-bit md5-prefix coordinate, the engine-portable
+    * uniform key of [[Sampling]]), then cut the shuffled order into
+    * fixed-size shards. Equal-SIZE shards need global RANKS, not
+    * hash-mod buckets (mod gives Poisson-sized shards — ±√S wobble that
+    * breaks "every shard is exactly one training file" contracts), so
+    * this is the same scalable two-phase prefix rank as [[packChunks]]:
+    * the 48-bit coordinate space is range-bucketed (value ranges of a
+    * uniform key ⇒ near-equal bucket volumes at any scale), ranks are
+    * computed within buckets in parallel, and only the tiny per-bucket
+    * count frame is prefix-summed serially and broadcast back.
+    *
+    * Ties on the 48-bit coordinate (2⁻⁴⁸ per pair) are broken by id so
+    * the rank — and every downstream shard file — is bit-reproducible
+    * across engines and cluster layouts. */
+  def shardAssign(df: DataFrame, id: Column, shardSize: Long,
+      salt: String = "shard", buckets: Int = 1024): DataFrame = {
+    val coordSpace = 281474976710656L // 2^48
+    val bucketWidth = coordSpace / buckets
+    val u = conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 12), 16, 10)
+      .cast("long")
+    val base = df.select(id.as("doc_id"), u.as("__u"))
+      .withColumn("__bucket", floor(col("__u") / bucketWidth).cast("long"))
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(col("__u").asc, col("doc_id").asc)
+    val local = base.withColumn("__rn", row_number().over(w).cast("long"))
+    val bucketBases = base.groupBy("__bucket")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__base",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__bucket").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)), lit(0L)))
+      .select("__bucket", "__base")
+    local.join(broadcast(bucketBases), "__bucket")
+      .select(col("doc_id"),
+        (col("__base") + col("__rn")).as("rank"),
+        floor((col("__base") + col("__rn") - 1) / shardSize).cast("long").as("shard_id"))
+  }
+
   /** The naive single-window form (no partitioning — serializes onto one
     * task; kept as the semantics reference for PackingSpec). */
   def packChunksNaive(df: DataFrame, key: Column, len: Column, chunkSize: Long): DataFrame = {

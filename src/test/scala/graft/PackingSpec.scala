@@ -32,6 +32,30 @@ class PackingSpec extends SparkTestBase {
       p.head.getAs[Long]("chunk_id") <= p.last.getAs[Long]("chunk_id")))
   }
 
+  test("shardAssign == naive global row_number; shards exactly shardSize except the last (round 9)") {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":shard"))), 1, 12), 16, 10)
+      .cast("long")
+    val naive = ids.select(col("doc_id"),
+        row_number().over(Window.orderBy(u.asc, col("doc_id").asc)).cast("long").as("rank"))
+      .withColumn("shard_id", floor((col("rank") - 1) / 100).cast("long"))
+    for (buckets <- Seq(1, 8, 1024)) {
+      val fast = Packing.shardAssign(ids, col("doc_id"), 100L, buckets = buckets)
+      assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty,
+        s"mismatch at buckets=$buckets")
+    }
+    val sizes = Packing.shardAssign(ids, col("doc_id"), 100L)
+      .groupBy("shard_id").count().orderBy("shard_id").collect()
+    val n = ids.count()
+    sizes.dropRight(1).foreach(r => assert(r.getLong(1) == 100L, r.toString))
+    assert(sizes.last.getLong(1) == (if (n % 100 == 0) 100L else n % 100))
+    // ranks are a permutation of 1..n (no collision-tie ambiguity)
+    val ranks = Packing.shardAssign(ids, col("doc_id"), 100L)
+      .select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to n).toSeq)
+  }
+
   test("the big window is partitioned; only the bucket-totals window is global") {
     val plan = Packing.packChunks(docs, col("doc_id"), col("n_tokens"), 4096L)
       .queryExecution.optimizedPlan.toString

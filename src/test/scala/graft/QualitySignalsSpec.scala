@@ -160,4 +160,29 @@ class QualitySignalsSpec extends SparkTestBase {
     val src = Tables.customer(spark, sf).orderBy("c_custkey").collect().toSeq
     assert(rt === src)
   }
+
+  // ---- curriculum_bins (round 9) ------------------------------------------
+
+  test("curriculum_bins: 10 near-equal bins per source, monotone quality boundaries") {
+    val rows = QueriesLLM.all("curriculum_bins")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5))) // source, bin, n, min_q, max_q
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (src, bins) =>
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"$src bins not 1..k")
+      // NTILE: sizes differ by at most 1
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src sizes $sizes")
+      // difficulty ordering: bin k's max <= bin k+1's min (ties allowed on
+      // the shared grid value at the boundary)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$src: bin ${a._2} max ${a._5} > bin ${b._2} min ${b._4}")
+        case _ =>
+      }
+    }
+    // totals match the corpus
+    assert(rows.map(_._3).sum == Tables.documents(spark, sf).count())
+  }
 }
