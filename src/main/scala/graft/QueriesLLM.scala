@@ -722,14 +722,43 @@ object QueriesLLM {
     * probability argument — and the exact rescore ranks the twin top-1
     * deterministically (natural cos ≤ 0.48 can't tie; any natural
     * exact-duplicate vector also shares all buckets). DuckDB recomputes
-    * the brute-force top-1 ranking. */
+    * the brute-force top-1 ranking.
+    *
+    * The gate corpus is a deterministic 1-in-5 id slice: the twin
+    * guarantee is PER VECTOR (its twin shares every band regardless of
+    * what else is in the corpus), so the slice leaves the gate's
+    * strength per planted pair untouched while keeping the banded
+    * demonstrator's declared near-all-pairs candidate mass — this IS
+    * the loose-regime path, 33×/10× by design, measured 10.5 s on the
+    * full doubled sf0.1 corpus before the slice — out of the bench
+    * floor. The full-corpus regime economics stay measured by
+    * `sim_knn_graph_banded` and SCALE.md. */
   val simKnnGraphBandedTwins: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") % 5 === 0)
     val twins = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
       col("embedding"))
     Similarity.knnGraph(emb.unionAll(twins), 1)
       .orderBy("src", "rk")
   }
+
+  val simKnnGraphBandedTwinsSql =
+    """WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 5 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst, floor((
+      |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |  FROM u a JOIN u b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst, cosine,
+      |  row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      |  FROM p)
+      |SELECT src, dst, cosine, rk FROM r WHERE rk <= 1
+      |ORDER BY src, rk""".stripMargin
 
   /** sim_knn_exact: the brute-force kNN graph the LSH form is
     * recall-tested against, as its own oracle-gated query (round-7
@@ -1989,7 +2018,7 @@ object QueriesLLM {
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,
-    "sim_knn_graph_banded_twins" -> simKnnGraphIvfTwinsSql,
+    "sim_knn_graph_banded_twins" -> simKnnGraphBandedTwinsSql,
     "sim_pairs_threshold" -> simPairsThresholdSql,
     "sim_pairs_lsh" -> simPairsLshSql,
     "dedup_semantic" -> dedupSemanticSql,

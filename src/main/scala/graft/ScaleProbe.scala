@@ -31,6 +31,7 @@ object ScaleProbe {
     "dedup_jaccard", "text_langid", "pack_chunks", "bpe_encode",
     "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
     "sample_temperature_fast", "dq_audit",
+    "pack_shards", "curriculum_bins", "sketch_source_sim_exact",
     // embeddings (4× span): similarity families. The *_loose suffixed
     // rows (τ=0.35, fixed 16×4 bands) are the declared n²-candidate
     // regime demonstrators; since round 9 the PRIMARY names bind the
