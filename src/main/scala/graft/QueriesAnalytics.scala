@@ -104,6 +104,39 @@ object QueriesAnalytics {
       |    AS avg_hours_to_convert
       |FROM a LEFT JOIN b ON a.user_id = b.user_id""".stripMargin
 
+  /** ts_anomaly: event-volume anomaly scoring — hourly bucket counts per
+    * event_type, each bucket z-scored against its type's own bucket
+    * distribution ([[Temporal.volumeAnomaly]]). Moments are exact
+    * integer sums and the zero-variance guard is an integer predicate,
+    * so the only float arithmetic is one fixed IEEE chain per row —
+    * DuckDB reproduces it bit-for-bit from the same integers. */
+  val tsAnomaly: Q = (s, dir) =>
+    Temporal.volumeAnomaly(Tables.events(s, dir),
+        col("event_type"), expr("(ts div 1000) div 3600000000"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type", "bucket")
+
+  val tsAnomalySql =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(n_events) AS BIGINT) AS sc,
+      |    CAST(sum(n_events * n_events) AS BIGINT) AS scc
+      |  FROM b GROUP BY 1)
+      |SELECT b.event_type, b.bucket, b.n_events,
+      |  CASE WHEN s.n * s.scc - s.sc * s.sc > 0
+      |    THEN floor(((CAST(b.n_events AS DOUBLE)
+      |        - CAST(s.sc AS DOUBLE) / CAST(s.n AS DOUBLE))
+      |      / sqrt((CAST(s.scc AS DOUBLE)
+      |          - CAST(s.sc AS DOUBLE) * CAST(s.sc AS DOUBLE) / CAST(s.n AS DOUBLE))
+      |        / CAST(s.n AS DOUBLE))) * 10000 + 0.5) / 10000
+      |    ELSE 0.0 END AS z
+      |FROM b JOIN s USING (event_type)
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** retention_cohorts: classic cohort retention over `events` — cohort =
     * the DAY of a user's first purchase, retention(k) = the share of that
     * cohort purchasing again k days later. THE product-analytics staple
@@ -472,6 +505,7 @@ object QueriesAnalytics {
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
+    "ts_anomaly" -> tsAnomaly,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
@@ -489,6 +523,7 @@ object QueriesAnalytics {
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,
+    "ts_anomaly" -> tsAnomalySql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,
     "retention_cohorts" -> retentionCohortsSql,

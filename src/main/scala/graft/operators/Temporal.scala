@@ -102,4 +102,38 @@ object Temporal {
       .groupBy(col(key)).agg(min("ts").as("b_ts"))
     a.join(b, Seq(key), "left_outer")
   }
+
+  /** Event-volume anomaly scoring: bucket counts per (group, bucket),
+    * then each bucket's z-score against its group's own bucket-count
+    * distribution. The monitoring staple for ingest pipelines ("did this
+    * source's hourly volume spike?").
+    *
+    * Cross-engine determinism (§7.4 discipline): the moments are EXACT
+    * integer sums of counts (Σc, Σc² in longs — counts are bounded by
+    * rows per bucket, so Σc² fits 2⁶³ through ~3·10⁹-row buckets), the
+    * zero-variance guard is an integer predicate (n·Σc² − (Σc)² > 0 —
+    * no float epsilon), and only the final z is computed in one fixed
+    * IEEE chain from those exact integers. No float accumulation
+    * anywhere, so no summation-order flake is possible.
+    *
+    * Scale shape: one (group, bucket) count shuffle — the only wide
+    * stage, map-side combined — then a per-group moments aggregate
+    * (O(groups) rows) broadcast back onto the bucket frame. */
+  def volumeAnomaly(events: DataFrame, group: Column, bucket: Column): DataFrame = {
+    val b = events.select(group.as("grp"), bucket.as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_events"))
+    val st = b.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      sum(col("n_events")).as("sc"),
+      sum(col("n_events") * col("n_events")).as("scc"))
+    val mean = col("sc").cast("double") / col("n").cast("double")
+    val varPop = (col("scc").cast("double")
+      - col("sc").cast("double") * col("sc").cast("double") / col("n").cast("double")) /
+      col("n").cast("double")
+    b.join(broadcast(st), "grp")
+      .select(col("grp"), col("bucket"), col("n_events"),
+        when(col("n") * col("scc") - col("sc") * col("sc") > 0,
+            graft.functions.Num.r4((col("n_events").cast("double") - mean) / sqrt(varPop)))
+          .otherwise(lit(0.0)).as("z"))
+  }
 }

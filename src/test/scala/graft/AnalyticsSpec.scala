@@ -260,6 +260,32 @@ class AnalyticsSpec extends SparkTestBase {
     assert(clean === ("id_nonnull", 0L, 3L))
   }
 
+  test("ts_anomaly: hand-computed z-scores, zero-variance guard, per-group z sums to ~0 (round 9)") {
+    import graft.operators.Temporal
+    // group a: bucket counts 1, 1, 4 → mean 2, varPop 2, z = ±1/√2, +√2
+    // group b: counts 2, 2 → variance 0 → guard pins z to 0.0
+    val ev = Seq(
+      ("a", 0L), ("a", 1L), ("a", 2L), ("a", 2L), ("a", 2L), ("a", 2L),
+      ("b", 0L), ("b", 0L), ("b", 1L), ("b", 1L)
+    ).toDF("grp", "bucket")
+    val got = Temporal.volumeAnomaly(ev, col("grp"), col("bucket"))
+      .orderBy("grp", "bucket")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val inv = 1.0 / math.sqrt(2.0)
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(got == Seq(
+      ("a", 0L, 1L, r4d(-inv)), ("a", 1L, 1L, r4d(-inv)), ("a", 2L, 4L, r4d(2 * inv)),
+      ("b", 0L, 2L, 0.0), ("b", 1L, 2L, 0.0)), got.toString)
+    // fixture invariant: per-type z sums to ~0 (Σ(c − mean) = 0 exactly;
+    // only the r4 rounding moves it off zero)
+    val sums = QueriesAnalytics.all("ts_anomaly")(spark, sf)
+      .groupBy("event_type").agg(sum("z").as("sz"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+    sums.foreach { case (t, sz, n) =>
+      assert(math.abs(sz) <= n * 1e-4, s"$t: z sum $sz over $n buckets")
+    }
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
