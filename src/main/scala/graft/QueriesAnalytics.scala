@@ -289,6 +289,30 @@ object QueriesAnalytics {
       |  CAST(list_max(qv) AS BIGINT) AS q_max
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** vec_project_rp: Johnson–Lindenstrauss sign random projection 64→8
+    * dims ([[VectorOps.projectRp]]) — the dimensionality-reduction
+    * prelude to cheaper ANN/clustering. Each component is one codegen'd
+    * dot against a literal ±1 vector (zero shuffle, pure scan); the
+    * deterministic MD5-derived sign matrix is rendered into the oracle
+    * as the identical literal, so DuckDB evaluates the same signed sum
+    * in the same order. */
+  val vecProjectRp: Q = (s, dir) => {
+    val proj = VectorOps.projectRp(col("embedding"), 8, 64)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id") +:
+        proj.zipWithIndex.map { case (c, j) => r4(c).as(s"p$j") }: _*)
+      .orderBy("vec_id")
+  }
+
+  val vecProjectRpSql = {
+    val comps = VectorOps.rpSigns(8, 64).zipWithIndex.map { case (row, j) =>
+      val arr = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"  floor((list_sum(list_transform(range(1, 65), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i]))) * 10000 + 0.5) / 10000 AS p$j"
+    }.mkString(",\n")
+    s"SELECT vec_id,\n$comps\nFROM embeddings ORDER BY vec_id"
+  }
+
   /** dedup_embedding_quant: exact dedup of vectors by their coarse
     * quantization signature — groupBy on the int8 code ARRAY, min-id
     * representative per bucket. The vector-side twin of `dedup_exact`:
@@ -512,7 +536,8 @@ object QueriesAnalytics {
     "sample_reservoir" -> sampleReservoir,
     "join_bloom" -> joinBloom,
     "join_interval_bucketed" -> joinIntervalBucketed,
-    "vec_quantize_int8" -> vecQuantizeInt8
+    "vec_quantize_int8" -> vecQuantizeInt8,
+    "vec_project_rp" -> vecProjectRp
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,6 +555,7 @@ object QueriesAnalytics {
     "sample_reservoir" -> sampleReservoirSql,
     "join_bloom" -> joinBloomSql,
     "join_interval_bucketed" -> joinIntervalBucketedSql,
-    "vec_quantize_int8" -> vecQuantizeInt8Sql
+    "vec_quantize_int8" -> vecQuantizeInt8Sql,
+    "vec_project_rp" -> vecProjectRpSql
   )
 }

@@ -71,4 +71,30 @@ object VectorOps {
     * quantize pass ever dominates a profile. */
   def quantizeInt8(a: Column, scale: Column): Column =
     transform(a, x => floor(x.cast("double") / scale + lit(0.5)))
+
+  /** Deterministic ±1 random-projection matrix (Achlioptas 2003 with the
+    * dense sign variant): `signs(j)(i)` is the sign applied to input
+    * dim `i` for output dim `j`, derived from MD5 of `"i:j:salt"` — no
+    * RNG, reproducible in any engine or language, so an oracle can carry
+    * the identical literal matrix. */
+  def rpSigns(outDim: Int, inDim: Int, salt: String = "rp"): Array[Array[Float]] =
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$j:$salt".getBytes("UTF-8"))
+        if ((d(0) & 0x80) != 0) -1f else 1f
+      }
+    }
+
+  /** Johnson–Lindenstrauss sign random projection to `outDim` dims: each
+    * output component is one codegen'd [[dot]] against a LITERAL sign
+    * vector — a narrow zero-shuffle projection (the standard prelude to
+    * cheaper ANN / clustering on 4-8× shorter vectors; distances are
+    * preserved within 1±ε by JL). The sign matrix is [[rpSigns]] —
+    * deterministic, so both the engine and any oracle evaluate the
+    * identical ±v(i) sum in the identical order. */
+  def projectRp(vec: Column, outDim: Int, inDim: Int, salt: String = "rp"): Seq[Column] =
+    rpSigns(outDim, inDim, salt).toSeq.map { s =>
+      dot(vec, typedlit[Seq[Float]](s.toSeq))
+    }
 }

@@ -86,6 +86,37 @@ class VectorExprSpec extends SparkTestBase {
     assert(sqlPlan.contains("norm2_float"), sqlPlan)
   }
 
+  test("vec_project_rp: kernel == HOF bit-identical, signs deterministic, JL distance sanity (round 9)") {
+    val signs = VectorOps.rpSigns(8, 64)
+    assert(signs.map(_.toSeq).toSeq == VectorOps.rpSigns(8, 64).map(_.toSeq).toSeq)
+    // roughly balanced signs (MD5 top bit ~ Bernoulli(1/2); a degenerate
+    // all-one row would make the component a plain sum, not a projection)
+    signs.foreach { row =>
+      val pos = row.count(_ > 0)
+      assert(pos >= 16 && pos <= 48, s"skewed sign row: $pos/64 positive")
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val viaKernel = emb.select($"vec_id" +:
+      VectorOps.projectRp($"embedding", 8, 64).zipWithIndex
+        .map { case (c, j) => c.as(s"p$j") }: _*)
+    val viaHof = emb.select($"vec_id" +:
+      signs.toSeq.zipWithIndex.map { case (s, j) =>
+        VectorOps.dotHof($"embedding", typedLit[Seq[Float]](s.toSeq)).as(s"p$j") }: _*)
+    assert(viaKernel.except(viaHof).isEmpty && viaHof.except(viaKernel).isEmpty)
+    // JL sanity on a deterministic pair sample: projected squared distance
+    // / 8 tracks the original / 64 within a loose multiplicative band
+    val rows = emb.filter($"vec_id" < 20).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def proj(v: Array[Float]): Array[Double] =
+      signs.map(s => v.indices.map(i => v(i).toDouble * s(i)).sum)
+    for (a <- 0 until 5; b <- (a + 1) until 5) {
+      val d64 = rows(a).indices.map(i => math.pow(rows(a)(i) - rows(b)(i), 2)).sum / 64.0
+      val pa = proj(rows(a)); val pb = proj(rows(b))
+      val d8 = pa.indices.map(j => math.pow(pa(j) - pb(j), 2)).sum / 8.0 / 64.0
+      assert(d8 > d64 * 0.2 && d8 < d64 * 5.0, s"pair ($a,$b): $d8 vs $d64")
+    }
+  }
+
   test("expression participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     // distinct subtrees, so RewriteSelfDotToNorm2 leaves the binary form
