@@ -404,6 +404,54 @@ object QueriesCore {
       .orderBy("event_id")
   }
 
+  /** join_asof_forward: the FORWARD direction (earliest right with
+    * rt >= lt — pandas merge_asof direction='forward'), round 9. Same
+    * union-sort plan as [[joinAsof]] with the time order reversed; the
+    * oracle flips max/<= to min/>=. */
+  val joinAsofForward: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", TimeOps.nsToUs(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"))
+    AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts_us", "view_ts_us",
+        Seq("view_ts_us"), direction = "forward")
+      .withColumnRenamed("view_ts_us", "next_view_us")
+      .orderBy("event_id")
+  }
+
+  val joinAsofForwardSql =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  (SELECT min(v.ts_us) FROM v WHERE v.user_id = p.user_id AND v.ts_us >= p.ts_us) AS next_view_us
+      |FROM p ORDER BY p.event_id""".stripMargin
+
+  /** join_asof_tolerance: backward as-of with a 1-hour match window
+    * (pandas merge_asof `tolerance`), round 9 — a view older than the
+    * window is stale state, not a match. Same single-shuffle plan; the
+    * tolerance is one narrow post-projection on the carried right time. */
+  val joinAsofTolerance: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", TimeOps.nsToUs(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"))
+    AsOfJoin.asOfTolerance(purchases, views, Seq("user_id"), "ts_us",
+        "view_ts_us", Seq("view_ts_us"), tolerance = 3600000000L)
+      .withColumnRenamed("view_ts_us", "prev_view_us")
+      .orderBy("event_id")
+  }
+
+  val joinAsofToleranceSql =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  (SELECT max(v.ts_us) FROM v
+      |   WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us
+      |     AND p.ts_us - v.ts_us <= 3600000000) AS prev_view_us
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   /** join_interval: pairs of same-customer orders whose 30-day windows
     * overlap. The equi key (custkey) keeps it a shuffled hash join —
     * linear in per-key group size, not O(n²) overall. */
@@ -1590,6 +1638,8 @@ object QueriesCore {
     "join_theta_band" -> joinThetaBand,
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
     "join_skew_salted" -> joinSkewSalted,
@@ -1679,6 +1729,8 @@ object QueriesCore {
     "join_theta_band" -> joinThetaBandSql,
     "join_asof" -> joinAsofSql,
     "join_asof_native" -> joinAsofSql,
+    "join_asof_forward" -> joinAsofForwardSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_interval" -> joinIntervalSql,
     "join_cross" -> joinCrossSql,
     "join_skew_salted" -> joinSkewSaltedSql,

@@ -33,6 +33,13 @@ object AsOfJoin {
     *                dependent (fine when the payload IS the time, as in
     *                the oracle query; pass a unique id otherwise).
     */
+  /** @param direction "backward" (default; latest right with
+    *                rt <= lt — the pandas merge_asof default) or
+    *                "forward" (earliest right with rt >= lt): the union-
+    *                sort trick is direction-symmetric — forward is the
+    *                same one-pass carry over the time order REVERSED, so
+    *                both directions cost the identical single shuffle +
+    *                per-partition sort. */
   def asOf(
       left: DataFrame,
       right: DataFrame,
@@ -40,7 +47,9 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward", direction)
 
     val leftCols = left.columns.toSeq
     // NULL right times would sort first in the window order and be carried
@@ -73,13 +82,56 @@ object AsOfJoin {
       .select((leftCols.map(c => if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(struct(payload.map(col): _*).as("__p"), col("__side"), col("__t"), col("__tb"))): _*)
 
+    // forward = the same carry with time reversed; at equal __t the right
+    // side (0) still precedes the left row in traversal order, so the
+    // boundary instant matches in BOTH directions (<= / >=), and the
+    // equal-time tie winner stays the greatest under the tie-break
+    val tOrder = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__tb").asc_nulls_last, col("__side").asc)
+      .orderBy(tOrder, col("__tb").asc_nulls_last, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)
       .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ payload.map(p => col(s"__c.$p").as(p))): _*)
+  }
+
+  /** As-of join with a match-window TOLERANCE (pandas merge_asof's
+    * `tolerance`): a carried right row only counts as a match when its
+    * time is within `tolerance` of the left time — backward:
+    * `lt − rt <= tolerance`, forward: `rt − lt <= tolerance`. Stale
+    * state beyond the window yields NULL payloads, exactly like no
+    * match at all.
+    *
+    * Implementation: the right TIME rides inside the carried struct (the
+    * as-of carry already pays for the struct — the extra field is 8
+    * bytes), and the tolerance check is one narrow post-projection; the
+    * plan is the identical single shuffle + sort as [[asOf]]. */
+  def asOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tolerance: Long,
+      direction: String = "backward",
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val carry = if (payload.contains(rightTime)) payload else payload :+ rightTime
+    val joined = asOf(left, right, keys, leftTime, rightTime, carry,
+      rightTieBreak, direction)
+    val gap =
+      if (direction == "backward") col(leftTime) - col(rightTime)
+      else col(rightTime) - col(leftTime)
+    // materialize the verdict BEFORE masking: if rightTime is itself a
+    // payload column, masking it first would corrupt the check the other
+    // columns' masks still need
+    val withOk = joined.withColumn("__ok",
+      col(rightTime).isNotNull && gap <= tolerance)
+    val masked = payload.foldLeft(withOk) { (df, p) =>
+      df.withColumn(p, when(col("__ok"), col(p)))
+    }
+    (if (carry == payload) masked else masked.drop(rightTime)).drop("__ok")
   }
 }

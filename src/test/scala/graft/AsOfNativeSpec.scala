@@ -81,6 +81,44 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(native === expect)
   }
 
+  test("forward direction: earliest rt >= t, inclusive boundary, no-match null (round 9)") {
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 15L), (3L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "eq"), (1L, 12L, "later"), (1L, 19L, "c"), (2L, 14L, "past"))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("payload"),
+        direction = "forward")
+      .orderBy("k", "t").collect()
+    // t=10 matches rt=10 (inclusive), t=20 has no later view, k=2's only
+    // right is in the past, k=3 has no rights
+    assert(out.map(r => Option(r.getString(2)).orNull).toSeq
+      == Seq("eq", null, null, null))
+  }
+
+  test("tolerance: boundary inclusive, stale state nulled, both directions (round 9)") {
+    val left = Seq((1L, 100L), (1L, 200L), (1L, 300L)).toDF("k", "t")
+    val right = Seq((1L, 90L, "w90"), (1L, 150L, "w150")).toDF("k", "rt", "payload")
+    // backward, tolerance 10: t=100 matches rt=90 exactly at the boundary;
+    // t=200 carries rt=150 but 50 > 10 -> null; t=300 likewise
+    val back = AsOfJoin.asOfTolerance(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), tolerance = 10L)
+      .orderBy("t").collect().map(r => Option(r.getString(2)).orNull)
+    assert(back.toSeq == Seq("w90", null, null), back.mkString(","))
+    // forward, tolerance 50: t=100 -> rt=150 at exactly the boundary;
+    // t=200/300 have no future right
+    val fwd = AsOfJoin.asOfTolerance(left, right, Seq("k"), "t", "rt",
+        Seq("payload"), tolerance = 50L, direction = "forward")
+      .orderBy("t").collect().map(r => Option(r.getString(2)).orNull)
+    assert(fwd.toSeq == Seq("w150", null, null), fwd.mkString(","))
+    // rightTime itself as a payload column: the mask must use the
+    // pre-mask verdict (regression guard for the masking order)
+    val rtPayload = AsOfJoin.asOfTolerance(left, right, Seq("k"), "t", "rt",
+        Seq("rt", "payload"), tolerance = 10L)
+      .orderBy("t").collect()
+      .map(r => (if (r.isNullAt(2)) null else r.getLong(2).toString,
+        Option(r.getString(3)).orNull))
+    assert(rtPayload.toSeq == Seq(("90", "w90"), (null, null), (null, null)))
+  }
+
   test("native asOf plans one shuffle per side and no window operator") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
