@@ -313,6 +313,38 @@ object QueriesAnalytics {
     s"SELECT vec_id,\n$comps\nFROM embeddings ORDER BY vec_id"
   }
 
+  /** vec_centroids: per-source embedding centroids — the group-level
+    * vector summary behind IVF seeding, source drift monitoring, and
+    * diversity audits. Shape: posexplode to (source, dim, value) rows
+    * and ONE map-side-combined aggregate — the explode mass reduces to
+    * sources × dims per partition before the exchange. Determinism:
+    * components are quantized to integer micro-units BEFORE summing
+    * (exact long arithmetic under any merge order — the float-sum
+    * accumulation-order trap of [[graft.operators.Graph]]'s pagerank,
+    * §7.4), one final division per cell. */
+  val vecCentroids: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+    emb.select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("source"), (col("pos") + 1).as("dim"),
+        floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("qi"))
+      .groupBy("source", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        r4(sum(col("qi")) / (count(lit(1)) * 1000000.0)).as("c"))
+      .orderBy("source", "dim")
+  }
+
+  val vecCentroidsSql =
+    """SELECT d.source, t.i AS dim, count(*) AS n_vecs,
+      |  floor((CAST(sum(CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / (count(*) * 1000000.0)) * 10000 + 0.5) / 10000 AS c
+      |FROM embeddings e
+      |JOIN documents d ON e.vec_id = d.doc_id
+      |CROSS JOIN range(1, 65) t(i)
+      |GROUP BY d.source, t.i
+      |ORDER BY d.source, t.i""".stripMargin
+
   /** dedup_embedding_quant: exact dedup of vectors by their coarse
     * quantization signature — groupBy on the int8 code ARRAY, min-id
     * representative per bucket. The vector-side twin of `dedup_exact`:
@@ -537,7 +569,8 @@ object QueriesAnalytics {
     "join_bloom" -> joinBloom,
     "join_interval_bucketed" -> joinIntervalBucketed,
     "vec_quantize_int8" -> vecQuantizeInt8,
-    "vec_project_rp" -> vecProjectRp
+    "vec_project_rp" -> vecProjectRp,
+    "vec_centroids" -> vecCentroids
   )
 
   val oracles: Map[String, String] = Map(
@@ -556,6 +589,7 @@ object QueriesAnalytics {
     "join_bloom" -> joinBloomSql,
     "join_interval_bucketed" -> joinIntervalBucketedSql,
     "vec_quantize_int8" -> vecQuantizeInt8Sql,
-    "vec_project_rp" -> vecProjectRpSql
+    "vec_project_rp" -> vecProjectRpSql,
+    "vec_centroids" -> vecCentroidsSql
   )
 }
