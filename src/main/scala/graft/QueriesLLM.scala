@@ -210,6 +210,64 @@ object QueriesLLM {
       |SELECT canon_url, count(*) AS n_dups, min(o_custkey) AS keep_key
       |FROM canon GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
+  /** dedup_url_params: URL dedup under query-PARAM-ORDER noise (round 9)
+    * — three deterministic variants per order serve the same resource as
+    * `?a=N&b=2`, `?b=2&a=N`, and `?a=N&utm_source=feed&b=2`;
+    * [[TextOps.canonicalizeUrlSorted]] collapses all three (utm
+    * stripped, params byte-order sorted). Zero-shuffle projection + one
+    * count aggregate, like [[dedupUrl]]. */
+  val dedupUrlParams: Q = (s, dir) => {
+    val noisy = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 3).as("v"))
+      .select(col("o_custkey"),
+        when(col("v") === 0, concat(lit("https://data.example.org/c/"), col("o_custkey"),
+            lit("?a="), col("o_custkey"), lit("&b=2")))
+          .when(col("v") === 1, concat(lit("https://data.example.org/c/"), col("o_custkey"),
+            lit("?b=2&a="), col("o_custkey")))
+          .otherwise(concat(lit("https://data.example.org/c/"), col("o_custkey"),
+            lit("?a="), col("o_custkey"), lit("&utm_source=feed&b=2"))).as("url"))
+    noisy.select(col("o_custkey"), TextOps.canonicalizeUrlSorted(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"), min("o_custkey").as("keep_key"))
+      .orderBy("canon_url")
+  }
+
+  val dedupUrlParamsSql =
+    """WITH noisy AS (
+      |  SELECT o_custkey,
+      |    CASE o_orderkey % 3
+      |      WHEN 0 THEN 'https://data.example.org/c/' || o_custkey || '?a=' || o_custkey || '&b=2'
+      |      WHEN 1 THEN 'https://data.example.org/c/' || o_custkey || '?b=2&a=' || o_custkey
+      |      ELSE 'https://data.example.org/c/' || o_custkey || '?a=' || o_custkey || '&utm_source=feed&b=2'
+      |    END AS url
+      |  FROM orders),
+      |canon0 AS (
+      |  SELECT o_custkey, regexp_replace(
+      |    lower(regexp_extract(url, '^([^/]+://[^/]+)', 1)) || regexp_replace(url, '^[^/]+://[^/]+', ''),
+      |    ':443/', '/', 'g') AS p
+      |  FROM noisy),
+      |canon1 AS (
+      |  SELECT o_custkey, strpos(p, '?') AS qpos,
+      |    CASE WHEN strpos(p, '?') > 0 THEN substr(p, 1, strpos(p, '?') - 1) ELSE p END AS path,
+      |    regexp_replace(regexp_replace(
+      |      '&' || CASE WHEN strpos(p, '?') > 0 THEN substr(p, strpos(p, '?') + 1) ELSE '' END,
+      |      '&utm_[a-z]+=[^&]*', '', 'g'), '^&', '') AS q
+      |  FROM canon0),
+      |canon AS (
+      |  SELECT o_custkey, regexp_replace(
+      |    CASE WHEN qpos > 0 AND length(q) > 0 THEN path || '?' || q ELSE path END,
+      |    '/$', '') AS c
+      |  FROM canon1),
+      |sorted AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN strpos(c, '?') > 0
+      |      THEN substr(c, 1, strpos(c, '?') - 1) || '?' ||
+      |        array_to_string(list_sort(string_split(substr(c, strpos(c, '?') + 1), '&')), '&')
+      |      ELSE c END AS canon_url
+      |  FROM canon)
+      |SELECT canon_url, count(*) AS n_dups, min(o_custkey) AS keep_key
+      |FROM sorted GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
   /** contamination_check: benchmark decontamination — flag corpus docs
     * sharing any verbatim 5-gram with a (stand-in) eval set, with the
     * count of distinct shared grams. The benchmark's gram set broadcasts
@@ -1931,6 +1989,7 @@ object QueriesLLM {
     "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExact,
     "dedup_url" -> dedupUrl,
+    "dedup_url_params" -> dedupUrlParams,
     "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
@@ -2002,6 +2061,7 @@ object QueriesLLM {
     "search_bm25_batch" -> searchBm25BatchSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_url" -> dedupUrlSql,
+    "dedup_url_params" -> dedupUrlParamsSql,
     "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,

@@ -191,4 +191,21 @@ object TextOps {
       .otherwise(path)
     regexp_replace(restored, "/$", "")
   }
+
+  /** [[canonicalizeUrl]] plus query-PARAM-ORDER normalization: the query
+    * substring of the canonical form is split on '&', byte-order sorted,
+    * and rejoined — `?b=2&a=1` and `?a=1&b=2` collapse to one canonical
+    * URL (real crawls serve both orders for the same resource). Applied
+    * AFTER the full canonical chain so utm stripping and the trailing-
+    * slash rule see the URL exactly as [[canonicalizeUrl]] does; still a
+    * pure codegen'd chain (split/sort/join are builtins), and byte-order
+    * string sort is engine-portable. */
+  def canonicalizeUrlSorted(u: Column): Column = {
+    val c = canonicalizeUrl(u)
+    val qpos = instr(c, "?")
+    when(qpos > 0,
+        concat(c.substr(lit(1), qpos - 1), lit("?"),
+          array_join(array_sort(split(c.substr(qpos + 1, length(c)), "&")), "&")))
+      .otherwise(c)
+  }
 }

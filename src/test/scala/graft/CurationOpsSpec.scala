@@ -62,6 +62,31 @@ class CurationOpsSpec extends SparkTestBase {
       "https://a.com/p&q"))
   }
 
+  test("canonicalizeUrlSorted: param order collapses, path untouched, idempotent (round 9)") {
+    val df = Seq(
+      "https://a.com/r?b=2&a=1",        // reordered ...
+      "https://a.com/r?a=1&b=2",        // ... baseline: must merge
+      "https://a.com/r?a=1&utm_source=x&b=2", // utm stripped BEFORE sorting
+      "https://a.com/x&y",              // path '&', no query: untouched
+      "https://a.com/r",                // no query
+      "https://a.com/r?single=1"        // one param: sort is a no-op
+    ).toDF("url")
+    val canon = df.select(TextOps.canonicalizeUrlSorted($"url").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(canon == Seq(
+      "https://a.com/r?a=1&b=2",
+      "https://a.com/r?a=1&b=2",
+      "https://a.com/r?a=1&b=2",
+      "https://a.com/x&y",
+      "https://a.com/r",
+      "https://a.com/r?single=1"))
+    // idempotent: a sorted canonical form maps to itself
+    val twice = df.select(TextOps.canonicalizeUrlSorted(
+        TextOps.canonicalizeUrlSorted($"url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == canon)
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "txt")
     val corpus = Seq(
