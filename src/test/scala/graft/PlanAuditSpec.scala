@@ -268,6 +268,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ts_anomaly: moments broadcast back onto the bucket frame, no sort-merge join (round 9)") {
+    val p = plan("ts_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("pack_shards: bucket-partitioned rank window + tiny bases window, bases broadcast (round 9)") {
+    val p = plan("pack_shards")
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("vec_project_rp: pure scan — the only exchange is the output sort (round 9)") {
+    val p = plan("vec_project_rp")
+    assert(p.contains("dot_product_float"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // one range-partitioning exchange for the final orderBy, nothing else
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("vec_centroids: dim join broadcasts, one hash aggregate after the explode (round 9)") {
+    val p = plan("vec_centroids")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_url_params: no join, one count aggregate over a narrow projection (round 9)") {
+    val p = plan("dedup_url_params")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("isCheapRescan: scans and column-shuffles yes; computed projections and aggregates no") {
     import graft.operators.Checkpointing.isCheapRescan
     import org.apache.spark.sql.functions._
