@@ -32,14 +32,14 @@ object AsOfJoin {
     *                — without it, tie winners are partition-order-
     *                dependent (fine when the payload IS the time, as in
     *                the oracle query; pass a unique id otherwise).
-    */
-  /** @param direction "backward" (default; latest right with
+    * @param direction "backward" (default; latest right with
     *                rt <= lt — the pandas merge_asof default) or
     *                "forward" (earliest right with rt >= lt): the union-
     *                sort trick is direction-symmetric — forward is the
     *                same one-pass carry over the time order REVERSED, so
     *                both directions cost the identical single shuffle +
-    *                per-partition sort. */
+    *                per-partition sort.
+    */
   def asOf(
       left: DataFrame,
       right: DataFrame,

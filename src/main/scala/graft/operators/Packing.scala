@@ -77,7 +77,9 @@ object Packing {
     *
     * Ties on the 48-bit coordinate (2⁻⁴⁸ per pair) are broken by id so
     * the rank — and every downstream shard file — is bit-reproducible
-    * across engines and cluster layouts. */
+    * across engines and cluster layouts. `id` must be UNIQUE: duplicate
+    * ids share a coordinate AND the tie-break, leaving their relative
+    * rank partition-order-dependent. */
   def shardAssign(df: DataFrame, id: Column, shardSize: Long,
       salt: String = "shard", buckets: Int = 1024): DataFrame = {
     val coordSpace = 281474976710656L // 2^48
