@@ -439,7 +439,50 @@ object QueriesStreaming {
     }
   }
 
+  /** stream_anomaly_live: the ingest-monitoring lambda — hourly
+    * per-type counts through the STREAMING engine (complete mode,
+    * 2-batch replay split at the median event time, so window state must
+    * survive the batch boundary), then [[graft.operators.Temporal]]'s
+    * z-scoring over the emitted table. The split is forced by Structured
+    * Streaming itself (stacked aggregations are illegal in one streaming
+    * query); counting live + scoring the materialized counts is the
+    * production shape. ORACLE-GATED: complete-mode counts after
+    * processAllAvailable are the exact batch counts (schedule cannot
+    * change them), and the z arithmetic is the integer-moment chain of
+    * `ts_anomaly` — DuckDB recomputes both stages over the same slice. */
+  val streamAnomalyLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val counts = in.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val sink = "stream_anomaly_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      counts.writeStream.outputMode("complete").format("memory").queryName(sink))
+    try {
+      if (benchFast) {
+        in.addData(rows); q.processAllAvailable()
+      } else {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable() // windows continue from state
+      }
+    } finally stopAndClean(q, ckpt)
+    graft.operators.Temporal.zScoresOverCounts(
+        s.table(sink).select(col("event_type").as("grp"),
+          col("window.start").cast("long").as("bucket"), col("n_events")))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Map[String, Q] = Map(
+    "stream_anomaly_live" -> streamAnomalyLive,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
     "stream_stateful_live" -> streamStatefulLive,
@@ -493,6 +536,24 @@ object QueriesStreaming {
       |  FROM g GROUP BY user_id, sess)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_anomaly_live" -> s"""$sliceCte,
+      |b AS (SELECT event_type, (ms // 3600000) * 3600 AS bucket,
+      |    count(*) AS n_events
+      |  FROM s GROUP BY 1, 2),
+      |m AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(n_events) AS BIGINT) AS sc,
+      |    CAST(sum(n_events * n_events) AS BIGINT) AS scc
+      |  FROM b GROUP BY 1)
+      |SELECT b.event_type, b.bucket, b.n_events,
+      |  CASE WHEN m.n * m.scc - m.sc * m.sc > 0
+      |    THEN floor(((CAST(b.n_events AS DOUBLE)
+      |        - CAST(m.sc AS DOUBLE) / CAST(m.n AS DOUBLE))
+      |      / sqrt((CAST(m.scc AS DOUBLE)
+      |          - CAST(m.sc AS DOUBLE) * CAST(m.sc AS DOUBLE) / CAST(m.n AS DOUBLE))
+      |        / CAST(m.n AS DOUBLE))) * 10000 + 0.5) / 10000
+      |    ELSE 0.0 END AS z
+      |FROM b JOIN m USING (event_type)
+      |ORDER BY event_type, bucket""".stripMargin,
     "stream_dedup_live" -> s"""$sliceCte
       |SELECT event_type, count(*) AS n_events
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,

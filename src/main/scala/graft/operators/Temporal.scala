@@ -119,9 +119,16 @@ object Temporal {
     * Scale shape: one (group, bucket) count shuffle — the only wide
     * stage, map-side combined — then a per-group moments aggregate
     * (O(groups) rows) broadcast back onto the bucket frame. */
-  def volumeAnomaly(events: DataFrame, group: Column, bucket: Column): DataFrame = {
-    val b = events.select(group.as("grp"), bucket.as("bucket"))
-      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_events"))
+  def volumeAnomaly(events: DataFrame, group: Column, bucket: Column): DataFrame =
+    zScoresOverCounts(events.select(group.as("grp"), bucket.as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_events")))
+
+  /** The scoring stage of [[volumeAnomaly]] over an ALREADY-COUNTED
+    * (grp, bucket, n_events) frame — exposed separately so a streaming
+    * aggregation can feed it (Structured Streaming forbids stacked
+    * aggregations in one query; counting live + scoring the emitted
+    * table is the standard lambda split, see `stream_anomaly_live`). */
+  def zScoresOverCounts(b: DataFrame): DataFrame = {
     val st = b.groupBy("grp").agg(
       count(lit(1)).as("n"),
       sum(col("n_events")).as("sc"),
