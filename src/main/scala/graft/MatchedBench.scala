@@ -222,6 +222,23 @@ object MatchedBench {
         .orderBy("user_id", "b")
     }
 
+    // pack_shards' design delta: the obvious plain-Spark form ranks the
+    // whole corpus in ONE global ROW_NUMBER window — every row moves to
+    // a single task (the canonical 100 TB window trap; Spark itself
+    // warns "No Partition Defined"). The engine form range-buckets the
+    // uniform 48-bit coordinate so ranking parallelizes and only the
+    // ≤1024-row bucket-count frame is sequential. Outputs identical.
+    def shardsNaive = {
+      val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":shard"))), 1, 12), 16, 10).cast("long")
+      documents.select(col("doc_id"), u.as("u"))
+        .select(col("doc_id"), row_number().over(
+            Window.orderBy(col("u").asc, col("doc_id").asc)).cast("long").as("rank"))
+        .withColumn("shard_id", floor((col("rank") - 1) / 100).cast("long"))
+        .select("doc_id", "rank", "shard_id")
+        .orderBy("doc_id")
+    }
+
     // (matched-table row name, engine query name, plain-Spark twin)
     Seq(
       ("q1_agg_pricing", "q1_pricing", () => q1),
@@ -236,7 +253,8 @@ object MatchedBench {
       ("set_union_all", "set_union_all", () => unionAll),
       ("pagerank_naive", "graph_pagerank", () => pagerankNaive),
       ("span_dedup_naive", "dedup_spans", () => spanDedupNaive),
-      ("resample_naive", "ts_resample", () => resampleNaive))
+      ("resample_naive", "ts_resample", () => resampleNaive),
+      ("shards_naive", "pack_shards", () => shardsNaive))
   }
 
   def main(args: Array[String]): Unit = {

@@ -32,6 +32,8 @@ object ScaleProbe {
     "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
     "sample_temperature_fast", "dq_audit",
     "pack_shards", "curriculum_bins", "sketch_source_sim_exact",
+    "ts_anomaly", "vec_project_rp", "vec_centroids", "dedup_url_params",
+    "join_asof_tolerance",
     // embeddings (4× span): similarity families. The *_loose suffixed
     // rows (τ=0.35, fixed 16×4 bands) are the declared n²-candidate
     // regime demonstrators; since round 9 the PRIMARY names bind the
