@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num.r4
 import graft.functions.VectorOps
-import graft.operators.{BloomJoin, RangeJoin, Relational, Temporal}
+import graft.operators.{BloomJoin, Clustering, RangeJoin, Relational, Temporal}
 
 /** Round-3 additions: temporal analytics (resample / SCD-2 history /
   * funnel), scale-path joins (Bloom-prefiltered semi, bucketed interval
@@ -345,6 +345,50 @@ object QueriesAnalytics {
       |GROUP BY d.source, t.i
       |ORDER BY d.source, t.i""".stripMargin
 
+  /** cluster_kmeans: exact fixed-round Lloyd k-means assignments over
+    * the embeddings table ([[graft.operators.Clustering.kmeansExact]];
+    * k=4, 2 update rounds, k-smallest-id seeds). Every distance and
+    * centroid update is exact integer arithmetic on the 10⁻⁶ grid, so
+    * DuckDB can recompute the ENTIRE iteration — seeds, both Lloyd
+    * updates (with the empty-cluster keep rule), and the final argmin
+    * with its (d2, cl) tie-break — as unrolled CTEs, the same gating
+    * trick as `graph_pagerank`'s six unrolled rounds. */
+  val clusterKmeans: Q = (s, dir) =>
+    Clustering.kmeansExact(Tables.embeddings(s, dir), k = 4, rounds = 2)
+
+  val clusterKmeansSql: String = {
+    val k = 4
+    val rounds = 2
+    // assignment i against centroid table c{i-1}: exact BIGINT d2,
+    // argmin with the (d2, cl) tie-break
+    def assign(i: Int): String =
+      s"""d$i AS (SELECT q.vec_id, c.cl, sum((q.qx - c.c) * (q.qx - c.c)) AS d2
+         |  FROM q JOIN c${i - 1} c ON q.dim = c.dim GROUP BY q.vec_id, c.cl),
+         |a$i AS (SELECT vec_id, cl, d2 FROM (
+         |    SELECT vec_id, cl, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM d$i) WHERE rn = 1)""".stripMargin
+    // update i: re-quantized means; an emptied cluster keeps c{i-1}'s row
+    def update(i: Int): String =
+      s"""n$i AS (SELECT a.cl, q.dim,
+         |    CAST(floor(CAST(sum(q.qx) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
+         |  FROM a$i a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cl, q.dim),
+         |c$i AS (SELECT p.cl, p.dim, COALESCE(n$i.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN n$i ON n$i.cl = p.cl AND n$i.dim = p.dim)""".stripMargin
+    val body = (1 to rounds).map(i => assign(i) + ",\n" + update(i)).mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT e.vec_id, t.i AS dim,
+       |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
+       |seeds AS (SELECT vec_id, cl FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cl FROM embeddings)
+       |  WHERE cl <= $k),
+       |c0 AS (SELECT s.cl, q.dim, q.qx AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+       |$body,
+       |${assign(rounds + 1)}
+       |SELECT vec_id, cl AS cluster, d2 FROM a${rounds + 1} ORDER BY vec_id""".stripMargin
+  }
+
   /** dedup_embedding_quant: exact dedup of vectors by their coarse
     * quantization signature — groupBy on the int8 code ARRAY, min-id
     * representative per bucket. The vector-side twin of `dedup_exact`:
@@ -570,7 +614,8 @@ object QueriesAnalytics {
     "join_interval_bucketed" -> joinIntervalBucketed,
     "vec_quantize_int8" -> vecQuantizeInt8,
     "vec_project_rp" -> vecProjectRp,
-    "vec_centroids" -> vecCentroids
+    "vec_centroids" -> vecCentroids,
+    "cluster_kmeans" -> clusterKmeans
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,6 +635,7 @@ object QueriesAnalytics {
     "join_interval_bucketed" -> joinIntervalBucketedSql,
     "vec_quantize_int8" -> vecQuantizeInt8Sql,
     "vec_project_rp" -> vecProjectRpSql,
-    "vec_centroids" -> vecCentroidsSql
+    "vec_centroids" -> vecCentroidsSql,
+    "cluster_kmeans" -> clusterKmeansSql
   )
 }
