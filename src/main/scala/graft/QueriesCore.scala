@@ -427,6 +427,38 @@ object QueriesCore {
       |  (SELECT min(v.ts_us) FROM v WHERE v.user_id = p.user_id AND v.ts_us >= p.ts_us) AS next_view_us
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** join_asof_nearest: the NEAREST direction (right row minimizing
+    * |rt − lt|, exact tie → backward — pandas merge_asof
+    * direction='nearest'), round 9. Backward and forward carries share
+    * ONE key shuffle and ONE sort (two window frames over the same
+    * order); the pick is a narrow gap comparison. The oracle mirrors the
+    * same max(≤)/min(≥)/CASE arithmetic. */
+  val joinAsofNearest: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).withColumn("ts_us", TimeOps.nsToUs(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_ts_us"))
+    AsOfJoin.asOfNearest(purchases, views, Seq("user_id"), "ts_us",
+        "view_ts_us", Seq("view_ts_us"))
+      .withColumnRenamed("view_ts_us", "near_view_us")
+      .orderBy("event_id")
+  }
+
+  val joinAsofNearestSql =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+      |     v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT p.event_id, p.user_id, p.ts_us,
+      |       (SELECT max(v.ts_us) FROM v WHERE v.user_id = p.user_id AND v.ts_us <= p.ts_us) AS b_ts,
+      |       (SELECT min(v.ts_us) FROM v WHERE v.user_id = p.user_id AND v.ts_us >= p.ts_us) AS f_ts
+      |      FROM p)
+      |SELECT event_id, user_id, ts_us,
+      |  CASE WHEN b_ts IS NULL THEN f_ts
+      |       WHEN f_ts IS NULL THEN b_ts
+      |       WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts
+      |       ELSE f_ts END AS near_view_us
+      |FROM c ORDER BY event_id""".stripMargin
+
   /** join_asof_tolerance: backward as-of with a 1-hour match window
     * (pandas merge_asof `tolerance`), round 9 — a view older than the
     * window is stale state, not a match. Same single-shuffle plan; the
@@ -1640,6 +1672,7 @@ object QueriesCore {
     "join_asof_native" -> joinAsofNative,
     "join_asof_forward" -> joinAsofForward,
     "join_asof_tolerance" -> joinAsofTolerance,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_interval" -> joinInterval,
     "join_cross" -> joinCross,
     "join_skew_salted" -> joinSkewSalted,
@@ -1731,6 +1764,7 @@ object QueriesCore {
     "join_asof_native" -> joinAsofSql,
     "join_asof_forward" -> joinAsofForwardSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "join_interval" -> joinIntervalSql,
     "join_cross" -> joinCrossSql,
     "join_skew_salted" -> joinSkewSaltedSql,

@@ -119,6 +119,34 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(rtPayload.toSeq == Seq(("90", "w90"), (null, null), (null, null)))
   }
 
+  test("nearest direction: closer side wins, exact tie goes backward, one-sided falls through (round 9)") {
+    val left = Seq((1L, 10L), (1L, 55L), (1L, 100L), (1L, 30L), (2L, 5L), (3L, 50L))
+      .toDF("k", "t")
+    val right = Seq((1L, 0L, "r0"), (1L, 60L, "r60"), (2L, 40L, "r40"))
+      .toDF("k", "rt", "payload")
+    val out = AsOfJoin.asOfNearest(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy("k", "t").collect().map(r => Option(r.getString(2)).orNull)
+    // (1,10): gaps 10 vs 50 -> r0; (1,30): 30 vs 30 TIE -> backward r0;
+    // (1,55): 55 vs 5 -> r60; (1,100): only backward r60;
+    // (2,5): only forward r40; (3,50): no right rows at all
+    assert(out.toSeq == Seq("r0", "r0", "r60", "r60", "r40", null), out.mkString(","))
+    // equal-instant right row sits in the backward frame and wins with gap 0
+    val eq = AsOfJoin.asOfNearest(Seq((1L, 60L)).toDF("k", "t"), right,
+      Seq("k"), "t", "rt", Seq("payload")).collect().head.getString(2)
+    assert(eq == "r60")
+  }
+
+  test("nearest plans ONE exchange and ONE sort (both carries share the window order)") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val plan = AsOfJoin.asOfNearest(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan)
+    val sorts = plan.linesIterator.count(l => l.contains("Sort ") && l.contains("k#"))
+    assert(sorts == 1, plan)
+  }
+
   test("native asOf plans one shuffle per side and no window operator") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
