@@ -49,6 +49,48 @@ object QueriesAnalytics {
       |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
       |ORDER BY g.user_id, g.b""".stripMargin
 
+  /** ts_interpolate: the linear-interpolation resample
+    * ([[graft.operators.Temporal.resampleInterp]]) over the same
+    * per-user 6-hour grid as `ts_resample` — gaps take the straight
+    * line between surrounding observations instead of the carried
+    * state. Observed bucket sums are r4-rounded BEFORE interpolating on
+    * both sides, and the interpolation expression is mirrored token for
+    * token, so the engines run the identical IEEE chain. */
+  val tsInterpolate: Q = (s, dir) =>
+    Temporal.resampleInterp(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"),
+        col("value"), v => r4(sum(v)))
+      .select(col("user_id"), col("b"), r4(col("v_interp")).as("v_interp"))
+      .orderBy("user_id", "b")
+
+  val tsInterpolateSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 21600000000 AS b, value FROM events),
+      |obs AS (
+      |  SELECT user_id, b, floor(sum(value) * 10000 + 0.5) / 10000 AS v
+      |  FROM e GROUP BY user_id, b),
+      |grid AS (
+      |  SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+      |  FROM e GROUP BY user_id),
+      |j AS (
+      |  SELECT g.user_id, g.b, o.v,
+      |    CASE WHEN o.v IS NOT NULL
+      |      THEN struct_pack(ob := g.b, ov := o.v) END AS ostr
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+      |w AS (
+      |  SELECT user_id, b, v,
+      |    last_value(ostr IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+      |    first_value(ostr IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      |  FROM j)
+      |SELECT user_id, b,
+      |  floor((CASE WHEN v IS NOT NULL THEN v
+      |    ELSE p.ov + (n.ov - p.ov) *
+      |      (CAST(b - p.ob AS DOUBLE) / CAST(n.ob - p.ob AS DOUBLE)) END)
+      |    * 10000 + 0.5) / 10000 AS v_interp
+      |FROM w ORDER BY user_id, b""".stripMargin
+
   /** scd2_intervals: run-length event-type history per user — the SCD-2
     * validity-interval build ([eff_from, eff_to), NULL-open tail).
     * Timestamps in the µs domain on both sides (§7.4). */
@@ -605,6 +647,7 @@ object QueriesAnalytics {
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
+    "ts_interpolate" -> tsInterpolate,
     "ts_anomaly" -> tsAnomaly,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
@@ -626,6 +669,7 @@ object QueriesAnalytics {
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,
+    "ts_interpolate" -> tsInterpolateSql,
     "ts_anomaly" -> tsAnomalySql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,

@@ -59,6 +59,48 @@ object Temporal {
         last("v", ignoreNulls = true).over(w).as("v_filled"))
   }
 
+  /** Linear-interpolation resample: the same per-key [min,max] bucket
+    * grid as [[resampleFill]], but gaps take the LINEARLY INTERPOLATED
+    * value between the surrounding observations instead of carrying the
+    * last one — `vp + (vn − vp) · (b − bp)/(bn − bp)` — the resample
+    * mode sensor/metric dashboards reach for when the series is a level,
+    * not a state. Both span endpoints are observed by construction, so
+    * every gap has both neighbors and the output is never NULL.
+    *
+    * Same single-exchange shuffle profile as [[resampleFill]] (the
+    * grid mass never crosses an exchange); the backward and forward
+    * neighbor carries are two window frames over ONE (key, b) sort,
+    * each carrying the observation as a (bucket, value) struct — the
+    * [[AsOfJoin]] struct-carry discipline, so the neighbor's bucket and
+    * value can never come from different rows. The interpolation itself
+    * is one narrow projection with a FIXED operation order (difference,
+    * ratio-as-double, multiply, add) that the oracle mirrors token for
+    * token — every step is correctly-rounded IEEE, so both engines
+    * produce the identical double. */
+  def resampleInterp(events: DataFrame, key: String, bucket: Column,
+      value: Column, agg: Column => Column): DataFrame = {
+    val e = events.select(col(key), bucket.as("b"), value.as("v"))
+    val observed = Dist.byKeys(
+      e.groupBy(col(key), col("b")).agg(agg(col("v")).as("v")), col(key))
+    val grid = observed.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val wb = Window.partitionBy(key).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key).orderBy("b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(observed, Seq(key, "b"), "left_outer")
+      .withColumn("__o", when(col("v").isNotNull,
+        struct(col("b").as("ob"), col("v").as("ov"))))
+      .withColumn("__p", last("__o", ignoreNulls = true).over(wb))
+      .withColumn("__n", first("__o", ignoreNulls = true).over(wf))
+      .select(col(key), col("b"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("__p.ov") + (col("__n.ov") - col("__p.ov")) *
+            ((col("b") - col("__p.ob")).cast("double") /
+              (col("__n.ob") - col("__p.ob")).cast("double")))
+          .as("v_interp"))
+  }
+
   /** SCD-2 style history build: collapse each key's consecutive runs of an
     * equal attribute value into validity intervals
     * `[eff_from, eff_to)` (`eff_to` NULL for the current/open run) —

@@ -25,6 +25,31 @@ class AnalyticsSpec extends SparkTestBase {
       (2L, 10L, 7.0)))
   }
 
+  test("resampleInterp draws the straight line across gaps, keeps observed values") {
+    val e = Seq(
+      (1L, 0L, 1.0), (1L, 0L, 2.0), // bucket 0 -> 3.0 observed
+      (1L, 3L, 9.0),                // buckets 1,2 -> 5.0, 7.0 (linear)
+      (1L, 4L, 1.0),                // adjacent observed, nothing to fill
+      (2L, 10L, 7.0)                // single-bucket series
+    ).toDF("user_id", "b", "value")
+    val out = Temporal.resampleInterp(e, "user_id", col("b"), col("value"),
+        v => sum(v)).orderBy("user_id", "b")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 0L, 3.0), (1L, 1L, 5.0), (1L, 2L, 7.0), (1L, 3L, 9.0),
+      (1L, 4L, 1.0),
+      (2L, 10L, 7.0)))
+  }
+
+  test("resampleInterp interpolates DOWNWARD slopes and multi-bucket gaps exactly") {
+    val e = Seq(
+      (1L, 0L, 8.0), (1L, 4L, 0.0) // 3 gap buckets: 6.0, 4.0, 2.0
+    ).toDF("user_id", "b", "value")
+    val out = Temporal.resampleInterp(e, "user_id", col("b"), col("value"),
+        v => sum(v)).orderBy("b").as[(Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq === Seq(8.0, 6.0, 4.0, 2.0, 0.0))
+  }
+
   test("scd2 collapses runs into [eff_from, eff_to) with an open tail") {
     val e = Seq(
       (1L, 10L, 100L, "a"), (1L, 20L, 101L, "a"), (1L, 30L, 102L, "b"),

@@ -172,6 +172,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_min"), p)
   }
 
+  test("ts_interpolate: both neighbor carries ride ONE window sort, partials only") {
+    val p = plan("ts_interpolate")
+    // same shuffle discipline as ts_resample: the exchanges move
+    // (key, bucket) partials, never raw events
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_min"), p)
+    // the backward (last) and forward (first) carries share the
+    // (user_id, b) order: exactly one PARTITION-LOCAL sort (`false, 0`)
+    // below the windows — a second one would mean the frames diverged.
+    // (The query's final total ORDER BY is a global sort, not counted.)
+    val winSorts = p.linesIterator.count(l =>
+      l.contains("Sort [user_id#") && l.contains("b#") && l.contains("false, 0"))
+    assert(winSorts == 1, p)
+  }
+
   test("agg_percentiles contains no buffering percentile aggregate") {
     val p = plan("agg_percentiles")
     // the O(rows-per-group)-buffer built-in must never reappear (VERDICT
