@@ -949,6 +949,43 @@ object QueriesLLM {
       |         / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS quality
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** text_entropy: Shannon entropy (bits/char) of each document's
+    * code-point distribution — the classic "natural text vs repetitive
+    * filler vs random noise" quality gate that complements the
+    * token-level signals (`text_quality`'s length/shape score,
+    * `text_repetition`'s n-gram fractions): boilerplate collapses the
+    * CHARACTER distribution even when token stats look healthy.
+    *
+    * Scale shape: ZERO shuffle bar the gate's ORDER BY — per-row
+    * [[graft.plans.TextKernels.charEntropyBits]] codegen kernel (one
+    * exact count pass per doc, Σ in ascending-code-point order for
+    * cross-run determinism) instead of exploding the corpus into
+    * per-character rows and shuffling them through a groupBy — the
+    * explode form the ORACLE uses is exactly the shape this kernel
+    * exists to avoid. Transcendental note (§7.4): ln on both engines is
+    * the platform libm; the r4 grid absorbs ulp drift, the same
+    * contract `text_ngram_lm`'s cross-entropy already gates. */
+  val textEntropy: Q = (s, dir) => {
+    import graft.plans.TextExpressions
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        r4(TextExpressions.charEntropy(col("text"))).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  val textEntropySql =
+    """WITH ch AS (
+      |  SELECT doc_id, c, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      |  GROUP BY doc_id, c),
+      |s AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n,
+      |    sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS slc
+      |  FROM ch GROUP BY doc_id)
+      |SELECT doc_id,
+      |  floor(((ln(n) - slc / n) / ln(2)) * 10000 + 0.5) / 10000 AS entropy_bits
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** text_repetition: the Gopher/MassiveText repetition signals (Rae et
     * al. 2021, §A1.1 — reimplemented from the paper's published rules,
     * not any code) — per document and per n-gram order (2 and 3):
@@ -2022,6 +2059,7 @@ object QueriesLLM {
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
+    "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_ngram_lm" -> textNgramLm,
     "pipeline_quality_filter" -> pipelineQualityFilter,
@@ -2086,6 +2124,7 @@ object QueriesLLM {
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
+    "text_entropy" -> textEntropySql,
     "text_repetition" -> textRepetitionSql,
     "text_ngram_lm" -> textNgramLmSql,
     "pipeline_quality_filter" -> pipelineQualityFilterSql,

@@ -105,6 +105,19 @@ case class SrpSketchExpr(child: Expression, bits: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** char_entropy_bits(text): Shannon entropy (bits/char) of the
+  * code-point distribution — DOUBLE, NULL-propagating. */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy_bits"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropyBits(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.charEntropyBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
@@ -123,4 +136,7 @@ object TextExpressions {
 
   def repetitionStats(text: Column, n: Int): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text), n))
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(text)))
 }

@@ -384,6 +384,39 @@ object TextKernels {
       p
     })
 
+  /** Shannon entropy (bits per character) of the text's CODE-POINT
+    * distribution — the "is this natural text or repetitive filler"
+    * quality signal (low entropy ⇒ boilerplate/padding, very high ⇒
+    * random noise). Computed as `(ln n − Σ c·ln c / n) / ln 2` over the
+    * per-code-point counts; the Σ runs in ASCENDING code-point order so
+    * the float accumulation is deterministic across runs and partitions.
+    * Empty text yields 0.0; NULL propagates at the expression layer.
+    * Character identity is the Unicode code point (UTF-8 decoded), the
+    * same unit DuckDB's `string_split(text, '')` produces — one cell of
+    * a multi-byte script is one symbol, not 2-4 byte symbols. */
+  def charEntropyBits(s: UTF8String): Double = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return 0.0
+    val counts = new java.util.TreeMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0L
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var slc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      slc += c * math.log(c)
+    }
+    (math.log(n.toDouble) - slc / n) / math.log(2.0)
+  }
+
   def srpSketch(vec: ArrayData, bits: Int, seed: Int): Long = {
     val n = vec.numElements()
     var j = 0

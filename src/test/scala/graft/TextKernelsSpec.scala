@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.TextOps
+import graft.functions.{Num, TextOps}
 import graft.operators.{Dedup, Similarity}
 import graft.plans.TextExpressions
 
@@ -92,6 +92,36 @@ class TextKernelsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     // exactly the one range-partitioning exchange the sort gate requires
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("char entropy kernel: hand values, empty/NULL edges, == explode+groupBy form") {
+    import graft.plans.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(s: String) = TextKernels.charEntropyBits(UTF8String.fromString(s))
+    assert(k("aaaa") === 0.0)
+    assert(k("ab") === 1.0)           // two equiprobable symbols = 1 bit
+    assert(k("abab") === 1.0)
+    assert(math.abs(k("abcd") - 2.0) < 1e-12)
+    assert(k("") === 0.0)
+    assert(k("a") === 0.0)
+    // multi-byte: one CJK code point is ONE symbol, not 3 byte-symbols
+    assert(k("一一一") === 0.0)
+    assert(k("一二") === 1.0)
+    // NULL propagates through the expression
+    val nulls = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextExpressions.charEntropy(col("text")).as("e")).collect()
+    assert(nulls.head.isNullAt(0))
+    // relational reference on the fixture: explode chars -> counts -> the
+    // same (ln n - sum c ln c / n) / ln 2 chain, compared on the r4 grid
+    val kernel = fixtureDf.select(col("doc_id"),
+      Num.r4(TextExpressions.charEntropy(col("text"))).as("e"))
+    val grouped = fixtureDf
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy("doc_id")
+      .agg(Num.r4((log(sum("cnt")) - sum(col("cnt") * log(col("cnt"))) / sum("cnt"))
+        / log(lit(2.0))).as("e"))
+    assert(kernel.except(grouped).isEmpty && grouped.except(kernel).isEmpty)
   }
 
   test("shingle hash set kernel == relational distinct set (fixture + edges)") {
