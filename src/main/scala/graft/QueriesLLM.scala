@@ -1515,6 +1515,36 @@ object QueriesLLM {
       |WHERE CAST('0x' || substr(md5(e.event_id || ':s0'), 1, 12) AS BIGINT) < thr.thr
       |ORDER BY e.event_id""".stripMargin
 
+  /** sample_quality_weighted: per-row acceptance with probability equal
+    * to the document's OWN quality score
+    * ([[graft.operators.Sampling.weightedSample]] over
+    * `TextOps.qualityScore`) — the soft quality filter (high-quality
+    * docs kept almost surely, middling ones proportionally) that
+    * replaces a hard quality threshold in modern curation recipes.
+    * Fully deterministic: the transcendental-free r4-grid score and the
+    * exact-integer 48-bit md5 threshold are both recomputed verbatim by
+    * the oracle. Plan: one narrow filter fused into the scan — zero
+    * shuffle bar the gate ORDER BY. */
+  val sampleQualityWeighted: Q = (s, dir) =>
+    Sampling.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "text", "source"),
+      col("doc_id"), TextOps.qualityScore(col("text")))
+      .select("doc_id", "source").orderBy("doc_id")
+
+  val sampleQualityWeightedSql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |    CAST(length(text) AS DOUBLE) AS n_chars FROM documents),
+      |q AS (SELECT doc_id, source,
+      |    floor(((n_tokens / (n_tokens + 50.0)) *
+      |      (1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0)
+      |           / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS w
+      |  FROM t)
+      |SELECT doc_id, source FROM q
+      |WHERE CAST('0x' || substr(md5(doc_id || ':s0'), 1, 12) AS BIGINT)
+      |  < (CAST(floor(w * 10000 + 0.5) AS BIGINT) * 281474976710656) // 10000
+      |ORDER BY doc_id""".stripMargin
+
   val sampleHashSql =
     """SELECT doc_id, lang FROM documents
       |WHERE md5(doc_id || ':s0') < '19999999999999999999999999999999'
@@ -2077,6 +2107,7 @@ object QueriesLLM {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_temperature_fast" -> sampleTemperatureFast,
+    "sample_quality_weighted" -> sampleQualityWeighted,
     "split_assign" -> splitAssign,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
@@ -2140,6 +2171,7 @@ object QueriesLLM {
     "sample_mixture" -> sampleMixtureSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_temperature_fast" -> sampleTemperatureFastSql,
+    "sample_quality_weighted" -> sampleQualityWeightedSql,
     "split_assign" -> splitAssignSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,

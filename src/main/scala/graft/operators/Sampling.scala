@@ -154,6 +154,31 @@ object Sampling {
     * shuffled. The price is ±√n binomial noise around t_s instead of
     * an exact cut (t_s = n_s still keeps everything: the threshold
     * rounds to 2⁴⁸, above every coordinate). */
+  /** Per-row WEIGHTED acceptance sampling: keep each row with
+    * probability equal to its own `weight` (∈ [0,1], read on the r4
+    * grid) — the soft quality-proportional filter of modern curation
+    * recipes (keep good docs surely, middling docs sometimes), where
+    * [[hashSample]] is the same coin with a single global fraction.
+    *
+    * Exact arithmetic end-to-end: wq = floor(w·10⁴+0.5) ∈ [0,10⁴]
+    * (exact — r4-grid weights times 10⁴ recover their integer), keep
+    * iff the 48-bit md5-prefix coordinate u < wq·2⁴⁸ div 10⁴ (the
+    * product tops out at 2.8·10¹⁸ < Long.Max, the division is integer)
+    * — so any engine with md5 draws the identical sample. w=1 rounds
+    * the threshold to 2⁴⁸ and keeps everything; w=0 keeps nothing;
+    * pointwise-larger weights keep a SUPERSET (same coordinate, higher
+    * cut). Weights outside [0,1] are a caller bug (clamp first).
+    *
+    * Scale: one narrow filter — zero shuffle, zero driver state; the
+    * weight is usually itself a per-row expression (quality score), so
+    * the whole op fuses into the scan's codegen stage. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      salt: String = "s0"): DataFrame =
+    df.withColumn("__wq", floor(weight * 10000 + lit(0.5)).cast("long"))
+      .withColumn("__u", conv(substring(coord(key, salt), 1, 12), 16, 10).cast("long"))
+      .filter(col("__u") < expr("(__wq * 281474976710656) div 10000"))
+      .drop("__wq", "__u")
+
   def temperatureSampleFast(df: DataFrame, key: Column, source: Column,
       alpha: Double, keepRatio: Double, salt: String = "s0"): DataFrame = {
     val tgt = temperatureTargets(df, source, alpha, keepRatio)

@@ -131,4 +131,30 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "threshold form must not rank the fact table")
   }
+
+  test("weightedSample: w=1 keeps all, w=0 keeps none, rate tracks w, monotone superset") {
+    val df = docs.select(col("doc_id"))
+    val n = df.count()
+    assert(Sampling.weightedSample(df, col("doc_id"), lit(1.0)).count() == n)
+    assert(Sampling.weightedSample(df, col("doc_id"), lit(0.0)).count() == 0)
+    // a constant weight degenerates to hashSample's coin: same coordinate,
+    // binomial acceptance around w·n
+    val half = Sampling.weightedSample(df, col("doc_id"), lit(0.5)).count()
+    assert(math.abs(half - 0.5 * n) <= 4.0 * math.sqrt(0.25 * n) + 2,
+      s"w=0.5 kept $half of $n")
+    // pointwise-larger weights keep a SUPERSET (same u, higher cut)
+    val lo = Sampling.weightedSample(df, col("doc_id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    val hi = Sampling.weightedSample(df, col("doc_id"), lit(0.8))
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
+    // partition-independence, and the plan stays a narrow filter
+    val again = Sampling.weightedSample(
+        df.repartition(17, (col("doc_id") * 7) % 13), col("doc_id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == lo)
+    val plan = Sampling.weightedSample(df, col("doc_id"), lit(0.3))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
 }
