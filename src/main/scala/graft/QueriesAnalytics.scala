@@ -398,9 +398,10 @@ object QueriesAnalytics {
   val clusterKmeans: Q = (s, dir) =>
     Clustering.kmeansExact(Tables.embeddings(s, dir), k = 4, rounds = 2)
 
-  val clusterKmeansSql: String = {
-    val k = 4
-    val rounds = 2
+  /** The shared k-means CTE chain (seeds → unrolled assign/update rounds
+    * → final assignment `a{rounds+1}`) — the oracle body both
+    * `cluster_kmeans` and `curate_cluster_balance` build on. */
+  private def kmeansCtes(k: Int, rounds: Int): String = {
     // assignment i against centroid table c{i-1}: exact BIGINT d2,
     // argmin with the (d2, cl) tie-break
     def assign(i: Int): String =
@@ -418,7 +419,7 @@ object QueriesAnalytics {
          |c$i AS (SELECT p.cl, p.dim, COALESCE(n$i.c, p.c) AS c
          |  FROM c${i - 1} p LEFT JOIN n$i ON n$i.cl = p.cl AND n$i.dim = p.dim)""".stripMargin
     val body = (1 to rounds).map(i => assign(i) + ",\n" + update(i)).mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT e.vec_id, t.i AS dim,
        |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
        |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
@@ -427,9 +428,41 @@ object QueriesAnalytics {
        |  WHERE cl <= $k),
        |c0 AS (SELECT s.cl, q.dim, q.qx AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id),
        |$body,
-       |${assign(rounds + 1)}
-       |SELECT vec_id, cl AS cluster, d2 FROM a${rounds + 1} ORDER BY vec_id""".stripMargin
+       |${assign(rounds + 1)}""".stripMargin
   }
+
+  val clusterKmeansSql: String =
+    s"""WITH ${kmeansCtes(4, 2)}
+       |SELECT vec_id, cl AS cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** curate_cluster_balance: cluster-balanced subsampling
+    * ([[graft.operators.Clustering.clusterBalancedSample]]; k=4,
+    * 2 Lloyd rounds, keepRatio 0.5) — keep an equal share of every
+    * k-means cluster so no dominant topic owns the kept corpus, the
+    * diversity-curation counterpart of a flat hash sample. Selection is
+    * the zero-shuffle md5-threshold discipline (exact integer chain, so
+    * DuckDB redraws the identical sample on top of the same unrolled
+    * k-means CTEs). */
+  val curateClusterBalance: Q = (s, dir) =>
+    Clustering.clusterBalancedSample(Tables.embeddings(s, dir),
+      k = 4, rounds = 2, keepRatio = 0.5)
+
+  val curateClusterBalanceSql: String =
+    s"""WITH ${kmeansCtes(4, 2)},
+       |cnt AS (SELECT cl, count(*) AS n_c FROM a3 GROUP BY cl),
+       |tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM cnt),
+       |thr AS (SELECT c.cl,
+       |    CAST(floor(281474976710656.0 *
+       |      CAST(floor(1000000000.0 *
+       |        least(1.0,
+       |          CAST(CAST(floor(0.5 * CAST(t.n AS DOUBLE) / 4 + 0.5) AS BIGINT) AS DOUBLE)
+       |            / CAST(c.n_c AS DOUBLE)) + 0.5) AS DOUBLE)
+       |      / 1000000000.0) AS BIGINT) AS thr
+       |  FROM cnt c CROSS JOIN tot t)
+       |SELECT a.vec_id, a.cl AS cluster
+       |FROM a3 a JOIN thr ON thr.cl = a.cl
+       |WHERE CAST('0x' || substr(md5(a.vec_id || ':s0'), 1, 12) AS BIGINT) < thr.thr
+       |ORDER BY a.vec_id""".stripMargin
 
   /** dedup_embedding_quant: exact dedup of vectors by their coarse
     * quantization signature — groupBy on the int8 code ARRAY, min-id
@@ -658,7 +691,8 @@ object QueriesAnalytics {
     "vec_quantize_int8" -> vecQuantizeInt8,
     "vec_project_rp" -> vecProjectRp,
     "vec_centroids" -> vecCentroids,
-    "cluster_kmeans" -> clusterKmeans
+    "cluster_kmeans" -> clusterKmeans,
+    "curate_cluster_balance" -> curateClusterBalance
   )
 
   val oracles: Map[String, String] = Map(
@@ -680,6 +714,7 @@ object QueriesAnalytics {
     "vec_quantize_int8" -> vecQuantizeInt8Sql,
     "vec_project_rp" -> vecProjectRpSql,
     "vec_centroids" -> vecCentroidsSql,
-    "cluster_kmeans" -> clusterKmeansSql
+    "cluster_kmeans" -> clusterKmeansSql,
+    "curate_cluster_balance" -> curateClusterBalanceSql
   )
 }

@@ -55,7 +55,13 @@ object Clustering {
     * returns the final assignment `(vec_id, cluster, d2)` ordered by
     * `vec_id`. `emb` must have (`vec_id`, `embedding: array<float>`)
     * with non-null, equal-length vectors. */
-  def kmeansExact(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kmeansExact(emb: DataFrame, k: Int, rounds: Int): DataFrame =
+    kmeansAssign(emb, k, rounds).orderBy("vec_id")
+
+  /** [[kmeansExact]] without the presentation sort — the composition
+    * surface ([[clusterBalancedSample]] aggregates over it; a sort
+    * there would be wasted work). */
+  def kmeansAssign(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val q = emb.select(col("vec_id"),
@@ -92,6 +98,48 @@ object Clustering {
       .select(col("vec_id"),
         col("best").getField("cl").as("cluster"),
         col("best").getField("d2").as("d2"))
+  }
+
+  /** Cluster-BALANCED subsampling: run [[kmeansAssign]], then keep an
+    * (approximately) equal number of vectors from every cluster —
+    * the diversity-curation move that stops one dominant topic from
+    * owning the kept corpus the way a flat `hashSample` would let it.
+    *
+    * Selection is the zero-shuffle THRESHOLD discipline of
+    * [[Sampling.temperatureSampleFast]]: per-cluster target
+    * m = floor(keepRatio·N/k + 0.5), acceptance fraction
+    * min(1, m/n_c) quantized to the 1e-9 grid, kept iff the row's
+    * 48-bit md5-prefix coordinate clears floor(2⁴⁸·q_c/10⁹) — every
+    * step exact integer math or one correctly-rounded IEEE chain, so
+    * the oracle redraws the identical sample. A cluster smaller than
+    * its share keeps everything (fraction caps at 1 ⇒ threshold 2⁴⁸).
+    *
+    * Scale shape: the k-means passes (per-round scans, broadcast-
+    * literal argmin), then ONE k-row aggregate for cluster sizes,
+    * a broadcast join of the k-row threshold frame, and a narrow
+    * filter — the corpus is never shuffled by the selection. */
+  def clusterBalancedSample(emb: DataFrame, k: Int, rounds: Int,
+      keepRatio: Double, salt: String = "s0"): DataFrame = {
+    require(keepRatio > 0 && keepRatio <= 1, s"keepRatio $keepRatio out of (0,1]")
+    val assign = kmeansAssign(emb, k, rounds)
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("__n"))
+    val total = sizes.agg(sum("__n").as("__tot"))
+    val thr = sizes.crossJoin(broadcast(total))
+      .select(col("cluster"),
+        floor(lit(keepRatio) * col("__tot").cast("double") / k + lit(0.5))
+          .cast("long").as("__m"), col("__n"))
+      .select(col("cluster"),
+        floor(lit(281474976710656.0) *
+          floor(lit(1000000000.0) *
+            least(lit(1.0), col("__m").cast("double") / col("__n").cast("double"))
+            + lit(0.5)).cast("double") / lit(1000000000.0))
+          .cast("long").as("__thr"))
+    val u = conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit(":" + salt)).cast("binary")),
+      1, 12), 16, 10).cast("long")
+    assign.join(broadcast(thr), Seq("cluster"))
+      .filter(u < col("__thr"))
+      .select(col("vec_id"), col("cluster"))
       .orderBy("vec_id")
   }
 }

@@ -50,6 +50,31 @@ class ClusteringSpec extends SparkTestBase {
     assert(out.find(_._1 == 1L).get._3 === 0L)
   }
 
+  test("clusterBalancedSample: equal shares within binomial noise, small clusters kept whole") {
+    val rnd = new scala.util.Random(11)
+    // two fat blobs (200 each) + one tiny blob (10): balanced keep at
+    // ratio 0.5 targets ~68 per cluster -> the tiny blob survives whole
+    def blob(c: Float, n: Int, from: Long) =
+      (0 until n).map(i => (from + i) -> Seq.fill(4)(c + 0.01f * rnd.nextFloat()))
+    val e = (blob(0.0f, 1, 1) ++ blob(5.0f, 1, 2) ++ blob(10.0f, 1, 3) ++
+      blob(0.0f, 199, 100) ++ blob(5.0f, 199, 1000) ++ blob(10.0f, 8, 5000))
+      .toDF("vec_id", "embedding")
+    val kept = graft.operators.Clustering
+      .clusterBalancedSample(e, k = 3, rounds = 2, keepRatio = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byCl = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // total N=409, target m = floor(0.5*409/3+0.5) = 68 per cluster
+    val tiny = byCl.values.min
+    assert(tiny == 9, s"tiny cluster must be kept whole: $byCl") // 8+1 members
+    for ((cl, n) <- byCl if n != tiny)
+      assert(math.abs(n - 68) <= 4 * math.sqrt(68.0) + 2, s"cluster $cl kept $n, target 68")
+    // deterministic under re-run
+    val again = graft.operators.Clustering
+      .clusterBalancedSample(e, k = 3, rounds = 2, keepRatio = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
   test("assignments agree with an in-memory reference on random vectors") {
     val rnd = new scala.util.Random(7)
     val dims = 8
