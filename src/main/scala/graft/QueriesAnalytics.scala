@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Num.r4
 import graft.functions.VectorOps
-import graft.operators.{BloomJoin, Clustering, RangeJoin, Relational, Temporal}
+import graft.operators.{BloomJoin, Clustering, Pca, RangeJoin, Relational, Temporal}
 
 /** Round-3 additions: temporal analytics (resample / SCD-2 history /
   * funnel), scale-path joins (Bloom-prefiltered semi, bucketed interval
@@ -435,6 +435,49 @@ object QueriesAnalytics {
     s"""WITH ${kmeansCtes(4, 2)}
        |SELECT vec_id, cl AS cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin
 
+  /** vec_top_pc: each vector's projection on the corpus's top principal
+    * direction ([[graft.operators.Pca.topPcProjection]]; 3 power-
+    * iteration rounds from the e₁ seed) — the anisotropy/drift spectral
+    * summary. Every round's state is exact-integer or one correctly-
+    * rounded IEEE chain (dot re-grid by double-floor, norm from an
+    * EXACT Σ sq² long, sqrt correctly rounded by IEEE contract), so
+    * DuckDB replays the full iteration as unrolled CTEs — the
+    * `cluster_kmeans` gating recipe extended to spectral state. */
+  val vecTopPc: Q = (s, dir) =>
+    Pca.topPcProjection(Tables.embeddings(s, dir), dims = 64, rounds = 3)
+
+  val vecTopPcSql: String = {
+    val rounds = 3
+    def round(i: Int): String =
+      s"""d$i AS (SELECT q.vec_id,
+         |    CAST(floor(CAST(sum(q.qx * v.qv) AS DOUBLE) / 1000000.0) AS BIGINT) AS dq
+         |  FROM q JOIN v${i - 1} v ON v.dim = q.dim GROUP BY q.vec_id),
+         |s$i AS (SELECT q.dim, CAST(sum(q.qx * d.dq) AS BIGINT) AS s
+         |  FROM q JOIN d$i d ON d.vec_id = q.vec_id GROUP BY q.dim),
+         |c$i AS (SELECT greatest(1, CAST(floor(CAST(max(abs(s)) AS DOUBLE) / 100000000.0) AS BIGINT)) AS c
+         |  FROM s$i),
+         |t$i AS (SELECT s.dim, CAST(floor(CAST(s.s AS DOUBLE) / c.c) AS BIGINT) AS sq
+         |  FROM s$i s CROSS JOIN c$i c),
+         |n$i AS (SELECT CAST(sum(sq * sq) AS BIGINT) AS n2 FROM t$i),
+         |v$i AS (SELECT t.dim,
+         |    CASE WHEN n.n2 = 0 THEN p.qv
+         |      ELSE CAST(floor(CAST(t.sq AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |    END AS qv
+         |  FROM t$i t CROSS JOIN n$i n JOIN v${i - 1} p ON p.dim = t.dim)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT e.vec_id, t.i AS dim,
+       |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
+       |v0 AS (SELECT t.i AS dim,
+       |    CAST(CASE WHEN t.i = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS qv
+       |  FROM range(1, 65) t(i)),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT q.vec_id,
+       |  floor((CAST(sum(q.qx * v.qv) AS DOUBLE) / 1000000000000.0) * 10000 + 0.5) / 10000 AS score
+       |FROM q JOIN v$rounds v ON v.dim = q.dim
+       |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin
+  }
+
   /** curate_cluster_balance: cluster-balanced subsampling
     * ([[graft.operators.Clustering.clusterBalancedSample]]; k=4,
     * 2 Lloyd rounds, keepRatio 0.5) — keep an equal share of every
@@ -692,7 +735,8 @@ object QueriesAnalytics {
     "vec_project_rp" -> vecProjectRp,
     "vec_centroids" -> vecCentroids,
     "cluster_kmeans" -> clusterKmeans,
-    "curate_cluster_balance" -> curateClusterBalance
+    "curate_cluster_balance" -> curateClusterBalance,
+    "vec_top_pc" -> vecTopPc
   )
 
   val oracles: Map[String, String] = Map(
@@ -715,6 +759,7 @@ object QueriesAnalytics {
     "vec_project_rp" -> vecProjectRpSql,
     "vec_centroids" -> vecCentroidsSql,
     "cluster_kmeans" -> clusterKmeansSql,
-    "curate_cluster_balance" -> curateClusterBalanceSql
+    "curate_cluster_balance" -> curateClusterBalanceSql,
+    "vec_top_pc" -> vecTopPcSql
   )
 }

@@ -50,6 +50,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       "operators/Percentiles.scala" -> 1, // O(groups × quantiles) target buckets
       "operators/Similarity.scala" -> 3, // IVF centroids / k-means means (≤ nCentroids·dim)
       "operators/Clustering.scala" -> 2, // Lloyd seeds + per-round means (k·dims cells each)
+      "operators/Pca.scala" -> 1, // per-round direction sums (dims cells)
       "operators/Components.scala" -> 1, // union-find fast path, gated ≤ 2^20 edges
       "operators/Bpe.scala" -> 1, // top-V word frequencies, V bounded
       "operators/Relational.scala" -> 1, // exactly_one: limit(2), never full
