@@ -200,8 +200,20 @@ object TextOps {
     * slash rule see the URL exactly as [[canonicalizeUrl]] does; still a
     * pure codegen'd chain (split/sort/join are builtins), and byte-order
     * string sort is engine-portable. */
-  def canonicalizeUrlSorted(u: Column): Column = {
-    val c = canonicalizeUrl(u)
+  def canonicalizeUrlSorted(u: Column): Column =
+    sortUrlParams(canonicalizeUrl(u))
+
+  /** The param-order-sort step alone, over an ALREADY-canonical URL.
+    * References its input FOUR times — when `c` is the full
+    * [[canonicalizeUrl]] chain inline (as [[canonicalizeUrlSorted]]
+    * composes it), `array_sort`'s codegen fallback drops the projection
+    * out of whole-stage codegen, losing subexpression elimination, and
+    * the ~20-regex chain evaluates 4× per row interpreted (measured 12×
+    * the plain-canonical query at sf0.1). At scale, stage instead:
+    * compute the canonical form in its OWN projection and feed this the
+    * resulting attribute — CollapseProject keeps a non-cheap multi-
+    * referenced alias un-inlined, so the chain runs once per row. */
+  def sortUrlParams(c: Column): Column = {
     val qpos = instr(c, "?")
     when(qpos > 0,
         concat(c.substr(lit(1), qpos - 1), lit("?"),
