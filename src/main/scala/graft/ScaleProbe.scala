@@ -35,8 +35,8 @@ object ScaleProbe {
     "ts_anomaly", "vec_project_rp", "vec_centroids", "dedup_url_params",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
-    // embeddings (4× span): clustering family
-    "cluster_kmeans", "curate_cluster_balance",
+    // embeddings (4× span): clustering + spectral family
+    "cluster_kmeans", "curate_cluster_balance", "vec_top_pc",
     // embeddings (4× span): similarity families. The *_loose suffixed
     // rows (τ=0.35, fixed 16×4 bands) are the declared n²-candidate
     // regime demonstrators; since round 9 the PRIMARY names bind the
