@@ -446,8 +446,10 @@ object QueriesAnalytics {
   val vecTopPc: Q = (s, dir) =>
     Pca.topPcProjection(Tables.embeddings(s, dir), dims = 64, rounds = 3)
 
-  val vecTopPcSql: String = {
-    val rounds = 3
+  /** The shared power-iteration CTE chain (quantized corpus `q`, seed
+    * `v0`, rounds `d_i/s_i/c_i/t_i/n_i/v_i`) — composed by both the
+    * projection and the whitening oracle. */
+  private def pcaCtes(rounds: Int): String = {
     def round(i: Int): String =
       s"""d$i AS (SELECT q.vec_id,
          |    CAST(floor(CAST(sum(q.qx * v.qv) AS DOUBLE) / 1000000.0) AS BIGINT) AS dq
@@ -464,19 +466,44 @@ object QueriesAnalytics {
          |      ELSE CAST(floor(CAST(t.sq AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
          |    END AS qv
          |  FROM t$i t CROSS JOIN n$i n JOIN v${i - 1} p ON p.dim = t.dim)""".stripMargin
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT e.vec_id, t.i AS dim,
        |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
        |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
        |v0 AS (SELECT t.i AS dim,
        |    CAST(CASE WHEN t.i = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS qv
        |  FROM range(1, 65) t(i)),
-       |${(1 to rounds).map(round).mkString(",\n")}
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val vecTopPcSql: String =
+    s"""WITH ${pcaCtes(3)}
        |SELECT q.vec_id,
        |  floor((CAST(sum(q.qx * v.qv) AS DOUBLE) / 1000000000000.0) * 10000 + 0.5) / 10000 AS score
-       |FROM q JOIN v$rounds v ON v.dim = q.dim
+       |FROM q JOIN v3 v ON v.dim = q.dim
        |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin
-  }
+
+  /** vec_whiten_resid: "all-but-the-top" residual norm — each vector's
+    * norm after removing its component along the 3-round top principal
+    * direction ([[graft.operators.Pca.whitenResidualNorm]]); the
+    * standard embedding anisotropy post-processing diagnostic. The
+    * oracle composes the shared power-iteration CTE chain, then runs
+    * the identical exact-BIGINT s2/d/|v|² → 3-IEEE-op residual chain. */
+  val vecWhitenResid: Q = (s, dir) =>
+    Pca.whitenResidualNorm(Tables.embeddings(s, dir), dims = 64, rounds = 3)
+
+  val vecWhitenResidSql: String =
+    s"""WITH ${pcaCtes(3)},
+       |n2v AS (SELECT CAST(sum(qv * qv) AS BIGINT) AS n2 FROM v3),
+       |rowq AS (SELECT q.vec_id,
+       |    CAST(sum(q.qx * q.qx) AS BIGINT) AS s2,
+       |    CAST(sum(q.qx * v.qv) AS BIGINT) AS d
+       |  FROM q JOIN v3 v ON v.dim = q.dim GROUP BY q.vec_id)
+       |SELECT r.vec_id,
+       |  floor(sqrt(greatest(CAST(r.s2 AS DOUBLE)
+       |      - CAST(r.d AS DOUBLE) * CAST(r.d AS DOUBLE) / CAST(n.n2 AS DOUBLE), 0.0))
+       |    / 1000000.0 * 10000 + 0.5) / 10000 AS resid_norm
+       |FROM rowq r CROSS JOIN n2v n ORDER BY r.vec_id""".stripMargin
 
   /** curate_cluster_balance: cluster-balanced subsampling
     * ([[graft.operators.Clustering.clusterBalancedSample]]; k=4,
@@ -736,7 +763,8 @@ object QueriesAnalytics {
     "vec_centroids" -> vecCentroids,
     "cluster_kmeans" -> clusterKmeans,
     "curate_cluster_balance" -> curateClusterBalance,
-    "vec_top_pc" -> vecTopPc
+    "vec_top_pc" -> vecTopPc,
+    "vec_whiten_resid" -> vecWhitenResid
   )
 
   val oracles: Map[String, String] = Map(
@@ -760,6 +788,7 @@ object QueriesAnalytics {
     "vec_centroids" -> vecCentroidsSql,
     "cluster_kmeans" -> clusterKmeansSql,
     "curate_cluster_balance" -> curateClusterBalanceSql,
-    "vec_top_pc" -> vecTopPcSql
+    "vec_top_pc" -> vecTopPcSql,
+    "vec_whiten_resid" -> vecWhitenResidSql
   )
 }

@@ -51,12 +51,10 @@ object Pca {
       aggregate(zip_with(col("qe"), typedLit(v.toSeq), (x, y) => x * y),
         lit(0L), (acc, t) => acc + t).cast("double") / Q).cast("long")
 
-  /** Runs `rounds` power iterations and returns each vector's projection
-    * on the resulting direction: `(vec_id, score)` ordered by `vec_id`,
-    * score r4-rounded. `emb` needs (`vec_id`, `embedding: array<float>`)
-    * with non-null, equal-length vectors; `dims` must match the vector
-    * width. */
-  def topPcProjection(emb: DataFrame, dims: Int, rounds: Int): DataFrame = {
+  /** The quantized direction after `rounds` power iterations (1e-6 grid,
+    * ≈ unit length in micro-units) — the shared state behind
+    * [[topPcProjection]] and [[whitenResidualNorm]]. */
+  def topDirection(emb: DataFrame, dims: Int, rounds: Int): Array[Long] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val q = emb.select(col("vec_id"), qe.as("qe"))
 
@@ -84,12 +82,52 @@ object Pca {
         v = sq.map(x => math.floor(x.toDouble / norm * Q + 0.5).toLong)
       } // else: degenerate zero iterate — keep the previous direction
     }
+    v
+  }
 
-    q.select(col("vec_id"),
+  /** Runs `rounds` power iterations and returns each vector's projection
+    * on the resulting direction: `(vec_id, score)` ordered by `vec_id`,
+    * score r4-rounded. `emb` needs (`vec_id`, `embedding: array<float>`)
+    * with non-null, equal-length vectors; `dims` must match the vector
+    * width. */
+  def topPcProjection(emb: DataFrame, dims: Int, rounds: Int): DataFrame = {
+    val v = topDirection(emb, dims, rounds)
+    emb.select(col("vec_id"), qe.as("qe"))
+      .select(col("vec_id"),
         graft.functions.Num.r4(
           aggregate(zip_with(col("qe"), typedLit(v.toSeq), (x, y) => x * y),
             lit(0L), (acc, t) => acc + t).cast("double") / lit(1.0e12))
           .as("score"))
+      .orderBy("vec_id")
+  }
+
+  /** "All-but-the-top" residual: each vector's norm AFTER removing its
+    * component along the top principal direction — the standard
+    * embedding post-processing/anisotropy diagnostic (a corpus whose
+    * residual norms collapse is dominated by one direction). Returns
+    * `(vec_id, resid_norm)` r4-rounded, ordered by `vec_id`.
+    *
+    * Exactness: with qx, qv on the 1e-6 grid, s2 = Σ qx² and
+    * d = Σ qx·qv are EXACT BIGINTs (≤ ~2.6·10¹⁴ < 2⁵³, so their double
+    * images are exact); resid² = s2 − d²/|qv|² is then a fixed chain of
+    * three correctly-rounded IEEE ops on identical inputs in both
+    * engines, clamped at 0 (a vector parallel to the direction can land
+    * an ulp below), and √/÷10⁶/r4 complete the identical chain.
+    *
+    * Scale shape: the direction build is [[topDirection]] (one scan per
+    * round); the residual itself is ONE narrow codegen pass against the
+    * broadcast-literal direction — no shuffle beyond the final sort. */
+  def whitenResidualNorm(emb: DataFrame, dims: Int, rounds: Int): DataFrame = {
+    val v = topDirection(emb, dims, rounds)
+    val n2v = v.map(x => x * x).sum.toDouble // exact long, exact double
+    val q = emb.select(col("vec_id"), qe.as("qe"))
+    val d = aggregate(zip_with(col("qe"), typedLit(v.toSeq), (x, y) => x * y),
+      lit(0L), (acc, t) => acc + t).cast("double")
+    val s2 = aggregate(col("qe"), lit(0L), (acc, t) => acc + t * t).cast("double")
+    q.select(col("vec_id"),
+        graft.functions.Num.r4(
+          sqrt(greatest(s2 - d * d / lit(n2v), lit(0.0))) / lit(1.0e6))
+          .as("resid_norm"))
       .orderBy("vec_id")
   }
 }

@@ -25,6 +25,34 @@ class PcaSpec extends SparkTestBase {
       assert(math.abs(out(id) - x) < 0.01, s"id=$id score=${out(id)} x=$x")
   }
 
+  test("whitening: residual norm ~0 for vectors on the dominant axis, ~full norm off-axis") {
+    // dims 1-2: variance on dim 1 ⇒ top PC ~ e1. A vector ON the axis
+    // whitens to ~0; a vector on dim 2 keeps its whole norm.
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)), (3L, Seq(0.5f, 0.0f)),
+      (4L, Seq(0.0f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val out = Pca.whitenResidualNorm(e, dims = 2, rounds = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) < 0.001 && out(2L) < 0.001 && out(3L) < 0.001, out.toString)
+    assert(math.abs(out(4L) - 0.3) < 0.001, out.toString)
+  }
+
+  test("whitening: residual never exceeds the vector norm and is clamped at 0") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 40L).map(i => (i, Seq.fill(4)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Pca.whitenResidualNorm(df, dims = 4, rounds = 3)
+      .as[(Long, Double)].collect().toMap
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x).sum)
+    }.toMap
+    for ((id, r) <- out) {
+      assert(r >= 0.0, s"id=$id resid=$r")
+      assert(r <= norms(id) + 1e-4, s"id=$id resid=$r norm=${norms(id)}")
+    }
+  }
+
   test("all-zero corpus: zero iterate keeps the seed direction, scores all 0") {
     val e = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
