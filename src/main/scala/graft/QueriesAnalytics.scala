@@ -742,10 +742,44 @@ object QueriesAnalytics {
        |SELECT node, rank FROM r$graphPagerankIters ORDER BY node""".stripMargin
   }
 
+  /** graph_label_prop: synchronous label-propagation communities over
+    * the same symmetrized part↔supplier graph as [[graphPagerank]]
+    * ([[graft.operators.Graph.labelPropagation]]; 4 fixed rounds,
+    * min-label tie-break). Pure integer state — the oracle unrolls the
+    * identical rounds, argmax via a ROW_NUMBER window where the engine
+    * uses a struct-max aggregate (same (cnt DESC, label ASC) order). */
+  val graphLabelPropIters = 4
+
+  val graphLabelProp: Q = (s, dir) => {
+    val ed = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.labelPropagation(sym, iters = graphLabelPropIters)
+      .orderBy("node")
+  }
+
+  val graphLabelPropSql: String = {
+    val rounds = (1 to graphLabelPropIters).map { i =>
+      s"""v$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         |  FROM l${i - 1} l JOIN e ON e.src = l.node GROUP BY e.dst, l.label),
+         |l$i AS (SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds
+       |SELECT node, label FROM l$graphLabelPropIters ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
     "graph_pagerank" -> graphPagerank,
+    "graph_label_prop" -> graphLabelProp,
     "dq_audit" -> dqAudit,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
@@ -771,6 +805,7 @@ object QueriesAnalytics {
     "dedup_embedding_quant" -> dedupEmbeddingQuantSql,
     "graph_bfs" -> graphBfsSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_label_prop" -> graphLabelPropSql,
     "dq_audit" -> dqAuditSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,

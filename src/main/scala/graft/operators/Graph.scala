@@ -166,4 +166,44 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label propagation over DIRECTED edges (`src`, `dst`) —
+    * the classic community-detection primitive (Raghavan et al. 2007):
+    * every node starts labeled with its own id; each round it adopts the
+    * label most frequent among its in-neighbors, ties broken toward the
+    * SMALLEST label. A fixed round count plus the deterministic
+    * tie-break makes the result a pure integer function of the edge
+    * list, so a plain SQL oracle unrolls the identical rounds as CTEs
+    * (synchronous LPA can oscillate on bipartite graphs — a property of
+    * the algorithm, identical on both engines, bounded by the fixed
+    * rounds). Undirected graphs pass a symmetrized edge list, which also
+    * guarantees every node receives votes each round.
+    *
+    * Scale shape (the [[pagerank]] discipline): the edge list is
+    * src-partitioned and checkpointed ONCE; each round joins the |V|-row
+    * label frame against it and shuffles (node, label) pairs only —
+    * never edges twice. The argmax is a single struct-max aggregate
+    * (highest count, then highest −label ⇒ smallest label), NOT a
+    * window — one exchange, map-side combined, no per-group sort.
+    * Rounds stay lazy in one DAG; `checkpointEvery` restores the cut
+    * for long loops. */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val ed = Dist.byKeys(e, col("src")).localCheckpoint(true)
+    var labels = ed.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to iters) {
+      labels = labels.join(ed, labels("node") === ed("src"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        labels = Checkpointing.cut(labels)
+    }
+    labels
+  }
 }

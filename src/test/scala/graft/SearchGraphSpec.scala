@@ -139,6 +139,36 @@ class SearchGraphSpec extends SparkTestBase {
     assert(out(3L) === expect2)
   }
 
+  // ---- label propagation --------------------------------------------------
+
+  test("labelPropagation: two disjoint triangles converge to per-component min labels") {
+    def tri(a: Long, b: Long, c: Long) = Seq((a, b), (b, c), (c, a))
+    val und = (tri(1L, 2L, 3L) ++ tri(10L, 11L, 12L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, iters = 4).as[(Long, Long)].collect().toMap
+    // in a triangle each node sees the two OTHER labels (tie -> smaller);
+    // after round 1 labels are (1,1,1)/(10,10,10) and stay fixed
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: majority vote wins over a smaller minority label (round 2)") {
+    // round 1 (all votes distinct ids, min wins): 20<-2, 21<-5, 22<-5
+    // round 2 at node 9: votes {2 x1, 5 x2} -> majority 5 despite 2 < 5
+    // (a pure min rule would give 2 — discriminates vote counting)
+    val und = Seq((9L, 20L), (9L, 21L), (9L, 22L), (20L, 2L), (21L, 5L), (22L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, iters = 2).as[(Long, Long)].collect().toMap
+    assert(out(9L) === 5L, out.toString)
+  }
+
+  test("labelPropagation: checkpointEvery is result-identical to the lazy DAG") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (7L, 8L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lazyForm = Graph.labelPropagation(e, iters = 4).collect().toSet
+    val cut = Graph.labelPropagation(e, iters = 4, checkpointEvery = 2).collect().toSet
+    assert(cut === lazyForm)
+  }
+
   // ---- span dedup ---------------------------------------------------------
 
   private def words(prefix: String, n: Int): String =
