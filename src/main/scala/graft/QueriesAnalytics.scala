@@ -49,6 +49,35 @@ object QueriesAnalytics {
       |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
       |ORDER BY g.user_id, g.b""".stripMargin
 
+  /** ts_ewma: truncated dyadic EWMA over each user's dense 6-hour
+    * activity-count series ([[graft.operators.Temporal.ewmaDyadic]];
+    * α=1/2, 16 lags, zero-primed) — the smoothing baseline beside
+    * `ts_anomaly`'s z-scores. Counts × power-of-two weights make the
+    * scaled sum exact LONG arithmetic and the single ÷2¹⁶ exact IEEE,
+    * so the engines agree bit-for-bit with NO rounding grid; the oracle
+    * runs the identical 16 lag terms over the same dense grid. */
+  val tsEwma: Q = (s, dir) =>
+    Temporal.ewmaDyadic(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"), lags = 16)
+      .orderBy("user_id", "b")
+
+  val tsEwmaSql: String = {
+    val terms = (0 until 16)
+      .map(k => s"coalesce(lag(x, $k) OVER w, 0) * ${1L << (15 - k)}")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+       |obs AS (SELECT user_id, b, count(*) AS x FROM e GROUP BY user_id, b),
+       |grid AS (SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+       |  FROM e GROUP BY user_id),
+       |dense AS (SELECT g.user_id, g.b, coalesce(o.x, 0) AS x
+       |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b)
+       |SELECT user_id, b, CAST($terms AS DOUBLE) / 65536.0 AS ewma
+       |FROM dense
+       |WINDOW w AS (PARTITION BY user_id ORDER BY b)
+       |ORDER BY user_id, b""".stripMargin
+  }
+
   /** ts_interpolate: the linear-interpolation resample
     * ([[graft.operators.Temporal.resampleInterp]]) over the same
     * per-user 6-hour grid as `ts_resample` — gaps take the straight
@@ -785,6 +814,7 @@ object QueriesAnalytics {
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
     "ts_interpolate" -> tsInterpolate,
+    "ts_ewma" -> tsEwma,
     "ts_anomaly" -> tsAnomaly,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
@@ -811,6 +841,7 @@ object QueriesAnalytics {
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,
     "ts_interpolate" -> tsInterpolateSql,
+    "ts_ewma" -> tsEwmaSql,
     "ts_anomaly" -> tsAnomalySql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,

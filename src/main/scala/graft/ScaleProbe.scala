@@ -23,7 +23,7 @@ object ScaleProbe {
     "q1_pricing", "join_inner", "win_rank", "topk", "agg_percentiles",
     "fn_math", "sort_multi",
     // events (100× span): temporal + sessionization
-    "ts_resample", "scd2_intervals", "stream_session", "fn_json",
+    "ts_resample", "ts_ewma", "scd2_intervals", "stream_session", "fn_json",
     // graph/iterative (events-derived edges)
     "graph_bfs", "graph_pagerank", "graph_label_prop",
     // documents (10× span at the top step): text + dedup families

@@ -101,6 +101,45 @@ object Temporal {
           .as("v_interp"))
   }
 
+  /** Truncated dyadic EWMA over each key's DENSE bucket-count series:
+    * y_t = Σ_{k=0..K−1} 2^{−(k+1)} · x_{t−k} — the α=1/2 exponentially
+    * weighted moving average cut at K lags (tail weight 2^−K folds to
+    * zero), the smoothing signal behind ingest-volume trend lines and
+    * the anomaly family's slow baseline. Buckets the key's [min..max]
+    * span missing in the input count as x=0, and so does pre-series
+    * history ("zero-primed") — both choices deterministic and mirrored
+    * by the oracle.
+    *
+    * Cross-engine exactness: x are COUNTS, the K weights are powers of
+    * two, so the scaled sum Σ x_{t−k}·2^(K−1−k) is EXACT LONG arithmetic
+    * (associative — partition/merge-order-proof) and the final single
+    * division by 2^K is exact IEEE for any numerator < 2⁵³ (counts up to
+    * ~2³⁷ per bucket at K=16): both engines produce the bit-identical
+    * double, no rounding grid needed.
+    *
+    * Scale shape = [[resampleFill]]: one map-side-combined (key, bucket)
+    * count exchange, one re-key on the key alone; the dense grid is
+    * generated inside its key partition, and the K lag reads ride ONE
+    * window sort on that same partitioning. K is a literal, so the
+    * weighted sum is a fixed codegen'd expression, not a per-row loop. */
+  def ewmaDyadic(events: DataFrame, key: String, bucket: Column,
+      lags: Int = 16): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags must be in [1,62], got $lags")
+    val counts = Dist.byKeys(
+      events.select(col(key), bucket.as("b"))
+        .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
+    val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy(key).orderBy("b")
+    val dense = grid.join(counts, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+    val num = (0 until lags)
+      .map(k => coalesce(lag(col("x"), k).over(w), lit(0L)) * lit(1L << (lags - 1 - k)))
+      .reduce(_ + _)
+    dense.select(col(key), col("b"),
+      (num.cast("double") / lit((1L << lags).toDouble)).as("ewma"))
+  }
+
   /** SCD-2 style history build: collapse each key's consecutive runs of an
     * equal attribute value into validity intervals
     * `[eff_from, eff_to)` (`eff_to` NULL for the current/open run) —

@@ -50,6 +50,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.map(_._3).toSeq === Seq(8.0, 6.0, 4.0, 2.0, 0.0))
   }
 
+  test("ewmaDyadic: hand-computed dyadic weights, gap buckets count 0, zero-primed head") {
+    // key 1 events: bucket 0 x2, bucket 2 x1 (bucket 1 empty -> x=0)
+    val e = Seq((1L, 0L), (1L, 0L), (1L, 2L), (2L, 5L))
+      .toDF("user_id", "b")
+    val out = Temporal.ewmaDyadic(e, "user_id", col("b"), lags = 3)
+      .orderBy("user_id", "b").as[(Long, Long, Double)].collect().toSeq
+    // weights 1/2, 1/4, 1/8 over (x_t, x_{t-1}, x_{t-2}), missing lags 0:
+    // b0: 2/2 = 1.0 ; b1: 0/2 + 2/4 = 0.5 ; b2: 1/2 + 0/4 + 2/8 = 0.75
+    assert(out === Seq(
+      (1L, 0L, 1.0), (1L, 1L, 0.5), (1L, 2L, 0.75),
+      (2L, 5L, 0.5)))
+  }
+
+  test("ewmaDyadic: constant series converges to x * (1 - 2^-K)") {
+    // one event per bucket 0..9: after >= K buckets the weighted sum is
+    // sum_{k=0..K-1} 2^-(k+1) = 1 - 2^-K exactly (dyadic arithmetic)
+    val e = (0L to 9L).map(b => (1L, b)).toDF("user_id", "b")
+    val out = Temporal.ewmaDyadic(e, "user_id", col("b"), lags = 4)
+      .orderBy("b").as[(Long, Long, Double)].collect()
+    assert(out.last._3 === (1.0 - math.pow(2.0, -4)))
+  }
+
   test("scd2 collapses runs into [eff_from, eff_to) with an open tail") {
     val e = Seq(
       (1L, 10L, 100L, "a"), (1L, 20L, 101L, "a"), (1L, 30L, 102L, "b"),
