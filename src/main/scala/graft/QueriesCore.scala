@@ -716,6 +716,37 @@ object QueriesCore {
       |  floor((quantile_cont(l_extendedprice, 0.95)) * 10000 + 0.5) / 10000 AS price_p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** agg_weighted_median: exact WEIGHTED median + p90 of the price per
+    * return flag, weighted by quantity
+    * ([[graft.operators.Percentiles.weightedQuantile]]) — the weighted
+    * distribution summary an importance-weighted corpus needs (an
+    * unweighted percentile misstates the mass). Probabilities are
+    * RATIONALS (1/2, 9/10) and weights integral, so the reach test is
+    * pure integer arithmetic — no float boundary; the oracle runs the
+    * identical cumulative-weight rule. */
+  val aggWeightedMedian: Q = (s, dir) =>
+    graft.operators.Percentiles.weightedQuantile(
+        Tables.lineitem(s, dir), "l_extendedprice", "l_quantity",
+        Seq("l_returnflag"), Seq(("wmedian", 1, 2), ("wp90", 9, 10)))
+      .orderBy("l_returnflag")
+
+  val aggWeightedMedianSql =
+    """WITH counts AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    sum(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity > 0
+      |  GROUP BY l_returnflag, l_extendedprice),
+      |cum AS (
+      |  SELECT l_returnflag, v,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS c,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM counts)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN c * 2 >= tw * 1 THEN v END) AS wmedian,
+      |  min(CASE WHEN c * 10 >= tw * 9 THEN v END) AS wp90
+      |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** agg_approx_percentiles: the sketch twin of [[aggPercentiles]] —
     * `approx_percentile` (QuantileSummaries/GK): fixed-size mergeable
     * buffers, partial+final, the 100 TB drop-in where exact buffering
@@ -1691,6 +1722,7 @@ object QueriesCore {
     "agg_pivot" -> aggPivot,
     "unpivot_long" -> unpivotLong,
     "agg_percentiles" -> aggPercentiles,
+    "agg_weighted_median" -> aggWeightedMedian,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
@@ -1776,6 +1808,7 @@ object QueriesCore {
     "agg_pivot" -> aggPivotSql,
     "unpivot_long" -> unpivotLongSql,
     "agg_percentiles" -> aggPercentilesSql,
+    "agg_weighted_median" -> aggWeightedMedianSql,
     "agg_percentile_disc" -> aggPercentileDiscSql,
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,

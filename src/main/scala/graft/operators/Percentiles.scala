@@ -46,6 +46,44 @@ object Percentiles {
   private def pick(valueCol: String, p: Double): Column =
     min(when(col("__cum") >= ceil(lit(p) * col("__n")), col(valueCol)))
 
+  /** Exact WEIGHTED quantiles: the smallest value whose cumulative
+    * WEIGHT reaches p·W (lower weighted quantile, the `type=1`
+    * estimator generalized to weights) — the distribution summary for
+    * weighted corpora, where each row carries an importance/sampling
+    * weight and an unweighted percentile would misstate the mass.
+    *
+    * Exactness contract: `weightCol` must be integral-valued (counts,
+    * integer-quantized weights) — it is cast to BIGINT, so cumulative
+    * sums are exact and merge-order-proof, and the reach test
+    * `q·cum ≥ p_num·W` is pure integer arithmetic (p = p_num/q as a
+    * rational, e.g. median = 1/2) — no float boundary anywhere.
+    *
+    * Scale shape = [[exactDiscrete]]: the only full-data pass is the
+    * map-side-combined (group, value) weight-sum; the cumulative walk
+    * runs on the distribution (O(distinct) rows). Rows with NULL value
+    * or non-positive weight are ignored. */
+  def weightedQuantile(df: DataFrame, valueCol: String, weightCol: String,
+      groupCols: Seq[String], probs: Seq[(String, Int, Int)]): DataFrame = {
+    require(probs.nonEmpty, "need at least one (name, p_num, p_den)")
+    probs.foreach { case (n, pn, pd) =>
+      require(pn > 0 && pd > 0 && pn <= pd, s"prob $n must satisfy 0 < p_num <= p_den")
+    }
+    val g = groupCols.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(weightCol) > 0)
+      .groupBy(g :+ col(valueCol): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val cum = counts
+      .withColumn("__cum", sum("__w").over(w))
+      .withColumn("__tw", sum("__w").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val picks = probs.map { case (name, pn, pd) =>
+      min(when(col("__cum") * pd >= col("__tw") * pn, col(valueCol))).as(name)
+    }
+    cum.groupBy(g: _*).agg(picks.head, picks.tail: _*)
+  }
+
   /** Exact CONTINUOUS (interpolated) percentiles — SQL `PERCENTILE_CONT`
     * = DuckDB `quantile_cont` = Spark `percentile` semantics: with
     * 0-indexed position `pos = p·(n−1)`, interpolate between the sorted

@@ -137,4 +137,27 @@ class PercentilesSpec extends SparkTestBase {
     val global = Percentiles.exactDiscrete(df, "v", Nil, Seq("p50" -> 0.5)).head()
     assert(global.getDouble(0) == 5.0)
   }
+
+  test("weightedQuantile: cumulative-weight rule, hand-computed") {
+    // group a: (v=1,w=1), (v=2,w=3), (v=10,w=1) — W=5
+    //   median: smallest v with 2*cum >= 5 -> cum(2)=4, 8>=5 -> 2
+    //   p90 (9/10): smallest v with 10*cum >= 45 -> v=10 (cum 5)
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 3L), ("a", 10.0, 1L),
+      ("b", 7.0, 2L)).toDF("k", "v", "w")
+    val out = Percentiles.weightedQuantile(df, "v", "w", Seq("k"),
+        Seq(("wmedian", 1, 2), ("wp90", 9, 10)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out == Map("a" -> (2.0, 10.0), "b" -> (7.0, 7.0)))
+  }
+
+  test("weightedQuantile: unit weights reduce to the discrete percentile; w<=0 rows ignored") {
+    // weight-0 row would shift the median if counted (4.0 enters the tail)
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L), ("a", 4.0, 0L))
+      .toDF("k", "v", "w")
+    val out = Percentiles.weightedQuantile(df, "v", "w", Seq("k"),
+      Seq(("p50", 1, 2))).head()
+    val disc = Percentiles.exactDiscrete(df.filter(col("w") > 0), "v", Seq("k"),
+      Seq("p50" -> 0.5)).head()
+    assert(out.getDouble(1) == disc.getDouble(1) && out.getDouble(1) == 2.0)
+  }
 }
