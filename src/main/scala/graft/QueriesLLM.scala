@@ -158,6 +158,36 @@ object QueriesLLM {
       |WHERE jaccard >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** dedup_containment: exact directed shingle-containment pairs
+    * ([[Dedup.containmentPairs]], C(src→dst) = |∩|/|S(src)| ≥ 0.8) — the
+    * quote/excerpt detector document-level Jaccard misses (a short doc
+    * fully inside a long one has C≈1 but tiny J). Same inverted-index
+    * shape as `dedup_jaccard`; both directions derive from ONE
+    * undirected intersection count. */
+  val dedupContainment: Q = (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), col("text"), col("doc_id"), 0.8)
+      .orderBy("src_id", "dst_id")
+
+  val dedupContainmentSql =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(t) - 2, 0) + 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      |  FROM tk),
+      |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |dir AS (
+      |  SELECT i.a_id AS src_id, i.b_id AS dst_id,
+      |    floor((i.ni * 1.0 / sa.n) * 10000 + 0.5) / 10000 AS containment
+      |  FROM i JOIN sz sa ON i.a_id = sa.doc_id
+      |  UNION ALL
+      |  SELECT i.b_id, i.a_id,
+      |    floor((i.ni * 1.0 / sb.n) * 10000 + 0.5) / 10000
+      |  FROM i JOIN sz sb ON i.b_id = sb.doc_id)
+      |SELECT src_id, dst_id, containment FROM dir
+      |WHERE containment >= 0.8
+      |ORDER BY src_id, dst_id""".stripMargin
+
   /** dedup_url: web-corpus URL dedup — canonicalize
     * (lowercase host, drop default port, strip utm params + trailing
     * slash), then group. The fixture has no URL column, so four noisy
@@ -2063,6 +2093,7 @@ object QueriesLLM {
     "dedup_url_params" -> dedupUrlParams,
     "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_exact" -> dedupMinhashExact,
     "dedup_simhash" -> dedupSimhash,
@@ -2137,6 +2168,7 @@ object QueriesLLM {
     "dedup_url_params" -> dedupUrlParamsSql,
     "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,
     "dedup_simhash_exact" -> dedupSimhashExactSql,
     "sketch_source_sim_exact" -> sketchSourceSimExactSql,

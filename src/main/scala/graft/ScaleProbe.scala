@@ -28,7 +28,7 @@ object ScaleProbe {
     "graph_bfs", "graph_pagerank", "graph_label_prop",
     // documents (10× span at the top step): text + dedup families
     "dedup_exact", "dedup_minhash", "dedup_incremental_minhash",
-    "dedup_jaccard", "text_langid", "pack_chunks", "bpe_encode",
+    "dedup_jaccard", "dedup_containment", "text_langid", "pack_chunks", "bpe_encode",
     "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
     "sample_temperature_fast", "dq_audit",
     "pack_shards", "curriculum_bins", "sketch_source_sim_exact",

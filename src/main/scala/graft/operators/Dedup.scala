@@ -317,6 +317,46 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact shingle-set CONTAINMENT join — the ASYMMETRIC sibling of
+    * [[jaccardPairs]]: all DIRECTED pairs (src, dst) with
+    * C(src→dst) = |S(src) ∩ S(dst)| / |S(src)| ≥ threshold. Containment
+    * is what quote/excerpt/benchmark-leak detection actually needs — a
+    * short doc fully quoted inside a long one scores C≈1 while its
+    * Jaccard is tiny (the size union in the denominator buries it).
+    *
+    * Scale shape: identical to [[jaccardPairs]] — same zero-shuffle
+    * hash-set posting frame, same single inverted-index self-join with
+    * the `<` ordering (candidate mass is NOT doubled: both directions
+    * are derived from the one undirected intersection count by
+    * normalizing against each side's own set size). `maxDf` is the same
+    * stop-shingle skew guard. */
+  def containmentPairs(df: DataFrame, text: Column, id: Column, threshold: Double,
+      shingleSize: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+    val posting = Dist.byKeys(
+      df.select(id.as("doc_id"),
+          graft.plans.TextExpressions.shingleHashSet(text, shingleSize).as("__hs"))
+        .select(col("doc_id"), size(col("__hs")).cast("long").as("n_sh"),
+          explode(col("__hs")).as("sh")),
+      col("sh"))
+      .localCheckpoint(true)
+    val filtered =
+      if (maxDf == Long.MaxValue) posting
+      else {
+        val dfreq = posting.groupBy("sh").count().filter(col("count") <= maxDf).drop("count")
+        posting.join(dfreq, "sh")
+      }
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        r4(col("n_inter").cast("double") / col("n_a")).as("containment"))
+      .unionAll(inter.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+        r4(col("n_inter").cast("double") / col("n_b")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Span-level exact dedup (the C4/RefinedWeb "remove repeated
     * boilerplate" pass): tile every document into consecutive
     * `tileTokens`-token spans, keep each distinct span's FIRST corpus

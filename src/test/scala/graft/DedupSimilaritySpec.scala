@@ -92,6 +92,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(out.head.getDouble(2) - 3.0 / 5.0) < 1e-9)
   }
 
+  test("containmentPairs: full quote scores 1.0 forward, small backward; directions independent") {
+    // doc 1 is entirely contained in doc 2 (8 extra words around it):
+    // C(1->2) = 1.0, C(2->1) = 4/12 — only the forward direction passes
+    val a = "a b c d e f" // 4 shingles, all present in b
+    val b = "p q r a b c d e f x y z w v" // 12 shingles
+    val df = docsDf(Seq((1L, a), (2L, b)))
+    val out = Dedup.containmentPairs(df, col("text"), col("doc_id"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    // at a permissive threshold both directions emerge with their own scores
+    val both = Dedup.containmentPairs(df, col("text"), col("doc_id"), 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(both((1L, 2L)) == 1.0)
+    assert(math.abs(both((2L, 1L)) - 4.0 / 12.0) < 1e-4 + 1e-9)
+  }
+
   test("brute-force topK cosine: self is rank 1 with score 1.0") {
     val emb = Tables.embeddings(spark, sf)
     val top = Similarity.topKCosine(emb, emb.filter($"vec_id" === 0), 5).collect()
