@@ -804,11 +804,46 @@ object QueriesAnalytics {
        |SELECT node, label FROM l$graphLabelPropIters ORDER BY node""".stripMargin
   }
 
+  /** graph_triangle_count: exact per-node triangle counts
+    * ([[graft.operators.Graph.triangleCounts]], degree-oriented wedge
+    * closure) over a unipartite folding of orders (custkey and orderkey
+    * mod 2003 share one id space — the part↔supplier graph is bipartite,
+    * hence triangle-free). Pure integer pipeline, so the oracle replays
+    * the identical canonicalize→orient→wedge→close→attribute steps. */
+  val graphTriangleCount: Q = (s, dir) =>
+    graft.operators.Graph.triangleCounts(
+        Tables.orders(s, dir).select(
+          (col("o_custkey") % 2003).as("src"), (col("o_orderkey") % 2003).as("dst")),
+        nodeIdBound = 2003L)
+      .orderBy("node")
+
+  val graphTriangleCountSql =
+    """WITH raw AS (SELECT o_custkey % 2003 AS src, o_orderkey % 2003 AS dst FROM orders),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM raw WHERE src <> dst),
+      |deg AS (SELECT node, count(*) * 2003 + node AS ok FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+      |o AS (SELECT CASE WHEN du.ok < dv.ok THEN e.u ELSE e.v END AS src,
+      |    CASE WHEN du.ok < dv.ok THEN e.v ELSE e.u END AS dst,
+      |    greatest(du.ok, dv.ok) AS dst_ok
+      |  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      |w AS (SELECT e1.src AS apex, e1.dst AS a, e2.dst AS b
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok),
+      |t AS (SELECT apex, a, b FROM w JOIN o e3 ON w.a = e3.src AND w.b = e3.dst),
+      |pn AS (SELECT node, count(*) AS n_tri FROM (
+      |    SELECT apex AS node FROM t
+      |    UNION ALL SELECT a FROM t
+      |    UNION ALL SELECT b FROM t) GROUP BY node)
+      |SELECT d.node, coalesce(pn.n_tri, 0) AS n_tri
+      |FROM deg d LEFT JOIN pn ON pn.node = d.node
+      |ORDER BY d.node""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
+    "graph_triangle_count" -> graphTriangleCount,
     "dq_audit" -> dqAudit,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
@@ -836,6 +871,7 @@ object QueriesAnalytics {
     "graph_bfs" -> graphBfsSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_label_prop" -> graphLabelPropSql,
+    "graph_triangle_count" -> graphTriangleCountSql,
     "dq_audit" -> dqAuditSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,

@@ -206,4 +206,51 @@ object Graph {
     }
     labels
   }
+
+  /** Exact per-node triangle counts over an UNDIRECTED graph given as a
+    * directed edge list (symmetry not required — edges are canonicalized;
+    * self-loops dropped). The clustering-coefficient numerator: community
+    * cohesion, spam/link-farm signals, graph-quality audits.
+    *
+    * Scale shape — DEGREE ORIENTATION (Schank–Wagner node-iterator++,
+    * the standard distributed-triangle trick): every undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, which
+    * turns each triangle into exactly ONE (apex → a, apex → b, a → b)
+    * pattern and bounds the wedge mass by Σ_v C(outdeg⁺(v), 2) with
+    * outdeg⁺ ≤ O(√|E|) on any graph — the self-join never sees a high-
+    * degree hub's full neighborhood square. Two equi-joins total (wedge
+    * build on the apex, closure probe on (a, b)), both on the oriented
+    * frame; per-node attribution explodes 3 rows per triangle, then one
+    * count aggregate. `nodeIdBound` caps ids so the (deg, id) order
+    * collapses into one scalar key (deg·bound + id) — a plain long
+    * column both engines compare identically. */
+  def triangleCounts(edges: DataFrame, nodeIdBound: Long = 1000000L): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .select(col("node"), (col("deg") * nodeIdBound + col("node")).as("ok"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("ok").as("u_ok")), "u")
+      .join(deg.select(col("node").as("v"), col("ok").as("v_ok")), "v")
+      .select(
+        when(col("u_ok") < col("v_ok"), col("u")).otherwise(col("v")).as("src"),
+        when(col("u_ok") < col("v_ok"), col("v")).otherwise(col("u")).as("dst"),
+        greatest(col("u_ok"), col("v_ok")).as("dst_ok"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst_ok") < col("e2.dst_ok"))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val tri = wedges.join(oriented.as("e3"),
+      col("a") === col("e3.src") && col("b") === col("e3.dst"))
+    val perNode = tri
+      .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.select(col("node"))
+      .join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

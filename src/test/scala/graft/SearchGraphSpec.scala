@@ -169,6 +169,28 @@ class SearchGraphSpec extends SparkTestBase {
     assert(cut === lazyForm)
   }
 
+  // ---- triangle counting --------------------------------------------------
+
+  test("triangleCounts: K4 gives 3 per node; chain gives 0; direction/self-loops canonicalized") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, each node in 3 of them.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    // chain 10-11-12 (no triangle); noise: reversed dup + self-loop
+    val e = (k4 ++ Seq((11L, 10L), (10L, 11L), (11L, 12L), (7L, 7L)))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(e, nodeIdBound = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 0L, 11L -> 0L, 12L -> 0L))
+  }
+
+  test("triangleCounts: one shared edge between two triangles counts both") {
+    // triangles {1,2,3} and {2,3,4} share edge (2,3): nodes 2,3 -> 2 each
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = Graph.triangleCounts(und.toDF("src", "dst"), nodeIdBound = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
   // ---- span dedup ---------------------------------------------------------
 
   private def words(prefix: String, n: Int): String =
