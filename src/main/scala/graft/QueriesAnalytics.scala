@@ -807,22 +807,35 @@ object QueriesAnalytics {
   /** graph_triangle_count: exact per-node triangle counts
     * ([[graft.operators.Graph.triangleCounts]], degree-oriented wedge
     * closure) over a unipartite folding of orders (custkey and orderkey
-    * mod 2003 share one id space — the part↔supplier graph is bipartite,
-    * hence triangle-free). Pure integer pipeline, so the oracle replays
-    * the identical canonicalize→orient→wedge→close→attribute steps. */
-  val graphTriangleCount: Q = (s, dir) =>
+    * mod m share one id space — the part↔supplier graph is bipartite,
+    * hence triangle-free). The modulus SCALES WITH THE INPUT
+    * (m = max(2003, n/37), one scalar count, mirrored as a scalar
+    * subquery in the oracle): a FIXED node space saturates toward the
+    * complete graph as input grows — the ×10 probe read 126 s (72× per
+    * 10×) at mod 2003 because wedge mass is Σ C(outdeg⁺,2) and degree
+    * rose with SF; pegging expected degree (~74) keeps the curve linear,
+    * the size-your-key-space-to-your-data design rule made executable.
+    * Pure integer pipeline, so the oracle replays the identical
+    * canonicalize→orient→wedge→close→attribute steps. */
+  val graphTriangleCount: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val m = math.max(2003L, orders.count() / 37L) // scalar aggregate, never rows
     graft.operators.Graph.triangleCounts(
-        Tables.orders(s, dir).select(
-          (col("o_custkey") % 2003).as("src"), (col("o_orderkey") % 2003).as("dst")),
-        nodeIdBound = 2003L)
+        orders.select(
+          (col("o_custkey") % m).as("src"), (col("o_orderkey") % m).as("dst")),
+        nodeIdBound = m)
       .orderBy("node")
+  }
 
   val graphTriangleCountSql =
-    """WITH raw AS (SELECT o_custkey % 2003 AS src, o_orderkey % 2003 AS dst FROM orders),
+    """WITH mm AS (SELECT greatest(2003, count(*) // 37) AS m FROM orders),
+      |raw AS (SELECT o_custkey % mm.m AS src, o_orderkey % mm.m AS dst
+      |  FROM orders CROSS JOIN mm),
       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |  FROM raw WHERE src <> dst),
-      |deg AS (SELECT node, count(*) * 2003 + node AS ok FROM (
-      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+      |deg AS (SELECT node, count(*) * mm.m + node AS ok FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) CROSS JOIN mm
+      |  GROUP BY node, mm.m),
       |o AS (SELECT CASE WHEN du.ok < dv.ok THEN e.u ELSE e.v END AS src,
       |    CASE WHEN du.ok < dv.ok THEN e.v ELSE e.u END AS dst,
       |    greatest(du.ok, dv.ok) AS dst_ok

@@ -345,15 +345,23 @@ object Dedup {
         val dfreq = posting.groupBy("sh").count().filter(col("count") <= maxDf).drop("count")
         posting.join(dfreq, "sh")
       }
-    val inter = filtered.as("a")
+    // both directions in ONE explode projection over the aggregated pair
+    // frame — a unionAll of two selects re-runs the posting join +
+    // intersection aggregate per branch (ReusedExchange shares the
+    // shuffle files, not the join/agg work: measured 15× vs jaccard's 5×
+    // at the ×10 probe before this form)
+    filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
-        r4(col("n_inter").cast("double") / col("n_a")).as("containment"))
-      .unionAll(inter.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
-        r4(col("n_inter").cast("double") / col("n_b")).as("containment")))
+      .select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          r4(col("n_inter").cast("double") / col("n_a")).as("containment")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          r4(col("n_inter").cast("double") / col("n_b")).as("containment")))).as("p"))
+      .select(col("p.src_id").as("src_id"), col("p.dst_id").as("dst_id"),
+        col("p.containment").as("containment"))
       .filter(col("containment") >= threshold)
   }
 
