@@ -430,32 +430,38 @@ object QueriesAnalytics {
   /** The shared k-means CTE chain (seeds → unrolled assign/update rounds
     * → final assignment `a{rounds+1}`) — the oracle body both
     * `cluster_kmeans` and `curate_cluster_balance` build on. */
-  private def kmeansCtes(k: Int, rounds: Int): String = {
+  /** The exact-Lloyd CTE chain. `p` prefixes every CTE name and
+    * `dimLo..dimHi` (1-based, inclusive) restricts the embedding slice,
+    * so multiple independent chains — one per PQ subspace — compose in
+    * one WITH; the defaults reproduce the full-vector chain verbatim. */
+  private def kmeansCtes(k: Int, rounds: Int, p: String = "",
+      dimLo: Int = 1, dimHi: Int = 64): String = {
     // assignment i against centroid table c{i-1}: exact BIGINT d2,
     // argmin with the (d2, cl) tie-break
     def assign(i: Int): String =
-      s"""d$i AS (SELECT q.vec_id, c.cl, sum((q.qx - c.c) * (q.qx - c.c)) AS d2
-         |  FROM q JOIN c${i - 1} c ON q.dim = c.dim GROUP BY q.vec_id, c.cl),
-         |a$i AS (SELECT vec_id, cl, d2 FROM (
+      s"""${p}d$i AS (SELECT q.vec_id, c.cl, sum((q.qx - c.c) * (q.qx - c.c)) AS d2
+         |  FROM ${p}q q JOIN ${p}c${i - 1} c ON q.dim = c.dim GROUP BY q.vec_id, c.cl),
+         |${p}a$i AS (SELECT vec_id, cl, d2 FROM (
          |    SELECT vec_id, cl, d2,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
-         |    FROM d$i) WHERE rn = 1)""".stripMargin
+         |    FROM ${p}d$i) WHERE rn = 1)""".stripMargin
     // update i: re-quantized means; an emptied cluster keeps c{i-1}'s row
     def update(i: Int): String =
-      s"""n$i AS (SELECT a.cl, q.dim,
+      s"""${p}n$i AS (SELECT a.cl, q.dim,
          |    CAST(floor(CAST(sum(q.qx) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-         |  FROM a$i a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cl, q.dim),
-         |c$i AS (SELECT p.cl, p.dim, COALESCE(n$i.c, p.c) AS c
-         |  FROM c${i - 1} p LEFT JOIN n$i ON n$i.cl = p.cl AND n$i.dim = p.dim)""".stripMargin
+         |  FROM ${p}a$i a JOIN ${p}q q ON q.vec_id = a.vec_id GROUP BY a.cl, q.dim),
+         |${p}c$i AS (SELECT p.cl, p.dim, COALESCE(n.c, p.c) AS c
+         |  FROM ${p}c${i - 1} p LEFT JOIN ${p}n$i n ON n.cl = p.cl AND n.dim = p.dim)""".stripMargin
     val body = (1 to rounds).map(i => assign(i) + ",\n" + update(i)).mkString(",\n")
-    s"""q AS (
+    s"""${p}q AS (
        |  SELECT e.vec_id, t.i AS dim,
        |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
-       |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
-       |seeds AS (SELECT vec_id, cl FROM (
+       |  FROM embeddings e CROSS JOIN range($dimLo, ${dimHi + 1}) t(i)),
+       |${p}seeds AS (SELECT vec_id, cl FROM (
        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cl FROM embeddings)
        |  WHERE cl <= $k),
-       |c0 AS (SELECT s.cl, q.dim, q.qx AS c FROM seeds s JOIN q ON q.vec_id = s.vec_id),
+       |${p}c0 AS (SELECT s.cl, q.dim, q.qx AS c
+       |  FROM ${p}seeds s JOIN ${p}q q ON q.vec_id = s.vec_id),
        |$body,
        |${assign(rounds + 1)}""".stripMargin
   }
@@ -463,6 +469,32 @@ object QueriesAnalytics {
   val clusterKmeansSql: String =
     s"""WITH ${kmeansCtes(4, 2)}
        |SELECT vec_id, cl AS cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** vec_pq_codes: product quantization ([[graft.operators.Pq.pqCodes]]:
+    * 8 subspaces × k=4 codes, 2 Lloyd rounds each) — 64 floats → 8 small
+    * codes, the IVF-PQ memory layout for billion-scale ANN. Every
+    * subspace codebook is the exact-Lloyd contract, so the oracle
+    * composes EIGHT independent `kmeansCtes` chains (one per dim slice)
+    * and joins their final assignments. The engine encodes in ONE
+    * narrow pass — all 8 codebooks are broadcast literals. */
+  val vecPqCodes: Q = (s, dir) =>
+    graft.operators.Pq.pqCodes(Tables.embeddings(s, dir),
+      dims = 64, subspaces = 8, k = 4, rounds = 2)
+
+  val vecPqCodesSql: String = {
+    val chains = (0 until 8)
+      .map(s => kmeansCtes(4, 2, p = s"s${s}_", dimLo = s * 8 + 1, dimHi = s * 8 + 8))
+      .mkString(",\n")
+    val joins = (1 until 8)
+      .map(s => s"JOIN s${s}_a3 s$s ON s$s.vec_id = s0.vec_id")
+      .mkString("\n")
+    val cols = (0 until 8).map(s => s"s$s.cl AS c$s").mkString(", ")
+    s"""WITH $chains
+       |SELECT s0.vec_id, $cols
+       |FROM s0_a3 s0
+       |$joins
+       |ORDER BY s0.vec_id""".stripMargin
+  }
 
   /** vec_top_pc: each vector's projection on the corpus's top principal
     * direction ([[graft.operators.Pca.topPcProjection]]; 3 power-
@@ -876,7 +908,8 @@ object QueriesAnalytics {
     "cluster_kmeans" -> clusterKmeans,
     "curate_cluster_balance" -> curateClusterBalance,
     "vec_top_pc" -> vecTopPc,
-    "vec_whiten_resid" -> vecWhitenResid
+    "vec_whiten_resid" -> vecWhitenResid,
+    "vec_pq_codes" -> vecPqCodes
   )
 
   val oracles: Map[String, String] = Map(
@@ -904,6 +937,7 @@ object QueriesAnalytics {
     "cluster_kmeans" -> clusterKmeansSql,
     "curate_cluster_balance" -> curateClusterBalanceSql,
     "vec_top_pc" -> vecTopPcSql,
-    "vec_whiten_resid" -> vecWhitenResidSql
+    "vec_whiten_resid" -> vecWhitenResidSql,
+    "vec_pq_codes" -> vecPqCodesSql
   )
 }

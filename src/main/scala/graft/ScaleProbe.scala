@@ -37,7 +37,7 @@ object ScaleProbe {
     "text_entropy", "sample_quality_weighted",
     // embeddings (4× span): clustering + spectral family
     "cluster_kmeans", "curate_cluster_balance", "vec_top_pc",
-    "vec_whiten_resid",
+    "vec_whiten_resid", "vec_pq_codes",
     // embeddings (4× span): similarity families. The *_loose suffixed
     // rows (τ=0.35, fixed 16×4 bands) are the declared n²-candidate
     // regime demonstrators; since round 9 the PRIMARY names bind the

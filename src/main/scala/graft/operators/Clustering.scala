@@ -40,16 +40,28 @@ object Clustering {
   /** argmin over broadcast-literal centroids: array_min over
     * struct(d2, cl) — lexicographic struct ordering gives (min d2, tie
     * → smallest cluster id) in one codegen'd expression. */
-  private def bestOf(centroids: Array[Array[Long]]): Column = {
+  private def bestOf(qe: Column, centroids: Array[Array[Long]]): Column = {
     val cands = centroids.zipWithIndex.map { case (c, i) =>
       struct(
         aggregate(
-          zip_with(col("qe"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+          zip_with(qe, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, v) => acc + v).as("d2"),
         lit(i + 1).as("cl"))
     }
     array_min(array(cands.toIndexedSeq: _*))
   }
+
+  /** The (d2, cl)-tie-broken cluster id of a QUANTIZED vector column
+    * against broadcast-literal centroids — the assignment kernel alone,
+    * exposed for composition ([[graft.operators.Pq]] applies one per
+    * subspace in a single narrow pass). */
+  def argminCluster(qe: Column, centroids: Array[Array[Long]]): Column =
+    bestOf(qe, centroids).getField("cl")
+
+  /** Quantize an `array<float>` embedding column to the 10⁻⁶ integer
+    * grid (the exactness contract's first step). */
+  def quantized(embedding: Column): Column =
+    transform(embedding, x => floor(x.cast("double") * Q + lit(0.5)).cast("long"))
 
   /** Runs `rounds` Lloyd updates from the k-smallest-id seeds and
     * returns the final assignment `(vec_id, cluster, d2)` ordered by
@@ -62,11 +74,23 @@ object Clustering {
     * surface ([[clusterBalancedSample]] aggregates over it; a sort
     * there would be wasted work). */
   def kmeansAssign(emb: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val centroids = trainCentroids(emb, k, rounds)
+    emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .select(col("vec_id"),
+        bestOf(col("qe"), centroids).as("best"))
+      .select(col("vec_id"),
+        col("best").getField("cl").as("cluster"),
+        col("best").getField("d2").as("d2"))
+  }
+
+  /** The Lloyd TRAINING loop alone: `rounds` updates from the
+    * k-smallest-id seeds, returning the final quantized centroid table
+    * (k × dims longs — the bounded driver state [[kmeansAssign]] and
+    * [[graft.operators.Pq]] broadcast back as literals). */
+  def trainCentroids(emb: DataFrame, k: Int, rounds: Int): Array[Array[Long]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val q = emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * Q + lit(0.5)).cast("long")).as("qe"))
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
 
     // seeds: the k smallest vec_ids' quantized vectors (bounded: k rows)
     var centroids: Array[Array[Long]] = q.orderBy(col("vec_id")).limit(k)
@@ -78,7 +102,7 @@ object Clustering {
       // one scan: narrow argmin, then a k·dims-cell aggregate; the
       // re-quantized means come back as a bounded k·dims collect
       val updated = q
-        .select(col("qe"), bestOf(centroids).getField("cl").as("cl"))
+        .select(col("qe"), bestOf(col("qe"), centroids).getField("cl").as("cl"))
         .select(col("cl"), posexplode(col("qe")).as(Seq("pos", "x")))
         .groupBy("cl", "pos")
         .agg(floor(sum("x") / count(lit(1)) + lit(0.5)).cast("long").as("c"))
@@ -92,12 +116,7 @@ object Clustering {
         updated.getOrElse(i + 1, old)
       }
     }
-
-    q.select(col("vec_id"),
-        bestOf(centroids).as("best"))
-      .select(col("vec_id"),
-        col("best").getField("cl").as("cluster"),
-        col("best").getField("d2").as("d2"))
+    centroids
   }
 
   /** Cluster-BALANCED subsampling: run [[kmeansAssign]], then keep an
