@@ -765,6 +765,63 @@ object QueriesAnalytics {
       |  FROM customer)
       |ORDER BY check_name""".stripMargin
 
+  /** dq_drift_psi: Population Stability Index drift between two
+    * snapshots of a column ([[graft.operators.Drift.psi]]; 10 reference-
+    * anchored fixed-width bins, Laplace smoothing) — the per-column
+    * drift alarm beside `dq_audit`'s rule checks. Two comparisons: an
+    * even/odd orderkey split (a true null — PSI ≈ 0 certifies the
+    * metric's floor) and all-vs-high-quantity (a real induced shift in
+    * the price distribution). Per-bin terms quantize to the 1e-8 grid
+    * before the cross-bin LONG sum (pagerank recipe); r4 absorbs libm
+    * ln ulp drift (ngram-lm contract). */
+  val dqDriftPsi: Q = (s, dir) => {
+    import graft.operators.Drift
+    val li = Tables.lineitem(s, dir)
+    Drift.psi(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), col("l_extendedprice"), 10)
+      .select(lit("price_even_vs_odd").as("comparison"), col("psi"),
+        col("n_ref"), col("n_cur"))
+      .unionAll(
+        Drift.psi(li, li.filter(col("l_quantity") > 25), col("l_extendedprice"), 10)
+          .select(lit("price_all_vs_highqty").as("comparison"), col("psi"),
+            col("n_ref"), col("n_cur")))
+      .orderBy("comparison")
+  }
+
+  val dqDriftPsiSql: String = {
+    def chain(p: String, refW: String, curW: String, label: String): String = {
+      def binCte(name: String, w: String): String =
+        s"""${p}$name AS (SELECT bin, count(*) AS c FROM (
+           |    SELECT CASE WHEN b.hi = b.lo THEN 0 ELSE
+           |        least(9, greatest(0, CAST(floor((CAST(l_extendedprice AS DOUBLE) - b.lo)
+           |          / ((b.hi - b.lo) / 10)) AS INT))) END AS bin
+           |    FROM lineitem CROSS JOIN ${p}b b
+           |    WHERE ($w) AND l_extendedprice IS NOT NULL) GROUP BY bin)""".stripMargin
+      val pS = "(c_cur + 1.0) / (t.n_cur + 10.0)"
+      val qS = "(c_ref + 1.0) / (t.n_ref + 10.0)"
+      s"""${p}b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+         |    CAST(max(l_extendedprice) AS DOUBLE) AS hi
+         |  FROM lineitem WHERE ($refW) AND l_extendedprice IS NOT NULL),
+         |${binCte("r", refW)},
+         |${binCte("c", curW)},
+         |${p}f AS (SELECT s.bin, coalesce(r.c, 0) AS c_ref, coalesce(cu.c, 0) AS c_cur
+         |  FROM (SELECT unnest(range(0, 10)) AS bin) s
+         |  LEFT JOIN ${p}r r ON r.bin = s.bin
+         |  LEFT JOIN ${p}c cu ON cu.bin = s.bin),
+         |${p}t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         |    CAST(sum(c_cur) AS BIGINT) AS n_cur FROM ${p}f),
+         |${p}o AS (SELECT '$label' AS comparison,
+         |    floor((CAST(sum(CAST(floor(($pS - $qS) * ln(($pS) / ($qS))
+         |      * 100000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100000000.0)
+         |      * 10000 + 0.5) / 10000 AS psi,
+         |    t.n_ref, t.n_cur
+         |  FROM ${p}f CROSS JOIN ${p}t t GROUP BY t.n_ref, t.n_cur)""".stripMargin
+    }
+    s"""WITH ${chain("x_", "l_orderkey % 2 = 0", "l_orderkey % 2 = 1", "price_even_vs_odd")},
+       |${chain("y_", "TRUE", "l_quantity > 25", "price_all_vs_highqty")}
+       |SELECT * FROM x_o UNION ALL SELECT * FROM y_o ORDER BY comparison""".stripMargin
+  }
+
   /** graph_pagerank: power-iteration PageRank over the same symmetrized
     * part↔supplier graph as [[graphBfs]] ([[graft.operators.Graph.pagerank]]
     * — the web-graph source-quality signal). A FIXED 6 rounds with
@@ -890,6 +947,7 @@ object QueriesAnalytics {
     "graph_label_prop" -> graphLabelProp,
     "graph_triangle_count" -> graphTriangleCount,
     "dq_audit" -> dqAudit,
+    "dq_drift_psi" -> dqDriftPsi,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
@@ -919,6 +977,7 @@ object QueriesAnalytics {
     "graph_label_prop" -> graphLabelPropSql,
     "graph_triangle_count" -> graphTriangleCountSql,
     "dq_audit" -> dqAuditSql,
+    "dq_drift_psi" -> dqDriftPsiSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,

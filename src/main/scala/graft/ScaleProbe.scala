@@ -31,7 +31,7 @@ object ScaleProbe {
     "dedup_jaccard", "dedup_containment", "text_langid", "pack_chunks", "bpe_encode",
     "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
     "sample_temperature_fast", "dq_audit",
-    "pack_shards", "curriculum_bins", "sketch_source_sim_exact",
+    "pack_shards", "curriculum_bins", "sketch_source_sim_exact", "dq_drift_psi",
     "ts_anomaly", "vec_project_rp", "vec_centroids", "dedup_url_params",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two snapshots of a column —
+  * the Population Stability Index (PSI), the standard train-vs-serve /
+  * corpus-vs-refresh drift alarm a data platform runs per column:
+  * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over fixed-width bins, with p the
+  * current share and q the reference share.
+  *
+  * Determinism contract:
+  *  - bin breaks derive from the REFERENCE min/max (exact parquet
+  *    doubles; the break arithmetic is the same IEEE chain both
+  *    engines run, `least/greatest`-clamped at the edges);
+  *  - Laplace smoothing ((c+1)/(n+B)) keeps every bin defined with no
+  *    ε knob, as exact a rational as doubles allow;
+  *  - each bin's PSI term is quantized to the 1e-8 grid BEFORE the
+  *    cross-bin sum (LONG addition — merge-order-proof, the
+  *    `graph_pagerank` recipe), with r4 on the final value absorbing
+  *    libm `ln` ulp drift (the `text_ngram_lm` contract).
+  *
+  * Scale shape: one map-side-combined bin-count aggregate per side
+  * (the only full-data passes), a 1-row break/total frame broadcast to
+  * both, the complete B-row bin spine generated from a literal
+  * sequence, and a B-row final sum. Nothing is collected; the fact
+  * tables are never shuffled (counts move ≤ B rows per side). */
+object Drift {
+
+  /** One row: `(psi, n_ref, n_cur)` for `value` binned into `bins`
+    * fixed-width buckets over the reference's [min, max]. Rows with
+    * NULL value are ignored; a degenerate reference (min = max) puts
+    * all mass in bin 0 on both sides (PSI then measures pure count
+    * imbalance, which smoothing bounds). */
+  def psi(ref: DataFrame, cur: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = ref.sparkSession
+    val breaks = ref.filter(value.isNotNull)
+      .agg(min(value).cast("double").as("__lo"), max(value).cast("double").as("__hi"))
+    def binned(df: DataFrame): DataFrame =
+      df.filter(value.isNotNull).crossJoin(broadcast(breaks))
+        .select(
+          when(col("__hi") === col("__lo"), lit(0)).otherwise(
+            least(lit(bins - 1), greatest(lit(0),
+              floor((value.cast("double") - col("__lo")) /
+                ((col("__hi") - col("__lo")) / bins)).cast("int")))).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+    val spine = broadcast(breaks)
+      .select(explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    val cr = binned(ref).withColumnRenamed("c", "c_ref")
+    val cc = binned(cur).withColumnRenamed("c", "c_cur")
+    val full = spine
+      .join(cr, Seq("bin"), "left_outer").join(cc, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = full.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"))
+    val p = (col("c_cur") + lit(1.0)) / (col("n_cur") + lit(bins.toDouble))
+    val q = (col("c_ref") + lit(1.0)) / (col("n_ref") + lit(bins.toDouble))
+    full.crossJoin(broadcast(tot))
+      .select(col("n_ref"), col("n_cur"),
+        floor((p - q) * log(p / q) * lit(100000000.0) + lit(0.5))
+          .cast("long").as("__t"))
+      .groupBy("n_ref", "n_cur")
+      .agg(graft.functions.Num.r4(sum("__t").cast("double") / lit(100000000.0)).as("psi"))
+      .select(col("psi"), col("n_ref"), col("n_cur"))
+  }
+}
