@@ -765,6 +765,31 @@ object QueriesAnalytics {
       |  FROM customer)
       |ORDER BY check_name""".stripMargin
 
+  /** graph_kcore: fixed-round k-core peeling (k=3, 5 rounds) over the
+    * symmetrized part↔supplier graph
+    * ([[graft.operators.Graph.kcore]]) — surviving (node, degree) after
+    * the cohesion filter. Pure integer cascade; the oracle unrolls the
+    * identical peel rounds as CTEs. */
+  val graphKcore: Q = (s, dir) => {
+    val ed = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.kcore(sym, k = 3, rounds = 5).orderBy("node")
+  }
+
+  val graphKcoreSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""k$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON a.node = e.src JOIN k$i b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |e0 AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |$rounds
+       |SELECT src AS node, count(*) AS deg FROM e5 GROUP BY src ORDER BY node""".stripMargin
+  }
+
   /** dq_drift_psi: Population Stability Index drift between two
     * snapshots of a column ([[graft.operators.Drift.psi]]; 10 reference-
     * anchored fixed-width bins, Laplace smoothing) — the per-column
@@ -946,6 +971,7 @@ object QueriesAnalytics {
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
     "graph_triangle_count" -> graphTriangleCount,
+    "graph_kcore" -> graphKcore,
     "dq_audit" -> dqAudit,
     "dq_drift_psi" -> dqDriftPsi,
     "agg_regression" -> aggRegression,
@@ -976,6 +1002,7 @@ object QueriesAnalytics {
     "graph_pagerank" -> graphPagerankSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_triangle_count" -> graphTriangleCountSql,
+    "graph_kcore" -> graphKcoreSql,
     "dq_audit" -> dqAuditSql,
     "dq_drift_psi" -> dqDriftPsiSql,
     "agg_regression" -> aggRegressionSql,

@@ -26,6 +26,7 @@ object ScaleProbe {
     "ts_resample", "ts_ewma", "scd2_intervals", "stream_session", "fn_json",
     // graph/iterative (events-derived edges)
     "graph_bfs", "graph_pagerank", "graph_label_prop", "graph_triangle_count",
+    "graph_kcore",
     // documents (10× span at the top step): text + dedup families
     "dedup_exact", "dedup_minhash", "dedup_incremental_minhash",
     "dedup_jaccard", "dedup_containment", "text_langid", "pack_chunks", "bpe_encode",

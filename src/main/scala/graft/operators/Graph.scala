@@ -207,6 +207,41 @@ object Graph {
     labels
   }
 
+  /** Fixed-round k-core peeling over a SYMMETRIZED edge list: each round
+    * drops every node whose remaining degree is < k and restricts the
+    * edge set to surviving endpoints — the degeneracy filter that
+    * separates cohesive cores from tendrils (spam/bot subgraphs, weakly
+    * attached crawl fringes). A fixed round count (instead of
+    * peel-until-stable) keeps the result a deterministic function the
+    * oracle can unroll; R rounds compute the k-core exactly whenever
+    * peeling stabilizes within R (each round removes ≥1 node until
+    * stable, so R bounds cascade depth).
+    *
+    * Returns the surviving `(node, deg)` frame (degree within the final
+    * subgraph). Symmetry makes per-direction src-counts equal true
+    * degrees and is PRESERVED by each round's two-sided restriction.
+    *
+    * Scale shape (the [[pagerank]] discipline): rounds stay lazy in one
+    * DAG; each round is ONE map-side-combined degree aggregate (k-row
+    * filter output ≤ |V|) plus two semi-joins restricting the edge list
+    * — shuffles carry (node) keys and edge pairs, never attributes.
+    * `checkpointEvery` restores the lineage cut for deep peels. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(col("src"), col("dst")).distinct()
+    for (i <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("node")
+      e = e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        e = Checkpointing.cut(e)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Exact per-node triangle counts over an UNDIRECTED graph given as a
     * directed edge list (symmetry not required — edges are canonicalized;
     * self-loops dropped). The clustering-coefficient numerator: community

@@ -191,6 +191,35 @@ class SearchGraphSpec extends SparkTestBase {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  // ---- k-core -------------------------------------------------------------
+
+  test("kcore: K4 with a pendant chain peels to the clique; cascade removes the chain stepwise") {
+    // K4 {1,2,3,4} + chain 4-5-6: deg(6)=1,deg(5)=2 < 3 peel; 4 keeps deg 3
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val und = k4 ++ Seq((4L, 5L), (5L, 6L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.kcore(e, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: k above the max degree empties the graph") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(Graph.kcore(e, k = 3, rounds = 2).count() === 0L)
+    // the triangle itself IS a 2-core
+    val two = Graph.kcore(e, k = 2, rounds = 2).as[(Long, Long)].collect().toMap
+    assert(two === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: checkpointEvery is result-identical to the lazy DAG") {
+    val und = (1L to 6L).flatMap(a => (a + 1 to 6L).map(b => (a, b))) // K6
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lazyForm = Graph.kcore(e, k = 4, rounds = 3).collect().toSet
+    val cut = Graph.kcore(e, k = 4, rounds = 3, checkpointEvery = 1).collect().toSet
+    assert(cut === lazyForm)
+  }
+
   // ---- span dedup ---------------------------------------------------------
 
   private def words(prefix: String, n: Int): String =
