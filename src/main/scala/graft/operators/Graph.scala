@@ -221,13 +221,18 @@ object Graph {
     * subgraph). Symmetry makes per-direction src-counts equal true
     * degrees and is PRESERVED by each round's two-sided restriction.
     *
-    * Scale shape (the [[pagerank]] discipline): rounds stay lazy in one
-    * DAG; each round is ONE map-side-combined degree aggregate (k-row
-    * filter output ≤ |V|) plus two semi-joins restricting the edge list
-    * — shuffles carry (node) keys and edge pairs, never attributes.
-    * `checkpointEvery` restores the lineage cut for deep peels. */
+    * Scale shape: each round is ONE map-side-combined degree aggregate
+    * (k-row filter output ≤ |V|) plus two semi-joins restricting the
+    * edge list — shuffles carry (node) keys and edge pairs, never
+    * attributes. UNLIKE pagerank's lazy DAG, every round's edge frame is
+    * CUT by default (`checkpointEvery = 1`): the frame feeds TWO
+    * consumers per round (its own degree aggregate and the next
+    * restriction), so a lazy composition re-derives the whole peel
+    * prefix per consumer — measured as a stall at the ~sf1 probe where
+    * the eager form is seconds. Pass 0 to opt back into the lazy DAG
+    * for small fixed peels. */
   def kcore(edges: DataFrame, k: Int, rounds: Int,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1 && rounds >= 1)
     var e = edges.select(col("src"), col("dst")).distinct()
     for (i <- 1 to rounds) {
