@@ -208,6 +208,46 @@ object QueriesAnalytics {
       |FROM b JOIN s USING (event_type)
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** ts_changepoint: CUSUM level-shift detection — per event_type, the
+    * hourly-count series' max-|CUSUM| bucket
+    * ([[Temporal.cusumChangepoint]]). The companion alarm to
+    * [[tsAnomaly]]: z-scores flag outlier BUCKETS, CUSUM estimates the
+    * single break POINT (max-type test / least-squares break
+    * estimator). The statistic is the scaled integer n·S_t =
+    * n·prefix_t − t·total, so group totals, argmax, and tie-break
+    * (earliest bucket) are all BIGINT-exact cross-engine. */
+  val tsChangepoint: Q = (s, dir) =>
+    Temporal.cusumChangepoint(Tables.events(s, dir),
+        col("event_type"), expr("(ts div 1000) div 3600000000"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+
+  val tsChangepointSql =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+      |    count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, bucket,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS t,
+      |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+      |  FROM b),
+      |s AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS total
+      |  FROM b GROUP BY 1),
+      |sc AS (
+      |  SELECT p.event_type, p.bucket, s.n, s.total,
+      |    abs(s.n * p.prefix - p.t * s.total) AS stat
+      |  FROM p JOIN s USING (event_type))
+      |SELECT event_type, cp_bucket, cusum, n_buckets, total_events FROM (
+      |  SELECT event_type, bucket AS cp_bucket, CAST(stat AS BIGINT) AS cusum,
+      |    n AS n_buckets, total AS total_events,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY stat DESC, bucket ASC) AS rn
+      |  FROM sc) WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   /** retention_cohorts: classic cohort retention over `events` — cohort =
     * the DAY of a user's first purchase, retention(k) = the share of that
     * cohort purchasing again k days later. THE product-analytics staple
@@ -980,6 +1020,7 @@ object QueriesAnalytics {
     "ts_interpolate" -> tsInterpolate,
     "ts_ewma" -> tsEwma,
     "ts_anomaly" -> tsAnomaly,
+    "ts_changepoint" -> tsChangepoint,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
@@ -1011,6 +1052,7 @@ object QueriesAnalytics {
     "ts_interpolate" -> tsInterpolateSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_anomaly" -> tsAnomalySql,
+    "ts_changepoint" -> tsChangepointSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,
     "retention_cohorts" -> retentionCohortsSql,

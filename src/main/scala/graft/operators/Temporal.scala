@@ -204,6 +204,53 @@ object Temporal {
     zScoresOverCounts(events.select(group.as("grp"), bucket.as("bucket"))
       .groupBy("grp", "bucket").agg(count(lit(1)).as("n_events")))
 
+  /** CUSUM changepoint detection over per-group bucket counts — the
+    * "WHEN did the level shift" alarm beside [[volumeAnomaly]]'s "which
+    * buckets are outliers". For each group's count series x_1..x_n
+    * (bucket-ascending), the classic CUSUM statistic is
+    * S_t = Σ_{i≤t}(x_i − x̄); the changepoint estimate is the t
+    * maximizing |S_t| (the max-type CUSUM test / least-squares
+    * single-break estimator). Both are kept EXACT by scaling away the
+    * rational mean: n·S_t = n·prefix_t − t·total is pure BIGINT
+    * arithmetic, so the argmax — and the cross-engine gate — never
+    * touches a float. Ties (equal |n·S_t|) break to the EARLIEST
+    * bucket. Emits one row per group: the changepoint bucket, the
+    * integer statistic max|n·S_t|, n buckets, and the total count.
+    *
+    * Scale shape: the (grp, bucket) count is the only data-wide stage
+    * (one map-side-combined shuffle); everything after runs on the
+    * bucket frame — O(groups × time-buckets), time-proportional, not
+    * data-proportional. The per-group running sum is a window
+    * PARTITIONED by group (parallel across groups; a single group's
+    * series length grows with the time span only), and the per-group
+    * totals are an O(groups) aggregate broadcast back. */
+  def cusumChangepoint(events: DataFrame, group: Column, bucket: Column): DataFrame =
+    cusumOverCounts(events.select(group.as("grp"), bucket.as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_events")))
+
+  /** The scoring stage of [[cusumChangepoint]] over an ALREADY-COUNTED
+    * (grp, bucket, n_events) frame (streaming-feedable, the
+    * [[zScoresOverCounts]] split). */
+  def cusumOverCounts(b: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket").asc)
+    val pre = b.select(col("grp"), col("bucket"), col("n_events").cast("long").as("x"))
+      .select(col("grp"), col("bucket"),
+        row_number().over(w).cast("long").as("t"),
+        sum(col("x")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("prefix"))
+    val tot = b.groupBy("grp").agg(
+      count(lit(1)).as("n"), sum(col("n_events").cast("long")).as("total"))
+    pre.join(broadcast(tot), "grp")
+      .select(col("grp"), col("bucket"), col("n"), col("total"),
+        abs(col("n") * col("prefix") - col("t") * col("total")).as("stat"))
+      .groupBy("grp")
+      .agg(max(struct(col("stat"), (-col("bucket")).as("nb"),
+          col("n"), col("total"))).as("m"))
+      .select(col("grp"), (-col("m.nb")).as("cp_bucket"),
+        col("m.stat").as("cusum"), col("m.n").as("n_buckets"),
+        col("m.total").as("total_events"))
+  }
+
   /** The scoring stage of [[volumeAnomaly]] over an ALREADY-COUNTED
     * (grp, bucket, n_events) frame — exposed separately so a streaming
     * aggregation can feed it (Structured Streaming forbids stacked

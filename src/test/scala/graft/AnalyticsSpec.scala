@@ -333,6 +333,28 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("ts_changepoint: CUSUM argmax lands on the level shift; ties break earliest (round 9)") {
+    import graft.operators.Temporal
+    // group a: counts 2,2,2,8,8,8 at buckets 1..6 — the break is after
+    // bucket 3. n·S_t = n·prefix − t·total: 18,36,54,36,18,0 → max 54 @ 3.
+    // group b: flat 5,5 — every |n·S_t| is 0 → tie breaks to bucket 10.
+    val counts = Seq(
+      ("a", 1L, 2L), ("a", 2L, 2L), ("a", 3L, 2L),
+      ("a", 4L, 8L), ("a", 5L, 8L), ("a", 6L, 8L),
+      ("b", 10L, 5L), ("b", 11L, 5L)
+    ).toDF("grp", "bucket", "n_events")
+    val got = Temporal.cusumOverCounts(counts).orderBy("grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 54L, 6L, 30L), ("b", 10L, 0L, 2L, 10L)), got.toString)
+    // event-level wrapper: one row per distinct group, exact totals
+    val ev = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("b", 5L))
+      .toDF("g", "b")
+    val w = Temporal.cusumChangepoint(ev, col("g"), col("b"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // a: counts 2,1 → stats |2·2−1·3|=1, |2·3−2·3|=0 → cp bucket 0
+    assert(w == Seq(("a", 0L, 1L, 2L, 3L), ("b", 5L, 0L, 1L, 1L)), w.toString)
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
