@@ -942,7 +942,10 @@ object QueriesAnalytics {
       .orderBy("node")
   }
 
-  val graphLabelPropSql: String = {
+  /** The label-propagation unroll as a WITH-prefix (shared by
+    * `graph_label_prop` and `graph_modularity`'s oracles): defines
+    * `e` (symmetrized edges) and `l$iters` (final labels). */
+  private def labelPropCtePrefix: String = {
     val rounds = (1 to graphLabelPropIters).map { i =>
       s"""v$i AS (SELECT e.dst AS node, l.label, count(*) AS cnt
          |  FROM l${i - 1} l JOIN e ON e.src = l.node GROUP BY e.dst, l.label),
@@ -954,9 +957,50 @@ object QueriesAnalytics {
     s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
        |e AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-       |$rounds
-       |SELECT node, label FROM l$graphLabelPropIters ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  val graphLabelPropSql: String =
+    s"""$labelPropCtePrefix
+       |SELECT node, label FROM l$graphLabelPropIters ORDER BY node""".stripMargin
+
+  /** graph_modularity: Newman modularity of the [[graphLabelProp]]
+    * communities on the same symmetrized part↔supplier graph
+    * ([[graft.operators.Graph.modularity]]) — the "are these
+    * communities real" score beside the assignment itself. Per
+    * community: node count, intra-edge mass, degree mass, and the
+    * BIGINT-exact numerator q_num = m2·intra2 − d_tot² (Q_c scaled by
+    * m2²); the only float is q_contrib = q_num/m2², one IEEE division
+    * on the 1e-8 grid. */
+  val graphModularity: Q = (s, dir) => {
+    val ed = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = graft.operators.Graph.labelPropagation(sym, iters = graphLabelPropIters)
+    graft.operators.Graph.modularity(sym, labels).orderBy("label")
+  }
+
+  val graphModularitySql: String =
+    s"""$labelPropCtePrefix,
+       |lab AS (SELECT node, label FROM l$graphLabelPropIters),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |dt AS (SELECT lab.label, count(*) AS n_nodes,
+       |    CAST(sum(deg.deg) AS BIGINT) AS d_tot
+       |  FROM deg JOIN lab ON lab.node = deg.node GROUP BY lab.label),
+       |intra AS (SELECT ls.label, count(*) AS intra2
+       |  FROM e JOIN lab ls ON ls.node = e.src JOIN lab ld ON ld.node = e.dst
+       |  WHERE ls.label = ld.label GROUP BY ls.label),
+       |m AS (SELECT count(*) AS m2 FROM e)
+       |SELECT dt.label, dt.n_nodes,
+       |  CAST(coalesce(intra.intra2, 0) AS BIGINT) AS intra2, dt.d_tot,
+       |  CAST(m.m2 * coalesce(intra.intra2, 0) - dt.d_tot * dt.d_tot AS BIGINT)
+       |    AS q_num,
+       |  ${graft.functions.Num.r8Sql(
+      "CAST(m.m2 * coalesce(intra.intra2, 0) - dt.d_tot * dt.d_tot AS DOUBLE)" +
+        " / CAST(m.m2 * m.m2 AS DOUBLE)")} AS q_contrib
+       |FROM dt LEFT JOIN intra ON intra.label = dt.label CROSS JOIN m
+       |ORDER BY dt.label""".stripMargin
 
   /** graph_triangle_count: exact per-node triangle counts
     * ([[graft.operators.Graph.triangleCounts]], degree-oriented wedge
@@ -1010,6 +1054,7 @@ object QueriesAnalytics {
     "graph_bfs" -> graphBfs,
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
+    "graph_modularity" -> graphModularity,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_kcore" -> graphKcore,
     "dq_audit" -> dqAudit,
@@ -1042,6 +1087,7 @@ object QueriesAnalytics {
     "graph_bfs" -> graphBfsSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_label_prop" -> graphLabelPropSql,
+    "graph_modularity" -> graphModularitySql,
     "graph_triangle_count" -> graphTriangleCountSql,
     "graph_kcore" -> graphKcoreSql,
     "dq_audit" -> dqAuditSql,

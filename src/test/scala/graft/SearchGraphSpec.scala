@@ -212,6 +212,27 @@ class SearchGraphSpec extends SparkTestBase {
     assert(two === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("modularity: two bridged triangles score the textbook Q = 5/14 per side") {
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4: m = 7 undirected, m2 = 14.
+    // Per side: L_c = 3 (intra2 = 6), d_c = 2+2+3 = 7 →
+    // q_num = 14·6 − 49 = 35, Q_c = 35/196, Q = 70/196 = 0.35714286 (r8).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("node", "label")
+    val out = Graph.modularity(e, lab).orderBy("label")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (10L, 3L, 6L, 7L, 35L, 0.17857143), (20L, 3L, 6L, 7L, 35L, 0.17857143)),
+      out.toString)
+    // a community with zero intra edges gets intra2 = 0, negative q_num
+    val labX = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 6L))
+      .toDF("node", "label")
+    val solo = Graph.modularity(e, labX)
+    assert(solo.count() === 6L)
+    assert(solo.filter(col("intra2") =!= 0L).count() === 0L)
+  }
+
   test("kcore: checkpointEvery is result-identical to the lazy DAG") {
     val und = (1L to 6L).flatMap(a => (a + 1 to 6L).map(b => (a, b))) // K6
     val e = (und ++ und.map(_.swap)).toDF("src", "dst")
