@@ -964,6 +964,39 @@ object QueriesAnalytics {
     s"""$labelPropCtePrefix
        |SELECT node, label FROM l$graphLabelPropIters ORDER BY node""".stripMargin
 
+  /** graph_adamic_adar: Adamic–Adar link prediction
+    * ([[graft.operators.Graph.adamicAdar]]) over the low-quantity
+    * part↔supplier co-supply graph — part pairs sharing ≥2 suppliers,
+    * scored Σ 1/ln(deg). The `l_quantity ≤ 2` restriction is the
+    * declared subgraph: supplier degree stays ~24 flat across SFs
+    * (suppliers scale with the data), so wedge mass is measured linear
+    * — the full graph saturates toward complete (avg deg 591 at sf0.1,
+    * 175M wedges) and is exactly the regime the maxDeg hub guard
+    * exists for. */
+  val graphAdamicAdar: Q = (s, dir) =>
+    graft.operators.Graph.adamicAdar(
+      Tables.lineitem(s, dir).filter(col("l_quantity") <= 2)
+        .select(col("l_partkey").as("left"), col("l_suppkey").as("right")),
+      maxDeg = 1000L, minCn = 2L)
+      .orderBy("u", "v")
+
+  val graphAdamicAdarSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS lft, l_suppkey AS rgt
+      |  FROM lineitem WHERE l_quantity <= 2),
+      |ctr AS (
+      |  SELECT rgt,
+      |    CAST(floor(100000000.0 / ln(CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT)
+      |      AS aa_unit
+      |  FROM e GROUP BY rgt HAVING count(*) >= 2 AND count(*) <= 1000),
+      |t AS (SELECT e.lft, e.rgt, ctr.aa_unit FROM e JOIN ctr USING (rgt))
+      |SELECT a.lft AS u, b.lft AS v, count(*) AS cn,
+      |  CAST(sum(a.aa_unit) AS BIGINT) AS aa_micro,
+      |  CAST(sum(a.aa_unit) AS DOUBLE) / 100000000.0 AS aa
+      |FROM t a JOIN t b ON a.rgt = b.rgt AND a.lft < b.lft
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY u, v""".stripMargin
+
   /** graph_modularity: Newman modularity of the [[graphLabelProp]]
     * communities on the same symmetrized part↔supplier graph
     * ([[graft.operators.Graph.modularity]]) — the "are these
@@ -1055,6 +1088,7 @@ object QueriesAnalytics {
     "graph_pagerank" -> graphPagerank,
     "graph_label_prop" -> graphLabelProp,
     "graph_modularity" -> graphModularity,
+    "graph_adamic_adar" -> graphAdamicAdar,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_kcore" -> graphKcore,
     "dq_audit" -> dqAudit,
@@ -1088,6 +1122,7 @@ object QueriesAnalytics {
     "graph_pagerank" -> graphPagerankSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_modularity" -> graphModularitySql,
+    "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_triangle_count" -> graphTriangleCountSql,
     "graph_kcore" -> graphKcoreSql,
     "dq_audit" -> dqAuditSql,

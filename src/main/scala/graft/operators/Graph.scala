@@ -294,6 +294,46 @@ object Graph {
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Adamic–Adar link prediction over a BIPARTITE edge list
+    * (left, right): for every pair of left nodes sharing ≥ `minCn`
+    * right-side neighbors, the common-neighbor count and the AA score
+    * Σ_w 1/ln(deg w) over the shared centers w — rarer shared neighbors
+    * weigh more (Adamic & Adar 2003). The candidate-pair primitive for
+    * recommendation / related-item mining over co-occurrence graphs
+    * (parts co-supplied, docs co-cited, users co-active).
+    *
+    * Exactness: each center's term is quantized ONCE to integer
+    * micro-units (floor(10⁸/ln(deg)+0.5), the dq_drift_psi recipe —
+    * libm-ulp drift absorbed by the grid), so the per-pair sum is
+    * merge-order-proof BIGINT; `aa` is one exact IEEE division of that
+    * integer. Wedge centers always have deg ≥ 2 (a deg-1 center has no
+    * pair), so ln is never 0.
+    *
+    * Scale shape: wedge mass is Σ_w C(deg w, 2) — linear in edges when
+    * center degree is bounded, which `maxDeg` ENFORCES (the skew guard:
+    * a viral hub center contributes C(deg,2) ≈ deg² wedges and ~zero AA
+    * weight apiece; dropping centers past the cap is the standard
+    * hub-filter, part of the declared contract and mirrored by the
+    * oracle). One shuffle keys the (edge ⋈ center-weight) frame by the
+    * center for the self-join; the localCheckpoint feeds BOTH sides
+    * from one materialization; the pair aggregate is map-side combined. */
+  def adamicAdar(edges: DataFrame, maxDeg: Long = 1000L, minCn: Long = 1L): DataFrame = {
+    val e = edges.select(col("left"), col("right")).distinct()
+    val ctr = e.groupBy("right").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
+      .select(col("right"),
+        floor(lit(100000000.0) / log(col("deg").cast("double")) + 0.5)
+          .cast("long").as("aa_unit"))
+    val tagged = e.join(ctr, "right").localCheckpoint(true)
+    tagged.as("a").join(tagged.as("b"),
+        col("a.right") === col("b.right") && col("a.left") < col("b.left"))
+      .groupBy(col("a.left").as("u"), col("b.left").as("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("a.aa_unit")).as("aa_micro"))
+      .filter(col("cn") >= minCn)
+      .select(col("u"), col("v"), col("cn"), col("aa_micro"),
+        (col("aa_micro").cast("double") / 100000000.0).as("aa"))
+  }
+
   /** Newman modularity of a community assignment over a SYMMETRIZED edge
     * list — the standard "are these communities real" score for
     * [[labelPropagation]]'s output (Q ≈ 0: no better than random;

@@ -233,6 +233,25 @@ class SearchGraphSpec extends SparkTestBase {
     assert(solo.filter(col("intra2") =!= 0L).count() === 0L)
   }
 
+  test("adamic-adar: shared-center weights sum in micro-units; deg-1 and capped hubs drop") {
+    // centers: 10 (deg 3), 11 (deg 2), 12 (deg 1 — never a wedge center)
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L), (1L, 12L))
+      .toDF("left", "right")
+    val u3 = math.floor(1e8 / math.log(3.0) + 0.5).toLong // 91023923
+    val u2 = math.floor(1e8 / math.log(2.0) + 0.5).toLong // 144269504
+    val got = Graph.adamicAdar(e).orderBy("u", "v")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, u3 + u2, (u3 + u2) / 1e8),
+      (1L, 3L, 1L, u3, u3 / 1e8),
+      (2L, 3L, 1L, u3, u3 / 1e8)), got.toString)
+    // minCn filters to the multi-center pair; maxDeg drops the deg-3 hub
+    assert(Graph.adamicAdar(e, minCn = 2L).count() === 1L)
+    val capped = Graph.adamicAdar(e, maxDeg = 2L)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(capped === Seq((1L, 2L, 1L, u2, u2 / 1e8)), capped.toString)
+  }
+
   test("kcore: checkpointEvery is result-identical to the lazy DAG") {
     val und = (1L to 6L).flatMap(a => (a + 1 to 6L).map(b => (a, b))) // K6
     val e = (und ++ und.map(_.swap)).toDF("src", "dst")
