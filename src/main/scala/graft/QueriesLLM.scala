@@ -158,6 +158,29 @@ object QueriesLLM {
       |WHERE jaccard >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** dedup_editdist: character-level near-dup pairs by bounded edit
+    * distance ([[Dedup.editDistancePairs]]) — typo/OCR/small-patch
+    * variants whose token sets diverge (Jaccard-blind) but whose char
+    * streams differ by ≤ 20 edits. Blocking (16-char prefix + length
+    * window + hot-block cap) is the declared contract; verification is
+    * the THRESHOLDED banded Levenshtein. The distance filter is
+    * non-vacuous at every SF (≥1 blocked pair exceeds it). */
+  val dedupEditdist: Q = (s, dir) =>
+    Dedup.editDistancePairs(Tables.documents(s, dir), col("text"), col("doc_id"))
+      .orderBy("a", "b")
+
+  val dedupEditdistSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len, substr(text, 1, 16) AS pfx
+      |  FROM documents),
+      |small AS (SELECT pfx FROM d GROUP BY pfx HAVING count(*) <= 1000),
+      |b AS (SELECT d.* FROM d JOIN small USING (pfx))
+      |SELECT x.doc_id AS a, y.doc_id AS b, levenshtein(x.text, y.text) AS dist
+      |FROM b x JOIN b y ON x.pfx = y.pfx AND x.doc_id < y.doc_id
+      |  AND abs(x.len - y.len) <= 10
+      |WHERE levenshtein(x.text, y.text) <= 20
+      |ORDER BY a, b""".stripMargin
+
   /** dedup_containment: exact directed shingle-containment pairs
     * ([[Dedup.containmentPairs]], C(src→dst) = |∩|/|S(src)| ≥ 0.8) — the
     * quote/excerpt detector document-level Jaccard misses (a short doc
@@ -2093,6 +2116,7 @@ object QueriesLLM {
     "dedup_url_params" -> dedupUrlParams,
     "contamination_check" -> contaminationCheck,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_editdist" -> dedupEditdist,
     "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_exact" -> dedupMinhashExact,
@@ -2168,6 +2192,7 @@ object QueriesLLM {
     "dedup_url_params" -> dedupUrlParamsSql,
     "contamination_check" -> contaminationCheckSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_editdist" -> dedupEditdistSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_exact" -> dedupMinhashExactSql,
     "dedup_simhash_exact" -> dedupSimhashExactSql,

@@ -417,4 +417,41 @@ object Dedup {
         coalesce(array_join(transform(col("keep_idx"), tileAt), " "), lit(""))
           .as("dedup_text"))
   }
+
+  /** Character-level near-dup pairs by bounded edit distance — the
+    * record-linkage complement to the token-set families: catches typo /
+    * OCR / small-patch variants whose token sets already diverge
+    * (Jaccard blind) but whose character streams differ by a few edits.
+    *
+    * Standard blocking discipline: candidates must share the
+    * `prefixLen`-char prefix AND sit within `maxLenDiff` characters of
+    * length (any edit-distance-k pair differs ≤ k in length, so
+    * maxLenDiff ≥ maxDist loses nothing; smaller trades recall for
+    * cost, declared in the contract). Blocks larger than `maxBlock`
+    * docs are dropped whole — the boilerplate-prefix hot-block guard,
+    * the `maxDf` analog, part of the contract and oracle-mirrored.
+    * Survivors are verified with the THRESHOLDED Levenshtein
+    * (`levenshtein(a, b, maxDist)` — O(len·maxDist) banded early-stop,
+    * not O(len²); it returns −1 past the cutoff, which the filter
+    * drops).
+    *
+    * Scale shape: one shuffle keys (doc_id, text, len) by the block
+    * prefix; the localCheckpoint feeds BOTH self-join sides from one
+    * materialization; per-block pair work is ≤ C(maxBlock, 2) by the
+    * guard. Emits (a, b, dist), a < b by id. */
+  def editDistancePairs(df: DataFrame, text: Column, id: Column,
+      prefixLen: Int = 16, maxLenDiff: Int = 10, maxDist: Int = 20,
+      maxBlock: Long = 1000L): DataFrame = {
+    val d = df.select(id.as("doc_id"), text.as("txt"),
+      length(text).as("len"), substring(text, 1, prefixLen).as("pfx"))
+    val small = d.groupBy("pfx").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlock).select("pfx")
+    val blocked = d.join(small, Seq("pfx"), "left_semi").localCheckpoint(true)
+    blocked.as("x").join(blocked.as("y"),
+        col("x.pfx") === col("y.pfx") && col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.len") - col("y.len")) <= maxLenDiff)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        levenshtein(col("x.txt"), col("y.txt"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

@@ -108,6 +108,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(both((2L, 1L)) - 4.0 / 12.0) < 1e-4 + 1e-9)
   }
 
+  test("editDistancePairs: prefix-blocked, length-windowed, threshold-verified") {
+    val p = "0123456789abcdef" // exactly prefixLen chars
+    val df = docsDf(Seq(
+      (1L, p + "X" * 25),             // pairs with 2 at dist 1
+      (2L, p + "X" * 24 + "Y"),
+      (3L, p + "Y" * 25),             // dist 25/24 from 1/2 — past maxDist
+      (4L, "different prefix" + "X" * 25), // own block, alone
+      (5L, p + "XXX")))               // len diff 22 — outside the window
+    val out = Dedup.editDistancePairs(df, col("text"), col("doc_id"))
+      .orderBy("a", "b").as[(Long, Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1)), out.toString)
+    // the hot-block guard drops oversize blocks whole
+    assert(Dedup.editDistancePairs(df, col("text"), col("doc_id"),
+      maxBlock = 1L).count() === 0L)
+  }
+
   test("brute-force topK cosine: self is rank 1 with score 1.0") {
     val emb = Tables.embeddings(spark, sf)
     val top = Similarity.topKCosine(emb, emb.filter($"vec_id" === 0), 5).collect()
