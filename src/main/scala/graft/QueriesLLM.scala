@@ -1314,6 +1314,69 @@ object QueriesLLM {
       |SELECT token, count(*) AS n FROM toks GROUP BY token
       |ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** text_pmi_bigrams: collocation extraction — adjacent-token bigrams
+    * scored by pointwise mutual information, PMI = ln(c_ab·N / (c_a·c_b))
+    * with N the corpus token count (the corpus-LM simplification; the
+    * contract). High-PMI pairs are multiword units ("new york") the
+    * tokenizer/vocab steps should treat as one; c_ab ≥ 5 is the standard
+    * sparse-count floor.
+    *
+    * Determinism: all counts are exact integers; both LONG products fit
+    * exactly in double (< 2⁵³), so the score is ONE division + ONE libm
+    * ln re-gridded to 1e-8 (the ngram-lm contract absorbs ln's ulp).
+    *
+    * Scale shape: bigram generation is a narrow HOF (no shuffle before
+    * the count); the two count aggregates are map-side combined; c_a/c_b
+    * attach by two vocab-sized co-keyed joins (never the corpus); N
+    * rides a one-row broadcast. */
+  def pmiBigrams(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5L)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(TextOps.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val nTot = uni.agg(sum(col("c")).as("n_tokens"))
+    val bigrams = toks.select(explode(
+        when(size(col("t")) < 2, expr("array()")
+            .cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(1), size(col("t")) - 1, lit(1)),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2"))))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bigrams
+      .join(uni.select(col("token").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nTot))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        graft.functions.Num.r8(log((col("c_ab") * col("n_tokens")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double"))).as("pmi"))
+      .orderBy("bigram")
+  }
+
+  val textPmiBigrams: Q = (s, dir) => pmiBigrams(Tables.documents(s, dir))
+
+  val textPmiBigramsSql =
+    """WITH tk AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      |    i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM tk),
+      |bc AS (SELECT bigram, count(*) AS c_ab FROM bi GROUP BY bigram
+      |  HAVING count(*) >= 5),
+      |uni AS (SELECT unnest(t) AS token FROM tk),
+      |uc AS (SELECT token, count(*) AS c FROM uni GROUP BY token),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uc)
+      |SELECT bc.bigram, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+      |  floor(ln(CAST(bc.c_ab * n.n_tokens AS DOUBLE)
+      |    / CAST(ua.c * ub.c AS DOUBLE)) * 100000000 + 0.5) / 100000000 AS pmi
+      |FROM bc
+      |JOIN uc ua ON ua.token = string_split(bc.bigram, ' ')[1]
+      |JOIN uc ub ON ub.token = string_split(bc.bigram, ' ')[2]
+      |CROSS JOIN n
+      |ORDER BY bigram""".stripMargin
+
   /** text_vocab_approx: [[textVocab]] through the SpaceSaving
     * heavy-hitters aggregate ([[graft.plans.SpaceSavingAgg]]) — the
     * bounded-memory form whose buffers stay O(capacity) no matter how
@@ -2154,6 +2217,7 @@ object QueriesLLM {
     "pipeline_quality_filter" -> pipelineQualityFilter,
     "text_pii_scrub" -> textPiiScrub,
     "text_vocab" -> textVocab,
+    "text_pmi_bigrams" -> textPmiBigrams,
     "text_vocab_approx" -> textVocabApprox,
     "text_token_count" -> textTokenCount,
     "bpe_merges" -> bpeMerges,
@@ -2222,6 +2286,7 @@ object QueriesLLM {
     "pipeline_quality_filter" -> pipelineQualityFilterSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_vocab" -> textVocabSql,
+    "text_pmi_bigrams" -> textPmiBigramsSql,
     "text_vocab_approx" -> textVocabApproxSql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,

@@ -11,6 +11,25 @@ class QualitySignalsSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("pmiBigrams: hand PMI on a crafted corpus; short docs yield no bigrams; floor filters") {
+    // "a b" x5 + "a b c" + "z": c_ab("a b") = 6 (the 6th from "a b c"),
+    // c_ab("b c") = 1 (below the floor); N = 5*2 + 3 + 1 = 14 tokens,
+    // c(a) = c(b) = 6, c(c) = 1; the single-token doc yields no bigram.
+    val docs = (Seq.fill(5)("a b") ++ Seq("a b c", "z")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def r8d(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    val out = QueriesLLM.pmiBigrams(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("a b", 6L, 6L, 6L, r8d(math.log(6.0 * 14 / 36)))),
+      out.toString)
+    // at minCount 1 the rare bigram emerges with its own counts
+    val all = QueriesLLM.pmiBigrams(docs, minCount = 1L)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(all("b c") === ("b c", 1L, 6L, 1L, r8d(math.log(14.0 / 6))))
+    assert(all.size === 2)
+  }
+
   // ---- text_repetition ----------------------------------------------------
 
   test("repetition metrics match a hand computation on a crafted doc") {
