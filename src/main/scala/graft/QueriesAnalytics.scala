@@ -248,6 +248,36 @@ object QueriesAnalytics {
       |  FROM sc) WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  /** ts_seasonal: hour-of-day seasonal decomposition of hourly
+    * event-type volumes ([[Temporal.seasonalResiduals]], period 24) —
+    * seasonal mean + residual per bucket, the deseasonalization step
+    * raw z-scores miss (a 3 a.m. lull is normal; a 3 a.m. spike isn't).
+    * Seasonal and residual are each ONE IEEE division of exact LONGs on
+    * the 1e-8 grid. */
+  val tsSeasonal: Q = (s, dir) =>
+    Temporal.seasonalResiduals(Tables.events(s, dir),
+        col("event_type"), expr("(ts div 1000) div 3600000000"), period = 24)
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type", "bucket")
+
+  val tsSeasonalSql =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT *, bucket % 24 AS phase FROM b),
+      |prof AS (
+      |  SELECT event_type, phase, count(*) AS n_h,
+      |    CAST(sum(n_events) AS BIGINT) AS tot_h
+      |  FROM p GROUP BY 1, 2)
+      |SELECT p.event_type, p.bucket, p.phase, p.n_events,
+      |  floor((CAST(prof.tot_h AS DOUBLE) / CAST(prof.n_h AS DOUBLE))
+      |    * 100000000 + 0.5) / 100000000 AS seasonal,
+      |  floor((CAST(p.n_events * prof.n_h - prof.tot_h AS DOUBLE)
+      |      / CAST(prof.n_h AS DOUBLE)) * 100000000 + 0.5) / 100000000 AS resid
+      |FROM p JOIN prof ON prof.event_type = p.event_type AND prof.phase = p.phase
+      |ORDER BY p.event_type, p.bucket""".stripMargin
+
   /** retention_cohorts: classic cohort retention over `events` — cohort =
     * the DAY of a user's first purchase, retention(k) = the share of that
     * cohort purchasing again k days later. THE product-analytics staple
@@ -1100,6 +1130,7 @@ object QueriesAnalytics {
     "ts_ewma" -> tsEwma,
     "ts_anomaly" -> tsAnomaly,
     "ts_changepoint" -> tsChangepoint,
+    "ts_seasonal" -> tsSeasonal,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
@@ -1134,6 +1165,7 @@ object QueriesAnalytics {
     "ts_ewma" -> tsEwmaSql,
     "ts_anomaly" -> tsAnomalySql,
     "ts_changepoint" -> tsChangepointSql,
+    "ts_seasonal" -> tsSeasonalSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,
     "retention_cohorts" -> retentionCohortsSql,

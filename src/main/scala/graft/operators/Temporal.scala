@@ -228,6 +228,37 @@ object Temporal {
     cusumOverCounts(events.select(group.as("grp"), bucket.as("bucket"))
       .groupBy("grp", "bucket").agg(count(lit(1)).as("n_events")))
 
+  /** Seasonal-mean decomposition of per-group bucket counts: each
+    * bucket's count against its group's mean for that PHASE
+    * (bucket mod `period` — hour-of-day for hourly buckets, day-of-week
+    * for daily), emitting the seasonal component and the residual.
+    * The deseasonalization step before [[volumeAnomaly]]-style scoring —
+    * a 3 a.m. lull is not an anomaly, a 3 a.m. spike is, and raw
+    * z-scores can't tell them apart.
+    *
+    * Determinism: phase sums/counts are exact integers; seasonal =
+    * tot/n and resid = (x·n − tot)/n are each ONE IEEE division of
+    * exact LONGs, re-gridded to 1e-8 — cross-engine deterministic.
+    *
+    * Scale shape: the (grp, bucket) count is the only data-wide stage;
+    * the phase profile is an O(groups × period) aggregate joined back
+    * by broadcast. */
+  def seasonalResiduals(events: DataFrame, group: Column, bucket: Column,
+      period: Int = 24): DataFrame = {
+    val b = events.select(group.as("grp"), bucket.as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("n_events"))
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+    val prof = b.groupBy("grp", "phase").agg(
+      count(lit(1)).as("n_h"), sum(col("n_events")).as("tot_h"))
+    b.join(broadcast(prof), Seq("grp", "phase"))
+      .select(col("grp"), col("bucket"), col("phase"), col("n_events"),
+        graft.functions.Num.r8(
+          col("tot_h").cast("double") / col("n_h").cast("double")).as("seasonal"),
+        graft.functions.Num.r8(
+          (col("n_events") * col("n_h") - col("tot_h")).cast("double")
+            / col("n_h").cast("double")).as("resid"))
+  }
+
   /** The scoring stage of [[cusumChangepoint]] over an ALREADY-COUNTED
     * (grp, bucket, n_events) frame (streaming-feedable, the
     * [[zScoresOverCounts]] split). */

@@ -333,6 +333,27 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("ts_seasonal: phase means and residuals, hand-computed at period 2") {
+    import graft.operators.Temporal
+    // counts per bucket: 0→2, 1→4, 2→6, 3→4. phase 0 = {0,2}: mean 4,
+    // resid −2/+2; phase 1 = {1,3}: mean 4, resid 0/0.
+    val ev = Seq(0L -> 2, 1L -> 4, 2L -> 6, 3L -> 4)
+      .flatMap { case (b, n) => Seq.fill(n)(("a", b)) }.toDF("g", "b")
+    val got = Temporal.seasonalResiduals(ev, col("g"), col("b"), period = 2)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, 0L, 2L, 4.0, -2.0), ("a", 1L, 1L, 4L, 4.0, 0.0),
+      ("a", 2L, 0L, 6L, 4.0, 2.0), ("a", 3L, 1L, 4L, 4.0, 0.0)), got.toString)
+    // fixture invariant: residuals sum to ~0 within every (type, phase)
+    val sums = QueriesAnalytics.all("ts_seasonal")(spark, sf)
+      .groupBy("event_type", "phase").agg(sum("resid").as("sr"), count(lit(1)).as("n"))
+      .as[(String, Long, Double, Long)].collect()
+    sums.foreach { case (t, h, sr, n) =>
+      assert(math.abs(sr) <= n * 1e-8 + 1e-9, s"$t/$h: resid sum $sr over $n")
+    }
+  }
+
   test("ts_changepoint: CUSUM argmax lands on the level shift; ties break earliest (round 9)") {
     import graft.operators.Temporal
     // group a: counts 2,2,2,8,8,8 at buckets 1..6 — the break is after
