@@ -1786,6 +1786,47 @@ object QueriesLLM {
       |  min(q) AS min_quality, max(q) AS max_quality
       |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  /** curate_source_hhi: source-concentration audit per language — the
+    * Herfindahl–Hirschman index of the source distribution,
+    * HHI = Σ_s (c_s/T)², plus its inverse (the "effective source
+    * count"). A corpus slice dominated by one crawl source memorizes
+    * that source's quirks; HHI → 1 flags it, HHI → 1/n_sources is
+    * healthy. Exactness: hhi_num = Σ c_s² and T² are pure BIGINT (c ≤
+    * 3·10⁹ docs per (lang, source) before c² overflows — document-count
+    * scale, not token scale); hhi and eff_sources are each one IEEE
+    * division on the 1e-8 grid.
+    *
+    * Scale shape: one map-side-combined (lang, source) count shuffle,
+    * then an O(langs × sources) per-lang aggregate — nothing else
+    * touches the corpus. */
+  val curateSourceHhi: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("c")).as("n_docs"),
+        sum(col("c") * col("c")).as("hhi_num"))
+      .select(col("lang"), col("n_sources"), col("n_docs"), col("hhi_num"),
+        graft.functions.Num.r8(col("hhi_num").cast("double")
+          / (col("n_docs") * col("n_docs")).cast("double")).as("hhi"),
+        graft.functions.Num.r8((col("n_docs") * col("n_docs")).cast("double")
+          / col("hhi_num").cast("double")).as("eff_sources"))
+      .orderBy("lang")
+
+  val curateSourceHhiSql =
+    """WITH c AS (
+      |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      |a AS (
+      |  SELECT lang, count(*) AS n_sources, CAST(sum(c) AS BIGINT) AS n_docs,
+      |    CAST(sum(c * c) AS BIGINT) AS hhi_num
+      |  FROM c GROUP BY 1)
+      |SELECT lang, n_sources, n_docs, hhi_num,
+      |  floor((CAST(hhi_num AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE))
+      |    * 100000000 + 0.5) / 100000000 AS hhi,
+      |  floor((CAST(n_docs * n_docs AS DOUBLE) / CAST(hhi_num AS DOUBLE))
+      |    * 100000000 + 0.5) / 100000000 AS eff_sources
+      |FROM a ORDER BY lang""".stripMargin
+
   /** pipeline_curate: the end-to-end curation pipeline as ONE declarative
     * plan — quality gate → exact dedup (keep min doc_id) → deterministic
     * train/val/test split → per-split summary. Every stage is an operator
@@ -2237,6 +2278,7 @@ object QueriesLLM {
     "pack_shards" -> packShards,
     "curriculum_bins" -> curriculumBins,
     "pipeline_curate" -> pipelineCurate,
+    "curate_source_hhi" -> curateSourceHhi,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_near_dedup" -> pipelineNearDedup,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExact,
@@ -2304,6 +2346,7 @@ object QueriesLLM {
     "pack_shards" -> packShardsSql,
     "curriculum_bins" -> curriculumBinsSql,
     "pipeline_curate" -> pipelineCurateSql,
+    "curate_source_hhi" -> curateSourceHhiSql,
     "pipeline_pretrain" -> pipelinePretrainSql
   )
 }

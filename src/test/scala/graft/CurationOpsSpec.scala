@@ -10,6 +10,25 @@ import graft.operators.{Contamination, Sampling}
 class CurationOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("curate_source_hhi: bounds, inverse identity, and a hand recount on the fixture") {
+    val out = QueriesLLM.all("curate_source_hhi")(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, nSrc, nDocs, num, hhi, eff) =>
+      assert(hhi >= 1.0 / nSrc - 1e-8 && hhi <= 1.0 + 1e-8, s"$lang hhi $hhi")
+      assert(eff <= nSrc + 1e-6 && eff >= 1.0 - 1e-8, s"$lang eff $eff")
+      assert(math.abs(hhi * eff - 1.0) < 1e-6, s"$lang hhi*eff") // r8 grid slack
+      assert(num >= nDocs, s"$lang: sum c^2 >= sum c") // c >= 1 per source
+    }
+    // hand recount for one lang straight off the raw table
+    val (lang0, nSrc0, nDocs0, num0, _, _) = out.minBy(_._1)
+    val counts = Tables.documents(spark, sf).filter(col("lang") === lang0)
+      .groupBy("source").count().as[(String, Long)].collect().map(_._2)
+    assert(counts.length.toLong === nSrc0)
+    assert(counts.sum === nDocs0)
+    assert(counts.map(c => c * c).sum === num0)
+  }
+
   test("canonicalizeUrl collapses case/port/utm/slash noise to one form") {
     val urls = Seq(
       "https://data.example.org/c/7",
