@@ -481,8 +481,49 @@ object QueriesStreaming {
       .orderBy("event_type", "bucket")
   }
 
+  /** stream_changepoint_live: the CUSUM lambda — hourly per-type counts
+    * through the STREAMING engine (same complete-mode 2-batch replay as
+    * [[streamAnomalyLive]]; stacked aggregations are illegal in one
+    * streaming query, so counting live + scoring the emitted table is
+    * the forced production split), then
+    * [[graft.operators.Temporal.cusumOverCounts]] — live level-shift
+    * detection beside the live outlier scoring. ORACLE-GATED by the
+    * same argument: complete-mode counts after processAllAvailable are
+    * the exact batch counts, and the CUSUM statistic is pure BIGINT. */
+  val streamChangepointLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val counts = in.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val sink = "stream_changepoint_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      counts.writeStream.outputMode("complete").format("memory").queryName(sink))
+    try {
+      if (benchFast) {
+        in.addData(rows); q.processAllAvailable()
+      } else {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable() // windows continue from state
+      }
+    } finally stopAndClean(q, ckpt)
+    graft.operators.Temporal.cusumOverCounts(
+        s.table(sink).select(col("event_type").as("grp"),
+          col("window.start").cast("long").as("bucket"), col("n_events")))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_anomaly_live" -> streamAnomalyLive,
+    "stream_changepoint_live" -> streamChangepointLive,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
     "stream_stateful_live" -> streamStatefulLive,
@@ -536,6 +577,30 @@ object QueriesStreaming {
       |  FROM g GROUP BY user_id, sess)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_changepoint_live" -> s"""$sliceCte,
+      |b AS (SELECT event_type, (ms // 3600000) * 3600 AS bucket,
+      |    count(*) AS x
+      |  FROM s GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, bucket,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS t,
+      |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+      |  FROM b),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS total
+      |  FROM b GROUP BY 1),
+      |sc AS (
+      |  SELECT p.event_type, p.bucket, m.n, m.total,
+      |    abs(m.n * p.prefix - p.t * m.total) AS stat
+      |  FROM p JOIN m USING (event_type))
+      |SELECT event_type, cp_bucket, cusum, n_buckets, total_events FROM (
+      |  SELECT event_type, bucket AS cp_bucket, CAST(stat AS BIGINT) AS cusum,
+      |    n AS n_buckets, total AS total_events,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY stat DESC, bucket ASC) AS rn
+      |  FROM sc) WHERE rn = 1
+      |ORDER BY event_type""".stripMargin,
     "stream_anomaly_live" -> s"""$sliceCte,
       |b AS (SELECT event_type, (ms // 3600000) * 3600 AS bucket,
       |    count(*) AS n_events

@@ -338,7 +338,7 @@ class StreamingSpec extends SparkTestBase {
   test("bench-fast replay (one batch, 2 partitions) is result-identical for ALL live harnesses") {
     // graft.Bench sets -Dgraft.bench.fast=1 to trim the replay harnesses'
     // micro-batch fixed cost; this guard pins the claim that the trim
-    // never changes what ANY of the eight live harnesses return.
+    // never changes what ANY of the nine live harnesses return.
     // dedup/join/session/enrich/anomaly additionally collapse to one
     // batch under the flag; stateful/watermark_late/restart_exactly_once
     // keep their batch schedules (the batch cut IS their semantics) but
@@ -347,7 +347,8 @@ class StreamingSpec extends SparkTestBase {
     val names = Seq("stream_dedup_live", "stream_join_live",
       "stream_session_live", "stream_enrich_live",
       "stream_stateful_live", "stream_watermark_late",
-      "stream_restart_exactly_once", "stream_anomaly_live")
+      "stream_restart_exactly_once", "stream_anomaly_live",
+      "stream_changepoint_live")
     for (n <- names) {
       val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
       System.setProperty("graft.bench.fast", "1")
