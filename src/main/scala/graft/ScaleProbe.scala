@@ -34,6 +34,8 @@ object ScaleProbe {
     "sample_temperature_fast", "dq_audit",
     "pack_shards", "curriculum_bins", "sketch_source_sim_exact", "dq_drift_psi",
     "ts_anomaly", "vec_project_rp", "vec_centroids", "dedup_url_params",
+    "ts_changepoint", "ts_seasonal", "graph_modularity", "graph_adamic_adar",
+    "dedup_editdist", "text_pmi_bigrams", "curate_source_hhi",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // embeddings (4× span): clustering + spectral family

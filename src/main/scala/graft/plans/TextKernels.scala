@@ -417,6 +417,55 @@ object TextKernels {
     (math.log(n.toDouble) - slc / n) / math.log(2.0)
   }
 
+  /** Thresholded Levenshtein distance over Unicode code points: returns
+    * the edit distance when it is ≤ k, else −1 — the same contract as
+    * Spark's builtin `levenshtein(a, b, k)` (LevenshteinSpec asserts
+    * value equality on real corpus pairs plus the edge lattice). The
+    * builtin walks the DP over raw UTF-8 with per-cell multi-byte
+    * character comparison and measures ~0.5 ms on a close ~330-char pair;
+    * this kernel decodes each side ONCE to an int[] of code points
+    * (equality of code points ≡ equality of the UTF-8 byte runs the
+    * builtin compares) and runs the classic 2-row banded DP (band width
+    * 2k+1, cells outside the band pinned at INF) in a primitive-int
+    * loop — 43 µs on the same pair, an ~11× measured win, which is what
+    * turned dedup_editdist's ×10-probe step from 91 s into pair-join
+    * cost (tools/EdProf3). */
+  def levenshteinWithin(a: UTF8String, b: UTF8String, k: Int): Int = {
+    if (k < 0) return -1
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
+    // DP over the shorter side's axis keeps the row arrays minimal.
+    val (x, y) = if (s.length <= t.length) (t, s) else (s, t)
+    val n = x.length; val m = y.length
+    if (n - m > k) return -1
+    if (m == 0) return n // n ≤ k guaranteed by the band check above
+    val INF = Int.MaxValue / 2
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, INF)
+    var j = 0
+    val jmax = math.min(m, k)
+    while (j <= jmax) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, INF)
+      val lo = math.max(1, i - k); val hi = math.min(m, i + k)
+      if (i <= k) cur(0) = i
+      val xi = x(i - 1)
+      var jj = lo
+      while (jj <= hi) {
+        var v = prev(jj - 1) + (if (xi == y(jj - 1)) 0 else 1)
+        if (prev(jj) + 1 < v) v = prev(jj) + 1
+        if (cur(jj - 1) + 1 < v) v = cur(jj - 1) + 1
+        cur(jj) = v
+        jj += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(m) > k) -1 else prev(m)
+  }
+
   def srpSketch(vec: ArrayData, bits: Int, seed: Int): Long = {
     val n = vec.numElements()
     var j = 0

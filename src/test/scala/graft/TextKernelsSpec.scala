@@ -197,4 +197,35 @@ class TextKernelsSpec extends SparkTestBase {
     assert(cands < n * n / 20,
       s"8x8 banding should prune hard: $cands candidates for $n vectors")
   }
+
+  test("levenshtein_within kernel == builtin levenshtein(a,b,k) on edge lattice + fixture pairs") {
+    // edge lattice: every ordered pair of the edge strings, at thresholds
+    // spanning degenerate (0), tight (1), and the production cut (20)
+    val pairs = edgeDf.select(col("text").as("ta"))
+      .crossJoin(edgeDf.select(col("text").as("tb")))
+      .withColumn("doc_id", monotonically_increasing_id())
+    for (k <- Seq(0, 1, 5, 20)) {
+      assertEqual(pairs,
+        TextExpressions.levenshteinWithin(col("ta"), col("tb"), k),
+        levenshtein(col("ta"), col("tb"), k))
+    }
+    // real corpus pairs: blocked prefix join, the exact shape
+    // editDistancePairs verifies (includes true near-dups AND
+    // over-threshold pairs, so both the -1 and the >=0 branch are hit)
+    val d = fixtureDf.select(col("doc_id"), col("text"),
+      substring(col("text"), 1, 8).as("pfx"))
+    val corpus = d.as("x").join(d.as("y"),
+        col("x.pfx") === col("y.pfx") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"),
+        col("x.text").as("ta"), col("y.text").as("tb"))
+    assertEqual(corpus,
+      TextExpressions.levenshteinWithin(col("ta"), col("tb"), 20),
+      levenshtein(col("ta"), col("tb"), 20))
+    // NULL propagation matches the builtin
+    val withNull = Seq((1L, "abc", null: String), (2L, null: String, "x"),
+      (3L, null: String, null: String)).toDF("doc_id", "ta", "tb")
+    assertEqual(withNull,
+      TextExpressions.levenshteinWithin(col("ta"), col("tb"), 5),
+      levenshtein(col("ta"), col("tb"), 5))
+  }
 }
