@@ -1112,6 +1112,76 @@ object QueriesAnalytics {
       |FROM deg d LEFT JOIN pn ON pn.node = d.node
       |ORDER BY d.node""".stripMargin
 
+  /** ts_autocorr: lag-1/lag-2 autocovariance of each user's dense
+    * 6-hour activity-count series ([[graft.operators.Temporal
+    * .autocovScaled]]) — the periodicity/trend signal beside
+    * `ts_seasonal`'s fixed-period decomposition. The n²-scaled centered
+    * products are pure BIGINT (exact under any merge order), so the gate
+    * compares integers; ac1/ac2 are single IEEE divisions on the 1e-8
+    * grid. Same single-exchange shuffle profile as `ts_ewma`. */
+  val tsAutocorr: Q = (s, dir) =>
+    Temporal.autocovScaled(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"), maxLag = 2)
+      .orderBy("user_id")
+
+  val tsAutocorrSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+      |obs AS (SELECT user_id, b, count(*) AS x FROM e GROUP BY user_id, b),
+      |grid AS (SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+      |  FROM e GROUP BY user_id),
+      |dense AS (SELECT g.user_id, g.b, coalesce(o.x, 0) AS x
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+      |st AS (SELECT user_id, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+      |  FROM dense GROUP BY user_id),
+      |y AS (SELECT d.user_id, d.b, st.n,
+      |    CAST(st.n * d.x - st.s AS BIGINT) AS y
+      |  FROM dense d JOIN st ON st.user_id = d.user_id),
+      |l AS (SELECT user_id, n, y,
+      |    lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2
+      |  FROM y WINDOW w AS (PARTITION BY user_id ORDER BY b))
+      |SELECT user_id, max(n) AS n_buckets,
+      |  CAST(sum(y * y) AS BIGINT) AS c0,
+      |  CAST(sum(CASE WHEN y1 IS NULL THEN 0 ELSE y * y1 END) AS BIGINT) AS c1,
+      |  CAST(sum(CASE WHEN y2 IS NULL THEN 0 ELSE y * y2 END) AS BIGINT) AS c2,
+      |  CASE WHEN CAST(sum(y * y) AS BIGINT) > 0 THEN
+      |    floor(CAST(sum(CASE WHEN y1 IS NULL THEN 0 ELSE y * y1 END) AS DOUBLE)
+      |      / CAST(sum(y * y) AS DOUBLE) * 100000000 + 0.5) / 100000000
+      |    ELSE 0.0 END AS ac1,
+      |  CASE WHEN CAST(sum(y * y) AS BIGINT) > 0 THEN
+      |    floor(CAST(sum(CASE WHEN y2 IS NULL THEN 0 ELSE y * y2 END) AS DOUBLE)
+      |      / CAST(sum(y * y) AS DOUBLE) * 100000000 + 0.5) / 100000000
+      |    ELSE 0.0 END AS ac2
+      |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** seq_markov: first-order Markov transition matrix over each user's
+    * time-ordered event-type sequence ([[graft.operators.Temporal
+    * .transitionCounts]]; ties at equal ts ordered by event_id) — the
+    * next-event/flow-mining estimate beside `funnel_steps`' fixed
+    * funnel. Counts are integers; p is one IEEE division on the 1e-8
+    * grid. One input exchange (the lag window); the pair count is
+    * map-side combined down to ≤|types|² rows. */
+  val seqMarkov: Q = (s, dir) =>
+    Temporal.transitionCounts(Tables.events(s, dir), "user_id",
+        col("ts"), col("event_id"), col("event_type"))
+      .orderBy("prev_state", "next_state")
+
+  val seqMarkovSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |t AS (SELECT prev AS prev_state, event_type AS next_state,
+      |    count(*) AS n_trans
+      |  FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_state, next_state, CAST(n_trans AS BIGINT) AS n_trans,
+      |  CAST(sum(n_trans) OVER w AS BIGINT) AS n_prev,
+      |  floor(CAST(n_trans AS DOUBLE) / CAST(sum(n_trans) OVER w AS DOUBLE)
+      |    * 100000000 + 0.5) / 100000000 AS p
+      |FROM t WINDOW w AS (PARTITION BY prev_state)
+      |ORDER BY prev_state, next_state""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
@@ -1131,6 +1201,8 @@ object QueriesAnalytics {
     "ts_anomaly" -> tsAnomaly,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
+    "ts_autocorr" -> tsAutocorr,
+    "seq_markov" -> seqMarkov,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
@@ -1166,6 +1238,8 @@ object QueriesAnalytics {
     "ts_anomaly" -> tsAnomalySql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_seasonal" -> tsSeasonalSql,
+    "ts_autocorr" -> tsAutocorrSql,
+    "seq_markov" -> seqMarkovSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,
     "retention_cohorts" -> retentionCohortsSql,

@@ -302,4 +302,86 @@ object Temporal {
             graft.functions.Num.r4((col("n_events").cast("double") - mean) / sqrt(varPop)))
           .otherwise(lit(0.0)).as("z"))
   }
+
+  /** Integer-exact lag-k autocovariance of each key's DENSE bucket-count
+    * series — the "is this series periodic / trending / white" signal
+    * behind seasonality detection and sampling-rate choices. For lag k,
+    * the n²-scaled centered product sum
+    * `c_k = Σ_{t≥k} (n·x_t − S)(n·x_{t−k} − S)` (S = Σx) clears the
+    * rational mean without ever leaving BIGINT: counts × integers are
+    * exact LONG arithmetic, associative under any partition or merge
+    * order, so both engines agree bit-for-bit on every c_k. The
+    * normalized autocorrelations ac_k = c_k/c_0 are each ONE IEEE
+    * division pinned to the 1e-8 grid (0 for constant series, c_0 = 0).
+    *
+    * Scale shape = [[ewmaDyadic]]: one map-side-combined (key, bucket)
+    * count exchange, one re-key on the key alone; the dense grid is
+    * generated inside its key partition; the whole-series n/S carries,
+    * the k lag reads, AND the final per-key aggregate all ride that ONE
+    * partitioning — no further exchange. Overflow headroom: c_0 ≤
+    * n³·max(x)², and n is the key's bucket-SPAN (grows with time, not
+    * data volume) — ~10⁵ buckets × counts ~10³ stays under 2⁶³. */
+  def autocovScaled(events: DataFrame, key: String, bucket: Column,
+      maxLag: Int = 2): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"maxLag must be in [1,8], got $maxLag")
+    val counts = Dist.byKeys(
+      events.select(col(key), bucket.as("b"))
+        .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
+    val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val wAll = Window.partitionBy(key)
+    val wOrd = Window.partitionBy(key).orderBy("b")
+    val dense = grid.join(counts, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("y", col("n") * col("x") - col("s"))
+    val lagged = dense.select(
+      Seq(col(key), col("n"), col("y")) ++
+        (1 to maxLag).map(k => lag(col("y"), k).over(wOrd).as(s"y$k")): _*)
+    // pre-series history contributes nothing (the first k products are
+    // dropped, not zero-primed) — textbook sample autocovariance
+    val prods = sum(col("y") * col("y")).as("c0") +:
+      (1 to maxLag).map(k =>
+        sum(when(col(s"y$k").isNotNull, col("y") * col(s"y$k")).otherwise(lit(0L)))
+          .as(s"c$k"))
+    val acs = (1 to maxLag).map(k =>
+      when(col("c0") > 0,
+          graft.functions.Num.r8(col(s"c$k").cast("double") / col("c0").cast("double")))
+        .otherwise(lit(0.0)).as(s"ac$k"))
+    val aggs = max(col("n")).as("n_buckets") +: prods
+    lagged.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col(key), col("n_buckets")) ++
+        (0 to maxLag).map(k => col(s"c$k")) ++ acs: _*)
+  }
+
+  /** First-order Markov transition estimation over each key's
+    * time-ordered state sequence: global counts of every observed
+    * (prev_state → next_state) step plus the per-prev-state total and
+    * the maximum-likelihood transition probability — the sequence-mining
+    * primitive behind next-event prediction, anomalous-flow detection,
+    * and funnel drop-off attribution. `tie` must be unique per key (an
+    * event id) so equal timestamps order deterministically.
+    *
+    * Counts are pure integers; p = n_trans/n_prev is ONE IEEE division
+    * on the 1e-8 grid. Scale shape: the lag window is one exchange of
+    * the input on the key; the pair count is a map-side-combined
+    * aggregate whose output is at most |states|² rows, and the per-prev
+    * total is a window over THAT tiny frame — never a second pass over
+    * the data. */
+  def transitionCounts(events: DataFrame, key: String, ts: Column,
+      tie: Column, state: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("ts"), col("tie"))
+    val pairs = events
+      .select(col(key), ts.as("ts"), tie.as("tie"), state.as("st"))
+      .withColumn("prev", lag(col("st"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("prev_state"), col("st").as("next_state"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wp = Window.partitionBy("prev_state")
+    pairs.select(col("prev_state"), col("next_state"), col("n_trans"),
+      sum(col("n_trans")).over(wp).as("n_prev"),
+      graft.functions.Num.r8(col("n_trans").cast("double")
+        / sum(col("n_trans")).over(wp).cast("double")).as("p"))
+  }
 }

@@ -376,6 +376,42 @@ class AnalyticsSpec extends SparkTestBase {
     assert(w == Seq(("a", 0L, 1L, 2L, 3L), ("b", 5L, 0L, 1L, 1L)), w.toString)
   }
 
+  test("ts_autocorr: hand-computed n²-scaled autocovariance, gaps count as zero (round 9)") {
+    // key a: counts [2,4,6] at buckets 0..2 → n=3, S=12, y=3x−12=[−6,0,6]
+    //   c0 = 36+0+36 = 72; c1 = 0·(−6)+6·0 = 0; c2 = 6·(−6) = −36
+    //   ac1 = 0.0, ac2 = −0.5
+    // key b: observed buckets 0 and 2 (count 1 each) → dense x=[1,0,1],
+    //   n=3, S=2, y=[1,−2,1]; c0=6, c1=−4, c2=1
+    //   ac1 = r8(−2/3) = −0.66666667, ac2 = r8(1/6) = 0.16666667
+    val ev = (Seq.fill(2)(("a", 0L)) ++ Seq.fill(4)(("a", 1L)) ++
+        Seq.fill(6)(("a", 2L)) ++ Seq(("b", 0L), ("b", 2L)))
+      .toDF("g", "b")
+    val got = Temporal.autocovScaled(ev, "g", col("b"), maxLag = 2)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", 3L, 72L, 0L, -36L, 0.0, -0.5),
+      ("b", 3L, 6L, -4L, 1L, -0.66666667, 0.16666667)), got.toString)
+  }
+
+  test("seq_markov: transition counts and ML probabilities, ties ordered by tie column (round 9)") {
+    // u1: a,b,a,b → a→b ×2, b→a ×1; u2: b,b → b→b ×1
+    // equal-ts pair in u2 ordered by the tie column (ids 20 < 21)
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (1L, 11L, 101L, "b"),
+      (1L, 12L, 102L, "a"), (1L, 13L, 103L, "b"),
+      (2L, 50L, 20L, "b"), (2L, 50L, 21L, "b")
+    ).toDF("user_id", "t", "id", "et")
+    val got = Temporal.transitionCounts(ev, "user_id", col("t"), col("id"),
+        col("et"))
+      .orderBy("prev_state", "next_state")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", "b", 2L, 2L, 1.0),
+      ("b", "a", 1L, 2L, 0.5),
+      ("b", "b", 1L, 2L, 0.5)), got.toString)
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
