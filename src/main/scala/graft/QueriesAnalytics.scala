@@ -1182,6 +1182,54 @@ object QueriesAnalytics {
       |FROM t WINDOW w AS (PARTITION BY prev_state)
       |ORDER BY prev_state, next_state""".stripMargin
 
+  /** graph_hits: fixed-round HITS hubs/authorities over the directed
+    * part→supplier graph ([[graft.operators.Graph.hits]]; 4 rounds,
+    * max-normalized integer micro-units) — the mutual-reinforcement
+    * ranking beside `graph_pagerank`'s random walk. Contribution sums
+    * are pure BIGINT; each renorm is the identical IEEE
+    * divide·10⁸-floor chain on exact-in-double longs, so the oracle
+    * unrolls the same four rounds as CTEs with no rounding-grid slack. */
+  val graphHitsIters = 4
+
+  val graphHits: Q = (s, dir) =>
+    graft.operators.Graph.hits(
+      Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
+      iters = graphHitsIters)
+      .orderBy("role", "node")
+
+  val graphHitsSql: String = {
+    // each CTE is referenced exactly ONCE (the max rides a whole-frame
+    // window, not a separate CTE): DuckDB inlines multi-referenced CTEs,
+    // and a twice-referenced chain doubles per half-round — 2⁸ copies of
+    // the edge join at 4 rounds, measured as a disk-spilling blowup at
+    // sf0.1 before this form
+    def norm(out: String, raw: String): String =
+      s"""$out AS (SELECT node,
+         |    CAST(floor(CAST(raw AS DOUBLE) / CAST(max(raw) OVER () AS DOUBLE)
+         |      * 100000000.0 + 0.5) AS BIGINT) AS unit
+         |  FROM $raw)""".stripMargin
+    val rounds = (1 to graphHitsIters).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS node, CAST(sum(h.unit) AS BIGINT) AS raw
+         |  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst),
+         |${norm(s"a$i", s"a${i}r")},
+         |h${i}r AS (SELECT e.src AS node, CAST(sum(a.unit) AS BIGINT) AS raw
+         |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+         |${norm(s"h$i", s"h${i}r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |h0 AS (SELECT DISTINCT src AS node, CAST(100000000 AS BIGINT) AS unit
+       |  FROM e),
+       |$rounds
+       |SELECT role, node, unit, CAST(unit AS DOUBLE) / 100000000.0 AS score
+       |FROM (
+       |  SELECT 'hub' AS role, node, unit FROM h$graphHitsIters
+       |  UNION ALL
+       |  SELECT 'auth' AS role, node, unit FROM a$graphHitsIters)
+       |ORDER BY role, node""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
@@ -1191,6 +1239,7 @@ object QueriesAnalytics {
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_kcore" -> graphKcore,
+    "graph_hits" -> graphHits,
     "dq_audit" -> dqAudit,
     "dq_drift_psi" -> dqDriftPsi,
     "agg_regression" -> aggRegression,
@@ -1228,6 +1277,7 @@ object QueriesAnalytics {
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_triangle_count" -> graphTriangleCountSql,
     "graph_kcore" -> graphKcoreSql,
+    "graph_hits" -> graphHitsSql,
     "dq_audit" -> dqAuditSql,
     "dq_drift_psi" -> dqDriftPsiSql,
     "agg_regression" -> aggRegressionSql,

@@ -376,4 +376,65 @@ object Graph {
           (col("m2") * col("intra2") - col("d_tot") * col("d_tot")).cast("double")
             / (col("m2") * col("m2")).cast("double")).as("q_contrib"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over DIRECTED edges —
+    * the mutual-reinforcement ranking beside [[pagerank]]'s random walk:
+    * a good hub points at good authorities, a good authority is pointed
+    * at by good hubs. A FIXED round count with max-normalization makes
+    * the result a deterministic function of the edge list: scores live
+    * as INTEGER micro-units in [0, 10⁸] (hubs start at 10⁸), each
+    * half-round sums the opposite side's units along edges — pure LONG
+    * arithmetic, associative under any partition or merge order — and
+    * renormalizes `unit = floor(raw/max·10⁸ + 0.5)`. The raw sums and
+    * their max are exact longs < 2⁵³ (documented regime: in-degree ·
+    * 10⁸ < 2⁵³, i.e. in-degree ≲ 9·10⁷ — beyond that, pre-scale the
+    * unit grid), so the conversion to double is exact and the
+    * divide/multiply/floor chain is the same correctly-rounded IEEE
+    * sequence in any engine — the oracle unrolls the identical rounds
+    * as CTEs, no rounding-grid slack needed.
+    *
+    * Scale shape (the [[pagerank]] discipline): the edge list is
+    * partitioned and checkpointed ONCE PER DIRECTION (src-keyed for the
+    * hub→auth half-round, dst-keyed for auth→hub); each half-round
+    * joins a |V|-row unit frame against its co-keyed edge copy and
+    * shuffles (node, unit) contribution pairs only. The per-round max
+    * is a one-row aggregate riding a broadcast cross join — never a
+    * driver collect. Rounds stay lazy in one DAG (fixed small count);
+    * `checkpointEvery` restores the cut for long loops. Every src has
+    * out-edges and every dst in-edges by construction of the edge list,
+    * so no node ever loses its score row. */
+  def hits(edges: DataFrame, iters: Int,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val edSrc = Dist.byKeys(e, col("src")).localCheckpoint(true)
+    val edDst = Dist.byKeys(edSrc, col("dst")).localCheckpoint(true)
+    val unit = lit(100000000L)
+    var hub = edSrc.select(col("src").as("node")).distinct()
+      .select(col("node"), unit.as("unit"))
+    var auth: DataFrame = null
+    def renorm(raw: DataFrame): DataFrame = {
+      val m = raw.agg(max("raw").as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("node"),
+          floor(col("raw").cast("double") / col("m").cast("double")
+            * lit(100000000.0) + lit(0.5)).cast("long").as("unit"))
+    }
+    for (i <- 1 to iters) {
+      auth = renorm(
+        hub.join(edSrc, hub("node") === edSrc("src"))
+          .groupBy(col("dst").as("node")).agg(sum("unit").as("raw")))
+      hub = renorm(
+        auth.join(edDst, auth("node") === edDst("dst"))
+          .groupBy(col("src").as("node")).agg(sum("unit").as("raw")))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0) {
+        hub = Checkpointing.cut(hub)
+        auth = Checkpointing.cut(auth)
+      }
+    }
+    hub.select(lit("hub").as("role"), col("node"), col("unit"))
+      .unionAll(auth.select(lit("auth").as("role"), col("node"), col("unit")))
+      .select(col("role"), col("node"), col("unit"),
+        (col("unit").cast("double") / lit(100000000.0)).as("score"))
+  }
 }

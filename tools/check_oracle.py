@@ -46,6 +46,11 @@ def table_hash(names, rows):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # optional extra args: restrict to these query names (iteration aid
+    # mirroring Verify's subset args; the driver always runs the full set)
+    only = set(sys.argv[3:])
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
