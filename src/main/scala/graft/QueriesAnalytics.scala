@@ -1230,6 +1230,42 @@ object QueriesAnalytics {
        |ORDER BY role, node""".stripMargin
   }
 
+  /** rollup_incremental: algebraic incremental-view maintenance
+    * ([[graft.operators.Rollup]]) — the per-customer order rollup
+    * maintained as mergeable partials (count/sum/min/max), here
+    * bootstrapped from a pre-1999 base batch and folded with the
+    * post-1999 delta batch by MERGING PARTIALS, never re-reading the
+    * base facts. Prices quantized to integer cents before the LONG sum,
+    * so `merge(partials(base), partials(delta)) ≡ partials(full)` is a
+    * bit-exact identity — which is exactly what the oracle checks by
+    * recomputing the rollup from the full table. avg is derived at read
+    * time: one IEEE division on the 1e-8 grid. */
+  val rollupIncremental: Q = (s, dir) => {
+    import graft.operators.Rollup
+    val o = Tables.orders(s, dir)
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val split = lit("1999-01-01").cast("timestamp_ntz")
+    val base = Rollup.partials(o.filter(col("o_orderdate") < split),
+      Seq("o_custkey"), cents, col("o_orderdate"))
+    val delta = Rollup.partials(o.filter(col("o_orderdate") >= split),
+      Seq("o_custkey"), cents, col("o_orderdate"))
+    Rollup.merge(Seq("o_custkey"), base, delta)
+      .select(col("o_custkey"), col("n_rows"), col("sum_m").as("sum_cents"),
+        col("min_o").as("first_order"), col("max_o").as("last_order"),
+        graft.functions.Num.r8(col("sum_m").cast("double")
+          / col("n_rows").cast("double")).as("avg_cents"))
+      .orderBy("o_custkey")
+  }
+
+  val rollupIncrementalSql: String =
+    """SELECT o_custkey, count(*) AS n_rows,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+      |  floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) * 100000000 + 0.5) / 100000000 AS avg_cents
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
@@ -1252,6 +1288,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonal,
     "ts_autocorr" -> tsAutocorr,
     "seq_markov" -> seqMarkov,
+    "rollup_incremental" -> rollupIncremental,
     "scd2_intervals" -> scd2Intervals,
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
@@ -1290,6 +1327,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonalSql,
     "ts_autocorr" -> tsAutocorrSql,
     "seq_markov" -> seqMarkovSql,
+    "rollup_incremental" -> rollupIncrementalSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "funnel_steps" -> funnelStepsSql,
     "retention_cohorts" -> retentionCohortsSql,

@@ -412,6 +412,30 @@ class AnalyticsSpec extends SparkTestBase {
       ("b", "b", 1L, 2L, 0.5)), got.toString)
   }
 
+  test("rollup_incremental: merged partials ≡ full recompute; three-way merge associative (round 9)") {
+    import graft.operators.Rollup
+    val facts = Seq(
+      (1L, 10L, 5L), (1L, 20L, 7L), (1L, 30L, 2L),
+      (2L, 15L, 9L)
+    ).toDF("k", "m", "o")
+    // hand check on the full frame: k=1 → (3, 60, 2, 7); k=2 → (1, 15, 9, 9)
+    val full = Rollup.partials(facts, Seq("k"), col("m"), col("o"))
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(full === Seq((1L, 3L, 60L, 2L, 7L), (2L, 1L, 15L, 9L, 9L)),
+      full.toString)
+    // split any which way, merge ≡ full — incl. a key absent from a batch
+    val a = Rollup.partials(facts.filter(col("o") < 5), Seq("k"), col("m"), col("o"))
+    val b = Rollup.partials(facts.filter(col("o") >= 5 && col("o") < 8), Seq("k"), col("m"), col("o"))
+    val c = Rollup.partials(facts.filter(col("o") >= 8), Seq("k"), col("m"), col("o"))
+    val merged = Rollup.merge(Seq("k"), a, b, c)
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(merged === full, merged.toString)
+    // merging in a different order is identical (associativity)
+    val merged2 = Rollup.merge(Seq("k"), Rollup.merge(Seq("k"), c, a), b)
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(merged2 === full, merged2.toString)
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
