@@ -1827,6 +1827,55 @@ object QueriesLLM {
       |    * 100000000 + 0.5) / 100000000 AS eff_sources
       |FROM a ORDER BY lang""".stripMargin
 
+  /** curate_dsir: DSIR-style importance weighting (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling") —
+    * per doc the log-likelihood ratio of a TARGET token distribution
+    * (here the `lang='en'` slice) against the RAW corpus distribution,
+    * over hashed unigram features: score(d) = Σ_{w∈d} ln(p̂_t(b(w)) /
+    * p̂_r(b(w))), with b = md5-bucket into 1024 features and Laplace
+    * (+1) smoothing on both sides. High scores mark crawl docs that
+    * "look like" the target corpus — THE data-selection signal for
+    * pretraining mixes.
+    *
+    * Exactness: bucket counts are integers from one map-side-combined
+    * aggregate; each of the 1024 per-bucket log-ratios is quantized
+    * ONCE to 10⁸ micro-units (the `dq_drift_psi` libm recipe — ln on
+    * bit-identical double ratios), so per-doc scores are
+    * merge-order-proof BIGINT sums of those units; the reported double
+    * is one exact-token division. Scale shape: tokenize narrow →
+    * bucket-count aggregate (1024-row output) → totals on a 1-row
+    * broadcast → the 1024-row weight table broadcast back onto the
+    * token stream → ONE map-side-combined per-doc sum. Two data-wide
+    * exchanges total, both combiner-friendly; the corpus is never
+    * joined wide. */
+  val curateDsir: Q = (s, dir) =>
+    graft.operators.Dsir.scores(Tables.documents(s, dir), col("doc_id"),
+        col("lang") === "en", TextOps.tokens(col("text")), buckets = 1024)
+      .orderBy("doc_id")
+
+  val curateDsirSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    CAST('0x' || substr(md5(w), 1, 6) AS BIGINT) % 1024 AS bkt
+      |  FROM (SELECT doc_id, lang,
+      |      unnest(string_split(lower(text), ' ')) AS w FROM documents)),
+      |cnt AS (SELECT bkt, count(*) AS c_r,
+      |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+      |  FROM tok GROUP BY bkt),
+      |tot AS (SELECT CAST(sum(c_r) AS BIGINT) AS r, CAST(sum(c_t) AS BIGINT) AS t
+      |  FROM cnt),
+      |wt AS (SELECT bkt,
+      |    CAST(floor(ln(
+      |      (CAST(c_t + 1 AS DOUBLE) / CAST(t.t + 1024 AS DOUBLE))
+      |      / (CAST(c_r + 1 AS DOUBLE) / CAST(t.r + 1024 AS DOUBLE)))
+      |      * 100000000 + 0.5) AS BIGINT) AS wq
+      |  FROM cnt CROSS JOIN tot t)
+      |SELECT b.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(w.wq) AS BIGINT) AS score_micro,
+      |  CAST(sum(w.wq) AS DOUBLE) / 100000000.0 AS score
+      |FROM tok b JOIN wt w USING (bkt)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   /** pipeline_curate: the end-to-end curation pipeline as ONE declarative
     * plan — quality gate → exact dedup (keep min doc_id) → deterministic
     * train/val/test split → per-split summary. Every stage is an operator
@@ -2279,6 +2328,7 @@ object QueriesLLM {
     "curriculum_bins" -> curriculumBins,
     "pipeline_curate" -> pipelineCurate,
     "curate_source_hhi" -> curateSourceHhi,
+    "curate_dsir" -> curateDsir,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_near_dedup" -> pipelineNearDedup,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExact,
@@ -2347,6 +2397,7 @@ object QueriesLLM {
     "curriculum_bins" -> curriculumBinsSql,
     "pipeline_curate" -> pipelineCurateSql,
     "curate_source_hhi" -> curateSourceHhiSql,
+    "curate_dsir" -> curateDsirSql,
     "pipeline_pretrain" -> pipelinePretrainSql
   )
 }

@@ -144,4 +144,31 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("curate_dsir: target-exclusive tokens score positive, raw-exclusive negative; partition-proof (round 9)") {
+    import graft.operators.Dsir
+    // 4 target docs of 3×"alpha", 4 raw docs of 3×"beta": the alpha
+    // bucket is target-enriched (ln ratio > 0), beta target-absent
+    // (ln ratio < 0); each doc's score is 3 × its bucket's unit weight.
+    val docs = ((1L to 4L).map(i => (i, true, "alpha alpha alpha")) ++
+        (5L to 8L).map(i => (i, false, "beta beta beta"))).toDF("id", "t", "text")
+    val out = Dsir.scores(docs, col("id"), col("t"),
+        TextOps.tokens(col("text"))).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) === (1L to 8L), out.toString)
+    assert(out.forall(_._2 === 3L), out.toString)
+    out.foreach { case (id, _, micro, score) =>
+      if (id <= 4) assert(micro > 0L && score > 0.0, s"$id: $micro")
+      else assert(micro < 0L && score < 0.0, s"$id: $micro")
+      assert(math.abs(score - micro / 1e8) < 1e-12)
+    }
+    // identical target docs share one exact integer score (and raw ditto)
+    assert(out.take(4).map(_._3).distinct.size === 1)
+    assert(out.drop(4).map(_._3).distinct.size === 1)
+    // merge-order-proof: same micros under a different partitioning
+    val re = Dsir.scores(docs.repartition(7), col("id"), col("t"),
+        TextOps.tokens(col("text"))).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(re === out)
+  }
 }
