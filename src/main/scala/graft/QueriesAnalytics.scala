@@ -1154,6 +1154,41 @@ object QueriesAnalytics {
       |    ELSE 0.0 END AS ac2
       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ts_double_ewma: Brown's double exponential smoothing over each
+    * user's dense 6-hour activity-count series
+    * ([[graft.operators.Temporal.doubleEwmaDyadic]]; K=8 dyadic
+    * kernels) — level and trend estimates beside `ts_ewma`'s flat
+    * smoothing. Both smoothings are INTEGER scaled lag sums; every
+    * reported double is one exact-IEEE division by 2¹⁶, so the engines
+    * agree bit-for-bit with no rounding grid. */
+  val tsDoubleEwma: Q = (s, dir) =>
+    Temporal.doubleEwmaDyadic(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"), lags = 8)
+      .orderBy("user_id", "b")
+
+  val tsDoubleEwmaSql: String = {
+    def kernel(x: String): String = (0 until 8)
+      .map(k => s"coalesce(lag($x, $k) OVER w, 0) * ${1L << (7 - k)}")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+       |obs AS (SELECT user_id, b, count(*) AS x FROM e GROUP BY user_id, b),
+       |grid AS (SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+       |  FROM e GROUP BY user_id),
+       |dense AS (SELECT g.user_id, g.b, coalesce(o.x, 0) AS x
+       |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+       |s1 AS (SELECT user_id, b, CAST(${kernel("x")} AS BIGINT) AS s1i
+       |  FROM dense WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+       |s2 AS (SELECT user_id, b, s1i, CAST(${kernel("s1i")} AS BIGINT) AS s2i
+       |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY b))
+       |SELECT user_id, b, s1i, s2i,
+       |  CAST(s1i AS DOUBLE) / 256.0 AS s1,
+       |  CAST(s2i AS DOUBLE) / 65536.0 AS s2,
+       |  CAST(s1i * 512 - s2i AS DOUBLE) / 65536.0 AS level,
+       |  CAST(s1i * 256 - s2i AS DOUBLE) / 65536.0 AS trend
+       |FROM s2 ORDER BY user_id, b""".stripMargin
+  }
+
   /** seq_markov: first-order Markov transition matrix over each user's
     * time-ordered event-type sequence ([[graft.operators.Temporal
     * .transitionCounts]]; ties at equal ts ordered by event_id) — the
@@ -1287,6 +1322,7 @@ object QueriesAnalytics {
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
     "ts_autocorr" -> tsAutocorr,
+    "ts_double_ewma" -> tsDoubleEwma,
     "seq_markov" -> seqMarkov,
     "rollup_incremental" -> rollupIncremental,
     "scd2_intervals" -> scd2Intervals,
@@ -1326,6 +1362,7 @@ object QueriesAnalytics {
     "ts_changepoint" -> tsChangepointSql,
     "ts_seasonal" -> tsSeasonalSql,
     "ts_autocorr" -> tsAutocorrSql,
+    "ts_double_ewma" -> tsDoubleEwmaSql,
     "seq_markov" -> seqMarkovSql,
     "rollup_incremental" -> rollupIncrementalSql,
     "scd2_intervals" -> scd2IntervalsSql,

@@ -399,12 +399,21 @@ object Graph {
     * joins a |V|-row unit frame against its co-keyed edge copy and
     * shuffles (node, unit) contribution pairs only. The per-round max
     * is a one-row aggregate riding a broadcast cross join — never a
-    * driver collect. Rounds stay lazy in one DAG (fixed small count);
-    * `checkpointEvery` restores the cut for long loops. Every src has
-    * out-edges and every dst in-edges by construction of the edge list,
-    * so no node ever loses its score row. */
-  def hits(edges: DataFrame, iters: Int,
-      checkpointEvery: Int = 0): DataFrame = {
+    * driver collect. Every src has out-edges and every dst in-edges by
+    * construction of the edge list, so no node ever loses its score
+    * row.
+    *
+    * Unlike [[pagerank]], the rounds do NOT stay lazy: each half-round's
+    * raw-sum frame feeds TWO consumers (the max aggregate and the
+    * renormalized select) — the kcore lesson applies, a lazy DAG
+    * re-derives the whole upstream chain per consumer and the doubling
+    * compounds to 2^(2·iters) recomputations of the base join (measured
+    * here exactly as in the oracle's CTE-inlining analog: ~32 s FLAT at
+    * every SF before the cut, sub-second after). Each |V|-row raw frame
+    * is therefore eagerly localCheckpoint'd — 2·iters cuts of node-sized
+    * frames, the bounded-plan shape a long-loop cluster run wants
+    * anyway. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).distinct()
     val edSrc = Dist.byKeys(e, col("src")).localCheckpoint(true)
@@ -413,7 +422,8 @@ object Graph {
     var hub = edSrc.select(col("src").as("node")).distinct()
       .select(col("node"), unit.as("unit"))
     var auth: DataFrame = null
-    def renorm(raw: DataFrame): DataFrame = {
+    def renorm(raw0: DataFrame): DataFrame = {
+      val raw = raw0.localCheckpoint(true) // single eval for both consumers
       val m = raw.agg(max("raw").as("m"))
       raw.crossJoin(broadcast(m))
         .select(col("node"),
@@ -427,10 +437,6 @@ object Graph {
       hub = renorm(
         auth.join(edDst, auth("node") === edDst("dst"))
           .groupBy(col("src").as("node")).agg(sum("unit").as("raw")))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0) {
-        hub = Checkpointing.cut(hub)
-        auth = Checkpointing.cut(auth)
-      }
     }
     hub.select(lit("hub").as("role"), col("node"), col("unit"))
       .unionAll(auth.select(lit("auth").as("role"), col("node"), col("unit")))

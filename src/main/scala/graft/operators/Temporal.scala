@@ -303,6 +303,54 @@ object Temporal {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Brown's double exponential smoothing over each key's DENSE
+    * bucket-count series — the trend-aware sibling of [[ewmaDyadic]]:
+    * s1 = EWMA(x), s2 = EWMA(s1) (both the truncated dyadic α=1/2
+    * kernel, K lags, zero-primed), from which the classic level and
+    * trend estimates are `level = 2·s1 − s2` and (at α=1/2, where
+    * α/(1−α) = 1) `trend = s1 − s2` — the one-pass forecasting baseline
+    * (`forecast(t+h) = level + h·trend`) behind capacity planning and
+    * ingest-volume projections.
+    *
+    * Cross-engine exactness: s1 is kept as the INTEGER scaled sum
+    * s1i = Σ x_{t−k}·2^{K−1−k} (scale 2^K) and s2 as s2i = Σ
+    * s1i_{t−j}·2^{K−1−j} (scale 2^{2K}) — pure LONG lag sums, so level
+    * and trend numerators (s1i·2^{K+1} − s2i, s1i·2^K − s2i) are exact
+    * longs and every reported double is ONE exact-IEEE division by
+    * 2^{2K} (numerators < 2⁵³ for counts up to ~2³⁷ at K=8). No
+    * rounding grid anywhere.
+    *
+    * Scale shape = [[ewmaDyadic]]: one map-side-combined (key, bucket)
+    * count exchange, one re-key on the key alone; BOTH lag windows ride
+    * that single (key, b) sort — Spark plans two Window operators over
+    * one exchange, no re-sort. K is a literal: both kernels are fixed
+    * codegen'd expressions. */
+  def doubleEwmaDyadic(events: DataFrame, key: String, bucket: Column,
+      lags: Int = 8): DataFrame = {
+    require(lags >= 1 && lags <= 26, s"lags must be in [1,26], got $lags")
+    val counts = Dist.byKeys(
+      events.select(col(key), bucket.as("b"))
+        .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
+    val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy(key).orderBy("b")
+    val dense = grid.join(counts, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+    def kernel(c: Column): Column = (0 until lags)
+      .map(k => coalesce(lag(c, k).over(w), lit(0L)) * lit(1L << (lags - 1 - k)))
+      .reduce(_ + _)
+    val scale2 = lit((1L << (2 * lags)).toDouble)
+    dense.withColumn("s1i", kernel(col("x")))
+      .withColumn("s2i", kernel(col("s1i")))
+      .select(col(key), col("b"), col("s1i"), col("s2i"),
+        (col("s1i").cast("double") / lit((1L << lags).toDouble)).as("s1"),
+        (col("s2i").cast("double") / scale2).as("s2"),
+        ((col("s1i") * lit(1L << (lags + 1)) - col("s2i")).cast("double") / scale2)
+          .as("level"),
+        ((col("s1i") * lit(1L << lags) - col("s2i")).cast("double") / scale2)
+          .as("trend"))
+  }
+
   /** Integer-exact lag-k autocovariance of each key's DENSE bucket-count
     * series — the "is this series periodic / trending / white" signal
     * behind seasonality detection and sampling-rate choices. For lag k,

@@ -412,6 +412,22 @@ class AnalyticsSpec extends SparkTestBase {
       ("b", "b", 1L, 2L, 0.5)), got.toString)
   }
 
+  test("ts_double_ewma: hand-computed K=2 Brown smoothing, all divisions exact dyadic (round 9)") {
+    // x=[1,2,4]: s1i = 2x_t + x_{t−1} → [2,5,10] (scale 4);
+    // s2i = 2·s1i_t + s1i_{t−1} → [4,12,25] (scale 16);
+    // level = (8·s1i − s2i)/16; trend = (4·s1i − s2i)/16.
+    val ev = (Seq.fill(1)(("a", 0L)) ++ Seq.fill(2)(("a", 1L)) ++
+        Seq.fill(4)(("a", 2L))).toDF("g", "b")
+    val got = Temporal.doubleEwmaDyadic(ev, "g", col("b"), lags = 2)
+      .orderBy("b")
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, 2L, 4L, 0.5, 0.25, 0.75, 0.25),
+      ("a", 1L, 5L, 12L, 1.25, 0.75, 1.75, 0.5),
+      ("a", 2L, 10L, 25L, 2.5, 1.5625, 3.4375, 0.9375)), got.toString)
+  }
+
   test("rollup_incremental: merged partials ≡ full recompute; three-way merge associative (round 9)") {
     import graft.operators.Rollup
     val facts = Seq(

@@ -252,7 +252,7 @@ class SearchGraphSpec extends SparkTestBase {
     assert(capped === Seq((1L, 2L, 1L, u2, u2 / 1e8)), capped.toString)
   }
 
-  test("hits: hand-traced 2-round micro-unit scores; checkpoint form identical (round 9)") {
+  test("hits: hand-traced 2-round micro-unit scores; repartition-proof (round 9)") {
     // h1→{a1,a2}, h2→a1. Round 1: a_raw a1=2e8,a2=1e8 → a1=1e8,a2=5e7;
     // h_raw h1=1.5e8,h2=1e8 → h1=1e8,h2=66666667. Round 2: a_raw
     // a1=166666667,a2=1e8 → a1=1e8,a2=60000000; h_raw h1=1.6e8,h2=1e8
@@ -264,9 +264,8 @@ class SearchGraphSpec extends SparkTestBase {
       ("auth", 10L, 100000000L, 1.0), ("auth", 20L, 60000000L, 0.6),
       ("hub", 1L, 100000000L, 1.0), ("hub", 2L, 62500000L, 0.625)),
       got.toString)
-    val cut = Graph.hits(e, iters = 2, checkpointEvery = 1)
-      .collect().toSet
-    assert(cut === Graph.hits(e, iters = 2).collect().toSet)
+    val re = Graph.hits(e.repartition(5), iters = 2).collect().toSet
+    assert(re === Graph.hits(e, iters = 2).collect().toSet)
   }
 
   test("kcore: checkpointEvery is result-identical to the lazy DAG") {
