@@ -1377,6 +1377,83 @@ object QueriesLLM {
       |CROSS JOIN n
       |ORDER BY bigram""".stripMargin
 
+  /** curate_ngram_ppl: per-doc BIGRAM cross-entropy under the corpus
+    * bigram LM with add-one smoothing — the CCNet/KenLM-style
+    * perplexity quality filter one order up from [[textNgramLm]]'s
+    * unigram form: H(d) = −(1/|bigrams|) Σ ln p̂(w₂|w₁), p̂(w₂|w₁) =
+    * (c(w₁w₂)+1)/(c(w₁)+V). Low H = fluent/common phrasing; high H =
+    * rare-soup or shuffled text that unigram stats can't see (every
+    * word common, no pair ever seen).
+    *
+    * Exactness: every distinct bigram's log-prob is quantized ONCE to
+    * 10⁸ micro-units (the dq_drift_psi libm recipe), so per-doc sums
+    * are merge-order-proof BIGINT; the mean+sign chain is mirrored
+    * token for token and lands on the 1e-8 grid. Docs with fewer than
+    * two tokens have no bigram distribution and drop (both engines, by
+    * the same inner join).
+    *
+    * Scale shape: bigram generation is a narrow HOF (zero shuffle
+    * pre-count); the bigram-count and unigram-count aggregates are
+    * map-side combined; the weight table is bigram-VOCAB-sized and
+    * joins the doc-bigram stream CO-KEYED on (w1, w2) — at 100 TB that
+    * table exceeds broadcast and the equi-join shuffles both sides on
+    * the same key, never the corpus against itself; V rides a 1-row
+    * broadcast. */
+  def ngramPpl(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val vsize = uni.agg(count(lit(1)).as("v"))
+    val docBg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 1, lit(1)),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val wt = docBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .join(uni.select(col("token").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(vsize))
+      .select(col("w1"), col("w2"),
+        floor(log((col("c12") + lit(1L)).cast("double")
+          / (col("c1") + col("v")).cast("double"))
+          * lit(100000000L) + lit(0.5)).cast("long").as("wq"))
+    docBg.join(wt, Seq("w1", "w2"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"), sum("wq").as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+        graft.functions.Num.r8((-col("sum_micro")).cast("double")
+          / col("n_bigrams").cast("double") / lit(100000000.0))
+          .as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val curateNgramPpl: Q = (s, dir) => ngramPpl(Tables.documents(s, dir))
+
+  val curateNgramPplSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents),
+      |uc AS (SELECT token, count(*) AS c1
+      |  FROM (SELECT unnest(t) AS token FROM tk) GROUP BY token),
+      |v AS (SELECT count(*) AS v FROM uc),
+      |db AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, greatest(len(t) - 1, 0) + 1),
+      |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+      |    FROM tk)),
+      |wt AS (SELECT bc.w1, bc.w2,
+      |    CAST(floor(ln(CAST(bc.c12 + 1 AS DOUBLE)
+      |      / CAST(uc.c1 + v.v AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS wq
+      |  FROM (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2) bc
+      |  JOIN uc ON uc.token = bc.w1 CROSS JOIN v)
+      |SELECT d.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(w.wq) AS BIGINT) AS sum_micro,
+      |  floor((CAST(-sum(w.wq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    / 100000000.0) * 100000000 + 0.5) / 100000000 AS cross_entropy
+      |FROM db d JOIN wt w ON d.w1 = w.w1 AND d.w2 = w.w2
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** text_vocab_approx: [[textVocab]] through the SpaceSaving
     * heavy-hitters aggregate ([[graft.plans.SpaceSavingAgg]]) — the
     * bounded-memory form whose buffers stay O(capacity) no matter how
@@ -2329,6 +2406,7 @@ object QueriesLLM {
     "pipeline_curate" -> pipelineCurate,
     "curate_source_hhi" -> curateSourceHhi,
     "curate_dsir" -> curateDsir,
+    "curate_ngram_ppl" -> curateNgramPpl,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_near_dedup" -> pipelineNearDedup,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExact,
@@ -2398,6 +2476,7 @@ object QueriesLLM {
     "pipeline_curate" -> pipelineCurateSql,
     "curate_source_hhi" -> curateSourceHhiSql,
     "curate_dsir" -> curateDsirSql,
+    "curate_ngram_ppl" -> curateNgramPplSql,
     "pipeline_pretrain" -> pipelinePretrainSql
   )
 }

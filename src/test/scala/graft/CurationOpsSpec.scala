@@ -171,4 +171,19 @@ class CurationOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(re === out)
   }
+
+  test("curate_ngram_ppl: hand-computed bigram cross-entropy; short docs drop (round 9)") {
+    // unigrams a:3 b:3 c:1 x:1 → V=4; bigrams (a,b):3 (b,a):1 (b,c):1
+    // wq(a,b) = ⌊ln(4/7)·1e8+0.5⌋ = −55961579
+    // wq(b,a) = wq(b,c) = ⌊ln(2/7)·1e8+0.5⌋ = −125276297
+    // doc1 [ab,ba,ab]: sum −237199455, n 3 → H = 0.79066485
+    // doc2 [ab,bc]:    sum −181237876, n 2 → H = 0.90618938
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = QueriesLLM.ngramPpl(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, -237199455L, 0.79066485),
+      (2L, 2L, -181237876L, 0.90618938)), got.toString) // doc 3: no bigrams
+  }
 }
