@@ -521,9 +521,55 @@ object QueriesStreaming {
       .orderBy("event_type")
   }
 
+  /** stream_markov_live: live first-order Markov transition counting —
+    * [[graft.streaming.StreamOps.transitions]] (fMGWS; the last seen
+    * event type per user carried in keyed state across the batch
+    * boundary) through the streaming engine, then the counts/probability
+    * rollup over the emitted table (stacked aggregation after a stateful
+    * op is the same forced lambda split as `stream_anomaly_live`).
+    * ORACLE-GATED: with the time-ordered two-batch feed the emitted
+    * transition multiset equals the batch lag's exactly — a boundary-
+    * spanning (prev → next) step emits in batch 2 from state, never
+    * twice, never dropped — so DuckDB recomputes the identical rollup
+    * from the 1/16 slice. */
+  val streamMarkovLive: Q = (s, dir) => withFewPartitions(s) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val trans = StreamOps.transitions(in.toDS())
+    val sink = "stream_markov_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      trans.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(sink))
+    try {
+      if (benchFast) { // schedule-independent emitted set (oracle doc)
+        in.addData(b1 ++ b2); q.processAllAvailable()
+      } else {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2) // boundary steps emit here, from state
+        q.processAllAvailable()
+      }
+    } finally stopAndClean(q, ckpt)
+    val pairs = s.table(sink)
+      .groupBy("prev_state", "next_state").agg(count(lit(1)).as("n_trans"))
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("prev_state")
+    pairs.select(col("prev_state"), col("next_state"), col("n_trans"),
+        sum(col("n_trans")).over(wp).as("n_prev"),
+        graft.functions.Num.r8(col("n_trans").cast("double")
+          / sum(col("n_trans")).over(wp).cast("double")).as("p"))
+      .orderBy("prev_state", "next_state")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_anomaly_live" -> streamAnomalyLive,
     "stream_changepoint_live" -> streamChangepointLive,
+    "stream_markov_live" -> streamMarkovLive,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
     "stream_stateful_live" -> streamStatefulLive,
@@ -577,6 +623,20 @@ object QueriesStreaming {
       |  FROM g GROUP BY user_id, sess)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_markov_live" -> s"""$sliceCte,
+      |t AS (SELECT prev AS prev_state, event_type AS next_state,
+      |    count(*) AS n_trans
+      |  FROM (SELECT user_id, event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |        AS prev
+      |    FROM s)
+      |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_state, next_state, CAST(n_trans AS BIGINT) AS n_trans,
+      |  CAST(sum(n_trans) OVER w AS BIGINT) AS n_prev,
+      |  floor(CAST(n_trans AS DOUBLE) / CAST(sum(n_trans) OVER w AS DOUBLE)
+      |    * 100000000 + 0.5) / 100000000 AS p
+      |FROM t WINDOW w AS (PARTITION BY prev_state)
+      |ORDER BY prev_state, next_state""".stripMargin,
     "stream_changepoint_live" -> s"""$sliceCte,
       |b AS (SELECT event_type, (ms // 3600000) * 3600 AS bucket,
       |    count(*) AS x

@@ -164,6 +164,38 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One emitted (prev → next) step of a user's event-type sequence. */
+  case class Transition(user_id: Long, prev_state: String, next_state: String)
+
+  /** Live first-order Markov transition extraction: per user, emit one
+    * [[Transition]] for every consecutive event-type step, carrying the
+    * LAST SEEN TYPE across micro-batches in keyed state (the streaming
+    * form of `Temporal.transitionCounts`' lag window — lag needs the
+    * previous row, which across a batch boundary only state can hold).
+    * Within a batch the group iterator is unordered, so rows sort by
+    * (ts, event_id) first — with a time-ordered feed the emitted multiset
+    * equals the batch lag's exactly, which is what the
+    * `stream_markov_live` oracle recomputes. State is ONE string per
+    * user (bounded by distinct users, same NoTimeout trade as
+    * [[sessionScores]]). */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = List.newBuilder[Transition]
+          for (e <- sorted) {
+            last.foreach(p => out += Transition(userId, p, e.event_type))
+            last = Some(e.event_type)
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Open a parquet directory as a stream (the batch tables replayed as a
     * stream for tests and backfills). */
   def parquetStream(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,

@@ -335,20 +335,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("stream_markov_live ≡ batch transitionCounts on the slice; boundary step crosses in state (round 9)") {
+    val live = QueriesStreaming.all("stream_markov_live")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // the same 1/16 slice at the harness's ms granularity, in batch
+    val slice = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(16L)) === lit(0L))
+      .select(col("user_id"), expr("ts div 1000000").as("ms"),
+        col("event_id"), col("event_type"))
+    val batch = graft.operators.Temporal.transitionCounts(slice, "user_id",
+        col("ms"), col("event_id"), col("event_type"))
+      .orderBy("prev_state", "next_state")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(live === batch)
+    // a live feed of n events per user yields exactly n−1 transitions:
+    // the batch-boundary step is emitted from state, never lost/doubled
+    val nEvents = slice.count()
+    val nUsers = slice.select("user_id").distinct().count()
+    assert(live.map(_._3).sum === nEvents - nUsers)
+  }
+
   test("bench-fast replay (one batch, 2 partitions) is result-identical for ALL live harnesses") {
     // graft.Bench sets -Dgraft.bench.fast=1 to trim the replay harnesses'
     // micro-batch fixed cost; this guard pins the claim that the trim
-    // never changes what ANY of the nine live harnesses return.
-    // dedup/join/session/enrich/anomaly additionally collapse to one
-    // batch under the flag; stateful/watermark_late/restart_exactly_once
-    // keep their batch schedules (the batch cut IS their semantics) but
+    // never changes what ANY of the ten live harnesses return.
+    // dedup/join/session/enrich/anomaly/markov additionally collapse to
+    // one batch under the flag; stateful/watermark_late/restart keep
+    // their batch schedules (the batch cut IS their semantics) but
     // still take the 2-shuffle-partition trim — covered here so the trim
     // stays honest for them too.
     val names = Seq("stream_dedup_live", "stream_join_live",
       "stream_session_live", "stream_enrich_live",
       "stream_stateful_live", "stream_watermark_late",
       "stream_restart_exactly_once", "stream_anomaly_live",
-      "stream_changepoint_live")
+      "stream_changepoint_live", "stream_markov_live")
     for (n <- names) {
       val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
       System.setProperty("graft.bench.fast", "1")
