@@ -377,8 +377,11 @@ object Temporal {
         .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
     val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
       .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val wAll = Window.partitionBy(key)
     val wOrd = Window.partitionBy(key).orderBy("b")
+    // whole-series n/S ride the SAME ordered sort as the lag reads (an
+    // unbounded frame over the ordered spec ≡ the unordered whole-
+    // partition window, minus its second Sort — plan-audited)
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val dense = grid.join(counts, Seq(key, "b"), "left_outer")
       .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x"))
       .withColumn("n", count(lit(1)).over(wAll))
