@@ -1027,6 +1027,37 @@ object QueriesAnalytics {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY u, v""".stripMargin
 
+  /** graph_jaccard: neighbor-set Jaccard link prediction
+    * ([[graft.operators.Graph.jaccardPairs]]) over the same low-quantity
+    * part↔supplier co-supply subgraph as [[graphAdamicAdar]] — part
+    * pairs sharing ≥2 guarded suppliers, scored cn/(du+dv−cn). All
+    * counts integer over the guarded center set; jac is one IEEE
+    * division on the 1e-8 grid. */
+  val graphJaccard: Q = (s, dir) =>
+    graft.operators.Graph.jaccardPairs(
+      Tables.lineitem(s, dir).filter(col("l_quantity") <= 2)
+        .select(col("l_partkey").as("left"), col("l_suppkey").as("right")),
+      maxDeg = 1000L, minCn = 2L)
+      .orderBy("u", "v")
+
+  val graphJaccardSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_partkey AS lft, l_suppkey AS rgt
+      |  FROM lineitem WHERE l_quantity <= 2),
+      |ctr AS (
+      |  SELECT rgt FROM e GROUP BY rgt
+      |  HAVING count(*) >= 2 AND count(*) <= 1000),
+      |t AS (SELECT e.lft, e.rgt FROM e JOIN ctr USING (rgt)),
+      |deg AS (SELECT lft, count(*) AS deg FROM t GROUP BY lft),
+      |p AS (SELECT a.lft AS u, b.lft AS v, count(*) AS cn
+      |  FROM t a JOIN t b ON a.rgt = b.rgt AND a.lft < b.lft
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.u, p.v, p.cn, du.deg AS du, dv.deg AS dv,
+      |  floor(CAST(p.cn AS DOUBLE) / CAST(du.deg + dv.deg - p.cn AS DOUBLE)
+      |    * 100000000 + 0.5) / 100000000 AS jac
+      |FROM p JOIN deg du ON du.lft = p.u JOIN deg dv ON dv.lft = p.v
+      |ORDER BY u, v""".stripMargin
+
   /** graph_modularity: Newman modularity of the [[graphLabelProp]]
     * communities on the same symmetrized part↔supplier graph
     * ([[graft.operators.Graph.modularity]]) — the "are these
@@ -1308,6 +1339,7 @@ object QueriesAnalytics {
     "graph_label_prop" -> graphLabelProp,
     "graph_modularity" -> graphModularity,
     "graph_adamic_adar" -> graphAdamicAdar,
+    "graph_jaccard" -> graphJaccard,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_kcore" -> graphKcore,
     "graph_hits" -> graphHits,
@@ -1348,6 +1380,7 @@ object QueriesAnalytics {
     "graph_label_prop" -> graphLabelPropSql,
     "graph_modularity" -> graphModularitySql,
     "graph_adamic_adar" -> graphAdamicAdarSql,
+    "graph_jaccard" -> graphJaccardSql,
     "graph_triangle_count" -> graphTriangleCountSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_hits" -> graphHitsSql,

@@ -334,6 +334,42 @@ object Graph {
         (col("aa_micro").cast("double") / 100000000.0).as("aa"))
   }
 
+  /** Neighbor-set Jaccard similarity over a bipartite co-occurrence
+    * graph — [[adamicAdar]]'s unweighted sibling and the other classic
+    * link-prediction / related-item score: for left-node pairs sharing
+    * ≥ `minCn` centers, J(u,v) = |Γu∩Γv| / |Γu∪Γv| =
+    * cn / (deg_u + deg_v − cn). All three terms are exact integers over
+    * the GUARDED center set (centers with 2 ≤ degree ≤ `maxDeg`; the
+    * same hub guard and the same declared contract — degrees count
+    * guarded co-occurrences, so the score is a pure function of the
+    * guarded subgraph on both engines); J is ONE IEEE division on the
+    * 1e-8 grid.
+    *
+    * Scale shape = [[adamicAdar]]: one center-keyed shuffle, a
+    * localCheckpoint feeding both self-join sides, the pair aggregate
+    * map-side combined; wedge mass Σ C(deg, 2) bounded by the hub
+    * guard; the two degree attachments are joins against the
+    * |left-nodes|-row frame, co-keyed on each pair endpoint. */
+  def jaccardPairs(edges: DataFrame, maxDeg: Long = 1000L,
+      minCn: Long = 1L): DataFrame = {
+    val e = edges.select(col("left"), col("right")).distinct()
+    val ctr = e.groupBy("right").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= maxDeg)
+      .select(col("right"))
+    val t = e.join(ctr, "right").localCheckpoint(true)
+    val deg = t.groupBy("left").agg(count(lit(1)).as("deg"))
+    t.as("a").join(t.as("b"),
+        col("a.right") === col("b.right") && col("a.left") < col("b.left"))
+      .groupBy(col("a.left").as("u"), col("b.left").as("v"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCn)
+      .join(deg.select(col("left").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("left").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        graft.functions.Num.r8(col("cn").cast("double")
+          / (col("du") + col("dv") - col("cn")).cast("double")).as("jac"))
+  }
+
   /** Newman modularity of a community assignment over a SYMMETRIZED edge
     * list — the standard "are these communities real" score for
     * [[labelPropagation]]'s output (Q ≈ 0: no better than random;

@@ -252,6 +252,23 @@ class SearchGraphSpec extends SparkTestBase {
     assert(capped === Seq((1L, 2L, 1L, u2, u2 / 1e8)), capped.toString)
   }
 
+  test("jaccardPairs: hand-computed guarded-set Jaccard; hub cap respected (round 9)") {
+    // guarded centers 10 (d3), 11 (d2); 12 (d1) dropped → deg 1→2, 2→2, 3→1
+    // cn (1,2)=2 (1,3)=1 (2,3)=1 → J = 1.0, 0.5, 0.5
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L), (1L, 12L))
+      .toDF("left", "right")
+    val got = Graph.jaccardPairs(e).orderBy("u", "v")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, 2L, 2L, 1.0),
+      (1L, 3L, 1L, 2L, 1L, 0.5),
+      (2L, 3L, 1L, 2L, 1L, 0.5)), got.toString)
+    // maxDeg = 2 drops the deg-3 hub: only center 11 remains, degs 1/1
+    val capped = Graph.jaccardPairs(e, maxDeg = 2L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(capped === Seq((1L, 2L, 1L, 1L, 1L, 1.0)), capped.toString)
+  }
+
   test("hits: hand-traced 2-round micro-unit scores; repartition-proof (round 9)") {
     // h1→{a1,a2}, h2→a1. Round 1: a_raw a1=2e8,a2=1e8 → a1=1e8,a2=5e7;
     // h_raw h1=1.5e8,h2=1e8 → h1=1e8,h2=66666667. Round 2: a_raw
