@@ -239,6 +239,39 @@ object MatchedBench {
         .orderBy("doc_id")
     }
 
+    // graph_hits' design delta: the natural plain-Spark HITS — renorm
+    // max via a separate aggregate crossJoined back, rounds composed
+    // LAZILY. Each half-round's raw frame then feeds two consumers and
+    // Spark re-derives the whole upstream chain per consumer: 2^8
+    // recomputations of the base join at 4 rounds (the trap is real —
+    // the engine form shipped with it before the ×10 probe caught the
+    // flat ~32 s row). The engine cuts each |V|-row raw frame eagerly.
+    // Outputs asserted identical.
+    def hitsNaive = {
+      val e = lineitem.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      def renorm(raw: DataFrame): DataFrame = {
+        val m = raw.agg(max("raw").as("m"))
+        raw.crossJoin(broadcast(m)).select(col("node"),
+          floor(col("raw").cast("double") / col("m").cast("double")
+            * lit(100000000.0) + lit(0.5)).cast("long").as("unit"))
+      }
+      var hub = e.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(100000000L).as("unit"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 4) {
+        auth = renorm(hub.join(e, hub("node") === e("src"))
+          .groupBy(col("dst").as("node")).agg(sum("unit").as("raw")))
+        hub = renorm(auth.join(e, auth("node") === e("dst"))
+          .groupBy(col("src").as("node")).agg(sum("unit").as("raw")))
+      }
+      hub.select(lit("hub").as("role"), col("node"), col("unit"))
+        .unionAll(auth.select(lit("auth").as("role"), col("node"), col("unit")))
+        .select(col("role"), col("node"), col("unit"),
+          (col("unit").cast("double") / lit(100000000.0)).as("score"))
+        .orderBy("role", "node")
+    }
+
     // (matched-table row name, engine query name, plain-Spark twin)
     Seq(
       ("q1_agg_pricing", "q1_pricing", () => q1),
@@ -254,7 +287,8 @@ object MatchedBench {
       ("pagerank_naive", "graph_pagerank", () => pagerankNaive),
       ("span_dedup_naive", "dedup_spans", () => spanDedupNaive),
       ("resample_naive", "ts_resample", () => resampleNaive),
-      ("shards_naive", "pack_shards", () => shardsNaive))
+      ("shards_naive", "pack_shards", () => shardsNaive),
+      ("hits_naive", "graph_hits", () => hitsNaive))
   }
 
   def main(args: Array[String]): Unit = {

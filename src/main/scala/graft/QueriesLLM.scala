@@ -1763,6 +1763,76 @@ object QueriesLLM {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** dq_split_leakage: train/val/test LEAKAGE audit over the
+    * `split_assign` splits — for every 8-token shingle, which splits it
+    * appears in; the report counts shingles shared across each split
+    * pair. Exact duplicates are the loud case, but the near-dup
+    * families this catches are the one that silently inflates eval
+    * scores: a test doc 98%-similar to a train doc shares almost every
+    * 8-gram. All counts integer (one row, three leak counters + the
+    * distinct-shingle total).
+    *
+    * Scale shape: shingling is a narrow HOF off the scan; the (split,
+    * shingle) distinct and the per-shingle flag fold are ONE map-side-
+    * combinable aggregate chain keyed on the shingle; the final fold is
+    * a constant-size single-row aggregate. Nothing wider than
+    * (shingle → 3 bools) ever shuffles. The <8-token guard emits an
+    * EMPTY array explicitly — `sequence(1, size−7)` on a short doc
+    * would generate a DESCENDING range (the spanDedup hazard, ADVICE
+    * r8). */
+  def splitLeakage(docs: DataFrame, split: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, shingleSize: Int = 8): DataFrame =
+    docs
+      // the per-row distinct-hash-set kernel (dedup_jaccard's posting
+      // recipe): 8-byte hashes cross the exchange instead of ~50-byte
+      // gram strings, the set-dedup happens inside the row, and the
+      // kernel's own empty-text/short-doc guard covers the
+      // descending-sequence hazard. Hash-distinct ≡ text-distinct modulo
+      // 64-bit collisions — the dedup_jaccard contract, oracle-mirrored
+      // on gram text.
+      .select(split.as("split"),
+        explode(graft.plans.TextExpressions.shingleHashSet(text, shingleSize))
+          .as("g"))
+      .distinct()
+      .groupBy("g").agg(
+        bool_or(col("split") === "train").as("tr"),
+        bool_or(col("split") === "val").as("va"),
+        bool_or(col("split") === "test").as("te"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("tr") && col("va"), 1L).otherwise(0L)).as("n_train_val"),
+        sum(when(col("tr") && col("te"), 1L).otherwise(0L)).as("n_train_test"),
+        sum(when(col("va") && col("te"), 1L).otherwise(0L)).as("n_val_test"))
+
+  val dqSplitLeakage: Q = (s, dir) =>
+    splitLeakage(Tables.documents(s, dir),
+      Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+      col("text"))
+
+  val dqSplitLeakageSql: String =
+    """WITH s AS (SELECT string_split(lower(text), ' ') AS t,
+      |    CASE WHEN md5(doc_id || ':s0') < 'cccccccccccccccccccccccccccccccc'
+      |        THEN 'train'
+      |      WHEN md5(doc_id || ':s0') < 'e6666666666666666666666666666666'
+      |        THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT split,
+      |    unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+      |      i -> array_to_string(t[i:i+7], ' '))) AS g
+      |  FROM s),
+      |f AS (SELECT g, bool_or(split = 'train') AS tr,
+      |    bool_or(split = 'val') AS va, bool_or(split = 'test') AS te
+      |  FROM sh GROUP BY g)
+      |SELECT count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN tr AND va THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_train_val,
+      |  CAST(sum(CASE WHEN tr AND te THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_train_test,
+      |  CAST(sum(CASE WHEN va AND te THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_val_test
+      |FROM f""".stripMargin
+
   /** sample_stratified: 20% within each language independently. */
   val sampleStratified: Q = (s, dir) =>
     Sampling.stratifiedSample(Tables.documents(s, dir), col("doc_id"), col("lang"), 0.2)
@@ -2399,6 +2469,7 @@ object QueriesLLM {
     "sample_temperature_fast" -> sampleTemperatureFast,
     "sample_quality_weighted" -> sampleQualityWeighted,
     "split_assign" -> splitAssign,
+    "dq_split_leakage" -> dqSplitLeakage,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
     "pack_shards" -> packShards,
@@ -2469,6 +2540,7 @@ object QueriesLLM {
     "sample_temperature_fast" -> sampleTemperatureFastSql,
     "sample_quality_weighted" -> sampleQualityWeightedSql,
     "split_assign" -> splitAssignSql,
+    "dq_split_leakage" -> dqSplitLeakageSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
     "pack_shards" -> packShardsSql,

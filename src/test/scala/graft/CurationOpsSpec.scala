@@ -172,6 +172,20 @@ class CurationOpsSpec extends SparkTestBase {
     assert(re === out)
   }
 
+  test("dq_split_leakage: crafted cross-split 8-gram counted once; short docs contribute nothing (round 9)") {
+    // train and test share exactly one 8-gram; val is disjoint; the
+    // 2-token doc generates no shingle (the descending-sequence guard)
+    val docs = Seq(
+      ("train", "a b c d e f g h i"),
+      ("test", "a b c d e f g h"),
+      ("val", "z1 z2 z3 z4 z5 z6 z7 z8"),
+      ("val", "tiny doc")
+    ).toDF("sp", "text")
+    val got = QueriesLLM.splitLeakage(docs, col("sp"), col("text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 0L, 1L, 0L)), got.toString)
+  }
+
   test("curate_ngram_ppl: hand-computed bigram cross-entropy; short docs drop (round 9)") {
     // unigrams a:3 b:3 c:1 x:1 → V=4; bigrams (a,b):3 (b,a):1 (b,c):1
     // wq(a,b) = ⌊ln(4/7)·1e8+0.5⌋ = −55961579
