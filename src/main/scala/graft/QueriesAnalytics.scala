@@ -1332,6 +1332,54 @@ object QueriesAnalytics {
       |    / CAST(count(*) AS DOUBLE) * 100000000 + 0.5) / 100000000 AS avg_cents
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** vec_knn_classify: k-NN majority-vote label prediction over the
+    * embeddings ([[graft.operators.Similarity.knnGraphExact]], k=5 —
+    * the oracle-gated exact build; at corpus scale the IVF-cell
+    * candidate stage substitutes, same voting tail): each vector's
+    * predicted label is the most frequent among its 5 nearest
+    * neighbors, ties toward the SMALLEST label — the weak-supervision /
+    * label-propagation primitive behind auto-labeling and
+    * label-noise audits. Votes are integers; the argmax is one
+    * struct-max aggregate (no window over the vote frame); the only
+    * floats are the r4-gridded cosines inside the already-gated kNN
+    * stage. */
+  val vecKnnClassify: Q = (s, dir) => {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val knn = Similarity.knnGraphExact(emb, 5)
+    val lbl = emb.select(col("vec_id"), col("label").cast("long"))
+    knn
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("nl")), "dst")
+      .groupBy("src", "nl").agg(count(lit(1)).as("cnt"))
+      .groupBy("src").agg(max(struct(col("cnt"), (-col("nl")).as("mnl"))).as("m"))
+      .select(col("src").as("vec_id"), (-col("m.mnl")).as("pred_label"),
+        col("m.cnt").as("n_votes"))
+      .join(lbl.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      .select(col("vec_id"), col("true_label"), col("pred_label"), col("n_votes"))
+      .orderBy("vec_id")
+  }
+
+  val vecKnnClassifySql: String =
+    """WITH p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst, floor((
+      |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst,
+      |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      |  FROM p),
+      |v AS (SELECT r.src, CAST(e.label AS BIGINT) AS nl
+      |  FROM r JOIN embeddings e ON e.vec_id = r.dst WHERE r.rk <= 5),
+      |c AS (SELECT src, nl, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |a AS (SELECT src, nl, cnt,
+      |    row_number() OVER (PARTITION BY src ORDER BY cnt DESC, nl ASC) AS rn
+      |  FROM c)
+      |SELECT a.src AS vec_id, CAST(e.label AS BIGINT) AS true_label,
+      |  a.nl AS pred_label, CAST(a.cnt AS BIGINT) AS n_votes
+      |FROM a JOIN embeddings e ON e.vec_id = a.src
+      |WHERE a.rn = 1 ORDER BY vec_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
@@ -1370,7 +1418,8 @@ object QueriesAnalytics {
     "curate_cluster_balance" -> curateClusterBalance,
     "vec_top_pc" -> vecTopPc,
     "vec_whiten_resid" -> vecWhitenResid,
-    "vec_pq_codes" -> vecPqCodes
+    "vec_pq_codes" -> vecPqCodes,
+    "vec_knn_classify" -> vecKnnClassify
   )
 
   val oracles: Map[String, String] = Map(
@@ -1411,6 +1460,7 @@ object QueriesAnalytics {
     "curate_cluster_balance" -> curateClusterBalanceSql,
     "vec_top_pc" -> vecTopPcSql,
     "vec_whiten_resid" -> vecWhitenResidSql,
-    "vec_pq_codes" -> vecPqCodesSql
+    "vec_pq_codes" -> vecPqCodesSql,
+    "vec_knn_classify" -> vecKnnClassifySql
   )
 }

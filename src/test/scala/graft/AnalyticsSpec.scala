@@ -452,6 +452,24 @@ class AnalyticsSpec extends SparkTestBase {
     assert(merged2 === full, merged2.toString)
   }
 
+  test("vec_knn_classify: majority vote recomputed driver-side from the gated kNN graph (round 9)") {
+    val out = QueriesAnalytics.all("vec_knn_classify")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val emb = Tables.embeddings(spark, sf)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val knn = graft.operators.Similarity.knnGraphExact(emb, 5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = knn.groupBy(_._1).map { case (src, es) =>
+      val counts = es.map(e => labels(e._2))
+        .groupBy(identity).map { case (l, xs) => (l, xs.size.toLong) }
+      val (pl, pc) = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      src -> ((labels(src), pl, pc))
+    }
+    assert(expect.size === out.size)
+    expect.foreach { case (src, e) => assert(out(src) === e, s"vec $src") }
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
