@@ -1803,6 +1803,60 @@ object QueriesLLM {
         sum(when(col("tr") && col("te"), 1L).otherwise(0L)).as("n_train_test"),
         sum(when(col("va") && col("te"), 1L).otherwise(0L)).as("n_val_test"))
 
+  /** curate_gopher_rules: the Gopher repetition-free quality-rule set
+    * (Rae et al. 2021 §A1.1.1, thresholds recalibrated to the fixture's
+    * word-soup shape so every rule is non-vacuous): per doc the three
+    * rule verdicts and the conjunction —
+    * R1 word count ∈ [20, 100 000]; R2 mean word length ∈ [3.5, 5.0];
+    * R3 ≥ 1 of the probe stop words {the, a, of, to} present. The
+    * named rule-attribution filter beside `text_quality`'s scalar score
+    * and `pipeline_quality_filter`'s gate accounting.
+    *
+    * Exactness: ALL integers and booleans — the mean-length bounds are
+    * cross-multiplied (2·chars ≥ 7·n, chars ≤ 5·n), so no division
+    * exists anywhere; stop-word presence is an explicit sum of four
+    * contains flags (no reliance on either engine's list-intersect
+    * dedup semantics). Scale: one narrow projection fused into the
+    * scan — zero shuffle before the output sort. */
+  val curateGopherRules: Q = (s, dir) => {
+    val w = TextOps.tokens(col("text"))
+    val n = size(w).cast("long")
+    val chars = aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val nStop = Seq("the", "a", "of", "to")
+      .map(sw => array_contains(w, sw).cast("long")).reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.as("n_words"), chars.as("sum_wlen"),
+        nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("sum_wlen"), col("n_stop"),
+        (col("n_words") >= 20L && col("n_words") <= 100000L).as("r1_count"),
+        (col("sum_wlen") * 2 >= col("n_words") * 7 &&
+          col("sum_wlen") <= col("n_words") * 5).as("r2_wlen"),
+        (col("n_stop") >= 1L).as("r3_stop"))
+      .withColumn("kept", col("r1_count") && col("r2_wlen") && col("r3_stop"))
+      .orderBy("doc_id")
+  }
+
+  val curateGopherRulesSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+      |      AS sum_wlen,
+      |    CAST(CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+      |      + CASE WHEN list_contains(w, 'a') THEN 1 ELSE 0 END
+      |      + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+      |      + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END AS BIGINT)
+      |      AS n_stop
+      |  FROM t)
+      |SELECT doc_id, n_words, sum_wlen, n_stop,
+      |  (n_words >= 20 AND n_words <= 100000) AS r1_count,
+      |  (sum_wlen * 2 >= n_words * 7 AND sum_wlen <= n_words * 5) AS r2_wlen,
+      |  (n_stop >= 1) AS r3_stop,
+      |  ((n_words >= 20 AND n_words <= 100000)
+      |    AND (sum_wlen * 2 >= n_words * 7 AND sum_wlen <= n_words * 5)
+      |    AND n_stop >= 1) AS kept
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val dqSplitLeakage: Q = (s, dir) =>
     splitLeakage(Tables.documents(s, dir),
       Sampling.splitColumn(col("doc_id"),
@@ -2470,6 +2524,7 @@ object QueriesLLM {
     "sample_quality_weighted" -> sampleQualityWeighted,
     "split_assign" -> splitAssign,
     "dq_split_leakage" -> dqSplitLeakage,
+    "curate_gopher_rules" -> curateGopherRules,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
     "pack_shards" -> packShards,
@@ -2541,6 +2596,7 @@ object QueriesLLM {
     "sample_quality_weighted" -> sampleQualityWeightedSql,
     "split_assign" -> splitAssignSql,
     "dq_split_leakage" -> dqSplitLeakageSql,
+    "curate_gopher_rules" -> curateGopherRulesSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
     "pack_shards" -> packShardsSql,

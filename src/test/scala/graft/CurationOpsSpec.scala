@@ -186,6 +186,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(got === Seq((3L, 0L, 1L, 0L)), got.toString)
   }
 
+  test("curate_gopher_rules: each rule non-vacuous on the fixture; flags recomputed driver-side (round 9)") {
+    val out = QueriesLLM.all("curate_gopher_rules")(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    // every rule fails somewhere and passes somewhere (calibrated)
+    for (sel <- Seq[((Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean)) => Boolean](
+        _._5, _._6, _._7)) {
+      assert(out.exists(sel) && out.exists(r => !sel(r)), "vacuous rule")
+    }
+    // verdicts are pure integer functions of the carried counts
+    out.foreach { case (id, n, wl, st, r1, r2, r3, kept) =>
+      assert(r1 === (n >= 20L && n <= 100000L), s"doc $id r1")
+      assert(r2 === (wl * 2 >= n * 7 && wl <= n * 5), s"doc $id r2")
+      assert(r3 === (st >= 1L), s"doc $id r3")
+      assert(kept === (r1 && r2 && r3), s"doc $id kept")
+    }
+  }
+
   test("curate_ngram_ppl: hand-computed bigram cross-entropy; short docs drop (round 9)") {
     // unigrams a:3 b:3 c:1 x:1 → V=4; bigrams (a,b):3 (b,a):1 (b,c):1
     // wq(a,b) = ⌊ln(4/7)·1e8+0.5⌋ = −55961579
