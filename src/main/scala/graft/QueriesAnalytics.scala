@@ -1220,6 +1220,66 @@ object QueriesAnalytics {
        |FROM s2 ORDER BY user_id, b""".stripMargin
   }
 
+  /** ts_crosscorr: lag-0/lag-1 cross-covariance and cross-correlation
+    * between every pair of event types' HOURLY global count series —
+    * "do purchases track clicks, and with how much delay" — the
+    * pairwise sibling of `ts_autocorr`. All series live on the shared
+    * global [min,max] hourly span, so they align bucket-for-bucket;
+    * c_xy(k) = Σ (n·x_t − Sx)(n·y_{t−k} − Sy) is the same n²-scaled
+    * BIGINT trick (merge-order-proof, mean cleared without division);
+    * ρ(k) = c_xy(k)/√(c_xx·c_yy) is a product-cast, one sqrt (IEEE
+    * correctly-rounded, not libm-approximate) and one division, all on
+    * the 1e-8 grid, mirrored token for token.
+    *
+    * Scale: the only data-wide stage is the map-side-combined
+    * (type, bucket) count; everything after runs on the
+    * O(types × span) frame — grid generated per type from a 1-row
+    * broadcast span, one (type, b) sort for the lag, one bucket-keyed
+    * self-join of the tiny aligned frame (types² pairs), final
+    * aggregates O(types²). */
+  val tsCrosscorr: Q = (s, dir) => {
+    val hourUs = 3600000000L
+    Temporal.crosscorrScaled(
+      Tables.events(s, dir).select(col("event_type").as("ty"),
+        expr(s"(ts div 1000) div $hourUs").as("b")))
+      .orderBy("type_a", "type_b")
+  }
+
+  val tsCrosscorrSql: String =
+    """WITH e AS (SELECT event_type AS ty, epoch_us(ts) // 3600000000 AS b
+      |  FROM events),
+      |cnt AS (SELECT ty, b, count(*) AS x FROM e GROUP BY ty, b),
+      |span AS (SELECT min(b) AS b0, max(b) AS b1 FROM cnt),
+      |grid AS (SELECT ty, unnest(range(s.b0, s.b1 + 1)) AS b
+      |  FROM (SELECT DISTINCT ty FROM cnt) CROSS JOIN span s),
+      |dense AS (SELECT g.ty, g.b, coalesce(c.x, 0) AS x
+      |  FROM grid g LEFT JOIN cnt c ON c.ty = g.ty AND c.b = g.b),
+      |st AS (SELECT ty, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+      |  FROM dense GROUP BY ty),
+      |yl AS (SELECT d.ty, d.b, CAST(st.n * d.x - st.s AS BIGINT) AS y,
+      |    lag(CAST(st.n * d.x - st.s AS BIGINT)) OVER
+      |      (PARTITION BY d.ty ORDER BY d.b) AS y1
+      |  FROM dense d JOIN st ON st.ty = d.ty),
+      |auto AS (SELECT ty, CAST(sum(y * y) AS BIGINT) AS c0 FROM yl GROUP BY ty),
+      |p AS (SELECT a.ty AS type_a, bb.ty AS type_b,
+      |    CAST(sum(a.y * bb.y) AS BIGINT) AS cxy0,
+      |    CAST(sum(CASE WHEN bb.y1 IS NULL THEN 0 ELSE a.y * bb.y1 END)
+      |      AS BIGINT) AS cxy1
+      |  FROM yl a JOIN yl bb ON a.b = bb.b AND a.ty < bb.ty
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.cxy0, p.cxy1,
+      |  ca.c0 AS caa, cb.c0 AS cbb,
+      |  CASE WHEN ca.c0 > 0 AND cb.c0 > 0 THEN
+      |    floor(CAST(p.cxy0 AS DOUBLE)
+      |      / sqrt(CAST(ca.c0 AS DOUBLE) * CAST(cb.c0 AS DOUBLE))
+      |      * 100000000 + 0.5) / 100000000 ELSE 0.0 END AS rho0,
+      |  CASE WHEN ca.c0 > 0 AND cb.c0 > 0 THEN
+      |    floor(CAST(p.cxy1 AS DOUBLE)
+      |      / sqrt(CAST(ca.c0 AS DOUBLE) * CAST(cb.c0 AS DOUBLE))
+      |      * 100000000 + 0.5) / 100000000 ELSE 0.0 END AS rho1
+      |FROM p JOIN auto ca ON ca.ty = p.type_a JOIN auto cb ON cb.ty = p.type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** seq_markov: first-order Markov transition matrix over each user's
     * time-ordered event-type sequence ([[graft.operators.Temporal
     * .transitionCounts]]; ties at equal ts ordered by event_id) — the
@@ -1403,6 +1463,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonal,
     "ts_autocorr" -> tsAutocorr,
     "ts_double_ewma" -> tsDoubleEwma,
+    "ts_crosscorr" -> tsCrosscorr,
     "seq_markov" -> seqMarkov,
     "rollup_incremental" -> rollupIncremental,
     "scd2_intervals" -> scd2Intervals,
@@ -1445,6 +1506,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonalSql,
     "ts_autocorr" -> tsAutocorrSql,
     "ts_double_ewma" -> tsDoubleEwmaSql,
+    "ts_crosscorr" -> tsCrosscorrSql,
     "seq_markov" -> seqMarkovSql,
     "rollup_incremental" -> rollupIncrementalSql,
     "scd2_intervals" -> scd2IntervalsSql,

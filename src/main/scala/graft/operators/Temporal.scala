@@ -406,6 +406,59 @@ object Temporal {
         (0 to maxLag).map(k => col(s"c$k")) ++ acs: _*)
   }
 
+  /** Lag-0/lag-1 cross-covariance and cross-correlation between every
+    * pair of group's count series over a SHARED dense bucket span —
+    * [[autocovScaled]]'s pairwise sibling ("does series B track series
+    * A, and with how much delay"). Input is (ty, b) event rows; all
+    * series live on the global [min,max] span so they align
+    * bucket-for-bucket. c_xy(k) = Σ (n·x_t − Sx)(n·y_{t−k} − Sy) is
+    * the same n²-scaled BIGINT trick (merge-order-proof, mean cleared
+    * without division); ρ(k) = c_xy(k)/√(c_xx·c_yy) is a product cast
+    * to double, ONE sqrt (correctly-rounded IEEE, not libm-approximate)
+    * and one division on the 1e-8 grid, oracle-mirrored token for
+    * token. `cxy1` pairs a_t with b_{t−1}: positive ρ1 means B LEADS A
+    * by one bucket.
+    *
+    * Scale: the only data-wide stage is the map-side-combined
+    * (ty, bucket) count; the grid derives from a 1-row broadcast span;
+    * the lag rides one (ty, b) sort; the pair stage is a bucket-keyed
+    * self-join of the O(groups × span) frame with groups² output. */
+  def crosscorrScaled(labeled: DataFrame): DataFrame = {
+    import graft.functions.Num.r8
+    val cnt = labeled.groupBy("ty", "b").agg(count(lit(1)).as("x"))
+    val span = cnt.agg(min("b").as("b0"), max("b").as("b1"))
+    val grid = cnt.select("ty").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("ty"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val dense = grid.join(cnt, Seq("ty", "b"), "left_outer")
+      .select(col("ty"), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+    val st = dense.groupBy("ty").agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val w = Window.partitionBy("ty").orderBy("b")
+    val yl = dense.join(st, "ty")
+      .select(col("ty"), col("b"), (col("n") * col("x") - col("s")).as("y"))
+      .withColumn("y1", lag("y", 1).over(w))
+    val auto = yl.groupBy("ty").agg(sum(col("y") * col("y")).as("c0"))
+    val pairs = yl.select(col("ty").as("type_a"), col("b"), col("y").as("ya"))
+      .join(yl.select(col("ty").as("type_b"), col("b"), col("y").as("yb"),
+        col("y1").as("yb1")), Seq("b"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(
+        sum(col("ya") * col("yb")).as("cxy0"),
+        sum(when(col("yb1").isNotNull, col("ya") * col("yb1")).otherwise(0L))
+          .as("cxy1"))
+    def rho(cxy: Column) =
+      when(col("caa") > 0 && col("cbb") > 0,
+        r8(cxy.cast("double")
+          / sqrt(col("caa").cast("double") * col("cbb").cast("double"))))
+        .otherwise(lit(0.0))
+    pairs
+      .join(auto.select(col("ty").as("type_a"), col("c0").as("caa")), "type_a")
+      .join(auto.select(col("ty").as("type_b"), col("c0").as("cbb")), "type_b")
+      .select(col("type_a"), col("type_b"), col("cxy0"), col("cxy1"),
+        col("caa"), col("cbb"),
+        rho(col("cxy0")).as("rho0"), rho(col("cxy1")).as("rho1"))
+  }
+
   /** First-order Markov transition estimation over each key's
     * time-ordered state sequence: global counts of every observed
     * (prev_state → next_state) step plus the per-prev-state total and

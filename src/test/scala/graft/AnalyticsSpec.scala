@@ -428,6 +428,20 @@ class AnalyticsSpec extends SparkTestBase {
       ("a", 2L, 10L, 25L, 2.5, 1.5625, 3.4375, 0.9375)), got.toString)
   }
 
+  test("ts_crosscorr: hand-computed anticorrelated pair; lag pairs B's previous bucket (round 9)") {
+    // a counts [1,2,3], b counts [3,2,1] on buckets 0..2: ya = [−3,0,3],
+    // yb = [3,0,−3]; cxy0 = −18, caa = cbb = 18 → rho0 = −1;
+    // cxy1 = ya₁·yb₀ + ya₂·yb₁ = 0 → rho1 = 0
+    val ev = (Seq.fill(1)(("a", 0L)) ++ Seq.fill(2)(("a", 1L)) ++
+        Seq.fill(3)(("a", 2L)) ++ Seq.fill(3)(("b", 0L)) ++
+        Seq.fill(2)(("b", 1L)) ++ Seq.fill(1)(("b", 2L))).toDF("ty", "b")
+    val got = Temporal.crosscorrScaled(ev)
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got === Seq(("a", "b", -18L, 0L, 18L, 18L, -1.0, 0.0)),
+      got.toString)
+  }
+
   test("rollup_incremental: merged partials ≡ full recompute; three-way merge associative (round 9)") {
     import graft.operators.Rollup
     val facts = Seq(
