@@ -540,6 +540,63 @@ object QueriesAnalytics {
     s"""WITH ${kmeansCtes(4, 2)}
        |SELECT vec_id, cl AS cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin
 
+  /** curate_semdedup: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication") —
+    * k-means the embeddings, then WITHIN each cluster drop every vector
+    * that has a lower-id cluster-mate with cosine ≥ τ (0.35,
+    * fixture-calibrated: ~0.3% of within-cluster pairs). The semantic
+    * near-dup pass that text-level dedup can't see (paraphrases,
+    * translations, re-renders), per the published recipe: clustering
+    * first so the pair stage never leaves a cluster.
+    *
+    * Exactness: the cluster assignment is the gated exact-Lloyd chain
+    * (`cluster_kmeans`); cosines are r4-gridded and the threshold
+    * compares the ROUNDED value (§7.4); the drop rule is a pure
+    * (u < v, cos ≥ τ) predicate — no CC, deterministic. Scale shape:
+    * pair mass is Σ_c |c|² — the SemDeDup contract is that k SCALES
+    * with the corpus (k ≈ n/target-cluster-size), holding per-cluster
+    * pair mass n·|c|; the fixture's k=4 is the gate configuration, not
+    * the production one. The self-join is co-keyed on the cluster id;
+    * vectors ship once per side. */
+  val curateSemdedup: Q = (s, dir) => {
+    import graft.functions.VectorOps
+    val emb = Tables.embeddings(s, dir)
+    val asn = Clustering.kmeansAssign(emb, k = 4, rounds = 2)
+      .select(col("vec_id"), col("cluster"))
+    val withVec = asn.join(
+      emb.select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm")), "vec_id")
+    val a = withVec.select(col("cluster"), col("vec_id").as("u"),
+      col("embedding").as("vu"), col("nrm").as("nu"))
+    val b = withVec.select(col("cluster"), col("vec_id").as("v"),
+      col("embedding").as("vv"), col("nrm").as("nv"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("u") < col("v"))
+      .filter(r4(VectorOps.dot(col("vu"), col("vv"))
+        / (col("nu") * col("nv"))) >= 0.35)
+      .select(col("v").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    asn.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+      .orderBy("vec_id")
+  }
+
+  val curateSemdedupSql: String =
+    s"""WITH ${kmeansCtes(4, 2)},
+       |asn AS (SELECT vec_id, cl FROM a3),
+       |p AS (SELECT y.vec_id AS v, floor((
+       |    list_sum(list_transform(range(1, 65), i -> CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(ex.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(ey.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cos
+       |  FROM asn x JOIN asn y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+       |  JOIN embeddings ey ON ey.vec_id = y.vec_id),
+       |drp AS (SELECT DISTINCT v FROM p WHERE cos >= 0.35)
+       |SELECT a.vec_id, a.cl AS cluster, (d.v IS NOT NULL) AS dropped
+       |FROM asn a LEFT JOIN drp d ON d.v = a.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   /** vec_pq_codes: product quantization ([[graft.operators.Pq.pqCodes]]:
     * 8 subspaces × k=4 codes, 2 Lloyd rounds each) — 64 floats → 8 small
     * codes, the IVF-PQ memory layout for billion-scale ANN. Every
@@ -1480,7 +1537,8 @@ object QueriesAnalytics {
     "vec_top_pc" -> vecTopPc,
     "vec_whiten_resid" -> vecWhitenResid,
     "vec_pq_codes" -> vecPqCodes,
-    "vec_knn_classify" -> vecKnnClassify
+    "vec_knn_classify" -> vecKnnClassify,
+    "curate_semdedup" -> curateSemdedup
   )
 
   val oracles: Map[String, String] = Map(
@@ -1523,6 +1581,7 @@ object QueriesAnalytics {
     "vec_top_pc" -> vecTopPcSql,
     "vec_whiten_resid" -> vecWhitenResidSql,
     "vec_pq_codes" -> vecPqCodesSql,
-    "vec_knn_classify" -> vecKnnClassifySql
+    "vec_knn_classify" -> vecKnnClassifySql,
+    "curate_semdedup" -> curateSemdedupSql
   )
 }

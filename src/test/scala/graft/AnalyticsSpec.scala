@@ -484,6 +484,34 @@ class AnalyticsSpec extends SparkTestBase {
     expect.foreach { case (src, e) => assert(out(src) === e, s"vec $src") }
   }
 
+  test("curate_semdedup: drop rule recomputed driver-side; drops non-vacuous (round 9)") {
+    import graft.operators.Clustering
+    val out = QueriesAnalytics.all("curate_semdedup")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Number](1).longValue, r.getBoolean(2)))).toMap
+    val emb = Tables.embeddings(spark, sf)
+    val asn = Clustering.kmeansAssign(emb, k = 4, rounds = 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(r * 10000 + 0.5) / 10000 // the r4 grid the query thresholds on
+    }
+    val byCluster = asn.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSeq.sorted }
+    val expectDropped = byCluster.values.flatMap { ids =>
+      ids.filter(v => ids.exists(u => u < v && cos(vecs(u), vecs(v)) >= 0.35))
+    }.toSet
+    assert(expectDropped.nonEmpty, "tau vacuous on the fixture")
+    out.foreach { case (id, (cl, dropped)) =>
+      assert(cl === asn(id), s"vec $id cluster")
+      assert(dropped === expectDropped(id), s"vec $id dropped")
+    }
+    assert(out.keySet === asn.keySet)
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
