@@ -974,6 +974,48 @@ object QueriesAnalytics {
        |SELECT * FROM x_o UNION ALL SELECT * FROM y_o ORDER BY comparison""".stripMargin
   }
 
+  /** dq_drift_ks: two-sample Kolmogorov–Smirnov drift between the
+    * even- and odd-orderkey snapshots of `l_extendedprice` — the
+    * NONPARAMETRIC drift alarm beside `dq_drift_psi`'s binned PSI:
+    * D = max_v |F̂₁(v) − F̂₂(v)|, reported as the exact integer
+    * D_scaled = max |n₂·F₁(v) − n₁·F₂(v)| (both ECDFs cross-multiplied
+    * to clear the denominators — pure BIGINT, no float until the final
+    * single division; regime n₁·n₂ < 2⁶³, i.e. ≲3·10⁹ rows per side,
+    * beyond which pre-aggregate). Ties at equal D break to the
+    * SMALLEST value.
+    *
+    * Scale shape: per-value counts are ONE map-side-combined exchange;
+    * the global ECDF is the `pack_chunks` two-phase prefix sum (range-
+    * bucketed parallel cumsums + a bounded per-bucket base frame —
+    * never the single-task global window); totals ride a 1-row
+    * broadcast; the argmax is one struct-max aggregate. */
+  val dqDriftKs: Q = (s, dir) =>
+    graft.operators.Drift.ksScaled(
+      Tables.lineitem(s, dir).filter(col("l_extendedprice").isNotNull),
+      col("l_extendedprice"), pmod(col("l_orderkey"), lit(2)) === 0)
+
+  val dqDriftKsSql: String =
+    """WITH t AS (SELECT l_extendedprice AS v, l_orderkey % 2 = 0 AS ref
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |c AS (SELECT v,
+      |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM t GROUP BY v),
+      |f AS (SELECT v, CAST(sum(c1) OVER w AS BIGINT) AS f1,
+      |    CAST(sum(c2) OVER w AS BIGINT) AS f2
+      |  FROM c WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2 FROM c),
+      |d AS (SELECT f.v, abs(n.n2 * f.f1 - n.n1 * f.f2) AS d, n.n1, n.n2
+      |  FROM f CROSS JOIN n),
+      |m AS (SELECT v, d, n1, n2,
+      |    row_number() OVER (ORDER BY d DESC, v ASC) AS rn FROM d)
+      |SELECT n1, n2, d AS d_scaled, v AS at_value,
+      |  floor(CAST(d AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) * 100000000 + 0.5)
+      |    / 100000000 AS ks
+      |FROM m WHERE rn = 1""".stripMargin
+
   /** graph_pagerank: power-iteration PageRank over the same symmetrized
     * part↔supplier graph as [[graphBfs]] ([[graft.operators.Graph.pagerank]]
     * — the web-graph source-quality signal). A FIXED 6 rounds with
@@ -1510,6 +1552,7 @@ object QueriesAnalytics {
     "graph_hits" -> graphHits,
     "dq_audit" -> dqAudit,
     "dq_drift_psi" -> dqDriftPsi,
+    "dq_drift_ks" -> dqDriftKs,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
@@ -1554,6 +1597,7 @@ object QueriesAnalytics {
     "graph_hits" -> graphHitsSql,
     "dq_audit" -> dqAuditSql,
     "dq_drift_psi" -> dqDriftPsiSql,
+    "dq_drift_ks" -> dqDriftKsSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,

@@ -65,4 +65,51 @@ object Drift {
       .agg(graft.functions.Num.r4(sum("__t").cast("double") / lit(100000000.0)).as("psi"))
       .select(col("psi"), col("n_ref"), col("n_cur"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, exact-integer form:
+    * D_scaled = max_v |n₂·F₁(v) − n₁·F₂(v)| (both ECDFs cross-
+    * multiplied to clear denominators — pure BIGINT under any merge
+    * order; regime n₁·n₂ < 2⁶³). One row out: (n1, n2, d_scaled,
+    * at_value, ks) with ties at equal D broken to the SMALLEST value
+    * and ks = D_scaled/(n₁·n₂) the only float (one IEEE division on
+    * the 1e-8 grid).
+    *
+    * Scale shape: per-value counts are ONE map-side-combined exchange;
+    * the global ECDF is the `pack_chunks` two-phase prefix sum (range-
+    * bucketed parallel cumsums + a bounded per-bucket base frame —
+    * never the single-task global window); totals ride a 1-row
+    * broadcast; the argmax is one struct-max aggregate. */
+  def ksScaled(df: DataFrame, value: Column, isRef: Column,
+      bucketWidth: Double = 10000.0): DataFrame = {
+    val cnt = df.select(value.as("v"), isRef.as("ref"))
+      .groupBy("v").agg(
+        sum(when(col("ref"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("__bucket", floor(col("v") / lit(bucketWidth)).cast("long"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wLoc = W.partitionBy("__bucket").orderBy("v")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wBase = W.orderBy(col("__bucket").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow - 1)
+    val local = cnt
+      .withColumn("l1", sum("c1").over(wLoc))
+      .withColumn("l2", sum("c2").over(wLoc))
+    val bases = cnt.groupBy("__bucket")
+      .agg(sum("c1").as("t1"), sum("c2").as("t2"))
+      .select(col("__bucket"),
+        coalesce(sum(col("t1")).over(wBase), lit(0L)).as("b1"),
+        coalesce(sum(col("t2")).over(wBase), lit(0L)).as("b2"))
+    val tot = cnt.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    local.join(broadcast(bases), "__bucket")
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("n2") * (col("b1") + col("l1"))
+          - col("n1") * (col("b2") + col("l2"))).as("d"))
+      .agg(max(struct(col("d"), (-col("v")).as("nv"),
+        col("n1"), col("n2"))).as("m"))
+      .select(col("m.n1").as("n1"), col("m.n2").as("n2"),
+        col("m.d").as("d_scaled"), (-col("m.nv")).as("at_value"),
+        graft.functions.Num.r8(col("m.d").cast("double")
+          / (col("m.n1") * col("m.n2")).cast("double")).as("ks"))
+  }
 }

@@ -484,6 +484,23 @@ class AnalyticsSpec extends SparkTestBase {
     expect.foreach { case (src, e) => assert(out(src) === e, s"vec $src") }
   }
 
+  test("dq_drift_ks: hand ECDF max, tie to smallest value; bucket-boundary-proof (round 9)") {
+    import graft.operators.Drift
+    // ref [1,2,3] vs cur [2,3,4]: n1=n2=3; 3·F1−3·F2 over v=1..4 is
+    // 3,3,3,0 → D_scaled=3 at v=1 (tie → smallest); ks = 1/3 r8-floored
+    val df = (Seq(1.0, 2.0, 3.0).map((_, true)) ++
+        Seq(2.0, 3.0, 4.0).map((_, false))).toDF("v", "ref")
+    val got = Drift.ksScaled(df, col("v"), col("ref"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq((3L, 3L, 3L, 1.0, 0.33333333)), got.toString)
+    // identical result when values straddle bucket boundaries
+    val wide = (Seq(1.0, 2.0, 3.0).map(x => (x * 9999, true)) ++
+        Seq(2.0, 3.0, 4.0).map(x => (x * 9999, false))).toDF("v", "ref")
+    val g2 = Drift.ksScaled(wide, col("v"), col("ref"))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
+  }
+
   test("curate_semdedup: drop rule recomputed driver-side; drops non-vacuous (round 9)") {
     import graft.operators.Clustering
     val out = QueriesAnalytics.all("curate_semdedup")(spark, sf).collect()
