@@ -1763,6 +1763,50 @@ object QueriesLLM {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** sample_reservoir_weighted: weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis 2006, "Weighted random sampling with a
+    * reservoir"): each doc draws u from its 48-bit md5 coordinate and
+    * ranks by key = ln(u)/w (the monotone log form of u^(1/w)); the
+    * top-k by key hold the exact-k weighted sample — here k=100
+    * weighted by `n_chars`, so long docs are proportionally likelier
+    * but the draw is exact-size, unlike `sample_quality_weighted`'s
+    * Bernoulli coin. The distributed shape IS the reservoir algorithm:
+    * per-partition top-k partials merged once (TakeOrderedAndProject —
+    * no global sort, no single-task window).
+    *
+    * Determinism: u = (h48+1)/2⁴⁸ from md5 (identical both engines,
+    * never 0); the key is quantized ONCE to 10⁸ micro-units (the ln-ulp
+    * grid contract of `text_pmi_bigrams`); ties at equal key_micro
+    * break by doc_id. Output carries the rank so the selection order is
+    * part of the gated data. */
+  val sampleReservoirWeighted: Q = (s, dir) => {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":wr"))), 1, 12), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(281474976710656.0)
+    val keyMicro = floor(log(u) / col("n_chars").cast("double")
+      * lit(100000000L) + lit(0.5)).cast("long")
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("w"), keyMicro.as("key_micro"))
+    graft.operators.Relational.topK(scored, 100,
+        col("key_micro").desc, col("doc_id").asc)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_micro").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("w"), col("key_micro"))
+  }
+
+  val sampleReservoirWeightedSql: String =
+    """WITH s AS (SELECT doc_id, n_chars AS w,
+      |    CAST(floor(ln((CAST('0x' || substr(md5(doc_id || ':wr'), 1, 12)
+      |        AS BIGINT) + 1) / 281474976710656.0)
+      |      / CAST(n_chars AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+      |      AS key_micro
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER
+      |    (ORDER BY key_micro DESC, doc_id) AS INT) AS rank,
+      |  doc_id, w, key_micro
+      |FROM s ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin
+
   /** dq_split_leakage: train/val/test LEAKAGE audit over the
     * `split_assign` splits — for every 8-token shingle, which splits it
     * appears in; the report counts shingles shared across each split
@@ -2525,6 +2569,7 @@ object QueriesLLM {
     "split_assign" -> splitAssign,
     "dq_split_leakage" -> dqSplitLeakage,
     "curate_gopher_rules" -> curateGopherRules,
+    "sample_reservoir_weighted" -> sampleReservoirWeighted,
     "sample_stratified" -> sampleStratified,
     "pack_chunks" -> packChunks,
     "pack_shards" -> packShards,
@@ -2597,6 +2642,7 @@ object QueriesLLM {
     "split_assign" -> splitAssignSql,
     "dq_split_leakage" -> dqSplitLeakageSql,
     "curate_gopher_rules" -> curateGopherRulesSql,
+    "sample_reservoir_weighted" -> sampleReservoirWeightedSql,
     "sample_stratified" -> sampleStratifiedSql,
     "pack_chunks" -> packChunksSql,
     "pack_shards" -> packShardsSql,

@@ -172,6 +172,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(re === out)
   }
 
+  test("sample_reservoir_weighted: exact k, weight bias, deterministic re-run (round 9)") {
+    val q = QueriesLLM.all("sample_reservoir_weighted")
+    val out = q(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out.size === 100)
+    assert(out.map(_._1) === (1 to 100), "ranks dense and ordered")
+    // keys are ordered desc with the doc_id tie-break
+    assert(out.sliding(2).forall { case Seq(a, b) =>
+      a._4 > b._4 || (a._4 == b._4 && a._2 < b._2) })
+    // weight-proportional: the sample over-represents long docs
+    // (fixture-deterministic: 366.1 vs corpus mean 306.3 at sf0.001)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).as[Double].head()
+    val sampleMean = out.map(_._3).sum.toDouble / out.size
+    assert(sampleMean > corpusMean, s"$sampleMean !> $corpusMean")
+    // same draw on re-run (pure function of the fixture)
+    assert(q(spark, sf).as[(Int, Long, Long, Long)].collect().toSeq === out)
+  }
+
   test("dq_split_leakage: crafted cross-split 8-gram counted once; short docs contribute nothing (round 9)") {
     // train and test share exactly one 8-gram; val is disjoint; the
     // 2-token doc generates no shingle (the descending-sequence guard)
