@@ -597,6 +597,82 @@ object QueriesAnalytics {
        |FROM asn a LEFT JOIN drp d ON d.v = a.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  /** eval_ann_recall: recall@5 of the cluster-restricted ANN against
+    * the exact kNN graph — the evaluation op every production ANN
+    * deployment runs BEFORE trusting approximate neighbors: candidates
+    * limited to each query's exact-Lloyd k-means cell (the
+    * `curate_semdedup`/IVF coarse-quantizer shape), top-5 by r4 cosine,
+    * scored against `sim_knn_exact`'s truth. One row:
+    * (n_queries, n_true, n_hit, recall).
+    *
+    * Exactness: both sides are already-gated machinery (the exact-Lloyd
+    * chain; the r4-cosine deterministic (cosine desc, dst) rank); hits
+    * are an integer semi-join count and recall is ONE r8 IEEE division.
+    * The exact side is the DECLARED O(n²) baseline — at production this
+    * audit runs on a query SAMPLE (the standard recall protocol), not
+    * the corpus. */
+  val evalAnnRecall: Q = (s, dir) => {
+    import graft.functions.VectorOps
+    import graft.operators.Similarity
+    val W = org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val asn = Clustering.kmeansAssign(emb, k = 4, rounds = 2)
+      .select(col("vec_id"), col("cluster"))
+    val withVec = asn.join(
+      emb.select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm")), "vec_id")
+    val a = withVec.select(col("cluster"), col("vec_id").as("src"),
+      col("embedding").as("vs"), col("nrm").as("ns"))
+    val b = withVec.select(col("cluster"), col("vec_id").as("dst"),
+      col("embedding").as("vd"), col("nrm").as("nd"))
+    val w = W.partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    val ann = a.join(b, Seq("cluster")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        r4(VectorOps.dot(col("vs"), col("vd")) / (col("ns") * col("nd")))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("src", "dst")
+    val exact = Similarity.knnGraphExact(emb, 5).select("src", "dst")
+    val tot = exact.agg(count(lit(1)).as("n_true"),
+      countDistinct("src").as("n_queries"))
+    val hit = exact.join(ann, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    tot.crossJoin(hit)
+      .select(col("n_queries"), col("n_true"), col("n_hit"),
+        graft.functions.Num.r8(col("n_hit").cast("double")
+          / col("n_true").cast("double")).as("recall"))
+  }
+
+  val evalAnnRecallSql: String =
+    s"""WITH ${kmeansCtes(4, 2)},
+       |asn AS (SELECT vec_id, cl FROM a3),
+       |cand AS (SELECT x.vec_id AS src, y.vec_id AS dst, floor((
+       |    list_sum(list_transform(range(1, 65), i -> CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(ex.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(ey.embedding, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+       |  FROM asn x JOIN asn y ON x.cl = y.cl AND x.vec_id <> y.vec_id
+       |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+       |  JOIN embeddings ey ON ey.vec_id = y.vec_id),
+       |ann AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rk FROM cand) WHERE rk <= 5),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, floor((
+       |    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) / 10000 AS cosine
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |exact AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rk FROM p) WHERE rk <= 5),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(count(DISTINCT src) AS BIGINT) AS n_queries FROM exact),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM exact e JOIN ann USING (src, dst))
+       |SELECT tot.n_queries, tot.n_true, hit.n_hit,
+       |  floor(CAST(hit.n_hit AS DOUBLE) / CAST(tot.n_true AS DOUBLE)
+       |    * 100000000 + 0.5) / 100000000 AS recall
+       |FROM tot CROSS JOIN hit""".stripMargin
+
   /** vec_pq_codes: product quantization ([[graft.operators.Pq.pqCodes]]:
     * 8 subspaces × k=4 codes, 2 Lloyd rounds each) — 64 floats → 8 small
     * codes, the IVF-PQ memory layout for billion-scale ANN. Every
@@ -1581,7 +1657,8 @@ object QueriesAnalytics {
     "vec_whiten_resid" -> vecWhitenResid,
     "vec_pq_codes" -> vecPqCodes,
     "vec_knn_classify" -> vecKnnClassify,
-    "curate_semdedup" -> curateSemdedup
+    "curate_semdedup" -> curateSemdedup,
+    "eval_ann_recall" -> evalAnnRecall
   )
 
   val oracles: Map[String, String] = Map(
@@ -1626,6 +1703,7 @@ object QueriesAnalytics {
     "vec_whiten_resid" -> vecWhitenResidSql,
     "vec_pq_codes" -> vecPqCodesSql,
     "vec_knn_classify" -> vecKnnClassifySql,
-    "curate_semdedup" -> curateSemdedupSql
+    "curate_semdedup" -> curateSemdedupSql,
+    "eval_ann_recall" -> evalAnnRecallSql
   )
 }

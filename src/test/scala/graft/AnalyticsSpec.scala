@@ -529,6 +529,17 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.keySet === asn.keySet)
   }
 
+  test("eval_ann_recall: bounds, consistency, and the recall law on the fixture (round 9)") {
+    val Seq((nq, nt, nh, rec)) = QueriesAnalytics.all("eval_ann_recall")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(nt === nq * 5, "k=5 truth rows per query")
+    assert(nh >= 0 && nh <= nt)
+    assert(math.abs(rec - math.floor(nh.toDouble / nt * 1e8 + 0.5) / 1e8) < 1e-12)
+    // cluster-restricted candidates can't be perfect on this geometry
+    // but must beat the ~1/4 random-cell floor (4 clusters)
+    assert(rec > 0.25 && rec < 1.0, s"recall $rec")
+  }
+
   test("registered analytics queries return rows at sf0.001") {
     for ((name, q) <- QueriesAnalytics.all) {
       val n = q(spark, sf).count()
