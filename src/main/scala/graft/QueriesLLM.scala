@@ -2348,6 +2348,36 @@ object QueriesLLM {
     * Rows-only (PNG encoder bytes are JVM-library-specific); decode
     * correctness (true dims in → true dims out) unit-tested in
     * MultimodalLangIdSpec. */
+  /** multimodal_dedup: perceptual image dedup over REAL decoded PNGs —
+    * [[graft.operators.Multimodal.aHash]] (decode → 8×8 bilinear → luma
+    * threshold) grouped to duplicate sets, keep = smallest asset id.
+    * Duplicates are PLANTED: each image asset renders from seed
+    * `asset_id % 16` (not its id), so the 16 seed classes are exact
+    * perceptual duplicates and the gate's oracle can recompute the
+    * group structure (keep_id, n_dups per class) WITHOUT a codec —
+    * identical bytes always hash equal, and a cross-class aHash
+    * collision (≈ 16²/2⁶⁵) would fail the gate rather than hide.
+    * Bytes never shuffle: the decode+hash pass is narrow, only
+    * (id, 8-byte hash) crosses the exchange. */
+  val multimodalDedup: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val rendered = Multimodal.assetsFromDocuments(docs)
+      .filter(_.kind == "image")
+      .mapPartitions(_.map(a =>
+        a.copy(bytes = Multimodal.renderPng(24, 24, a.asset_id % 16),
+          meta_width = 24, meta_height = 24)))
+    Multimodal.perceptualDedup(rendered).orderBy("keep_id")
+  }
+
+  val multimodalDedupSql: String =
+    """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+      |FROM documents WHERE doc_id % 3 = 0
+      |GROUP BY doc_id % 16 HAVING count(*) >= 2
+      |ORDER BY keep_id""".stripMargin
+
   val multimodalResize: Q = (s, dir) => {
     import graft.operators.Multimodal
     // decode parallelism = upstream partition count (the Multimodal scale
@@ -2584,6 +2614,7 @@ object QueriesLLM {
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
+    "multimodal_dedup" -> multimodalDedup,
     "multimodal_frames" -> multimodalFrames
   )
 
@@ -2633,6 +2664,7 @@ object QueriesLLM {
     "multimodal_doc" -> multimodalDocSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_dedup" -> multimodalDedupSql,
     "multimodal_frames" -> multimodalFramesSql,
     "sample_hash" -> sampleHashSql,
     "sample_mixture" -> sampleMixtureSql,

@@ -206,6 +206,60 @@ object Multimodal {
     assets.withColumn("frame_idx",
         explode(slice(sequence(lit(0), col(nFramesCol) - 1, lit(stride)), 1, maxFrames)))
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint over a DECODED
+    * image: real `javax.imageio` decode, bilinear scale to 8×8,
+    * ITU-R 601 luma per cell, one bit per cell thresholded against the
+    * mean (integer luma sums — no float anywhere). None for
+    * non-decodable payloads. The simplest member of the
+    * pHash/dHash/aHash family; identical bytes always hash equal, and
+    * near-identical renders (resize, mild recompress) agree on most
+    * bits — the standard image-dedup prefilter. */
+  def aHash(bytes: Array[Byte]): Option[Long] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val decoded =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    decoded.map { im =>
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, 8, 8, null)
+      g.dispose()
+      val lum = new Array[Long](64)
+      var i = 0
+      while (i < 64) {
+        val rgb = small.getRGB(i % 8, i / 8)
+        lum(i) = ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+          (rgb & 0xFF) * 114L
+        i += 1
+      }
+      val mean = lum.sum / 64
+      lum.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+        if (v > mean) acc | (1L << j) else acc
+      }
+    }
+  }
+
+  /** Perceptual image dedup: decode → [[aHash]] → hash-group, keeping the
+    * smallest asset id per group — duplicate-GROUP report (groups of
+    * ≥ 2). The decode+hash is one narrow per-partition pass over image
+    * assets (bytes never shuffle — only the 8-byte hash and the id cross
+    * the exchange); the group election is a single map-side-combined
+    * aggregate. */
+  def perceptualDedup(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.flatMap(a => aHash(a.bytes).map(h => (a.asset_id, h)))
+      }.toDF("asset_id", "ahash")
+      .groupBy("ahash")
+      .agg(min("asset_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") >= 2)
+      .select("keep_id", "n_dups")
+  }
+
   /** Build an asset table from the documents fixture (text bytes stand in
     * for media payloads — same plumbing, deterministic content). */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {

@@ -165,4 +165,21 @@ class MultimodalLangIdSpec extends SparkTestBase {
     val c = LangId.selfLabelPredictExact(docs, col("text"), col("doc_id"), col("lang"))
     assert(a.except(c).isEmpty && c.except(a).isEmpty)
   }
+
+  test("aHash: identical bytes equal, distinct renders distinct, junk is None; dedup groups exact (round 9)") {
+    import graft.operators.Multimodal
+    val a = Multimodal.renderPng(24, 24, seed = 7L)
+    val b = Multimodal.renderPng(24, 24, seed = 7L)
+    val c = Multimodal.renderPng(24, 24, seed = 8L)
+    assert(Multimodal.aHash(a).isDefined)
+    assert(Multimodal.aHash(a) === Multimodal.aHash(b))
+    assert(Multimodal.aHash(a) !== Multimodal.aHash(c))
+    assert(Multimodal.aHash("not a png".getBytes).isEmpty)
+    // planted classes: ids 0..9 rendered from seed id % 3 → 3 dup groups
+    val assets = (0L to 9L).map(i => Multimodal.Asset(i, "image",
+      Multimodal.renderPng(16, 16, i % 3), 16, 16)).toDS()
+    val groups = Multimodal.perceptualDedup(assets)
+      .orderBy("keep_id").as[(Long, Long)].collect().toSeq
+    assert(groups === Seq((0L, 4L), (1L, 3L), (2L, 3L)), groups.toString)
+  }
 }
