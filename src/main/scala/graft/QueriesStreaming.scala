@@ -566,8 +566,55 @@ object QueriesStreaming {
       .orderBy("prev_state", "next_state")
   }
 
+  /** stream_ewma_live: the smoothing member of the live scoring trio
+    * (outliers → `stream_anomaly_live`, level shifts →
+    * `stream_changepoint_live`, trend line → this): hourly per-type
+    * counts through the STREAMING engine (same complete-mode 2-batch
+    * replay), then the exact dyadic EWMA kernel over the emitted table
+    * ([[graft.operators.Temporal.ewmaDyadicOverCounts]]; the forced
+    * lambda split — a lag window cannot stack on a live aggregation).
+    * ORACLE-GATED by the same argument as its siblings: complete-mode
+    * counts after processAllAvailable are the exact batch counts, and
+    * the dyadic kernel is bit-exact. Buckets are HOUR INDICES (the
+    * dense grid steps by 1). */
+  val streamEwmaLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val counts = in.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val sink = "stream_ewma_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      counts.writeStream.outputMode("complete").format("memory").queryName(sink))
+    try {
+      if (benchFast) {
+        in.addData(rows); q.processAllAvailable()
+      } else {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+      }
+    } finally stopAndClean(q, ckpt)
+    graft.operators.Temporal.ewmaDyadicOverCounts(
+        s.table(sink).select(col("event_type").as("grp"),
+          // long/long in the DSL is TRUE division (double) — floor+cast
+          // restores the integral hour index the dense grid steps on
+          floor(col("window.start").cast("long") / 3600L).cast("long")
+            .as("bucket"),
+          col("n_events").as("x")))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type", "bucket")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_anomaly_live" -> streamAnomalyLive,
+    "stream_ewma_live" -> streamEwmaLive,
     "stream_changepoint_live" -> streamChangepointLive,
     "stream_markov_live" -> streamMarkovLive,
     "stream_watermark_late" -> streamWatermarkLate,
@@ -623,6 +670,24 @@ object QueriesStreaming {
       |  FROM g GROUP BY user_id, sess)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_ewma_live" -> {
+      val kernel = (0 until 16)
+        .map(k => s"coalesce(lag(x, $k) OVER w, 0) * ${1L << (15 - k)}")
+        .mkString(" + ")
+      s"""$sliceCte,
+      |b AS (SELECT event_type, ms // 3600000 AS bucket, count(*) AS x
+      |  FROM s GROUP BY 1, 2),
+      |grid AS (SELECT event_type, unnest(range(min(bucket), max(bucket) + 1))
+      |    AS bucket
+      |  FROM b GROUP BY event_type),
+      |dense AS (SELECT g.event_type, g.bucket, coalesce(b.x, 0) AS x
+      |  FROM grid g LEFT JOIN b
+      |    ON b.event_type = g.event_type AND b.bucket = g.bucket)
+      |SELECT event_type, bucket, CAST($kernel AS DOUBLE) / 65536.0 AS ewma
+      |FROM dense
+      |WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+      |ORDER BY event_type, bucket""".stripMargin
+    },
     "stream_markov_live" -> s"""$sliceCte,
       |t AS (SELECT prev AS prev_state, event_type AS next_state,
       |    count(*) AS n_trans

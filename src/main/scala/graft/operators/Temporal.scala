@@ -303,6 +303,26 @@ object Temporal {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** [[ewmaDyadic]]'s kernel over an ALREADY-COUNTED (grp, bucket, x)
+    * frame — exposed streaming-feedable like [[zScoresOverCounts]] /
+    * [[cusumOverCounts]] (Structured Streaming forbids stacking the lag
+    * window on the live aggregation; counting live + smoothing the
+    * emitted table is the standard lambda split). Same dense-grid
+    * zero-priming and exact dyadic arithmetic as the event form. */
+  def ewmaDyadicOverCounts(b: DataFrame, lags: Int = 16): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags must be in [1,62], got $lags")
+    val grid = b.groupBy("grp").agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("grp"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy("grp").orderBy("bucket")
+    val dense = grid.join(b, Seq("grp", "bucket"), "left_outer")
+      .select(col("grp"), col("bucket"), coalesce(col("x"), lit(0L)).as("x"))
+    val num = (0 until lags)
+      .map(k => coalesce(lag(col("x"), k).over(w), lit(0L)) * lit(1L << (lags - 1 - k)))
+      .reduce(_ + _)
+    dense.select(col("grp"), col("bucket"),
+      (num.cast("double") / lit((1L << lags).toDouble)).as("ewma"))
+  }
+
   /** Brown's double exponential smoothing over each key's DENSE
     * bucket-count series — the trend-aware sibling of [[ewmaDyadic]]:
     * s1 = EWMA(x), s2 = EWMA(s1) (both the truncated dyadic α=1/2
