@@ -1942,6 +1942,37 @@ object QueriesLLM {
       |WHERE md5(lang || '|' || doc_id || ':s0') < '33333333333333333333333333333333'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** sample_stratified_exact: EXACTLY k=50 docs per language by
+    * hash-rank — the exact-size sibling of `sample_stratified`'s
+    * Bernoulli coin (binomial ±√n wobble per stratum vs a guaranteed
+    * quota), the draw an evaluation-set builder actually wants. Each
+    * stratum ranks its docs by the 48-bit md5 coordinate (doc_id
+    * tie-break — the `sample_temperature` exact-cut recipe) and keeps
+    * rank ≤ k; strata smaller than k are kept whole. One stratum-keyed
+    * exchange for the rank window; no global sort, no driver state. */
+  val sampleStratifiedExact: Q = (s, dir) => {
+    val u = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":se"))), 1, 12), 16, 10).cast("long")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("u").asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), u.as("u"))
+      .withColumn("rk", row_number().over(W))
+      .filter(col("rk") <= 50)
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val sampleStratifiedExactSql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(doc_id || ':se'), 1, 12) AS BIGINT) AS u
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+      |  FROM s) WHERE rk <= 50
+      |ORDER BY lang, rk""".stripMargin
+
   /** pack_chunks: concat-and-chunk sequence packing — global token-stream
     * offset + 4096-token chunk id per doc, via the scalable two-phase
     * prefix sum (oracle = DuckDB's naive global SUM() OVER). */
@@ -2601,6 +2632,7 @@ object QueriesLLM {
     "curate_gopher_rules" -> curateGopherRules,
     "sample_reservoir_weighted" -> sampleReservoirWeighted,
     "sample_stratified" -> sampleStratified,
+    "sample_stratified_exact" -> sampleStratifiedExact,
     "pack_chunks" -> packChunks,
     "pack_shards" -> packShards,
     "curriculum_bins" -> curriculumBins,
@@ -2676,6 +2708,7 @@ object QueriesLLM {
     "curate_gopher_rules" -> curateGopherRulesSql,
     "sample_reservoir_weighted" -> sampleReservoirWeightedSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_stratified_exact" -> sampleStratifiedExactSql,
     "pack_chunks" -> packChunksSql,
     "pack_shards" -> packShardsSql,
     "curriculum_bins" -> curriculumBinsSql,

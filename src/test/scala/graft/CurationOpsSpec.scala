@@ -172,6 +172,19 @@ class CurationOpsSpec extends SparkTestBase {
     assert(re === out)
   }
 
+  test("sample_stratified_exact: exact per-stratum quota, small strata whole, repartition-proof (round 9)") {
+    val out = QueriesLLM.all("sample_stratified_exact")(spark, sf)
+      .as[(String, Long, Int)].collect().toSeq
+    val byLang = out.groupBy(_._1)
+    val sizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.size === math.min(50L, sizes(lang)).toInt, lang)
+      assert(rows.map(_._3).sorted === (1 to rows.size), s"$lang ranks")
+    }
+    assert(byLang.keySet === sizes.keySet) // every stratum represented
+  }
+
   test("sample_reservoir_weighted: exact k, weight bias, deterministic re-run (round 9)") {
     val q = QueriesLLM.all("sample_reservoir_weighted")
     val out = q(spark, sf)
