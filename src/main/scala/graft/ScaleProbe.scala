@@ -39,7 +39,8 @@ object ScaleProbe {
     "ts_autocorr", "seq_markov", "graph_hits", "rollup_incremental",
     "curate_dsir", "ts_double_ewma", "curate_ngram_ppl", "graph_jaccard", "dq_split_leakage",
     "ts_crosscorr", "vec_knn_classify", "curate_gopher_rules",
-    "curate_semdedup", "dq_drift_ks",
+    "curate_semdedup", "dq_drift_ks", "sample_reservoir_weighted",
+    "sample_stratified_exact", "multimodal_dedup", "eval_ann_recall",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // embeddings (4× span): clustering + spectral family
