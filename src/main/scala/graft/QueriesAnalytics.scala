@@ -1318,6 +1318,91 @@ object QueriesAnalytics {
       |FROM deg d LEFT JOIN pn ON pn.node = d.node
       |ORDER BY d.node""".stripMargin
 
+  /** graph_clustering_coeff: local clustering coefficient per node
+    * ([[graft.operators.Graph.clusteringCoeff]]) over the SAME folded
+    * orders graph as `graph_triangle_count` (scaling modulus — see that
+    * query's note): c_v = 2·T_v/(deg·(deg−1)), the per-node cohesion
+    * signal the raw triangle count feeds. Integer numerator and
+    * denominator; ONE r8-gridded IEEE division — the oracle replays the
+    * identical pipeline plus the same division. */
+  val graphClusteringCoeff: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val m = math.max(2003L, orders.count() / 37L) // scalar aggregate, never rows
+    graft.operators.Graph.clusteringCoeff(
+        orders.select(
+          (col("o_custkey") % m).as("src"), (col("o_orderkey") % m).as("dst")),
+        nodeIdBound = m)
+      .orderBy("node")
+  }
+
+  val graphClusteringCoeffSql =
+    """WITH mm AS (SELECT greatest(2003, count(*) // 37) AS m FROM orders),
+      |raw AS (SELECT o_custkey % mm.m AS src, o_orderkey % mm.m AS dst
+      |  FROM orders CROSS JOIN mm),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM raw WHERE src <> dst),
+      |deg AS (SELECT node, count(*) AS deg, count(*) * mm.m + node AS ok FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) CROSS JOIN mm
+      |  GROUP BY node, mm.m),
+      |o AS (SELECT CASE WHEN du.ok < dv.ok THEN e.u ELSE e.v END AS src,
+      |    CASE WHEN du.ok < dv.ok THEN e.v ELSE e.u END AS dst,
+      |    greatest(du.ok, dv.ok) AS dst_ok
+      |  FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      |w AS (SELECT e1.src AS apex, e1.dst AS a, e2.dst AS b
+      |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst_ok < e2.dst_ok),
+      |t AS (SELECT apex, a, b FROM w JOIN o e3 ON w.a = e3.src AND w.b = e3.dst),
+      |pn AS (SELECT node, count(*) AS n_tri FROM (
+      |    SELECT apex AS node FROM t
+      |    UNION ALL SELECT a FROM t
+      |    UNION ALL SELECT b FROM t) GROUP BY node)
+      |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+      |  CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CASE WHEN d.deg >= 2 THEN
+      |    floor(CAST(coalesce(pn.n_tri, 0) * 2 AS DOUBLE)
+      |      / CAST(d.deg * (d.deg - 1) AS DOUBLE) * 100000000 + 0.5) / 100000000
+      |  ELSE 0.0 END AS coeff
+      |FROM deg d LEFT JOIN pn ON pn.node = d.node
+      |ORDER BY d.node""".stripMargin
+
+  /** graph_assortativity: Newman degree-mixing coefficient
+    * ([[graft.operators.Graph.degreeAssortativity]]) of the folded
+    * orders graph — one scalar row answering "do hubs attach to hubs".
+    * Every sum is BIGINT over the both-directions edge set (Σj = Σk by
+    * symmetry, so the Pearson r collapses to three sums); the only
+    * float is one r8-gridded IEEE division of exact-in-double longs. */
+  val graphAssortativity: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val m = math.max(2003L, orders.count() / 37L)
+    graft.operators.Graph.degreeAssortativity(
+      orders.select(
+        (col("o_custkey") % m).as("src"), (col("o_orderkey") % m).as("dst")))
+  }
+
+  val graphAssortativitySql =
+    """WITH mm AS (SELECT greatest(2003, count(*) // 37) AS m FROM orders),
+      |raw AS (SELECT o_custkey % mm.m AS src, o_orderkey % mm.m AS dst
+      |  FROM orders CROSS JOIN mm),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM raw WHERE src <> dst),
+      |bo AS (SELECT u AS s, v AS d FROM und
+      |  UNION ALL SELECT v AS s, u AS d FROM und),
+      |deg AS (SELECT s AS node, count(*) AS deg FROM bo GROUP BY s),
+      |jk AS (SELECT dj.deg AS j, dk.deg AS k
+      |  FROM bo b JOIN deg dj ON dj.node = b.s JOIN deg dk ON dk.node = b.d),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+      |    CAST(sum(j) AS BIGINT) AS s_j,
+      |    CAST(sum(j * k) AS BIGINT) AS s_jk,
+      |    CAST(sum(j * j) AS BIGINT) AS s_j2 FROM jk)
+      |SELECT m2, s_j, s_jk, s_j2,
+      |  CAST(m2 * s_jk - s_j * s_j AS BIGINT) AS r_num,
+      |  CAST(m2 * s_j2 - s_j * s_j AS BIGINT) AS r_den,
+      |  CASE WHEN m2 * s_j2 - s_j * s_j > 0 THEN
+      |    floor(CAST(m2 * s_jk - s_j * s_j AS DOUBLE)
+      |      / CAST(m2 * s_j2 - s_j * s_j AS DOUBLE) * 100000000 + 0.5)
+      |      / 100000000
+      |  ELSE 0.0 END AS assortativity
+      |FROM agg""".stripMargin
+
   /** ts_autocorr: lag-1/lag-2 autocovariance of each user's dense
     * 6-hour activity-count series ([[graft.operators.Temporal
     * .autocovScaled]]) — the periodicity/trend signal beside
@@ -1624,6 +1709,8 @@ object QueriesAnalytics {
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_jaccard" -> graphJaccard,
     "graph_triangle_count" -> graphTriangleCount,
+    "graph_clustering_coeff" -> graphClusteringCoeff,
+    "graph_assortativity" -> graphAssortativity,
     "graph_kcore" -> graphKcore,
     "graph_hits" -> graphHits,
     "dq_audit" -> dqAudit,
@@ -1670,6 +1757,8 @@ object QueriesAnalytics {
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_jaccard" -> graphJaccardSql,
     "graph_triangle_count" -> graphTriangleCountSql,
+    "graph_clustering_coeff" -> graphClusteringCoeffSql,
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_kcore" -> graphKcoreSql,
     "graph_hits" -> graphHitsSql,
     "dq_audit" -> dqAuditSql,

@@ -264,14 +264,22 @@ object Graph {
     * count aggregate. `nodeIdBound` caps ids so the (deg, id) order
     * collapses into one scalar key (deg·bound + id) — a plain long
     * column both engines compare identically. */
-  def triangleCounts(edges: DataFrame, nodeIdBound: Long = 1000000L): DataFrame = {
+  def triangleCounts(edges: DataFrame, nodeIdBound: Long = 1000000L): DataFrame =
+    triangleCountsWithDeg(edges, nodeIdBound).select(col("node"), col("n_tri"))
+
+  /** [[triangleCounts]] plus each node's undirected degree — the shared
+    * core for the per-node count query and [[clusteringCoeff]]. Output
+    * (node, deg, n_tri). */
+  def triangleCountsWithDeg(edges: DataFrame,
+      nodeIdBound: Long = 1000000L): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
     val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .select(col("node"), (col("deg") * nodeIdBound + col("node")).as("ok"))
+      .select(col("node"), col("deg"),
+        (col("deg") * nodeIdBound + col("node")).as("ok"))
     val oriented = und
       .join(deg.select(col("node").as("u"), col("ok").as("u_ok")), "u")
       .join(deg.select(col("node").as("v"), col("ok").as("v_ok")), "v")
@@ -289,9 +297,70 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("apex"), col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.select(col("node"))
+    deg.select(col("node"), col("deg"))
       .join(perNode, Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient per node — c_v = 2·T_v/(deg_v·(deg_v−1))
+    * for deg ≥ 2, else 0: "how close is v's neighborhood to a clique",
+    * the per-node community-cohesion / spam-farm signal built directly on
+    * [[triangleCountsWithDeg]]. Both the numerator (2·T_v) and the
+    * denominator (deg·(deg−1)) are exact BIGINTs (deg² < 2⁵³ at any
+    * realistic degree), so `coeff` is ONE IEEE division on the 1e-8 grid
+    * — cross-engine deterministic. Adds only a narrow projection over
+    * the triangle pipeline's existing shuffles. */
+  def clusteringCoeff(edges: DataFrame, nodeIdBound: Long = 1000000L): DataFrame =
+    triangleCountsWithDeg(edges, nodeIdBound)
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2, graft.functions.Num.r8(
+            (col("n_tri") * 2L).cast("double")
+              / (col("deg") * (col("deg") - 1L)).cast("double")))
+          .otherwise(lit(0.0)).as("coeff"))
+
+  /** Degree assortativity of an UNDIRECTED graph (directed edge list is
+    * canonicalized; self-loops dropped): the Pearson correlation of the
+    * endpoint degrees (j, k) over the DIRECTED-BOTH-WAYS edge set — the
+    * standard Newman 2002 mixing coefficient. r > 0: hubs attach to hubs
+    * (social cores); r < 0: hubs attach to leaves (stars / hub-spoke) —
+    * a one-scalar structural audit of any graph the engine builds.
+    *
+    * Exactness: with both directions present Σj = Σk and Σj² = Σk², so
+    * r = (m2·Σjk − (Σj)²) / (m2·Σj² − (Σj)²) with every sum a BIGINT —
+    * merge-order-proof; `assortativity` is ONE IEEE division of
+    * exact-in-double longs on the 1e-8 grid. Overflow contract:
+    * m2·Σjk < 2⁶³ — holds through ~10⁹ edges at bounded degree; beyond
+    * that the sums must move to DECIMAL (documented, same rule as
+    * [[modularity]]'s m2² bound).
+    *
+    * Scale shape: one degree aggregate (map-side combined), two co-keyed
+    * joins of the |V|-row degree frame onto the edge list (each keyed by
+    * one endpoint — the two honest shuffles of any edge-attribute join),
+    * then ONE global aggregate combined to a single row. No windows, no
+    * self-joins, no collects. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val both = und.select(col("u").as("s"), col("v").as("d"))
+      .unionAll(und.select(col("v").as("s"), col("u").as("d")))
+    val deg = both.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    val jk = both
+      .join(deg.select(col("node").as("s"), col("deg").as("j")), "s")
+      .join(deg.select(col("node").as("d"), col("deg").as("k")), "d")
+    jk.agg(count(lit(1)).as("m2"), sum(col("j")).as("s_j"),
+        sum(col("j") * col("k")).as("s_jk"),
+        sum(col("j") * col("j")).as("s_j2"))
+      .select(col("m2"), col("s_j"), col("s_jk"), col("s_j2"),
+        (col("m2") * col("s_jk") - col("s_j") * col("s_j")).as("r_num"),
+        (col("m2") * col("s_j2") - col("s_j") * col("s_j")).as("r_den"))
+      .select(col("m2"), col("s_j"), col("s_jk"), col("s_j2"),
+        col("r_num"), col("r_den"),
+        when(col("r_den") > 0, graft.functions.Num.r8(
+            col("r_num").cast("double") / col("r_den").cast("double")))
+          .otherwise(lit(0.0)).as("assortativity"))
   }
 
   /** Adamic–Adar link prediction over a BIPARTITE edge list

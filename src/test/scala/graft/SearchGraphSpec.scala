@@ -191,6 +191,42 @@ class SearchGraphSpec extends SparkTestBase {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("clusteringCoeff: K4 all 1.0; shared-edge pair exact fractions; pendant 0") {
+    // triangles {1,2,3} and {2,3,4} + pendant 4-5: deg(2)=deg(3)=3 with 2
+    // triangles -> c = 4/6; deg(1)=2, 1 triangle -> c = 1; deg(4)=3 with
+    // 1 triangle -> c = 2/6; deg(5)=1 -> 0 by the deg>=2 rule.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val out = Graph.clusteringCoeff(und.toDF("src", "dst"), nodeIdBound = 10L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 1L, 1.0)))
+    assert(out(2L) === ((3L, 2L, math.floor(4.0 / 6.0 * 1e8 + 0.5) / 1e8)))
+    assert(out(3L) === ((3L, 2L, math.floor(4.0 / 6.0 * 1e8 + 0.5) / 1e8)))
+    assert(out(4L) === ((3L, 1L, math.floor(2.0 / 6.0 * 1e8 + 0.5) / 1e8)))
+    assert(out(5L) === ((1L, 0L, 0.0)))
+  }
+
+  test("degreeAssortativity: star is -1; K4 degenerate (r_den=0) -> 0; hand path") {
+    // star 0-{1,2,3}: every directed edge pairs deg 3 with deg 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val rs = Graph.degreeAssortativity(star).collect()(0)
+    assert(rs.getAs[Long]("m2") === 6L)
+    assert(rs.getAs[Double]("assortativity") === -1.0)
+    // K4: all degrees equal -> zero variance, r_den = 0 -> defined 0.0
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val rk = Graph.degreeAssortativity(k4).collect()(0)
+    assert(rk.getAs[Long]("r_den") === 0L)
+    assert(rk.getAs[Double]("assortativity") === 0.0)
+    // path 1-2-3: directed-both (j,k) pairs: (1,2),(2,1),(2,1),(1,2)
+    // m2=4, s_j=6, s_jk=8, s_j2=10 -> r = (32-36)/(40-36) = -1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val rp = Graph.degreeAssortativity(path).collect()(0)
+    assert((rp.getAs[Long]("m2"), rp.getAs[Long]("s_j"),
+      rp.getAs[Long]("s_jk"), rp.getAs[Long]("s_j2")) === ((4L, 6L, 8L, 10L)))
+    assert(rp.getAs[Double]("assortativity") === -1.0)
+  }
+
   // ---- k-core -------------------------------------------------------------
 
   test("kcore: K4 with a pendant chain peels to the clique; cascade removes the chain stepwise") {
