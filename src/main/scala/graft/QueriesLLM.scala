@@ -1377,6 +1377,67 @@ object QueriesLLM {
       |CROSS JOIN n
       |ORDER BY bigram""".stripMargin
 
+  /** text_tfidf_keywords: per-doc top-3 TF-IDF terms — the classic
+    * keyword / salient-term extractor every corpus-exploration and
+    * search-indexing pipeline needs (and the raw feature behind BM25's
+    * idf, here in its document-facing form). idf = ln((N+1)/(df+1))
+    * (the +1-smoothed variant, never negative since df ≤ N), quantized
+    * ONCE per term to 10⁸ micro-units (the adamic_adar libm recipe), so
+    * score = tf·idf_micro is pure BIGINT and the top-k order
+    * (score DESC, term ASC) is integer-deterministic on both engines.
+    *
+    * Scale shape: tokenization is a narrow HOF; the (doc, term) tf
+    * aggregate and the term-keyed df aggregate are both map-side
+    * combined; df attaches by a vocab-sized CO-KEYED join on term
+    * (never the corpus against itself; at 100 TB the vocab side
+    * shuffles on the same key instead of broadcasting); N rides a
+    * one-row broadcast; the per-doc top-3 is a rank-1..k window the
+    * optimizer runs as WindowGroupLimit — partial top-k before the
+    * doc-keyed exchange. */
+  def tfidfKeywords(docs: org.apache.spark.sql.DataFrame, topK: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        floor(log((col("n_docs") + 1L).cast("double")
+            / (col("df") + 1L).cast("double")) * 100000000L + 0.5)
+          .cast("long").as("idf_micro"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .orderBy("doc_id", "rnk")
+  }
+
+  val textTfidfKeywords: Q = (s, dir) => tfidfKeywords(Tables.documents(s, dir))
+
+  val textTfidfKeywordsSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE)
+      |      / CAST(dfreq.df + 1 AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)
+      |      AS idf_micro
+      |  FROM tf JOIN dfreq ON dfreq.term = tf.term CROSS JOIN n),
+      |rk AS (SELECT doc_id, term, tf, df, idf_micro,
+      |    CAST(tf * idf_micro AS BIGINT) AS score_micro,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * idf_micro DESC, term ASC) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, idf_micro, score_micro, CAST(rnk AS INT) AS rnk
+      |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   /** curate_ngram_ppl: per-doc BIGRAM cross-entropy under the corpus
     * bigram LM with add-one smoothing — the CCNet/KenLM-style
     * perplexity quality filter one order up from [[textNgramLm]]'s
@@ -2614,6 +2675,7 @@ object QueriesLLM {
     "text_pii_scrub" -> textPiiScrub,
     "text_vocab" -> textVocab,
     "text_pmi_bigrams" -> textPmiBigrams,
+    "text_tfidf_keywords" -> textTfidfKeywords,
     "text_vocab_approx" -> textVocabApprox,
     "text_token_count" -> textTokenCount,
     "bpe_merges" -> bpeMerges,
@@ -2691,6 +2753,7 @@ object QueriesLLM {
     "text_pii_scrub" -> textPiiScrubSql,
     "text_vocab" -> textVocabSql,
     "text_pmi_bigrams" -> textPmiBigramsSql,
+    "text_tfidf_keywords" -> textTfidfKeywordsSql,
     "text_vocab_approx" -> textVocabApproxSql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,

@@ -30,6 +30,33 @@ class QualitySignalsSpec extends SparkTestBase {
     assert(all.size === 2)
   }
 
+  test("tfidfKeywords: hand tf-idf on a crafted corpus; rank ties break by term") {
+    // 3 docs: "rare" only in doc 0 (df=1), "mid" in docs 0+1 (df=2),
+    // "common" in all (df=3 -> idf = ln(4/4) = 0 -> score 0).
+    val docs = Seq(
+      (0L, "common rare rare mid"),
+      (1L, "common mid"),
+      (2L, "common common")).toDF("doc_id", "text")
+    def idfM(df: Long) = math.floor(math.log(4.0 / (df + 1)) * 1e8 + 0.5).toLong
+    val out = QueriesLLM.tfidfKeywords(docs)
+      .as[(Long, String, Long, Long, Long, Long, Int)].collect()
+    val d0 = out.filter(_._1 == 0L).map(r => (r._2, r._3, r._4, r._6, r._7))
+    // doc 0: rare tf=2 idf=ln(2) beats mid tf=1 idf=ln(4/3) beats common 0
+    assert(d0 === Array(
+      ("rare", 2L, 1L, 2 * idfM(1), 1),
+      ("mid", 1L, 2L, idfM(2), 2),
+      ("common", 1L, 3L, 0L, 3)))
+    // doc 2: only "common", score 0, still ranked 1 (one term only)
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._7)).toSeq ===
+      Seq(("common", 1)))
+    // zero-score ties break alphabetically by term
+    val tied = QueriesLLM.tfidfKeywords(
+      Seq((9L, "b a c"), (10L, "a b c")).toDF("doc_id", "text"))
+      .filter(col("doc_id") === 9L)
+      .as[(Long, String, Long, Long, Long, Long, Int)].collect()
+    assert(tied.map(_._2).toSeq === Seq("a", "b", "c"))
+  }
+
   // ---- text_repetition ----------------------------------------------------
 
   test("repetition metrics match a hand computation on a crafted doc") {
