@@ -842,6 +842,26 @@ object QueriesCore {
       |  quantile_disc(l_quantity, 0.95) AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** agg_mad: median absolute deviation per group
+    * ([[graft.operators.Percentiles.medianAbsDev]]) — the robust
+    * dispersion twin of `agg_stats`' stddev: immune to the outliers
+    * that dominate a variance, the standard robust-z denominator for
+    * data-quality rules. Both medians are exact discrete picks (the
+    * gated `agg_percentile_disc` rule); no float grid anywhere. */
+  val aggMad: Q = (s, dir) =>
+    graft.operators.Percentiles.medianAbsDev(
+        Tables.lineitem(s, dir), "l_quantity", Seq("l_returnflag"))
+      .orderBy("l_returnflag")
+
+  val aggMadSql =
+    """WITH med AS (SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS med
+      |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag)
+      |SELECT m.l_returnflag, m.med,
+      |  quantile_disc(abs(l.l_quantity - m.med), 0.5) AS mad
+      |FROM lineitem l JOIN med m USING (l_returnflag)
+      |WHERE l.l_quantity IS NOT NULL
+      |GROUP BY m.l_returnflag, m.med ORDER BY m.l_returnflag""".stripMargin
+
   /** agg_stats: the second-moment statistic family — correlation,
     * covariance (sample + population), stddev, variance — all Spark
     * built-ins with mergeable constant-size buffers (partial+final,
@@ -1724,6 +1744,7 @@ object QueriesCore {
     "agg_percentiles" -> aggPercentiles,
     "agg_weighted_median" -> aggWeightedMedian,
     "agg_percentile_disc" -> aggPercentileDisc,
+    "agg_mad" -> aggMad,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
     "agg_bool" -> aggBool,
@@ -1810,6 +1831,7 @@ object QueriesCore {
     "agg_percentiles" -> aggPercentilesSql,
     "agg_weighted_median" -> aggWeightedMedianSql,
     "agg_percentile_disc" -> aggPercentileDiscSql,
+    "agg_mad" -> aggMadSql,
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,
     "agg_bool" -> aggBoolSql,

@@ -295,4 +295,31 @@ object Percentiles {
     }
     picked.select(g ++ outs: _*)
   }
+
+  /** Median absolute deviation — the robust dispersion statistic
+    * (outlier-proof where stddev is not; the standard robust-z
+    * denominator for data-quality anomaly rules): per group,
+    * med = PERCENTILE_DISC(0.5)(value) and mad = PERCENTILE_DISC(0.5)
+    * (|value − med|). Output (groupCols…, med, mad).
+    *
+    * Exactness: the deviation is ONE IEEE subtraction + abs of values
+    * both engines read identically from parquet, and both discrete
+    * medians are picks of actual data values via [[exactDiscrete]]'s
+    * gated ceil(p·n) rule — no rounding grid needed anywhere.
+    *
+    * Scale shape: exact MAD is irreducibly TWO passes over the data
+    * (the second pass needs the first's median); each pass is the
+    * count-distribution aggregate (map-side combined, memory
+    * O(distinct values)); the medians attach back by a group-keyed
+    * join of a |groups|-row frame (AQE broadcasts it when small). */
+  def medianAbsDev(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val med = exactDiscrete(df, valueCol, groupCols, Seq("med" -> 0.5))
+    val dev = df.filter(col(valueCol).isNotNull)
+      .join(med, groupCols)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    exactDiscrete(dev, "__dev", groupCols, Seq("mad" -> 0.5))
+      .join(med, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("med"), col("mad")): _*)
+  }
 }

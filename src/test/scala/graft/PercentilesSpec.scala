@@ -160,4 +160,20 @@ class PercentilesSpec extends SparkTestBase {
       Seq("p50" -> 0.5)).head()
     assert(out.getDouble(1) == disc.getDouble(1) && out.getDouble(1) == 2.0)
   }
+
+  test("medianAbsDev: hand values; outlier-proof where stddev is not; NULLs ignored") {
+    // group a: {1,2,3,4,100} -> med 3 (ceil(0.5*5)=3rd), devs {2,1,0,1,97}
+    //   sorted {0,1,1,2,97} -> mad 1: the outlier moved MAD not at all
+    // group b: {5,5} -> med 5, devs {0,0} -> mad 0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0)).toDF("k", "v")
+    val out = Percentiles.medianAbsDev(df, "v", Seq("k"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out === Map("a" -> ((3.0, 1.0)), "b" -> ((5.0, 0.0))))
+    // NULL values drop before both passes: same answer without the null row
+    val withNull = df.unionAll(Seq(("a", Option.empty[Double])).toDF("k", "v"))
+    val out2 = Percentiles.medianAbsDev(withNull, "v", Seq("k"))
+      .filter(col("k") === "a").head()
+    assert((out2.getDouble(1), out2.getDouble(2)) === ((3.0, 1.0)))
+  }
 }
