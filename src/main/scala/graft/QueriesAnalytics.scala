@@ -1318,6 +1318,45 @@ object QueriesAnalytics {
       |FROM deg d LEFT JOIN pn ON pn.node = d.node
       |ORDER BY d.node""".stripMargin
 
+  /** dq_benford: Benford's-law first-digit audit of o_totalprice
+    * ([[graft.operators.Drift.benfordScaled]]) — the forensic
+    * synthetic-data detector beside `dq_drift_psi`/`dq_drift_ks`'s
+    * two-snapshot drift: per leading digit, the observed count, the
+    * micro-unit Benford expectation, the BIGINT deviation, and an
+    * r8-gridded χ² contribution. The digit comes from integer cents
+    * rendering (never libm log10); the probability constants are pasted
+    * into BOTH engines from one driver-side computation. The fixture's
+    * uniform price generator fails Benford loudly — which is exactly
+    * the audit's point. */
+  val dqBenford: Q = (s, dir) =>
+    graft.operators.Drift.benfordScaled(
+        Tables.orders(s, dir), col("o_totalprice"))
+      .orderBy("digit")
+
+  val dqBenfordSql: String = {
+    val rows = graft.operators.Drift.benfordMicro.toSeq.sorted
+      .map { case (d, m) => s"($d, ${m}::BIGINT)" }.mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND floor(o_totalprice * 100 + 0.5) > 0),
+       |cnt AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    count(*) AS n_obs FROM cents GROUP BY digit),
+       |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM cnt),
+       |p AS (SELECT * FROM (VALUES $rows) AS t(digit, p_micro))
+       |SELECT p.digit, CAST(coalesce(cnt.n_obs, 0) AS BIGINT) AS n_obs,
+       |  p.p_micro,
+       |  CAST(n.n_total * p.p_micro AS BIGINT) AS e_scaled,
+       |  CAST(coalesce(cnt.n_obs, 0) * 100000000 - n.n_total * p.p_micro
+       |    AS BIGINT) AS dev,
+       |  ${graft.functions.Num.r8Sql(
+      "CAST(coalesce(cnt.n_obs, 0) * 100000000 - n.n_total * p.p_micro AS DOUBLE)" +
+        " * CAST(coalesce(cnt.n_obs, 0) * 100000000 - n.n_total * p.p_micro AS DOUBLE)" +
+        " / (CAST(n.n_total * p.p_micro AS DOUBLE) * 100000000)")} AS chi_term
+       |FROM p LEFT JOIN cnt ON cnt.digit = p.digit CROSS JOIN n
+       |ORDER BY p.digit""".stripMargin
+  }
+
   /** graph_clustering_coeff: local clustering coefficient per node
     * ([[graft.operators.Graph.clusteringCoeff]]) over the SAME folded
     * orders graph as `graph_triangle_count` (scaling modulus — see that
@@ -1716,6 +1755,7 @@ object QueriesAnalytics {
     "dq_audit" -> dqAudit,
     "dq_drift_psi" -> dqDriftPsi,
     "dq_drift_ks" -> dqDriftKs,
+    "dq_benford" -> dqBenford,
     "agg_regression" -> aggRegression,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "ts_resample" -> tsResample,
@@ -1764,6 +1804,7 @@ object QueriesAnalytics {
     "dq_audit" -> dqAuditSql,
     "dq_drift_psi" -> dqDriftPsiSql,
     "dq_drift_ks" -> dqDriftKsSql,
+    "dq_benford" -> dqBenfordSql,
     "agg_regression" -> aggRegressionSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "ts_resample" -> tsResampleSql,

@@ -79,6 +79,53 @@ object Drift {
     * bucketed parallel cumsums + a bounded per-bucket base frame —
     * never the single-task global window); totals ride a 1-row
     * broadcast; the argmax is one struct-max aggregate. */
+  /** First-significant-digit frequencies of an integer-cents amount
+    * column vs Benford's law, with a per-digit χ² contribution — the
+    * classic fabricated-/synthetic-data forensic audit on any natural
+    * monetary or size column (uniform generators fail it loudly; organic
+    * multiplicative data passes).
+    *
+    * Determinism contract: the value is quantized to cents FIRST
+    * (floor(x·100 + 0.5) — one IEEE mult both engines share, then an
+    * exact BIGINT) so the leading digit comes from integer RENDERING,
+    * never from a libm log10 whose ulp could flip 999.999…→1000;
+    * Benford probabilities enter as integer micro-unit literals computed
+    * once driver-side and pasted into both engines; the expected mass
+    * e_scaled = N·p_micro and the deviation dev = n_obs·10⁸ − e_scaled
+    * are pure BIGINT; chi_term = dev²/(e_scaled·10⁸) is a short IEEE
+    * chain on exact-in-double longs, on the 1e-8 grid.
+    *
+    * Scale shape: ONE map-side-combined 9-row count aggregate is the
+    * only full-data pass; the digit spine and the probability table are
+    * 9-row literals; N rides a one-row broadcast. */
+  def benfordScaled(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = benfordMicro.toSeq.sortBy(_._1).toDF("digit", "p_micro")
+    val cents = df.select(floor(value * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c").isNotNull && col("c") > 0)
+    val cnt = cents
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val n = cnt.agg(sum(col("n_obs")).as("n_total"))
+    spine.join(cnt, Seq("digit"), "left_outer")
+      .crossJoin(broadcast(n))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("p_micro"), (col("n_total") * col("p_micro")).as("e_scaled"),
+        (coalesce(col("n_obs"), lit(0L)) * 100000000L
+          - col("n_total") * col("p_micro")).as("dev"))
+      .withColumn("chi_term", graft.functions.Num.r8(
+        col("dev").cast("double") * col("dev").cast("double")
+          / (col("e_scaled").cast("double") * 100000000.0)))
+  }
+
+  /** floor(log10(1 + 1/d)·10⁸ + 0.5) for d = 1..9 — computed once here,
+    * interpolated verbatim into the oracle SQL so both engines share the
+    * exact same integer constants. */
+  val benfordMicro: Map[Int, Long] = (1 to 9).map { d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e8 + 0.5).toLong
+  }.toMap
+
   def ksScaled(df: DataFrame, value: Column, isRef: Column,
       bucketWidth: Double = 10000.0): DataFrame = {
     val cnt = df.select(value.as("v"), isRef.as("ref"))

@@ -501,6 +501,35 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("dq_benford: digit from cents rendering (999.995 edge); spine coalesces; dev arithmetic") {
+    import graft.operators.Drift
+    // 1.0 -> 100c digit 1; 25.5 -> 2550c digit 2; 0.005 -> 1c digit 1;
+    // 999.995 -> 100000c digit 1 (the libm-log10 flip case done right);
+    // 0.0 / -3.0 / NULL drop. N=4: digits 1 x3, 2 x1, rest 0.
+    val df = Seq(Some(1.0), Some(25.5), Some(0.005), Some(999.995),
+      Some(0.0), Some(-3.0), None).toDF("v")
+    val out = Drift.benfordScaled(df, col("v"))
+      .orderBy("digit").collect()
+    assert(out.length === 9)
+    val byDigit = out.map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val p1 = Drift.benfordMicro(1)
+    assert(byDigit(1) === ((3L, p1, 4L * p1, 3L * 100000000L - 4L * p1)))
+    val p2 = Drift.benfordMicro(2)
+    assert(byDigit(2) === ((1L, p2, 4L * p2, 100000000L - 4L * p2)))
+    (3 to 9).foreach { d =>
+      val pd = Drift.benfordMicro(d)
+      assert(byDigit(d) === ((0L, pd, 4L * pd, -4L * pd)), s"digit $d")
+    }
+    // chi_term is the r8-gridded dev^2/(e*1e8) of the integer fields
+    out.foreach { r =>
+      val (e, dev, chi) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      val want = math.floor(dev.toDouble * dev.toDouble
+        / (e.toDouble * 1e8) * 1e8 + 0.5) / 1e8
+      assert(chi === want, s"digit ${r.getInt(0)}")
+    }
+  }
+
   test("curate_semdedup: drop rule recomputed driver-side; drops non-vacuous (round 9)") {
     import graft.operators.Clustering
     val out = QueriesAnalytics.all("curate_semdedup")(spark, sf).collect()
