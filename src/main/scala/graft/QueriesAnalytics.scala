@@ -1484,6 +1484,36 @@ object QueriesAnalytics {
       |    ELSE 0.0 END AS ac2
       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ts_rolling_median: centered 5-bucket rolling-median band of each
+    * user's dense 6-hour activity-count series
+    * ([[graft.operators.Temporal.rollingMedian]]) — the robust
+    * smoother beside `ts_ewma`'s linear kernel (a one-bucket spike
+    * moves an EWMA, never a 5-point median). Integer counts; the only
+    * float is the even-frame middle average, bit-identical on both
+    * engines; all four frame aggregates share one window sort. */
+  val tsRollingMedian: Q = (s, dir) =>
+    Temporal.rollingMedian(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"))
+      .orderBy("user_id", "b")
+
+  val tsRollingMedianSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+      |obs AS (SELECT user_id, b, count(*) AS x FROM e GROUP BY user_id, b),
+      |grid AS (SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+      |  FROM e GROUP BY user_id),
+      |dense AS (SELECT g.user_id, g.b, coalesce(o.x, 0) AS x
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b)
+      |SELECT user_id, b, CAST(x AS BIGINT) AS x,
+      |  median(CAST(x AS DOUBLE)) OVER w AS med,
+      |  CAST(min(x) OVER w AS BIGINT) AS lo,
+      |  CAST(max(x) OVER w AS BIGINT) AS hi,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_frame
+      |FROM dense
+      |WINDOW w AS (PARTITION BY user_id ORDER BY b
+      |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+      |ORDER BY user_id, b""".stripMargin
+
   /** ts_double_ewma: Brown's double exponential smoothing over each
     * user's dense 6-hour activity-count series
     * ([[graft.operators.Temporal.doubleEwmaDyadic]]; K=8 dyadic
@@ -1766,6 +1796,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonal,
     "ts_autocorr" -> tsAutocorr,
     "ts_double_ewma" -> tsDoubleEwma,
+    "ts_rolling_median" -> tsRollingMedian,
     "ts_crosscorr" -> tsCrosscorr,
     "seq_markov" -> seqMarkov,
     "rollup_incremental" -> rollupIncremental,
@@ -1815,6 +1846,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonalSql,
     "ts_autocorr" -> tsAutocorrSql,
     "ts_double_ewma" -> tsDoubleEwmaSql,
+    "ts_rolling_median" -> tsRollingMedianSql,
     "ts_crosscorr" -> tsCrosscorrSql,
     "seq_markov" -> seqMarkovSql,
     "rollup_incremental" -> rollupIncrementalSql,

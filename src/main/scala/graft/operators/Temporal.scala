@@ -323,6 +323,47 @@ object Temporal {
       (num.cast("double") / lit((1L << lags).toDouble)).as("ewma"))
   }
 
+  /** Rolling-median smoothing band over each key's DENSE bucket-count
+    * series — the robust de-noiser beside [[ewmaDyadic]]'s linear
+    * kernel: a centered ±`halfWidth` window's median shrugs off a
+    * single-bucket spike that drags any mean-based smoother, plus the
+    * frame min/max as the band edges and the frame size (shorter at
+    * series ends — the same truncation every engine applies to
+    * bounded ROWS frames).
+    *
+    * Cross-engine exactness: counts are exact integers; the median of
+    * ≤ 2·halfWidth+1 integers is either a data value or the average of
+    * the two middles — one IEEE add + halving of exact-in-double longs,
+    * bit-identical in both engines (both define even-count median as
+    * that average). No rounding grid.
+    *
+    * Scale shape: one map-side-combined (key, bucket) count exchange,
+    * one re-key on the key alone; all FOUR frame aggregates (median,
+    * min, max, count) ride a single (key, b) sort — one Window operator,
+    * no re-sort. The median recomputes per frame in O(w log w) with
+    * w = 2·halfWidth+1 a literal — constant work per row, no
+    * whole-partition buffering. */
+  def rollingMedian(events: DataFrame, key: String, bucket: Column,
+      halfWidth: Int = 2): DataFrame = {
+    require(halfWidth >= 1 && halfWidth <= 64, s"halfWidth in [1,64], got $halfWidth")
+    val counts = Dist.byKeys(
+      events.select(col(key), bucket.as("b"))
+        .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
+    val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy(key).orderBy("b")
+      .rowsBetween(-halfWidth, halfWidth)
+    grid.join(counts, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+      .select(col(key), col("b"), col("x"),
+        // percentile(0.5) = median semantics; Spark's `median` itself is an
+        // inverse-distribution function that rejects bounded frames
+        percentile(col("x").cast("double"), lit(0.5)).over(w).as("med"),
+        min(col("x")).over(w).as("lo"),
+        max(col("x")).over(w).as("hi"),
+        count(lit(1)).over(w).as("n_frame"))
+  }
+
   /** Brown's double exponential smoothing over each key's DENSE
     * bucket-count series — the trend-aware sibling of [[ewmaDyadic]]:
     * s1 = EWMA(x), s2 = EWMA(s1) (both the truncated dyadic α=1/2

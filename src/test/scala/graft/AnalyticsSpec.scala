@@ -501,6 +501,29 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("rollingMedian: spike-proof hand frames; gap counts 0; even frame averages") {
+    import graft.operators.Temporal
+    // user 1 counts per bucket: [1,1,10,1,1,0(gap),2]; the 10-spike
+    // never moves the median. user 2: [1,2] -> both frames median 1.5.
+    def rows(k: Long, b: Long, n: Int) = Seq.fill(n)((k, b))
+    val df = (rows(1L, 0L, 1) ++ rows(1L, 1L, 1) ++ rows(1L, 2L, 10) ++
+      rows(1L, 3L, 1) ++ rows(1L, 4L, 1) ++ rows(1L, 6L, 2) ++
+      rows(2L, 0L, 1) ++ rows(2L, 1L, 2)).toDF("k", "b")
+    val out = Temporal.rollingMedian(df, "k", col("b"))
+      .orderBy("k", "b")
+      .as[(Long, Long, Long, Double, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 1L, 1.0, 1L, 10L, 3L),
+      (1L, 1L, 1L, 1.0, 1L, 10L, 4L),
+      (1L, 2L, 10L, 1.0, 1L, 10L, 5L),
+      (1L, 3L, 1L, 1.0, 0L, 10L, 5L),
+      (1L, 4L, 1L, 1.0, 0L, 10L, 5L),
+      (1L, 5L, 0L, 1.0, 0L, 2L, 4L),
+      (1L, 6L, 2L, 1.0, 0L, 2L, 3L),
+      (2L, 0L, 1L, 1.5, 1L, 2L, 2L),
+      (2L, 1L, 2L, 1.5, 1L, 2L, 2L)), out.toString)
+  }
+
   test("dq_benford: digit from cents rendering (999.995 edge); spine coalesces; dev arithmetic") {
     import graft.operators.Drift
     // 1.0 -> 100c digit 1; 25.5 -> 2550c digit 2; 0.005 -> 1c digit 1;
