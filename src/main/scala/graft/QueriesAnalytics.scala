@@ -699,6 +699,41 @@ object QueriesAnalytics {
        |ORDER BY s0.vec_id""".stripMargin
   }
 
+  /** vec_pq_search: asymmetric-distance (ADC) top-10 search over the PQ
+    * codes ([[graft.operators.Pq.adcTopK]]; query = vec_id 0, the same
+    * 8×4 codebooks as `vec_pq_codes`) — the query half of IVF-PQ: the
+    * S×k lookup table is computed once from the unquantized query, and
+    * each corpus vector costs S integer lookups. The oracle composes the
+    * eight exact-Lloyd chains, builds the same LUT in SQL, and takes the
+    * identical (adc ASC, vec_id ASC) top-10 — all BIGINT, no grid. */
+  val vecPqSearch: Q = (s, dir) =>
+    graft.operators.Pq.adcTopK(Tables.embeddings(s, dir), queryId = 0L,
+      dims = 64, subspaces = 8, k = 4, rounds = 2, topK = 10)
+
+  val vecPqSearchSql: String = {
+    val chains = (0 until 8)
+      .map(s => kmeansCtes(4, 2, p = s"s${s}_", dimLo = s * 8 + 1, dimHi = s * 8 + 8))
+      .mkString(",\n")
+    val luts = (0 until 8).map(s =>
+      s"""lut$s AS (SELECT c.cl,
+         |    CAST(sum((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS pd
+         |  FROM s${s}_c2 c JOIN q0 q ON q.dim = c.dim GROUP BY c.cl)""".stripMargin)
+      .mkString(",\n")
+    val joins = ((1 until 8)
+      .map(s => s"JOIN s${s}_a3 s$s ON s$s.vec_id = s0.vec_id") ++
+      (0 until 8).map(s => s"JOIN lut$s l$s ON l$s.cl = s$s.cl")).mkString("\n")
+    val total = (0 until 8).map(s => s"l$s.pd").mkString(" + ")
+    s"""WITH $chains,
+       |q0 AS (SELECT t.i AS dim,
+       |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(i) WHERE e.vec_id = 0),
+       |$luts
+       |SELECT s0.vec_id, CAST($total AS BIGINT) AS adc
+       |FROM s0_a3 s0
+       |$joins
+       |ORDER BY adc, s0.vec_id LIMIT 10""".stripMargin
+  }
+
   /** vec_top_pc: each vector's projection on the corpus's top principal
     * direction ([[graft.operators.Pca.topPcProjection]]; 3 power-
     * iteration rounds from the e₁ seed) — the anisotropy/drift spectral
@@ -1814,6 +1849,7 @@ object QueriesAnalytics {
     "vec_top_pc" -> vecTopPc,
     "vec_whiten_resid" -> vecWhitenResid,
     "vec_pq_codes" -> vecPqCodes,
+    "vec_pq_search" -> vecPqSearch,
     "vec_knn_classify" -> vecKnnClassify,
     "curate_semdedup" -> curateSemdedup,
     "eval_ann_recall" -> evalAnnRecall
@@ -1864,6 +1900,7 @@ object QueriesAnalytics {
     "vec_top_pc" -> vecTopPcSql,
     "vec_whiten_resid" -> vecWhitenResidSql,
     "vec_pq_codes" -> vecPqCodesSql,
+    "vec_pq_search" -> vecPqSearchSql,
     "vec_knn_classify" -> vecKnnClassifySql,
     "curate_semdedup" -> curateSemdedupSql,
     "eval_ann_recall" -> evalAnnRecallSql

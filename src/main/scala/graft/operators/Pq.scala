@@ -51,4 +51,59 @@ object Pq {
         }: _*)
       .orderBy("vec_id")
   }
+
+  /** Asymmetric-distance (ADC) top-k search over the PQ codes — the
+    * query half of IVF-PQ (Jégou et al. 2011 §III): the query stays
+    * UNQUANTIZED while every corpus vector is represented by its S
+    * codes, so per subspace the distance contribution collapses to a
+    * lookup in an S×k table computed ONCE from the query against the
+    * trained codebooks. adc(v) = Σ_s LUT[s][code_s(v)].
+    *
+    * Exactness: codebooks are the gated exact-Lloyd chains; the query
+    * is quantized to the same 10⁻⁶ grid; every LUT cell is an exact
+    * BIGINT Σ(q−c)², so adc is pure integer and the (adc ASC, vec_id
+    * ASC) top-k is deterministic on both engines.
+    *
+    * Scale shape: ONE narrow codegen pass over the corpus — the S
+    * codebooks AND the S×k LUT ride the expression as broadcast
+    * literals (encode + lookup fused; the fact table never shuffles) —
+    * then a TakeOrderedAndProject top-k (partial per partition, never a
+    * global sort). Driver state is bounded at S·k·(dims/S) centroid
+    * longs + S·k LUT longs + the ONE query row ([[Clustering
+    * .trainCentroids]]'s bounded-collect contract extended by a 1-row
+    * lookup). */
+  def adcTopK(emb: DataFrame, queryId: Long, dims: Int, subspaces: Int,
+      k: Int, rounds: Int, topK: Int): DataFrame = {
+    require(subspaces >= 1 && dims % subspaces == 0,
+      s"dims $dims must be divisible by subspaces $subspaces")
+    val d = dims / subspaces
+    val codebooks = (0 until subspaces).map { s =>
+      Clustering.trainCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * d + 1, d).as("embedding")),
+        k, rounds)
+    }
+    // the one-row query fetch (bounded by construction)
+    val qRows = emb.filter(col("vec_id") === queryId)
+      .select(Clustering.quantized(col("embedding"))).limit(2).collect()
+    require(qRows.length == 1, s"query vec_id $queryId must match exactly one row")
+    val qq = qRows(0).getSeq[Long](0).toArray
+    require(qq.length == dims, s"query has ${qq.length} dims, expected $dims")
+    val lut: IndexedSeq[Array[Long]] = (0 until subspaces).map { s =>
+      codebooks(s).map { cent =>
+        (0 until d).map { i =>
+          val diff = qq(s * d + i) - cent(i); diff * diff
+        }.sum
+      }
+    }
+    val adc = (0 until subspaces).map { s =>
+      val code = Clustering.argminCluster(
+        Clustering.quantized(slice(col("embedding"), s * d + 1, d)),
+        codebooks(s))
+      element_at(array(lut(s).map(lit(_)).toIndexedSeq: _*), code)
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(topK)
+  }
 }

@@ -501,6 +501,42 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("adcTopK: matches a driver-side ADC replay; slices and 1-based codes aligned") {
+    import graft.operators.{Clustering, Pq}
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(0.1f, -0.1f, 9f, 11f)),
+      (2L, Array(5f, 5f, 0f, 0f)),
+      (3L, Array(5.2f, 4.8f, 0.5f, -0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Pq.adcTopK(df, queryId = 0L, dims = 4, subspaces = 2,
+        k = 2, rounds = 1, topK = 4)
+      .as[(Long, Long)].collect().toSeq
+    // driver-side replay on the same trained codebooks
+    def quant(x: Float) = math.floor(x.toDouble * 1e6 + 0.5).toLong
+    val cbs = (0 until 2).map { s =>
+      Clustering.trainCentroids(
+        df.select(col("vec_id"),
+          slice(col("embedding"), s * 2 + 1, 2).as("embedding")), 2, 1)
+    }
+    def subD2(v: Array[Long], cent: Array[Long]): Long =
+      v.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+    def code(v: Array[Long], s: Int): Int =
+      cbs(s).zipWithIndex
+        .map { case (c, i) => (subD2(v.slice(s * 2, s * 2 + 2), c), i + 1) }
+        .min._2
+    val q = vecs.find(_._1 == 0L).get._2.map(quant)
+    val expected = vecs.map { case (id, emb) =>
+      val v = emb.map(quant)
+      id -> (0 until 2).map { s =>
+        subD2(q.slice(s * 2, s * 2 + 2), cbs(s)(code(v, s) - 1))
+      }.sum
+    }.sortBy { case (id, adc) => (adc, id) }
+    assert(out === expected, s"got $out expected $expected")
+    // the query's own adc is minimal here (it IS a seed centroid's mate)
+    assert(out.head._1 === 0L)
+  }
+
   test("rollingMedian: spike-proof hand frames; gap counts 0; even frame averages") {
     import graft.operators.Temporal
     // user 1 counts per bucket: [1,1,10,1,1,0(gap),2]; the 10-spike
