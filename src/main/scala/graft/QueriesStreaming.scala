@@ -612,10 +612,53 @@ object QueriesStreaming {
       .orderBy("event_type", "bucket")
   }
 
+  /** stream_topk_live: live "trending now" — the per-hour top-2 event
+    * types by count, maintained through the streaming engine (complete-
+    * mode hourly counts across two batches; the rank over the emitted
+    * table is the same forced lambda split as `stream_anomaly_live` —
+    * a row_number cannot stack on a live aggregation). ORACLE-GATED:
+    * complete-mode counts after processAllAvailable are the exact batch
+    * counts, and the (n DESC, type ASC) rank is integer-deterministic,
+    * so DuckDB recomputes the identical board from the 1/16 slice. */
+  val streamTopkLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val counts = in.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val sink = "stream_topk_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      counts.writeStream.outputMode("complete").format("memory").queryName(sink))
+    try {
+      if (benchFast) {
+        in.addData(rows); q.processAllAvailable()
+      } else {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2); q.processAllAvailable()
+      }
+    } finally stopAndClean(q, ckpt)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    s.table(sink)
+      .select(col("window.start").cast("long").as("bucket"),
+        col("event_type"), col("n_events"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .orderBy("bucket", "rnk")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_anomaly_live" -> streamAnomalyLive,
     "stream_ewma_live" -> streamEwmaLive,
     "stream_changepoint_live" -> streamChangepointLive,
+    "stream_topk_live" -> streamTopkLive,
     "stream_markov_live" -> streamMarkovLive,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
@@ -702,6 +745,17 @@ object QueriesStreaming {
       |    * 100000000 + 0.5) / 100000000 AS p
       |FROM t WINDOW w AS (PARTITION BY prev_state)
       |ORDER BY prev_state, next_state""".stripMargin,
+    "stream_topk_live" -> s"""$sliceCte,
+      |b AS (SELECT (ms // 3600000) * 3600 AS bucket, event_type,
+      |    count(*) AS n_events
+      |  FROM s GROUP BY 1, 2)
+      |SELECT bucket, event_type, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(rnk AS INT) AS rnk
+      |FROM (SELECT bucket, event_type, n_events,
+      |    row_number() OVER (PARTITION BY bucket
+      |      ORDER BY n_events DESC, event_type ASC) AS rnk
+      |  FROM b) WHERE rnk <= 2
+      |ORDER BY bucket, rnk""".stripMargin,
     "stream_changepoint_live" -> s"""$sliceCte,
       |b AS (SELECT event_type, (ms // 3600000) * 3600 AS bucket,
       |    count(*) AS x

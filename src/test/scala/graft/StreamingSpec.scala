@@ -370,7 +370,8 @@ class StreamingSpec extends SparkTestBase {
       "stream_session_live", "stream_enrich_live",
       "stream_stateful_live", "stream_watermark_late",
       "stream_restart_exactly_once", "stream_anomaly_live",
-      "stream_changepoint_live", "stream_markov_live", "stream_ewma_live")
+      "stream_changepoint_live", "stream_markov_live", "stream_ewma_live",
+      "stream_topk_live")
     for (n <- names) {
       val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
       System.setProperty("graft.bench.fast", "1")
