@@ -1519,6 +1519,38 @@ object QueriesAnalytics {
       |    ELSE 0.0 END AS ac2
       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ts_outlier_mad: robust median/MAD anomaly flags over each user's
+    * dense 6-hour activity-count series
+    * ([[graft.operators.Temporal.madOutliers]], k = 3) — the
+    * masking-proof sibling of `ts_anomaly`'s z-score (one huge spike
+    * inflates a stddev and hides its siblings; it cannot move a
+    * median). Pure BIGINT end to end — counts, discrete medians,
+    * deviations, and the 3·MAD comparison — so the gate compares
+    * integers only. */
+  val tsOutlierMad: Q = (s, dir) =>
+    Temporal.madOutliers(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"))
+      .orderBy("user_id", "b")
+
+  val tsOutlierMadSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+      |obs AS (SELECT user_id, b, count(*) AS x FROM e GROUP BY user_id, b),
+      |grid AS (SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+      |  FROM e GROUP BY user_id),
+      |dense AS (SELECT g.user_id, g.b, coalesce(o.x, 0) AS x
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+      |med AS (SELECT user_id, quantile_disc(x, 0.5) AS med
+      |  FROM dense GROUP BY user_id),
+      |mad AS (SELECT d.user_id, quantile_disc(abs(d.x - m.med), 0.5) AS mad
+      |  FROM dense d JOIN med m USING (user_id) GROUP BY d.user_id)
+      |SELECT d.user_id, d.b, CAST(d.x AS BIGINT) AS x,
+      |  CAST(m.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad,
+      |  CAST(abs(d.x - m.med) AS BIGINT) AS dev
+      |FROM dense d JOIN med m USING (user_id) JOIN mad a USING (user_id)
+      |WHERE abs(d.x - m.med) > 3 * a.mad
+      |ORDER BY d.user_id, d.b""".stripMargin
+
   /** ts_rolling_median: centered 5-bucket rolling-median band of each
     * user's dense 6-hour activity-count series
     * ([[graft.operators.Temporal.rollingMedian]]) — the robust
@@ -1832,6 +1864,7 @@ object QueriesAnalytics {
     "ts_autocorr" -> tsAutocorr,
     "ts_double_ewma" -> tsDoubleEwma,
     "ts_rolling_median" -> tsRollingMedian,
+    "ts_outlier_mad" -> tsOutlierMad,
     "ts_crosscorr" -> tsCrosscorr,
     "seq_markov" -> seqMarkov,
     "rollup_incremental" -> rollupIncremental,
@@ -1883,6 +1916,7 @@ object QueriesAnalytics {
     "ts_autocorr" -> tsAutocorrSql,
     "ts_double_ewma" -> tsDoubleEwmaSql,
     "ts_rolling_median" -> tsRollingMedianSql,
+    "ts_outlier_mad" -> tsOutlierMadSql,
     "ts_crosscorr" -> tsCrosscorrSql,
     "seq_markov" -> seqMarkovSql,
     "rollup_incremental" -> rollupIncrementalSql,

@@ -323,6 +323,41 @@ object Temporal {
       (num.cast("double") / lit((1L << lags).toDouble)).as("ewma"))
   }
 
+  /** Robust outlier flags over each key's DENSE bucket-count series —
+    * the MAD rule: a bucket is anomalous iff |x − median| > k·MAD, with
+    * both statistics the exact DISCRETE medians of
+    * [[Percentiles.medianAbsDev]]. Where [[volumeAnomaly]]'s z-score
+    * lets one huge spike inflate the stddev and mask its siblings
+    * (masking), the median/MAD pair is breakdown-50% — the standard
+    * robust alarm. PURE INTEGER end to end: counts, medians, deviations
+    * and the k·MAD comparison are all BIGINTs — no float anywhere.
+    * A zero-MAD series (over half its buckets identical) flags every
+    * bucket that differs from the median at all — the rule's documented
+    * degenerate regime, deterministic on both engines.
+    *
+    * Scale shape: the dense grid is the [[ewmaDyadic]] discipline (one
+    * map-side-combined (key, bucket) count exchange, grid generated
+    * in-partition); the MAD pass adds the two count-distribution
+    * aggregates of [[Percentiles.medianAbsDev]] (memory O(distinct
+    * counts)); the final flag is a key-keyed join of the |keys|-row
+    * stats frame. Emits ONLY flagged rows. */
+  def madOutliers(events: DataFrame, key: String, bucket: Column,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = Dist.byKeys(
+      events.select(col(key), bucket.as("b"))
+        .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
+    val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val dense = grid.join(counts, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+    val stats = Percentiles.medianAbsDev(dense, "x", Seq(key))
+    dense.join(stats, Seq(key))
+      .withColumn("dev", abs(col("x") - col("med")))
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+      .select(col(key), col("b"), col("x"), col("med"), col("mad"), col("dev"))
+  }
+
   /** Rolling-median smoothing band over each key's DENSE bucket-count
     * series — the robust de-noiser beside [[ewmaDyadic]]'s linear
     * kernel: a centered ±`halfWidth` window's median shrugs off a

@@ -501,6 +501,28 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("madOutliers: spike flagged where z-score masking would hide it; zero-MAD regime") {
+    import graft.operators.Temporal
+    // user 1 counts: [1,1,1,2,1,1,1,50,1] -> med 1, devs {0x6,1,49} ->
+    // MAD 0 (zero-MAD regime): flagged = every x != med -> b3 (x=2), b7 (x=50)
+    def rows(k: Long, b: Long, n: Int) = Seq.fill(n)((k, b))
+    val df = (rows(1L, 0L, 1) ++ rows(1L, 1L, 1) ++ rows(1L, 2L, 1) ++
+      rows(1L, 3L, 2) ++ rows(1L, 4L, 1) ++ rows(1L, 5L, 1) ++ rows(1L, 6L, 1) ++
+      rows(1L, 7L, 50) ++ rows(1L, 8L, 1) ++
+      // user 2: [2,4,2,4,100] -> med 4 (3rd of {2,2,4,4,100});
+      // devs {2,0,2,0,96} sorted {0,0,2,2,96} -> MAD 2;
+      // flagged iff dev > 6: only the 100-spike
+      rows(2L, 0L, 2) ++ rows(2L, 1L, 4) ++ rows(2L, 2L, 2) ++
+      rows(2L, 3L, 4) ++ rows(2L, 4L, 100)).toDF("k", "b")
+    val out = Temporal.madOutliers(df, "k", col("b"))
+      .orderBy("k", "b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, 1L, 0L, 1L),
+      (1L, 7L, 50L, 1L, 0L, 49L),
+      (2L, 4L, 100L, 4L, 2L, 96L)), out.toString)
+  }
+
   test("adcTopK: matches a driver-side ADC replay; slices and 1-based codes aligned") {
     import graft.operators.{Clustering, Pq}
     val vecs = Seq(
