@@ -734,6 +734,47 @@ object QueriesAnalytics {
        |ORDER BY adc, s0.vec_id LIMIT 10""".stripMargin
   }
 
+  /** vec_ivf_pq_search: the full IVF-PQ search path
+    * ([[graft.operators.Pq.ivfAdcTopK]]): the exact-Lloyd coarse
+    * quantizer (k=4 over the full vectors, the `cluster_kmeans` chain)
+    * restricts the scan to the query's cell, then `vec_pq_search`'s ADC
+    * ranks only cell members — candidate mass n/4 instead of n, and the
+    * restriction is a NARROW broadcast-literal filter fused into the one
+    * scan. All BIGINT; the oracle composes the coarse chain, the eight
+    * PQ chains, the SQL LUT, and the identical cell-restricted top-10. */
+  val vecIvfPqSearch: Q = (s, dir) =>
+    graft.operators.Pq.ivfAdcTopK(Tables.embeddings(s, dir), queryId = 0L,
+      dims = 64, subspaces = 8, k = 4, rounds = 2,
+      coarseK = 4, coarseRounds = 2, topK = 10)
+
+  val vecIvfPqSearchSql: String = {
+    val chains = (0 until 8)
+      .map(s => kmeansCtes(4, 2, p = s"s${s}_", dimLo = s * 8 + 1, dimHi = s * 8 + 8))
+      .mkString(",\n")
+    val luts = (0 until 8).map(s =>
+      s"""lut$s AS (SELECT c.cl,
+         |    CAST(sum((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS pd
+         |  FROM s${s}_c2 c JOIN q0 q ON q.dim = c.dim GROUP BY c.cl)""".stripMargin)
+      .mkString(",\n")
+    val joins = ((1 until 8)
+      .map(s => s"JOIN s${s}_a3 s$s ON s$s.vec_id = s0.vec_id") ++
+      (0 until 8).map(s => s"JOIN lut$s l$s ON l$s.cl = s$s.cl")).mkString("\n")
+    val total = (0 until 8).map(s => s"l$s.pd").mkString(" + ")
+    s"""WITH ${kmeansCtes(4, 2, p = "cv_")},
+       |$chains,
+       |q0 AS (SELECT t.i AS dim,
+       |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(i) WHERE e.vec_id = 0),
+       |$luts,
+       |cell AS (SELECT cl FROM cv_a3 WHERE vec_id = 0),
+       |cand AS (SELECT cv.vec_id FROM cv_a3 cv JOIN cell ON cell.cl = cv.cl)
+       |SELECT s0.vec_id, CAST($total AS BIGINT) AS adc
+       |FROM s0_a3 s0
+       |JOIN cand ON cand.vec_id = s0.vec_id
+       |$joins
+       |ORDER BY adc, s0.vec_id LIMIT 10""".stripMargin
+  }
+
   /** vec_top_pc: each vector's projection on the corpus's top principal
     * direction ([[graft.operators.Pca.topPcProjection]]; 3 power-
     * iteration rounds from the e₁ seed) — the anisotropy/drift spectral
@@ -1883,6 +1924,7 @@ object QueriesAnalytics {
     "vec_whiten_resid" -> vecWhitenResid,
     "vec_pq_codes" -> vecPqCodes,
     "vec_pq_search" -> vecPqSearch,
+    "vec_ivf_pq_search" -> vecIvfPqSearch,
     "vec_knn_classify" -> vecKnnClassify,
     "curate_semdedup" -> curateSemdedup,
     "eval_ann_recall" -> evalAnnRecall
@@ -1935,6 +1977,7 @@ object QueriesAnalytics {
     "vec_whiten_resid" -> vecWhitenResidSql,
     "vec_pq_codes" -> vecPqCodesSql,
     "vec_pq_search" -> vecPqSearchSql,
+    "vec_ivf_pq_search" -> vecIvfPqSearchSql,
     "vec_knn_classify" -> vecKnnClassifySql,
     "curate_semdedup" -> curateSemdedupSql,
     "eval_ann_recall" -> evalAnnRecallSql

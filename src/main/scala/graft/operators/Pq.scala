@@ -106,4 +106,65 @@ object Pq {
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(topK)
   }
+
+  /** Full IVF-PQ search (Jégou et al. 2011 §IV): a COARSE quantizer
+    * (exact-Lloyd over the full vectors, same contract as
+    * `cluster_kmeans`) restricts the scan to the query's cell, and ADC
+    * ranks only the cell's members — candidate mass n/coarseK expected
+    * instead of n, the memory-AND-compute layout behind billion-scale
+    * ANN. PQ codebooks are trained on the full corpus (the plain-PQ
+    * variant; residual encoding is a declared non-goal — it would break
+    * the shared-codebook identity with [[adcTopK]]).
+    *
+    * Exactness: the query's cell is computed driver-side with the SAME
+    * (d2, cl) tie-break as the distributed assignment kernel; everything
+    * downstream is [[adcTopK]]'s pure-BIGINT chain — deterministic on
+    * both engines, no grid.
+    *
+    * Scale shape: the cell restriction is a NARROW filter fused into the
+    * one scan (the coarse centroids ride the predicate as broadcast
+    * literals — no assignment join), then the same fused encode+lookup
+    * projection and TakeOrderedAndProject top-k. */
+  def ivfAdcTopK(emb: DataFrame, queryId: Long, dims: Int, subspaces: Int,
+      k: Int, rounds: Int, coarseK: Int, coarseRounds: Int,
+      topK: Int): DataFrame = {
+    require(subspaces >= 1 && dims % subspaces == 0,
+      s"dims $dims must be divisible by subspaces $subspaces")
+    val d = dims / subspaces
+    val coarse = Clustering.trainCentroids(emb, coarseK, coarseRounds)
+    val codebooks = (0 until subspaces).map { s =>
+      Clustering.trainCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * d + 1, d).as("embedding")),
+        k, rounds)
+    }
+    val qRows = emb.filter(col("vec_id") === queryId)
+      .select(Clustering.quantized(col("embedding"))).limit(2).collect()
+    require(qRows.length == 1, s"query vec_id $queryId must match exactly one row")
+    val qq = qRows(0).getSeq[Long](0).toArray
+    require(qq.length == dims, s"query has ${qq.length} dims, expected $dims")
+    // the query's coarse cell, driver-side, same (d2, cl) tie-break as
+    // the distributed assignment kernel
+    val cell = coarse.zipWithIndex.map { case (c, i) =>
+      (qq.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i + 1)
+    }.min._2
+    val lut: IndexedSeq[Array[Long]] = (0 until subspaces).map { s =>
+      codebooks(s).map { cent =>
+        (0 until d).map { i =>
+          val diff = qq(s * d + i) - cent(i); diff * diff
+        }.sum
+      }
+    }
+    val adc = (0 until subspaces).map { s =>
+      val code = Clustering.argminCluster(
+        Clustering.quantized(slice(col("embedding"), s * d + 1, d)),
+        codebooks(s))
+      element_at(array(lut(s).map(lit(_)).toIndexedSeq: _*), code)
+    }.reduce(_ + _)
+    emb.filter(Clustering.argminCluster(
+        Clustering.quantized(col("embedding")), coarse) === cell)
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(topK)
+  }
 }

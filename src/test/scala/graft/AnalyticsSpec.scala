@@ -501,6 +501,24 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("ivfAdcTopK: equals the full ADC ranking restricted to the query's cell") {
+    import graft.operators.{Clustering, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Pq.ivfAdcTopK(emb, queryId = 0L, dims = 64, subspaces = 8,
+        k = 4, rounds = 2, coarseK = 4, coarseRounds = 2, topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    // composition identity: coarse assignment (gated kernel) + full ADC
+    val cellOf = Clustering.kmeansAssign(emb, k = 4, rounds = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val qCell = cellOf(0L)
+    val full = Pq.adcTopK(emb, queryId = 0L, dims = 64, subspaces = 8,
+        k = 4, rounds = 2, topK = Int.MaxValue)
+      .as[(Long, Long)].collect().toSeq
+    val expected = full.filter { case (id, _) => cellOf(id) == qCell }.take(10)
+    assert(ivf === expected)
+    assert(ivf.nonEmpty && ivf.head._1 === 0L) // the query lives in its own cell
+  }
+
   test("madOutliers: spike flagged where z-score masking would hide it; zero-MAD regime") {
     import graft.operators.Temporal
     // user 1 counts: [1,1,1,2,1,1,1,50,1] -> med 1, devs {0x6,1,49} ->
