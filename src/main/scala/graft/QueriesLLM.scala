@@ -1438,6 +1438,42 @@ object QueriesLLM {
       |SELECT doc_id, term, tf, df, idf_micro, score_micro, CAST(rnk AS INT) AS rnk
       |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** text_hash_features: the hashing trick (HashingTF / Weinberger et
+    * al. 2009) — each doc's bag-of-words folded into B=64 hashed count
+    * buckets, emitted SPARSE as (doc_id, bucket, cnt): the fixed-width,
+    * vocabulary-free feature map every downstream classifier/regressor
+    * consumes, with collisions summing (the trick's contract). The
+    * bucket is an md5-prefix integer mod B — cross-engine deterministic
+    * where engine-native hash functions are not (the `sample_hash`
+    * coordinate discipline applied to terms).
+    *
+    * Scale shape: tokenize + bucket are ONE narrow codegen projection
+    * (no vocabulary table, no join — the hashing trick's whole point at
+    * 100 TB); the (doc, bucket) count is a single map-side-combined
+    * aggregate bounded at 64 rows per doc. */
+  def hashFeatures(docs: org.apache.spark.sql.DataFrame, buckets: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("term"), lit(":hf")).cast("binary")),
+          1, 12), 16, 10).cast("long"), lit(buckets.toLong)))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  val textHashFeatures: Q = (s, dir) => hashFeatures(Tables.documents(s, dir))
+
+  val textHashFeaturesSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST('0x' || substr(md5(term || ':hf'), 1, 12) AS BIGINT) % 64 AS bucket,
+      |  count(*) AS cnt
+      |FROM tok WHERE term <> ''
+      |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
+
   /** curate_ngram_ppl: per-doc BIGRAM cross-entropy under the corpus
     * bigram LM with add-one smoothing — the CCNet/KenLM-style
     * perplexity quality filter one order up from [[textNgramLm]]'s
@@ -2676,6 +2712,7 @@ object QueriesLLM {
     "text_vocab" -> textVocab,
     "text_pmi_bigrams" -> textPmiBigrams,
     "text_tfidf_keywords" -> textTfidfKeywords,
+    "text_hash_features" -> textHashFeatures,
     "text_vocab_approx" -> textVocabApprox,
     "text_token_count" -> textTokenCount,
     "bpe_merges" -> bpeMerges,
@@ -2754,6 +2791,7 @@ object QueriesLLM {
     "text_vocab" -> textVocabSql,
     "text_pmi_bigrams" -> textPmiBigramsSql,
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
+    "text_hash_features" -> textHashFeaturesSql,
     "text_vocab_approx" -> textVocabApproxSql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,

@@ -57,6 +57,29 @@ class QualitySignalsSpec extends SparkTestBase {
     assert(tied.map(_._2).toSeq === Seq("a", "b", "c"))
   }
 
+  test("textHashFeatures: buckets match a driver-side md5 replay; collisions sum") {
+    def bucketOf(term: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((term + ":hf").getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(hex, 16) % 64L
+    }
+    val docs = Seq((1L, "alpha beta alpha gamma"), (2L, "beta")).toDF("doc_id", "text")
+    val out = QueriesLLM.hashFeatures(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expected = Seq(
+      (1L, Seq("alpha", "alpha", "beta", "gamma")),
+      (2L, Seq("beta")))
+      .flatMap { case (id, ts) =>
+        ts.groupBy(bucketOf).map { case (b, g) => (id, b, g.size.toLong) }
+      }.sortBy(t => (t._1, t._2))
+    assert(out === expected, s"got $out expected $expected")
+    // a 1-bucket fold sums EVERYTHING (collision contract at its extreme)
+    val folded = QueriesLLM.hashFeatures(docs, buckets = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(folded === Seq((1L, 0L, 4L), (2L, 0L, 1L)))
+  }
+
   // ---- text_repetition ----------------------------------------------------
 
   test("repetition metrics match a hand computation on a crafted doc") {
