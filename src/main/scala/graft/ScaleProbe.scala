@@ -43,9 +43,13 @@ object ScaleProbe {
     "sample_stratified_exact", "multimodal_dedup", "eval_ann_recall",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
+    // round-9 session-7 additions
+    "graph_clustering_coeff", "graph_assortativity", "text_tfidf_keywords",
+    "agg_mad", "dq_benford", "ts_rolling_median", "ts_outlier_mad",
+    "text_hash_features",
     // embeddings (4× span): clustering + spectral family
     "cluster_kmeans", "curate_cluster_balance", "vec_top_pc",
-    "vec_whiten_resid", "vec_pq_codes",
+    "vec_whiten_resid", "vec_pq_codes", "vec_pq_search", "vec_ivf_pq_search",
     // embeddings (4× span): similarity families. The *_loose suffixed
     // rows (τ=0.35, fixed 16×4 bands) are the declared n²-candidate
     // regime demonstrators; since round 9 the PRIMARY names bind the
