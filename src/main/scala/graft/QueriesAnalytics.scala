@@ -1518,6 +1518,46 @@ object QueriesAnalytics {
       |  ELSE 0.0 END AS assortativity
       |FROM agg""".stripMargin
 
+  /** graph_gini_degree: Gini coefficient of the folded orders graph's
+    * degree distribution ([[graft.operators.Graph.degreeGini]]) — the
+    * hub-inequality audit beside `graph_assortativity`'s mixing
+    * coefficient. The statistic computes entirely from the (degree
+    * value, count) distribution — O(distinct degrees) rows, never a
+    * global per-node rank — with the rank-block sum kept DOUBLED so
+    * every term is integral; one r8 IEEE division at the end. */
+  val graphGiniDegree: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val m = math.max(2003L, orders.count() / 37L)
+    graft.operators.Graph.degreeGini(
+      orders.select(
+        (col("o_custkey") % m).as("src"), (col("o_orderkey") % m).as("dst")))
+  }
+
+  val graphGiniDegreeSql =
+    """WITH mm AS (SELECT greatest(2003, count(*) // 37) AS m FROM orders),
+      |raw AS (SELECT o_custkey % mm.m AS src, o_orderkey % mm.m AS dst
+      |  FROM orders CROSS JOIN mm),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM raw WHERE src <> dst),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY node),
+      |dist AS (SELECT deg, count(*) AS c FROM deg GROUP BY deg),
+      |p AS (SELECT deg, c, coalesce(sum(c) OVER (ORDER BY deg
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+      |  FROM dist),
+      |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(deg * c) AS BIGINT) AS sum_deg,
+      |    CAST(sum(deg * (2 * c * cprev + c * (c + 1))) AS BIGINT) AS s1_x2
+      |  FROM p)
+      |SELECT n, sum_deg, s1_x2,
+      |  CAST(s1_x2 - (n + 1) * sum_deg AS BIGINT) AS g_num,
+      |  CASE WHEN n * sum_deg > 0 THEN
+      |    floor(CAST(s1_x2 - (n + 1) * sum_deg AS DOUBLE)
+      |      / CAST(n * sum_deg AS DOUBLE) * 100000000 + 0.5) / 100000000
+      |  ELSE 0.0 END AS gini
+      |FROM a""".stripMargin
+
   /** ts_autocorr: lag-1/lag-2 autocovariance of each user's dense
     * 6-hour activity-count series ([[graft.operators.Temporal
     * .autocovScaled]]) — the periodicity/trend signal beside
@@ -1591,6 +1631,29 @@ object QueriesAnalytics {
       |FROM dense d JOIN med m USING (user_id) JOIN mad a USING (user_id)
       |WHERE abs(d.x - m.med) > 3 * a.mad
       |ORDER BY d.user_id, d.b""".stripMargin
+
+  /** seq_streaks: per-user activity-streak summary over 6-hour buckets
+    * ([[graft.operators.Temporal.streaks]]) — total active buckets,
+    * number of maximal consecutive runs, longest run: the engagement
+    * ("7-day streak") and burstiness primitive, gaps-and-islands on the
+    * bucket grid. Pure integers; island id = bucket − row_number. */
+  val seqStreaks: Q = (s, dir) =>
+    Temporal.streaks(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"))
+      .orderBy("user_id")
+
+  val seqStreaksSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+      |i AS (SELECT user_id, b,
+      |    b - row_number() OVER (PARTITION BY user_id ORDER BY b) AS island
+      |  FROM e),
+      |runs AS (SELECT user_id, island, count(*) AS len
+      |  FROM i GROUP BY user_id, island)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS max_streak
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** ts_rolling_median: centered 5-bucket rolling-median band of each
     * user's dense 6-hour activity-count series
@@ -1888,6 +1951,7 @@ object QueriesAnalytics {
     "graph_triangle_count" -> graphTriangleCount,
     "graph_clustering_coeff" -> graphClusteringCoeff,
     "graph_assortativity" -> graphAssortativity,
+    "graph_gini_degree" -> graphGiniDegree,
     "graph_kcore" -> graphKcore,
     "graph_hits" -> graphHits,
     "dq_audit" -> dqAudit,
@@ -1906,6 +1970,7 @@ object QueriesAnalytics {
     "ts_double_ewma" -> tsDoubleEwma,
     "ts_rolling_median" -> tsRollingMedian,
     "ts_outlier_mad" -> tsOutlierMad,
+    "seq_streaks" -> seqStreaks,
     "ts_crosscorr" -> tsCrosscorr,
     "seq_markov" -> seqMarkov,
     "rollup_incremental" -> rollupIncremental,
@@ -1941,6 +2006,7 @@ object QueriesAnalytics {
     "graph_triangle_count" -> graphTriangleCountSql,
     "graph_clustering_coeff" -> graphClusteringCoeffSql,
     "graph_assortativity" -> graphAssortativitySql,
+    "graph_gini_degree" -> graphGiniDegreeSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_hits" -> graphHitsSql,
     "dq_audit" -> dqAuditSql,
@@ -1959,6 +2025,7 @@ object QueriesAnalytics {
     "ts_double_ewma" -> tsDoubleEwmaSql,
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_outlier_mad" -> tsOutlierMadSql,
+    "seq_streaks" -> seqStreaksSql,
     "ts_crosscorr" -> tsCrosscorrSql,
     "seq_markov" -> seqMarkovSql,
     "rollup_incremental" -> rollupIncrementalSql,

@@ -2200,6 +2200,66 @@ object QueriesLLM {
       |    * 100000000 + 0.5) / 100000000 AS eff_sources
       |FROM a ORDER BY lang""".stripMargin
 
+  /** curate_source_entropy: Shannon diversity of the per-language source
+    * mix — the information-theoretic sibling of `curate_source_hhi`:
+    * H = ln N − (Σ_s c_s·ln c_s)/N and perplexity e^H ("how many equally-
+    * weighted sources is this mix worth"), the diversity score data-mix
+    * papers report where HHI is the concentration alarm.
+    *
+    * Exactness: ln c is quantized ONCE per count to 10⁸ micro-units (the
+    * adamic_adar libm recipe), so Σ c·lnμ(c) is merge-order-proof
+    * BIGINT and H = (lnμ(N)·N − Σ c·lnμ(c))/(N·10⁸) is ONE IEEE
+    * division of exact-in-double longs on the 1e-8 grid; e^H is one
+    * libm exp OF THE GRIDDED H (both engines feed exp the identical
+    * double; exp's sub-ulp wobble is ~10⁻¹⁴ here, absorbed by the
+    * second r8).
+    *
+    * Scale shape = `curate_source_hhi`: one map-side-combined
+    * (lang, source) count shuffle, then O(langs × sources) arithmetic —
+    * nothing else touches the corpus. */
+  val curateSourceEntropy: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("c"),
+        floor(log(col("c").cast("double")) * 100000000L + 0.5)
+          .cast("long").as("lnc"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("c")).as("n_docs"),
+        sum(col("c") * col("lnc")).as("h_term"))
+      .select(col("lang"), col("n_sources"), col("n_docs"),
+        (floor(log(col("n_docs").cast("double")) * 100000000L + 0.5)
+          .cast("long") * col("n_docs") - col("h_term")).as("h_num"))
+      .select(col("lang"), col("n_sources"), col("n_docs"), col("h_num"),
+        graft.functions.Num.r8(col("h_num").cast("double")
+          / (col("n_docs").cast("double") * 100000000.0)).as("entropy"))
+      .withColumn("perplexity", graft.functions.Num.r8(exp(col("entropy"))))
+      .orderBy("lang")
+
+  val curateSourceEntropySql =
+    """WITH c AS (
+      |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      |q AS (SELECT lang, c,
+      |    CAST(floor(ln(CAST(c AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS lnc
+      |  FROM c),
+      |a AS (
+      |  SELECT lang, count(*) AS n_sources, CAST(sum(c) AS BIGINT) AS n_docs,
+      |    CAST(sum(c * lnc) AS BIGINT) AS h_term
+      |  FROM q GROUP BY 1),
+      |h AS (
+      |  SELECT lang, n_sources, n_docs,
+      |    CAST(CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 100000000 + 0.5)
+      |      AS BIGINT) * n_docs - h_term AS BIGINT) AS h_num
+      |  FROM a),
+      |e AS (
+      |  SELECT lang, n_sources, n_docs, h_num,
+      |    floor(CAST(h_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 100000000)
+      |      * 100000000 + 0.5) / 100000000 AS entropy
+      |  FROM h)
+      |SELECT lang, n_sources, n_docs, h_num, entropy,
+      |  floor(exp(entropy) * 100000000 + 0.5) / 100000000 AS perplexity
+      |FROM e ORDER BY lang""".stripMargin
+
   /** curate_dsir: DSIR-style importance weighting (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling") —
     * per doc the log-likelihood ratio of a TARGET token distribution
@@ -2737,6 +2797,7 @@ object QueriesLLM {
     "curriculum_bins" -> curriculumBins,
     "pipeline_curate" -> pipelineCurate,
     "curate_source_hhi" -> curateSourceHhi,
+    "curate_source_entropy" -> curateSourceEntropy,
     "curate_dsir" -> curateDsir,
     "curate_ngram_ppl" -> curateNgramPpl,
     "pipeline_pretrain" -> pipelinePretrain,
@@ -2815,6 +2876,7 @@ object QueriesLLM {
     "curriculum_bins" -> curriculumBinsSql,
     "pipeline_curate" -> pipelineCurateSql,
     "curate_source_hhi" -> curateSourceHhiSql,
+    "curate_source_entropy" -> curateSourceEntropySql,
     "curate_dsir" -> curateDsirSql,
     "curate_ngram_ppl" -> curateNgramPplSql,
     "pipeline_pretrain" -> pipelinePretrainSql

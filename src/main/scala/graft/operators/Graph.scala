@@ -363,6 +363,51 @@ object Graph {
           .otherwise(lit(0.0)).as("assortativity"))
   }
 
+  /** Gini coefficient of the UNDIRECTED degree distribution — the
+    * inequality audit beside [[degreeAssortativity]]'s mixing audit:
+    * G = 0 all nodes equal, G → 1 a few hubs own the edges. One scalar
+    * row (n, sum_deg, s1, g_num, gini).
+    *
+    * The key scale move: Σᵢ i·d₍ᵢ₎ over the SORTED degrees does not
+    * need a global per-node rank — within a block of equal degree v the
+    * rank sum is fixed under any tie order (v·(c·C_prev + c(c+1)/2)),
+    * so the whole statistic computes from the (degree VALUE, count)
+    * distribution: O(distinct degrees) rows, a frame bounded by
+    * O(√E) values — the prefix window never sees node-level data.
+    * Everything BIGINT (overflow contract n²·maxdeg < 2⁶³, same rule as
+    * [[modularity]]'s m2² bound); gini = ONE r8-gridded IEEE division.
+    *
+    * Scale shape: one degree aggregate, one tiny value-count aggregate,
+    * one window + one final aggregate over the distinct-degree frame. */
+  def degreeGini(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dist = deg.groupBy("deg").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("deg")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    dist
+      .withColumn("cprev", coalesce(sum("c").over(w), lit(0L)))
+      .select(
+        sum(col("c")).as("n"),
+        sum(col("deg") * col("c")).as("sum_deg"),
+        // 2·Σᵢ i·d₍ᵢ₎ kept DOUBLED so every term stays integral without
+        // a division (c·(c+1) is even, but `/` in the DSL is double)
+        sum(col("deg") * (lit(2L) * col("c") * col("cprev")
+          + col("c") * (col("c") + 1L))).as("s1_x2"))
+      .select(col("n"), col("sum_deg"), col("s1_x2"),
+        (col("s1_x2") - (col("n") + 1L) * col("sum_deg")).as("g_num"))
+      .select(col("n"), col("sum_deg"), col("s1_x2"), col("g_num"),
+        when(col("n") * col("sum_deg") > 0, graft.functions.Num.r8(
+            col("g_num").cast("double")
+              / (col("n") * col("sum_deg")).cast("double")))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
   /** Adamic–Adar link prediction over a BIPARTITE edge list
     * (left, right): for every pair of left nodes sharing ≥ `minCn`
     * right-side neighbors, the common-neighbor count and the AA score

@@ -323,6 +323,33 @@ object Temporal {
       (num.cast("double") / lit((1L << lags).toDouble)).as("ewma"))
   }
 
+  /** Longest-activity-streak summary per key — for each key, over the
+    * set of buckets with ≥1 event: total active buckets, number of
+    * maximal consecutive runs (streaks), and the longest run. The
+    * engagement/retention primitive ("7-day streak") and a burstiness
+    * summary for ingest monitoring; the gaps-and-islands idiom applied
+    * to the bucket grid instead of raw timestamps.
+    *
+    * Pure integers: island id = bucket − row_number (constant within a
+    * consecutive run, strictly separating runs), lengths and maxima are
+    * counts — both engines agree exactly with no grid.
+    *
+    * Scale shape: one distinct on (key, bucket) (map-side combined),
+    * one re-key on the key alone that the row_number window and BOTH
+    * aggregates ride; per-key frame is the key's active-bucket count,
+    * spill-managed by the window sort. */
+  def streaks(events: DataFrame, key: String, bucket: Column): DataFrame = {
+    val active = Dist.byKeys(
+      events.select(col(key), bucket.as("b")).distinct(), col(key))
+    val w = Window.partitionBy(key).orderBy("b")
+    active.withColumn("island", col("b") - row_number().over(w))
+      .groupBy(col(key), col("island")).agg(count(lit(1)).as("len"))
+      .groupBy(col(key)).agg(
+        sum("len").as("n_active"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("max_streak"))
+  }
+
   /** Robust outlier flags over each key's DENSE bucket-count series —
     * the MAD rule: a bucket is anomalous iff |x − median| > k·MAD, with
     * both statistics the exact DISCRETE medians of

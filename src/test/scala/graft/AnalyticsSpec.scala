@@ -501,6 +501,17 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("streaks: islands split exactly at gaps; singleton and duplicate buckets") {
+    import graft.operators.Temporal
+    // user 1 active buckets {0,1,2, 5,6, 9} -> 6 active, 3 streaks, max 3
+    // (bucket 1 appears twice: distinct first). user 2: {4} -> 1/1/1.
+    val df = Seq((1L, 0L), (1L, 1L), (1L, 1L), (1L, 2L), (1L, 5L), (1L, 6L),
+      (1L, 9L), (2L, 4L)).toDF("k", "b")
+    val out = Temporal.streaks(df, "k", col("b"))
+      .orderBy("k").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 6L, 3L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
   test("ivfAdcTopK: equals the full ADC ranking restricted to the query's cell") {
     import graft.operators.{Clustering, Pq}
     val emb = Tables.embeddings(spark, sf)

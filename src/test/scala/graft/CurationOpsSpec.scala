@@ -29,6 +29,24 @@ class CurationOpsSpec extends SparkTestBase {
     assert(counts.map(c => c * c).sum === num0)
   }
 
+  test("curate_source_entropy: bounds, ln-vs-HHI ordering, hand recount on the fixture") {
+    val out = QueriesLLM.all("curate_source_entropy")(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, nSrc, nDocs, hNum, h, ppl) =>
+      assert(h >= -1e-8 && h <= math.log(nSrc.toDouble) + 1e-6, s"$lang H $h")
+      assert(ppl >= 1.0 - 1e-6 && ppl <= nSrc + 1e-4, s"$lang ppl $ppl")
+      assert(math.abs(ppl - math.exp(h)) < 1e-6, s"$lang exp identity")
+      assert(hNum >= 0, s"$lang h_num") // ln N >= weighted mean of ln c
+      // hand recount straight off the raw table with the same micro grid
+      val counts = Tables.documents(spark, sf).filter(col("lang") === lang)
+        .groupBy("source").count().as[(String, Long)].collect().map(_._2)
+      def lnm(x: Long) = math.floor(math.log(x.toDouble) * 1e8 + 0.5).toLong
+      val want = lnm(counts.sum) * counts.sum - counts.map(c => c * lnm(c)).sum
+      assert(want === hNum, s"$lang hand h_num")
+    }
+  }
+
   test("canonicalizeUrl collapses case/port/utm/slash noise to one form") {
     val urls = Seq(
       "https://data.example.org/c/7",

@@ -227,6 +227,24 @@ class SearchGraphSpec extends SparkTestBase {
     assert(rp.getAs[Double]("assortativity") === -1.0)
   }
 
+  test("degreeGini: star vs regular ring; blockwise rank sums match brute force") {
+    // ring 1-2-3-4-1: all degree 2 -> perfect equality, gini 0
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rr = Graph.degreeGini(ring).collect()(0)
+    assert(rr.getAs[Long]("n") === 4L && rr.getAs[Double]("gini") === 0.0)
+    // star 0-{1..4}: degrees sorted [1,1,1,1,4]; brute-force check
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val rs = Graph.degreeGini(star).collect()(0)
+    val degs = Seq(1L, 1L, 1L, 1L, 4L)
+    val s1 = degs.zipWithIndex.map { case (d, i) => (i + 1) * d }.sum
+    val n = degs.size; val sd = degs.sum
+    val gnum = 2 * s1 - (n + 1) * sd
+    assert(rs.getAs[Long]("s1_x2") === 2L * s1)
+    assert(rs.getAs[Long]("g_num") === gnum.toLong)
+    assert(rs.getAs[Double]("gini") ===
+      math.floor(gnum.toDouble / (n.toLong * sd).toDouble * 1e8 + 0.5) / 1e8)
+  }
+
   // ---- k-core -------------------------------------------------------------
 
   test("kcore: K4 with a pendant chain peels to the clique; cascade removes the chain stepwise") {
