@@ -1558,6 +1558,34 @@ object QueriesAnalytics {
       |  ELSE 0.0 END AS gini
       |FROM a""".stripMargin
 
+  /** graph_reciprocity: directed-edge mutuality of the folded orders
+    * graph ([[graft.operators.Graph.reciprocity]]) — the third
+    * one-scalar structural audit beside `graph_assortativity` and
+    * `graph_gini_degree`: near 1 on mutual-follow graphs, near 0 on
+    * citation/crawl DAGs. Integers + one r8 division. */
+  val graphReciprocity: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val m = math.max(2003L, orders.count() / 37L)
+    graft.operators.Graph.reciprocity(
+      orders.select(
+        (col("o_custkey") % m).as("src"), (col("o_orderkey") % m).as("dst")))
+  }
+
+  val graphReciprocitySql =
+    """WITH mm AS (SELECT greatest(2003, count(*) // 37) AS m FROM orders),
+      |e AS (SELECT DISTINCT o_custkey % mm.m AS src, o_orderkey % mm.m AS dst
+      |  FROM orders CROSS JOIN mm WHERE o_custkey % mm.m <> o_orderkey % mm.m),
+      |r AS (SELECT count(*) AS n_recip FROM e
+      |  WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)),
+      |n AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
+      |  CAST(r.n_recip AS BIGINT) AS n_recip,
+      |  CASE WHEN n.n_edges > 0 THEN
+      |    floor(CAST(r.n_recip AS DOUBLE) / CAST(n.n_edges AS DOUBLE)
+      |      * 100000000 + 0.5) / 100000000
+      |  ELSE 0.0 END AS reciprocity
+      |FROM n CROSS JOIN r""".stripMargin
+
   /** ts_autocorr: lag-1/lag-2 autocovariance of each user's dense
     * 6-hour activity-count series ([[graft.operators.Temporal
     * .autocovScaled]]) — the periodicity/trend signal beside
@@ -1952,6 +1980,7 @@ object QueriesAnalytics {
     "graph_clustering_coeff" -> graphClusteringCoeff,
     "graph_assortativity" -> graphAssortativity,
     "graph_gini_degree" -> graphGiniDegree,
+    "graph_reciprocity" -> graphReciprocity,
     "graph_kcore" -> graphKcore,
     "graph_hits" -> graphHits,
     "dq_audit" -> dqAudit,
@@ -2007,6 +2036,7 @@ object QueriesAnalytics {
     "graph_clustering_coeff" -> graphClusteringCoeffSql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_gini_degree" -> graphGiniDegreeSql,
+    "graph_reciprocity" -> graphReciprocitySql,
     "graph_kcore" -> graphKcoreSql,
     "graph_hits" -> graphHitsSql,
     "dq_audit" -> dqAuditSql,

@@ -1474,6 +1474,79 @@ object QueriesLLM {
       |FROM tok WHERE term <> ''
       |GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
 
+  /** text_zipf_fit: the Zipf log-log slope of the top-500 term
+    * frequencies — OLS of ln(count) on ln(rank): natural corpora sit
+    * near −1; a slope far from it flags synthetic/templated text or a
+    * broken tokenizer (the corpus-level signature beside per-doc quality
+    * scores). ln(rank)/ln(count) are quantized ONCE to 10⁴ micro-units,
+    * so all five OLS sums are merge-order-proof BIGINT (products < 2⁵³
+    * at V=500); slope is one r8 IEEE division, intercept one short IEEE
+    * chain ON the gridded slope.
+    *
+    * Scale shape: the vocab count is map-side combined; the top-V cut
+    * is TakeOrderedAndProject (never a global sort); the rank window
+    * runs on the ≤V-row frame — a bounded single partition by
+    * construction. */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, topV: Int = 500)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc).limit(topV)
+    val w = Window.orderBy(col("c").desc, col("term").asc) // <= topV rows
+    val pts = counts.withColumn("r", row_number().over(w))
+      .select(
+        floor(log(col("r").cast("double")) * 10000L + 0.5).cast("long").as("x"),
+        floor(log(col("c").cast("double")) * 10000L + 0.5).cast("long").as("y"))
+    pts
+      .agg(count(lit(1)).as("n_terms"), sum("x").as("s_x"), sum("y").as("s_y"),
+        sum(col("x") * col("y")).as("s_xy"), sum(col("x") * col("x")).as("s_xx"))
+      .select(col("n_terms"), col("s_x"), col("s_y"), col("s_xy"), col("s_xx"),
+        (col("n_terms") * col("s_xy") - col("s_x") * col("s_y")).as("num"),
+        (col("n_terms") * col("s_xx") - col("s_x") * col("s_x")).as("den"))
+      .select(col("n_terms"), col("s_x"), col("s_y"), col("s_xy"), col("s_xx"),
+        col("num"), col("den"),
+        when(col("den") > 0, graft.functions.Num.r8(
+            col("num").cast("double") / col("den").cast("double")))
+          .otherwise(lit(0.0)).as("slope"))
+      .withColumn("intercept", graft.functions.Num.r8(
+        (col("s_y").cast("double") - col("slope") * col("s_x").cast("double"))
+          / (col("n_terms").cast("double") * 10000.0)))
+  }
+
+  val textZipfFit: Q = (s, dir) => zipfFit(Tables.documents(s, dir))
+
+  val textZipfFitSql: String =
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |tc AS (SELECT term, count(*) AS c FROM tok WHERE term <> ''
+      |  GROUP BY term),
+      |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+      |  FROM tc ORDER BY c DESC, term LIMIT 500),
+      |pts AS (SELECT
+      |    CAST(floor(ln(CAST(r AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(c AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+      |  FROM top),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+      |    CAST(sum(x * y) AS BIGINT) AS s_xy,
+      |    CAST(sum(x * x) AS BIGINT) AS s_xx FROM pts),
+      |b AS (SELECT n_terms, s_x, s_y, s_xy, s_xx,
+      |    CAST(n_terms * s_xy - s_x * s_y AS BIGINT) AS num,
+      |    CAST(n_terms * s_xx - s_x * s_x AS BIGINT) AS den,
+      |    CASE WHEN n_terms * s_xx - s_x * s_x > 0 THEN
+      |      floor(CAST(n_terms * s_xy - s_x * s_y AS DOUBLE)
+      |        / CAST(n_terms * s_xx - s_x * s_x AS DOUBLE) * 100000000 + 0.5)
+      |        / 100000000
+      |    ELSE 0.0 END AS slope
+      |  FROM a)
+      |SELECT n_terms, s_x, s_y, s_xy, s_xx, num, den, slope,
+      |  floor((CAST(s_y AS DOUBLE) - slope * CAST(s_x AS DOUBLE))
+      |    / (CAST(n_terms AS DOUBLE) * 10000) * 100000000 + 0.5) / 100000000
+      |    AS intercept
+      |FROM b""".stripMargin
+
   /** curate_ngram_ppl: per-doc BIGRAM cross-entropy under the corpus
     * bigram LM with add-one smoothing — the CCNet/KenLM-style
     * perplexity quality filter one order up from [[textNgramLm]]'s
@@ -2664,8 +2737,11 @@ object QueriesLLM {
       queries, topK = 10)
   }
 
-  val searchBm25BatchSql =
-    """WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'window'),
+  /** The batch-BM25 CTE chain through `ranked` — shared by the
+    * `search_bm25_batch` oracle and the `eval_retrieval_mrr` oracle
+    * (which extends it with a relevance pick + reciprocal rank). */
+  private val bm25BatchCtes =
+    """q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'window'),
       |    (2, 'stream'), (3, 'scan'), (3, 'join')),
       |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
       |stats AS (SELECT count(*) AS n_docs,
@@ -2684,9 +2760,82 @@ object QueriesLLM {
       |    floor(raw * 10000 + 0.5) / 10000 AS score,
       |    row_number() OVER (PARTITION BY query_id
       |      ORDER BY floor(raw * 10000 + 0.5) / 10000 DESC, doc_id) AS rn
-      |  FROM scored)
-      |SELECT query_id, doc_id, n_terms, score FROM ranked WHERE rn <= 10
-      |ORDER BY query_id, score DESC, doc_id""".stripMargin
+      |  FROM scored)""".stripMargin
+
+  val searchBm25BatchSql =
+    s"""WITH $bm25BatchCtes
+       |SELECT query_id, doc_id, n_terms, score FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, score DESC, doc_id""".stripMargin
+
+  /** eval_retrieval_mrr: MRR@10 of the gated BM25 batch ranking against
+    * a DETERMINISTIC relevance rule — per query, the relevant doc is the
+    * one matching the most query terms, tie-broken by highest total
+    * term frequency then smallest doc_id (the standard planted-relevance
+    * pick: the strongest lexical match by pure term counts, independent
+    * of BM25's idf/length weighting); rr = 1/rank if it appears in the
+    * top-10, else 0. The retrieval-evaluation member of the `eval_`
+    * family beside `eval_ann_recall`: a search pipeline without its own
+    * quality metric can't be tuned.
+    *
+    * Scale shape: the ranking is `search_bm25_batch`'s posting
+    * discipline; the relevance pick prunes the token stream with a
+    * broadcast semi-join on query terms BEFORE any shuffle, so it
+    * touches query-term occurrences only; the argmax is ONE struct-max
+    * aggregate (no window over data); the final join is |queries| rows
+    * against the ≤10·|queries| ranked frame. rr = one r8 IEEE division
+    * of an integer rank. */
+  val evalRetrievalMrr: Q = (s, dir) => {
+    import s.implicits._
+    val queries = Seq((1, "spark"), (1, "join"), (2, "window"), (2, "stream"),
+      (3, "scan"), (3, "join")).toDF("query_id", "term")
+    val docs = Tables.documents(s, dir)
+    val ranked = Search.bm25Batch(docs, col("text"), col("doc_id"),
+      queries, topK = 10)
+    val relevant = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .join(broadcast(queries.select("term").distinct()), Seq("term"), "left_semi")
+      .join(broadcast(queries.distinct()), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count_distinct(col("term")).as("matched"),
+        count(lit(1)).as("total_tf"))
+      .groupBy("query_id")
+      .agg(max(struct(col("matched"), col("total_tf"),
+        (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("query_id"), (-col("best.nid")).as("relevant_doc"),
+        col("best.matched").as("matched"), col("best.total_tf").as("total_tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    val withRank = ranked.withColumn("rnk", row_number().over(w))
+      .select(col("query_id"), col("doc_id").as("relevant_doc"), col("rnk"))
+    relevant.join(withRank, Seq("query_id", "relevant_doc"), "left_outer")
+      .select(col("query_id"), col("relevant_doc"), col("matched"),
+        col("total_tf"), coalesce(col("rnk"), lit(0)).as("rnk"),
+        coalesce(graft.functions.Num.r8(lit(1.0) / col("rnk").cast("double")),
+          lit(0.0)).as("rr"))
+      .orderBy("query_id")
+  }
+
+  val evalRetrievalMrrSql: String =
+    s"""WITH $bm25BatchCtes,
+       |m AS (SELECT q.query_id, t.doc_id,
+       |    count(DISTINCT t.term) AS matched, count(*) AS total_tf
+       |  FROM tok t JOIN q ON q.term = t.term GROUP BY 1, 2),
+       |rel AS (SELECT query_id, doc_id AS relevant_doc, matched, total_tf
+       |  FROM (SELECT query_id, doc_id, matched, total_tf,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY matched DESC, total_tf DESC, doc_id ASC) AS pick
+       |    FROM m) WHERE pick = 1),
+       |rk AS (SELECT query_id, doc_id, rn FROM ranked WHERE rn <= 10)
+       |SELECT rel.query_id, rel.relevant_doc,
+       |  CAST(rel.matched AS BIGINT) AS matched,
+       |  CAST(rel.total_tf AS BIGINT) AS total_tf,
+       |  CAST(coalesce(rk.rn, 0) AS INT) AS rnk,
+       |  CASE WHEN rk.rn IS NOT NULL
+       |    THEN floor(1.0 / rk.rn * 100000000 + 0.5) / 100000000
+       |    ELSE 0.0 END AS rr
+       |FROM rel LEFT JOIN rk ON rk.query_id = rel.query_id
+       |  AND rk.doc_id = rel.relevant_doc
+       |ORDER BY rel.query_id""".stripMargin
 
   /** dedup_spans: C4-style span-level exact dedup —
     * [[graft.operators.Dedup.spanDedup]] tiles docs into 10-token spans,
@@ -2773,6 +2922,8 @@ object QueriesLLM {
     "text_pmi_bigrams" -> textPmiBigrams,
     "text_tfidf_keywords" -> textTfidfKeywords,
     "text_hash_features" -> textHashFeatures,
+    "eval_retrieval_mrr" -> evalRetrievalMrr,
+    "text_zipf_fit" -> textZipfFit,
     "text_vocab_approx" -> textVocabApprox,
     "text_token_count" -> textTokenCount,
     "bpe_merges" -> bpeMerges,
@@ -2853,6 +3004,8 @@ object QueriesLLM {
     "text_pmi_bigrams" -> textPmiBigramsSql,
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
     "text_hash_features" -> textHashFeaturesSql,
+    "eval_retrieval_mrr" -> evalRetrievalMrrSql,
+    "text_zipf_fit" -> textZipfFitSql,
     "text_vocab_approx" -> textVocabApproxSql,
     "text_token_count" -> textTokenCountSql,
     "multimodal_doc" -> multimodalDocSql,

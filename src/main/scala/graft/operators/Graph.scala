@@ -408,6 +408,30 @@ object Graph {
           .otherwise(lit(0.0)).as("gini"))
   }
 
+  /** Reciprocity of a DIRECTED edge list — the fraction of (distinct,
+    * non-loop) edges whose reverse also exists: near 1 on mutual-follow
+    * social graphs, near 0 on citation/crawl DAGs; with [[
+    * degreeAssortativity]] and [[degreeGini]] the third one-scalar
+    * structural audit. Pure integers + ONE r8 IEEE division.
+    *
+    * Scale shape: one distinct, then a LEFT SEMI self-join keyed on the
+    * reversed pair — both sides fed from one localCheckpoint, co-keyed,
+    * never cartesian; two count aggregates. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(mutual.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        when(col("n_edges") > 0, graft.functions.Num.r8(
+            col("n_recip").cast("double") / col("n_edges").cast("double")))
+          .otherwise(lit(0.0)).as("reciprocity"))
+  }
+
   /** Adamic–Adar link prediction over a BIPARTITE edge list
     * (left, right): for every pair of left nodes sharing ≥ `minCn`
     * right-side neighbors, the common-neighbor count and the AA score

@@ -80,6 +80,25 @@ class QualitySignalsSpec extends SparkTestBase {
     assert(folded === Seq((1L, 0L, 4L), (2L, 0L, 1L)))
   }
 
+  test("zipfFit: exact power law recovers its slope; OLS sums match brute force") {
+    // counts c(r) = floor(1000/r): close to slope -1 on the log-log grid
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(s"w%03d".format(r)))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = QueriesLLM.zipfFit(docs).collect()(0)
+    // brute-force replay on the same micro grid
+    def q4(v: Double) = math.floor(math.log(v) * 1e4 + 0.5).toLong
+    val pts = (1 to 50).map(r => (q4(r.toDouble), q4((1000 / r).toDouble)))
+    val (n, sx, sy) = (pts.size.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((n, sx, sy)))
+    assert((row.getLong(5), row.getLong(6)) === ((num, den)))
+    val slope = math.floor(num.toDouble / den.toDouble * 1e8 + 0.5) / 1e8
+    assert(row.getAs[Double]("slope") === slope)
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope should be near -1")
+  }
+
   // ---- text_repetition ----------------------------------------------------
 
   test("repetition metrics match a hand computation on a crafted doc") {

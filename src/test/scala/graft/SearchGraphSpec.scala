@@ -245,6 +245,58 @@ class SearchGraphSpec extends SparkTestBase {
       math.floor(gnum.toDouble / (n.toLong * sd).toDouble * 1e8 + 0.5) / 1e8)
   }
 
+  test("eval_retrieval_mrr: relevance and ranks recomputed driver-side on the fixture") {
+    val out = QueriesLLM.all("eval_retrieval_mrr")(spark, sf)
+      .as[(Int, Long, Long, Long, Int, Double)].collect().toSeq
+    val queries = Map(1 -> Seq("spark", "join"), 2 -> Seq("window", "stream"),
+      3 -> Seq("scan", "join"))
+    val docTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val ranked = QueriesLLM.all("search_bm25_batch")(spark, sf)
+      .select("query_id", "doc_id").as[(Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    for ((q, terms) <- queries) {
+      // the planted-relevance pick: most matched terms, then total tf,
+      // then smallest doc_id — over docs with at least one query term
+      val cands = docTokens.flatMap { case (id, ts) =>
+        val matched = terms.count(ts.contains)
+        val tf = ts.count(terms.contains)
+        if (matched > 0) Some((id, matched, tf)) else None
+      }
+      val rel = cands.sortBy { case (id, m, tf) => (-m, -tf, id) }.headOption
+      val row = out.find(_._1 == q)
+      assert(row.isDefined === rel.isDefined, s"query $q presence")
+      for ((rid, rm, rtf) <- rel; o <- row) {
+        assert((o._2, o._3, o._4) === ((rid, rm.toLong, rtf.toLong)),
+          s"query $q relevant pick")
+        // ranked output is already (score DESC, doc_id) ordered per query
+        val idx = ranked.getOrElse(q, Seq.empty).indexOf(rid)
+        val wantRnk = if (idx >= 0) idx + 1 else 0
+        assert(o._5 === wantRnk, s"query $q rank")
+        val wantRr = if (idx >= 0)
+          math.floor(1.0 / (idx + 1) * 1e8 + 0.5) / 1e8 else 0.0
+        assert(o._6 === wantRr, s"query $q rr")
+      }
+    }
+    // the metric must be NON-VACUOUS on the fixture: the strongest
+    // lexical match should surface in someone's top-10
+    assert(out.exists(_._6 > 0.0), s"all rr zero: $out")
+  }
+
+  test("reciprocity: mutual pair counts both directions; DAG is 0; loops/dups drop") {
+    // edges 1->2, 2->1 (mutual), 1->3 (one-way), 3->3 (loop), dup 1->2
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) ===
+      math.floor(2.0 / 3.0 * 1e8 + 0.5) / 1e8)
+    val dag = Graph.reciprocity(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      .collect()(0)
+    assert((dag.getLong(1), dag.getDouble(2)) === ((0L, 0.0)))
+  }
+
   // ---- k-core -------------------------------------------------------------
 
   test("kcore: K4 with a pendant chain peels to the clique; cascade removes the chain stepwise") {
