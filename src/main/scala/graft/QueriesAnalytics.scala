@@ -151,6 +151,68 @@ object QueriesAnalytics {
       |  n_rows
       |FROM runs ORDER BY user_id, run""".stripMargin
 
+  /** scd2_incremental: incremental SCD-2 maintenance
+    * ([[graft.operators.Temporal.scd2ApplyDelta]]) — the stored interval
+    * table (built from the pre-Jan-16 half) plus the later half as a
+    * delta batch, WITHOUT re-reading base events: closed intervals ship
+    * through untouched, each affected user's open interval extends or
+    * closes against one synthetic row + its delta events. The oracle is
+    * the FULL-history scd2 rebuild — the IVM identity itself is the
+    * gate, the `rollup_incremental` trick applied to dimension
+    * history. */
+  val scd2Incremental: Q = (s, dir) => {
+    val cutUs = 1705363200000000L // 2024-01-16T00:00Z in µs
+    val ev = Tables.events(s, dir)
+    val base = ev.filter(expr("ts div 1000") < cutUs)
+    val delta = ev.filter(expr("ts div 1000") >= cutUs)
+    val baseIv = Temporal.scd2(base, "user_id",
+      expr("ts div 1000"), col("event_id"), col("event_type"))
+    Temporal.scd2ApplyDelta(baseIv, delta, "user_id",
+        expr("ts div 1000"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("run"), col("attr").as("event_type"),
+        col("eff_from"), col("eff_to"), col("n_rows"))
+      .orderBy("user_id", "run")
+  }
+
+  // the gate IS the IVM identity: DuckDB rebuilds from the full history
+  val scd2IncrementalSql: String = scd2IntervalsSql
+
+  /** ts_rolling_slope: trailing-8-bucket OLS slope of each user's dense
+    * 6-hour count series ([[graft.operators.Temporal.rollingSlope]]) —
+    * the LOCAL "volume is accelerating" detector beside
+    * `ts_double_ewma`'s smoothed trend. All five OLS sums are BIGINT
+    * frame sums; slope is one r8 IEEE division of exact integers. */
+  val tsRollingSlope: Q = (s, dir) =>
+    Temporal.rollingSlope(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"))
+      .orderBy("user_id", "b")
+
+  val tsRollingSlopeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+      |obs AS (SELECT user_id, b, count(*) AS y FROM e GROUP BY user_id, b),
+      |grid AS (SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+      |  FROM e GROUP BY user_id),
+      |dense AS (SELECT g.user_id, g.b, coalesce(o.y, 0) AS y
+      |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+      |f AS (SELECT user_id, b, CAST(y AS BIGINT) AS y,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    CAST(sum(b) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(b * y) OVER w AS BIGINT) AS sxy,
+      |    CAST(sum(b * b) OVER w AS BIGINT) AS sxx
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY b
+      |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, b, y, n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS den,
+      |  CASE WHEN n * sxx - sx * sx > 0 THEN
+      |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) * 100000000 + 0.5) / 100000000
+      |  ELSE 0.0 END AS slope
+      |FROM f ORDER BY user_id, b""".stripMargin
+
   /** funnel_steps: signup → first-purchase-after conversion funnel over
     * the whole fixture — two co-partitioned aggregations + one summary
     * row (counts + r4 mean hours-to-convert). */
@@ -2004,6 +2066,8 @@ object QueriesAnalytics {
     "seq_markov" -> seqMarkov,
     "rollup_incremental" -> rollupIncremental,
     "scd2_intervals" -> scd2Intervals,
+    "scd2_incremental" -> scd2Incremental,
+    "ts_rolling_slope" -> tsRollingSlope,
     "funnel_steps" -> funnelSteps,
     "retention_cohorts" -> retentionCohorts,
     "sample_reservoir" -> sampleReservoir,
@@ -2060,6 +2124,8 @@ object QueriesAnalytics {
     "seq_markov" -> seqMarkovSql,
     "rollup_incremental" -> rollupIncrementalSql,
     "scd2_intervals" -> scd2IntervalsSql,
+    "scd2_incremental" -> scd2IncrementalSql,
+    "ts_rolling_slope" -> tsRollingSlopeSql,
     "funnel_steps" -> funnelStepsSql,
     "retention_cohorts" -> retentionCohortsSql,
     "sample_reservoir" -> sampleReservoirSql,

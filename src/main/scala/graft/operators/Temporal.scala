@@ -169,6 +169,97 @@ object Temporal {
       lead("eff_from", 1).over(Window.partitionBy(key).orderBy("run")))
   }
 
+  /** Incremental SCD-2 maintenance — apply a DELTA batch of events to a
+    * stored interval table ([[scd2]]'s output) without re-reading base
+    * events: the dimension-history sibling of `rollup_incremental`'s
+    * algebraic IVM. Closed intervals are immutable by construction
+    * (delta timestamps exceed every base timestamp — the contract);
+    * only each affected key's OPEN interval can extend or close, so the
+    * recomputed region is one synthetic row (the open interval's start,
+    * tie −1 sorts it first) + that key's delta events. Keys absent from
+    * the delta ship through untouched; brand-new keys grow fresh
+    * interval chains.
+    *
+    * The result is IDENTICAL to rebuilding from the full event history
+    * (gated as `scd2_incremental`): run indices continue from the
+    * stored chain (closed-run offset), an unchanged-value first delta
+    * row merges into the open run exactly as the full rebuild's
+    * change-flag would, and the merged run's n_rows restores the stored
+    * open count in place of the synthetic row.
+    *
+    * Scale shape: ONE pass over the delta (the [[scd2]] windows, keyed
+    * on the key) + key-keyed joins against the interval table's
+    * key-count-sized open slice; base EVENTS are never read — at 100 TB
+    * the history table is write-once and each refresh touches
+    * O(|delta| + |affected keys|). */
+  def scd2ApplyDelta(baseIntervals: DataFrame, delta: DataFrame, key: String,
+      ts: Column, tie: Column, attr: Column): DataFrame = {
+    val affected = delta.select(col(key)).distinct()
+    val open = baseIntervals.filter(col("eff_to").isNull)
+      .join(affected, Seq(key), "left_semi")
+    // unaffected keys in full + affected keys' closed (immutable) runs
+    val keep = baseIntervals.join(affected, Seq(key), "left_anti")
+      .unionByName(baseIntervals.filter(col("eff_to").isNotNull)
+        .join(affected, Seq(key), "left_semi"))
+    val openMeta = open.select(col(key), col("n_rows").as("__base_n"),
+      (col("run") - 1L).as("__run_off"))
+    val tailEvents = open
+      .select(col(key), col("eff_from").as("ts"), lit(-1L).as("tie"), col("attr"))
+      .unionByName(delta.select(col(key), ts.as("ts"), tie.as("tie"), attr.as("attr")))
+    val tail = scd2(tailEvents, key, col("ts"), col("tie"), col("attr"))
+      .join(openMeta, Seq(key), "left_outer")
+      .select(col(key), (col("run") + coalesce(col("__run_off"), lit(0L))).as("run"),
+        col("attr"), col("eff_from"),
+        (col("n_rows") + when(col("run") === 1L && col("__base_n").isNotNull,
+          col("__base_n") - 1L).otherwise(0L)).as("n_rows"),
+        col("eff_to"))
+    keep.select(col(key), col("run"), col("attr"), col("eff_from"),
+        col("n_rows"), col("eff_to"))
+      .unionByName(tail)
+  }
+
+  /** Rolling OLS slope over each key's DENSE bucket-count series — the
+    * LOCAL trend detector beside [[doubleEwmaDyadic]]'s smoothed global
+    * trend: per bucket, the least-squares slope of count vs bucket over
+    * the trailing `window` buckets. Positive = ramping, negative =
+    * decaying, magnitude = events/bucket² — the alerting primitive for
+    * "volume is accelerating".
+    *
+    * Exactness: x = bucket index and y = count are exact longs; ALL
+    * FIVE OLS sums are BIGINT frame sums (merge-order-free: a window
+    * frame has one deterministic order), so num = n·Σxy − Σx·Σy and
+    * den = n·Σx² − (Σx)² are exact integers and slope is ONE r8 IEEE
+    * division. den > 0 whenever the frame has ≥ 2 buckets (dense grid
+    * ⇒ distinct x), so only the first bucket emits slope 0.
+    *
+    * Scale shape: the [[ewmaDyadic]] single-exchange profile; all five
+    * frame aggregates ride one (key, b) window sort. */
+  def rollingSlope(events: DataFrame, key: String, bucket: Column,
+      window: Int = 8): DataFrame = {
+    require(window >= 2 && window <= 256, s"window in [2,256], got $window")
+    val counts = Dist.byKeys(
+      events.select(col(key), bucket.as("b"))
+        .groupBy(col(key), col("b")).agg(count(lit(1)).as("y")), col(key))
+    val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy(key).orderBy("b")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    grid.join(counts, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"), coalesce(col("y"), lit(0L)).as("y"))
+      .select(col(key), col("b"), col("y"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("b")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("b") * col("y")).over(w).as("sxy"),
+        sum(col("b") * col("b")).over(w).as("sxx"))
+      .select(col(key), col("b"), col("y"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope", when(col("den") > 0, graft.functions.Num.r8(
+          col("num").cast("double") / col("den").cast("double")))
+        .otherwise(lit(0.0)))
+  }
+
   /** Two-step funnel: per key, the first `stepA` event and the first
     * `stepB` event strictly after it; returns per-key rows (key,
     * a_ts, b_ts nullable). Conversion statistics are one aggregate on

@@ -501,6 +501,50 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("scd2ApplyDelta: hand case covers merge/close/new-key; fixture ≡ full rebuild") {
+    import graft.operators.Temporal
+    // base: user 1 A(1) A(2) B(3); user 3 Z(1) — user 3 untouched by delta
+    val base = Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), (1L, 3L, 3L, "B"),
+      (3L, 1L, 4L, "Z")).toDF("k", "ts", "tie", "v")
+    // delta: user 1 B(10) C(11) (B merges into the open run); user 2 is new
+    val delta = Seq((1L, 10L, 5L, "B"), (1L, 11L, 6L, "C"), (2L, 5L, 7L, "X"))
+      .toDF("k", "ts", "tie", "v")
+    val baseIv = Temporal.scd2(base, "k", col("ts"), col("tie"), col("v"))
+    val got = Temporal.scd2ApplyDelta(baseIv, delta, "k",
+        col("ts"), col("tie"), col("v"))
+      .orderBy("k", "run")
+      .as[(Long, Long, String, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "A", 1L, 2L, Some(3L)),
+      (1L, 2L, "B", 3L, 2L, Some(11L)), // base B(3) + delta B(10) merged
+      (1L, 3L, "C", 11L, 1L, None),
+      (2L, 1L, "X", 5L, 1L, None),
+      (3L, 1L, "Z", 1L, 1L, None)))
+    // full-rebuild identity
+    val full = Temporal.scd2(base.unionByName(delta), "k",
+        col("ts"), col("tie"), col("v"))
+      .select(col("k"), col("run"), col("attr"), col("eff_from"),
+        col("n_rows"), col("eff_to"))
+      .orderBy("k", "run")
+      .as[(Long, Long, String, Long, Long, Option[Long])].collect().toSeq
+    assert(got === full)
+  }
+
+  test("rollingSlope: perfect line slope 1; flat 0; head frame degenerate") {
+    import graft.operators.Temporal
+    // user 1 counts per bucket 0..4 = [1,2,3,4,5]: every >=2-point
+    // trailing frame of a perfect line has slope exactly 1
+    def rows(k: Long, b: Long, n: Int) = Seq.fill(n)((k, b))
+    val df = ((0 to 4).flatMap(b => rows(1L, b.toLong, b + 1)) ++
+      rows(2L, 0L, 2) ++ rows(2L, 1L, 2) ++ rows(2L, 2L, 2)).toDF("k", "b")
+    val out = Temporal.rollingSlope(df, "k", col("b"))
+      .select("k", "b", "slope").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 0L)) === 0.0) // n=1, den=0
+    (1 to 4).foreach(b => assert(out((1L, b.toLong)) === 1.0, s"b$b"))
+    (1 to 2).foreach(b => assert(out((2L, b.toLong)) === 0.0, s"flat b$b"))
+  }
+
   test("streaks: islands split exactly at gaps; singleton and duplicate buckets") {
     import graft.operators.Temporal
     // user 1 active buckets {0,1,2, 5,6, 9} -> 6 active, 3 streaks, max 3
