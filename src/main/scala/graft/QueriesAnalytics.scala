@@ -433,6 +433,30 @@ object QueriesAnalytics {
     * replicate to ≤ 2 week-buckets each and meet only inside a bucket
     * (RangeJoin.overlapSelfBucketed keeps exactly the canonical bucket,
     * so no distinct pass is needed). */
+  /** join_box_2d: 2-D ε-range self-join on part
+    * ([[graft.operators.BoxJoin.selfJoin2d]]): all pairs with
+    * |Δretailprice| ≤ 2.0 AND |Δsize| ≤ 1 — the two-simultaneous-
+    * dimensions range join a sort-merge band cannot bound; grid-cell
+    * decomposition (3×3 neighborhood replication) keeps candidate mass
+    * Σ 9·|cell|², dup-free without distinct. The oracle is the naive
+    * theta self-join (DuckDB's IEJoin handles it at fixture scale). */
+  val joinBox2d: Q = (s, dir) =>
+    graft.operators.BoxJoin.selfJoin2d(Tables.part(s, dir),
+        "p_partkey", "p_retailprice", "p_size", epsX = 2.0, epsY = 1.0)
+      .orderBy("a_id", "b_id")
+
+  val joinBox2dSql =
+    """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+      |  abs(a.p_retailprice - b.p_retailprice) AS dx,
+      |  abs(CAST(a.p_size AS DOUBLE) - CAST(b.p_size AS DOUBLE)) AS dy
+      |FROM part a JOIN part b
+      |  ON a.p_partkey < b.p_partkey
+      | AND abs(a.p_retailprice - b.p_retailprice) <= 2.0
+      | AND abs(CAST(a.p_size AS DOUBLE) - CAST(b.p_size AS DOUBLE)) <= 1.0
+      |WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+      |  AND b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+      |ORDER BY a_id, b_id""".stripMargin
+
   val joinIntervalBucketed: Q = (s, dir) => {
     val base = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
@@ -2073,6 +2097,7 @@ object QueriesAnalytics {
     "sample_reservoir" -> sampleReservoir,
     "join_bloom" -> joinBloom,
     "join_interval_bucketed" -> joinIntervalBucketed,
+    "join_box_2d" -> joinBox2d,
     "vec_quantize_int8" -> vecQuantizeInt8,
     "vec_project_rp" -> vecProjectRp,
     "vec_centroids" -> vecCentroids,
@@ -2131,6 +2156,7 @@ object QueriesAnalytics {
     "sample_reservoir" -> sampleReservoirSql,
     "join_bloom" -> joinBloomSql,
     "join_interval_bucketed" -> joinIntervalBucketedSql,
+    "join_box_2d" -> joinBox2dSql,
     "vec_quantize_int8" -> vecQuantizeInt8Sql,
     "vec_project_rp" -> vecProjectRpSql,
     "vec_centroids" -> vecCentroidsSql,

@@ -57,6 +57,52 @@ object RangeJoin {
   }
 }
 
+/** Multidimensional box (ε-range) self-join by GRID-CELL decomposition —
+  * the 2-D generalization of [[RangeJoin.overlapSelfBucketed]]'s
+  * bucketing: all pairs with |Δx| ≤ εx AND |Δy| ≤ εy. The spatial-join /
+  * blocking primitive behind "near-identical records" detection when
+  * similarity is a conjunction of per-attribute tolerances.
+  *
+  * Shape: each point gets a grid cell (floor(x/εx), floor(y/εy)); a
+  * qualifying pair's cells differ by ≤ 1 per dimension, so the LEFT side
+  * replicates to its 3×3 cell neighborhood and equi-joins the
+  * unreplicated right side on the cell pair. DUP-FREE WITHOUT DISTINCT:
+  * the right point lives in exactly ONE cell and each left replica
+  * targets each cell at most once, so a pair meets exactly once; the
+  * id < id guard orients it. Candidate mass is Σ_cells 9·|cell|² — the
+  * grid bounds it the way a sort-merge band join cannot for two
+  * simultaneous dimensions. The 9× replication ships (id, x, y, cell)
+  * only. One co-keyed exchange per side; the exact box filter runs
+  * before any output materializes. */
+object BoxJoin {
+  def selfJoin2d(df: DataFrame, idCol: String, xCol: String, yCol: String,
+      epsX: Double, epsY: Double): DataFrame = {
+    require(epsX > 0 && epsY > 0, "box tolerances must be positive")
+    val pts = df.select(col(idCol).as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("cx", floor(col("x") / epsX).cast("long"))
+      .withColumn("cy", floor(col("y") / epsY).cast("long"))
+    val offsets = for (i <- -1 to 1; j <- -1 to 1)
+      yield struct(lit(i.toLong).as("dx"), lit(j.toLong).as("dy"))
+    val repl = pts.select(col("id").as("a_id"), col("x").as("ax"),
+        col("y").as("ay"), explode(array(offsets: _*)).as("o"),
+        col("cx"), col("cy"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+    repl.join(
+        pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+          col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(col("ax") - col("bx")) <= epsX &&
+        abs(col("ay") - col("by")) <= epsY)
+      .select(col("a_id"), col("b_id"),
+        abs(col("ax") - col("bx")).as("dx"),
+        abs(col("ay") - col("by")).as("dy"))
+  }
+}
+
 object BloomJoin {
 
   /** `left SEMI JOIN keys` with a Bloom pre-filter: build the sketch over

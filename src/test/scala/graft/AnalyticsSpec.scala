@@ -129,6 +129,23 @@ class AnalyticsSpec extends SparkTestBase {
     assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty)
   }
 
+  test("boxJoin2d: equals the brute-force box predicate; cell-boundary pairs found once") {
+    import graft.operators.BoxJoin
+    // points straddling cell boundaries in both dims (eps 2.0 / 1.0):
+    // cells at x=1.9|2.1 differ, y=0.9|1.1 differ — neighbors must catch
+    val pts = Seq((1L, 1.9, 0.9), (2L, 2.1, 1.1), (3L, 3.8, 1.9),
+      (4L, 10.0, 5.0), (5L, 2.0, 1.0), (6L, 1.0, 3.0))
+    val df = pts.toDF("id", "x", "y")
+    val got = BoxJoin.selfJoin2d(df, "id", "x", "y", epsX = 2.0, epsY = 1.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    val want = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b && math.abs(ax - bx) <= 2.0 && math.abs(ay - by) <= 1.0
+    } yield (a, b)).sorted
+    assert(got === want, s"got $got want $want")
+    assert(got.nonEmpty && got.distinct === got, "dup-free without distinct")
+  }
+
   test("overlapSelfBucketed: interval length not a multiple of the bucket") {
     val iv = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 25L)).toDF("id", "s")
     // len=11: [0,11) x [9,20) overlap; [9,20) x [10,21) overlap; 25 alone
