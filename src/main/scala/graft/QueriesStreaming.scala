@@ -612,6 +612,45 @@ object QueriesStreaming {
       .orderBy("event_type", "bucket")
   }
 
+  /** stream_scd2_live: live SCD-2 dimension-history building —
+    * [[graft.streaming.StreamOps.scd2Live]] (fMGWS; each user's open
+    * run carried in keyed state) through the streaming engine. The
+    * emitted set is every CLOSED interval = the batch `scd2` rebuild
+    * minus each user's final (still-open) run — a deterministic
+    * function of the time-ordered feed, so DuckDB recomputes it with
+    * the `stream_stateful_live` "all but each user's last" trick.
+    * Completes the incremental-SCD2 story: `scd2_incremental` is the
+    * batch-delta refresh, this is the per-event live form. */
+  val streamScd2Live: Q = (s, dir) => withFewPartitions(s) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val iv = StreamOps.scd2Live(in.toDS())
+    val sink = "stream_scd2_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      iv.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(sink))
+    try {
+      if (benchFast) { // schedule-independent emitted set (oracle doc)
+        in.addData(b1 ++ b2); q.processAllAvailable()
+      } else {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2) // boundary-spanning runs close here, from state
+        q.processAllAvailable()
+      }
+    } finally stopAndClean(q, ckpt)
+    s.table(sink)
+      .select(col("user_id"), col("run"), col("event_type"),
+        col("eff_from"), col("eff_to"), col("n_rows"))
+      .orderBy("user_id", "run")
+  }
+
   /** stream_topk_live: live "trending now" — the per-hour top-2 event
     * types by count, maintained through the streaming engine (complete-
     * mode hourly counts across two batches; the rank over the emitted
@@ -659,6 +698,7 @@ object QueriesStreaming {
     "stream_ewma_live" -> streamEwmaLive,
     "stream_changepoint_live" -> streamChangepointLive,
     "stream_topk_live" -> streamTopkLive,
+    "stream_scd2_live" -> streamScd2Live,
     "stream_markov_live" -> streamMarkovLive,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
@@ -745,6 +785,25 @@ object QueriesStreaming {
       |    * 100000000 + 0.5) / 100000000 AS p
       |FROM t WINDOW w AS (PARTITION BY prev_state)
       |ORDER BY prev_state, next_state""".stripMargin,
+    "stream_scd2_live" -> s"""$sliceCte,
+      |c AS (SELECT user_id, ms, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |r AS (SELECT user_id, ms, event_id, event_type,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      |  FROM c),
+      |runs AS (SELECT user_id, run, min(event_type) AS event_type,
+      |    min(ms) AS eff_from, count(*) AS n_rows
+      |  FROM r GROUP BY 1, 2),
+      |iv AS (SELECT user_id, run, event_type, eff_from,
+      |    lead(eff_from) OVER (PARTITION BY user_id ORDER BY run) AS eff_to,
+      |    n_rows
+      |  FROM runs)
+      |SELECT user_id, run, event_type, eff_from,
+      |  CAST(eff_to AS BIGINT) AS eff_to, CAST(n_rows AS BIGINT) AS n_rows
+      |FROM iv WHERE eff_to IS NOT NULL ORDER BY user_id, run""".stripMargin,
     "stream_topk_live" -> s"""$sliceCte,
       |b AS (SELECT (ms // 3600000) * 3600 AS bucket, event_type,
       |    count(*) AS n_events

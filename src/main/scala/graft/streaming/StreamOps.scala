@@ -196,6 +196,49 @@ object StreamOps {
       }
   }
 
+  case class ScdInterval(user_id: Long, run: Long, event_type: String,
+    eff_from: Long, eff_to: Long, n_rows: Long)
+  case class ScdOpen(run: Long, attr: String, effFrom: Long, nRows: Long)
+
+  /** Live SCD-2 interval building — the streaming form of
+    * [[graft.operators.Temporal.scd2]]: each user's OPEN run (index,
+    * value, start, row count) rides keyed state across batches; a
+    * value change EMITS the closed interval `[eff_from, eff_to)` and
+    * opens the next run. Emitted set = every CLOSED interval — a pure
+    * function of the time-ordered feed, independent of batch cuts
+    * (a boundary-spanning run stays in state and closes later or
+    * never), which is what makes the harness oracle-gateable.
+    * Timestamps in the harness's ms domain.
+    *
+    * Same NoTimeout contract as [[transitions]]: state is one small
+    * case class per user; production deployments bound it with an
+    * event-time timeout (the [[sessionScores]] recipe). */
+  def scd2Live(events: Dataset[Event]): Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdOpen, ScdInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[ScdOpen]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var open = state.getOption
+          val out = List.newBuilder[ScdInterval]
+          for (e <- sorted) {
+            open match {
+              case Some(o) if o.attr == e.event_type =>
+                open = Some(o.copy(nRows = o.nRows + 1))
+              case Some(o) =>
+                out += ScdInterval(userId, o.run, o.attr, o.effFrom,
+                  e.ts.getTime, o.nRows)
+                open = Some(ScdOpen(o.run + 1, e.event_type, e.ts.getTime, 1L))
+              case None =>
+                open = Some(ScdOpen(1L, e.event_type, e.ts.getTime, 1L))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Open a parquet directory as a stream (the batch tables replayed as a
     * stream for tests and backfills). */
   def parquetStream(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,

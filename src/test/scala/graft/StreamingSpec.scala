@@ -357,6 +357,30 @@ class StreamingSpec extends SparkTestBase {
     assert(live.map(_._3).sum === nEvents - nUsers)
   }
 
+  test("stream_scd2_live ≡ batch scd2 minus each user's open run; boundary runs close from state") {
+    val live = QueriesStreaming.all("stream_scd2_live")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val slice = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(16L)) === lit(0L))
+      .select(col("user_id"), expr("ts div 1000000").as("ms"),
+        col("event_id"), col("event_type"))
+    val batch = graft.operators.Temporal.scd2(slice, "user_id",
+        col("ms"), col("event_id"), col("event_type"))
+      .filter(col("eff_to").isNotNull) // the open tail stays in state
+      .select(col("user_id"), col("run"), col("attr"), col("eff_from"),
+        col("eff_to"), col("n_rows"))
+      .orderBy("user_id", "run")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(live === batch)
+    // every user contributes exactly (runs − 1) closed intervals
+    val nRuns = graft.operators.Temporal.scd2(slice, "user_id",
+      col("ms"), col("event_id"), col("event_type")).count()
+    val nUsers = slice.select("user_id").distinct().count()
+    assert(live.size.toLong === nRuns - nUsers)
+  }
+
   test("bench-fast replay (one batch, 2 partitions) is result-identical for ALL live harnesses") {
     // graft.Bench sets -Dgraft.bench.fast=1 to trim the replay harnesses'
     // micro-batch fixed cost; this guard pins the claim that the trim
@@ -371,7 +395,7 @@ class StreamingSpec extends SparkTestBase {
       "stream_stateful_live", "stream_watermark_late",
       "stream_restart_exactly_once", "stream_anomaly_live",
       "stream_changepoint_live", "stream_markov_live", "stream_ewma_live",
-      "stream_topk_live")
+      "stream_topk_live", "stream_scd2_live")
     for (n <- names) {
       val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
       System.setProperty("graft.bench.fast", "1")
