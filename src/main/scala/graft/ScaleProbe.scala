@@ -46,7 +46,9 @@ object ScaleProbe {
     // round-9 session-7 additions
     "graph_clustering_coeff", "graph_assortativity", "text_tfidf_keywords",
     "agg_mad", "dq_benford", "ts_rolling_median", "ts_outlier_mad",
-    "text_hash_features",
+    "text_hash_features", "curate_source_entropy", "graph_gini_degree",
+    "graph_reciprocity", "seq_streaks", "eval_retrieval_mrr",
+    "text_zipf_fit", "scd2_incremental", "ts_rolling_slope", "join_box_2d",
     // embeddings (4× span): clustering + spectral family
     "cluster_kmeans", "curate_cluster_balance", "vec_top_pc",
     "vec_whiten_resid", "vec_pq_codes", "vec_pq_search", "vec_ivf_pq_search",
