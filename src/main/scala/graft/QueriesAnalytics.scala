@@ -1746,6 +1746,39 @@ object QueriesAnalytics {
       |WHERE abs(d.x - m.med) > 3 * a.mad
       |ORDER BY d.user_id, d.b""".stripMargin
 
+  /** ts_periodogram: daily-cycle DFT power per event type — harmonics
+    * 1..3 of the 24-hour period over hourly counts
+    * ([[graft.operators.Temporal.periodogram]]): the frequency-domain
+    * "how periodic and at which harmonic" beside `ts_seasonal`'s phase
+    * means. The trig tables are integer literals computed ONCE
+    * driver-side and pasted into both engines — no libm in either
+    * plan; sc/ss are merge-order-proof BIGINT. */
+  val tsPeriodogram: Q = (s, dir) =>
+    Temporal.periodogram(Tables.events(s, dir), col("event_type"),
+        expr("(ts div 1000) div 3600000000"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type", "k")
+
+  val tsPeriodogramSql: String = {
+    val rows = Temporal.trigMicro(24, 3)
+      .map { case (k, p, c, sn) => s"($k, $p, ${c}::BIGINT, ${sn}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH cnt AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |trig AS (SELECT * FROM (VALUES $rows) AS t(k, phase, c4, s4)),
+       |j AS (SELECT c.event_type, t.k,
+       |    CAST(sum(c.x * t.c4) AS BIGINT) AS sc,
+       |    CAST(sum(c.x * t.s4) AS BIGINT) AS ss
+       |  FROM cnt c JOIN trig t ON t.phase = c.b % 24
+       |  GROUP BY 1, 2)
+       |SELECT event_type, k, sc, ss,
+       |  ${graft.functions.Num.r8Sql(
+      "(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)" +
+        " + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / 100000000.0")} AS power
+       |FROM j ORDER BY event_type, k""".stripMargin
+  }
+
   /** seq_streaks: per-user activity-streak summary over 6-hour buckets
     * ([[graft.operators.Temporal.streaks]]) — total active buckets,
     * number of maximal consecutive runs, longest run: the engagement
@@ -2086,6 +2119,7 @@ object QueriesAnalytics {
     "ts_rolling_median" -> tsRollingMedian,
     "ts_outlier_mad" -> tsOutlierMad,
     "seq_streaks" -> seqStreaks,
+    "ts_periodogram" -> tsPeriodogram,
     "ts_crosscorr" -> tsCrosscorr,
     "seq_markov" -> seqMarkov,
     "rollup_incremental" -> rollupIncremental,
@@ -2145,6 +2179,7 @@ object QueriesAnalytics {
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_outlier_mad" -> tsOutlierMadSql,
     "seq_streaks" -> seqStreaksSql,
+    "ts_periodogram" -> tsPeriodogramSql,
     "ts_crosscorr" -> tsCrosscorrSql,
     "seq_markov" -> seqMarkovSql,
     "rollup_incremental" -> rollupIncrementalSql,

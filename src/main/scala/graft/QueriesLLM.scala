@@ -1684,6 +1684,38 @@ object QueriesLLM {
       |      FROM documents) t
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** sketch_cms_counts: Count-Min frequency estimates of the event-type
+    * counts — the fourth sketch family member (HLL = distinct,
+    * SpaceSaving = top-k, MinHash = similarity, CMS = point frequency),
+    * via Spark's `count_min_sketch` aggregate (seeded ⇒ deterministic
+    * under any row order — counter adds commute). ORACLE-GATED in the
+    * exact regime, the `multimodal_dedup` argument: with 5 distinct keys
+    * in a 20 001-wide sketch an overestimate needs a collision in EVERY
+    * depth row (p ≈ 10⁻²⁶) — a collision would FAIL the gate, not hide.
+    * The estimate query is a bounded ONE-ROW sketch fetch + 5 driver
+    * lookups (the type domain is a literal); at 100 TB the sketch is
+    * the mergeable fixed-width state, the scan is the only data pass. */
+  val sketchCmsCounts: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val skBytes = ev
+      .agg(expr("count_min_sketch(event_type, 0.0001d, 0.999d, 42)").as("sk"))
+      .head().getAs[Array[Byte]](0) // one fixed-width row by construction
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val est = types.map(t => (t, cms.estimateCount(t))).toDF("event_type", "est")
+    Tables.events(s, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(est), "event_type")
+      .select(col("event_type"), col("n_exact"), col("est"))
+      .orderBy("event_type")
+  }
+
+  val sketchCmsCountsSql =
+    """SELECT event_type, count(*) AS n_exact, count(*) AS est
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** text_langid: Cavnar-Trenkle trigram-profile classifier trained on the
     * labeled fixture itself (rows-only; accuracy asserted in LangIdSpec). */
   val textLangid: Q = (s, dir) =>
@@ -2898,6 +2930,7 @@ object QueriesLLM {
     "sketch_source_sim_exact" -> sketchSourceSimExact,
     "sketch_hll_union" -> sketchHllUnion,
     "sketch_hll_union_exact" -> sketchHllUnionExact,
+    "sketch_cms_counts" -> sketchCmsCounts,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_lsh_twins" -> simAnnLshTwins,
     "sim_ann_multiprobe" -> simAnnMultiprobe,
@@ -2977,6 +3010,7 @@ object QueriesLLM {
     "dedup_simhash_exact" -> dedupSimhashExactSql,
     "sketch_source_sim_exact" -> sketchSourceSimExactSql,
     "sketch_hll_union_exact" -> sketchHllUnionExactSql,
+    "sketch_cms_counts" -> sketchCmsCountsSql,
     "sim_ann_lsh_twins" -> simAnnTwinsSql,
     "sim_ann_multiprobe_twins" -> simAnnTwinsSql,
     "sim_ann_ivf_twins" -> simAnnTwinsSql,

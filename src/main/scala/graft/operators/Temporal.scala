@@ -414,6 +414,54 @@ object Temporal {
       (num.cast("double") / lit((1L << lags).toDouble)).as("ewma"))
   }
 
+  /** Fixed-period periodogram — per group, the DFT power of its
+    * bucket-count series at harmonics k = 1..`harmonics` of a known
+    * period P (daily cycle over hourly buckets: P = 24): "HOW periodic
+    * is this series and at which harmonic", the frequency-domain
+    * summary beside [[seasonalResiduals]]' phase means and
+    * [[autocovScaled]]'s lag view.
+    *
+    * Exactness: the angle depends only on (k, bucket mod P), so the
+    * cos/sin tables are `harmonics`·P INTEGER literals quantized ONCE
+    * driver-side ([[trigMicro]]) and pasted into BOTH engines — no libm
+    * in either plan; sc_k = Σ x·cosμ and ss_k = Σ x·sinμ are
+    * merge-order-proof BIGINT (missing buckets add 0 — no dense grid
+    * needed); power = (sc² + ss²)/10⁸ is a fixed 3-op IEEE chain on
+    * exact-in-double longs (|sc| < 2⁵³), r8-gridded.
+    *
+    * Scale shape: ONE map-side-combined (group, bucket) count shuffle;
+    * the trig table joins as a P·harmonics-row broadcast on the phase;
+    * the final aggregate is groups × harmonics rows. */
+  def periodogram(events: DataFrame, group: Column, bucket: Column,
+      period: Int = 24, harmonics: Int = 3): DataFrame = {
+    require(period >= 2 && harmonics >= 1 && harmonics < period)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trig = trigMicro(period, harmonics).toDF("k", "phase", "c4", "s4")
+    val counts = events.select(group.as("grp"), bucket.as("b"))
+      .groupBy("grp", "b").agg(count(lit(1)).as("x"))
+      .withColumn("phase", pmod(col("b"), lit(period.toLong)))
+    counts.join(broadcast(trig), "phase")
+      .groupBy("grp", "k")
+      .agg(sum(col("x") * col("c4")).as("sc"), sum(col("x") * col("s4")).as("ss"))
+      .select(col("grp"), col("k"), col("sc"), col("ss"),
+        graft.functions.Num.r8(
+          (col("sc").cast("double") * col("sc").cast("double")
+            + col("ss").cast("double") * col("ss").cast("double"))
+            / 100000000.0).as("power"))
+  }
+
+  /** floor(cos/sin(2πk·p/P)·10⁴ + 0.5) for k = 1..H, p = 0..P−1 —
+    * computed once here, interpolated verbatim into the oracle SQL so
+    * both engines share the exact same integer trig tables. */
+  def trigMicro(period: Int, harmonics: Int): Seq[(Int, Long, Long, Long)] =
+    for (k <- 1 to harmonics; p <- 0 until period) yield {
+      val a = 2.0 * math.Pi * k * p / period
+      (k, p.toLong,
+        math.floor(math.cos(a) * 1e4 + 0.5).toLong,
+        math.floor(math.sin(a) * 1e4 + 0.5).toLong)
+    }
+
   /** Longest-activity-streak summary per key — for each key, over the
     * set of buckets with ≥1 event: total active buckets, number of
     * maximal consecutive runs (streaks), and the longest run. The

@@ -518,6 +518,40 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("periodogram: planted daily sinusoid concentrates power at k=1; brute-force sums") {
+    import graft.operators.Temporal
+    // two days of hourly counts x(p) = 10 + round(5 cos(2π p/24))
+    def amp(p: Int) = 10 + math.round(5 * math.cos(2 * math.Pi * p / 24)).toInt
+    val rows = for (d <- 0 to 1; p <- 0 until 24; _ <- 1 to amp(p))
+      yield ("a", (d * 24 + p).toLong)
+    val df = rows.toDF("g", "b")
+    val out = Temporal.periodogram(df, col("g"), col("b"))
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // brute-force replay on the same integer trig tables
+    val trig = Temporal.trigMicro(24, 3)
+      .map { case (k, p, c, s) => (k, p) -> ((c, s)) }.toMap
+    val x = (0L to 47L).map(b => b -> amp((b % 24).toInt).toLong).toMap
+    for (k <- 1 to 3) {
+      val sc = x.map { case (b, n) => n * trig((k, b % 24))._1 }.sum
+      val ss = x.map { case (b, n) => n * trig((k, b % 24))._2 }.sum
+      val power = math.floor((sc.toDouble * sc + ss.toDouble * ss)
+        / 1e8 * 1e8 + 0.5) / 1e8
+      assert(out(k) === ((sc, ss, power)), s"harmonic $k")
+    }
+    // the planted frequency dominates its harmonics by orders of magnitude
+    assert(out(1)._3 > 100 * out(2)._3 && out(1)._3 > 100 * out(3)._3)
+  }
+
+  test("sketch_cms_counts: exact regime — estimates equal true counts, repeatably") {
+    val a = QueriesLLM.all("sketch_cms_counts")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(a.nonEmpty && a.forall { case (_, exact, est) => est === exact })
+    val b = QueriesLLM.all("sketch_cms_counts")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(a === b) // seeded sketch: deterministic under re-run
+  }
+
   test("scd2ApplyDelta: hand case covers merge/close/new-key; fixture ≡ full rebuild") {
     import graft.operators.Temporal
     // base: user 1 A(1) A(2) B(3); user 3 Z(1) — user 3 untouched by delta
