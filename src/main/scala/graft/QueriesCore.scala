@@ -862,6 +862,70 @@ object QueriesCore {
       |WHERE l.l_quantity IS NOT NULL
       |GROUP BY m.l_returnflag, m.med ORDER BY m.l_returnflag""".stripMargin
 
+  /** agg_moments: population skewness and excess kurtosis per group from
+    * EXACT integer power sums — the 3rd/4th-moment family beside
+    * `agg_stats`' second moments, computed the cross-engine-safe way:
+    * l_quantity is integral-valued, so Σx, Σx², Σx³, Σx⁴ are exact
+    * BIGINTs (x⁴ ≤ 50⁴·rows ≪ 2⁶³) aggregated with constant-size
+    * mergeable buffers, and the central-moment chain
+    * m_k = E[(x−μ)^k] expands into ONE fixed IEEE expression per
+    * statistic on exact-in-double longs, r4-gridded. Built-in
+    * `skewness`/`kurtosis` are NOT used: engines disagree on
+    * sample-vs-population corrections and float partial-merge order —
+    * the power-sum route sidesteps both. */
+  val aggMoments: Q = (s, dir) => {
+    val x = col("l_quantity").cast("long")
+    val n = col("n").cast("double")
+    val (s1, s2, s3, s4) = (col("s1").cast("double"), col("s2").cast("double"),
+      col("s3").cast("double"), col("s4").cast("double"))
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+      lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity").isNotNull)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        r4(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+        r4(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggMomentsSql =
+    """WITH p AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS BIGINT) AS s2,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      |      AS BIGINT) AS s4
+      |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n, s1, s2, s3, s4,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+      |    CAST(s4 AS DOUBLE) AS s4d
+      |  FROM p),
+      |c AS (
+      |  SELECT l_returnflag, n, s1, s2, s3, s4,
+      |    s2d / nd - mu * mu AS m2,
+      |    s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu AS m3,
+      |    s4d / nd - 4.0 * mu * (s3d / nd) + 6.0 * mu * mu * (s2d / nd)
+      |      - 3.0 * mu * mu * mu * mu AS m4
+      |  FROM m)
+      |SELECT l_returnflag, n, s1, s2, s3, s4,
+      |  floor((m3 / sqrt(m2 * m2 * m2)) * 10000 + 0.5) / 10000 AS skewness,
+      |  floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5) / 10000 AS kurtosis
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
   /** agg_stats: the second-moment statistic family — correlation,
     * covariance (sample + population), stddev, variance — all Spark
     * built-ins with mergeable constant-size buffers (partial+final,
@@ -1463,6 +1527,49 @@ object QueriesCore {
       |  count(*) AS n_orders, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
       |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin
 
+  /** fn_geo: great-circle (haversine) distance — the geospatial scalar
+    * every location-bearing dataset needs, over synthetic coordinates
+    * derived from the keys (the fixture has no geo columns; the POINT is
+    * the function). Degrees→radians uses the explicit double literal
+    * π/180 on BOTH engines (their `radians()` could differ in rounding);
+    * the sin/cos/asin/sqrt chain is structurally identical and libm's
+    * sub-ulp wobble (≤ 10⁻¹¹ km here) is absorbed by the r4 grid — the
+    * `agg_stats` contract. Pure narrow projection: fuses into the scan. */
+  val fnGeo: Q = (s, dir) => {
+    val rad = lit(0.017453292519943295) // π/180, the shared double literal
+    val latA = (col("c_custkey") % 180 - 90).cast("double")
+    val lonA = (col("c_custkey") % 360 - 180).cast("double")
+    val latB = ((col("c_nationkey") * 7) % 180 - 90).cast("double")
+    val lonB = ((col("c_nationkey") * 13) % 360 - 180).cast("double")
+    val dphi2 = (latB - latA) * rad / lit(2.0)
+    val dlam2 = (lonB - lonA) * rad / lit(2.0)
+    val h = sin(dphi2) * sin(dphi2) +
+      cos(latA * rad) * cos(latB * rad) * (sin(dlam2) * sin(dlam2))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), latA.as("lat_a"), lonA.as("lon_a"),
+        latB.as("lat_b"), lonB.as("lon_b"),
+        r4(lit(2.0 * 6371.0) * asin(sqrt(h))).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
+  val fnGeoSql =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat_a,
+      |    CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon_a,
+      |    CAST((c_nationkey * 7) % 180 - 90 AS DOUBLE) AS lat_b,
+      |    CAST((c_nationkey * 13) % 360 - 180 AS DOUBLE) AS lon_b
+      |  FROM customer)
+      |SELECT c_custkey, lat_a, lon_a, lat_b, lon_b,
+      |  floor((12742.0 * asin(sqrt(
+      |    sin((lat_b - lat_a) * 0.017453292519943295 / 2.0)
+      |      * sin((lat_b - lat_a) * 0.017453292519943295 / 2.0)
+      |    + cos(lat_a * 0.017453292519943295) * cos(lat_b * 0.017453292519943295)
+      |      * (sin((lon_b - lon_a) * 0.017453292519943295 / 2.0)
+      |         * sin((lon_b - lon_a) * 0.017453292519943295 / 2.0))
+      |  ))) * 10000 + 0.5) / 10000 AS dist_km
+      |FROM c ORDER BY c_custkey""".stripMargin
+
   val fnMath: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -1745,6 +1852,8 @@ object QueriesCore {
     "agg_weighted_median" -> aggWeightedMedian,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_mad" -> aggMad,
+    "agg_moments" -> aggMoments,
+    "fn_geo" -> fnGeo,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
     "agg_bool" -> aggBool,
@@ -1832,6 +1941,8 @@ object QueriesCore {
     "agg_weighted_median" -> aggWeightedMedianSql,
     "agg_percentile_disc" -> aggPercentileDiscSql,
     "agg_mad" -> aggMadSql,
+    "agg_moments" -> aggMomentsSql,
+    "fn_geo" -> fnGeoSql,
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,
     "agg_bool" -> aggBoolSql,

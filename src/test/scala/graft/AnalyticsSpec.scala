@@ -518,6 +518,45 @@ class AnalyticsSpec extends SparkTestBase {
     assert(g2 === Seq((3L, 3L, 3L, 9999.0, 0.33333333)), g2.toString)
   }
 
+  test("agg_moments: power-sum chain matches a driver replay; symmetric data skew 0") {
+    val out = QueriesCore.all("agg_moments")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    val qty = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    out.foreach { case (flag, n, s1, s2, s3, s4, skew, kurt) =>
+      val xs = qty(flag).map(_._2.toLong)
+      assert(n === xs.length.toLong && s1 === xs.sum)
+      assert(s2 === xs.map(x => x * x).sum && s4 === xs.map(x => x * x * x * x).sum)
+      val (nd, mu) = (n.toDouble, s1.toDouble / n.toDouble)
+      val m2 = s2.toDouble / nd - mu * mu
+      val m3 = s3.toDouble / nd - 3.0 * mu * (s2.toDouble / nd) + 2.0 * mu * mu * mu
+      val m4 = s4.toDouble / nd - 4.0 * mu * (s3.toDouble / nd) +
+        6.0 * mu * mu * (s2.toDouble / nd) - 3.0 * mu * mu * mu * mu
+      assert(skew === math.floor(m3 / math.sqrt(m2 * m2 * m2) * 1e4 + 0.5) / 1e4)
+      assert(kurt === math.floor((m4 / (m2 * m2) - 3.0) * 1e4 + 0.5) / 1e4)
+      // l_quantity is ~uniform on [1,50]: near-zero skew, platykurtic
+      assert(math.abs(skew) < 0.2 && kurt < 0.0, s"$flag skew $skew kurt $kurt")
+    }
+  }
+
+  test("fn_geo: haversine matches a driver replay; same-point distance is 0") {
+    val out = QueriesCore.all("fn_geo")(spark, sf)
+      .as[(Long, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val rad = 0.017453292519943295
+    out.foreach { case (_, la, lo, lb, lx, d) =>
+      val sp = math.sin((lb - la) * rad / 2.0); val sl = math.sin((lx - lo) * rad / 2.0)
+      val h = sp * sp + math.cos(la * rad) * math.cos(lb * rad) * (sl * sl)
+      val want = math.floor(12742.0 * math.asin(math.sqrt(h)) * 1e4 + 0.5) / 1e4
+      assert(d === want)
+      assert(d >= 0.0 && d <= 20015.1)
+      if (la == lb && lo == lx) assert(d === 0.0)
+    }
+  }
+
   test("periodogram: planted daily sinusoid concentrates power at k=1; brute-force sums") {
     import graft.operators.Temporal
     // two days of hourly counts x(p) = 10 + round(5 cos(2π p/24))
