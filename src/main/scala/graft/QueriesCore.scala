@@ -862,6 +862,48 @@ object QueriesCore {
       |WHERE l.l_quantity IS NOT NULL
       |GROUP BY m.l_returnflag, m.med ORDER BY m.l_returnflag""".stripMargin
 
+  /** agg_winsorized_mean: mean of values CLAMPED to the group's exact
+    * [p05, p95] discrete percentiles — the third robust-statistics
+    * member beside `agg_mad` (winsorizing caps tail influence where
+    * trimming discards it). The cut points are
+    * [[graft.operators.Percentiles.exactDiscrete]] data-value picks
+    * (the gated ceil(p·n) rule); the clamped values are integral, so
+    * sum_w is exact BIGINT and the mean is ONE r8 IEEE division. Two
+    * passes (the clamp needs the first pass's cuts), each
+    * O(distinct)-memory; cuts attach by a |groups|-row join. */
+  val aggWinsorizedMean: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity").isNotNull)
+    val cuts = graft.operators.Percentiles.exactDiscrete(
+      li, "l_quantity", Seq("l_returnflag"), Seq("p05" -> 0.05, "p95" -> 0.95))
+    li.join(cuts, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p05"), col("p95"),
+        greatest(col("p05"), least(col("p95"), col("l_quantity")))
+          .cast("long").as("w"))
+      .groupBy("l_returnflag", "p05", "p95")
+      .agg(count(lit(1)).as("n"), sum("w").as("sum_w"))
+      .select(col("l_returnflag"), col("n"), col("p05"), col("p95"),
+        col("sum_w"),
+        graft.functions.Num.r8(col("sum_w").cast("double")
+          / col("n").cast("double")).as("wmean"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggWinsorizedMeanSql =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    quantile_disc(l_quantity, 0.05) AS p05,
+      |    quantile_disc(l_quantity, 0.95) AS p95
+      |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, count(*) AS n, c.p05, c.p95,
+      |  CAST(sum(CAST(greatest(c.p05, least(c.p95, l.l_quantity)) AS BIGINT))
+      |    AS BIGINT) AS sum_w,
+      |  floor(CAST(sum(CAST(greatest(c.p05, least(c.p95, l.l_quantity))
+      |      AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    * 100000000 + 0.5) / 100000000 AS wmean
+      |FROM lineitem l JOIN c ON c.l_returnflag = l.l_returnflag
+      |WHERE l.l_quantity IS NOT NULL
+      |GROUP BY l.l_returnflag, c.p05, c.p95 ORDER BY l.l_returnflag""".stripMargin
+
   /** agg_moments: population skewness and excess kurtosis per group from
     * EXACT integer power sums — the 3rd/4th-moment family beside
     * `agg_stats`' second moments, computed the cross-engine-safe way:
@@ -1853,6 +1895,7 @@ object QueriesCore {
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_mad" -> aggMad,
     "agg_moments" -> aggMoments,
+    "agg_winsorized_mean" -> aggWinsorizedMean,
     "fn_geo" -> fnGeo,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
@@ -1942,6 +1985,7 @@ object QueriesCore {
     "agg_percentile_disc" -> aggPercentileDiscSql,
     "agg_mad" -> aggMadSql,
     "agg_moments" -> aggMomentsSql,
+    "agg_winsorized_mean" -> aggWinsorizedMeanSql,
     "fn_geo" -> fnGeoSql,
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,

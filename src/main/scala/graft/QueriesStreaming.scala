@@ -651,6 +651,42 @@ object QueriesStreaming {
       .orderBy("user_id", "run")
   }
 
+  /** stream_funnel_live: live signup→purchase conversion tracking —
+    * [[graft.streaming.StreamOps.funnelLive]] (fMGWS; first-signup ts +
+    * converted flag in keyed state) through the streaming engine. The
+    * emitted set equals the batch funnel's converted rows under the
+    * time-ordered feed — a conversion spanning the batch cut emits in
+    * batch 2 from state, exactly once — so DuckDB recomputes it from
+    * the 1/16 slice. The live form of `funnel_steps`. */
+  val streamFunnelLive: Q = (s, dir) => withFewPartitions(s) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val in = MemoryStream[StreamOps.Event]
+    val conv = StreamOps.funnelLive(in.toDS(), "signup", "purchase")
+    val sink = "stream_funnel_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      conv.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(sink))
+    try {
+      if (benchFast) { // schedule-independent emitted set (oracle doc)
+        in.addData(b1 ++ b2); q.processAllAvailable()
+      } else {
+        in.addData(b1); q.processAllAvailable()
+        in.addData(b2) // cut-spanning conversions emit here, from state
+        q.processAllAvailable()
+      }
+    } finally stopAndClean(q, ckpt)
+    s.table(sink)
+      .select(col("user_id"), col("a_ts"), col("b_ts"))
+      .orderBy("user_id")
+  }
+
   /** stream_topk_live: live "trending now" — the per-hour top-2 event
     * types by count, maintained through the streaming engine (complete-
     * mode hourly counts across two batches; the rank over the emitted
@@ -699,6 +735,7 @@ object QueriesStreaming {
     "stream_changepoint_live" -> streamChangepointLive,
     "stream_topk_live" -> streamTopkLive,
     "stream_scd2_live" -> streamScd2Live,
+    "stream_funnel_live" -> streamFunnelLive,
     "stream_markov_live" -> streamMarkovLive,
     "stream_watermark_late" -> streamWatermarkLate,
     "stream_dedup_live" -> streamDedupLive,
@@ -785,6 +822,16 @@ object QueriesStreaming {
       |    * 100000000 + 0.5) / 100000000 AS p
       |FROM t WINDOW w AS (PARTITION BY prev_state)
       |ORDER BY prev_state, next_state""".stripMargin,
+    "stream_funnel_live" -> s"""$sliceCte,
+      |a AS (SELECT user_id, min(ms) AS a_ts FROM s
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |b AS (SELECT s.user_id, min(s.ms) AS b_ts
+      |  FROM s JOIN a ON a.user_id = s.user_id
+      |  WHERE s.event_type = 'purchase' AND s.ms > a.a_ts
+      |  GROUP BY s.user_id)
+      |SELECT a.user_id, a.a_ts, b.b_ts
+      |FROM a JOIN b ON b.user_id = a.user_id
+      |ORDER BY a.user_id""".stripMargin,
     "stream_scd2_live" -> s"""$sliceCte,
       |c AS (SELECT user_id, ms, event_id, event_type,
       |    CASE WHEN lag(event_type) OVER w IS NULL

@@ -239,6 +239,45 @@ object StreamOps {
       }
   }
 
+  case class Conversion(user_id: Long, a_ts: Long, b_ts: Long)
+  case class FunnelState(aTs: Long, converted: Boolean)
+
+  /** Live two-step funnel — the streaming form of
+    * [[graft.operators.Temporal.funnel]]: per user, keyed state carries
+    * the first `stepA` timestamp and a converted flag; the first `stepB`
+    * event STRICTLY after it emits one Conversion, exactly once, even
+    * when signup and purchase land in different batches. Under a
+    * time-ordered feed the emitted set equals the batch funnel's
+    * converted rows — a pure function of the feed, independent of batch
+    * cuts, which is what makes the harness oracle-gateable. Timestamps
+    * in the harness's ms domain. Same NoTimeout contract as
+    * [[transitions]]. */
+  def funnelLive(events: Dataset[Event], stepA: String, stepB: String)
+      : Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption
+          val out = List.newBuilder[Conversion]
+          for (e <- sorted) {
+            if (e.event_type == stepA && st.isEmpty)
+              st = Some(FunnelState(e.ts.getTime, converted = false))
+            else if (e.event_type == stepB)
+              st match {
+                case Some(s) if !s.converted && e.ts.getTime > s.aTs =>
+                  out += Conversion(userId, s.aTs, e.ts.getTime)
+                  st = Some(s.copy(converted = true))
+                case _ => ()
+              }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Open a parquet directory as a stream (the batch tables replayed as a
     * stream for tests and backfills). */
   def parquetStream(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,

@@ -161,6 +161,26 @@ class PercentilesSpec extends SparkTestBase {
     assert(out.getDouble(1) == disc.getDouble(1) && out.getDouble(1) == 2.0)
   }
 
+  test("agg_winsorized_mean: clamp caps the outlier's pull; plain mean unaffected inside cuts") {
+    val out = graft.QueriesCore.all("agg_winsorized_mean")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // driver replay: exact discrete cuts + clamp + integer mean
+    val qty = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    out.foreach { case (flag, n, p05, p95, sumW, wmean) =>
+      val xs = qty(flag).map(_._2).sorted
+      def disc(p: Double) = xs(math.ceil(p * xs.length).toInt - 1)
+      assert((p05, p95) === ((disc(0.05), disc(0.95))), s"$flag cuts")
+      val ws = xs.map(x => math.max(p05, math.min(p95, x)).toLong)
+      assert((n, sumW) === ((xs.length.toLong, ws.sum)), s"$flag sums")
+      assert(wmean ===
+        math.floor(ws.sum.toDouble / xs.length * 1e8 + 0.5) / 1e8, s"$flag mean")
+    }
+  }
+
   test("medianAbsDev: hand values; outlier-proof where stddev is not; NULLs ignored") {
     // group a: {1,2,3,4,100} -> med 3 (ceil(0.5*5)=3rd), devs {2,1,0,1,97}
     //   sorted {0,1,1,2,97} -> mad 1: the outlier moved MAD not at all

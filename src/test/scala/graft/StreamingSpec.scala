@@ -381,6 +381,24 @@ class StreamingSpec extends SparkTestBase {
     assert(live.size.toLong === nRuns - nUsers)
   }
 
+  test("stream_funnel_live ≡ batch funnel converted rows; cut-spanning conversions emit once") {
+    val live = QueriesStreaming.all("stream_funnel_live")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val slice = Tables.events(spark, sf)
+      .filter(pmod(col("user_id"), lit(16L)) === lit(0L))
+      .select(col("user_id"), expr("ts div 1000000").as("ms"),
+        col("event_type"))
+    val batch = graft.operators.Temporal.funnel(slice, "user_id",
+        col("ms"), col("event_type"), "signup", "purchase")
+      .filter(col("b_ts").isNotNull)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(live === batch)
+    assert(live.nonEmpty, "fixture must contain conversions")
+    assert(live.map(_._1).distinct.size === live.size, "one conversion per user")
+    live.foreach { case (_, a, b) => assert(b > a) }
+  }
+
   test("bench-fast replay (one batch, 2 partitions) is result-identical for ALL live harnesses") {
     // graft.Bench sets -Dgraft.bench.fast=1 to trim the replay harnesses'
     // micro-batch fixed cost; this guard pins the claim that the trim
@@ -395,7 +413,7 @@ class StreamingSpec extends SparkTestBase {
       "stream_stateful_live", "stream_watermark_late",
       "stream_restart_exactly_once", "stream_anomaly_live",
       "stream_changepoint_live", "stream_markov_live", "stream_ewma_live",
-      "stream_topk_live", "stream_scd2_live")
+      "stream_topk_live", "stream_scd2_live", "stream_funnel_live")
     for (n <- names) {
       val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
       System.setProperty("graft.bench.fast", "1")
