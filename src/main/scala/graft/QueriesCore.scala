@@ -875,7 +875,10 @@ object QueriesCore {
     val li = Tables.lineitem(s, dir).filter(col("l_quantity").isNotNull)
     val cuts = graft.operators.Percentiles.exactDiscrete(
       li, "l_quantity", Seq("l_returnflag"), Seq("p05" -> 0.05, "p95" -> 0.95))
-    li.join(cuts, Seq("l_returnflag"))
+    // the cuts frame is |groups| rows — explicitly the broadcast side,
+    // or AQE may shuffle the FACT on a 3-distinct-value key (measured
+    // 4.9 s at ~sf1; a 3-key exchange is the operator's one skew trap)
+    li.join(broadcast(cuts), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("p05"), col("p95"),
         greatest(col("p05"), least(col("p95"), col("l_quantity")))
           .cast("long").as("w"))
