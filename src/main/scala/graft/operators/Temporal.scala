@@ -431,7 +431,11 @@ object Temporal {
     *
     * Scale shape: ONE map-side-combined (group, bucket) count shuffle;
     * the trig table joins as a P·harmonics-row broadcast on the phase;
-    * the final aggregate is groups × harmonics rows. */
+    * the final aggregate is groups × harmonics rows.
+    *
+    * Domain: buckets must be non-negative (epoch-derived indices are).
+    * The engine's `pmod` and a SQL `%` agree there; for pre-epoch
+    * buckets a SQL mirror would need `(b % P + P) % P`. */
   def periodogram(events: DataFrame, group: Column, bucket: Column,
       period: Int = 24, harmonics: Int = 3): DataFrame = {
     require(period >= 2 && harmonics >= 1 && harmonics < period)
