@@ -2671,6 +2671,28 @@ object QueriesLLM {
       |GROUP BY doc_id % 16 HAVING count(*) >= 2
       |ORDER BY keep_id""".stripMargin
 
+  /** multimodal_phash: the DCT perceptual hash
+    * ([[graft.operators.Multimodal.pHash]]: 32×32 luma → 2-D DCT-II →
+    * 8×8 low-frequency block → median threshold) over the same rendered
+    * PNG corpus as `multimodal_dedup` — the recompression-robust member
+    * of the pHash/dHash/aHash family, with real spectral math over real
+    * decoded pixels. Same planted-class gate: identical bytes hash
+    * equal, a cross-class collision (≈16²/2⁶⁵) would FAIL the gate. */
+  val multimodalPhash: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val rendered = Multimodal.assetsFromDocuments(docs)
+      .filter(_.kind == "image")
+      .mapPartitions(_.map(a =>
+        a.copy(bytes = Multimodal.renderPng(24, 24, a.asset_id % 16),
+          meta_width = 24, meta_height = 24)))
+    Multimodal.perceptualDedupBy(rendered, Multimodal.pHash).orderBy("keep_id")
+  }
+
+  val multimodalPhashSql: String = multimodalDedupSql
+
   val multimodalResize: Q = (s, dir) => {
     import graft.operators.Multimodal
     // decode parallelism = upstream partition count (the Multimodal scale
@@ -2991,6 +3013,7 @@ object QueriesLLM {
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
     "multimodal_dedup" -> multimodalDedup,
+    "multimodal_phash" -> multimodalPhash,
     "multimodal_frames" -> multimodalFrames
   )
 
@@ -3046,6 +3069,7 @@ object QueriesLLM {
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_dedup" -> multimodalDedupSql,
+    "multimodal_phash" -> multimodalPhashSql,
     "multimodal_frames" -> multimodalFramesSql,
     "sample_hash" -> sampleHashSql,
     "sample_mixture" -> sampleMixtureSql,

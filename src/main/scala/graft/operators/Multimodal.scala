@@ -242,17 +242,101 @@ object Multimodal {
     }
   }
 
+  /** DCT perceptual hash (pHash): decode → 32×32 bilinear luma →
+    * separable 2-D DCT-II → the 8×8 low-frequency block minus the DC
+    * term → median threshold → 64-bit hash. Where [[aHash]] thresholds
+    * raw pixels against their mean (sensitive to local noise), pHash
+    * keys on the image's coarse SPECTRUM — the standard
+    * recompression-robust fingerprint (the pHash/dHash/aHash family's
+    * strongest member). Pure java.lang.Math double arithmetic on the
+    * decoded pixels — deterministic for identical bytes, which is all
+    * the planted-class gate needs. */
+  def pHash(bytes: Array[Byte]): Option[Long] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val decoded =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    decoded.map { im =>
+      val n = 32
+      val small = new java.awt.image.BufferedImage(n, n,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(im, 0, 0, n, n, null)
+      g.dispose()
+      val lum = Array.ofDim[Double](n, n)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          val rgb = small.getRGB(x, y)
+          lum(y)(x) = ((rgb >> 16) & 0xFF) * 0.299 +
+            ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114
+          x += 1
+        }
+        y += 1
+      }
+      // separable DCT-II: rows then columns, only the first 8 outputs
+      // of the second pass are needed
+      val rows = Array.ofDim[Double](n, 8)
+      var r = 0
+      while (r < n) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < n) {
+            s += lum(r)(x) * math.cos((2 * x + 1) * u * math.Pi / (2.0 * n))
+            x += 1
+          }
+          rows(r)(u) = s
+          u += 1
+        }
+        r += 1
+      }
+      val coef = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var yy = 0
+          while (yy < n) {
+            s += rows(yy)(u) * math.cos((2 * yy + 1) * v * math.Pi / (2.0 * n))
+            yy += 1
+          }
+          coef(v * 8 + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      val ac = coef.drop(1) // DC term carries brightness, not structure
+      val med = ac.sorted.apply(31)
+      ac.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > med) acc | (1L << i) else acc
+      }
+    }
+  }
+
   /** Perceptual image dedup: decode → [[aHash]] → hash-group, keeping the
     * smallest asset id per group — duplicate-GROUP report (groups of
     * ≥ 2). The decode+hash is one narrow per-partition pass over image
     * assets (bytes never shuffle — only the 8-byte hash and the id cross
     * the exchange); the group election is a single map-side-combined
     * aggregate. */
-  def perceptualDedup(assets: Dataset[Asset]): DataFrame = {
+  def perceptualDedup(assets: Dataset[Asset]): DataFrame =
+    perceptualDedupBy(assets, aHash)
+
+  /** [[perceptualDedup]] parameterized by the hash family — shared by
+    * the aHash default and the [[pHash]] variant; same narrow
+    * decode+hash pass and map-side-combined group election. */
+  def perceptualDedupBy(assets: Dataset[Asset],
+      hasher: Array[Byte] => Option[Long]): DataFrame = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "image")
       .mapPartitions { it =>
-        it.flatMap(a => aHash(a.bytes).map(h => (a.asset_id, h)))
+        it.flatMap(a => hasher(a.bytes).map(h => (a.asset_id, h)))
       }.toDF("asset_id", "ahash")
       .groupBy("ahash")
       .agg(min("asset_id").as("keep_id"), count(lit(1)).as("n_dups"))

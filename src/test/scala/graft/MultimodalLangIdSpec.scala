@@ -182,4 +182,23 @@ class MultimodalLangIdSpec extends SparkTestBase {
       .orderBy("keep_id").as[(Long, Long)].collect().toSeq
     assert(groups === Seq((0L, 4L), (1L, 3L), (2L, 3L)), groups.toString)
   }
+
+  test("pHash: identical bytes equal, distinct renders distinct, junk None; differs from aHash; groups exact") {
+    import graft.operators.Multimodal
+    val a = Multimodal.renderPng(24, 24, seed = 7L)
+    val b = Multimodal.renderPng(24, 24, seed = 7L)
+    val c = Multimodal.renderPng(24, 24, seed = 8L)
+    assert(Multimodal.pHash(a).isDefined)
+    assert(Multimodal.pHash(a) === Multimodal.pHash(b))
+    assert(Multimodal.pHash(a) !== Multimodal.pHash(c))
+    assert(Multimodal.pHash("not a png".getBytes).isEmpty)
+    // a DIFFERENT family: the spectral hash is not the pixel-mean hash
+    assert(Multimodal.pHash(a) !== Multimodal.aHash(a))
+    // same planted-class group structure through the parameterized dedup
+    val assets = (0L to 9L).map(i => Multimodal.Asset(i, "image",
+      Multimodal.renderPng(16, 16, i % 3), 16, 16)).toDS()
+    val groups = Multimodal.perceptualDedupBy(assets, Multimodal.pHash)
+      .orderBy("keep_id").as[(Long, Long)].collect().toSeq
+    assert(groups === Seq((0L, 4L), (1L, 3L), (2L, 3L)), groups.toString)
+  }
 }
