@@ -2365,6 +2365,66 @@ object QueriesLLM {
       |  floor(exp(entropy) * 100000000 + 0.5) / 100000000 AS perplexity
       |FROM e ORDER BY lang""".stripMargin
 
+  /** curate_quality_ensemble: per-source Borda-rank ensemble of three
+    * quality signals — token count, type-token ratio, mean word length —
+    * the final "one number to sort by" a curation pipeline feeds its
+    * keep-fraction, rank-aggregated so no single signal's scale
+    * dominates (and no cross-signal calibration knob exists to drift).
+    *
+    * Exactness: every signal is an integer or a 10⁶-quantized integer
+    * division (both engines' `div`), so the per-source (signal DESC,
+    * doc_id) ranks and their Borda sum are pure integers.
+    *
+    * Scale shape: signals are narrow HOFs fused into the scan; ranking
+    * is WITHIN SOURCE — keyed windows, never a global rank; all three
+    * rank windows ride ONE source-keyed exchange (three in-partition
+    * sorts, the honest cost of three orderings). */
+  val curateQualityEnsemble: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("source"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+        aggregate(col("ts"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("(n_distinct * 1000000) div n_tokens").as("ttr_micro"),
+        expr("(sum_len * 1000000) div n_tokens").as("mwl_micro"))
+    def w(c: org.apache.spark.sql.Column) = Window.partitionBy("source")
+      .orderBy(c.desc, col("doc_id").asc)
+    sig
+      .withColumn("r1", row_number().over(w(col("n_tokens"))))
+      .withColumn("r2", row_number().over(w(col("ttr_micro"))))
+      .withColumn("r3", row_number().over(w(col("mwl_micro"))))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("ttr_micro"), col("mwl_micro"), col("r1"), col("r2"), col("r3"),
+        (col("r1").cast("long") + col("r2") + col("r3")).as("borda"))
+      .orderBy("doc_id")
+  }
+
+  val curateQualityEnsembleSql: String =
+    """WITH t AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+      |    CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sum_len
+      |  FROM t),
+      |q AS (SELECT doc_id, source, n_tokens,
+      |    CAST((n_distinct * 1000000) // n_tokens AS BIGINT) AS ttr_micro,
+      |    CAST((sum_len * 1000000) // n_tokens AS BIGINT) AS mwl_micro
+      |  FROM s),
+      |r AS (SELECT doc_id, source, n_tokens, ttr_micro, mwl_micro,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_tokens DESC, doc_id) AS INT) AS r1,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY ttr_micro DESC, doc_id) AS INT) AS r2,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY mwl_micro DESC, doc_id) AS INT) AS r3
+      |  FROM q)
+      |SELECT doc_id, source, n_tokens, ttr_micro, mwl_micro, r1, r2, r3,
+      |  CAST(r1 + r2 + r3 AS BIGINT) AS borda
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** curate_dsir: DSIR-style importance weighting (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling") —
     * per doc the log-likelihood ratio of a TARGET token distribution
@@ -3004,6 +3064,7 @@ object QueriesLLM {
     "pipeline_curate" -> pipelineCurate,
     "curate_source_hhi" -> curateSourceHhi,
     "curate_source_entropy" -> curateSourceEntropy,
+    "curate_quality_ensemble" -> curateQualityEnsemble,
     "curate_dsir" -> curateDsir,
     "curate_ngram_ppl" -> curateNgramPpl,
     "pipeline_pretrain" -> pipelinePretrain,
@@ -3088,6 +3149,7 @@ object QueriesLLM {
     "pipeline_curate" -> pipelineCurateSql,
     "curate_source_hhi" -> curateSourceHhiSql,
     "curate_source_entropy" -> curateSourceEntropySql,
+    "curate_quality_ensemble" -> curateQualityEnsembleSql,
     "curate_dsir" -> curateDsirSql,
     "curate_ngram_ppl" -> curateNgramPplSql,
     "pipeline_pretrain" -> pipelinePretrainSql

@@ -47,6 +47,26 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("curate_quality_ensemble: ranks are per-source permutations; borda recomputed driver-side") {
+    val out = QueriesLLM.all("curate_quality_ensemble")(spark, sf)
+      .as[(Long, String, Long, Long, Long, Int, Int, Int, Long)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    val bySrc = out.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.size
+      // each rank column is a 1..n permutation within the source
+      assert(rows.map(_._6).sorted === (1 to n), s"$src r1")
+      assert(rows.map(_._7).sorted === (1 to n), s"$src r2")
+      assert(rows.map(_._8).sorted === (1 to n), s"$src r3")
+      // driver-side rank replay on the emitted integer signals
+      val want1 = rows.sortBy(r => (-r._3, r._1)).map(_._1)
+        .zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      rows.foreach(r => assert(r._6 === want1(r._1), s"$src r1 of ${r._1}"))
+      rows.foreach(r => assert(r._9 === r._6.toLong + r._7 + r._8))
+    }
+  }
+
   test("canonicalizeUrl collapses case/port/utm/slash noise to one form") {
     val urls = Seq(
       "https://data.example.org/c/7",
