@@ -50,7 +50,7 @@ object ScaleProbe {
     "graph_reciprocity", "seq_streaks", "eval_retrieval_mrr",
     "text_zipf_fit", "scd2_incremental", "ts_rolling_slope", "join_box_2d",
     "ts_periodogram", "sketch_cms_counts", "agg_moments", "fn_geo",
-    "agg_winsorized_mean",
+    "agg_winsorized_mean", "multimodal_phash", "curate_quality_ensemble",
     // embeddings (4× span): clustering + spectral family
     "cluster_kmeans", "curate_cluster_balance", "vec_top_pc",
     "vec_whiten_resid", "vec_pq_codes", "vec_pq_search", "vec_ivf_pq_search",
