@@ -601,11 +601,19 @@ object QueriesAnalytics {
          |    SELECT vec_id, cl, d2,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
          |    FROM ${p}d$i) WHERE rn = 1)""".stripMargin
-    // update i: re-quantized means; an emptied cluster keeps c{i-1}'s row
+    // update i: re-quantized means in PURE BIGINT — round-half-up as
+    // (2·Σx + n) floor-div (2n), floor division spelled as
+    // subtract-mod-then-exact-// (num − pmod(num,den) is exactly
+    // divisible, so truncating and floor division coincide). No double
+    // exists in the chain — the round-9 driver flake's `.5` boundary
+    // is structurally gone (mirrors Clustering.trainCentroids).
     def update(i: Int): String =
-      s"""${p}n$i AS (SELECT a.cl, q.dim,
-         |    CAST(floor(CAST(sum(q.qx) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c
-         |  FROM ${p}a$i a JOIN ${p}q q ON q.vec_id = a.vec_id GROUP BY a.cl, q.dim),
+      s"""${p}n$i AS (SELECT cl, dim,
+         |    (num - (((num % den) + den) % den)) // den AS c
+         |  FROM (SELECT a.cl, q.dim,
+         |      2 * sum(q.qx) + count(*) AS num, 2 * count(*) AS den
+         |    FROM ${p}a$i a JOIN ${p}q q ON q.vec_id = a.vec_id
+         |    GROUP BY a.cl, q.dim)),
          |${p}c$i AS (SELECT p.cl, p.dim, COALESCE(n.c, p.c) AS c
          |  FROM ${p}c${i - 1} p LEFT JOIN ${p}n$i n ON n.cl = p.cl AND n.dim = p.dim)""".stripMargin
     val body = (1 to rounds).map(i => assign(i) + ",\n" + update(i)).mkString(",\n")

@@ -1853,18 +1853,23 @@ object QueriesLLM {
       |    ELSE '19999999999999999999999999999999' END
       |ORDER BY doc_id""".stripMargin
 
-  /** sample_temperature: α-balanced source mixture
-    * ([[graft.operators.Sampling.temperatureSample]]) — keep counts
-    * derived from the data (∝ n_s^0.5, head flattened), selection by
-    * cross-engine hash rank. The oracle recomputes targets AND the
-    * ranked selection, so both the arithmetic and the per-source cut
-    * are gated row-for-row. */
-  val sampleTemperature: Q = (s, dir) =>
+  /** sample_temperature_rank: the EXACT-count form of temperature
+    * sampling ([[graft.operators.Sampling.temperatureSample]]) — keep
+    * counts derived from the data (∝ n_s^0.5, head flattened),
+    * selection by cross-engine hash rank. The oracle recomputes targets
+    * AND the ranked selection, so both the arithmetic and the
+    * per-source cut are gated row-for-row. SUFFIXED demonstrator
+    * (round-10 rename, the r8 primary-binding rule): its per-source
+    * rank window is a full shuffle+sort of the fact table — 48× at the
+    * ×100 scale step vs the threshold form's 5.1× — so the primary
+    * `sample_temperature` name binds the zero-shuffle threshold cut
+    * below. */
+  val sampleTemperatureRank: Q = (s, dir) =>
     Sampling.temperatureSample(Tables.events(s, dir).select("event_id", "event_type"),
         col("event_id"), col("event_type"), alpha = 0.5, keepRatio = 0.2)
       .orderBy("event_id")
 
-  val sampleTemperatureSql =
+  val sampleTemperatureRankSql =
     """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
       |tot AS (SELECT CAST(floor(0.2 * CAST(sum(n) AS BIGINT) + 0.5) AS BIGINT) AS k,
       |    CAST(sum(CAST(floor(pow(n, 0.5) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS wq_sum
@@ -1881,20 +1886,22 @@ object QueriesLLM {
       |SELECT r.event_id, r.event_type FROM ranked r JOIN tgt USING (event_type)
       |WHERE r.rn <= tgt.t ORDER BY r.event_id""".stripMargin
 
-  /** sample_temperature_fast: the zero-shuffle threshold variant of
-    * sample_temperature ([[Sampling.temperatureSampleFast]]; round-8
-    * verdict ask #2) — same integer-quantized α-balanced targets, but
+  /** sample_temperature: α-balanced source mixture, PRIMARY binding =
+    * the zero-shuffle threshold form ([[Sampling.temperatureSampleFast]];
+    * promoted round 10 per the r8 "primary = scale-safe" rule) — same
+    * integer-quantized α-balanced targets as the rank form, but
     * selection by per-source 48-bit md5-prefix threshold: the fact
     * table is never shuffled (no rank window), so the plan survives
-    * 100 TB where the exact form's per-source sort is the measured
-    * scale-killer. Oracle recomputes targets, thresholds, and the
-    * hex-prefix comparison exactly. */
-  val sampleTemperatureFast: Q = (s, dir) =>
+    * 100 TB where the exact-rank form's per-source sort is the measured
+    * scale-killer (48× vs 5.1× at the ×100 probe step). Oracle
+    * recomputes targets, thresholds, and the hex-prefix comparison
+    * exactly. */
+  val sampleTemperature: Q = (s, dir) =>
     Sampling.temperatureSampleFast(Tables.events(s, dir).select("event_id", "event_type"),
         col("event_id"), col("event_type"), alpha = 0.5, keepRatio = 0.2)
       .orderBy("event_id")
 
-  val sampleTemperatureFastSql =
+  val sampleTemperatureSql =
     """WITH cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
       |tot AS (SELECT CAST(floor(0.2 * CAST(sum(n) AS BIGINT) + 0.5) AS BIGINT) AS k,
       |    CAST(sum(CAST(floor(pow(n, 0.5) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS wq_sum
@@ -2149,7 +2156,7 @@ object QueriesLLM {
     * Bernoulli coin (binomial ±√n wobble per stratum vs a guaranteed
     * quota), the draw an evaluation-set builder actually wants. Each
     * stratum ranks its docs by the 48-bit md5 coordinate (doc_id
-    * tie-break — the `sample_temperature` exact-cut recipe) and keeps
+    * tie-break — the `sample_temperature_rank` exact-cut recipe) and keeps
     * rank ≤ k; strata smaller than k are kept whole. One stratum-keyed
     * exchange for the rank window; no global sort, no driver state. */
   val sampleStratifiedExact: Q = (s, dir) => {
@@ -3050,7 +3057,7 @@ object QueriesLLM {
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
-    "sample_temperature_fast" -> sampleTemperatureFast,
+    "sample_temperature_rank" -> sampleTemperatureRank,
     "sample_quality_weighted" -> sampleQualityWeighted,
     "split_assign" -> splitAssign,
     "dq_split_leakage" -> dqSplitLeakage,
@@ -3135,7 +3142,7 @@ object QueriesLLM {
     "sample_hash" -> sampleHashSql,
     "sample_mixture" -> sampleMixtureSql,
     "sample_temperature" -> sampleTemperatureSql,
-    "sample_temperature_fast" -> sampleTemperatureFastSql,
+    "sample_temperature_rank" -> sampleTemperatureRankSql,
     "sample_quality_weighted" -> sampleQualityWeightedSql,
     "split_assign" -> splitAssignSql,
     "dq_split_leakage" -> dqSplitLeakageSql,

@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   *    sums (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴, far under Long.Max);
   *  - assignment is argmin over (d2, clusterId) — the tie-break is part
   *    of the contract, not an accident;
-  *  - updated centroids re-quantize to the SAME integer grid via
-  *    `floor(sum/n + 0.5)`: one correctly-rounded IEEE division on both
-  *    engines, so round r+1 starts from bit-identical state.
+  *  - updated centroids re-quantize to the SAME integer grid via the
+  *    PURE-BIGINT round-half-up `(2·sum + n) div (2·n)` (floor division
+  *    realized as subtract-pmod-then-exact-div, so no double ever
+  *    exists in the chain) — round r+1 starts from bit-identical state
+  *    on any engine. The earlier `floor(sum/n + 0.5)` form was
+  *    version-sensitive at exact-`.5` boundaries (the round-9 driver
+  *    hash flake); this is pagerank's quantize-before-float recipe
+  *    ([[graft.operators.Graph]]) applied to the one remaining
+  *    non-integer step.
   * Seeds are the k smallest `vec_id`s (deterministic, SQL-expressible);
   * an emptied cluster keeps its previous centroid.
   *
@@ -101,11 +107,16 @@ object Clustering {
     for (_ <- 1 to rounds) {
       // one scan: narrow argmin, then a k·dims-cell aggregate; the
       // re-quantized means come back as a bounded k·dims collect
+      // round-half-up mean in pure BIGINT: c = floor((2·Σx + n)/(2n)).
+      // num − pmod(num, den) is exactly divisible, so the truncating
+      // integral `div` IS floor division — no doubles anywhere.
       val updated = q
         .select(col("qe"), bestOf(col("qe"), centroids).getField("cl").as("cl"))
         .select(col("cl"), posexplode(col("qe")).as(Seq("pos", "x")))
         .groupBy("cl", "pos")
-        .agg(floor(sum("x") / count(lit(1)) + lit(0.5)).cast("long").as("c"))
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .selectExpr("cl", "pos",
+          "(2*s + n - pmod(2*s + n, 2*n)) div (2*n) AS c")
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cl, rows) =>

@@ -144,7 +144,8 @@ object Sampling {
     * u ∈ [0, 2⁴⁸) satisfies u < floor(2⁴⁸·q_s/10⁹) with
     * q_s = round(10⁹·t_s/n_s) — every step either exact integer math or
     * one identical IEEE chain, so any engine with md5 draws the same
-    * sample (oracle-gated as `sample_temperature_fast`).
+    * sample (oracle-gated as the PRIMARY `sample_temperature` row since
+    * the round-10 rename; the rank form is `sample_temperature_rank`).
     *
     * What changes at scale: the exact form's per-source rank window —
     * a FULL shuffle + sort of the fact table (measured 4.5× per 10×

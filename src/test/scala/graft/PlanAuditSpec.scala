@@ -266,15 +266,15 @@ class PlanAuditSpec extends SparkTestBase {
       "an exchange sits between the digest projection and the winner shuffle")
   }
 
-  test("sample_temperature broadcasts the target frame; one rank shuffle") {
-    val p = plan("sample_temperature")
+  test("sample_temperature_rank broadcasts the target frame; one rank shuffle") {
+    val p = plan("sample_temperature_rank")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("sample_temperature_fast: no window/sort; fact side never shuffled") {
-    val p = plan("sample_temperature_fast")
+  test("sample_temperature (primary = threshold form): no window/sort; fact side never shuffled") {
+    val p = plan("sample_temperature")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), "the threshold form must not rank the fact table\n" + p)
     // the only exchanges belong to the tiny target/threshold subtree
