@@ -1297,6 +1297,59 @@ object QueriesLLM {
       .orderBy("doc_id")
   }
 
+  /** The DECLARED merge table for `bpe_encode_fixed` — the first 12
+    * merges the trainer learns on the sf0.001 corpus, frozen as a
+    * literal (the "load a pretrained tokenizer" deployment shape).
+    * Properly ordered by construction (training order) and alias-free
+    * (no later merge's product equals an earlier merge's operand, no
+    * duplicate products — audited), so the greedy rank-priority encode
+    * is EQUIVALENT to applying the merges sequentially in rank order,
+    * one leftmost-nonoverlapping pass each: a single pass always
+    * eliminates its pair (the fused symbol l+r can recreate (l,r) only
+    * if l+r == l or l+r == r, impossible), and a later merge can mint a
+    * new occurrence of an earlier pair only via aliasing. That
+    * equivalence is what makes the oracle possible: DuckDB replays the
+    * merges as an unrolled replace() chain over a '|'-delimited symbol
+    * string. */
+  private val fixedBpeMerges: Seq[Bpe.Merge] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an")
+  ).zipWithIndex.map { case ((l, r), i) => Bpe.Merge(i, l, r) }
+
+  /** bpe_encode_fixed: greedy BPE encode of the corpus under the
+    * DECLARED 12-merge table above ([[graft.operators.Bpe.encodeWord]]
+    * semantics — rank-priority, leftmost-nonoverlapping) — the round-10
+    * oracle-gated BPE family member (verdict ask #3). Same broadcast-
+    * table zero-shuffle encode plan as `bpe_encode`; only the merge
+    * table is a frozen literal instead of trained per-run, exactly how
+    * a production pipeline tokenizes 100 TB with a pretrained vocab.
+    * The oracle replays the merge chain in DuckDB (per word:
+    * '|'-delimit the characters, then one replace('|l|r|','|lr|') per
+    * merge in rank order — equivalence argued and audited above, and
+    * the corpus is pure lowercase a-z + space so the delimiter is
+    * collision-free). */
+  val bpeEncodeFixed: Q = (s, dir) =>
+    Bpe.encode(Tables.documents(s, dir), "text", fixedBpeMerges, "bpe")
+      .select(col("doc_id"),
+        size(col("bpe")).cast("int").as("n_bpe_tokens"),
+        concat_ws("|", slice(col("bpe"), 1, 8)).as("head_tokens"))
+      .orderBy("doc_id")
+
+  val bpeEncodeFixedSql: String = {
+    val chain = fixedBpeMerges.foldLeft(
+      "'|' || regexp_replace(w, '(.)', '\\1|', 'g')") { (acc, m) =>
+      s"replace($acc, '|${m.left}|${m.right}|', '|${m.left}${m.right}|')"
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |    flatten(list_transform(
+       |      list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> ''),
+       |      w -> list_filter(string_split($chain, '|'), x -> x <> ''))) AS toks
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
+       |  array_to_string(toks[1:8], '|') AS head_tokens
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   /** text_vocab: corpus vocabulary build — explode tokens, count, keep
     * the top 50 by frequency (the first step of any tokenizer train /
     * coverage audit). Partial-aggregated explode+count, then
@@ -3050,6 +3103,7 @@ object QueriesLLM {
     "text_token_count" -> textTokenCount,
     "bpe_merges" -> bpeMerges,
     "bpe_encode" -> bpeEncode,
+    "bpe_encode_fixed" -> bpeEncodeFixed,
     "text_langid" -> textLangid,
     "text_langid_exact" -> textLangidExact,
     "text_fingerprint" -> textFingerprint,
@@ -3086,6 +3140,7 @@ object QueriesLLM {
   )
 
   val oracles: Map[String, String] = Map(
+    "bpe_encode_fixed" -> bpeEncodeFixedSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_spans" -> dedupSpansSql,
     "search_bm25" -> searchBm25Sql,

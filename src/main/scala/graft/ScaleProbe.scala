@@ -31,7 +31,7 @@ object ScaleProbe {
     "dedup_exact", "dedup_minhash", "dedup_incremental_minhash",
     "dedup_jaccard", "dedup_containment", "text_langid", "pack_chunks", "bpe_encode",
     "search_bm25", "search_bm25_batch", "dedup_spans", "sample_temperature",
-    "sample_temperature_rank", "dq_audit",
+    "sample_temperature_rank", "dq_audit", "bpe_encode_fixed",
     "pack_shards", "curriculum_bins", "sketch_source_sim_exact", "dq_drift_psi",
     "ts_anomaly", "vec_project_rp", "vec_centroids", "dedup_url_params",
     "ts_changepoint", "ts_seasonal", "graph_modularity", "graph_adamic_adar",

@@ -219,24 +219,65 @@ object StreamOps {
       .flatMapGroupsWithState[ScdOpen, ScdInterval](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[ScdOpen]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var open = state.getOption
-          val out = List.newBuilder[ScdInterval]
-          for (e <- sorted) {
-            open match {
-              case Some(o) if o.attr == e.event_type =>
-                open = Some(o.copy(nRows = o.nRows + 1))
-              case Some(o) =>
-                out += ScdInterval(userId, o.run, o.attr, o.effFrom,
-                  e.ts.getTime, o.nRows)
-                open = Some(ScdOpen(o.run + 1, e.event_type, e.ts.getTime, 1L))
-              case None =>
-                open = Some(ScdOpen(1L, e.event_type, e.ts.getTime, 1L))
-            }
-          }
+          val (open, out) = foldScd2(userId, rows, state.getOption)
           open.foreach(state.update)
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** ONE SCD-2 fold shared by [[scd2Live]] (fMGWS) and [[Scd2Processor]]
+    * (transformWithState) — the [[foldSessions]] discipline applied to
+    * the second ported harness: a single implementation keeps the two
+    * formulations' asserted emitted-set equality structural. */
+  private def foldScd2(userId: Long, rows: Iterator[Event],
+      prev: Option[ScdOpen]): (Option[ScdOpen], List[ScdInterval]) = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var open = prev
+    val out = List.newBuilder[ScdInterval]
+    for (e <- sorted) {
+      open match {
+        case Some(o) if o.attr == e.event_type =>
+          open = Some(o.copy(nRows = o.nRows + 1))
+        case Some(o) =>
+          out += ScdInterval(userId, o.run, o.attr, o.effFrom,
+            e.ts.getTime, o.nRows)
+          open = Some(ScdOpen(o.run + 1, e.event_type, e.ts.getTime, 1L))
+        case None =>
+          open = Some(ScdOpen(1L, e.event_type, e.ts.getTime, 1L))
+      }
+    }
+    (open, out.result())
+  }
+
+  /** The `transformWithState` (Spark 4 arbitrary-state v2) formulation of
+    * [[scd2Live]]: identical interval semantics via the shared
+    * [[foldScd2]], state as a named schema'd `ValueState[ScdOpen]` in
+    * the RocksDB store (the [[SessionScoreProcessor]] recipe applied to
+    * a second live harness — round-10 verdict ask #6). */
+  class Scd2Processor extends StatefulProcessor[Long, Event, ScdInterval] {
+    @transient private var state: ValueState[ScdOpen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScdOpen]("scd2_open",
+        Encoders.product[ScdOpen], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ScdInterval] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (open, out) = foldScd2(userId, rows, prev)
+      open.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** [[scd2Live]] via transformWithState — the differential twin whose
+    * emitted set StreamingSpec asserts EQUAL to the fMGWS harness's on
+    * the same feed (requires the RocksDB state store provider). */
+  def scd2LiveTws(events: Dataset[Event]): Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor(),
+        TimeMode.None(), OutputMode.Append())
   }
 
   case class Conversion(user_id: Long, a_ts: Long, b_ts: Long)

@@ -93,4 +93,31 @@ class BpeSpec extends SparkTestBase {
     assert(enc.count() == Tables.documents(spark, sf).count())
     assert(enc.filter(col("n_bpe_tokens") <= 0).count() == 0)
   }
+
+  test("bpe_encode_fixed: greedy encode under the declared table equals sequential replay") {
+    // the oracle's soundness argument, asserted in-process: for every
+    // distinct corpus word, rank-priority greedy == one leftmost pass
+    // per merge in rank order (holds because the declared table is
+    // alias-free; see QueriesLLM.fixedBpeMerges)
+    val fixed = QueriesLLM.bpeEncodeFixed(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(fixed.count() == docs.count())
+    val merges = Seq(
+      ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+      ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"))
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    def sequential(w: String): Seq[String] = {
+      var s = "|" + w.map(_.toString).mkString("|") + "|"
+      merges.foreach { case (l, r) =>
+        s = s.replace(s"|$l|$r|", s"|$l$r|")
+      }
+      s.split('|').filter(_.nonEmpty).toSeq
+    }
+    val words = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
+    words.foreach { w =>
+      assert(Bpe.encodeWord(w, ranks).toSeq == sequential(w),
+        s"greedy != sequential replay for word '$w'")
+    }
+  }
 }

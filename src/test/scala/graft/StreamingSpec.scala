@@ -381,6 +381,51 @@ class StreamingSpec extends SparkTestBase {
     assert(live.size.toLong === nRuns - nUsers)
   }
 
+  test("transformWithState scd2 twin: emitted set equals the fMGWS harness on the same feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the same two-batch feed (a boundary-spanning run for user 1)
+    // through BOTH stateful formulations; assert identical emitted sets
+    def feed(mk: org.apache.spark.sql.Dataset[StreamOps.Event] =>
+        org.apache.spark.sql.Dataset[StreamOps.ScdInterval],
+        name: String): Seq[(Long, Long, String, Long, Long, Long)] = {
+      val in = MemoryStream[StreamOps.Event]
+      val q = mk(in.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(
+          StreamOps.Event(1, ts(0), 1, "a", 0.0),
+          StreamOps.Event(2, ts(60), 1, "a", 0.0),
+          StreamOps.Event(3, ts(120), 1, "b", 0.0),
+          StreamOps.Event(4, ts(10), 2, "x", 0.0))
+        q.processAllAvailable()
+        in.addData( // user 1's open "b" run spans the batch cut
+          StreamOps.Event(5, ts(200), 1, "b", 0.0),
+          StreamOps.Event(6, ts(300), 1, "c", 0.0),
+          StreamOps.Event(7, ts(50), 2, "y", 0.0))
+        q.processAllAvailable()
+        spark.table(name).as[StreamOps.ScdInterval].collect()
+          .map(i => (i.user_id, i.run, i.event_type, i.eff_from, i.eff_to,
+            i.n_rows)).toSeq.sorted
+      } finally q.stop()
+    }
+    val fmgws = feed(StreamOps.scd2Live, "scd2_fmgws_out")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try feed(StreamOps.scd2LiveTws, "scd2_tws_out")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(tws === fmgws)
+    assert(fmgws.nonEmpty)
+    // the cut-spanning "b" run closed with rows from both batches
+    assert(fmgws.exists { case (u, _, a, _, _, n) => u == 1 && a == "b" && n == 2 })
+  }
+
   test("stream_funnel_live ≡ batch funnel converted rows; cut-spanning conversions emit once") {
     val live = QueriesStreaming.all("stream_funnel_live")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
