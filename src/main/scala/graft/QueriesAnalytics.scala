@@ -828,6 +828,55 @@ object QueriesAnalytics {
        |ORDER BY adc, s0.vec_id LIMIT 10""".stripMargin
   }
 
+  /** eval_pq_recall: the PQ quantization-loss audit
+    * ([[graft.operators.Pq.adcRecall]]; round-10 verdict ask #7) —
+    * recall@10 of `vec_pq_search`'s ADC rank against the EXACT
+    * integer-grid squared-L2 top-10 for the same query (vec_id 0), the
+    * number an IVF-PQ deployment watches before trusting its codes.
+    * Truth and approximation share the L2 metric on the 10⁻⁶ grid, so
+    * the gap measured is pure quantization loss. All machinery already
+    * gated (the 8 exact-Lloyd chains; pure-BIGINT ADC and d2); hits are
+    * an integer semi-join count, recall ONE r8 division. */
+  val evalPqRecall: Q = (s, dir) =>
+    graft.operators.Pq.adcRecall(Tables.embeddings(s, dir), queryId = 0L,
+      dims = 64, subspaces = 8, k = 4, rounds = 2, topK = 10)
+
+  val evalPqRecallSql: String = {
+    val chains = (0 until 8)
+      .map(s => kmeansCtes(4, 2, p = s"s${s}_", dimLo = s * 8 + 1, dimHi = s * 8 + 8))
+      .mkString(",\n")
+    val luts = (0 until 8).map(s =>
+      s"""lut$s AS (SELECT c.cl,
+         |    CAST(sum((q.qx - c.c) * (q.qx - c.c)) AS BIGINT) AS pd
+         |  FROM s${s}_c2 c JOIN q0 q ON q.dim = c.dim GROUP BY c.cl)""".stripMargin)
+      .mkString(",\n")
+    val joins = ((1 until 8)
+      .map(s => s"JOIN s${s}_a3 s$s ON s$s.vec_id = s0.vec_id") ++
+      (0 until 8).map(s => s"JOIN lut$s l$s ON l$s.cl = s$s.cl")).mkString("\n")
+    val total = (0 until 8).map(s => s"l$s.pd").mkString(" + ")
+    s"""WITH $chains,
+       |q0 AS (SELECT t.i AS dim,
+       |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(i) WHERE e.vec_id = 0),
+       |qall AS (SELECT e.vec_id, t.i AS dim,
+       |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qx
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(i)),
+       |$luts,
+       |approx AS (SELECT s0.vec_id FROM s0_a3 s0
+       |$joins
+       |ORDER BY CAST($total AS BIGINT), s0.vec_id LIMIT 10),
+       |truth AS (SELECT v.vec_id FROM qall v JOIN q0 ON q0.dim = v.dim
+       |  GROUP BY v.vec_id
+       |  ORDER BY sum((v.qx - q0.qx) * (v.qx - q0.qx)), v.vec_id LIMIT 10),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+       |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM truth t JOIN approx a ON a.vec_id = t.vec_id)
+       |SELECT tot.n_true, hit.n_hit,
+       |  floor(CAST(hit.n_hit AS DOUBLE) / CAST(tot.n_true AS DOUBLE)
+       |    * 100000000 + 0.5) / 100000000 AS recall
+       |FROM tot CROSS JOIN hit""".stripMargin
+  }
+
   /** vec_ivf_pq_search: the full IVF-PQ search path
     * ([[graft.operators.Pq.ivfAdcTopK]]): the exact-Lloyd coarse
     * quantizer (k=4 over the full vectors, the `cluster_kmeans` chain)
@@ -2152,7 +2201,8 @@ object QueriesAnalytics {
     "vec_ivf_pq_search" -> vecIvfPqSearch,
     "vec_knn_classify" -> vecKnnClassify,
     "curate_semdedup" -> curateSemdedup,
-    "eval_ann_recall" -> evalAnnRecall
+    "eval_ann_recall" -> evalAnnRecall,
+    "eval_pq_recall" -> evalPqRecall
   )
 
   val oracles: Map[String, String] = Map(
@@ -2212,6 +2262,7 @@ object QueriesAnalytics {
     "vec_ivf_pq_search" -> vecIvfPqSearchSql,
     "vec_knn_classify" -> vecKnnClassifySql,
     "curate_semdedup" -> curateSemdedupSql,
-    "eval_ann_recall" -> evalAnnRecallSql
+    "eval_ann_recall" -> evalAnnRecallSql,
+    "eval_pq_recall" -> evalPqRecallSql
   )
 }

@@ -51,7 +51,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       "operators/Similarity.scala" -> 3, // IVF centroids / k-means means (≤ nCentroids·dim)
       "operators/Clustering.scala" -> 2, // Lloyd seeds + per-round means (k·dims cells each)
       "operators/Pca.scala" -> 1, // per-round direction sums (dims cells)
-      "operators/Pq.scala" -> 2, // ADC query rows: limit(2) + require(==1), never full
+      "operators/Pq.scala" -> 3, // ADC/exact query rows: limit(2) + require(==1) ×3, never full
       "operators/Components.scala" -> 1, // union-find fast path, gated ≤ 2^20 edges
       "operators/Bpe.scala" -> 1, // top-V word frequencies, V bounded
       "operators/Relational.scala" -> 1, // exactly_one: limit(2), never full

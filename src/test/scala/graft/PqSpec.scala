@@ -43,4 +43,28 @@ class PqSpec extends SparkTestBase {
         assert(cs(s) == sub(id), s"subspace $s id $id: ${cs(s)} vs ${sub(id)}")
     }
   }
+
+  test("adcRecall: exact truth ranks by true quantized d2; recall in [0,1]; query always a truth hit") {
+    val rnd = new scala.util.Random(7)
+    val e = (0L to 49L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // truth side brute-forced on the driver from the same 1e-6 grid
+    val q = Clustering.quantized(col("embedding"))
+    val vecs = e.select(col("vec_id"), q.as("qe")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qq = vecs(0L)
+    val expectTruth = vecs.toSeq.map { case (id, v) =>
+      (v.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+    }.sorted.take(5).map(_._2).toSet
+    val gotTruth = Pq.exactTopK(e, 0L, dims = 8, topK = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotTruth == expectTruth)
+    assert(gotTruth.contains(0L)) // the query's own d2 is 0
+    val row = Pq.adcRecall(e, 0L, dims = 8, subspaces = 2, k = 2,
+      rounds = 2, topK = 5).collect().head
+    assert(row.getLong(0) == 5L)
+    assert(row.getLong(1) >= 1L && row.getLong(1) <= 5L) // query hits both sides
+    val rec = row.getDouble(2)
+    assert(rec >= 0.2 && rec <= 1.0 && rec == row.getLong(1).toDouble / 5.0)
+  }
 }
