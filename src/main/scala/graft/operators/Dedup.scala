@@ -162,7 +162,17 @@ object Dedup {
     * the doc still collides, but its best surviving estimate may be
     * lower, and at the threshold boundary a match can be missed — the
     * skew cap trades that tail for bounded bucket cost (raise
-    * `maxStateDf` to shift the trade). One row per batch doc:
+    * `maxStateDf` to shift the trade). QUANTIFIED (round 10, SCALE.md
+    * §Round-10): on a planted 20-member family with batch docs whose
+    * only above-τ match is a high-id member, recall vs the uncapped run
+    * is 0.50 for caps below the targets' bucket rank and 1.0 above —
+    * monotone in the cap (kept ids are per-bucket supersets). The
+    * min-id star representative is ALREADY retained by construction
+    * (truncation keeps lowest ids); the residual miss is the case where
+    * the closest variant is evicted AND estimates vs kept members fall
+    * below τ. Private-band singleton buckets (never truncated) rescue
+    * most targets — the damage concentrates on batch docs whose every
+    * colliding band is family-shared. One row per batch doc:
     * (doc_id, is_dup, matched_id, est_jaccard) — matched_id the best
     * state match (highest estimate, lowest id) above threshold, NULL
     * for novel docs. Exact-sibling: [[incrementalExact]]. */

@@ -374,6 +374,61 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(out(1).isNullAt(2))
   }
 
+  test("incrementalMinhash state-cap miss rate: measured on a near-threshold family (round-10, verdict ask #5)") {
+    // A planted family of 20 near-variants (pairwise J≈0.90, so they
+    // flood shared LSH buckets) and 4 batch docs whose ONLY
+    // above-threshold match (J≈0.815, just over τ=0.8) is a HIGH-id
+    // family member — exactly the row the df-cap truncates first. The
+    // cap keeps each bucket's LOWEST ids (so the min-id star
+    // representative the r9 verdict suggested probing is already
+    // retained by construction); the measured miss is the residual:
+    // batch docs whose closest variant is NOT among the kept ids and
+    // whose estimates vs the kept members (J≈0.735) fall below τ.
+    // Fully deterministic (no RNG anywhere in the chain).
+    val base = (0 until 120).map(i => s"w$i").toArray
+    def variant(text: Array[String], edits: Seq[(Int, String)]): String = {
+      val a = text.clone()
+      edits.foreach { case (p, w) => a(p) = w }
+      a.mkString(" ")
+    }
+    // members 0..19 each change one slot from the 0-mod-6 grid (spacing
+    // >= 3 keeps shingle losses disjoint): pairwise J = 112/124 ≈ 0.90
+    val members = (0 until 20).map(i => (i.toLong, variant(base, Seq(6 * i -> s"m$i"))))
+    // batch doc t targets member 16+t: 4 extra edits on the 3-mod-6 grid
+    // (disjoint from every member slot) → J(batch_t, member_{16+t}) =
+    // 106/130 ≈ 0.815 (just above τ); vs any other member ≈ 100/136 ≈ 0.735
+    val batchRows = (0 until 4).map { t =>
+      val tgt = members(16 + t)._2.split(" ")
+      (100L + t, variant(tgt, (0 until 4).map(j => (3 + 6 * (4 * t + j)) -> s"b${t}_$j")))
+    }
+    val state = members.toDF("doc_id", "text")
+    val stateSigs = Dedup.minhashSignatures(state, col("text"), col("doc_id"))
+      .localCheckpoint(true)
+    val batch = batchRows.toDF("doc_id", "text")
+    def detected(cap: Int): Set[Long] =
+      Dedup.incrementalMinhash(batch, stateSigs, col("text"), col("doc_id"),
+          threshold = 0.8, maxStateDf = cap)
+        .filter(col("is_dup")).collect().map(_.getLong(0)).toSet
+    val caps = Seq(1, 2, 4, 8, 12, 16, 20)
+    val truth = detected(1000000) // uncapped ground truth
+    assert(truth.nonEmpty, "uncapped run must detect the planted near-dups")
+    val table = caps.map(c => c -> detected(c))
+    info(s"uncapped detects ${truth.size}/4 planted near-threshold dups")
+    table.foreach { case (c, d) =>
+      info(f"cap=$c%3d  recall=${d.size.toDouble / truth.size}%.2f  (${d.size}/${truth.size})")
+    }
+    // recall is monotone in the cap (larger cap keeps a per-bucket
+    // superset of lowest ids → candidate and estimate sets are supersets)
+    table.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(a.subsetOf(b), s"cap recall must be monotone: $a vs $b")
+    }
+    // the boundary miss is REAL: some small cap loses a dup uncapped finds
+    assert(table.head._2.size < truth.size,
+      "cap=1 should demonstrate the threshold-boundary miss")
+    // and a cap >= family size is lossless
+    assert(table.last._2 == truth)
+  }
+
   test("dedup_simhash_exact: output == identical-text pair set, twins detected (round-9 gate)") {
     val got = QueriesLLM.all("dedup_simhash_exact")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
