@@ -1579,7 +1579,11 @@ object QueriesCore {
     * π/180 on BOTH engines (their `radians()` could differ in rounding);
     * the sin/cos/asin/sqrt chain is structurally identical and libm's
     * sub-ulp wobble (≤ 10⁻¹¹ km here) is absorbed by the r4 grid — the
-    * `agg_stats` contract. Pure narrow projection: fuses into the scan. */
+    * `agg_stats` contract. The haversine term clamps to [0,1] with
+    * `least(h, 1.0)` IDENTICALLY on both engines (ADVICE r9): for
+    * near-antipodal pairs float rounding can push h marginally above 1,
+    * and an unclamped sqrt/asin would yield NaN — which defeats the
+    * grid compare. Pure narrow projection: fuses into the scan. */
   val fnGeo: Q = (s, dir) => {
     val rad = lit(0.017453292519943295) // π/180, the shared double literal
     val latA = (col("c_custkey") % 180 - 90).cast("double")
@@ -1593,7 +1597,7 @@ object QueriesCore {
     Tables.customer(s, dir)
       .select(col("c_custkey"), latA.as("lat_a"), lonA.as("lon_a"),
         latB.as("lat_b"), lonB.as("lon_b"),
-        r4(lit(2.0 * 6371.0) * asin(sqrt(h))).as("dist_km"))
+        r4(lit(2.0 * 6371.0) * asin(sqrt(least(h, lit(1.0))))).as("dist_km"))
       .orderBy("c_custkey")
   }
 
@@ -1606,13 +1610,13 @@ object QueriesCore {
       |    CAST((c_nationkey * 13) % 360 - 180 AS DOUBLE) AS lon_b
       |  FROM customer)
       |SELECT c_custkey, lat_a, lon_a, lat_b, lon_b,
-      |  floor((12742.0 * asin(sqrt(
+      |  floor((12742.0 * asin(sqrt(least(
       |    sin((lat_b - lat_a) * 0.017453292519943295 / 2.0)
       |      * sin((lat_b - lat_a) * 0.017453292519943295 / 2.0)
       |    + cos(lat_a * 0.017453292519943295) * cos(lat_b * 0.017453292519943295)
       |      * (sin((lon_b - lon_a) * 0.017453292519943295 / 2.0)
       |         * sin((lon_b - lon_a) * 0.017453292519943295 / 2.0))
-      |  ))) * 10000 + 0.5) / 10000 AS dist_km
+      |  , 1.0)))) * 10000 + 0.5) / 10000 AS dist_km
       |FROM c ORDER BY c_custkey""".stripMargin
 
   val fnMath: Q = (s, dir) =>

@@ -337,8 +337,8 @@ object Multimodal {
     assets.filter(_.kind == "image")
       .mapPartitions { it =>
         it.flatMap(a => hasher(a.bytes).map(h => (a.asset_id, h)))
-      }.toDF("asset_id", "ahash")
-      .groupBy("ahash")
+      }.toDF("asset_id", "hash") // family-neutral: the hasher may be aHash OR pHash
+      .groupBy("hash")
       .agg(min("asset_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2)
       .select("keep_id", "n_dups")

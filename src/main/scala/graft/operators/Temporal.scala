@@ -191,12 +191,37 @@ object Temporal {
     * on the key) + key-keyed joins against the interval table's
     * key-count-sized open slice; base EVENTS are never read — at 100 TB
     * the history table is write-once and each refresh touches
-    * O(|delta| + |affected keys|). */
+    * O(|delta| + |affected keys|).
+    *
+    * ENFORCED contract (ADVICE r9 — previously assumed silently):
+    *  - delta `tie` values must be NON-NEGATIVE: the synthetic open-run
+    *    seed row uses tie = −1 and must sort strictly first at its
+    *    timestamp;
+    *  - every delta timestamp must be strictly LATER than its key's
+    *    open-run `eff_from` (closed intervals are immutable; an
+    *    at-or-before-open delta would belong to history this op never
+    *    re-reads).
+    * Both are join-checked eagerly and FAIL the call — an
+    * out-of-contract delta previously produced intervals silently
+    * diverging from the full rebuild. Each check is a `limit(1)`
+    * bounded probe (GuardSpec-inventoried). */
   def scd2ApplyDelta(baseIntervals: DataFrame, delta: DataFrame, key: String,
       ts: Column, tie: Column, attr: Column): DataFrame = {
     val affected = delta.select(col(key)).distinct()
     val open = baseIntervals.filter(col("eff_to").isNull)
       .join(affected, Seq(key), "left_semi")
+    val badTie = delta.select(tie.as("tie")).filter(col("tie") < 0L)
+      .limit(1).collect()
+    require(badTie.isEmpty,
+      "scd2ApplyDelta: delta tie values must be non-negative (the synthetic " +
+        "open-run seed uses tie = -1 and must sort first)")
+    val badTs = delta.select(col(key), ts.as("ts"))
+      .join(open.select(col(key), col("eff_from")), Seq(key))
+      .filter(col("ts") <= col("eff_from")).limit(1).collect()
+    require(badTs.isEmpty,
+      s"scd2ApplyDelta: delta timestamps must be strictly later than the " +
+        s"affected key's open-run eff_from (closed intervals are immutable); " +
+        s"offending key: ${badTs.headOption.map(_.get(0)).getOrElse("")}")
     // unaffected keys in full + affected keys' closed (immutable) runs
     val keep = baseIntervals.join(affected, Seq(key), "left_anti")
       .unionByName(baseIntervals.filter(col("eff_to").isNotNull)
@@ -225,12 +250,19 @@ object Temporal {
     * decaying, magnitude = events/bucket² — the alerting primitive for
     * "volume is accelerating".
     *
-    * Exactness: x = bucket index and y = count are exact longs; ALL
-    * FIVE OLS sums are BIGINT frame sums (merge-order-free: a window
-    * frame has one deterministic order), so num = n·Σxy − Σx·Σy and
-    * den = n·Σx² − (Σx)² are exact integers and slope is ONE r8 IEEE
-    * division. den > 0 whenever the frame has ≥ 2 buckets (dense grid
-    * ⇒ distinct x), so only the first bucket emits slope 0.
+    * Exactness: x = bucket index REBASED per key to b − min(b) (ADVICE
+    * r9 — the OLS slope, num and den are all translation-invariant in
+    * x, so results are identical, but the frame sums no longer square
+    * raw bucket magnitudes: epoch-second-scale indices (~1.7·10⁹) would
+    * overflow Long at Σb²·8 ≈ 2.3·10¹⁹) and y = count are exact longs;
+    * ALL FIVE OLS sums are BIGINT frame sums (merge-order-free: a
+    * window frame has one deterministic order), so num = n·Σxy − Σx·Σy
+    * and den = n·Σx² − (Σx)² are exact integers and slope is ONE r8
+    * IEEE division. den > 0 whenever the frame has ≥ 2 buckets (dense
+    * grid ⇒ distinct x), so only the first bucket emits slope 0.
+    * Residual overflow contract: each key's bucket SPAN must satisfy
+    * (b₁−b₀) < 2²⁶ for window ≤ 256 — far beyond it, the dense-grid
+    * explode (span rows per key) is the binding constraint anyway.
     *
     * Scale shape: the [[ewmaDyadic]] single-exchange profile; all five
     * frame aggregates ride one (key, b) window sort. */
@@ -241,17 +273,18 @@ object Temporal {
       events.select(col(key), bucket.as("b"))
         .groupBy(col(key), col("b")).agg(count(lit(1)).as("y")), col(key))
     val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
-      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+      .select(col(key), col("b0"), explode(sequence(col("b0"), col("b1"))).as("b"))
     val w = Window.partitionBy(key).orderBy("b")
       .rowsBetween(-(window - 1), Window.currentRow)
     grid.join(counts, Seq(key, "b"), "left_outer")
-      .select(col(key), col("b"), coalesce(col("y"), lit(0L)).as("y"))
+      .select(col(key), col("b"), (col("b") - col("b0")).as("bx"),
+        coalesce(col("y"), lit(0L)).as("y"))
       .select(col(key), col("b"), col("y"),
         count(lit(1)).over(w).as("n"),
-        sum(col("b")).over(w).as("sx"),
+        sum(col("bx")).over(w).as("sx"),
         sum(col("y")).over(w).as("sy"),
-        sum(col("b") * col("y")).over(w).as("sxy"),
-        sum(col("b") * col("b")).over(w).as("sxx"))
+        sum(col("bx") * col("y")).over(w).as("sxy"),
+        sum(col("bx") * col("bx")).over(w).as("sxx"))
       .select(col(key), col("b"), col("y"), col("n"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))

@@ -620,6 +620,41 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got === full)
   }
 
+  test("scd2ApplyDelta enforces its contract: negative tie and at-or-before-open delta both fail (ADVICE r9)") {
+    import graft.operators.Temporal
+    val base = Seq((1L, 1L, 1L, "A"), (1L, 3L, 2L, "B")).toDF("k", "ts", "tie", "v")
+    val baseIv = Temporal.scd2(base, "k", col("ts"), col("tie"), col("v"))
+    // a negative tie would collide with the synthetic open-run seed (-1)
+    val badTie = Seq((1L, 10L, -5L, "C")).toDF("k", "ts", "tie", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.scd2ApplyDelta(baseIv, badTie, "k", col("ts"), col("tie"), col("v"))
+    }
+    assert(e1.getMessage.contains("non-negative"))
+    // a delta at/before the open run's eff_from (3) belongs to history
+    val badTs = Seq((1L, 3L, 5L, "C")).toDF("k", "ts", "tie", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.scd2ApplyDelta(baseIv, badTs, "k", col("ts"), col("tie"), col("v"))
+    }
+    assert(e2.getMessage.contains("strictly later"))
+    // in-contract deltas still pass untouched
+    val ok = Seq((1L, 10L, 5L, "C")).toDF("k", "ts", "tie", "v")
+    assert(Temporal.scd2ApplyDelta(baseIv, ok, "k",
+      col("ts"), col("tie"), col("v")).count() == 3)
+  }
+
+  test("rollingSlope rebase: epoch-second-scale bucket indices no longer overflow the frame sums (ADVICE r9)") {
+    import graft.operators.Temporal
+    // raw b ≈ 1.7e9: sum(b*b) over an 8-frame would be ~2.3e19 > Long.Max
+    // without the per-key rebase; with it, x ∈ [0, span) and the perfect
+    // line still reads slope exactly 1
+    val b0 = 1700000000L
+    val df = (0 to 6).flatMap(i => Seq.fill(i + 1)((1L, b0 + i))).toDF("k", "b")
+    val out = Temporal.rollingSlope(df, "k", col("b"))
+      .select("b", "slope").as[(Long, Double)].collect().toMap
+    (1 to 6).foreach(i => assert(out(b0 + i) === 1.0, s"b offset $i"))
+    assert(out(b0) === 0.0)
+  }
+
   test("rollingSlope: perfect line slope 1; flat 0; head frame degenerate") {
     import graft.operators.Temporal
     // user 1 counts per bucket 0..4 = [1,2,3,4,5]: every >=2-point
