@@ -171,8 +171,14 @@ object Bench {
     val budget = 1900 // tail buffer 2000 minus sbt's trailing [success] line
     // calibration is never folded — it must stay explicit in every round's line
     val cheapestFirst = results.filter(_._2 >= 0).sortBy(_._2).map(_._1)
-    var nFold = 0
-    var out = line(Set.empty)
+    // Sub-0.3 s rows are harness-floor measurements at 250+ queries
+    // (~0.8 s/row average is mostly fixed cost): ALWAYS folded into
+    // other_sum (round-10 verdict ask #8) so the headline stays an
+    // engine-work read-out; they are a prefix of cheapestFirst. Full
+    // per-query detail still lands in bench_full.json; the correctness
+    // gate is unaffected.
+    var nFold = results.count { case (_, v) => v >= 0 && v < 0.3 }
+    var out = line(cheapestFirst.take(nFold).toSet)
     while (out.length > budget && nFold < cheapestFirst.size) {
       nFold = math.min(nFold + 5, cheapestFirst.size)
       out = line(cheapestFirst.take(nFold).toSet)

@@ -1192,6 +1192,50 @@ object QueriesAnalytics {
     * ([[graft.operators.Graph.kcore]]) — surviving (node, degree) after
     * the cohesion filter. Pure integer cascade; the oracle unrolls the
     * identical peel rounds as CTEs. */
+  /** graph_cc_incremental: INCREMENTAL connected components
+    * ([[graft.operators.Components.ccApplyDelta]], round 10) — apply a
+    * delta edge batch to a stored min-id component assignment without
+    * re-reading base edges, the graph-side member of the IVM family
+    * (`rollup_incremental`, `scd2_incremental`). The planted graph is
+    * customer→order stars plus sparse order-chain bridges (2% of
+    * orders), so components stay small while the delta exercises all
+    * three refresh cases: new members joining existing components,
+    * brand-new components, and BRIDGE edges merging two stored
+    * components. The delta split (xxhash64 of the edge) is Spark-side
+    * bookkeeping only — the oracle IS the full recompute over
+    * base ∪ delta (a WITH RECURSIVE min-label closure), which is the
+    * IVM identity this query gates. */
+  val graphCcIncremental: Q = (s, dir) => {
+    import graft.operators.Components
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").cast("long").as("c"),
+        col("o_orderkey").cast("long").as("o"))
+    val star = o.select((col("c") * 2).as("a_id"), (col("o") * 2 + 1).as("b_id"))
+    val chain = o.as("a").join(o.as("b"),
+        col("a.o") + 1 === col("b.o") && col("a.o") % 50 === 0)
+      .select((col("a.o") * 2 + 1).as("a_id"), (col("b.o") * 2 + 1).as("b_id"))
+    val edges = star.unionAll(chain)
+    val isDelta = pmod(xxhash64(col("a_id"), col("b_id")), lit(4)) === 0
+    val state = Components.connectedComponents(edges.filter(!isDelta))
+    Components.ccApplyDelta(state, edges.filter(isDelta)).orderBy("node")
+  }
+
+  val graphCcIncrementalSql: String =
+    """WITH RECURSIVE o2 AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS c, CAST(o_orderkey AS BIGINT) AS o
+      |  FROM orders),
+      |star AS (SELECT c*2 AS s, o*2+1 AS d FROM o2),
+      |chain AS (SELECT a.o*2+1 AS s, b.o*2+1 AS d
+      |  FROM o2 a JOIN o2 b ON b.o = a.o + 1 WHERE a.o % 50 = 0),
+      |p AS (SELECT s, d FROM star UNION ALL SELECT s, d FROM chain),
+      |e AS (SELECT s, d FROM p UNION ALL SELECT d, s FROM p),
+      |r(n, m) AS (
+      |  SELECT s, s FROM e
+      |  UNION
+      |  SELECT r.n, e.d FROM r JOIN e ON r.m = e.s)
+      |SELECT n AS node, CAST(min(m) AS BIGINT) AS cluster_id
+      |FROM r GROUP BY n ORDER BY node""".stripMargin
+
   val graphKcore: Q = (s, dir) => {
     val ed = Tables.lineitem(s, dir)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
@@ -2159,6 +2203,7 @@ object QueriesAnalytics {
     "graph_reciprocity" -> graphReciprocity,
     "graph_kcore" -> graphKcore,
     "graph_hits" -> graphHits,
+    "graph_cc_incremental" -> graphCcIncremental,
     "dq_audit" -> dqAudit,
     "dq_drift_psi" -> dqDriftPsi,
     "dq_drift_ks" -> dqDriftKs,
@@ -2220,6 +2265,7 @@ object QueriesAnalytics {
     "graph_reciprocity" -> graphReciprocitySql,
     "graph_kcore" -> graphKcoreSql,
     "graph_hits" -> graphHitsSql,
+    "graph_cc_incremental" -> graphCcIncrementalSql,
     "dq_audit" -> dqAuditSql,
     "dq_drift_psi" -> dqDriftPsiSql,
     "dq_drift_ks" -> dqDriftKsSql,

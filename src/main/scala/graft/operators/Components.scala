@@ -219,6 +219,43 @@ object Components {
     connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("cluster_id"))
 
+  /** INCREMENTAL connected components — apply a DELTA edge batch to a
+    * stored (node, cluster_id) assignment without re-reading base
+    * edges: the graph-side sibling of `rollup_incremental` /
+    * `scd2_incremental`'s algebraic IVM (round 10). The stored state is
+    * compressed to STAR edges (cluster_id → member) — for min-id
+    * labels the star graph has the same components as the base edge
+    * set — and one [[connectedComponents]] run over stars ∪ delta
+    * re-labels everything the delta can reach. Because cluster_id IS a
+    * member node id (the minimum), merged components recover the
+    * correct global minimum.
+    *
+    * The result is IDENTICAL to a full recompute over base ∪ delta
+    * edges (gated as `graph_cc_incremental`: the oracle IS the full
+    * recompute — the IVM identity, §7.4).
+    *
+    * Scale shape (100 TB): each refresh touches O(|nodes| + |delta|)
+    * star/delta edges — the base EDGE SET (the corpus-sized object: at
+    * web scale |E| ≫ |V|) is never re-read; the CC loop itself runs on
+    * the compressed graph whose diameter is ≤ 2 + delta-path length,
+    * so the propagation converges in a handful of rounds regardless of
+    * the original graph's diameter. */
+  def ccApplyDelta(state: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val stars = state.filter(col("node") =!= col("cluster_id"))
+      .select(col("cluster_id").as("a_id"), col("node").as("b_id"))
+    val merged = connectedComponents(
+      stars.unionAll(deltaEdges.select(col("a_id"), col("b_id"))))
+    // singleton components (node == cluster_id) contribute no star edge
+    // and must survive untouched unless the delta reaches them
+    val allNodes = state.select(col("node"))
+      .unionAll(deltaEdges.select(col("a_id").as("node")))
+      .unionAll(deltaEdges.select(col("b_id").as("node")))
+      .distinct()
+    allNodes.join(merged, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+  }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
     * al., "Connected Components in MapReduce and Beyond" — the
     * large-star/small-star algorithm): instead of propagating labels

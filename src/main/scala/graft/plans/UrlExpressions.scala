@@ -33,8 +33,105 @@ object UrlKernels {
       key, k => Pattern.compile("(&|^)" + Pattern.quote(k) + "=([^&]*)"))
 
   /** All four parts in one parse; element i is NULL when that part is
-    * absent; all elements NULL when the URL does not parse. */
+    * absent; all elements NULL when the URL does not parse.
+    *
+    * Two tiers (round 10 — fn_url was the one row reading SLOWER than
+    * r8 normalized, and its cost was pure allocation: a String decode,
+    * a `java.net.URI` object graph, a regex Matcher and four String
+    * re-encodes per row):
+    *  - FAST PATH: a single byte scan over the UTF8String for the shape
+    *    crawl corpora overwhelmingly contain — pure-ASCII
+    *    `scheme://host/path?query#frag` with no userinfo, no port, and
+    *    host restricted to [A-Za-z0-9.-] (exactly the charset where
+    *    `java.net.URI.getHost` is total). Parts come out as ZERO-COPY
+    *    `UTF8String.substring` slices; the only allocation is the
+    *    4-slot output array.
+    *  - FALLBACK: anything unusual (no "://", empty/odd authority,
+    *    '@' or ':' in the authority, a non-ASCII byte) takes the
+    *    original URI parse, so semantics stay pinned to `parse_url`
+    *    (UrlExprSpec asserts part-for-part equality on edge cases —
+    *    userinfo, ports, escapes, fragments, relative, unparseable —
+    *    AND on the full fixture corpus). */
   def parts(url: UTF8String, queryKey: String): ArrayData = {
+    val fast = fastParts(url, queryKey)
+    if (fast != null) fast else slowParts(url, queryKey)
+  }
+
+  private def isSchemeByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '+' || b == '-' || b == '.'
+
+  private def isHostByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '-' || b == '.'
+
+  /** The zero-copy scan; returns null when the URL needs the URI
+    * fallback. For pure-ASCII input, code-point indices == byte
+    * indices, so `substring` slices are exact. */
+  private def fastParts(url: UTF8String, queryKey: String): ArrayData = {
+    val n = url.numBytes
+    var i = 0
+    while (i < n) { if (url.getByte(i) < 0) return null; i += 1 } // ASCII only
+    // scheme://
+    var s = 0
+    while (s < n && url.getByte(s) != ':') {
+      if (!isSchemeByte(url.getByte(s))) return null
+      s += 1
+    }
+    if (s == 0 || s + 2 >= n || url.getByte(s) != ':' ||
+      url.getByte(s + 1) != '/' || url.getByte(s + 2) != '/') return null
+    val b0 = url.getByte(0)
+    if (!((b0 >= 'a' && b0 <= 'z') || (b0 >= 'A' && b0 <= 'Z'))) return null
+    // authority: [A-Za-z0-9.-]+ only (no userinfo/port/IPv6 → fallback)
+    val hostStart = s + 3
+    var h = hostStart
+    while (h < n && url.getByte(h) != '/' && url.getByte(h) != '?' &&
+      url.getByte(h) != '#') {
+      if (!isHostByte(url.getByte(h))) return null
+      h += 1
+    }
+    if (h == hostStart) return null // empty authority: URI semantics differ
+    // path: up to '?' or '#'
+    var p = h
+    while (p < n && url.getByte(p) != '?' && url.getByte(p) != '#') p += 1
+    // query: present only when '?' precedes any '#'
+    var qEnd = p
+    if (p < n && url.getByte(p) == '?') {
+      qEnd = p + 1
+      while (qEnd < n && url.getByte(qEnd) != '#') qEnd += 1
+    }
+    val out = new Array[Any](4)
+    out(0) = url.substring(0, s)
+    out(1) = url.substring(hostStart, h)
+    out(2) = url.substring(h, p) // "" when no path — matches getRawPath
+    if (p < n && url.getByte(p) == '?' && queryKey != null)
+      out(3) = queryValue(url, p + 1, qEnd, queryKey)
+    new GenericArrayData(out)
+  }
+
+  /** First `key=` at the query start or after '&'; value runs to the
+    * next '&' — the same semantics as the fallback's
+    * `(&|^)key=([^&]*)` regex. */
+  private def queryValue(url: UTF8String, qStart: Int, qEnd: Int,
+      key: String): UTF8String = {
+    val kLen = key.length
+    var at = qStart
+    while (at + kLen < qEnd) {
+      if (at == qStart || url.getByte(at - 1) == '&') {
+        var k = 0
+        while (k < kLen && url.getByte(at + k) == key.charAt(k).toByte) k += 1
+        if (k == kLen && url.getByte(at + kLen) == '=') {
+          var v = at + kLen + 1
+          while (v < qEnd && url.getByte(v) != '&') v += 1
+          return url.substring(at + kLen + 1, v)
+        }
+      }
+      at += 1
+    }
+    null
+  }
+
+  private def slowParts(url: UTF8String, queryKey: String): ArrayData = {
     val out = new Array[Any](4)
     try {
       val uri = new java.net.URI(url.toString)

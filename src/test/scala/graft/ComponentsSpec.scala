@@ -45,6 +45,29 @@ class ComponentsSpec extends SparkTestBase {
     Components.connectedComponentsStars(edges.toDF("a_id", "b_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("ccApplyDelta: extend / new component / bridge merge / untouched singleton ≡ full recompute (round 10)") {
+    // base: {1,2,3} (min 1), {7,9} (min 7), singleton 20 (via self-less
+    // state row) — state built by the normal CC path
+    val base = Seq((1L, 2L), (2L, 3L), (7L, 9L))
+    val state = Components.connectedComponents(base.toDF("a_id", "b_id"))
+      .unionByName(Seq((20L, 20L)).toDF("node", "cluster_id")) // stored singleton
+    // delta: 3-4 extends comp 1; 30-31 is brand new; 9-7 duplicate edge
+    // is a no-op; 3-7 BRIDGES comps 1 and 7
+    val delta = Seq((3L, 4L), (30L, 31L), (9L, 7L), (3L, 7L))
+    val got = Components.ccApplyDelta(state, delta.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = cc(base ++ delta) + (20L -> 20L)
+    assert(got == full)
+    assert(got(7L) == 1L && got(9L) == 1L) // the bridge merged to the global min
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got(20L) == 20L) // untouched singleton survives
+    // empty delta is the identity on the stored state
+    val idem = Components.ccApplyDelta(state,
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idem == state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("star contraction == label propagation on chain / clique / forest / random graphs") {
     val chain = (1L to 40L).map(i => (i, i + 1))
     val clique = (for (i <- 1L to 8L; j <- (i + 1) to 8L) yield (i, j)).toSeq
