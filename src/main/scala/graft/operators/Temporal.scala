@@ -201,30 +201,53 @@ object Temporal {
     *    open-run `eff_from` (closed intervals are immutable; an
     *    at-or-before-open delta would belong to history this op never
     *    re-reads).
-    * Both are join-checked eagerly and FAIL the call — an
-    * out-of-contract delta previously produced intervals silently
-    * diverging from the full rebuild. Each check is a `limit(1)`
-    * bounded probe (GuardSpec-inventoried). */
+    * Both checks fold into ONE eager probe job — a map-side-combined
+    * per-key (min tie, min ts) aggregate over the delta joined to the
+    * key-count-sized open slice — and FAIL the call; an out-of-contract
+    * delta previously produced intervals silently diverging from the
+    * full rebuild. Cost: one narrow delta scan + a tiny join per
+    * refresh (the delta is the refresh's input anyway); the collect is
+    * `limit(1)`-bounded (GuardSpec-inventoried). */
   def scd2ApplyDelta(baseIntervals: DataFrame, delta: DataFrame, key: String,
       ts: Column, tie: Column, attr: Column): DataFrame = {
+    // The interval frame is read THREE times (keep / open / the contract
+    // probe). In production it is a STORED table — a cheap re-scan, left
+    // alone. A LIVE computation (e.g. the gate builds it from scd2(base)
+    // in-query) would re-run its window chain once per consumer subtree,
+    // so it gets materialized once — the run-level frame is orders of
+    // magnitude smaller than the events it came from (the Dedup r8
+    // discipline, [[Checkpointing.isCheapRescan]]).
+    val baseIv =
+      if (Checkpointing.isCheapRescan(baseIntervals)) baseIntervals
+      else baseIntervals.localCheckpoint(true)
     val affected = delta.select(col(key)).distinct()
-    val open = baseIntervals.filter(col("eff_to").isNull)
+    val open = baseIv.filter(col("eff_to").isNull)
       .join(affected, Seq(key), "left_semi")
-    val badTie = delta.select(tie.as("tie")).filter(col("tie") < 0L)
+    val mins = delta.select(col(key), ts.as("__ts"), tie.cast("long").as("__tie"))
+      .groupBy(col(key))
+      .agg(min("__tie").as("__min_tie"), min("__ts").as("__min_ts"))
+    val bad = mins
+      .join(open.select(col(key), col("eff_from")), Seq(key), "left_outer")
+      .filter(col("__min_tie") < 0L ||
+        (col("eff_from").isNotNull && col("__min_ts") <= col("eff_from")))
+      .select(col(key).cast("string").as("k"),
+        col("__min_tie").as("t"), col("__min_ts"), col("eff_from"))
       .limit(1).collect()
-    require(badTie.isEmpty,
-      "scd2ApplyDelta: delta tie values must be non-negative (the synthetic " +
-        "open-run seed uses tie = -1 and must sort first)")
-    val badTs = delta.select(col(key), ts.as("ts"))
-      .join(open.select(col(key), col("eff_from")), Seq(key))
-      .filter(col("ts") <= col("eff_from")).limit(1).collect()
-    require(badTs.isEmpty,
-      s"scd2ApplyDelta: delta timestamps must be strictly later than the " +
-        s"affected key's open-run eff_from (closed intervals are immutable); " +
-        s"offending key: ${badTs.headOption.map(_.get(0)).getOrElse("")}")
+    bad.headOption.foreach { r =>
+      val msg =
+        if (r.getLong(1) < 0L)
+          "scd2ApplyDelta: delta tie values must be non-negative (the " +
+            "synthetic open-run seed uses tie = -1 and must sort first); " +
+            s"offending key: ${r.getString(0)}"
+        else
+          "scd2ApplyDelta: delta timestamps must be strictly later than " +
+            "the affected key's open-run eff_from (closed intervals are " +
+            s"immutable); offending key: ${r.getString(0)}"
+      throw new IllegalArgumentException(msg)
+    }
     // unaffected keys in full + affected keys' closed (immutable) runs
-    val keep = baseIntervals.join(affected, Seq(key), "left_anti")
-      .unionByName(baseIntervals.filter(col("eff_to").isNotNull)
+    val keep = baseIv.join(affected, Seq(key), "left_anti")
+      .unionByName(baseIv.filter(col("eff_to").isNotNull)
         .join(affected, Seq(key), "left_semi"))
     val openMeta = open.select(col(key), col("n_rows").as("__base_n"),
       (col("run") - 1L).as("__run_off"))

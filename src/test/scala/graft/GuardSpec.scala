@@ -55,7 +55,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       "operators/Components.scala" -> 1, // union-find fast path, gated ≤ 2^20 edges
       "operators/Bpe.scala" -> 1, // top-V word frequencies, V bounded
       "operators/Relational.scala" -> 1, // exactly_one: limit(2), never full
-      "operators/Temporal.scala" -> 2, // scd2ApplyDelta contract probes: limit(1) each, never full
+      "operators/Temporal.scala" -> 1, // scd2ApplyDelta contract probe: one unioned limit(1), never full
       "operators/LangId.scala" -> 2, // per-language trigram profiles, bounded
       "sources/FileView.scala" -> 1, // distinct partition values of one sink dir
       "MatchedBench.scala" -> 2, // bench-only: baseline/engine row compare
