@@ -41,7 +41,7 @@ object ScaleProbe {
     "ts_crosscorr", "vec_knn_classify", "curate_gopher_rules",
     "curate_semdedup", "dq_drift_ks", "sample_reservoir_weighted",
     "sample_stratified_exact", "multimodal_dedup", "eval_ann_recall",
-    "eval_pq_recall", "graph_cc_incremental",
+    "eval_pq_recall", "graph_cc_incremental", "pipeline_snapshot_cdc",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

@@ -133,6 +133,28 @@ object Snapshots {
   def fileCount(spark: SparkSession, root: String, v: Long): Long =
     readManifest(spark, root, v).size.toLong
 
+  /** File-level CDC for APPEND-ONLY history: read exactly the rows
+    * committed after `sinceV` up to `toV` (default: current) by
+    * diffing the two manifests and scanning ONLY the added files —
+    * old data is never touched, which is what makes incremental
+    * consumption (e.g. dedup of newly ingested docs against stored
+    * state) O(|delta|) at 100 TB. ENFORCED contract: `toV`'s manifest
+    * must be a superset of `sinceV`'s (a REPLACE commit in between
+    * breaks the added-files ≡ added-rows equivalence and fails loudly
+    * instead of silently double-reading rewritten rows). */
+  def readAppendedSince(spark: SparkSession, root: String, sinceV: Long,
+      toV: Long = -1L): DataFrame = {
+    val to = if (toV >= 0) toV else currentVersion(spark, root)
+    val before = readManifest(spark, root, sinceV).toSet
+    val after = readManifest(spark, root, to)
+    require(before.subsetOf(after.toSet),
+      s"versions $sinceV → $to are not append-only (a REPLACE rewrote files); " +
+        "file-diff CDC is only sound over append commits")
+    val added = after.filterNot(before)
+    require(added.nonEmpty, s"no files were appended between $sinceV and $to")
+    spark.read.parquet(added: _*)
+  }
+
   /** Reclaim: delete data files referenced ONLY by versions < `keepFrom`
     * (and their manifests). Readers pinned at kept versions are
     * unaffected; time travel below `keepFrom` ends here — the explicit,

@@ -69,7 +69,7 @@ object DumpPlans {
     "curate_dsir", "ts_double_ewma", "curate_ngram_ppl",
     "graph_jaccard", "dq_split_leakage", "vec_knn_classify",
     "ts_crosscorr", "curate_gopher_rules", "curate_semdedup", "dq_drift_ks", "eval_ann_recall",
-    "eval_pq_recall", "graph_cc_incremental",
+    "eval_pq_recall", "graph_cc_incremental", "pipeline_snapshot_cdc",
     "multimodal_dedup", "sample_reservoir_weighted", "sample_stratified_exact",
     "stream_markov_live",
     // round 9 session 7: robust statistics, graph audits, ADC search,

@@ -81,6 +81,21 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readSnapshot(spark, root, v3).count() == 3)
   }
 
+  test("readAppendedSince reads exactly the delta; a REPLACE in between fails the append-only contract") {
+    val root = freshRoot("cdc")
+    val v1 = Snapshots.commitAppend(spark, root, table(6, "a").coalesce(1))
+    val v2 = Snapshots.commitAppend(spark, root, table(4, "b").coalesce(1))
+    val delta = Snapshots.readAppendedSince(spark, root, v1, v2)
+    assert(delta.count() == 4)
+    assert(delta.filter(col("tag") =!= "b").count() == 0,
+      "the delta must contain ONLY the appended commit's rows")
+    val v3 = Snapshots.commitReplace(spark, root, table(2, "c").coalesce(1))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAppendedSince(spark, root, v1, v3)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("registered lake_snapshot query: versions, counts, file counts, isolation flag") {
     val out = QueriesCore.lakeSnapshot(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
