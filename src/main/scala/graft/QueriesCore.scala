@@ -185,6 +185,59 @@ object QueriesCore {
       |WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.text_hash = b.text_hash)
       |ORDER BY b.text_hash""".stripMargin
 
+  /** lake_delete: merge-on-read equality deletes with sequence scoping
+    * ([[graft.sources.Snapshots.commitDelete]], round 10 — Iceberg v2
+    * semantics): append the corpus in two commits, publish a delete of
+    * every doc_id % 7 == 0 key (NO data file rewritten — the delete is
+    * one tiny parquet of keys), then RE-APPEND the doc_id % 21 == 0
+    * subset. The read must drop deleted rows from data committed BEFORE
+    * the delete while keeping the later re-inserts — the scoping rule
+    * that makes rewrite-free deletes composable with ongoing ingestion
+    * at 100 TB. Oracle: survivors are exactly %7≠0 ∪ %21=0, once each. */
+  val lakeDelete: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_del"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir)
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 0).repartition(2))
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 =!= 0).repartition(2))
+    Snapshots.commitDelete(s, root, d.filter(col("doc_id") % 7 === 0).select("doc_id"))
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 21 === 0).repartition(1))
+    Snapshots.readSnapshot(s, root)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val lakeDeleteSql =
+    """SELECT doc_id, source FROM documents
+      |WHERE doc_id % 7 <> 0 OR doc_id % 21 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** snapshot_diff: row-level CDC across a REPLACE commit
+    * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
+    * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
+    * both ways, rows tagged add/del. v1 = the even-doc_id corpus, v2 a
+    * replace with the %3 corpus; the diff is the symmetric difference. */
+  val snapshotDiffQ: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_diff"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "source")
+    val v1 = Snapshots.commitReplace(s, root, d.filter(col("doc_id") % 2 === 0).repartition(2))
+    val v2 = Snapshots.commitReplace(s, root, d.filter(col("doc_id") % 3 === 0).repartition(2))
+    Snapshots.snapshotDiff(s, root, v1, v2).orderBy("change", "doc_id")
+  }
+
+  val snapshotDiffSql =
+    """SELECT doc_id, source, 'add' AS change FROM documents
+      |  WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+      |UNION ALL
+      |SELECT doc_id, source, 'del' AS change FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+      |ORDER BY change, doc_id""".stripMargin
+
   /** scan_orc: ORC write→read roundtrip — the second columnar format a
     * lake ingests from (Hive-era pipelines). Typed columns (LONG/DOUBLE/
     * STRING) round-trip bit-exactly, so the identity oracle is the full
@@ -1958,6 +2011,8 @@ object QueriesCore {
     "lake_compact" -> lakeCompact,
     "lake_snapshot" -> lakeSnapshot,
     "pipeline_snapshot_cdc" -> pipelineSnapshotCdc,
+    "lake_delete" -> lakeDelete,
+    "snapshot_diff" -> snapshotDiffQ,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
     "project_compute" -> projectCompute,
@@ -2051,6 +2106,8 @@ object QueriesCore {
     "lake_compact" -> lakeCompactSql,
     "lake_snapshot" -> lakeSnapshotSql,
     "pipeline_snapshot_cdc" -> pipelineSnapshotCdcSql,
+    "lake_delete" -> lakeDeleteSql,
+    "snapshot_diff" -> snapshotDiffSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,
     "project_compute" -> projectComputeSql,

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Manifest-versioned snapshot commits over a plain parquet directory —
   * the minimal ACID story a 100 TB lake deployment eventually needs
@@ -14,33 +15,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   root/data/v<N>/part-*.parquet     -- immutable once committed
-  *   root/_manifests/v<N>.list        -- newline-separated data paths
+  *   root/data/c-<uuid>/part-*.parquet    -- immutable once committed
+  *   root/deletes/c-<uuid>/part-*.parquet -- equality-delete key files
+  *   root/_manifests/v<N>.list            -- entries (see below)
+  *   root/_manifests/v<N>.claim           -- commit-arbitration marker
   * }}}
   *
-  * Commit protocol: write the new data files under a version-private
-  * subdir (never visible to any manifest until the pointer lands), then
-  * write `_manifests/v<N>.list.tmp` and RENAME it to `v<N>.list` — one
-  * single-file rename is the entire visibility switch, atomic on
-  * HDFS-like stores (and on object stores with a conditional-put
-  * manifest swap — the declared production substitution). A reader that
-  * resolved version N keeps a frozen file list: later commits add new
-  * manifests and new data subdirs but never touch N's files, so reads
-  * are SNAPSHOT-ISOLATED and any historical version stays readable
-  * (time travel) until [[vacuum]] reclaims it.
+  * Manifest entries are one line per file, `KIND\tVER\tPATH` where KIND
+  * is `A` (data added at version VER) or `D` (equality-delete keys
+  * committed at VER); a bare path parses as `A\t0\tPATH` (legacy).
+  * Entries are immutable once written — an APPEND carries the prior
+  * version's lines verbatim, so manifest-set diffs identify exactly
+  * what a version changed (the CDC reader builds on this).
   *
-  * What this deliberately does not do (declared): multi-writer commit
-  * arbitration (optimistic retry on the rename losing a race), schema
-  * evolution inside the manifest, or statistics files — the reference
-  * has no writer concurrency story at all, and the gate exercises the
-  * single-writer protocol end to end.
+  * Commit protocol (optimistic, multi-writer): data files are written
+  * FIRST under a commit-private uuid directory (never visible to any
+  * manifest until the pointer lands, and never rewritten on retry).
+  * Publication then loops: read the highest published version `cur`,
+  * CLAIM `cur+1` by atomically creating `_manifests/v<cur+1>.claim`
+  * (local FS: `File.createNewFile`, O_CREAT|O_EXCL; HDFS-likes:
+  * `create(path, overwrite=false)`; object stores: the conditional-put
+  * substitution), and on success write the manifest via tmp + RENAME —
+  * one single-file rename is the entire visibility switch. A claim at
+  * `cur+1` can only be won while `cur` is published, so carried file
+  * lists always extend the latest committed state: concurrent appends
+  * serialize correctly and none is lost. A writer that loses the claim
+  * backs off and retries against the new current version; its data
+  * files are reused as-is. KNOWN GAP (documented, not hidden): a writer
+  * that crashes between claim and publish wedges the version number
+  * until the orphan `.claim` is removed — production substitutes a
+  * lease/conditional-put here; [[commitAppend]] fails loudly after 60 s
+  * naming the recovery step.
+  *
+  * Row-level deletes are MERGE-ON-READ equality deletes with sequence
+  * scoping, the Iceberg v2 semantics: [[commitDelete]] publishes a
+  * parquet file of key tuples; [[readSnapshot]] drops a data row iff
+  * some delete with a LATER version than the row's data file matches
+  * its key. Re-inserting a deleted key therefore works (the new file's
+  * version exceeds the delete's), and a REPLACE commit materializes
+  * deletes away. A reader pinned before the delete still sees the rows
+  * (snapshot isolation covers deletes too).
   *
   * Scale shape: a commit touches only its OWN new files plus one
   * manifest write; `readSnapshot` hands Spark the frozen file list, so
   * scan planning, pushdown and pruning are the ordinary parquet path.
-  * Manifests are O(files) text — the 100 TB failure mode (a million
-  * small files) is the existing [[FileView.compact]] job's business,
-  * which composes: a REPLACE commit whose data is the compacted rewrite.
+  * With no deletes the plan IS that plain scan (fast path); with
+  * deletes it adds one broadcast of the O(files) (path → version) map
+  * and one co-keyed left join against the per-key max delete version —
+  * the read-side cost merge-on-read trades for rewrite-free deletes,
+  * reclaimed by the next REPLACE. Manifests are O(files) text — the
+  * 100 TB failure mode (a million small files) is the existing
+  * [[FileView.compact]] job's business, which composes: a REPLACE
+  * commit whose data is the compacted rewrite.
   */
 object Snapshots {
 
@@ -51,6 +77,18 @@ object Snapshots {
 
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"v$v%05d.list")
+
+  /** One manifest line: `A`=data file, `D`=equality-delete file, each
+    * stamped with the version that committed it. */
+  private final case class Entry(kind: String, ver: Long, path: String) {
+    def line: String = s"$kind\t$ver\t$path"
+  }
+
+  private def parseEntry(line: String): Entry = line.split('\t') match {
+    case Array(k, v, p) if k == "A" || k == "D" => Entry(k, v.toLong, p)
+    case Array(p) => Entry("A", 0L, p) // legacy bare-path line
+    case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
+  }
 
   /** Highest committed version, or 0 when the table has none. `.tmp`
     * leftovers of a writer killed mid-commit are invisible (their
@@ -75,6 +113,9 @@ object Snapshots {
     finally in.close()
   }
 
+  private def entries(spark: SparkSession, root: String, v: Long): Seq[Entry] =
+    readManifest(spark, root, v).map(parseEntry)
+
   private def writeManifest(spark: SparkSession, root: String, v: Long,
       files: Seq[String]): Unit = {
     val mp = manifestPath(root, v)
@@ -88,50 +129,137 @@ object Snapshots {
       s"commit lost the manifest rename for version $v — nothing became visible")
   }
 
-  /** The data files a commit just wrote under its private subdir. */
+  /** Atomically claim the right to publish version `v`. Local FS gets a
+    * true O_CREAT|O_EXCL create; other stores use Hadoop's
+    * no-overwrite create (atomic on HDFS; an object-store deployment
+    * substitutes a conditional put — declared). Claim files persist:
+    * deleting one after publish would let a straggler that read a stale
+    * `currentVersion` re-claim and clobber a published manifest. */
+  private def tryClaim(spark: SparkSession, root: String, v: Long): Boolean = {
+    val cp = new Path(manifestDir(root), f"v$v%05d.claim")
+    val f = fs(spark, cp)
+    f.mkdirs(manifestDir(root))
+    if (f.getUri.getScheme == "file")
+      new java.io.File(cp.toUri.getPath).createNewFile()
+    else
+      try { f.create(cp, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  /** Optimistic publication loop shared by every commit kind: claim
+    * `current+1`, build the new manifest from the carried lines, rename
+    * it visible. `build` receives the version it will publish as plus
+    * the carried entries (empty for version 1). */
+  private def publish(spark: SparkSession, root: String)(
+      build: (Long, Seq[Entry]) => Seq[String]): Long = {
+    val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+    var attempt = 0
+    while (System.nanoTime < deadline) {
+      val cur = currentVersion(spark, root)
+      val v = cur + 1
+      if (tryClaim(spark, root, v)) {
+        val carried = if (cur == 0) Seq.empty else entries(spark, root, cur)
+        writeManifest(spark, root, v, build(v, carried))
+        return v
+      }
+      attempt += 1
+      Thread.sleep(math.min(200L, 5L * attempt))
+    }
+    throw new IllegalStateException(
+      s"commit on $root could not claim a version for 60 s — a writer crashed " +
+        "between claim and publish (recover: delete the orphan _manifests/*.claim)")
+  }
+
+  private def uuid8 = java.util.UUID.randomUUID.toString.take(8)
+
+  /** The parquet files a commit just wrote under its private subdir. */
   private def dataFiles(spark: SparkSession, dir: Path): Seq[String] = {
     val f = fs(spark, dir)
     f.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted.toSeq
   }
 
-  /** APPEND commit: new version = previous version's files + `df`'s
-    * files. Returns the committed version number. */
+  /** APPEND commit: new version = previous version's entries + `df`'s
+    * files. Safe under concurrent writers (see the protocol above).
+    * Returns the committed version number. */
   def commitAppend(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val prev = currentVersion(spark, root)
-    val v = prev + 1
-    val dataDir = new Path(root, f"data/v$v%05d")
+    val dataDir = new Path(root, s"data/c-$uuid8")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val carried = if (prev == 0) Seq.empty else readManifest(spark, root, prev)
-    writeManifest(spark, root, v, carried ++ dataFiles(spark, dataDir))
-    v
+    val mine = dataFiles(spark, dataDir)
+    publish(spark, root) { (v, carried) =>
+      carried.map(_.line) ++ mine.map(p => Entry("A", v, p).line)
+    }
   }
 
   /** REPLACE commit: new version lists ONLY `df`'s files (compaction /
-    * rewrite). Prior versions keep reading their own files — nothing is
-    * deleted until [[vacuum]]. Returns the committed version number. */
+    * rewrite), dropping carried delete files too — a replace
+    * materializes pending deletes away. Prior versions keep reading
+    * their own files — nothing is deleted until [[vacuum]]. */
   def commitReplace(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val v = currentVersion(spark, root) + 1
-    val dataDir = new Path(root, f"data/v$v%05d")
+    val dataDir = new Path(root, s"data/c-$uuid8")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    writeManifest(spark, root, v, dataFiles(spark, dataDir))
-    v
+    val mine = dataFiles(spark, dataDir)
+    publish(spark, root) { (v, _) => mine.map(p => Entry("A", v, p).line) }
   }
+
+  /** Row-level DELETE commit (merge-on-read equality deletes): publish
+    * `keys` (deduplicated; its columns ARE the equality key) as a
+    * delete file. No data file is rewritten — [[readSnapshot]] applies
+    * the delete, scoped to data committed BEFORE it, so a later
+    * re-insert of the same key survives (Iceberg v2 semantics). All
+    * delete commits against one table must share the key schema. */
+  def commitDelete(spark: SparkSession, root: String, keys: DataFrame): Long = {
+    val delDir = new Path(root, s"deletes/c-$uuid8")
+    keys.dropDuplicates().write.mode("overwrite").parquet(delDir.toString)
+    val mine = dataFiles(spark, delDir)
+    publish(spark, root) { (v, carried) =>
+      require(carried.exists(_.kind == "A"), s"cannot delete from an empty table $root")
+      carried.map(_.line) ++ mine.map(p => Entry("D", v, p).line)
+    }
+  }
+
+  /** Strip any URI scheme so manifest paths (`file:/x`) and
+    * `_metadata.file_path` values (`file:///x`) compare equal. */
+  private def normPath(p: String): String = new Path(p).toUri.getPath
 
   /** Read the table AT a version (time travel); defaults to the current
     * version. The returned frame's file list is frozen at call time —
-    * concurrent later commits cannot change what it reads. */
+    * concurrent later commits cannot change what it reads. With no
+    * delete files this is a PLAIN parquet scan (pushdown/pruning
+    * untouched); with deletes it applies the sequence-scoped equality
+    * anti-filter: keep a row iff no delete with version > the row's
+    * data-file version matches its key columns. */
   def readSnapshot(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, root)
-    val files = readManifest(spark, root, v)
-    require(files.nonEmpty, s"snapshot version $v of $root lists no files")
-    spark.read.parquet(files: _*)
+    val es = entries(spark, root, v)
+    val data = es.filter(_.kind == "A")
+    require(data.nonEmpty, s"snapshot version $v of $root lists no files")
+    val base = spark.read.parquet(data.map(_.path): _*)
+    val dels = es.filter(_.kind == "D")
+    if (dels.isEmpty) base
+    else {
+      import spark.implicits._
+      val delKeys = dels.map(e => spark.read.parquet(e.path).withColumn("__dver", lit(e.ver)))
+        .reduce(_ unionByName _)
+      val keyCols = delKeys.columns.filterNot(_ == "__dver").toSeq
+      val maxDel = delKeys.groupBy(keyCols.map(col): _*)
+        .agg(max(col("__dver")).as("__dver_max"))
+      val fileVer = data.map(e => (normPath(e.path), e.ver)).toDF("__fp", "__ver")
+      base
+        .withColumn("__fp",
+          regexp_replace(col("_metadata.file_path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"))
+        .join(broadcast(fileVer), Seq("__fp"))
+        .join(maxDel, keyCols, "left")
+        .filter(col("__dver_max").isNull || col("__dver_max") < col("__ver"))
+        .drop("__fp", "__ver", "__dver_max")
+        .select(base.columns.toIndexedSeq.map(col): _*)
+    }
   }
 
-  /** Number of data files version `v` lists — the observable the gate
+  /** Number of DATA files version `v` lists — the observable the gate
     * pins (file counts are deterministic under explicit coalesce). */
   def fileCount(spark: SparkSession, root: String, v: Long): Long =
-    readManifest(spark, root, v).size.toLong
+    entries(spark, root, v).count(_.kind == "A").toLong
 
   /** File-level CDC for APPEND-ONLY history: read exactly the rows
     * committed after `sinceV` up to `toV` (default: current) by
@@ -139,9 +267,10 @@ object Snapshots {
     * old data is never touched, which is what makes incremental
     * consumption (e.g. dedup of newly ingested docs against stored
     * state) O(|delta|) at 100 TB. ENFORCED contract: `toV`'s manifest
-    * must be a superset of `sinceV`'s (a REPLACE commit in between
-    * breaks the added-files ≡ added-rows equivalence and fails loudly
-    * instead of silently double-reading rewritten rows). */
+    * must be a superset of `sinceV`'s with no new DELETE files (a
+    * REPLACE breaks the added-files ≡ added-rows equivalence; a delete
+    * in range means the delta is not pure inserts — for those use
+    * [[snapshotDiff]], the row-level path). */
   def readAppendedSince(spark: SparkSession, root: String, sinceV: Long,
       toV: Long = -1L): DataFrame = {
     val to = if (toV >= 0) toV else currentVersion(spark, root)
@@ -150,30 +279,47 @@ object Snapshots {
     require(before.subsetOf(after.toSet),
       s"versions $sinceV → $to are not append-only (a REPLACE rewrote files); " +
         "file-diff CDC is only sound over append commits")
-    val added = after.filterNot(before)
+    val added = after.filterNot(before).map(parseEntry)
+    require(!added.exists(_.kind == "D"),
+      s"versions $sinceV → $to include row deletes; file-diff CDC covers pure " +
+        "inserts — use snapshotDiff for the row-level delta")
     require(added.nonEmpty, s"no files were appended between $sinceV and $to")
-    spark.read.parquet(added: _*)
+    spark.read.parquet(added.map(_.path): _*)
   }
 
-  /** Reclaim: delete data files referenced ONLY by versions < `keepFrom`
-    * (and their manifests). Readers pinned at kept versions are
-    * unaffected; time travel below `keepFrom` ends here — the explicit,
-    * separate destructive step, exactly like a table format's
-    * expire-snapshots. Returns the number of data files deleted. */
+  /** Row-level diff between two versions, the general-commit CDC
+    * (handles REPLACE and delete commits, where file-diff is unsound):
+    * one `change` column tagging rows `add` (in `toV` only) / `del`
+    * (in `fromV` only), compared by the full row via EXCEPT ALL — the
+    * honest one-shuffle cost of diffing a rewrite; appends should
+    * prefer [[readAppendedSince]], which reads only the delta files. */
+  def snapshotDiff(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    val a = readSnapshot(spark, root, fromV)
+    val b = readSnapshot(spark, root, toV)
+    b.exceptAll(a).withColumn("change", lit("add"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("del")))
+  }
+
+  /** Reclaim: delete data/delete files referenced ONLY by versions <
+    * `keepFrom` (and their manifests + claim markers). Readers pinned
+    * at kept versions are unaffected; time travel below `keepFrom` ends
+    * here — the explicit, separate destructive step, exactly like a
+    * table format's expire-snapshots. Returns files deleted. */
   def vacuum(spark: SparkSession, root: String, keepFrom: Long): Long = {
     val cur = currentVersion(spark, root)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom $keepFrom out of [1, $cur]")
-    val keep = (keepFrom to cur).flatMap(readManifest(spark, root, _)).toSet
+    val keep = (keepFrom to cur).flatMap(entries(spark, root, _)).map(_.path).toSet
     val f = fs(spark, new Path(root))
     var deleted = 0L
     for (v <- 1L until keepFrom) {
       val mp = manifestPath(root, v)
       if (f.exists(mp)) {
-        readManifest(spark, root, v).filterNot(keep).foreach { file =>
+        entries(spark, root, v).map(_.path).filterNot(keep).foreach { file =>
           if (f.delete(new Path(file), false)) deleted += 1
         }
         f.delete(mp, false)
+        f.delete(new Path(manifestDir(root), f"v$v%05d.claim"), false)
       }
     }
     deleted

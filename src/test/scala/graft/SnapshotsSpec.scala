@@ -96,6 +96,74 @@ class SnapshotsSpec extends SparkTestBase {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("equality deletes: merge-on-read drops matching rows; pinned readers keep them; re-insert survives") {
+    val root = freshRoot("del")
+    val v1 = Snapshots.commitAppend(spark, root, table(10, "a").coalesce(1))
+    val v2 = Snapshots.commitDelete(spark, root, Seq(2L, 4L, 6L).toDF("id"))
+    assert(v2 == 2L)
+    val afterDel = Snapshots.readSnapshot(spark, root, v2)
+    assert(afterDel.count() == 7)
+    assert(afterDel.filter(col("id").isin(2L, 4L, 6L)).count() == 0)
+    // snapshot isolation covers deletes: the v1 reader still sees all 10
+    assert(Snapshots.readSnapshot(spark, root, v1).count() == 10)
+    // sequence scoping: re-inserting a deleted key AFTER the delete survives
+    val v3 = Snapshots.commitAppend(spark, root, Seq((4L, "re")).toDF("id", "tag").coalesce(1))
+    val afterRe = Snapshots.readSnapshot(spark, root, v3)
+    assert(afterRe.count() == 8)
+    assert(afterRe.filter(col("id") === 4L).select("tag").as[String].collect().toSeq == Seq("re"),
+      "only the re-inserted copy of id=4 may survive")
+    // a second delete (later version) kills the re-insert too; deletes accumulate
+    val v4 = Snapshots.commitDelete(spark, root, Seq(4L, 8L).toDF("id"))
+    val afterDel2 = Snapshots.readSnapshot(spark, root, v4)
+    assert(afterDel2.count() == 6)
+    assert(afterDel2.filter(col("id").isin(2L, 4L, 6L, 8L)).count() == 0)
+    // a REPLACE materializes deletes away: fresh table, no delete entries
+    val v5 = Snapshots.commitReplace(spark, root, Snapshots.readSnapshot(spark, root, v4).coalesce(1))
+    assert(Snapshots.readSnapshot(spark, root, v5).count() == 6)
+    // after the purge, re-inserting a previously deleted key is clean
+    val v6 = Snapshots.commitAppend(spark, root, Seq((2L, "back")).toDF("id", "tag").coalesce(1))
+    assert(Snapshots.readSnapshot(spark, root, v6).filter(col("id") === 2L).count() == 1)
+  }
+
+  test("readAppendedSince refuses a range containing a delete commit") {
+    val root = freshRoot("cdcdel")
+    val v1 = Snapshots.commitAppend(spark, root, table(6, "a").coalesce(1))
+    Snapshots.commitDelete(spark, root, Seq(1L).toDF("id"))
+    val v3 = Snapshots.commitAppend(spark, root, table(3, "b").coalesce(1))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAppendedSince(spark, root, v1, v3)
+    }
+    assert(e.getMessage.contains("row deletes"))
+  }
+
+  test("snapshotDiff tags row-level adds and dels across a REPLACE") {
+    val root = freshRoot("diff")
+    val v1 = Snapshots.commitReplace(spark, root, table(6, "a").coalesce(1))   // ids 1..6
+    val v2 = Snapshots.commitReplace(spark, root,
+      (4 to 9).map(i => (i.toLong, "a")).toDF("id", "tag").coalesce(1))        // ids 4..9
+    val diff = Snapshots.snapshotDiff(spark, root, v1, v2)
+      .select("change", "id").as[(String, Long)].collect().toSet
+    assert(diff == Set(("add", 7L), ("add", 8L), ("add", 9L),
+      ("del", 1L), ("del", 2L), ("del", 3L)))
+  }
+
+  test("concurrent appenders all commit; no append is lost; versions are dense") {
+    val root = freshRoot("conc")
+    val writers = 6
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to writers).map { w =>
+      Future(Snapshots.commitAppend(spark, root,
+        Seq((w.toLong, s"w$w")).toDF("id", "tag").coalesce(1)))
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    assert(versions.sorted == (1L to writers.toLong),
+      s"every writer must win a distinct dense version, got $versions")
+    val rows = Snapshots.readSnapshot(spark, root).select("tag").as[String].collect().toSet
+    assert(rows == (1 to writers).map(w => s"w$w").toSet, "no append may be lost")
+  }
+
   test("registered lake_snapshot query: versions, counts, file counts, isolation flag") {
     val out = QueriesCore.lakeSnapshot(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
