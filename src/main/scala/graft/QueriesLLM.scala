@@ -3011,6 +3011,91 @@ object QueriesLLM {
        |  AND rk.doc_id = rel.relevant_doc
        |ORDER BY rel.query_id""".stripMargin
 
+  /** 1/log2(i+1) DCG position weights for i = 1..10, quantized ONCE
+    * driver-side to 1e8 micro-units. The SAME Long literals land in the
+    * Spark plan (broadcast 10-row frame) and the oracle SQL (VALUES
+    * list), so neither engine evaluates a logarithm — the §7.4
+    * shared-constant recipe. */
+  private val ndcgWeights: Seq[(Int, Long)] =
+    (1 to 10).map(i => i -> math.round(1e8 * math.log(2.0) / math.log(i + 1.0)))
+
+  /** eval_retrieval_ndcg: NDCG@10 of the gated BM25 batch ranking under
+    * GRADED relevance — grade(query, doc) = distinct query terms the doc
+    * contains (0/1/2 for these two-term queries), gain = 2^grade − 1,
+    * position weights 1/log2(rank+1). DCG sums the actual top-10's
+    * gains; IDCG re-sorts ALL matched docs by (grade desc, doc_id) and
+    * takes the best 10; ndcg = dcg/idcg. Completes the retrieval-eval
+    * family (`eval_retrieval_mrr` = single-relevant rank quality,
+    * `eval_ann_recall`/`eval_pq_recall` = vector side): NDCG is the
+    * metric that sees partial credit, which MRR cannot.
+    *
+    * Exactness: gains are integers (`1 << grade − 1`), weights the
+    * shared micro-unit literals above, so dcg/idcg are exact BIGINT
+    * micro-sums (≤ 3·10⁹ ≪ 2⁵³); ndcg is ONE r8-gridded IEEE division.
+    * Scale shape: the grade stream is pruned by a broadcast semi-join
+    * on query terms BEFORE any shuffle (posting discipline); the ideal
+    * window ranks only term-matched docs per query; the weight table is
+    * a broadcast 10-row frame. */
+  val evalRetrievalNdcg: Q = (s, dir) => {
+    import s.implicits._
+    val queries = Seq((1, "spark"), (1, "join"), (2, "window"), (2, "stream"),
+      (3, "scan"), (3, "join")).toDF("query_id", "term")
+    val docs = Tables.documents(s, dir)
+    val ranked = Search.bm25Batch(docs, col("text"), col("doc_id"),
+      queries, topK = 10)
+    val grades = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .join(broadcast(queries.select("term").distinct()), Seq("term"), "left_semi")
+      .join(broadcast(queries.distinct()), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count_distinct(col("term")).as("grade"))
+    val wDf = ndcgWeights.toDF("rnk", "w")
+    val gain = expr("shiftleft(CAST(1 AS BIGINT), CAST(grade AS INT)) - 1")
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)
+    val dcg = ranked.withColumn("rnk", row_number().over(rw))
+      .join(grades, Seq("query_id", "doc_id"), "left_outer")
+      .na.fill(0L, Seq("grade"))
+      .join(broadcast(wDf), Seq("rnk"))
+      .groupBy("query_id").agg(sum(gain * col("w")).as("dcg_micro"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("grade").desc, col("doc_id").asc)
+    val idcg = grades.withColumn("rnk", row_number().over(iw))
+      .filter(col("rnk") <= 10)
+      .join(broadcast(wDf), Seq("rnk"))
+      .groupBy("query_id").agg(sum(gain * col("w")).as("idcg_micro"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("dcg_micro"), col("idcg_micro"),
+        graft.functions.Num.r8(
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  val evalRetrievalNdcgSql: String = {
+    val wt = ndcgWeights.map { case (i, w) => s"($i, $w)" }.mkString(", ")
+    s"""WITH $bm25BatchCtes,
+       |wt(rnk, w) AS (VALUES $wt),
+       |m AS (SELECT q.query_id, t.doc_id, count(DISTINCT t.term) AS grade
+       |  FROM tok t JOIN q ON q.term = t.term GROUP BY 1, 2),
+       |dcg AS (SELECT r.query_id,
+       |    CAST(sum(coalesce((CAST(1 AS BIGINT) << m.grade) - 1, 0) * wt.w) AS BIGINT)
+       |      AS dcg_micro
+       |  FROM ranked r JOIN wt ON wt.rnk = r.rn
+       |  LEFT JOIN m ON m.query_id = r.query_id AND m.doc_id = r.doc_id
+       |  WHERE r.rn <= 10 GROUP BY 1),
+       |ideal AS (SELECT query_id, grade, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY grade DESC, doc_id ASC) AS rnk FROM m),
+       |idcg AS (SELECT query_id,
+       |    CAST(sum(((CAST(1 AS BIGINT) << grade) - 1) * wt.w) AS BIGINT) AS idcg_micro
+       |  FROM ideal JOIN wt ON wt.rnk = ideal.rnk
+       |  WHERE ideal.rnk <= 10 GROUP BY 1)
+       |SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+       |  ${graft.functions.Num.r8Sql("CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro")} AS ndcg
+       |FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+       |ORDER BY d.query_id""".stripMargin
+  }
+
   /** dedup_spans: C4-style span-level exact dedup —
     * [[graft.operators.Dedup.spanDedup]] tiles docs into 10-token spans,
     * keeps each span's first corpus occurrence, reassembles. Winner
@@ -3098,6 +3183,7 @@ object QueriesLLM {
     "text_tfidf_keywords" -> textTfidfKeywords,
     "text_hash_features" -> textHashFeatures,
     "eval_retrieval_mrr" -> evalRetrievalMrr,
+    "eval_retrieval_ndcg" -> evalRetrievalNdcg,
     "text_zipf_fit" -> textZipfFit,
     "text_vocab_approx" -> textVocabApprox,
     "text_token_count" -> textTokenCount,
@@ -3185,6 +3271,7 @@ object QueriesLLM {
     "text_tfidf_keywords" -> textTfidfKeywordsSql,
     "text_hash_features" -> textHashFeaturesSql,
     "eval_retrieval_mrr" -> evalRetrievalMrrSql,
+    "eval_retrieval_ndcg" -> evalRetrievalNdcgSql,
     "text_zipf_fit" -> textZipfFitSql,
     "text_vocab_approx" -> textVocabApproxSql,
     "text_token_count" -> textTokenCountSql,

@@ -284,6 +284,37 @@ class SearchGraphSpec extends SparkTestBase {
     assert(out.exists(_._6 > 0.0), s"all rr zero: $out")
   }
 
+  test("eval_retrieval_ndcg: dcg/idcg recomputed driver-side; ndcg in (0,1]; ideal beats actual") {
+    val out = QueriesLLM.all("eval_retrieval_ndcg")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val queries = Map(1 -> Seq("spark", "join"), 2 -> Seq("window", "stream"),
+      3 -> Seq("scan", "join"))
+    val w = (1 to 10).map(i => math.round(1e8 * math.log(2.0) / math.log(i + 1.0)))
+    val docTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val ranked = QueriesLLM.all("search_bm25_batch")(spark, sf)
+      .select("query_id", "doc_id").as[(Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSeq }
+    for ((q, terms) <- queries) {
+      val grade = docTokens.flatMap { case (id, ts) =>
+        val m = terms.count(ts.contains)
+        if (m > 0) Some(id -> m) else None
+      }.toMap
+      val gain = (g: Int) => (1L << g) - 1
+      val dcg = ranked.getOrElse(q, Seq.empty).zipWithIndex.map { case (id, i) =>
+        gain(grade.getOrElse(id, 0)) * w(i)
+      }.sum
+      val idcg = grade.toSeq.sortBy { case (id, g) => (-g, id) }.take(10)
+        .zipWithIndex.map { case ((_, g), i) => gain(g) * w(i) }.sum
+      val row = out.find(_._1 == q).get
+      assert((row._2, row._3) === ((dcg, idcg)), s"query $q dcg/idcg")
+      assert(row._4 === math.floor(dcg.toDouble / idcg * 1e8 + 0.5) / 1e8, s"query $q ndcg")
+      assert(row._4 > 0.0 && row._4 <= 1.0, s"query $q ndcg bounds")
+      assert(dcg <= idcg, s"query $q ideal must dominate the actual ranking")
+    }
+  }
+
   test("reciprocity: mutual pair counts both directions; DAG is 0; loops/dups drop") {
     // edges 1->2, 2->1 (mutual), 1->3 (one-way), 3->3 (loop), dup 1->2
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
