@@ -214,6 +214,38 @@ object QueriesCore {
       |WHERE doc_id % 7 <> 0 OR doc_id % 21 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** lake_merge: single-commit upsert ([[graft.sources.Snapshots
+    * .commitMerge]], round 10 — MERGE INTO's storage half): ONE atomic
+    * version carries a delete file on the key AND the update rows; the
+    * sequence rule (deletes kill strictly-earlier data only) makes the
+    * update rows survive their own commit's delete. Updates = every
+    * doc_id % 5 == 0 re-tagged source='patched' plus brand-new rows
+    * (doc_id + 10^9); readers see latest-wins atomically, no data file
+    * rewritten. Oracle: patched ∪ untouched ∪ inserted. */
+  val lakeMerge: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_merge"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "source")
+    Snapshots.commitAppend(s, root, d.repartition(2))
+    val updates = d.filter(col("doc_id") % 5 === 0)
+      .withColumn("source", lit("patched"))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), lit("inserted").as("source")))
+    Snapshots.commitMerge(s, root, updates.repartition(2), keyCols = Seq("doc_id"))
+    Snapshots.readSnapshot(s, root).orderBy("doc_id")
+  }
+
+  val lakeMergeSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'patched' ELSE source END AS source
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000000 AS doc_id, 'inserted' AS source
+      |FROM documents WHERE doc_id % 11 = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
     * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
@@ -2012,6 +2044,7 @@ object QueriesCore {
     "lake_snapshot" -> lakeSnapshot,
     "pipeline_snapshot_cdc" -> pipelineSnapshotCdc,
     "lake_delete" -> lakeDelete,
+    "lake_merge" -> lakeMerge,
     "snapshot_diff" -> snapshotDiffQ,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
@@ -2107,6 +2140,7 @@ object QueriesCore {
     "lake_snapshot" -> lakeSnapshotSql,
     "pipeline_snapshot_cdc" -> pipelineSnapshotCdcSql,
     "lake_delete" -> lakeDeleteSql,
+    "lake_merge" -> lakeMergeSql,
     "snapshot_diff" -> snapshotDiffSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,

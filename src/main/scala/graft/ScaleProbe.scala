@@ -42,7 +42,7 @@ object ScaleProbe {
     "curate_semdedup", "dq_drift_ks", "sample_reservoir_weighted",
     "sample_stratified_exact", "multimodal_dedup", "eval_ann_recall",
     "eval_pq_recall", "graph_cc_incremental", "pipeline_snapshot_cdc",
-    "lake_delete", "snapshot_diff", "eval_retrieval_ndcg",
+    "lake_delete", "lake_merge", "snapshot_diff", "eval_retrieval_ndcg",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

@@ -218,6 +218,29 @@ object Snapshots {
     }
   }
 
+  /** MERGE (upsert) commit: ONE atomic version carrying both a delete
+    * file on `keyCols` and `updates`' data files. The sequence rule
+    * (deletes kill only data from STRICTLY EARLIER versions) means the
+    * delete erases every pre-existing row sharing a key with an update
+    * while the update rows themselves — same version as the delete —
+    * survive: latest-wins upsert, no read-modify-write of any data
+    * file, and a reader either sees the whole merge or none of it. */
+  def commitMerge(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val dataDir = new Path(root, s"data/c-$uuid8")
+    updates.write.mode("overwrite").parquet(dataDir.toString)
+    val delDir = new Path(root, s"deletes/c-$uuid8")
+    updates.select(keyCols.map(col): _*).dropDuplicates()
+      .write.mode("overwrite").parquet(delDir.toString)
+    val dels = dataFiles(spark, delDir)
+    val adds = dataFiles(spark, dataDir)
+    publish(spark, root) { (v, carried) =>
+      require(carried.exists(_.kind == "A"), s"cannot merge into an empty table $root")
+      carried.map(_.line) ++ dels.map(p => Entry("D", v, p).line) ++
+        adds.map(p => Entry("A", v, p).line)
+    }
+  }
+
   /** Strip any URI scheme so manifest paths (`file:/x`) and
     * `_metadata.file_path` values (`file:///x`) compare equal. */
   private def normPath(p: String): String = new Path(p).toUri.getPath
@@ -227,8 +250,10 @@ object Snapshots {
     * concurrent later commits cannot change what it reads. With no
     * delete files this is a PLAIN parquet scan (pushdown/pruning
     * untouched); with deletes it applies the sequence-scoped equality
-    * anti-filter: keep a row iff no delete with version > the row's
-    * data-file version matches its key columns. */
+    * anti-filter: keep a row iff no delete with version STRICTLY
+    * GREATER than the row's data-file version matches its key columns
+    * (same-version data survives its own commit's delete — what makes
+    * [[commitMerge]]'s single-commit upsert work). */
   def readSnapshot(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, root)
     val es = entries(spark, root, v)
@@ -250,7 +275,7 @@ object Snapshots {
           regexp_replace(col("_metadata.file_path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"))
         .join(broadcast(fileVer), Seq("__fp"))
         .join(maxDel, keyCols, "left")
-        .filter(col("__dver_max").isNull || col("__dver_max") < col("__ver"))
+        .filter(col("__dver_max").isNull || col("__dver_max") <= col("__ver"))
         .drop("__fp", "__ver", "__dver_max")
         .select(base.columns.toIndexedSeq.map(col): _*)
     }

@@ -125,6 +125,26 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readSnapshot(spark, root, v6).filter(col("id") === 2L).count() == 1)
   }
 
+  test("commitMerge: one atomic version upserts — updates replace, inserts land, rest untouched") {
+    val root = freshRoot("merge")
+    val v1 = Snapshots.commitAppend(spark, root, table(6, "orig").coalesce(1))
+    // update ids 2,4; insert id 9 — all in ONE commit
+    val v2 = Snapshots.commitMerge(spark, root,
+      Seq((2L, "upd"), (4L, "upd"), (9L, "new")).toDF("id", "tag").coalesce(1),
+      keyCols = Seq("id"))
+    assert(v2 == 2L)
+    val rows = Snapshots.readSnapshot(spark, root, v2)
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "orig", 2L -> "upd", 3L -> "orig",
+      4L -> "upd", 5L -> "orig", 6L -> "orig", 9L -> "new"))
+    // atomicity/isolation: the pinned v1 reader sees none of the merge
+    assert(Snapshots.readSnapshot(spark, root, v1)
+      .filter(col("tag") =!= "orig").count() == 0)
+    // a later delete still kills merged rows (sequence order respected)
+    val v3 = Snapshots.commitDelete(spark, root, Seq(2L).toDF("id"))
+    assert(Snapshots.readSnapshot(spark, root, v3).count() == 6)
+  }
+
   test("readAppendedSince refuses a range containing a delete commit") {
     val root = freshRoot("cdcdel")
     val v1 = Snapshots.commitAppend(spark, root, table(6, "a").coalesce(1))
