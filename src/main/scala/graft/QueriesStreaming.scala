@@ -729,7 +729,43 @@ object QueriesStreaming {
       .orderBy("bucket", "rnk")
   }
 
+  /** stream_snapshot_tail: the snapshot lake consumed AS A STREAM
+    * through the DSv2 CDC source ([[graft.sources.v2
+    * .SnapshotStreamSource]]): three `commitAppend`s land while the
+    * query runs; each becomes exactly one micro-batch reading ONLY that
+    * commit's files (version offsets, checkpointed). The emitted set is
+    * schedule-independent — pass-through of every appended row — so the
+    * oracle is the plain batch rollup of the whole corpus. The lake-side
+    * twin of `pipeline_snapshot_cdc`'s batch refresh: same file-diff
+    * contract, driven by Structured Streaming's offset log instead of
+    * explicit version pairs. */
+  val streamSnapshotTail: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import graft.sources.Snapshots
+    val key = f"${dir.hashCode & 0x7fffffff}%08x"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$key/docs_tail"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 0).repartition(2))
+    val stream = s.readStream.format("graft.sources.v2.SnapshotStreamSource")
+      .option("root", root).load()
+    val sink = "stream_snapshot_tail_sink"
+    val (q, ckpt) = startCheckpointed(
+      stream.writeStream.outputMode("append").format("memory").queryName(sink))
+    try {
+      q.processAllAvailable()
+      Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 1).repartition(2))
+      q.processAllAvailable()
+      Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 2).repartition(2))
+      q.processAllAvailable()
+    } finally stopAndClean(q, ckpt)
+    s.table(sink).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "stream_snapshot_tail" -> streamSnapshotTail,
     "stream_anomaly_live" -> streamAnomalyLive,
     "stream_ewma_live" -> streamEwmaLive,
     "stream_changepoint_live" -> streamChangepointLive,
@@ -790,6 +826,10 @@ object QueriesStreaming {
       |  FROM g GROUP BY user_id, sess)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "stream_snapshot_tail" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_ewma_live" -> {
       val kernel = (0 until 16)
         .map(k => s"coalesce(lag(x, $k) OVER w, 0) * ${1L << (15 - k)}")

@@ -299,17 +299,30 @@ object Snapshots {
   def readAppendedSince(spark: SparkSession, root: String, sinceV: Long,
       toV: Long = -1L): DataFrame = {
     val to = if (toV >= 0) toV else currentVersion(spark, root)
-    val before = readManifest(spark, root, sinceV).toSet
-    val after = readManifest(spark, root, to)
+    val added = appendedDataFiles(spark, root, sinceV, to)
+    require(added.nonEmpty, s"no files were appended between $sinceV and $to")
+    spark.read.parquet(added: _*)
+  }
+
+  /** Data files appended in `(sinceV, toV]` under the same append-only
+    * / no-deletes contract as [[readAppendedSince]] (which delegates
+    * here); `sinceV = 0` means "from the table's beginning". This is
+    * also the planInputPartitions contract of the streaming source
+    * ([[graft.sources.v2.SnapshotStreamSource]]): each micro-batch is
+    * exactly one version range's added files. May be empty. */
+  private[graft] def appendedDataFiles(spark: SparkSession, root: String,
+      sinceV: Long, toV: Long): Seq[String] = {
+    val before =
+      if (sinceV == 0) Set.empty[String] else readManifest(spark, root, sinceV).toSet
+    val after = readManifest(spark, root, toV)
     require(before.subsetOf(after.toSet),
-      s"versions $sinceV → $to are not append-only (a REPLACE rewrote files); " +
+      s"versions $sinceV → $toV are not append-only (a REPLACE rewrote files); " +
         "file-diff CDC is only sound over append commits")
     val added = after.filterNot(before).map(parseEntry)
     require(!added.exists(_.kind == "D"),
-      s"versions $sinceV → $to include row deletes; file-diff CDC covers pure " +
+      s"versions $sinceV → $toV include row deletes; file-diff CDC covers pure " +
         "inserts — use snapshotDiff for the row-level delta")
-    require(added.nonEmpty, s"no files were appended between $sinceV and $to")
-    spark.read.parquet(added.map(_.path): _*)
+    added.map(_.path)
   }
 
   /** Row-level diff between two versions, the general-commit CDC

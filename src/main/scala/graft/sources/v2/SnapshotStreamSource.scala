@@ -1,0 +1,207 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Snapshots
+
+/** Structured-Streaming **CDC source over the snapshot log** — the
+  * snapshot table ([[graft.sources.Snapshots]]) as a streaming input,
+  * the same design Delta/Iceberg expose as "streaming from a table":
+  *
+  *  - an OFFSET is a committed snapshot VERSION (`SnapshotOffset`);
+  *  - `latestOffset` polls `currentVersion` — the atomic manifest
+  *    rename that publishes a commit is exactly what makes the poll
+  *    race-free (a version is either fully visible or not at all);
+  *  - each micro-batch `(start, end]` reads ONLY the data files those
+  *    versions appended (`Snapshots.appendedDataFiles` — the same
+  *    file-diff contract as the batch CDC reader, enforced: a REPLACE
+  *    or delete commit inside the range fails the stream loudly rather
+  *    than silently double-reading or missing rows);
+  *  - offsets live in the sink's checkpoint, so a restarted stream
+  *    resumes from the last committed version — exactly-once delivery
+  *    of every appended row composes from (immutable files, version
+  *    offsets, checkpointed commit log).
+  *
+  * At 100 TB this is the ingest-refresh loop as a STREAM: writers
+  * `commitAppend` continuously; the consumer never rescans committed
+  * data, and backpressure is per-version file batches. The executor
+  * reader is parquet-mr's Group API over one file per input partition —
+  * column pruning/pushdown deliberately stay upstream in Spark (a
+  * projection over this source prunes AFTER read; the declared contract
+  * is primitive-column tables: LONG/INT/DOUBLE/FLOAT/BOOLEAN/STRING,
+  * checked loudly at schema inference, nested types out of scope).
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format("graft.sources.v2.SnapshotStreamSource")
+  *     .option("root", tableRoot).load()
+  * }}}
+  */
+class SnapshotStreamSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = SnapshotStreamSource.rootOf(options.asCaseSensitiveMap())
+    SnapshotStreamSource.inferFromLatest(SparkSession.active, root)
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SnapshotStreamTable(SnapshotStreamSource.rootOf(properties), schema)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SnapshotStreamSource {
+
+  private[v2] def rootOf(props: util.Map[String, String]): String =
+    Option(props.get("root")).orElse(Option(props.get("path"))).getOrElse(
+      throw new IllegalArgumentException(
+        "snapshot stream source requires .option(\"root\", tableRoot)"))
+
+  /** Schema = the parquet footer of the current version's first data
+    * file, restricted to primitive columns (loud on anything else).
+    * All commits against one table must share this schema — the writers
+    * in this codebase do; a production deployment would enforce it at
+    * commit time. */
+  private[v2] def inferFromLatest(spark: SparkSession, root: String): StructType = {
+    val v = Snapshots.currentVersion(spark, root)
+    require(v > 0, s"snapshot table $root has no committed version to infer a schema from")
+    val first = Snapshots.appendedDataFiles(spark, root, 0, v).headOption.getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $root lists no data files"))
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(first), conf))
+    try toSpark(reader.getFooter.getFileMetaData.getSchema)
+    finally reader.close()
+  }
+
+  private[v2] def toSpark(mt: MessageType): StructType = StructType(
+    mt.getFields.asScala.map { f =>
+      require(f.isPrimitive && f.getRepetition != PType.Repetition.REPEATED,
+        s"snapshot stream source supports primitive columns only; '${f.getName}' is not")
+      val p = f.asPrimitiveType()
+      val dt = p.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT64 => LongType
+        case PrimitiveType.PrimitiveTypeName.INT32 => IntegerType
+        case PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
+        case PrimitiveType.PrimitiveTypeName.FLOAT => FloatType
+        case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveType.PrimitiveTypeName.BINARY
+          if p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() =>
+          StringType
+        case other => throw new IllegalArgumentException(
+          s"snapshot stream source: unsupported parquet type $other for '${f.getName}'")
+      }
+      StructField(f.getName, dt, f.getRepetition == PType.Repetition.OPTIONAL)
+    }.toSeq)
+}
+
+private[v2] class SnapshotStreamTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"snapshot_stream($root)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new SnapshotMicroBatchStream(root, tableSchema)
+        override def description(): String = s"snapshot_stream($root)"
+      }
+    }
+}
+
+private[v2] case class SnapshotOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[v2] class SnapshotMicroBatchStream(root: String, schema: StructType)
+    extends MicroBatchStream {
+  // driver-side only: every MicroBatchStream method runs on the driver,
+  // where the session that started the stream is active
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = SnapshotOffset(0L)
+  override def latestOffset(): Offset =
+    SnapshotOffset(Snapshots.currentVersion(spark, root))
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].v
+    val e = end.asInstanceOf[SnapshotOffset].v
+    if (e <= s) Array.empty
+    else Snapshots.appendedDataFiles(spark, root, s, e)
+      .map(SnapshotFilePartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[v2] case class SnapshotFilePartition(path: String) extends InputPartition
+
+private[v2] class SnapshotReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[SnapshotFilePartition].path
+    new PartitionReader[InternalRow] {
+      // fresh default conf on the executor: file:// and any classpath
+      // core-site resolve; a non-default fs deployment would thread a
+      // serialized conf through the factory (declared)
+      private val reader: ParquetReader[Group] =
+        ParquetReader.builder(new GroupReadSupport(), new Path(path))
+          .withConf(new Configuration()).build()
+      private var cur: Group = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow = SnapshotReaderFactory.convert(cur, schema)
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+private[v2] object SnapshotReaderFactory {
+  /** One Group → InternalRow, by position (the schema came from these
+    * files' own footer, so field order matches). */
+  def convert(g: Group, schema: StructType): InternalRow = {
+    val n = schema.length
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      vals(i) =
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else schema(i).dataType match {
+          case LongType => g.getLong(i, 0)
+          case IntegerType => g.getInteger(i, 0)
+          case DoubleType => g.getDouble(i, 0)
+          case FloatType => g.getFloat(i, 0)
+          case BooleanType => g.getBoolean(i, 0)
+          case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+          case dt => throw new IllegalStateException(s"unreachable type $dt")
+        }
+      i += 1
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+/** The DSv2 streaming CDC source over the snapshot log
+  * (sources/v2/SnapshotStreamSource): version offsets, per-commit
+  * micro-batches, checkpoint resume, schema inference, and the loud
+  * append-only failure (round 10). */
+class SnapshotStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_snapstream/$name"
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
+  private def tailStream(root: String) =
+    spark.readStream.format("graft.sources.v2.SnapshotStreamSource")
+      .option("root", root).load()
+
+  private def ckptDir() =
+    java.nio.file.Files.createTempDirectory("graft_snapstream_ckpt")
+
+  test("each commit becomes exactly one incremental micro-batch; no recommitted rows") {
+    val root = freshRoot("tail")
+    Snapshots.commitAppend(spark, root,
+      (1 to 4).map(i => (i.toLong, "a")).toDF("id", "tag").coalesce(1))
+    val ckpt = ckptDir()
+    val q = tailStream(root).writeStream.format("memory")
+      .queryName("snapstream_tail").option("checkpointLocation", ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snapstream_tail").count() == 4)
+      Snapshots.commitAppend(spark, root,
+        (5 to 6).map(i => (i.toLong, "b")).toDF("id", "tag").coalesce(1))
+      q.processAllAvailable()
+      assert(spark.table("snapstream_tail").count() == 6,
+        "the second batch must deliver ONLY the appended rows")
+      Snapshots.commitAppend(spark, root,
+        Seq((7L, "c")).toDF("id", "tag").coalesce(1))
+      q.processAllAvailable()
+      val rows = spark.table("snapstream_tail").select("id", "tag")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+        (5L, "b"), (6L, "b"), (7L, "c")))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
+  test("a restarted stream resumes from the checkpointed version offset") {
+    val root = freshRoot("resume")
+    val out = freshRoot("resume_out")
+    Snapshots.commitAppend(spark, root,
+      (1 to 3).map(i => (i.toLong, "a")).toDF("id", "tag").coalesce(1))
+    val ckpt = ckptDir()
+    def start() = tailStream(root).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt.toString).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // commits landing while the stream is DOWN
+    Snapshots.commitAppend(spark, root,
+      (4 to 5).map(i => (i.toLong, "b")).toDF("id", "tag").coalesce(1))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    val rows = spark.read.parquet(out).select("id").as[Long].collect().toSeq.sorted
+    assert(rows == (1L to 5L), s"resume must deliver 4,5 exactly once, got $rows")
+  }
+
+  test("schema inference covers the primitive types and null round-trip") {
+    val root = freshRoot("schema")
+    val df = Seq((1L, 1, 1.5, "x", true, Some("y")), (2L, 2, 2.5, "z", false, None))
+      .toDF("l", "i", "d", "s", "b", "opt").coalesce(1)
+    Snapshots.commitAppend(spark, root, df)
+    val ckpt = ckptDir()
+    val q = tailStream(root).writeStream.format("memory")
+      .queryName("snapstream_schema").option("checkpointLocation", ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snapstream_schema")
+      assert(got.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)))
+      val rows = got.as[(Long, Int, Double, String, Boolean, Option[String])]
+        .collect().toSet
+      assert(rows == Set((1L, 1, 1.5, "x", true, Some("y")),
+        (2L, 2, 2.5, "z", false, None)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
+  test("a REPLACE while tailing fails the stream loudly (append-only contract)") {
+    val root = freshRoot("replace")
+    Snapshots.commitAppend(spark, root,
+      (1 to 3).map(i => (i.toLong, "a")).toDF("id", "tag").coalesce(1))
+    val ckpt = ckptDir()
+    val q = tailStream(root).writeStream.format("memory")
+      .queryName("snapstream_replace").option("checkpointLocation", ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      Snapshots.commitReplace(spark, root, Seq((9L, "r")).toDF("id", "tag").coalesce(1))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("append-only") ||
+        Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+}
