@@ -468,6 +468,53 @@ object QueriesLLM {
       |FROM embeddings CROSS JOIN q
       |ORDER BY cosine DESC, vec_id LIMIT 11""".stripMargin
 
+  /** sim_mmr_rerank: MMR diversification of vec_id 0's top-12 cosine
+    * candidates — pick 5 with λ=0.7 ([[Similarity.mmrRerank]]; Carbonell
+    * & Goldstein 1998). All sims are 1e4 micro-unit integers (the gated
+    * cosine chain's r4 floor, undivided), λ an integer-tenths weight, so
+    * every selection compares pure BIGINTs; the oracle replays the
+    * greedy loop as 5 unrolled CTE steps over the SAME integer sims. */
+  val simMmrRerank: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0),
+        k = 5, pool = 12, lambdaTenths = 7)
+      .orderBy("mmr_rank")
+  }
+
+  val simMmrRerankSql: String = {
+    // the same integer micro-unit cosine both engines' gated sim queries
+    // share, kept undivided (a/b are row aliases carrying `embedding`)
+    def cosU(a: String, b: String) =
+      s"""CAST(floor((
+         |    list_sum(list_transform(range(1, 65), i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+         |    / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 10000 + 0.5) AS BIGINT)"""
+        .stripMargin
+    val steps = (2 to 5).map { i =>
+      s"""st$i AS (SELECT c.vec_id, c.qs_u,
+         |    7 * c.qs_u - 3 * (SELECT max(p.s_u) FROM pw p
+         |      WHERE p.a_id = c.vec_id AND p.b_id IN (SELECT vec_id FROM acc${i - 1})) AS sc
+         |  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM acc${i - 1})),
+         |sel$i AS (SELECT vec_id, qs_u, $i AS mmr_rank FROM st$i ORDER BY sc DESC, vec_id LIMIT 1),
+         |acc$i AS (SELECT vec_id FROM acc${i - 1} UNION ALL SELECT vec_id FROM sel$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (2 to 5).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |scored AS (SELECT e.vec_id, ${cosU("e", "q")} AS qs_u
+       |  FROM embeddings e CROSS JOIN qv q),
+       |cand AS (SELECT vec_id, qs_u FROM scored ORDER BY qs_u DESC, vec_id LIMIT 12),
+       |ce AS (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
+       |pw AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosU("a", "b")} AS s_u
+       |  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT vec_id, qs_u, 1 AS mmr_rank FROM cand ORDER BY qs_u DESC, vec_id LIMIT 1),
+       |acc1 AS (SELECT vec_id FROM sel1),
+       |$steps
+       |SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id, qs_u AS q_sim_u
+       |FROM (SELECT * FROM sel1 UNION ALL $unions)
+       |ORDER BY mmr_rank""".stripMargin
+  }
+
   val simPairsThreshold: Q = (s, dir) =>
     Similarity.pairsAboveThreshold(Tables.embeddings(s, dir), 0.35)
       .orderBy("a_id", "b_id")
@@ -3147,6 +3194,7 @@ object QueriesLLM {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_exact" -> dedupSimhashExact,
     "sim_topk_cosine" -> simTopkCosine,
+    "sim_mmr_rerank" -> simMmrRerank,
     "sim_pairs_threshold" -> simPairsThreshold,
     "sim_pairs_lsh" -> simPairsLsh,
     "sim_pairs_lsh_loose" -> simPairsLshLoose,
@@ -3251,6 +3299,7 @@ object QueriesLLM {
     "pipeline_near_dedup_exact" -> pipelineNearDedupExactSql,
     "text_langid_exact" -> textLangidExactSql,
     "sim_topk_cosine" -> simTopkCosineSql,
+    "sim_mmr_rerank" -> simMmrRerankSql,
     "sim_knn_exact" -> simKnnExactSql,
     "sim_knn_graph_ivf_twins" -> simKnnGraphIvfTwinsSql,
     "sim_knn_graph_banded_twins" -> simKnnGraphBandedTwinsSql,

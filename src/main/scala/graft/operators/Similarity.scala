@@ -36,6 +36,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` of the query's top-`pool` cosine candidates, each
+    * step maximizing λ·sim(q,d) − (1−λ)·max over already-picked sim(d,s)
+    * — the diversity-aware cut a retrieval/RAG reranker runs after ANN
+    * recall, so the k results aren't k near-copies of one passage.
+    *
+    * Determinism: similarities are quantized ONCE to 1e4 micro-units
+    * with the r4 floor (the proven cross-engine cosine chain, integer
+    * kept undivided); λ enters as integer TENTHS, so every MMR score is
+    * pure BIGINT `lambdaTenths·qs − (10−lambdaTenths)·pen` with
+    * (score desc, id asc) tie-break — no float comparison anywhere in
+    * the selection. The first pick's empty penalty (max over ∅ = 0)
+    * makes step 1 ≡ argmax qs, the same uniform formula both engines use.
+    *
+    * Scale shape: the candidate cut and BOTH similarity passes are the
+    * distributed kernels (one corpus scan, localCheckpointed so the
+    * collects don't rescan; a pool-sized self-join); ONLY the inherently
+    * sequential greedy loop runs on the driver, over bounded state
+    * (pool rows + pool² pair sims — the operator's declared contract,
+    * zipfFit's top-V pattern). */
+  def mmrRerank(corpus: DataFrame, query: DataFrame, k: Int, pool: Int,
+      lambdaTenths: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && pool >= k, s"need pool >= k >= 1, got k=$k pool=$pool")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be 0..10, got $lambdaTenths")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(query.select(col(vecCol).as("__q"),
+      VectorOps.norm(col(vecCol)).as("__qn")))
+    val cand = corpus.crossJoin(q)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        floor(VectorOps.dot(col(vecCol), col("__q")) /
+          (VectorOps.norm(col(vecCol)) * col("__qn")) * 10000 + 0.5)
+          .cast("long").as("qs_u"))
+      .orderBy(col("qs_u").desc, col("id").asc)
+      .limit(pool)
+      .localCheckpoint() // one corpus scan feeds both bounded collects
+    // bounded collect: pool candidate rows (operator contract)
+    val qs = cand.select("id", "qs_u").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val a = cand.select(col("id").as("a_id"), col("v").as("va"),
+      VectorOps.norm(col("v")).as("na"))
+    val b = cand.select(col("id").as("b_id"), col("v").as("vb"),
+      VectorOps.norm(col("v")).as("nb"))
+    // bounded collect: pool² pairwise sims (operator contract)
+    val pw = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(VectorOps.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")) * 10000 + 0.5).cast("long").as("s_u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qsMap = qs.toMap
+    val selected = scala.collection.mutable.ArrayBuffer[Long]()
+    var remaining = qs.map(_._1).sorted.toVector
+    for (_ <- 1 to math.min(k, qs.length)) {
+      val pick = remaining.map { id =>
+        val pen = if (selected.isEmpty) 0L
+          else selected.iterator.map(sid => pw((id, sid))).max
+        (lambdaTenths * qsMap(id) - (10 - lambdaTenths) * pen, id)
+      }.maxBy { case (score, id) => (score, -id) }._2
+      selected += pick
+      remaining = remaining.filterNot(_ == pick)
+    }
+    selected.toSeq.zipWithIndex
+      .map { case (id, i) => (i + 1, id, qsMap(id)) }
+      .toDF("mmr_rank", idCol, "q_sim_u")
+  }
+
   /** All pairs with cosine >= tau (a_id < b_id). Norm pruning: precompute
     * norms once; the join condition keeps Catalyst free to pick BNLJ at
     * small SF. O(n²) compare — the declared small-SF baseline; LSH is the

@@ -134,6 +134,41 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("MMR rerank: planted near-duplicates are diversified; λ=10 degenerates to top-k") {
+    // query = e1; ids 1,2,3 EXACT clones of it (sim 1.0 to q and to each
+    // other); ids 4,5 distinct unit directions at lower relevance. Plain
+    // top-4 = {0,1,2,3}; MMR at λ=0.4 (score = 4·qs − 6·pen micro-units:
+    // clone −20000 vs id4 −16000 vs id5 −12000 after one clone is in)
+    // must keep ONE clone and pull in both distinct directions.
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1, 0, 0, 0)),   // the query itself
+      (1L, v(1, 0, 0, 0)),
+      (2L, v(1, 0, 0, 0)),
+      (3L, v(1, 0, 0, 0)),
+      (4L, v(0.8, 0, 0.6, 0)),
+      (5L, v(0.6, 0, 0, 0.8))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+    val got = Similarity.mmrRerank(emb, q, k = 4, pool = 6, lambdaTenths = 4)
+      .select("mmr_rank", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3, 4))
+    // rank 1: argmax qs, smallest-id tie-break → the query itself; then
+    // the distinct directions beat the remaining clones (id5 before id4:
+    // with the penalty weighted over relevance, the LESS query-similar
+    // direction nets more — 4·6000−6·6000 = −12000 vs −16000); the last
+    // slot falls back to a clone (everything else exhausted)
+    assert(got.map(_._2) == Seq(0L, 5L, 4L, 1L), s"selection order: $got")
+    val picked = got.map(_._2).toSet
+    assert(picked.intersect(Set(1L, 2L, 3L)).size == 1,
+      s"MMR must keep exactly one clone beyond the query, got $got")
+    // λ = 10 (no diversity term) reproduces plain top-k order
+    val pure = Similarity.mmrRerank(emb, q, k = 4, pool = 6, lambdaTenths = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val topk = Similarity.topKCosine(emb, q, 4).select("vec_id").as[Long].collect().toSeq
+    assert(pure == topk, s"λ=1 MMR must equal top-k: $pure vs $topk")
+  }
+
   test("ANN results are a subset of the corpus ranked consistently with brute force") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" === 0)

@@ -48,7 +48,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     // the judge's anti-pattern sweep, pinned as a test.
     val allowed: Map[String, Int] = Map(
       "operators/Percentiles.scala" -> 1, // O(groups × quantiles) target buckets
-      "operators/Similarity.scala" -> 3, // IVF centroids / k-means means (≤ nCentroids·dim)
+      "operators/Similarity.scala" -> 5, // IVF centroids / k-means means (≤ nCentroids·dim); MMR pool rows + pool² pair sims (bounded by the operator's pool contract)
       "operators/Clustering.scala" -> 2, // Lloyd seeds + per-round means (k·dims cells each)
       "operators/Pca.scala" -> 1, // per-round direction sums (dims cells)
       "operators/Pq.scala" -> 3, // ADC/exact query rows: limit(2) + require(==1) ×3, never full
