@@ -1393,6 +1393,50 @@ object QueriesAnalytics {
        |SELECT node, rank FROM r$graphPagerankIters ORDER BY node""".stripMargin
   }
 
+  /** graph_ppr: personalized PageRank from seed parts {2,4,6} (part
+    * keys 1..3 doubled — present at every SF) over the same symmetrized
+    * part↔supplier graph ([[graft.operators.Graph.personalizedPagerank]]).
+    * Proximity-to-seeds ranking — the "more like these" graph signal
+    * beside `graph_pagerank`'s global centrality. Same fixed-6-round
+    * unrolled-CTE oracle; the only chain difference is the CASE-gated
+    * teleport term, token-mirrored in both engines. */
+  val graphPprIters = 6
+  val graphPprSeeds: Seq[Long] = Seq(2L, 4L, 6L)
+
+  val graphPpr: Q = (s, dir) => {
+    val ed = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.personalizedPagerank(sym, graphPprSeeds,
+      iters = graphPprIters).orderBy("node")
+  }
+
+  val graphPprSql: String = {
+    val seedList = graphPprSeeds.mkString("(", ", ", ")")
+    val k = graphPprSeeds.size
+    val rounds = (1 to graphPprIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |    sum(CAST(floor(r${i - 1}.rank * 100000000 / deg.outdeg + 0.5) AS BIGINT)) AS wq
+         |  FROM r${i - 1} JOIN e ON e.src = r${i - 1}.node JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT no.node,
+         |    floor(((CASE WHEN no.node IN $seedList THEN (1.0 - 0.85) / $k ELSE 0.0 END)
+         |      + 0.85 * (coalesce(c$i.wq, 0) / 100000000.0)) * 100000000 + 0.5) / 100000000 AS rank
+         |  FROM nodes no LEFT JOIN c$i ON c$i.node = no.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |    CASE WHEN node IN $seedList THEN floor((1.0 / $k) * 100000000 + 0.5) / 100000000
+       |      ELSE 0.0 END AS rank
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r$graphPprIters ORDER BY node""".stripMargin
+  }
+
   /** graph_label_prop: synchronous label-propagation communities over
     * the same symmetrized part↔supplier graph as [[graphPagerank]]
     * ([[graft.operators.Graph.labelPropagation]]; 4 fixed rounds,
@@ -2192,6 +2236,7 @@ object QueriesAnalytics {
     "dedup_embedding_quant" -> dedupEmbeddingQuant,
     "graph_bfs" -> graphBfs,
     "graph_pagerank" -> graphPagerank,
+    "graph_ppr" -> graphPpr,
     "graph_label_prop" -> graphLabelProp,
     "graph_modularity" -> graphModularity,
     "graph_adamic_adar" -> graphAdamicAdar,
@@ -2254,6 +2299,7 @@ object QueriesAnalytics {
     "dedup_embedding_quant" -> dedupEmbeddingQuantSql,
     "graph_bfs" -> graphBfsSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_ppr" -> graphPprSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_modularity" -> graphModularitySql,
     "graph_adamic_adar" -> graphAdamicAdarSql,

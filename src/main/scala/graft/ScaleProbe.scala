@@ -43,7 +43,7 @@ object ScaleProbe {
     "sample_stratified_exact", "multimodal_dedup", "eval_ann_recall",
     "eval_pq_recall", "graph_cc_incremental", "pipeline_snapshot_cdc",
     "lake_delete", "lake_merge", "snapshot_diff", "eval_retrieval_ndcg",
-    "stream_snapshot_tail", "sim_mmr_rerank",
+    "stream_snapshot_tail", "sim_mmr_rerank", "graph_ppr",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

@@ -113,6 +113,28 @@ class SearchGraphSpec extends SparkTestBase {
     assert(math.abs(out.values.sum - 1.0) < 1e-3)
   }
 
+  test("personalized pagerank: mass stays near the seeds; unreachable nodes are exactly 0") {
+    // two disjoint 2-cycles: {1,2} (seeded) and {3,4} (unreachable)
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val out = Graph.personalizedPagerank(e, seeds = Seq(1L), iters = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(out(3L) == 0.0 && out(4L) == 0.0,
+      "no teleport and no path from the seed → exactly zero rank")
+    assert(out(1L) > out(2L), "the seed keeps the teleport mass advantage")
+    assert(math.abs(out(1L) + out(2L) - 1.0) < 1e-3, "seeded component holds all mass")
+    // hand replay on the 2-cycle: r(1) = 0.15 + 0.85·r_prev(2), r(2) = 0.85·r_prev(1)
+    var (r1, r2) = (1.0, 0.0)
+    def g(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    for (_ <- 1 to 6) { val n1 = g(0.15 + 0.85 * g(r2)); val n2 = g(0.85 * g(r1)); r1 = n1; r2 = n2 }
+    assert(math.abs(out(1L) - r1) < 1e-7 && math.abs(out(2L) - r2) < 1e-7,
+      s"hand replay: want ($r1,$r2) got (${out(1L)},${out(2L)})")
+    // seeding EVERY node with uniform teleport reproduces plain pagerank
+    val ppr = Graph.personalizedPagerank(e, seeds = Seq(1L, 2L, 3L, 4L), iters = 5)
+      .as[(Long, Double)].collect().toMap
+    val pr = Graph.pagerank(e, iters = 5).as[(Long, Double)].collect().toMap
+    assert(ppr === pr, "all-node seed set must degenerate to global pagerank")
+  }
+
   test("pagerank with zero iterations returns the uniform start vector") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val out = Graph.pagerank(e, iters = 0).as[(Long, Double)].collect().toMap
