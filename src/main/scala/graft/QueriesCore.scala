@@ -246,6 +246,30 @@ object QueriesCore {
       |FROM documents WHERE doc_id % 11 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** lake_schema_evolution: additive schema evolution on the snapshot
+    * lake (round 10): v1 commits (doc_id, source) for even ids; v2
+    * appends (doc_id, source, n_chars) for odd ids; the mergeSchema
+    * read unions the footers, so v1's rows carry NULL n_chars — the
+    * Iceberg/Delta add-column story on exactly this read path, now
+    * oracle-gated rather than spec-only. */
+  val lakeSchemaEvolution: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_evo"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir)
+    Snapshots.commitAppend(s, root,
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source").repartition(2))
+    Snapshots.commitAppend(s, root,
+      d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "source", "n_chars").repartition(2))
+    Snapshots.readSnapshot(s, root, mergeSchema = true).orderBy("doc_id")
+  }
+
+  val lakeSchemaEvolutionSql =
+    """SELECT doc_id, source,
+      |  CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE NULL END AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
     * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
@@ -2045,6 +2069,7 @@ object QueriesCore {
     "pipeline_snapshot_cdc" -> pipelineSnapshotCdc,
     "lake_delete" -> lakeDelete,
     "lake_merge" -> lakeMerge,
+    "lake_schema_evolution" -> lakeSchemaEvolution,
     "snapshot_diff" -> snapshotDiffQ,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
@@ -2141,6 +2166,7 @@ object QueriesCore {
     "pipeline_snapshot_cdc" -> pipelineSnapshotCdcSql,
     "lake_delete" -> lakeDeleteSql,
     "lake_merge" -> lakeMergeSql,
+    "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "snapshot_diff" -> snapshotDiffSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,

@@ -253,13 +253,25 @@ object Snapshots {
     * anti-filter: keep a row iff no delete with version STRICTLY
     * GREATER than the row's data-file version matches its key columns
     * (same-version data survives its own commit's delete — what makes
-    * [[commitMerge]]'s single-commit upsert work). */
-  def readSnapshot(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
+    * [[commitMerge]]'s single-commit upsert work).
+    *
+    * Additive SCHEMA EVOLUTION: with `mergeSchema = true` the read
+    * unions the file footers' schemas, so a commit that ADDED columns
+    * coexists with older files (their rows read NULL for the new
+    * columns) — Iceberg/Delta's add-column evolution on the read path.
+    * Off by default: the merged-footer pass costs one footer read per
+    * file and unevolved tables don't need it. Column renames/drops and
+    * type changes stay out of scope (declared — they need column IDs in
+    * the manifest, not name matching).
+    */
+  def readSnapshot(spark: SparkSession, root: String, version: Long = -1L,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = if (version >= 0) version else currentVersion(spark, root)
     val es = entries(spark, root, v)
     val data = es.filter(_.kind == "A")
     require(data.nonEmpty, s"snapshot version $v of $root lists no files")
-    val base = spark.read.parquet(data.map(_.path): _*)
+    val base = spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(data.map(_.path): _*)
     val dels = es.filter(_.kind == "D")
     if (dels.isEmpty) base
     else {

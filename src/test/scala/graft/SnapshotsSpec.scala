@@ -156,6 +156,22 @@ class SnapshotsSpec extends SparkTestBase {
     assert(e.getMessage.contains("row deletes"))
   }
 
+  test("additive schema evolution: merged read NULLs old rows' new columns; evolution composes with deletes") {
+    val root = freshRoot("evo")
+    Snapshots.commitAppend(spark, root, Seq((1L, "a"), (2L, "a")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((3L, "b", 30L), (4L, "b", 40L)).toDF("id", "tag", "extra").coalesce(1))
+    val merged = Snapshots.readSnapshot(spark, root, mergeSchema = true)
+      .select("id", "tag", "extra").as[(Long, String, Option[Long])].collect().toSet
+    assert(merged == Set((1L, "a", None), (2L, "a", None),
+      (3L, "b", Some(30L)), (4L, "b", Some(40L))))
+    // the merge-on-read delete path still works on the evolved table
+    Snapshots.commitDelete(spark, root, Seq(1L, 3L).toDF("id"))
+    val after = Snapshots.readSnapshot(spark, root, mergeSchema = true)
+      .select("id").as[Long].collect().toSet
+    assert(after == Set(2L, 4L))
+  }
+
   test("snapshotDiff tags row-level adds and dels across a REPLACE") {
     val root = freshRoot("diff")
     val v1 = Snapshots.commitReplace(spark, root, table(6, "a").coalesce(1))   // ids 1..6
