@@ -1035,6 +1035,44 @@ object QueriesLLM {
       |  floor((quantile_cont(n_chars, 0.5)) * 10000 + 0.5) / 10000 AS med_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** text_readability: Flesch reading-ease per document from three
+    * deterministic integer counts — words (the shared whitespace
+    * tokenizer), sentences (non-overlapping `[.!?]+` runs, floored at
+    * 1), syllables (vowel-group runs `[aeiouy]+` over the lowercased
+    * text, the standard heuristic). FRE = 206.835 − 1.015·(w/s) −
+    * 84.6·(y/w), constants as shared literals, two IEEE divisions on
+    * exact integers, r4-gridded — the curation-side readability band
+    * filter (too-low = noise/legalese, too-high = fragment soup) beside
+    * `text_quality`'s shape score. Scale: one narrow codegen projection,
+    * zero shuffle bar the gate's ORDER BY. */
+  val textReadability: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        r4(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+          .as("fre"))
+      .orderBy("doc_id")
+
+  val textReadabilitySql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+      |    greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  floor((206.835
+      |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) * 10000 + 0.5) / 10000 AS fre
+      |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
   /** text_quality: transcendental-free quality score (TextOps.qualityScore)
     * — formula replicated exactly in the oracle. */
   val textQuality: Q = (s, dir) =>
@@ -3220,6 +3258,7 @@ object QueriesLLM {
     "sim_knn_exact" -> simKnnExact,
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
+    "text_readability" -> textReadability,
     "text_quality" -> textQuality,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
@@ -3309,6 +3348,7 @@ object QueriesLLM {
     "dedup_semantic_lsh" -> dedupSemanticLshSql,
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,
+    "text_readability" -> textReadabilitySql,
     "text_quality" -> textQualitySql,
     "text_entropy" -> textEntropySql,
     "text_repetition" -> textRepetitionSql,

@@ -73,6 +73,34 @@ class TextOpsSpec extends SparkTestBase {
       math.floor(86684.10495 * 10000 + 0.5) / 10000))
   }
 
+  test("text_readability: hand-counted words/sentences/syllables and the FRE chain") {
+    // "the cat sat. it ran!" → words 5, sentence runs 2,
+    // vowel groups: e,a,a,i,a = 5
+    val got = QueriesLLM.all("text_readability")(spark, sf)
+    // fixture-independent check on a planted frame via the same chain:
+    val df = Seq((1L, "the cat sat. it ran!"), (2L, "no punctuation here"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("w"),
+        greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("y"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, w, s, y) => id -> ((w, s, y)) }.toMap
+    // tokens splits on single spaces: "sat." and "ran!" count as words
+    assert(out(1L) == ((5L, 2L, 5L)), s"planted counts: ${out(1L)}")
+    // punctuation-free text floors sentences at 1 (no div-by-zero)
+    assert(out(2L)._2 == 1L)
+    def fre(w: Long, s: Long, y: Long) = math.floor(
+      (206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w)) * 1e4 + 0.5) / 1e4
+    // the registered query's values replay exactly on the fixture head
+    val head = got.limit(3).collect()
+    head.foreach { r =>
+      assert(r.getDouble(4) == fre(r.getLong(1), r.getLong(2), r.getLong(3)),
+        s"FRE chain mismatch for doc ${r.getLong(0)}")
+    }
+    assert(head.nonEmpty)
+  }
+
   test("VectorOps dot/norm/cosine on known vectors") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f))).toDF("a", "b")
     val r = df.select(
