@@ -2320,6 +2320,71 @@ object QueriesLLM {
       |  FROM s) WHERE rk <= 50
       |ORDER BY lang, rk""".stripMargin
 
+  /** pipeline_rag_prep: the LAKE-TO-SHARDS flagship (round 10) — the
+    * full ingest-to-training-layout path in one gated row, composing the
+    * snapshot surface with the curation/packing ops: (1) the corpus
+    * lands as TWO snapshot commits and is read PINNED at the second
+    * version ([[graft.sources.Snapshots]] — the ingest boundary a 100 TB
+    * deployment actually has); (2) per-row quality filter on the
+    * r4-gridded rational score (threshold on the ROUNDED value, §7.4);
+    * (3) exact dedup keeps each text's min doc_id (digest-only
+    * shuffle); (4) the survivor stream packs into 4096-token chunks via
+    * the scalable two-phase prefix sum; (5) shard assignment by the
+    * reproducible 48-bit md5 shuffle. Every stage is an
+    * already-gated kernel; the composition is what a RAG/pretrain prep
+    * job runs nightly off the lake's CDC. */
+  val pipelineRagPrep: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val key = f"${dir.hashCode & 0x7fffffff}%08x"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$key/docs_rag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir)
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 === 0).repartition(2))
+    val v = Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 =!= 0).repartition(2))
+    val corpus = Snapshots.readSnapshot(s, root, v)
+    val q = corpus.select(col("doc_id"), col("text"),
+        r4(TextOps.qualityScore(col("text"))).as("q"))
+      .filter(col("q") >= 0.35)
+    val keep = Dedup.exact(q, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val clean = q.join(keep, "doc_id")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+    val chunked = Packing.packChunks(clean, col("doc_id"), col("n_tokens"), 4096L)
+      .withColumnRenamed("offset", "tok_offset")
+    val sharded = Packing.shardAssign(clean, col("doc_id"), 100L)
+    chunked.join(sharded.select("doc_id", "shard_id"), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("chunk_id"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineRagPrepSql =
+    """WITH t AS (SELECT doc_id, text,
+      |    CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+      |    CAST(length(text) AS DOUBLE) AS n_chars FROM documents),
+      |q AS (SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    floor(((n_tokens / (n_tokens + 50.0)) *
+      |      (1.0 - abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0)
+      |           / (abs((n_chars - (n_tokens - 1)) / n_tokens - 6.0) + 10.0))) * 10000 + 0.5) / 10000 AS q
+      |  FROM t),
+      |f AS (SELECT doc_id, text, n_tokens FROM q WHERE q >= 0.35),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(lower(trim(text)))),
+      |surv AS (SELECT f.doc_id, f.n_tokens FROM f JOIN keep USING (doc_id)),
+      |o AS (SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |  FROM surv),
+      |u AS (SELECT doc_id,
+      |    CAST('0x' || substr(md5(doc_id || ':shard'), 1, 12) AS BIGINT) AS u FROM surv),
+      |r AS (SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY u, doc_id) AS BIGINT) AS rank FROM u)
+      |SELECT o.doc_id, o.n_tokens, o.tok_offset,
+      |  CAST(floor(o.tok_offset / 4096) AS BIGINT) AS chunk_id,
+      |  CAST(floor((r.rank - 1) / 100) AS BIGINT) AS shard_id
+      |FROM o JOIN r ON r.doc_id = o.doc_id
+      |ORDER BY o.doc_id""".stripMargin
+
   /** pack_chunks: concat-and-chunk sequence packing — global token-stream
     * offset + 4096-token chunk id per doc, via the scalable two-phase
     * prefix sum (oracle = DuckDB's naive global SUM() OVER). */
@@ -3304,6 +3369,7 @@ object QueriesLLM {
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_near_dedup" -> pipelineNearDedup,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExact,
+    "pipeline_rag_prep" -> pipelineRagPrep,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
@@ -3336,6 +3402,7 @@ object QueriesLLM {
     "text_fingerprint_dedup" -> textFingerprintDedupSql,
     "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExactSql,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExactSql,
+    "pipeline_rag_prep" -> pipelineRagPrepSql,
     "text_langid_exact" -> textLangidExactSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
