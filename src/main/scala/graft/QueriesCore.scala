@@ -1878,6 +1878,36 @@ object QueriesCore {
       |  count(*) AS n, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
       |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin
 
+  /** fn_xml: Spark 4's native XML support as a ROUNDTRIP-IDENTITY gate —
+    * build one XML fragment per order from typed columns, parse it back
+    * with `from_xml` (schema-driven; PERMISSIVE mode nulls the whole
+    * RECORD on a malformed field — coarser than the JSON path's
+    * field-level nulling, pinned in RelationalSpec), and emit the
+    * extracted fields. The oracle reads the
+    * SAME values straight off the fixture: any serialize/parse
+    * disagreement (escaping, numeric rendering, element order) breaks
+    * the hash. Status strings exercise escaping-neutral text; the price
+    * roundtrips exactly because shortest-repr double rendering parses
+    * back to the identical double. */
+  val fnXml: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        concat(lit("<o><k>"), col("o_orderkey"),
+          lit("</k><p>"), col("o_totalprice"),
+          lit("</p><s>"), col("o_orderstatus"), lit("</s></o>")).as("xml"))
+      .select(col("o_orderkey"),
+        from_xml(col("xml"), org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, p DOUBLE, s STRING")).as("x"))
+      .select(col("o_orderkey"), col("x.k").as("k"), r4(col("x.p")).as("p"),
+        col("x.s").as("s"))
+      .orderBy("o_orderkey")
+
+  val fnXmlSql =
+    """SELECT o_orderkey, o_orderkey AS k,
+      |  floor((o_totalprice) * 10000 + 0.5) / 10000 AS p,
+      |  o_orderstatus AS s
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val fnConditional: Q = (s, dir) =>
     Tables.orders(s, dir)
       .groupBy(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
@@ -2145,6 +2175,7 @@ object QueriesCore {
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
+    "fn_xml" -> fnXml,
     "fn_conditional" -> fnConditional,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -2240,6 +2271,7 @@ object QueriesCore {
     "fn_array" -> fnArraySql,
     "fn_map" -> fnMapSql,
     "fn_json" -> fnJsonSql,
+    "fn_xml" -> fnXmlSql,
     "fn_conditional" -> fnConditionalSql,
     "stream_tumbling" -> streamTumblingSql,
     "stream_sliding" -> streamSlidingSql,

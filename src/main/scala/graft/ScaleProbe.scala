@@ -44,7 +44,7 @@ object ScaleProbe {
     "eval_pq_recall", "graph_cc_incremental", "pipeline_snapshot_cdc",
     "lake_delete", "lake_merge", "snapshot_diff", "eval_retrieval_ndcg",
     "stream_snapshot_tail", "sim_mmr_rerank", "graph_ppr",
-    "lake_schema_evolution", "text_readability", "pipeline_rag_prep",
+    "lake_schema_evolution", "text_readability", "pipeline_rag_prep", "fn_xml",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

@@ -72,7 +72,7 @@ object DumpPlans {
     "eval_pq_recall", "graph_cc_incremental", "pipeline_snapshot_cdc",
     "lake_delete", "lake_merge", "snapshot_diff", "eval_retrieval_ndcg",
     "stream_snapshot_tail", "sim_mmr_rerank", "graph_ppr",
-    "lake_schema_evolution", "text_readability", "pipeline_rag_prep",
+    "lake_schema_evolution", "text_readability", "pipeline_rag_prep", "fn_xml",
     "multimodal_dedup", "sample_reservoir_weighted", "sample_stratified_exact",
     "stream_markov_live",
     // round 9 session 7: robust statistics, graph audits, ADC search,

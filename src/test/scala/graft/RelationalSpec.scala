@@ -108,4 +108,27 @@ class RelationalSpec extends SparkTestBase {
       (3, "c", 300.0),    // NULL source cell kept the target value
       (4, "d", 40.0)))
   }
+
+  test("fn_xml roundtrip: typed parse-back, malformed XML reads as NULL struct fields") {
+    import org.apache.spark.sql.functions._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, p DOUBLE, s STRING")
+    val df = Seq(
+      (1L, "<o><k>7</k><p>1.5</p><s>OK</s></o>"),
+      (2L, "<o><k>not_a_number</k><p>2.5</p><s>X</s></o>"), // bad field
+      (3L, "<o><k>9</k>")                                    // truncated fragment
+    ).toDF("id", "xml")
+    val out = df.select(col("id"), from_xml(col("xml"), schema).as("x"))
+      .select(col("id"), col("x.k"), col("x.p"), col("x.s"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) == ((Some(7L), Some(1.5), Some("OK"))))
+    // PERMISSIVE mode nulls the WHOLE record on a field parse failure
+    // (record-level malformed→NULL, coarser than the JSON path's
+    // field-level nulling — pinned here so a Spark upgrade can't change
+    // the registered query's semantics silently)
+    assert(out(2L) == ((None, None, None)),
+      s"malformed record must read as all-NULL: ${out(2L)}")
+    assert(out(3L)._2.isEmpty && out(3L)._3.isEmpty,
+      s"truncated fragment must not invent values: ${out(3L)}")
+  }
 }
