@@ -246,6 +246,39 @@ object QueriesCore {
       |FROM documents WHERE doc_id % 11 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** lake_vacuum: the reclaim step as a gated row (round 10) — two
+    * appends (2 files each, explicit repartition), a REPLACE that
+    * compacts to 1 file, then `vacuum(keepFrom = v3)`: exactly the four
+    * append files and no others are deletable (the replace references
+    * neither), v3 keeps reading, and time travel below the boundary ends.
+    * Output = ONE row (n_deleted, n_files_kept, n_rows_after,
+    * sum_after) — file counts deterministic under explicit repartition
+    * (the `lake_compact` 1-row-oracle pattern), row counts + checksum
+    * straight fixture arithmetic. */
+  val lakeVacuum: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_vac"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 === 0).repartition(2))
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 =!= 0).repartition(2))
+    val v3 = Snapshots.commitReplace(s, root,
+      Snapshots.readSnapshot(s, root).filter(col("doc_id") % 3 === 0).repartition(1))
+    val deleted = Snapshots.vacuum(s, root, keepFrom = v3)
+    val kept = Snapshots.fileCount(s, root, v3)
+    import s.implicits._
+    Snapshots.readSnapshot(s, root, v3)
+      .agg(count(lit(1)).as("n_rows_after"), sum("n_chars").as("sum_after"))
+      .select(lit(deleted).as("n_deleted"), lit(kept).as("n_files_kept"),
+        col("n_rows_after"), col("sum_after"))
+  }
+
+  val lakeVacuumSql =
+    """SELECT CAST(4 AS BIGINT) AS n_deleted, CAST(1 AS BIGINT) AS n_files_kept,
+      |  count(*) AS n_rows_after, CAST(sum(n_chars) AS BIGINT) AS sum_after
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+
   /** lake_schema_evolution: additive schema evolution on the snapshot
     * lake (round 10): v1 commits (doc_id, source) for even ids; v2
     * appends (doc_id, source, n_chars) for odd ids; the mergeSchema
@@ -2100,6 +2133,7 @@ object QueriesCore {
     "lake_delete" -> lakeDelete,
     "lake_merge" -> lakeMerge,
     "lake_schema_evolution" -> lakeSchemaEvolution,
+    "lake_vacuum" -> lakeVacuum,
     "snapshot_diff" -> snapshotDiffQ,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
@@ -2198,6 +2232,7 @@ object QueriesCore {
     "lake_delete" -> lakeDeleteSql,
     "lake_merge" -> lakeMergeSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
+    "lake_vacuum" -> lakeVacuumSql,
     "snapshot_diff" -> snapshotDiffSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,

@@ -2385,6 +2385,39 @@ object QueriesLLM {
       |FROM o JOIN r ON r.doc_id = o.doc_id
       |ORDER BY o.doc_id""".stripMargin
 
+  /** eval_pack_efficiency: packing-quality audit over `pack_chunks`'
+    * 4096-token chunks (round 10) — per chunk: doc count and token fill
+    * (a chunk's LAST doc may spill past the boundary, so fill bands
+    * above 10/10 measure straddle overhead, the thing a sequence-packing
+    * deployment actually tunes); rolled into a fill-band histogram.
+    * Pure integers end to end: the band is BIGINT floor-division
+    * `(fill·10) div 4096` — no doubles anywhere. */
+  val evalPackEfficiency: Q = (s, dir) =>
+    Packing.packChunks(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), 4096L)
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill"))
+      .groupBy(expr("CAST((fill * 10) DIV 4096 AS BIGINT)").as("fill_band"))
+      .agg(count(lit(1)).as("n_chunks"), sum("n_docs").as("n_docs"),
+        sum("fill").as("sum_tokens"))
+      .orderBy("fill_band")
+
+  val evalPackEfficiencySql =
+    """WITH t AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+      |  FROM t),
+      |c AS (SELECT CAST(floor(tok_offset / 4096) AS BIGINT) AS chunk_id,
+      |    count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS fill
+      |  FROM o GROUP BY 1)
+      |SELECT (fill * 10) // 4096 AS fill_band, count(*) AS n_chunks,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(fill) AS BIGINT) AS sum_tokens
+      |FROM c GROUP BY 1 ORDER BY fill_band""".stripMargin
+
   /** pack_chunks: concat-and-chunk sequence packing — global token-stream
     * offset + 4096-token chunk id per doc, via the scalable two-phase
     * prefix sum (oracle = DuckDB's naive global SUM() OVER). */
@@ -3370,6 +3403,7 @@ object QueriesLLM {
     "pipeline_near_dedup" -> pipelineNearDedup,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExact,
     "pipeline_rag_prep" -> pipelineRagPrep,
+    "eval_pack_efficiency" -> evalPackEfficiency,
     "multimodal_doc" -> multimodalDoc,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_resize" -> multimodalResize,
@@ -3403,6 +3437,7 @@ object QueriesLLM {
     "dedup_incremental_minhash_exact" -> dedupIncrementalMinhashExactSql,
     "pipeline_near_dedup_exact" -> pipelineNearDedupExactSql,
     "pipeline_rag_prep" -> pipelineRagPrepSql,
+    "eval_pack_efficiency" -> evalPackEfficiencySql,
     "text_langid_exact" -> textLangidExactSql,
     "sim_topk_cosine" -> simTopkCosineSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
