@@ -246,6 +246,35 @@ object QueriesCore {
       |FROM documents WHERE doc_id % 11 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** sink_parquet_partitioned: the reference's app/study-style
+    * partitioned layout (`copy_from_template.py:316` —
+    * `bridge-downstream/{app}/{study}/parquet/`) as a gated ROUNDTRIP
+    * (round 10, upgrades the spec-only sink row): write orders
+    * partitioned by status, read BACK with a partition filter — the
+    * filter prunes at the directory level (zero non-matching files
+    * opened; `PartitionFilters` in the plan), the thing the layout
+    * exists for at 100 TB — and aggregate. Oracle = the same aggregate
+    * straight off the fixture. */
+  val sinkParquetPartitioned: Q = (s, dir) => {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/orders_sink"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(root)
+    s.read.parquet(root)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val sinkParquetPartitionedSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   /** lake_vacuum: the reclaim step as a gated row (round 10) — two
     * appends (2 files each, explicit repartition), a REPLACE that
     * compacts to 1 file, then `vacuum(keepFrom = v3)`: exactly the four
@@ -2134,6 +2163,7 @@ object QueriesCore {
     "lake_merge" -> lakeMerge,
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_vacuum" -> lakeVacuum,
+    "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "snapshot_diff" -> snapshotDiffQ,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
@@ -2233,6 +2263,7 @@ object QueriesCore {
     "lake_merge" -> lakeMergeSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_vacuum" -> lakeVacuumSql,
+    "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "snapshot_diff" -> snapshotDiffSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,

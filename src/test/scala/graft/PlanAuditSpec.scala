@@ -18,6 +18,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<r_regionkey:int,r_name:string>"), p)
   }
 
+  test("sink_parquet_partitioned read-back prunes at the partition level") {
+    val p = plan("sink_parquet_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p)
+    // the status predicate must be a directory prune, not a data filter:
+    // no pushed parquet filter on the partition column
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus"), p)
+  }
+
   test("topk plans TakeOrderedAndProject, not a global sort") {
     val p = plan("topk")
     assert(p.contains("TakeOrderedAndProject"), p)
