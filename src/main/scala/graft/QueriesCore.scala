@@ -275,6 +275,31 @@ object QueriesCore {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** sink_parquet_zordered: the Morton-clustered layout as a gated
+    * ROUNDTRIP (round 10, upgrades the spec-only z-order row): write
+    * lineitem z-ordered on (l_orderkey, l_partkey) into 4 files, read
+    * back with a 2-D box predicate, aggregate. The interleaved layout
+    * concentrates each (orderkey, partkey) box into few files so parquet
+    * row-group min-max stats skip the rest — a runtime-metric effect, so
+    * the GATE pins the part that must never change: clustering does not
+    * alter the answer. Oracle = the box aggregate off the fixture. */
+  val sinkParquetZordered: Q = (s, dir) => {
+    import graft.sources.FileView
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/lineitem_z"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    FileView.sinkZOrdered(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_quantity"),
+      root, "l_orderkey", "l_partkey", numFiles = 4)
+    s.read.parquet(root)
+      .filter(col("l_orderkey") % 10 < 2 && col("l_partkey") % 10 < 3)
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").cast("long").as("sum_qty"))
+  }
+
+  val sinkParquetZorderedSql =
+    """SELECT count(*) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 10 < 2 AND l_partkey % 10 < 3""".stripMargin
+
   /** lake_vacuum: the reclaim step as a gated row (round 10) — two
     * appends (2 files each, explicit repartition), a REPLACE that
     * compacts to 1 file, then `vacuum(keepFrom = v3)`: exactly the four
@@ -2164,6 +2189,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
+    "sink_parquet_zordered" -> sinkParquetZordered,
     "snapshot_diff" -> snapshotDiffQ,
     "schema_cast" -> schemaCast,
     "schema_retype" -> schemaRetype,
@@ -2264,6 +2290,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
+    "sink_parquet_zordered" -> sinkParquetZorderedSql,
     "snapshot_diff" -> snapshotDiffSql,
     "schema_cast" -> schemaCastSql,
     "schema_retype" -> schemaRetypeSql,
