@@ -200,6 +200,59 @@ class SnapshotsSpec extends SparkTestBase {
     assert(rows == (1 to writers).map(w => s"w$w").toSet, "no append may be lost")
   }
 
+  test("model-based protocol check: random append/delete/merge/replace sequences match a reference model at EVERY version") {
+    // The executable semantics of the whole commit surface, checked
+    // against an in-memory model under randomized (seeded, reproducible)
+    // op sequences — every historical version must read back exactly the
+    // model's multiset (snapshot isolation + time travel + the
+    // strictly-earlier delete-scoping rule, under arbitrary mixes).
+    final case class ModelRow(id: Long, tag: String, ver: Long)
+    final case class ModelDel(id: Long, ver: Long)
+    for (seed <- Seq(11, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      def freshRows(n: Int, v: Long): Seq[(Long, String)] =
+        (1 to n).map(_ => (rnd.nextInt(12).toLong, s"v$v-${rnd.nextInt(100)}"))
+      val root2 = freshRoot(s"model$seed")
+      var rs = Vector.empty[ModelRow]; var ds = Vector.empty[ModelDel]
+      def vis: Seq[(Long, String)] =
+        rs.filter(r => !ds.exists(d => d.id == r.id && d.ver > r.ver)).map(r => (r.id, r.tag))
+      val exp = scala.collection.mutable.Map.empty[Long, Map[(Long, String), Int]]
+      var cur = 0L
+      def commit(op: Int): Unit = {
+        cur += 1
+        op match {
+          case 0 => // append
+            val rws = freshRows(1 + rnd.nextInt(3), cur)
+            Snapshots.commitAppend(spark, root2, rws.toDF("id", "tag").coalesce(1))
+            rs ++= rws.map { case (i, t) => ModelRow(i, t, cur) }
+          case 1 => // delete random keys
+            val keys = (1 to 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(12).toLong).distinct
+            Snapshots.commitDelete(spark, root2, keys.toDF("id"))
+            ds ++= keys.map(ModelDel(_, cur))
+          case 2 => // merge (upsert)
+            val rws = freshRows(1 + rnd.nextInt(3), cur)
+            Snapshots.commitMerge(spark, root2, rws.toDF("id", "tag").coalesce(1), Seq("id"))
+            ds ++= rws.map(_._1).distinct.map(ModelDel(_, cur))
+            rs ++= rws.map { case (i, t) => ModelRow(i, t, cur) }
+          case 3 => // replace (also clears delete files)
+            val rws = freshRows(2 + rnd.nextInt(3), cur)
+            Snapshots.commitReplace(spark, root2, rws.toDF("id", "tag").coalesce(1))
+            rs = rws.map { case (i, t) => ModelRow(i, t, cur) }.toVector
+            ds = Vector.empty
+        }
+        exp(cur) = vis.groupBy(identity).view.mapValues(_.size).toMap
+      }
+      commit(0) // seed the table
+      for (_ <- 1 to 7) commit(rnd.nextInt(4))
+      for ((ver, want) <- exp) {
+        val got = Snapshots.readSnapshot(spark, root2, ver)
+          .select("id", "tag").as[(Long, String)].collect()
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(got == want, s"seed=$seed version=$ver: got $got want $want")
+      }
+    }
+  }
+
   test("registered lake_snapshot query: versions, counts, file counts, isolation flag") {
     val out = QueriesCore.lakeSnapshot(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
