@@ -1975,6 +1975,31 @@ object QueriesLLM {
     * (80% src0 / 50% src1 / 25% src2 / 10% long tail), decided by the
     * same engine-portable md5 threshold as sample_hash. One narrow
     * filter; the oracle draws the IDENTICAL mixture. */
+  /** sample_token_budget: token-budget data mixing
+    * ([[Sampling.tokenBudgetSample]]) — 5000 tokens per source, docs
+    * taken in the reproducible md5-shuffle order, boundary doc kept.
+    * Pure integer keep rule (stream offset < budget) — the mixing op a
+    * training run specifies in tokens, beside `sample_mixture`'s
+    * per-doc rates (round 10). */
+  val sampleTokenBudget: Q = (s, dir) =>
+    Sampling.tokenBudgetSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).as("n_tokens")),
+        col("doc_id"), col("source"), col("n_tokens"), budget = 5000L)
+      .orderBy("doc_id")
+
+  val sampleTokenBudgetSql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST('0x' || substr(md5(doc_id || ':budget'), 1, 12) AS BIGINT) AS u
+      |  FROM documents),
+      |o AS (SELECT doc_id, source, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, cum_before FROM o
+      |WHERE cum_before < 5000 ORDER BY doc_id""".stripMargin
+
   val sampleMixture: Q = (s, dir) =>
     Sampling.mixtureSample(Tables.documents(s, dir), col("doc_id"), col("source"),
         Seq("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
@@ -3381,6 +3406,7 @@ object QueriesLLM {
     "text_fingerprint_dedup" -> textFingerprintDedup,
     "sample_hash" -> sampleHash,
     "sample_mixture" -> sampleMixture,
+    "sample_token_budget" -> sampleTokenBudget,
     "sample_temperature" -> sampleTemperature,
     "sample_temperature_rank" -> sampleTemperatureRank,
     "sample_quality_weighted" -> sampleQualityWeighted,
@@ -3474,6 +3500,7 @@ object QueriesLLM {
     "multimodal_frames" -> multimodalFramesSql,
     "sample_hash" -> sampleHashSql,
     "sample_mixture" -> sampleMixtureSql,
+    "sample_token_budget" -> sampleTokenBudgetSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_temperature_rank" -> sampleTemperatureRankSql,
     "sample_quality_weighted" -> sampleQualityWeightedSql,

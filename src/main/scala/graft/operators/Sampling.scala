@@ -65,6 +65,48 @@ object Sampling {
     * [[hashSample]]: deterministic, partition-independent, a narrow
     * zero-shuffle filter at any scale, and any engine with md5 draws
     * the identical mixture (oracle-gated as `sample_mixture`). */
+  /** Token-budget mixture sampling — the data-mixing op a training run
+    * actually specifies ("X tokens of source S", not "p% of S's docs"):
+    * per source, docs are taken in the reproducible 48-bit md5-shuffle
+    * order ([[Packing.shardAssign]]'s coordinate) until the source's
+    * TOKEN budget is exhausted. Keep rule: a doc survives iff its
+    * per-source stream offset (tokens BEFORE it in shuffle order) is
+    * < `budget` — the doc straddling the boundary is kept, so budgets
+    * are honored to the nearest document (the standard contract).
+    *
+    * Pure integer end to end (coordinate, token counts, prefix sums) —
+    * no threshold boundary can flake. Scale shape: the prefix sums are
+    * the two-phase bucketed form per (source, coordinate-range bucket) —
+    * never one window task per source — and only the O(sources×buckets)
+    * totals frame is prefix-summed and broadcast back. */
+  def tokenBudgetSample(df: DataFrame, id: Column, source: Column,
+      tokens: Column, budget: Long, salt: String = "budget",
+      buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coordSpace = 281474976710656L // 2^48
+    val bucketWidth = coordSpace / buckets
+    val u = conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 12), 16, 10)
+      .cast("long")
+    val base = df.select(id.as("doc_id"), source.as("source"),
+        tokens.cast("long").as("n_tokens"), u.as("__u"))
+      .withColumn("__bucket", floor(col("__u") / bucketWidth).cast("long"))
+    val w = Window.partitionBy(col("source"), col("__bucket"))
+      .orderBy(col("__u").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__local_end", sum(col("n_tokens")).over(w))
+    val bases = base.groupBy("source", "__bucket")
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .withColumn("__base", coalesce(sum(col("__tot")).over(
+        Window.partitionBy(col("source")).orderBy(col("__bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)), lit(0L)))
+      .select("source", "__bucket", "__base")
+    local.join(broadcast(bases), Seq("source", "__bucket"))
+      .withColumn("__cum_before", col("__base") + col("__local_end") - col("n_tokens"))
+      .filter(col("__cum_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("__cum_before").as("cum_before"))
+  }
+
   def mixtureSample(df: DataFrame, key: Column, source: Column,
       rates: Seq[(String, Double)], default: Double, salt: String = "s0"): DataFrame = {
     val threshold = rates.foldLeft(lit(hexThreshold(default))) {

@@ -157,4 +157,33 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Join"), plan)
   }
+
+  test("tokenBudgetSample: budget honored to the nearest doc; under-budget sources kept whole; partition-independent") {
+    val df = (1L to 60L).map(i => (i, if (i <= 40) "big" else "small", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    // big: 400 tokens available, budget 95 → keep docs until offset < 95:
+    // offsets 0,10,…,90 → exactly 10 docs, total 100 (boundary doc kept).
+    // small: 200 tokens available < no, 20 docs × 10 = 200 > 95 → also cut.
+    val out = Sampling.tokenBudgetSample(df, col("doc_id"), col("source"),
+        col("n_tokens"), budget = 95L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 10, "small" -> 10),
+      s"each source: offsets 0..90 survive the 95-token budget, got $bySrc")
+    assert(out.forall(_._3 < 95L), "kept docs must START inside the budget")
+    // a huge budget keeps every doc
+    val all = Sampling.tokenBudgetSample(df, col("doc_id"), col("source"),
+      col("n_tokens"), budget = 1000000L).count()
+    assert(all == 60L)
+    // deterministic under any input partitioning
+    val again = Sampling.tokenBudgetSample(
+        df.repartition(17, (col("doc_id") * 7) % 13), col("doc_id"),
+        col("source"), col("n_tokens"), budget = 95L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(3))).toSet
+    assert(again == out.toSet)
+    // the kept set follows the md5-shuffle order, not doc_id order
+    val keptBig = out.filter(_._1 == "big").map(_._2).toSet
+    assert(keptBig != (1L to 10L).toSet,
+      "budget must cut in shuffle order, not id order")
+  }
 }
