@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -118,30 +118,50 @@ private[v2] class SnapshotStreamTable(root: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(root, tableSchema)
+          new SnapshotMicroBatchStream(root, tableSchema, maxVersions)
         override def description(): String = s"snapshot_stream($root)"
       }
     }
+  }
 }
 
 private[v2] case class SnapshotOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-private[v2] class SnapshotMicroBatchStream(root: String, schema: StructType)
-    extends MicroBatchStream {
+/** `maxVersionsPerTrigger` (admission control): a NEW consumer of a
+  * long-lived table must not swallow its whole history as one giant
+  * micro-batch — the option caps each batch at N versions' files, so a
+  * backfill proceeds as bounded, checkpointed steps (the same throttle
+  * file sources spell maxFilesPerTrigger). Unset = read to current. */
+private[v2] class SnapshotMicroBatchStream(root: String, schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   // driver-side only: every MicroBatchStream method runs on the driver,
   // where the session that started the stream is active
   private def spark = SparkSession.active
 
   override def initialOffset(): Offset = SnapshotOffset(0L)
   override def latestOffset(): Offset =
-    SnapshotOffset(Snapshots.currentVersion(spark, root))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val cur = Snapshots.currentVersion(spark, root)
+    val start = startOffset.asInstanceOf[SnapshotOffset].v
+    SnapshotOffset(maxVersionsPerTrigger.fold(cur)(n => math.min(cur, start + n)))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(n => ReadLimit.maxFiles(n.toInt))
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(json.trim.toLong)
 

@@ -96,6 +96,32 @@ class SnapshotStreamSpec extends SparkTestBase {
     }
   }
 
+  test("maxVersionsPerTrigger throttles a backfill into one-version micro-batches") {
+    val root = freshRoot("throttle")
+    for (i <- 1 to 3)
+      Snapshots.commitAppend(spark, root,
+        Seq((i.toLong, s"c$i")).toDF("id", "tag").coalesce(1))
+    def run(throttled: Boolean): Int = {
+      val ckpt = ckptDir()
+      val base = spark.readStream.format("graft.sources.v2.SnapshotStreamSource")
+        .option("root", root)
+      val src = (if (throttled) base.option("maxVersionsPerTrigger", "1") else base).load()
+      val sink = s"snapstream_throttle_$throttled"
+      val q = src.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString).start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table(sink).count() == 3, "all three commits delivered either way")
+        q.recentProgress.count(_.numInputRows > 0)
+      } finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+      }
+    }
+    assert(run(throttled = false) == 1, "unthrottled backfill = one catch-up batch")
+    assert(run(throttled = true) == 3, "throttled backfill = one batch per version")
+  }
+
   test("a REPLACE while tailing fails the stream loudly (append-only contract)") {
     val root = freshRoot("replace")
     Snapshots.commitAppend(spark, root,
