@@ -764,8 +764,52 @@ object QueriesStreaming {
       .orderBy("source")
   }
 
+  /** stream_lake_upsert_live: the streaming SINK half of the lake —
+    * `foreachBatch` + [[graft.sources.Snapshots.commitMergeOnce]]
+    * (idempotent single-commit upserts keyed by the epoch id, the
+    * exactly-once recipe Delta spells `txnAppId`/`txnVersion`). Base
+    * table = the %3==0 docs; batch 1 upserts the %3==1 docs as 'b1';
+    * batch 2 upserts the %3==2 docs as 'b2' PLUS re-upserts the even
+    * %3==1 docs as 'b2u' — latest-wins must leave exactly one row per
+    * key with the last writer's tag. The TWO-batch schedule is the
+    * semantics (a collapse would put conflicting copies of one key in
+    * the same version) — like stateful/watermark_late, the fast flag
+    * trims partitions but never the batch cut. */
+  val streamLakeUpsertLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Snapshots
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val key = f"${dir.hashCode & 0x7fffffff}%08x"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$key/docs_upsert"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, String)] =
+      org.apache.spark.sql.Encoders.product[(Long, String)]
+    val d = Tables.documents(s, dir).select("doc_id", "source")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 0).repartition(2))
+    val ids = d.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    val b1 = ids.filter(_ % 3 == 1).map(id => (id, "b1"))
+    val b2 = ids.filter(_ % 3 == 2).map(id => (id, "b2")) ++
+      ids.filter(id => id % 3 == 1 && id % 2 == 0).map(id => (id, "b2u"))
+    val in = MemoryStream[(Long, String)]
+    val (q, ckpt) = startCheckpointed(
+      in.toDF().toDF("doc_id", "source").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Snapshots.commitMergeOnce(s, root, batch.repartition(2),
+            Seq("doc_id"), s"upsert-$id")
+          ()
+        })
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally stopAndClean(q, ckpt)
+    Snapshots.readSnapshot(s, root).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "stream_snapshot_tail" -> streamSnapshotTail,
+    "stream_lake_upsert_live" -> streamLakeUpsertLive,
     "stream_anomaly_live" -> streamAnomalyLive,
     "stream_ewma_live" -> streamEwmaLive,
     "stream_changepoint_live" -> streamChangepointLive,
@@ -830,6 +874,13 @@ object QueriesStreaming {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_lake_upsert_live" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN source
+        |       WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN 'b2u'
+        |       WHEN doc_id % 3 = 1 THEN 'b1'
+        |       ELSE 'b2' END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_ewma_live" -> {
       val kernel = (0 until 16)
         .map(k => s"coalesce(lag(x, $k) OVER w, 0) * ${1L << (15 - k)}")

@@ -241,6 +241,28 @@ object Snapshots {
     }
   }
 
+  /** [[commitMerge]] with an IDEMPOTENCE MARKER — the streaming-sink
+    * form for `foreachBatch` (exactly-once upserts into the lake): the
+    * caller passes a stable transaction id (epoch id / app + batch id);
+    * a replayed batch whose marker exists is SKIPPED, so checkpoint
+    * replays don't inflate the version history. Correctness does not
+    * hinge on the marker: re-merging the SAME updates is semantically
+    * idempotent under latest-wins (the replay's delete kills the first
+    * attempt's copies and re-inserts identical rows — same visible
+    * state), so a crash between commit and marker degrades to a
+    * duplicate version, never to wrong data. Returns the committed (or
+    * already-committed) current version. */
+  def commitMergeOnce(spark: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], txnId: String): Long = {
+    require(txnId.matches("[A-Za-z0-9._-]+"), s"unsafe txn id: $txnId")
+    val marker = new Path(manifestDir(root), s"txn-$txnId")
+    val f = fs(spark, marker)
+    if (f.exists(marker)) return currentVersion(spark, root)
+    val v = commitMerge(spark, root, updates, keyCols)
+    f.create(marker, true).close()
+    v
+  }
+
   /** Strip any URI scheme so manifest paths (`file:/x`) and
     * `_metadata.file_path` values (`file:///x`) compare equal. */
   private def normPath(p: String): String = new Path(p).toUri.getPath

@@ -74,7 +74,7 @@ object DumpPlans {
     "stream_snapshot_tail", "sim_mmr_rerank", "graph_ppr",
     "lake_schema_evolution", "text_readability", "pipeline_rag_prep", "fn_xml",
     "lake_vacuum", "eval_pack_efficiency", "sink_parquet_partitioned",
-    "sink_parquet_zordered", "sample_token_budget",
+    "sink_parquet_zordered", "sample_token_budget", "stream_lake_upsert_live",
     "multimodal_dedup", "sample_reservoir_weighted", "sample_stratified_exact",
     "stream_markov_live",
     // round 9 session 7: robust statistics, graph audits, ADC search,

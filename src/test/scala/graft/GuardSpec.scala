@@ -59,7 +59,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       "operators/LangId.scala" -> 2, // per-language trigram profiles, bounded
       "sources/FileView.scala" -> 1, // distinct partition values of one sink dir
       "MatchedBench.scala" -> 2, // bench-only: baseline/engine row compare
-      "QueriesStreaming.scala" -> 2 // harness fixtures feeding MemoryStream
+      "QueriesStreaming.scala" -> 3 // harness fixtures feeding MemoryStream (incl. the upsert feed ids)
     )
     val walk = Files.walk(mainRoot)
     val found: Map[String, Int] =

@@ -200,6 +200,24 @@ class SnapshotsSpec extends SparkTestBase {
     assert(rows == (1 to writers).map(w => s"w$w").toSet, "no append may be lost")
   }
 
+  test("commitMergeOnce: a replayed txn id is skipped; an unmarked replay still converges (idempotent merge)") {
+    val root = freshRoot("once")
+    Snapshots.commitAppend(spark, root, table(4, "orig").coalesce(1))
+    val up = Seq((2L, "new")).toDF("id", "tag").coalesce(1)
+    val v2 = Snapshots.commitMergeOnce(spark, root, up, Seq("id"), "b-0")
+    assert(v2 == 2L)
+    // replay with the SAME txn id: no new version
+    assert(Snapshots.commitMergeOnce(spark, root, up, Seq("id"), "b-0") == 2L)
+    assert(Snapshots.currentVersion(spark, root) == 2L)
+    // crash-window simulation: the commit landed but the marker didn't —
+    // an unmarked replay re-merges, creating a version but the SAME state
+    val v3 = Snapshots.commitMerge(spark, root, up, Seq("id"))
+    assert(v3 == 3L)
+    val rows = Snapshots.readSnapshot(spark, root)
+      .select("id", "tag").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "orig", 2L -> "new", 3L -> "orig", 4L -> "orig"))
+  }
+
   test("model-based protocol check: random append/delete/merge/replace sequences match a reference model at EVERY version") {
     // The executable semantics of the whole commit surface, checked
     // against an in-memory model under randomized (seeded, reproducible)
