@@ -1437,6 +1437,41 @@ object QueriesAnalytics {
        |SELECT node, rank FROM r$graphPprIters ORDER BY node""".stripMargin
   }
 
+  /** graph_katz: Katz centrality over the same symmetrized
+    * part↔supplier graph ([[graft.operators.Graph.katzCentrality]],
+    * 4 rounds, dyadic α = 1/64): the walk-counting centrality beside
+    * `graph_pagerank` (stochastic) and `graph_hits` (mutual
+    * reinforcement). The whole chain is BIGINT floor division — the
+    * only double is the final display ratio, r8-gridded. */
+  val graphKatzIters = 4
+
+  val graphKatz: Q = (s, dir) => {
+    val ed = Tables.lineitem(s, dir)
+      .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.katzCentrality(sym, iters = graphKatzIters)
+      .orderBy("node")
+  }
+
+  val graphKatzSql: String = {
+    val rounds = (1 to graphKatzIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(x${i - 1}.katz_u) AS s
+         |  FROM x${i - 1} JOIN e ON e.src = x${i - 1}.node GROUP BY 1),
+         |x$i AS (SELECT n.node,
+         |    CAST(100000000 + coalesce(c$i.s, 0) // 64 AS BIGINT) AS katz_u
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+       |e AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |x0 AS (SELECT node, CAST(100000000 AS BIGINT) AS katz_u FROM nodes),
+       |$rounds
+       |SELECT node, katz_u,
+       |  floor((CAST(katz_u AS DOUBLE) / 100000000.0) * 100000000 + 0.5) / 100000000 AS katz
+       |FROM x$graphKatzIters ORDER BY node""".stripMargin
+  }
+
   /** graph_label_prop: synchronous label-propagation communities over
     * the same symmetrized part↔supplier graph as [[graphPagerank]]
     * ([[graft.operators.Graph.labelPropagation]]; 4 fixed rounds,
@@ -2237,6 +2272,7 @@ object QueriesAnalytics {
     "graph_bfs" -> graphBfs,
     "graph_pagerank" -> graphPagerank,
     "graph_ppr" -> graphPpr,
+    "graph_katz" -> graphKatz,
     "graph_label_prop" -> graphLabelProp,
     "graph_modularity" -> graphModularity,
     "graph_adamic_adar" -> graphAdamicAdar,
@@ -2300,6 +2336,7 @@ object QueriesAnalytics {
     "graph_bfs" -> graphBfsSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_ppr" -> graphPprSql,
+    "graph_katz" -> graphKatzSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_modularity" -> graphModularitySql,
     "graph_adamic_adar" -> graphAdamicAdarSql,

@@ -212,6 +212,44 @@ object Graph {
     ranks
   }
 
+  /** Katz centrality (Katz 1953) with a DYADIC attenuation factor —
+    * x_i(v) = 1 + α·Σ_{j→v} x_{i−1}(j), α = 1/attenuationDiv — run a
+    * fixed round count in 1e8 micro-units: the per-round update is
+    * `1e8 + (Σ incoming) div attenuationDiv`, pure BIGINT floor
+    * division, so there is NO floating-point operation anywhere in the
+    * chain (stronger even than pagerank's one r8 division per round).
+    * Counts walks of all lengths attenuated by α^len — the centrality
+    * that sees beyond the 1-hop degree without pagerank's stochastic
+    * normalization. Convergence/overflow contract: α·maxInDegree < 1
+    * keeps values bounded (fixture supplier degree ~24 ≪ 64); values ≤
+    * 1e8/(1−α·d) fit LONG by orders of magnitude.
+    *
+    * Scale shape: [[pagerank]]'s discipline — src-partitioned
+    * checkpointed edge list, one exchange per round shipping (node,
+    * LONG) pairs, lazy single-DAG for small fixed round counts. */
+  def katzCentrality(edges: DataFrame, iters: Int,
+      attenuationDiv: Long = 64L, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 0 && attenuationDiv >= 2)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val ed = Dist.byKeys(e, col("src")).localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node"))
+      .unionAll(ed.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val unit = lit(100000000L)
+    var x = nodes.select(col("node"), unit.as("katz_u"))
+    for (i <- 1 to iters) {
+      val contrib = x.join(ed, x("node") === ed("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("katz_u")).as("s"))
+      x = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (unit + expr(s"CAST(coalesce(s, 0) DIV $attenuationDiv AS BIGINT)")).as("katz_u"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        x = Checkpointing.cut(x)
+    }
+    x.select(col("node"), col("katz_u"),
+      graft.functions.Num.r8(col("katz_u").cast("double") / lit(100000000.0)).as("katz"))
+  }
+
   /** Synchronous label propagation over DIRECTED edges (`src`, `dst`) —
     * the classic community-detection primitive (Raghavan et al. 2007):
     * every node starts labeled with its own id; each round it adopts the

@@ -135,6 +135,23 @@ class SearchGraphSpec extends SparkTestBase {
     assert(ppr === pr, "all-node seed set must degenerate to global pagerank")
   }
 
+  test("katz centrality: hand replay on a star; center dominates; pure integer chain") {
+    // undirected star: center 0 <-> leaves 1..4, α = 1/64, 2 rounds
+    val leaves = (1L to 4L)
+    val e = (leaves.map(l => (0L, l)) ++ leaves.map(l => (l, 0L))).toDF("src", "dst")
+    val out = Graph.katzCentrality(e, iters = 2)
+      .select("node", "katz_u").as[(Long, Long)].collect().toMap
+    // round 1: center gets 1e8 + (4·1e8)/64, leaves 1e8 + 1e8/64
+    val c1 = 100000000L + (4L * 100000000L) / 64
+    val l1 = 100000000L + 100000000L / 64
+    // round 2: center sums the 4 round-1 leaves; each leaf sees the center
+    val c2 = 100000000L + (4L * l1) / 64
+    val l2 = 100000000L + c1 / 64
+    assert(out(0L) == c2, s"center: got ${out(0L)} want $c2")
+    leaves.foreach(l => assert(out(l) == l2, s"leaf $l: got ${out(l)} want $l2"))
+    assert(out(0L) > out(1L), "the hub must out-rank its spokes")
+  }
+
   test("pagerank with zero iterations returns the uniform start vector") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val out = Graph.pagerank(e, iters = 0).as[(Long, Double)].collect().toMap
