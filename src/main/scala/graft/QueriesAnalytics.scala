@@ -2114,6 +2114,23 @@ object QueriesAnalytics {
     * funnel. Counts are integers; p is one IEEE division on the 1e-8
     * grid. One input exchange (the lag window); the pair count is
     * map-side combined down to ≤|types|² rows. */
+  /** seq_trigrams: top-20 three-step user journeys
+    * ([[graft.operators.Temporal.pathTrigrams]]) — the path-level view
+    * above `seq_markov`'s first-order transitions (round 10). */
+  val seqTrigrams: Q = (s, dir) =>
+    Temporal.pathTrigrams(Tables.events(s, dir), "user_id",
+      col("ts"), col("event_id"), col("event_type"), topK = 20)
+
+  val seqTrigramsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || s2 || '>' || s3 AS path, count(*) AS n
+      |FROM s WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val seqMarkov: Q = (s, dir) =>
     Temporal.transitionCounts(Tables.events(s, dir), "user_id",
         col("ts"), col("event_id"), col("event_type"))
@@ -2273,6 +2290,7 @@ object QueriesAnalytics {
     "graph_pagerank" -> graphPagerank,
     "graph_ppr" -> graphPpr,
     "graph_katz" -> graphKatz,
+    "seq_trigrams" -> seqTrigrams,
     "graph_label_prop" -> graphLabelProp,
     "graph_modularity" -> graphModularity,
     "graph_adamic_adar" -> graphAdamicAdar,
@@ -2337,6 +2355,7 @@ object QueriesAnalytics {
     "graph_pagerank" -> graphPagerankSql,
     "graph_ppr" -> graphPprSql,
     "graph_katz" -> graphKatzSql,
+    "seq_trigrams" -> seqTrigramsSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_modularity" -> graphModularitySql,
     "graph_adamic_adar" -> graphAdamicAdarSql,

@@ -795,6 +795,25 @@ object Temporal {
     * aggregate whose output is at most |states|² rows, and the per-prev
     * total is a window over THAT tiny frame — never a second pass over
     * the data. */
+  /** Top-k 3-step event PATHS ("A>B>C") across all keys — the sequence
+    * mining view one level above [[transitionCounts]]' first-order
+    * transitions: which concrete journeys dominate. Same per-key
+    * (ts, tie) ordering contract as transitionCounts; the global top-k
+    * is a TakeOrdered over the bounded path-count frame (paths ≤
+    * |states|³), never a full sort of the data. */
+  def pathTrigrams(events: DataFrame, key: String, ts: Column,
+      tie: Column, state: Column, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col("ts"), col("tie"))
+    events.select(col(key), ts.as("ts"), tie.as("tie"), state.as("st"))
+      .withColumn("s2", lead(col("st"), 1).over(w))
+      .withColumn("s3", lead(col("st"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .select(concat_ws(">", col("st"), col("s2"), col("s3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topK)
+  }
+
   def transitionCounts(events: DataFrame, key: String, ts: Column,
       tie: Column, state: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(col("ts"), col("tie"))

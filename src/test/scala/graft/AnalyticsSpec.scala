@@ -429,6 +429,21 @@ class AnalyticsSpec extends SparkTestBase {
       ("b", "b", 1L, 2L, 0.5)), got.toString)
   }
 
+  test("seq_trigrams: hand-replayed 3-step paths, per-key ordering, top-k tie-break (round 10)") {
+    // u1: a,b,a,b → paths a>b>a, b>a>b; u2: c,c,c,c → c>c>c ×2
+    // equal-ts pair in u2 ordered by the tie column
+    val ev = Seq(
+      (1L, 10L, 100L, "a"), (1L, 11L, 101L, "b"),
+      (1L, 12L, 102L, "a"), (1L, 13L, 103L, "b"),
+      (2L, 50L, 20L, "c"), (2L, 50L, 21L, "c"),
+      (2L, 51L, 22L, "c"), (2L, 52L, 23L, "c")
+    ).toDF("user_id", "t", "id", "et")
+    val got = Temporal.pathTrigrams(ev, "user_id", col("t"), col("id"),
+        col("et"), topK = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("c>c>c", 2L), ("a>b>a", 1L), ("b>a>b", 1L)), got.toString)
+  }
+
   test("ts_double_ewma: hand-computed K=2 Brown smoothing, all divisions exact dyadic (round 9)") {
     // x=[1,2,4]: s1i = 2x_t + x_{t−1} → [2,5,10] (scale 4);
     // s2i = 2·s1i_t + s1i_{t−1} → [4,12,25] (scale 16);
