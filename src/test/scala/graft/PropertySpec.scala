@@ -465,4 +465,52 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: katz centrality equals the naive adjacency replay on generated digraphs") {
+    val edgeGen = for {
+      s <- Gen.chooseNum(0L, 14L); d <- Gen.chooseNum(0L, 14L) if s != d
+    } yield (s, d)
+    for (seed <- Seq(7L, 23L)) {
+      val edges = samples(edgeGen, seed, 60).distinct
+      val df = edges.toDF("src", "dst")
+      val got = graft.operators.Graph.katzCentrality(df, iters = 3)
+        .select("node", "katz_u").as[(Long, Long)].collect().toMap
+      // driver replay of the pure-integer recursion
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var x = nodes.map(_ -> 100000000L).toMap
+      for (_ <- 1 to 3)
+        x = nodes.map(n =>
+          n -> (100000000L + in.getOrElse(n, Nil).map(x).sum / 64L)).toMap
+      assert(got == x, s"seed=$seed: got $got want $x")
+    }
+  }
+
+  test("property: tokenBudgetSample equals the naive per-source prefix model on generated corpora") {
+    val rowGen = for {
+      id <- Gen.chooseNum(1L, 400L)
+      src <- Gen.oneOf("s0", "s1", "s2")
+      nt <- Gen.chooseNum(1L, 30L)
+    } yield (id, src, nt)
+    for (seed <- Seq(3L, 19L)) {
+      val rows = samples(rowGen, seed, 120).distinctBy(_._1)
+      val df = rows.toDF("doc_id", "source", "n_tokens")
+      val budget = 150L
+      val got = graft.operators.Sampling.tokenBudgetSample(df, col("doc_id"),
+          col("source"), col("n_tokens"), budget)
+        .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+      // naive model: per source, md5-coordinate order, exclusive prefix
+      def coord(id: Long): BigInt = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:budget".getBytes("UTF-8"))
+        BigInt(1, md.take(6)) // first 12 hex chars = first 6 bytes
+      }
+      val want = rows.groupBy(_._2).values.flatMap { grp =>
+        val ordered = grp.sortBy(r => (coord(r._1), r._1))
+        ordered.scanLeft(0L)((acc, r) => acc + r._3).zip(ordered)
+          .collect { case (before, r) if before < budget => r._1 -> before }
+      }.toMap
+      assert(got == want, s"seed=$seed: ${got.size} vs ${want.size}")
+    }
+  }
 }
