@@ -1035,6 +1035,40 @@ object QueriesLLM {
       |  floor((quantile_cont(n_chars, 0.5)) * 10000 + 0.5) / 10000 AS med_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** curate_boilerplate_phrases: repeated-phrase boilerplate detection
+    * (round 10) — the CCNet/RefinedWeb-style signal: a 5-gram occurring
+    * in ≥ 3 DISTINCT documents is boilerplate (template text, headers,
+    * licence blurbs — also the memorization-risk phrases Lee et al.'s
+    * dedup work targets); per doc report total 5-grams, boilerplate
+    * occurrences and the r4 fraction. Docs shorter than 5 tokens carry
+    * zero grams and are excluded (same rule both engines).
+    *
+    * Scale shape: one explode pass builds the gram stream; the common
+    * set is found on the DISTINCT (doc, gram) projection (so a phrase
+    * spammed inside ONE doc never qualifies); the occurrence count is a
+    * gram-co-keyed join — vocabulary-sized sides, never corpus×corpus. */
+  val curateBoilerplatePhrases: Q = (s, dir) =>
+    Dedup.boilerplatePhrases(Tables.documents(s, dir), col("text"),
+        col("doc_id"), n = 5, minDocs = 3)
+      .orderBy("doc_id")
+
+  val curateBoilerplatePhrasesSql =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 5),
+      |g AS (SELECT doc_id, list_aggregate(t[i:i+4], 'string_agg', ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ok)),
+      |common AS (SELECT gram FROM (
+      |    SELECT gram, count(*) AS nd FROM (SELECT DISTINCT doc_id, gram FROM g)
+      |    GROUP BY 1) WHERE nd >= 3),
+      |b AS (SELECT g.doc_id, count(*) AS n_boiler
+      |  FROM g JOIN common USING (gram) GROUP BY 1)
+      |SELECT ok.doc_id, CAST(len(ok.t) - 4 AS BIGINT) AS n_grams,
+      |  CAST(coalesce(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+      |  floor((CAST(coalesce(b.n_boiler, 0) AS DOUBLE) / (len(ok.t) - 4)) * 10000 + 0.5) / 10000
+      |    AS boiler_frac
+      |FROM ok LEFT JOIN b ON b.doc_id = ok.doc_id
+      |ORDER BY ok.doc_id""".stripMargin
+
   /** text_readability: Flesch reading-ease per document from three
     * deterministic integer counts — words (the shared whitespace
     * tokenizer), sentences (non-overlapping `[.!?]+` runs, floored at
@@ -3382,6 +3416,7 @@ object QueriesLLM {
     "text_tokens" -> textTokens,
     "text_stats" -> textStats,
     "text_readability" -> textReadability,
+    "curate_boilerplate_phrases" -> curateBoilerplatePhrases,
     "text_quality" -> textQuality,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
@@ -3477,6 +3512,7 @@ object QueriesLLM {
     "text_tokens" -> textTokensSql,
     "text_stats" -> textStatsSql,
     "text_readability" -> textReadabilitySql,
+    "curate_boilerplate_phrases" -> curateBoilerplatePhrasesSql,
     "text_quality" -> textQualitySql,
     "text_entropy" -> textEntropySql,
     "text_repetition" -> textRepetitionSql,

@@ -47,7 +47,7 @@ object ScaleProbe {
     "lake_schema_evolution", "text_readability", "pipeline_rag_prep", "fn_xml",
     "lake_vacuum", "eval_pack_efficiency", "sink_parquet_partitioned",
     "sink_parquet_zordered", "sample_token_budget", "stream_lake_upsert_live",
-    "graph_katz", "seq_trigrams",
+    "graph_katz", "seq_trigrams", "curate_boilerplate_phrases",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

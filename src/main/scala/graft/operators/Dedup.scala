@@ -393,6 +393,34 @@ object Dedup {
     *
     * Returns (doc_id, n_tiles, n_kept, dedup_text) for every input doc
     * (fully-duplicated docs survive with empty text). */
+  /** Repeated-phrase boilerplate report (round 10; the CCNet/RefinedWeb
+    * common-line signal at phrase granularity): an `n`-gram occurring in
+    * ≥ `minDocs` DISTINCT docs is boilerplate; per doc emit (n_grams,
+    * n_boiler, r4 boiler_frac). The common set is computed on the
+    * DISTINCT (doc, gram) projection, so a phrase spammed inside one
+    * doc never qualifies (that is `text_repetition`'s business). Docs
+    * shorter than n tokens are excluded. Gram-co-keyed joins only —
+    * vocabulary-sized sides, never corpus×corpus. */
+  def boilerplatePhrases(df: DataFrame, text: Column, id: Column,
+      n: Int = 5, minDocs: Int = 3): DataFrame = {
+    import graft.functions.{Num, TextOps}
+    val docs = df.select(id.as("doc_id"), TextOps.tokens(text).as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = docs.select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+        s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
+    val common = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gram")
+    val boiler = grams.join(common, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"), (size(col("t")) - (n - 1)).cast("long").as("n_grams"))
+      .join(boiler, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        Num.r4(col("n_boiler").cast("double") / col("n_grams")).as("boiler_frac"))
+  }
+
   def spanDedup(df: DataFrame, text: Column, id: Column,
       tileTokens: Int = 10): DataFrame = {
     require(tileTokens > 0)

@@ -75,7 +75,7 @@ object DumpPlans {
     "lake_schema_evolution", "text_readability", "pipeline_rag_prep", "fn_xml",
     "lake_vacuum", "eval_pack_efficiency", "sink_parquet_partitioned",
     "sink_parquet_zordered", "sample_token_budget", "stream_lake_upsert_live",
-    "graph_katz", "seq_trigrams",
+    "graph_katz", "seq_trigrams", "curate_boilerplate_phrases",
     "multimodal_dedup", "sample_reservoir_weighted", "sample_stratified_exact",
     "stream_markov_live",
     // round 9 session 7: robust statistics, graph audits, ADC search,

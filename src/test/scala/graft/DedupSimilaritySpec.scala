@@ -134,6 +134,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("boilerplatePhrases: cross-doc phrase flagged; one-doc spam never qualifies; short docs excluded") {
+    val shared = "all rights reserved contact us"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),          // 8 tokens → 4 grams
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, s"eta theta iota $shared"),
+      // doc 4 spams ITS OWN phrase 3 times — must NOT become boilerplate
+      (4L, "spam phrase here again now spam phrase here again now spam phrase here again now"),
+      (5L, "tiny doc")                            // < 5 tokens → excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplatePhrases(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(5L), "sub-5-token docs carry no grams")
+    // the shared 5-token phrase contributes exactly ONE boilerplate gram
+    // occurrence per doc that contains it
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L && out(3L)._2 == 1L,
+      s"shared phrase must flag once per doc: $out")
+    assert(out(4L)._2 == 0L,
+      s"a phrase repeated only WITHIN one doc is not boilerplate: $out")
+    // gram totals: tokens − 4
+    assert(out(1L)._1 == 4L && out(4L)._1 == 11L)
+  }
+
   test("MMR rerank: planted near-duplicates are diversified; λ=10 degenerates to top-k") {
     // query = e1; ids 1,2,3 EXACT clones of it (sim 1.0 to q and to each
     // other); ids 4,5 distinct unit directions at lower relevance. Plain
