@@ -630,9 +630,55 @@ object QueriesAnalytics {
        |${assign(rounds + 1)}""".stripMargin
   }
 
+  /** Final-select type hardening (round 11, VERDICT r10 ask #1): DuckDB
+    * `sum(BIGINT)` returns HUGEINT, and a driver DuckDB/fetch path that
+    * surfaces HUGEINT as float64 stringifies it at 10 significant
+    * digits while Spark's BIGINT prints exact — rows/schema green, hash
+    * red, precisely `cluster_kmeans`'s two-round driver signature
+    * (local DuckDB 1.0.0 fetchall() returns Python int and passes,
+    * which is why the divergence never reproduced here). Every compared
+    * column that is a sum/`//` product now carries an explicit
+    * `CAST(... AS BIGINT)`; values fit comfortably (d2 ≤ 64·(2·10⁶)² ≈
+    * 2.6·10¹⁴). tools/audit_oracle_types.py sweeps all oracles for the
+    * same hazard. */
   val clusterKmeansSql: String =
     s"""WITH ${kmeansCtes(4, 2)}
-       |SELECT vec_id, cl AS cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin
+       |SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS d2
+       |FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** cluster_kmeans_centroids: DIAGNOSTIC SIBLING #1 (VERDICT r10 ask
+    * #1 — bisect, don't re-guess): the trained k·dims=256-row centroid
+    * table after both Lloyd rounds, gated on the oracle chain's `c2`.
+    * If `cluster_kmeans` stays red while this row is green, the
+    * training loop agrees cross-engine and the divergence lives in the
+    * final assignment/d2 enumeration; if THIS row is red, the
+    * divergence is inside the update arithmetic. Either way
+    * CORRECTNESS_r11 localizes the stage. */
+  val clusterKmeansCentroids: Q = (s, dir) => {
+    val cs = Clustering.trainCentroids(Tables.embeddings(s, dir), k = 4, rounds = 2)
+    import s.implicits._
+    cs.zipWithIndex.flatMap { case (vec, i) =>
+      vec.zipWithIndex.map { case (c, d) => ((i + 1).toLong, (d + 1).toLong, c) }
+    }.toSeq.toDF("cl", "dim", "c").orderBy("cl", "dim")
+  }
+
+  val clusterKmeansCentroidsSql: String =
+    s"""WITH ${kmeansCtes(4, 2)}
+       |SELECT CAST(cl AS BIGINT) AS cl, CAST(dim AS BIGINT) AS dim,
+       |  CAST(c AS BIGINT) AS c
+       |FROM c2 ORDER BY cl, dim""".stripMargin
+
+  /** cluster_kmeans_assign: DIAGNOSTIC SIBLING #2 — the final
+    * assignment WITHOUT the d2 column (the only HUGEINT-typed output of
+    * the original row). Green here + red on `cluster_kmeans` convicts
+    * the d2 column's type canonicalization alone. */
+  val clusterKmeansAssign: Q = (s, dir) =>
+    Clustering.kmeansAssign(Tables.embeddings(s, dir), k = 4, rounds = 2)
+      .select(col("vec_id"), col("cluster")).orderBy("vec_id")
+
+  val clusterKmeansAssignSql: String =
+    s"""WITH ${kmeansCtes(4, 2)}
+       |SELECT vec_id, cl AS cluster FROM a3 ORDER BY vec_id""".stripMargin
 
   /** curate_semdedup: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication") —
@@ -2337,6 +2383,8 @@ object QueriesAnalytics {
     "vec_project_rp" -> vecProjectRp,
     "vec_centroids" -> vecCentroids,
     "cluster_kmeans" -> clusterKmeans,
+    "cluster_kmeans_centroids" -> clusterKmeansCentroids,
+    "cluster_kmeans_assign" -> clusterKmeansAssign,
     "curate_cluster_balance" -> curateClusterBalance,
     "vec_top_pc" -> vecTopPc,
     "vec_whiten_resid" -> vecWhitenResid,
@@ -2402,6 +2450,8 @@ object QueriesAnalytics {
     "vec_project_rp" -> vecProjectRpSql,
     "vec_centroids" -> vecCentroidsSql,
     "cluster_kmeans" -> clusterKmeansSql,
+    "cluster_kmeans_centroids" -> clusterKmeansCentroidsSql,
+    "cluster_kmeans_assign" -> clusterKmeansAssignSql,
     "curate_cluster_balance" -> curateClusterBalanceSql,
     "vec_top_pc" -> vecTopPcSql,
     "vec_whiten_resid" -> vecWhitenResidSql,

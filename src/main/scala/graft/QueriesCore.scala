@@ -357,6 +357,49 @@ object QueriesCore {
       |  CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE NULL END AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** lake_schema_rename: COLUMN-ID schema evolution on the snapshot
+    * lake ([[graft.sources.Snapshots.renameColumn]] et al., round 11 —
+    * VERDICT r10 ask #3, retiring the "renames/drops out of scope"
+    * note): commit the even-id docs, start tracking ids, RENAME
+    * source→origin, append the odd-id docs under the new name, DROP
+    * n_chars, re-ADD a column with the SAME NAME (fresh id), then
+    * append offset rows carrying real values in it. The current read
+    * must (a) serve the pre-rename files under the new name, (b) read
+    * NULL n_chars from every file written before the re-add — the
+    * dropped data must NOT resurface under the same-named column (the
+    * column-ID point; name-matched evolution gets exactly this wrong) —
+    * and (c) carry the new rows' real n_chars. Oracle: the CASE-
+    * projected fixture. */
+  val lakeSchemaRename: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_rename"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir)
+    Snapshots.commitAppend(s, root,
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "source", "n_chars").repartition(2))
+    Snapshots.initSchema(s, root)
+    Snapshots.renameColumn(s, root, "source", "origin")
+    Snapshots.commitAppend(s, root,
+      d.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("source").as("origin"), col("n_chars")).repartition(2))
+    Snapshots.dropColumn(s, root, "n_chars")
+    Snapshots.addColumn(s, root, "n_chars", "BIGINT")
+    Snapshots.commitAppend(s, root,
+      d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          col("source").as("origin"), col("n_chars")).repartition(1))
+    Snapshots.readSnapshot(s, root).orderBy("doc_id")
+  }
+
+  val lakeSchemaRenameSql =
+    """SELECT doc_id, source AS origin, CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000000, source AS origin, n_chars
+      |FROM documents WHERE doc_id % 9 = 0
+      |ORDER BY doc_id""".stripMargin
+
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
     * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
@@ -2187,6 +2230,7 @@ object QueriesCore {
     "lake_delete" -> lakeDelete,
     "lake_merge" -> lakeMerge,
     "lake_schema_evolution" -> lakeSchemaEvolution,
+    "lake_schema_rename" -> lakeSchemaRename,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -2288,6 +2332,7 @@ object QueriesCore {
     "lake_delete" -> lakeDeleteSql,
     "lake_merge" -> lakeMergeSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
+    "lake_schema_rename" -> lakeSchemaRenameSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

@@ -1455,9 +1455,27 @@ object QueriesLLM {
       .orderBy("doc_id")
 
   val bpeEncodeFixedSql: String = {
+    // Each merge's replace is applied TWICE (ADVICE r10 #2): adjacent
+    // occurrences share the middle '|' ('|e|r|e|r|'), so a single
+    // non-overlapping scan merges occurrences 1,3,5,… of a run and
+    // misses 2,4,… — Spark's applyMergeOnce merges ALL leftmost-
+    // nonoverlapping pairs in one pass. For l≠r the missed occurrences
+    // are isolated between fused tokens after pass one, so a second
+    // pass is EXACTLY the fixed point (a fused 'lr' token is a single
+    // delimiter-free symbol and cannot mint a new '|l|r|'). l==r runs
+    // have genuinely different nonoverlap geometry ('|a|a|a|a|a|'
+    // pass-pair gives aa,a,aa where Spark gives aa,aa,a) — no such
+    // merge exists in the declared table, and the require keeps any
+    // future edit honest. BpeSpec property-tests this chain (same
+    // non-overlapping String.replace semantics) against encodeWord on
+    // adversarial 'rerere'-shaped words.
+    require(fixedBpeMerges.forall(m => m.left != m.right),
+      "the twice-replace oracle is only exact for left != right merges")
     val chain = fixedBpeMerges.foldLeft(
       "'|' || regexp_replace(w, '(.)', '\\1|', 'g')") { (acc, m) =>
-      s"replace($acc, '|${m.left}|${m.right}|', '|${m.left}${m.right}|')"
+      val pat = s"'|${m.left}|${m.right}|'"
+      val rep = s"'|${m.left}${m.right}|'"
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
     s"""WITH t AS (SELECT doc_id,
        |    flatten(list_transform(

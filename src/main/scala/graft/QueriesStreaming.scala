@@ -337,6 +337,56 @@ object QueriesStreaming {
       .orderBy("user_id")
   }
 
+  /** stream_join_outer_live: stream-stream LEFT OUTER join through the
+    * engine (round 11, VERDICT r10 ask #4 — the harder state-expiry
+    * semantics the inner member didn't cover): matches emit like the
+    * inner join; an unmatched view emits ONE null-click row when the
+    * watermark passes its expiry point. ORACLE-GATED because the final
+    * emitted set is deterministic given the final watermark
+    * W = min(max view ts, max click ts) − lateness (each side's
+    * watermark tracks its own post-filter rows; Spark's multi-watermark
+    * policy is min): a null row emits iff the view is unmatched AND
+    * `view_ms + horizon < W` STRICTLY — the boundary pinned empirically
+    * in StreamingSpec (an expiry point exactly AT W stays in state).
+    * Output = per-user matched-pair and expired-null counts. */
+  val streamJoinOuterLive: Q = (s, dir) => withFewPartitions(s, 4) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+      org.apache.spark.sql.Encoders.product[StreamOps.Event]
+    val rows = eventSlice(s, dir)
+      .filter(e => e.event_type == "view" || e.event_type == "click")
+    val cut = rows(rows.length / 2).ts.getTime
+    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+    val views = MemoryStream[StreamOps.Event]
+    val clicks = MemoryStream[StreamOps.Event]
+    val joined = StreamOps.followWithinOuter(
+      views.toDF().filter(col("event_type") === "view"),
+      clicks.toDF().filter(col("event_type") === "click"),
+      lateness = "1 hour", horizon = "24 hours")
+    val sink = "stream_join_outer_live_sink"
+    val (q, ckpt) = startCheckpointed(
+      joined.writeStream.outputMode("append").format("memory")
+        .queryName(sink))
+    try {
+      if (benchFast) { // final watermark (and so the emitted set) is
+        views.addData(b1 ++ b2); clicks.addData(b1 ++ b2) // schedule-free
+        q.processAllAvailable()
+      } else {
+        views.addData(b1); clicks.addData(b1)
+        q.processAllAvailable()
+        views.addData(b2); clicks.addData(b2)
+        q.processAllAvailable() // incl. the no-data batch that emits nulls
+      }
+    } finally stopAndClean(q, ckpt)
+    s.table(sink)
+      .groupBy("user_id")
+      .agg(count(col("right_id")).as("n_pairs"),
+        count(when(col("right_id").isNull, lit(1))).as("n_expired"))
+      .orderBy("user_id")
+  }
+
   /** stream_enrich_live: stream-STATIC enrichment join — the stateless
     * dimension lookup every event pipeline starts with. The static side
     * (a user→tier dim) is a plain DataFrame joined into each microbatch
@@ -822,6 +872,7 @@ object QueriesStreaming {
     "stream_stateful_live" -> streamStatefulLive,
     "stream_session_live" -> streamSessionLive,
     "stream_join_live" -> streamJoinLive,
+    "stream_join_outer_live" -> streamJoinOuterLive,
     "stream_enrich_live" -> streamEnrichLive,
     "stream_restart_exactly_once" -> streamRestartExactlyOnce
   )
@@ -1014,6 +1065,26 @@ object QueriesStreaming {
       |  ON v.user_id = c.user_id
       | AND c.ms >= v.ms AND c.ms <= v.ms + 86400000
       |GROUP BY v.user_id ORDER BY user_id""".stripMargin,
+    // LEFT OUTER: matched pairs as above; a null row emits iff the view
+    // is unmatched AND its expiry point sits STRICTLY below the final
+    // watermark min(max view ms, max click ms) − 1 h (boundary pinned
+    // in StreamingSpec); users whose views are all matched-or-live at
+    // stop never emitted a row and so never appear
+    "stream_join_outer_live" -> s"""$sliceCte,
+      |v AS (SELECT * FROM s WHERE event_type = 'view'),
+      |c AS (SELECT * FROM s WHERE event_type = 'click'),
+      |w AS (SELECT least((SELECT max(ms) FROM v), (SELECT max(ms) FROM c))
+      |        - 3600000 AS wm),
+      |m AS (SELECT v.user_id, v.event_id, v.ms, count(c.event_id) AS n_match
+      |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |        AND c.ms >= v.ms AND c.ms <= v.ms + 86400000
+      |      GROUP BY v.user_id, v.event_id, v.ms)
+      |SELECT user_id, CAST(sum(n_match) AS BIGINT) AS n_pairs,
+      |  CAST(count(*) FILTER (n_match = 0
+      |    AND ms + 86400000 < (SELECT wm FROM w)) AS BIGINT) AS n_expired
+      |FROM m GROUP BY user_id
+      |HAVING n_pairs > 0 OR n_expired > 0
+      |ORDER BY user_id""".stripMargin,
     "stream_stateful_live" -> s"""$sliceCte,
       |$sessionsCte
       |SELECT a.user_id, n_events, sum_value, session_start, session_end

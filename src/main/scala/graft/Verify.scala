@@ -40,6 +40,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Gate-environment metadata (VERDICT r10 ask #7): the builder's
+    // DuckDB/JVM/Spark versions travel with the artifact, so a
+    // driver-vs-builder environment skew (the cluster_kmeans r9/r10
+    // hash divergence) is visible in the verify dir instead of
+    // inferred. DuckDB is a python lib here — best-effort shell-out.
+    val duck = try {
+      val p = new ProcessBuilder("python3", "-c",
+        "import duckdb; print(duckdb.__version__)").start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+    val meta = Map(
+      "builder_duckdb" -> duck,
+      "spark" -> spark.version,
+      "jvm" -> System.getProperty("java.version"),
+      "scala" -> scala.util.Properties.versionNumberString)
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      meta.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -65,6 +65,26 @@ object UrlKernels {
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
       (b >= '0' && b <= '9') || b == '-' || b == '.'
 
+  /** RFC 3986 bytes legal after the authority (pchar ∪ "/?" — the
+    * path/query/fragment alphabet). '%' and '#' are validated
+    * separately; anything OUTSIDE this set (space, '"', '<', '|', '^',
+    * braces, backslash, …) makes `java.net.URI` throw, so such URLs
+    * must take the slow path to keep fn_url's all-NULL contract for
+    * malformed crawl URLs (ADVICE r10 #3 — the round-10 fast path
+    * accepted any ASCII byte here and returned parsed parts where the
+    * fallback returns NULLs). */
+  private val legalTailByte: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    for (c <- 'a' to 'z') t(c) = true
+    for (c <- 'A' to 'Z') t(c) = true
+    for (c <- '0' to '9') t(c) = true
+    "-._~!$&'()*+,;=:@/?".foreach(c => t(c) = true)
+    t
+  }
+
+  private def isHexByte(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'a' && b <= 'f') || (b >= 'A' && b <= 'F')
+
   /** The zero-copy scan; returns null when the URL needs the URI
     * fallback. For pure-ASCII input, code-point indices == byte
     * indices, so `substring` slices are exact. */
@@ -91,6 +111,22 @@ object UrlKernels {
       h += 1
     }
     if (h == hostStart) return null // empty authority: URI semantics differ
+    // validate the tail (path+query+fragment) against the RFC 3986
+    // alphabet: %XX escapes need two hex digits, at most one '#', and
+    // every other byte must be in the legal set — else the URI
+    // fallback's rejection semantics apply
+    var j = h
+    var hashes = 0
+    while (j < n) {
+      val b = url.getByte(j)
+      if (b == '#') { hashes += 1; if (hashes > 1) return null }
+      else if (b == '%') {
+        if (j + 2 >= n || !isHexByte(url.getByte(j + 1)) ||
+          !isHexByte(url.getByte(j + 2))) return null
+        j += 2
+      } else if (!legalTailByte(b)) return null
+      j += 1
+    }
     // path: up to '?' or '#'
     var p = h
     while (p < n && url.getByte(p) != '?' && url.getByte(p) != '#') p += 1

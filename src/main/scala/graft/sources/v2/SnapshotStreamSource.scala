@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,7 +79,7 @@ object SnapshotStreamSource {
     * All commits against one table must share this schema — the writers
     * in this codebase do; a production deployment would enforce it at
     * commit time. */
-  private[v2] def inferFromLatest(spark: SparkSession, root: String): StructType = {
+  private[graft] def inferFromLatest(spark: SparkSession, root: String): StructType = {
     val v = Snapshots.currentVersion(spark, root)
     require(v > 0, s"snapshot table $root has no committed version to infer a schema from")
     val first = Snapshots.appendedDataFiles(spark, root, 0, v).headOption.getOrElse(
@@ -144,7 +144,7 @@ private[v2] case class SnapshotOffset(v: Long) extends Offset {
   * micro-batch — the option caps each batch at N versions' files, so a
   * backfill proceeds as bounded, checkpointed steps (the same throttle
   * file sources spell maxFilesPerTrigger). Unset = read to current. */
-private[v2] class SnapshotMicroBatchStream(root: String, schema: StructType,
+private[graft] class SnapshotMicroBatchStream(root: String, schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
   // driver-side only: every MicroBatchStream method runs on the driver,
@@ -155,10 +155,27 @@ private[v2] class SnapshotMicroBatchStream(root: String, schema: StructType,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
+  /** The cap a ReadLimit imposes, in versions — the admission-control
+    * contract [[getDefaultReadLimit]] advertises, now actually HONORED
+    * (ADVICE r10 #4: the round-10 form ignored the parameter and only
+    * the constructor option bounded batches, so engine-driven limits —
+    * e.g. `Trigger.AvailableNow`'s composite — were not applied).
+    * Unknown limit kinds fall back to the constructor option. */
+  private def capOf(limit: ReadLimit): Option[Long] = limit match {
+    case m: ReadMaxFiles => Some(m.maxFiles().toLong)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(l => capOf(l).toSeq)
+        .reduceOption((a: Long, b: Long) => math.min(a, b))
+    case _: ReadAllAvailable => None
+    case _ => maxVersionsPerTrigger
+  }
+
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val cur = Snapshots.currentVersion(spark, root)
     val start = startOffset.asInstanceOf[SnapshotOffset].v
-    SnapshotOffset(maxVersionsPerTrigger.fold(cur)(n => math.min(cur, start + n)))
+    // both bounds apply: the engine's limit AND the constructor option
+    val cap = (capOf(limit).toSeq ++ maxVersionsPerTrigger.toSeq).minOption
+    SnapshotOffset(cap.fold(cur)(n => math.min(cur, start + n)))
   }
   override def getDefaultReadLimit: ReadLimit =
     maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(n => ReadLimit.maxFiles(n.toInt))

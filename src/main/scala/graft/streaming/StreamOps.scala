@@ -62,16 +62,30 @@ object StreamOps {
     * unbounded streams, the only shape that survives at scale. Inner
     * join: the emitted set is independent of batch boundaries. */
   def followWithin(left: DataFrame, right: DataFrame,
-      lateness: String, horizon: String): DataFrame = {
+      lateness: String, horizon: String, joinType: String = "inner"): DataFrame = {
     val l = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
       col("user_id").as("l_user")).withWatermark("l_ts", lateness)
     val r = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
       col("user_id").as("r_user")).withWatermark("r_ts", lateness)
     l.join(r, expr(
-      s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"))
+      s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"),
+      joinType)
       .select(col("l_user").as("user_id"), col("l_id").as("left_id"),
         col("r_id").as("right_id"), col("l_ts").as("left_ts"), col("r_ts").as("right_ts"))
   }
+
+  /** [[followWithin]] as a stream-stream LEFT OUTER join: matches emit
+    * during data batches exactly like the inner form; an UNMATCHED left
+    * row emits once, with NULL right columns, when the watermark passes
+    * the point where no future right row could still match it
+    * (`l_ts + horizon` below the global watermark — the state-expiry
+    * semantics the inner join only uses for eviction). The emitted-null
+    * set is therefore deterministic given the final watermark, which is
+    * what makes the live harness oracle-gatable (StreamingSpec pins the
+    * exact expiry boundary on crafted rows). */
+  def followWithinOuter(left: DataFrame, right: DataFrame,
+      lateness: String, horizon: String): DataFrame =
+    followWithin(left, right, lateness, horizon, "left_outer")
 
   /** Custom per-key state (stream_stateful): running session score per
     * user with an inactivity gap, via flatMapGroupsWithState. Emits a

@@ -106,16 +106,35 @@ class BpeSpec extends SparkTestBase {
       ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
       ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"))
     val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    // EXACT mirror of the DuckDB oracle chain (java String.replace and
+    // DuckDB replace share non-overlapping left-to-right semantics):
+    // each merge's replace applied TWICE — adjacent occurrences share
+    // the middle '|' and a single pass merges only occurrences 1,3,5,…
+    // of a run (ADVICE r10 #2; the old single-pass mirror was exactly
+    // how the 'sorcerer'-shaped gap slipped past the fixture corpus)
     def sequential(w: String): Seq[String] = {
       var s = "|" + w.map(_.toString).mkString("|") + "|"
       merges.foreach { case (l, r) =>
         s = s.replace(s"|$l|$r|", s"|$l$r|")
+        s = s.replace(s"|$l|$r|", s"|$l$r|")
       }
       s.split('|').filter(_.nonEmpty).toSeq
     }
-    val words = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
-      .filter(col("w") =!= "").distinct().collect().map(_.getString(0))
-    words.foreach { w =>
+    val corpusWords = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0)).toSeq
+    // adversarial shapes the fixture lacks: runs of adjacent merge
+    // occurrences ('rerere'), merges re-enabled by earlier merges, and
+    // every-pair chains
+    val adversarial = Seq("rerere", "sorcerer", "banana", "erer", "ererer",
+      "erererer", "atat", "atatat", "cancan", "cancancan", "anan", "ananan",
+      "parpar", "mermer", "mermermer", "inin", "ininin", "stst", "owow",
+      "luerlu", "aratan", "canatparmer")
+    // pseudo-random words over the merge alphabet, fixed seed
+    val rnd = new scala.util.Random(11)
+    val alphabet = "aretncowslupmi"
+    val fuzz = Seq.fill(400)(
+      (0 until (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    (corpusWords ++ adversarial ++ fuzz).foreach { w =>
       assert(Bpe.encodeWord(w, ranks).toSeq == sequential(w),
         s"greedy != sequential replay for word '$w'")
     }

@@ -122,6 +122,37 @@ class SnapshotStreamSpec extends SparkTestBase {
     assert(run(throttled = true) == 3, "throttled backfill = one batch per version")
   }
 
+  test("latestOffset honors the engine-passed ReadLimit, not just the constructor option") {
+    // ADVICE r10 #4: getDefaultReadLimit advertises maxFiles, so the
+    // engine may legally drive admission control through the limit
+    // PARAMETER (Trigger.AvailableNow composes limits this way); the
+    // round-10 form ignored it. Drive the MicroBatchStream directly.
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshRoot("readlimit")
+    for (i <- 1 to 3)
+      Snapshots.commitAppend(spark, root,
+        Seq((i.toLong, s"c$i")).toDF("id", "tag").coalesce(1))
+    val schema = graft.sources.v2.SnapshotStreamSource.inferFromLatest(spark, root)
+    def stream(opt: Option[Long]) =
+      new graft.sources.v2.SnapshotMicroBatchStream(root, schema, opt)
+    val s = stream(None)
+    val o0 = s.initialOffset()
+    // engine-passed maxFiles(1) caps the batch at one version
+    assert(s.latestOffset(o0, ReadLimit.maxFiles(1)).json() == "1")
+    assert(s.latestOffset(o0, ReadLimit.maxFiles(2)).json() == "2")
+    // allAvailable reads to current
+    assert(s.latestOffset(o0, ReadLimit.allAvailable()).json() == "3")
+    // composite: tightest member wins
+    assert(s.latestOffset(o0, ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(2), ReadLimit.maxFiles(1)))).json() == "1")
+    // constructor option still binds when it is TIGHTER than the limit
+    val t = stream(Some(1L))
+    assert(t.latestOffset(o0, ReadLimit.maxFiles(2)).json() == "1")
+    // and the engine limit binds when IT is tighter than the option
+    val u = stream(Some(2L))
+    assert(u.latestOffset(o0, ReadLimit.maxFiles(1)).json() == "1")
+  }
+
   test("a REPLACE while tailing fails the stream loudly (append-only contract)") {
     val root = freshRoot("replace")
     Snapshots.commitAppend(spark, root,

@@ -258,6 +258,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: cut-spanning match emits once; expired key emits exactly one null row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // horizon/lateness 600 s each. Drive the final watermark with a
+    // high view+click pair (watermark = min over both streams of
+    // max(ts) − lateness) and observe WHEN the unmatched view at t=1000
+    // (expiry point t=1600) emits its null row.
+    def run(hiSec: Long): Set[(Long, Long, Option[Long])] = {
+      val views = MemoryStream[Event]
+      val clicks = MemoryStream[Event]
+      val joined = StreamOps.followWithinOuter(views.toDF(), clicks.toDF(),
+        lateness = "10 minutes", horizon = "10 minutes")
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(s"ssoj_out_$hiSec").start()
+      try {
+        // batch 1: the unmatched view, plus a matched pair that SPANS
+        // the batch cut (view now, click next batch)
+        views.addData(Event(1, ts(1000), 1, "view", 1.0),
+          Event(2, ts(1010), 5, "view", 1.0))
+        q.processAllAvailable()
+        clicks.addData(Event(20, ts(1100), 5, "click", 1.0)) // matches view 2
+        q.processAllAvailable()
+        // batch 3: advance both watermarks to hiSec − 600
+        views.addData(Event(3, ts(hiSec), 3, "view", 1.0))
+        clicks.addData(Event(30, ts(hiSec), 4, "click", 1.0))
+        q.processAllAvailable()
+        spark.table(s"ssoj_out_$hiSec")
+          .select("user_id", "left_id", "right_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      } finally q.stop()
+    }
+    // final W = 1601 > expiry 1600: the unmatched view MUST emit a null
+    // row, exactly once; the cut-spanning match emitted exactly once
+    val expired = run(2201)
+    assert(expired == Set((5L, 2L, Some(20L)), (1L, 1L, None)),
+      s"got $expired")
+    // final W = 1600 == expiry point: STRICTLY-past semantics — the row
+    // is still live (a right row AT the boundary could match), no null
+    val boundary = run(2200)
+    assert(boundary == Set((5L, 2L, Some(20L))), s"got $boundary")
+  }
+
   test("stream-stream join equals the batch join on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -454,6 +497,7 @@ class StreamingSpec extends SparkTestBase {
     // still take the 2-shuffle-partition trim — covered here so the trim
     // stays honest for them too.
     val names = Seq("stream_dedup_live", "stream_join_live",
+      "stream_join_outer_live",
       "stream_session_live", "stream_enrich_live",
       "stream_stateful_live", "stream_watermark_late",
       "stream_restart_exactly_once", "stream_anomaly_live",

@@ -20,7 +20,20 @@ class UrlExprSpec extends SparkTestBase {
     "ftp://files.example.net/pub/doc.txt",
     "not a url at all",                           // unparseable
     "//relative/no/scheme",
-    "https://host/path?cust=1&cust=2"             // repeated key: first wins
+    "https://host/path?cust=1&cust=2",            // repeated key: first wins
+    // URI-ILLEGAL bytes after the authority (ADVICE r10 #3): these must
+    // take the slow path and come back all-NULL like the URI fallback,
+    // not be accepted by the byte scan
+    "https://host/pa th?cust=1",                  // space in path
+    "https://host/path?cust=a|b",                 // '|' in query
+    "https://host/p\"q",                          // '"' in path
+    "https://host/p?cust=<x>",                    // '<'/'>' in query
+    "https://host/p%2",                           // truncated escape
+    "https://host/p%zz",                          // non-hex escape
+    "https://host/p#f#g",                         // '#' inside fragment
+    "https://host/p{q}",                          // braces in path
+    "https://host/p\\q",                          // backslash in path
+    "https://host/p?cust=ok%20fine#x"             // LEGAL escapes: fast path
   )
 
   private def compare(urls: Seq[String]): Unit = {
