@@ -198,16 +198,61 @@ object StreamOps {
       .flatMapGroupsWithState[String, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[String]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var last = state.getOption
-          val out = List.newBuilder[Transition]
-          for (e <- sorted) {
-            last.foreach(p => out += Transition(userId, p, e.event_type))
-            last = Some(e.event_type)
-          }
+          val (last, out) = foldTransitions(userId, rows, state.getOption)
           last.foreach(state.update)
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** ONE transition fold shared by [[transitions]] (fMGWS) and
+    * [[TransitionProcessor]] (transformWithState) — the [[foldSessions]]
+    * discipline applied to the THIRD ported harness: one implementation,
+    * two state APIs, structural emitted-set equality. */
+  private def foldTransitions(userId: Long, rows: Iterator[Event],
+      prev: Option[String]): (Option[String], List[Transition]) = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var last = prev
+    val out = List.newBuilder[Transition]
+    for (e <- sorted) {
+      last.foreach(p => out += Transition(userId, p, e.event_type))
+      last = Some(e.event_type)
+    }
+    (last, out.result())
+  }
+
+  /** Wrapper because `ValueState` wants a product encoder — one string
+    * per user, the markov harness's entire keyed state. */
+  case class LastType(t: String)
+
+  /** The `transformWithState` (Spark 4 arbitrary-state v2) formulation
+    * of [[transitions]] — the round-11 port (VERDICT r10 ask #6) making
+    * tws the PRIMARY API for new stateful operators (SURVEY §2.9): the
+    * fMGWS forms remain as differential twins. Identical semantics via
+    * the shared [[foldTransitions]]; state is a named schema'd
+    * `ValueState` in the RocksDB store. */
+  class TransitionProcessor extends StatefulProcessor[Long, Event, Transition] {
+    @transient private var state: ValueState[LastType] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LastType]("last_type",
+        Encoders.product[LastType], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Transition] = {
+      val prev = if (state.exists()) Some(state.get().t) else None
+      val (last, out) = foldTransitions(userId, rows, prev)
+      last.foreach(t => state.update(LastType(t)))
+      out.iterator
+    }
+  }
+
+  /** [[transitions]] via transformWithState — emitted-set parity with
+    * the fMGWS form asserted in StreamingSpec on the same feed. */
+  def transitionsTws(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor(),
+        TimeMode.None(), OutputMode.Append())
   }
 
   case class ScdInterval(user_id: Long, run: Long, event_type: String,

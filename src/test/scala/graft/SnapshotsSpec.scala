@@ -226,7 +226,14 @@ class SnapshotsSpec extends SparkTestBase {
     // strictly-earlier delete-scoping rule, under arbitrary mixes).
     final case class ModelRow(id: Long, tag: String, ver: Long)
     final case class ModelDel(id: Long, ver: Long)
-    for (seed <- Seq(11, 42, 1337)) {
+    // round 11: the op mix gains a CRASH action — a writer claims the
+    // next version and dies before publishing. The lease takeover must
+    // let the NEXT commit recover that exact version number with no
+    // manual cleanup and no committed state lost; the per-version
+    // read-back below proves versions stay dense and correct across
+    // arbitrary crash interleavings.
+    spark.conf.set("spark.graft.snapshots.claimLeaseMs", "100")
+    try for (seed <- Seq(11, 42, 1337)) {
       val rnd = new scala.util.Random(seed)
       def freshRows(n: Int, v: Long): Seq[(Long, String)] =
         (1 to n).map(_ => (rnd.nextInt(12).toLong, s"v$v-${rnd.nextInt(100)}"))
@@ -260,15 +267,29 @@ class SnapshotsSpec extends SparkTestBase {
         }
         exp(cur) = vis.groupBy(identity).view.mapValues(_.size).toMap
       }
+      def crash(): Unit = { // claim cur+1, die before publish
+        val cp = new org.apache.hadoop.fs.Path(root2, f"_manifests/v${cur + 1}%05d.claim")
+        new java.io.File(cp.toUri.getPath).getParentFile.mkdirs()
+        new java.io.File(cp.toUri.getPath).createNewFile()
+        Thread.sleep(150) // age the orphan past the 100 ms test lease
+      }
       commit(0) // seed the table
-      for (_ <- 1 to 7) commit(rnd.nextInt(4))
+      for (_ <- 1 to 8) {
+        val a = rnd.nextInt(5)
+        if (a == 4) crash() else commit(a)
+      }
+      crash(); commit(0) // a takeover always closes the sequence
       for ((ver, want) <- exp) {
         val got = Snapshots.readSnapshot(spark, root2, ver)
           .select("id", "tag").as[(Long, String)].collect()
           .groupBy(identity).view.mapValues(_.size).toMap
         assert(got == want, s"seed=$seed version=$ver: got $got want $want")
       }
-    }
+      // versions are dense: every number up to the model's counter
+      // published despite the crashes (no wedged claim survived)
+      assert(Snapshots.currentVersion(spark, root2) == cur,
+        s"seed=$seed: takeovers must keep versions dense")
+    } finally spark.conf.unset("spark.graft.snapshots.claimLeaseMs")
   }
 
   test("normPath: driver side and executor expression normalize authority URIs identically") {

@@ -469,6 +469,45 @@ class StreamingSpec extends SparkTestBase {
     assert(fmgws.exists { case (u, _, a, _, _, n) => u == 1 && a == "b" && n == 2 })
   }
 
+  test("transformWithState markov twin: emitted set equals the fMGWS harness on the same feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a cut-spanning transition for user 1 (last type 'b' rides state)
+    def feed(mk: org.apache.spark.sql.Dataset[StreamOps.Event] =>
+        org.apache.spark.sql.Dataset[StreamOps.Transition],
+        name: String): Seq[(Long, String, String)] = {
+      val in = MemoryStream[StreamOps.Event]
+      val q = mk(in.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(
+          StreamOps.Event(1, ts(0), 1, "a", 0.0),
+          StreamOps.Event(2, ts(60), 1, "b", 0.0),
+          StreamOps.Event(3, ts(10), 2, "x", 0.0))
+        q.processAllAvailable()
+        in.addData(
+          StreamOps.Event(4, ts(120), 1, "c", 0.0), // b→c spans the cut
+          StreamOps.Event(5, ts(50), 2, "x", 0.0))  // x→x from state
+        q.processAllAvailable()
+        spark.table(name).as[StreamOps.Transition].collect()
+          .map(t => (t.user_id, t.prev_state, t.next_state)).toSeq.sorted
+      } finally q.stop()
+    }
+    val fmgws = feed(StreamOps.transitions, "markov_fmgws_out")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try feed(StreamOps.transitionsTws, "markov_tws_out")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(tws === fmgws)
+    assert(fmgws == Seq((1L, "a", "b"), (1L, "b", "c"), (2L, "x", "x")))
+  }
+
   test("stream_funnel_live ≡ batch funnel converted rows; cut-spanning conversions emit once") {
     val live = QueriesStreaming.all("stream_funnel_live")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
