@@ -298,44 +298,58 @@ object QueriesStreaming {
   // stores per partition per microbatch (left/right rows + watermark
   // counters), so the fixed store cost is 4× a windowed agg's — halving
   // partitions halves it with identical keyed-state semantics
-  val streamJoinLive: Q = (s, dir) => withFewPartitions(s, 4, skipNoDataBatches = true) {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import graft.streaming.StreamOps
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
-      org.apache.spark.sql.Encoders.product[StreamOps.Event]
-    // only the two joined event types ride the streams — the other 3/5
-    // of the slice would be filtered inside the query anyway, but
-    // MemoryStream ingestion is per-row driver work worth avoiding
-    val rows = eventSlice(s, dir)
-      .filter(e => e.event_type == "view" || e.event_type == "click")
-    val cut = rows(rows.length / 2).ts.getTime
-    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
-    val views = MemoryStream[StreamOps.Event]
-    val clicks = MemoryStream[StreamOps.Event]
-    val joined = StreamOps.followWithin(
-      views.toDF().filter(col("event_type") === "view"),
-      clicks.toDF().filter(col("event_type") === "click"),
-      lateness = "1 hour", horizon = "24 hours")
-    val sink = "stream_join_live_sink"
-    val (q, ckpt) = startCheckpointed(
-      joined.writeStream.outputMode("append").format("memory")
-        .queryName(sink))
-    try {
-      if (benchFast) { // INNER join output is schedule-independent
-        views.addData(b1 ++ b2); clicks.addData(b1 ++ b2)
-        q.processAllAvailable()
-      } else {
-        views.addData(b1); clicks.addData(b1)
-        q.processAllAvailable()
-        views.addData(b2); clicks.addData(b2) // pairs spanning the batch cut must match from state
-        q.processAllAvailable()
-      }
-    } finally stopAndClean(q, ckpt)
-    s.table(sink)
-      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
-      .orderBy("user_id")
-  }
+  val streamJoinLive: Q = (s, dir) =>
+    joinLiveHarness(s, dir, outer = false, "stream_join_live_sink")(
+      _.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id"))
+
+  /** ONE replay driver for both stream-stream join harnesses (the inner
+    * and the round-11 LEFT OUTER form share the slice filter, the
+    * 50th-percentile batch cut, the dual MemoryStream feed and the
+    * checkpointed memory sink — a fix to the schedule must hit both).
+    * The inner form skips no-data batches under the bench flag (its
+    * emission never rides them); the OUTER form's null emission DOES
+    * ride the post-data watermark batch, so it never skips. */
+  private def joinLiveHarness(s: SparkSession, dir: String, outer: Boolean,
+      sink: String)(finish: DataFrame => DataFrame): DataFrame =
+    withFewPartitions(s, 4, skipNoDataBatches = !outer) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamOps
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
+        org.apache.spark.sql.Encoders.product[StreamOps.Event]
+      // only the two joined event types ride the streams — the other 3/5
+      // of the slice would be filtered inside the query anyway, but
+      // MemoryStream ingestion is per-row driver work worth avoiding
+      val rows = eventSlice(s, dir)
+        .filter(e => e.event_type == "view" || e.event_type == "click")
+      val cut = rows(rows.length / 2).ts.getTime
+      val (b2, b1) = rows.partition(_.ts.getTime >= cut)
+      val views = MemoryStream[StreamOps.Event]
+      val clicks = MemoryStream[StreamOps.Event]
+      val joined = StreamOps.followWithin(
+        views.toDF().filter(col("event_type") === "view"),
+        clicks.toDF().filter(col("event_type") === "click"),
+        lateness = "1 hour", horizon = "24 hours",
+        joinType = if (outer) "left_outer" else "inner")
+      val (q, ckpt) = startCheckpointed(
+        joined.writeStream.outputMode("append").format("memory")
+          .queryName(sink))
+      try {
+        if (benchFast) { // both emitted sets are schedule-independent:
+          // the inner pair set by join determinism, the outer null set
+          // because it is a function of the FINAL watermark only
+          views.addData(b1 ++ b2); clicks.addData(b1 ++ b2)
+          q.processAllAvailable()
+        } else {
+          views.addData(b1); clicks.addData(b1)
+          q.processAllAvailable()
+          views.addData(b2); clicks.addData(b2) // cut-spanning pairs must match from state
+          q.processAllAvailable() // incl. the no-data batch emitting outer nulls
+        }
+      } finally stopAndClean(q, ckpt)
+      finish(s.table(sink))
+    }
 
   /** stream_join_outer_live: stream-stream LEFT OUTER join through the
     * engine (round 11, VERDICT r10 ask #4 — the harder state-expiry
@@ -349,43 +363,12 @@ object QueriesStreaming {
     * `view_ms + horizon < W` STRICTLY — the boundary pinned empirically
     * in StreamingSpec (an expiry point exactly AT W stays in state).
     * Output = per-user matched-pair and expired-null counts. */
-  val streamJoinOuterLive: Q = (s, dir) => withFewPartitions(s, 4) {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import graft.streaming.StreamOps
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    implicit val eventEnc: org.apache.spark.sql.Encoder[StreamOps.Event] =
-      org.apache.spark.sql.Encoders.product[StreamOps.Event]
-    val rows = eventSlice(s, dir)
-      .filter(e => e.event_type == "view" || e.event_type == "click")
-    val cut = rows(rows.length / 2).ts.getTime
-    val (b2, b1) = rows.partition(_.ts.getTime >= cut)
-    val views = MemoryStream[StreamOps.Event]
-    val clicks = MemoryStream[StreamOps.Event]
-    val joined = StreamOps.followWithinOuter(
-      views.toDF().filter(col("event_type") === "view"),
-      clicks.toDF().filter(col("event_type") === "click"),
-      lateness = "1 hour", horizon = "24 hours")
-    val sink = "stream_join_outer_live_sink"
-    val (q, ckpt) = startCheckpointed(
-      joined.writeStream.outputMode("append").format("memory")
-        .queryName(sink))
-    try {
-      if (benchFast) { // final watermark (and so the emitted set) is
-        views.addData(b1 ++ b2); clicks.addData(b1 ++ b2) // schedule-free
-        q.processAllAvailable()
-      } else {
-        views.addData(b1); clicks.addData(b1)
-        q.processAllAvailable()
-        views.addData(b2); clicks.addData(b2)
-        q.processAllAvailable() // incl. the no-data batch that emits nulls
-      }
-    } finally stopAndClean(q, ckpt)
-    s.table(sink)
-      .groupBy("user_id")
-      .agg(count(col("right_id")).as("n_pairs"),
-        count(when(col("right_id").isNull, lit(1))).as("n_expired"))
-      .orderBy("user_id")
-  }
+  val streamJoinOuterLive: Q = (s, dir) =>
+    joinLiveHarness(s, dir, outer = true, "stream_join_outer_live_sink")(
+      _.groupBy("user_id")
+        .agg(count(col("right_id")).as("n_pairs"),
+          count(when(col("right_id").isNull, lit(1))).as("n_expired"))
+        .orderBy("user_id"))
 
   /** stream_enrich_live: stream-STATIC enrichment join — the stateless
     * dimension lookup every event pipeline starts with. The static side

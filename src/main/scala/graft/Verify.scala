@@ -46,10 +46,18 @@ object Verify {
     // hash divergence) is visible in the verify dir instead of
     // inferred. DuckDB is a python lib here — best-effort shell-out.
     val duck = try {
-      val p = new ProcessBuilder("python3", "-c",
-        "import duckdb; print(duckdb.__version__)").start()
-      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
-      if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      val pb = new ProcessBuilder("python3", "-c",
+        "import duckdb; print(duckdb.__version__)")
+      pb.redirectErrorStream(true) // never let a filling stderr pipe wedge us
+      val p = pb.start()
+      // bounded wait: metadata is a nicety and must not be able to hang
+      // the verify run (a deadlocked import would otherwise block forever)
+      if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); "unknown"
+      } else {
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.exitValue() == 0 && out.nonEmpty) out.linesIterator.next() else "unknown"
+      }
     } catch { case _: Exception => "unknown" }
     val meta = Map(
       "builder_duckdb" -> duck,

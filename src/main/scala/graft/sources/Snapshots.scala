@@ -185,21 +185,59 @@ object Snapshots {
       s"commit lost the manifest rename for version $v — nothing became visible")
   }
 
-  /** Atomically claim the right to publish version `v`. Local FS gets a
-    * true O_CREAT|O_EXCL create; other stores use Hadoop's
-    * no-overwrite create (atomic on HDFS; an object-store deployment
-    * substitutes a conditional put — declared). Claim files persist:
+  /** Atomically claim the right to publish version `v`, writing this
+    * writer's identity into the claim. Local FS gets a true
+    * O_CREAT|O_EXCL create; other stores use Hadoop's no-overwrite
+    * create (atomic on HDFS; an object-store deployment substitutes a
+    * conditional put — declared). Claim files persist past publish:
     * deleting one after publish would let a straggler that read a stale
     * `currentVersion` re-claim and clobber a published manifest. */
-  private def tryClaim(spark: SparkSession, root: String, v: Long): Boolean = {
-    val cp = new Path(manifestDir(root), f"v$v%05d.claim")
+  private def tryClaim(spark: SparkSession, root: String, v: Long,
+      owner: String): Boolean = {
+    val cp = claimPath(root, v)
     val f = fs(spark, cp)
     f.mkdirs(manifestDir(root))
+    // the identity travels IN the exclusive create itself (CREATE_NEW =
+    // O_CREAT|O_EXCL), so a winner can never later clobber a claim that
+    // was broken and re-claimed in between — there is no second write
     if (f.getUri.getScheme == "file")
-      new java.io.File(cp.toUri.getPath).createNewFile()
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(cp.toUri.getPath),
+          owner.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.io.IOException => false }
     else
-      try { f.create(cp, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = f.create(cp, false)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
+  /** The identity a claim was created with, or None if unreadable /
+    * not yet written. */
+  private def claimOwner(spark: SparkSession, cp: Path): Option[String] = {
+    val f = fs(spark, cp)
+    try {
+      val in = f.open(cp)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** BREAK an orphaned claim by atomically RENAMING it to a tombstone —
+    * exactly one of N concurrent breakers succeeds (rename of a missing
+    * source fails), so a broken-and-re-claimed fresh claim can never be
+    * deleted by a straggler holding a stale lease observation (the
+    * check-then-DELETE form had exactly that race). Tombstones are tiny
+    * and reclaimed by [[vacuum]]. */
+  private def breakClaim(spark: SparkSession, root: String, v: Long): Boolean = {
+    val cp = claimPath(root, v)
+    val tomb = new Path(cp.toString + s".broken-$uuid8")
+    try fs(spark, cp).rename(cp, tomb)
+    catch { case _: java.io.IOException => false }
   }
 
   /** Optimistic publication loop shared by every commit kind: claim
@@ -220,19 +258,24 @@ object Snapshots {
   private def publish(spark: SparkSession, root: String)(
       build: (Long, Seq[Entry]) => Seq[String]): Long = {
     val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+    val me = s"writer-$uuid8-${Thread.currentThread().getId}"
     var attempt = 0
     while (System.nanoTime < deadline) {
       val cur = currentVersion(spark, root)
       val v = cur + 1
-      if (tryClaim(spark, root, v)) {
+      if (tryClaim(spark, root, v, me)) {
         val carried = if (cur == 0) Seq.empty else entries(spark, root, cur)
         // validation inside `build` (schema checks, empty-table guards)
         // fails BEFORE any manifest is visible — release the claim so a
-        // rejected write does not wedge the version number
+        // rejected write does not wedge the version number. Release is
+        // OWNERSHIP-CHECKED: if this writer stalled past its lease and
+        // a competitor broke + re-claimed v, the fresh claim is theirs
+        // and must survive (the unconditional delete had that race).
         val lines =
           try build(v, carried)
           catch { case e: Throwable =>
-            fs(spark, claimPath(root, v)).delete(claimPath(root, v), false)
+            if (claimOwner(spark, claimPath(root, v)).contains(me))
+              fs(spark, claimPath(root, v)).delete(claimPath(root, v), false)
             throw e
           }
         writeManifest(spark, root, v, lines)
@@ -241,11 +284,13 @@ object Snapshots {
       // LEASE TAKEOVER (round 11, VERDICT r10 ask #5 — closing the
       // orphan-claim ACID hole): the claim we lost to may belong to a
       // writer that CRASHED between claim and publish. If its manifest
-      // still hasn't appeared after the lease, break the claim and
-      // retry; exactly one competitor wins the re-claim (the create is
-      // atomic), and a zombie original waking later is fenced by
-      // writeManifest's no-clobber check. No committed state is ever
-      // at risk: only claims WITHOUT a published manifest are broken.
+      // still hasn't appeared after the lease, BREAK the claim by an
+      // atomic rename-to-tombstone — of N concurrent breakers exactly
+      // one rename succeeds and a broken-then-re-claimed FRESH claim can
+      // never be removed by a straggler (a delete-based break could
+      // remove it). A zombie original waking later is fenced by
+      // writeManifest's no-clobber check. No committed state is ever at
+      // risk: only claims WITHOUT a published manifest are broken.
       val cp = claimPath(root, v)
       val f = fs(spark, cp)
       val orphaned =
@@ -254,7 +299,7 @@ object Snapshots {
             System.currentTimeMillis - f.getFileStatus(cp).getModificationTime >
               leaseMs(spark)
         } catch { case _: java.io.FileNotFoundException => false }
-      if (orphaned) f.delete(cp, false)
+      if (orphaned) breakClaim(spark, root, v)
       attempt += 1
       Thread.sleep(math.min(200L, 5L * attempt))
     }
@@ -278,16 +323,24 @@ object Snapshots {
     carried.filter(_.kind == "S").sortBy(_.ver).lastOption
       .map(e => e.ver -> decodeSchema(e.path))
 
-  /** Loud name check for writes into a schema-tracked table: new data
-    * must carry EXACTLY the current column names (the writer-side half
-    * of the column-ID contract — the read side resolves by id, so a
-    * name-mismatched write would silently bind wrong columns). */
-  private def checkWriteSchema(carried: Seq[Entry], cols: Seq[String],
-      what: String): Unit =
+  /** Loud name AND type check for writes into a schema-tracked table:
+    * new data must carry EXACTLY the current column names with the
+    * tracked DDL types (the writer-side half of the column-ID contract
+    * — the read side resolves by id and groups same-sid files into one
+    * scan, so a name- or type-mismatched write would silently bind
+    * wrong columns or corrupt the group's scan). */
+  private def checkWriteSchema(carried: Seq[Entry],
+      written: org.apache.spark.sql.types.StructType, what: String): Unit =
     currentSchema(carried).foreach { case (_, cur) =>
-      require(cols.toSet == cur.map(_.name).toSet,
-        s"$what columns ${cols.sorted.mkString(",")} must match the tracked " +
-          s"schema ${cur.map(_.name).sorted.mkString(",")}")
+      val got = written.fields.map(f => f.name -> f.dataType.sql).toMap
+      require(got.keySet == cur.map(_.name).toSet,
+        s"$what columns ${got.keySet.toSeq.sorted.mkString(",")} must match the " +
+          s"tracked schema ${cur.map(_.name).sorted.mkString(",")}")
+      cur.foreach { c =>
+        require(got(c.name) == c.typ,
+          s"$what column '${c.name}' has type ${got(c.name)} but the tracked " +
+            s"schema requires ${c.typ}")
+      }
     }
 
   /** APPEND commit: new version = previous version's entries + `df`'s
@@ -300,7 +353,7 @@ object Snapshots {
     df.write.mode("overwrite").parquet(dataDir.toString)
     val mine = dataFiles(spark, dataDir)
     publish(spark, root) { (v, carried) =>
-      checkWriteSchema(carried, df.columns.toSeq, "commitAppend")
+      checkWriteSchema(carried, df.schema, "commitAppend")
       val sid = currentSchema(carried).map(_._1).getOrElse(0L)
       carried.map(_.line) ++ mine.map(p => Entry("A", v, p, sid).line)
     }
@@ -317,7 +370,7 @@ object Snapshots {
     df.write.mode("overwrite").parquet(dataDir.toString)
     val mine = dataFiles(spark, dataDir)
     publish(spark, root) { (v, carried) =>
-      checkWriteSchema(carried, df.columns.toSeq, "commitReplace")
+      checkWriteSchema(carried, df.schema, "commitReplace")
       val sid = currentSchema(carried).map(_._1).getOrElse(0L)
       carried.filter(_.kind == "S").map(_.line) ++
         mine.map(p => Entry("A", v, p, sid).line)
@@ -363,7 +416,7 @@ object Snapshots {
     val adds = dataFiles(spark, dataDir)
     publish(spark, root) { (v, carried) =>
       require(carried.exists(_.kind == "A"), s"cannot merge into an empty table $root")
-      checkWriteSchema(carried, updates.columns.toSeq, "commitMerge")
+      checkWriteSchema(carried, updates.schema, "commitMerge")
       val sid = currentSchema(carried).map(_._1).getOrElse(0L)
       carried.map(_.line) ++ dels.map(p => Entry("D", v, p).line) ++
         adds.map(p => Entry("A", v, p, sid).line)
@@ -412,15 +465,27 @@ object Snapshots {
   /** Begin schema tracking: capture the table's current parquet schema
     * as the initial column-ID binding (ids 1..n in field order), as its
     * own commit. Files committed BEFORE this version (sid 0) resolve
-    * against exactly this initial binding. Idempotent by failure: a
-    * second init fails loudly. */
+    * against exactly this initial binding — which is only sound when
+    * every pre-tracking file SHARES one schema, so that is CHECKED
+    * (one merged-footer pass, paid once at init): a table grown through
+    * the additive mergeSchema tier must be REPLACE-compacted first, or
+    * the early files' missing columns would fail (or silently NULL)
+    * under the single binding. Idempotent by failure: a second init
+    * fails loudly. */
   def initSchema(spark: SparkSession, root: String): Long =
     publish(spark, root) { (v, carried) =>
       require(carried.forall(_.kind != "S"), s"$root already tracks a schema")
-      val first = carried.find(_.kind == "A").getOrElse(
-        throw new IllegalArgumentException(
-          s"cannot init schema on empty table $root")).path
-      val cols = spark.read.parquet(first).schema.fields.zipWithIndex.map {
+      val data = carried.filter(_.kind == "A")
+      require(data.nonEmpty, s"cannot init schema on empty table $root")
+      val one = spark.read.parquet(data.head.path).schema
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(data.map(_.path): _*).schema
+      require(
+        merged.fields.map(f => (f.name, f.dataType)).toSet ==
+          one.fields.map(f => (f.name, f.dataType)).toSet,
+        s"pre-tracking files of $root do not share one schema (additive-tier " +
+          "history) — commitReplace to normalize before initSchema")
+      val cols = one.fields.zipWithIndex.map {
         case (f, i) => SchemaCol(i + 1, f.name, f.dataType.sql)
       }
       carried.map(_.line) :+ Entry("S", v, encodeSchema(cols.toSeq)).line
@@ -687,6 +752,9 @@ object Snapshots {
           }
         f.delete(mp, false)
         f.delete(new Path(manifestDir(root), f"v$v%05d.claim"), false)
+        // lease-takeover tombstones for this version (tiny, but finite)
+        f.globStatus(new Path(manifestDir(root), f"v$v%05d.claim.broken-*"))
+          .foreach(st => f.delete(st.getPath, false))
       }
     }
     deleted

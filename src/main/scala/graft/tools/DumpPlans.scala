@@ -88,7 +88,10 @@ object DumpPlans {
     "vec_ivf_pq_search", "join_box_2d", "eval_retrieval_mrr",
     "curate_source_entropy", "sketch_cms_counts", "fn_geo",
     "agg_winsorized_mean", "stream_scd2_live", "multimodal_phash",
-    "curate_quality_ensemble")
+    "curate_quality_ensemble",
+    // round 11: column-ID evolution read, outer stream join, kmeans
+    // diagnostic siblings
+    "lake_schema_rename", "stream_join_outer_live", "cluster_kmeans_assign")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

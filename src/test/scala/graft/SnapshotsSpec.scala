@@ -392,6 +392,30 @@ class SnapshotsSpec extends SparkTestBase {
       .collect().toSeq == Seq((2L, "b")))
   }
 
+  test("column-id guards: initSchema rejects additive-tier history; writes type-checked") {
+    // initSchema binds ONE schema for all pre-tracking (sid 0) files —
+    // a table grown through the additive mergeSchema tier must be
+    // compacted first, loudly (round-11 self-review finding)
+    val root = freshRoot("schemaguards")
+    Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((2L, "b", 9L)).toDF("id", "tag", "extra").coalesce(1))
+    intercept[IllegalArgumentException] { Snapshots.initSchema(spark, root) }
+    // compact → init works; the failed init released its claim
+    Snapshots.commitReplace(spark, root,
+      Snapshots.readSnapshot(spark, root, 1L)) // the uniform v1 shape
+    Snapshots.initSchema(spark, root)
+    // a name-matched but TYPE-mismatched write is rejected loudly
+    // (same-sid files share one scan group — a string 'id' would
+    // corrupt it silently otherwise)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitAppend(spark, root,
+        Seq(("3", "c")).toDF("id", "tag").coalesce(1)) // id STRING, not BIGINT
+    }
+    Snapshots.commitAppend(spark, root, Seq((3L, "c")).toDF("id", "tag").coalesce(1))
+    assert(Snapshots.readSnapshot(spark, root).count() == 2)
+  }
+
   test("lease takeover: an orphaned claim is broken after the lease; no committed state lost") {
     val root = freshRoot("lease")
     Snapshots.commitAppend(spark, root, table(5, "a").coalesce(1))
