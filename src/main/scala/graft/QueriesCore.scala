@@ -593,6 +593,47 @@ object QueriesCore {
       .limit(10)
   }
 
+  /** join_bucketed: ZERO-SHUFFLE co-located join via BUCKETED tables
+    * (round 11) — both sides written `bucketBy(8, custkey)` +
+    * `sortBy(custkey)`, then sort-merge-joined (merge hint pins the
+    * strategy; the dim would otherwise broadcast at fixture scale and
+    * hide the point). With matching bucket counts on the join key,
+    * Spark's scan reports the bucket partitioning and the SMJ consumes
+    * it directly: NO Exchange under the join (PlanAuditSpec asserts
+    * it), which at 100 TB is the difference between re-shuffling the
+    * fact table per join and paying the shuffle ONCE at write time —
+    * the bucketing/co-location discipline the scale design calls for.
+    * The only shuffle in the whole plan is the tiny post-join segment
+    * rollup. Tables are external under the scratch dir (per-SF names),
+    * in-memory catalog. */
+  val joinBucketed: Q = (s, dir) => {
+    val key = scratchKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/bucketed"
+    def writeBucketed(df: org.apache.spark.sql.DataFrame, keyCol: String,
+        table: String): Unit =
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(8, keyCol).sortBy(keyCol)
+        .option("path", s"$base/$table")
+        .saveAsTable(table)
+    val to = s"graft_orders_bkt_$key"
+    val tc = s"graft_customer_bkt_$key"
+    writeBucketed(Tables.orders(s, dir).select("o_custkey", "o_totalprice"),
+      "o_custkey", to)
+    writeBucketed(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      "c_custkey", tc)
+    s.table(to).hint("merge")
+      .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinBucketedSql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val joinInnerSql =
     """SELECT l_orderkey, o_orderdate,
       |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
@@ -2241,6 +2282,7 @@ object QueriesCore {
     "filter_pred" -> filterPred,
     "guard_exactly_one" -> guardExactlyOne,
     "join_inner" -> joinInner,
+    "join_bucketed" -> joinBucketed,
     "join_left" -> joinLeft,
     "join_right" -> joinRight,
     "join_full" -> joinFull,
@@ -2343,6 +2385,7 @@ object QueriesCore {
     "filter_pred" -> filterPredSql,
     "guard_exactly_one" -> guardExactlyOneSql,
     "join_inner" -> joinInnerSql,
+    "join_bucketed" -> joinBucketedSql,
     "join_left" -> joinLeftSql,
     "join_right" -> joinRightSql,
     "join_full" -> joinFullSql,

@@ -49,7 +49,7 @@ object ScaleProbe {
     "sink_parquet_zordered", "sample_token_budget", "stream_lake_upsert_live",
     "graph_katz", "seq_trigrams", "curate_boilerplate_phrases",
     // round-11 additions
-    "lake_schema_rename", "stream_join_outer_live",
+    "lake_schema_rename", "stream_join_outer_live", "join_bucketed",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

@@ -91,7 +91,8 @@ object DumpPlans {
     "curate_quality_ensemble",
     // round 11: column-ID evolution read, outer stream join, kmeans
     // diagnostic siblings
-    "lake_schema_rename", "stream_join_outer_live", "cluster_kmeans_assign")
+    "lake_schema_rename", "stream_join_outer_live", "cluster_kmeans_assign",
+    "join_bucketed")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

@@ -31,6 +31,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("join_bucketed: the sort-merge join consumes bucket partitioning — no Exchange below it") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("join_bucketed")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    // plain .collect stops at AQE QueryStage boundaries (their children
+    // are Nil) — descend through stages and nested adaptive plans
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val below = p match {
+        case q: QueryStageExec => deep(q.plan)
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case _ => p.children.flatMap(deep)
+      }
+      p +: below
+    }
+    val all = deep(df.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge join:\n${all.head}")
+    // the co-location claim: NOTHING under the join re-shuffles — the
+    // bucketed scans' partitioning feeds the SMJ directly (at 100 TB
+    // this is the write-once-join-many bucketing payoff)
+    val shufflesUnderJoin =
+      smjs.flatMap(_.children.flatMap(deep)).collect { case e: ShuffleExchangeLike => e }
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join must not re-shuffle its inputs:\n${all.head}")
+    // and both inputs really are bucketed scans
+    assert(all.head.toString.split("SortMergeJoin").last
+      .split("\n").count(_.contains("Bucketed: true")) == 2, all.head.toString)
+  }
+
   test("join_inner broadcasts the filtered dimension tables") {
     val p = plan("join_inner")
     assert(p.contains("BroadcastHashJoin"), p)
