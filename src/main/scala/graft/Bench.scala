@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** Benchmark main (driver contract): runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
@@ -91,6 +92,29 @@ object Bench {
       System.err.println(f"[bench] calibration_sustained=$t%8.3f")
       t
     }
+    // Third probe (round 11): a SHUFFLE burst — repartition + aggregate
+    // over 40 M keyed rows, i.e. one full exchange write+read plus the
+    // scheduler round-trips. The r10→r11 compare showed 41 untouched
+    // rows uniformly ~1.3× slower while BOTH compute probes matched
+    // (0.983 vs 0.973): whatever shifted lives in the shuffle/scheduler
+    // path, which no pure-compute probe can see. Recording it makes the
+    // next such cross-round phase shift attributable instead of argued.
+    // Median of 3 after one warm-up, like the short probe.
+    val calibrationShuffle: Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 40000000L, 1L, cpus.toInt)
+          .selectExpr("id % 4000000 AS k")
+          .repartition(col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      val ts = Seq(once(), once(), once()).sorted
+      System.err.println(f"[bench] calibration_shuffle=${ts(1)}%8.3f (${ts.mkString(", ")})")
+      ts(1)
+    }
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
@@ -127,7 +151,8 @@ object Bench {
     // comparable across rounds
     val total = results.map(_._2).filter(_ >= 0).sum
     val resultsOut = results :+ ("calibration" -> calibration) :+
-      ("calibration_sustained" -> calibrationSustained)
+      ("calibration_sustained" -> calibrationSustained) :+
+      ("calibration_shuffle" -> calibrationShuffle)
 
     // Full-precision per-query detail → bench_full.json (for BASELINE.md
     // and the judge). The stdout contract line must survive the driver's
