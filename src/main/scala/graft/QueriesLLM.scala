@@ -2325,6 +2325,42 @@ object QueriesLLM {
       |    AND n_stop >= 1) AS kept
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** curate_host_cap: per-HOST document cap
+    * ([[graft.operators.Sampling.hostCap]], round 11) — keep at most 5
+    * docs per host, longest first (n_chars DESC, doc_id tie-break): the
+    * crawl-politeness / SEO-spam guard (C4/RefinedWeb/Dolma all cap
+    * per-domain mass — one link-farm must not own the corpus). Hosts
+    * are synthesized deterministically from the fixture
+    * (source-docid%40.example.org) so BOTH paths run: most hosts sit
+    * under the cap and pass WHOLESALE (no window), the over-cap
+    * minority alone is ranked — the window touches O(offending docs),
+    * not O(corpus). Oracle: a plain per-host row_number replay (the
+    * two-path split is an optimization, not a semantics change). */
+  val curateHostCap: Q = (s, dir) => {
+    // crawl-shaped host distribution: ~30% of docs pile onto 3 crowded
+    // link-farm hosts (over the cap — the ranked path), the rest sit on
+    // singleton hosts (under it — the wholesale pass path); both paths
+    // are live in the gate at every SF
+    def host = concat(lit("h"),
+      when(pmod(col("doc_id"), lit(10L)) < 3, pmod(col("doc_id"), lit(3L)))
+        .otherwise(col("doc_id")), lit(".example.org"))
+    Sampling.hostCap(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"), col("source")),
+        host, Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
+      .select(col("doc_id"), host.as("host"))
+      .orderBy("doc_id")
+  }
+
+  val curateHostCapSql: String =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |    'h' || CAST(CASE WHEN doc_id % 10 < 3 THEN doc_id % 3
+      |                     ELSE doc_id END AS VARCHAR) || '.example.org' AS host
+      |  FROM documents),
+      |r AS (SELECT doc_id, host,
+      |    row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM h)
+      |SELECT doc_id, host FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin
+
   val dqSplitLeakage: Q = (s, dir) =>
     splitLeakage(Tables.documents(s, dir),
       Sampling.splitColumn(col("doc_id"),
@@ -3466,6 +3502,7 @@ object QueriesLLM {
     "split_assign" -> splitAssign,
     "dq_split_leakage" -> dqSplitLeakage,
     "curate_gopher_rules" -> curateGopherRules,
+    "curate_host_cap" -> curateHostCap,
     "sample_reservoir_weighted" -> sampleReservoirWeighted,
     "sample_stratified" -> sampleStratified,
     "sample_stratified_exact" -> sampleStratifiedExact,
@@ -3561,6 +3598,7 @@ object QueriesLLM {
     "split_assign" -> splitAssignSql,
     "dq_split_leakage" -> dqSplitLeakageSql,
     "curate_gopher_rules" -> curateGopherRulesSql,
+    "curate_host_cap" -> curateHostCapSql,
     "sample_reservoir_weighted" -> sampleReservoirWeightedSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_stratified_exact" -> sampleStratifiedExactSql,

@@ -299,7 +299,7 @@ object QueriesStreaming {
   // counters), so the fixed store cost is 4× a windowed agg's — halving
   // partitions halves it with identical keyed-state semantics
   val streamJoinLive: Q = (s, dir) =>
-    joinLiveHarness(s, dir, outer = false, "stream_join_live_sink")(
+    joinLiveHarness(s, dir, "inner", "stream_join_live_sink")(
       _.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id"))
 
@@ -310,9 +310,9 @@ object QueriesStreaming {
     * The inner form skips no-data batches under the bench flag (its
     * emission never rides them); the OUTER form's null emission DOES
     * ride the post-data watermark batch, so it never skips. */
-  private def joinLiveHarness(s: SparkSession, dir: String, outer: Boolean,
+  private def joinLiveHarness(s: SparkSession, dir: String, joinType: String,
       sink: String)(finish: DataFrame => DataFrame): DataFrame =
-    withFewPartitions(s, 4, skipNoDataBatches = !outer) {
+    withFewPartitions(s, 4, skipNoDataBatches = joinType == "inner") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.StreamOps
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -331,7 +331,7 @@ object QueriesStreaming {
         views.toDF().filter(col("event_type") === "view"),
         clicks.toDF().filter(col("event_type") === "click"),
         lateness = "1 hour", horizon = "24 hours",
-        joinType = if (outer) "left_outer" else "inner")
+        joinType = joinType)
       val (q, ckpt) = startCheckpointed(
         joined.writeStream.outputMode("append").format("memory")
           .queryName(sink))
@@ -364,10 +364,29 @@ object QueriesStreaming {
     * in StreamingSpec (an expiry point exactly AT W stays in state).
     * Output = per-user matched-pair and expired-null counts. */
   val streamJoinOuterLive: Q = (s, dir) =>
-    joinLiveHarness(s, dir, outer = true, "stream_join_outer_live_sink")(
+    joinLiveHarness(s, dir, "left_outer", "stream_join_outer_live_sink")(
       _.groupBy("user_id")
         .agg(count(col("right_id")).as("n_pairs"),
           count(when(col("right_id").isNull, lit(1))).as("n_expired"))
+        .orderBy("user_id"))
+
+  /** stream_join_full_live: the FULL OUTER member completing the
+    * stream-stream join family (round 11): matched pairs + BOTH
+    * expiry-null streams — a view that never clicked (right columns
+    * null once `view_ms + horizon < W` strictly) AND a click with no
+    * preceding view (left columns null once `click_ms < W` strictly;
+    * the right side's expiry point is its own timestamp — a future
+    * view at ts ≤ click_ms could still match while W ≤ click_ms).
+    * Both boundaries pinned empirically in StreamingSpec; same
+    * min-of-both-streams final watermark as the left-outer member. */
+  val streamJoinFullLive: Q = (s, dir) =>
+    joinLiveHarness(s, dir, "full_outer", "stream_join_full_live_sink")(
+      _.groupBy("user_id")
+        .agg(
+          count(when(col("left_id").isNotNull && col("right_id").isNotNull,
+            lit(1))).as("n_pairs"),
+          count(when(col("right_id").isNull, lit(1))).as("n_view_expired"),
+          count(when(col("left_id").isNull, lit(1))).as("n_click_expired"))
         .orderBy("user_id"))
 
   /** stream_enrich_live: stream-STATIC enrichment join — the stateless
@@ -856,6 +875,7 @@ object QueriesStreaming {
     "stream_session_live" -> streamSessionLive,
     "stream_join_live" -> streamJoinLive,
     "stream_join_outer_live" -> streamJoinOuterLive,
+    "stream_join_full_live" -> streamJoinFullLive,
     "stream_enrich_live" -> streamEnrichLive,
     "stream_restart_exactly_once" -> streamRestartExactlyOnce
   )
@@ -1067,6 +1087,42 @@ object QueriesStreaming {
       |    AND ms + 86400000 < (SELECT wm FROM w)) AS BIGINT) AS n_expired
       |FROM m GROUP BY user_id
       |HAVING n_pairs > 0 OR n_expired > 0
+      |ORDER BY user_id""".stripMargin,
+    // FULL OUTER: both expiry-null streams — a view expires at
+    // view_ms + horizon < W (strict), a click at click_ms < W (strict;
+    // its own timestamp IS its expiry point — earlier views can always
+    // still arrive while W <= click_ms). Same min-watermark rule.
+    "stream_join_full_live" -> s"""$sliceCte,
+      |v AS (SELECT * FROM s WHERE event_type = 'view'),
+      |c AS (SELECT * FROM s WHERE event_type = 'click'),
+      |w AS (SELECT least((SELECT max(ms) FROM v), (SELECT max(ms) FROM c))
+      |        - 3600000 AS wm),
+      |lm AS (SELECT v.user_id, v.event_id, v.ms, count(c.event_id) AS n_match
+      |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |        AND c.ms >= v.ms AND c.ms <= v.ms + 86400000
+      |      GROUP BY v.user_id, v.event_id, v.ms),
+      |rm AS (SELECT c.user_id, c.event_id, c.ms, count(v.event_id) AS n_match
+      |      FROM c LEFT JOIN v ON v.user_id = c.user_id
+      |        AND c.ms >= v.ms AND c.ms <= v.ms + 86400000
+      |      GROUP BY c.user_id, c.event_id, c.ms),
+      |agg AS (SELECT user_id,
+      |    CAST(sum(n_match) AS BIGINT) AS n_pairs,
+      |    CAST(count(*) FILTER (n_match = 0
+      |      AND ms + 86400000 < (SELECT wm FROM w)) AS BIGINT) AS n_view_expired,
+      |    CAST(0 AS BIGINT) AS n_click_expired
+      |  FROM lm GROUP BY user_id
+      |  UNION ALL
+      |  SELECT user_id, CAST(0 AS BIGINT),
+      |    CAST(0 AS BIGINT),
+      |    CAST(count(*) FILTER (n_match = 0
+      |      AND ms < (SELECT wm FROM w)) AS BIGINT)
+      |  FROM rm GROUP BY user_id)
+      |SELECT user_id, CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+      |  CAST(sum(n_view_expired) AS BIGINT) AS n_view_expired,
+      |  CAST(sum(n_click_expired) AS BIGINT) AS n_click_expired
+      |FROM agg GROUP BY user_id
+      |HAVING sum(n_pairs) > 0 OR sum(n_view_expired) > 0
+      |    OR sum(n_click_expired) > 0
       |ORDER BY user_id""".stripMargin,
     "stream_stateful_live" -> s"""$sliceCte,
       |$sessionsCte

@@ -235,4 +235,34 @@ object Sampling {
       .filter(u < col("__thr"))
       .drop("__src", "__thr")
   }
+
+  /** Per-HOST document cap — the crawl-politeness / SEO-spam guard
+    * every web-scale curation pipeline runs (C4, RefinedWeb, Dolma all
+    * cap per-domain mass): keep at most `k` documents per host, best
+    * first by `orderCols` (ties must be broken to a total order — pass
+    * a unique id last).
+    *
+    * Scale shape: the naive form windows the WHOLE corpus by host. On a
+    * crawl, almost every host is under the cap — so this computes the
+    * per-host counts first (one map-side-combined aggregate), lets
+    * under-cap hosts pass WHOLESALE via a broadcast-able anti-join
+    * (no window, no per-host sort), and ranks only the over-cap
+    * minority. The expensive window touches O(docs on offending hosts),
+    * not O(corpus) — at 100 TB that is the difference between sorting
+    * the web and sorting its spam. The over-cap host list is
+    * O(distinct offending hosts) and broadcast both ways. */
+  def hostCap(df: DataFrame, host: Column, orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(k >= 1, s"host cap must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.withColumn("__host", host)
+    val over = tagged.groupBy("__host").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > k).select("__host")
+    val pass = tagged.join(broadcast(over), Seq("__host"), "left_anti")
+    val ranked = tagged.join(broadcast(over), Seq("__host"), "left_semi")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__host")).orderBy(orderCols: _*)))
+      .filter(col("__rn") <= k).drop("__rn")
+    pass.unionByName(ranked).drop("__host")
+  }
 }

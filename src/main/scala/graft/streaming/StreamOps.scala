@@ -70,7 +70,10 @@ object StreamOps {
     l.join(r, expr(
       s"l_user = r_user AND r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"),
       joinType)
-      .select(col("l_user").as("user_id"), col("l_id").as("left_id"),
+      // coalesce: a FULL OUTER right-only row has no l_user (identity
+      // for inner/left_outer, where the left side is always present)
+      .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("l_id").as("left_id"),
         col("r_id").as("right_id"), col("l_ts").as("left_ts"), col("r_ts").as("right_ts"))
   }
 

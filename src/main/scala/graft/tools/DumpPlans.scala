@@ -92,7 +92,7 @@ object DumpPlans {
     // round 11: column-ID evolution read, outer stream join, kmeans
     // diagnostic siblings
     "lake_schema_rename", "stream_join_outer_live", "cluster_kmeans_assign",
-    "join_bucketed")
+    "join_bucketed", "curate_host_cap", "stream_join_full_live")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

@@ -186,4 +186,33 @@ class SamplingSpec extends SparkTestBase {
     assert(keptBig != (1L to 10L).toSet,
       "budget must cut in shuffle order, not id order")
   }
+
+  test("hostCap: equals the naive per-host window; both paths live; partition-independent") {
+    // crafted crawl shape: host "farm" holds 20 docs (over the cap),
+    // hosts s1..s30 hold one each (under — the wholesale-pass path)
+    val rows = (1L to 20L).map(i => (i, s"farm", 100L - i)) ++
+      (21L to 50L).map(i => (i, s"s$i", i))
+    val df = rows.toDF("id", "host", "q")
+    val got = Sampling.hostCap(df, col("host"), Seq(col("q").desc, col("id").asc), k = 5)
+      .select("id").as[Long].collect().toSet
+    // naive reference: window over EVERY host
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("host").orderBy(col("q").desc, col("id").asc)))
+      .filter(col("rn") <= 5).select("id").as[Long].collect().toSet
+    assert(got == want)
+    // the farm kept its 5 HIGHEST-q docs (ids 1..5 have q 99..95)
+    assert(got.intersect((1L to 20L).toSet) == (1L to 5L).toSet)
+    // every singleton host passed wholesale
+    assert((21L to 50L).toSet.subsetOf(got))
+    // partition-independent
+    val got2 = Sampling.hostCap(df.repartition(13, col("q")), col("host"),
+      Seq(col("q").desc, col("id").asc), k = 5).select("id").as[Long].collect().toSet
+    assert(got2 == got)
+    // the registered query's fixture really exercises BOTH paths
+    val q = QueriesLLM.curateHostCap(spark, sf)
+    val perHost = q.groupBy("host").count()
+    assert(perHost.filter(col("count") === 5).count() >= 1, "a capped host exists")
+    assert(perHost.filter(col("count") < 5).count() >= 1, "an under-cap host exists")
+  }
 }

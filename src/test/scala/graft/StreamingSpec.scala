@@ -301,6 +301,47 @@ class StreamingSpec extends SparkTestBase {
     assert(boundary == Set((5L, 2L, Some(20L))), s"got $boundary")
   }
 
+  test("stream-stream FULL OUTER join: both sides' expired rows emit nulls at the strict boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // horizon/lateness 600 s. Left (view) expiry point = l_ts + 600;
+    // right (click) expiry point = r_ts (a future view at ts ≤ r_ts
+    // could still match while W ≤ r_ts). Drive W = hi − 600 on both.
+    def run(hiSec: Long): Set[(Long, Option[Long], Option[Long])] = {
+      val views = MemoryStream[Event]
+      val clicks = MemoryStream[Event]
+      val joined = StreamOps.followWithin(views.toDF(), clicks.toDF(),
+        lateness = "10 minutes", horizon = "10 minutes", joinType = "full_outer")
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(s"ssfj_out_$hiSec").start()
+      try {
+        views.addData(Event(1, ts(1000), 1, "view", 1.0),  // never matched
+          Event(2, ts(1010), 5, "view", 1.0))              // matched
+        clicks.addData(Event(20, ts(1100), 5, "click", 1.0), // matches view 2
+          Event(21, ts(2000), 2, "click", 1.0))            // never matched
+        q.processAllAvailable()
+        views.addData(Event(3, ts(hiSec), 3, "view", 1.0))
+        clicks.addData(Event(30, ts(hiSec), 4, "click", 1.0))
+        q.processAllAvailable()
+        spark.table(s"ssfj_out_$hiSec")
+          .select("user_id", "left_id", "right_id")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      } finally q.stop()
+    }
+    // W = 2601: view 1 expired (1000+600 < 2601) AND click 21 expired
+    // (2000 < 2601) — both null rows present, the match exactly once
+    val both = run(3201)
+    assert(both == Set((5L, Some(2L), Some(20L)), (1L, Some(1L), None),
+      (2L, None, Some(21L))), s"got $both")
+    // W = 2000 == click 21's expiry point: strictly-past semantics on
+    // the RIGHT side too — click 21 still live, only view 1 expired
+    val boundary = run(2600)
+    assert(boundary == Set((5L, Some(2L), Some(20L)), (1L, Some(1L), None)),
+      s"got $boundary")
+  }
+
   test("stream-stream join equals the batch join on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -536,7 +577,7 @@ class StreamingSpec extends SparkTestBase {
     // still take the 2-shuffle-partition trim — covered here so the trim
     // stays honest for them too.
     val names = Seq("stream_dedup_live", "stream_join_live",
-      "stream_join_outer_live",
+      "stream_join_outer_live", "stream_join_full_live",
       "stream_session_live", "stream_enrich_live",
       "stream_stateful_live", "stream_watermark_late",
       "stream_restart_exactly_once", "stream_anomaly_live",
