@@ -2329,23 +2329,21 @@ object QueriesLLM {
     * ([[graft.operators.Sampling.hostCap]], round 11) — keep at most 5
     * docs per host, longest first (n_chars DESC, doc_id tie-break): the
     * crawl-politeness / SEO-spam guard (C4/RefinedWeb/Dolma all cap
-    * per-domain mass — one link-farm must not own the corpus). Hosts
-    * are synthesized deterministically from the fixture
-    * (source-docid%40.example.org) so BOTH paths run: most hosts sit
-    * under the cap and pass WHOLESALE (no window), the over-cap
-    * minority alone is ranked — the window touches O(offending docs),
-    * not O(corpus). Oracle: a plain per-host row_number replay (the
-    * two-path split is an optimization, not a semantics change). */
+    * per-domain mass — one link-farm must not own the corpus). The
+    * fixture's hosts are crawl-shaped: ~30% of docs pile onto 23
+    * crowded "link-farm" hosts (over the cap — the ranked path; 23
+    * farms so the windowed partitions scale with the core count rather
+    * than pinning the probe at 3 serial tasks), the rest sit on
+    * singleton hosts (under it — the wholesale pass path). BOTH paths
+    * are live in the gate at every SF (SamplingSpec asserts it).
+    * Oracle: a plain per-host row_number replay (the two-path split is
+    * an optimization, not a semantics change). */
   val curateHostCap: Q = (s, dir) => {
-    // crawl-shaped host distribution: ~30% of docs pile onto 3 crowded
-    // link-farm hosts (over the cap — the ranked path), the rest sit on
-    // singleton hosts (under it — the wholesale pass path); both paths
-    // are live in the gate at every SF
     def host = concat(lit("h"),
-      when(pmod(col("doc_id"), lit(10L)) < 3, pmod(col("doc_id"), lit(3L)))
-        .otherwise(col("doc_id")), lit(".example.org"))
+      when(pmod(col("doc_id"), lit(10L)) < 3, pmod(col("doc_id"), lit(23L)))
+        .otherwise(col("doc_id") + lit(100L)), lit(".example.org"))
     Sampling.hostCap(
-        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"), col("source")),
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
         host, Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
       .select(col("doc_id"), host.as("host"))
       .orderBy("doc_id")
@@ -2353,8 +2351,8 @@ object QueriesLLM {
 
   val curateHostCapSql: String =
     """WITH h AS (SELECT doc_id, n_chars,
-      |    'h' || CAST(CASE WHEN doc_id % 10 < 3 THEN doc_id % 3
-      |                     ELSE doc_id END AS VARCHAR) || '.example.org' AS host
+      |    'h' || CAST(CASE WHEN doc_id % 10 < 3 THEN doc_id % 23
+      |                     ELSE doc_id + 100 END AS VARCHAR) || '.example.org' AS host
       |  FROM documents),
       |r AS (SELECT doc_id, host,
       |    row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn

@@ -254,15 +254,20 @@ object Sampling {
   def hostCap(df: DataFrame, host: Column, orderCols: Seq[Column],
       k: Int): DataFrame = {
     require(k >= 1, s"host cap must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val tagged = df.withColumn("__host", host)
+    // NULL hosts (unparseable URLs) form ONE capped group, exactly like
+    // the naive window's NULL partition — the sentinel keeps the
+    // equi-join split from silently exempting them (a NULL join key
+    // matches nothing, so every NULL row would pass the anti-join
+    // uncapped: an uncapped spam channel)
+    val tagged = df.withColumn("__host",
+      coalesce(host.cast("string"), lit(" null-host")))
     val over = tagged.groupBy("__host").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > k).select("__host")
     val pass = tagged.join(broadcast(over), Seq("__host"), "left_anti")
-    val ranked = tagged.join(broadcast(over), Seq("__host"), "left_semi")
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__host")).orderBy(orderCols: _*)))
-      .filter(col("__rn") <= k).drop("__rn")
+    val ranked = Windows.topNPerGroup(
+        tagged.join(broadcast(over), Seq("__host"), "left_semi"),
+        Seq(col("__host")), orderCols, k, "__rn")
+      .drop("__rn")
     pass.unionByName(ranked).drop("__host")
   }
 }

@@ -215,4 +215,17 @@ class SamplingSpec extends SparkTestBase {
     assert(perHost.filter(col("count") === 5).count() >= 1, "a capped host exists")
     assert(perHost.filter(col("count") < 5).count() >= 1, "an under-cap host exists")
   }
+
+  test("hostCap: NULL hosts form ONE capped group, never an uncapped channel") {
+    // unparseable URLs yield NULL hosts; a NULL equi-join key matches
+    // nothing, so without the sentinel every NULL row would pass the
+    // under-cap path wholesale — asserting the naive-window semantics
+    // (all NULLs one partition) instead
+    val rows = (1L to 12L).map(i => (i, if (i <= 9) null else s"h$i", 100L - i))
+    val df = rows.toDF("id", "host", "q")
+    val got = Sampling.hostCap(df, col("host"), Seq(col("q").desc, col("id").asc), k = 4)
+      .select("id").as[Long].collect().toSet
+    // 9 NULL-host docs capped to their best 4 (ids 1..4); named hosts pass
+    assert(got == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L), s"got $got")
+  }
 }
