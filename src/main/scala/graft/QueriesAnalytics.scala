@@ -2093,6 +2093,50 @@ object QueriesAnalytics {
        |FROM s2 ORDER BY user_id, b""".stripMargin
   }
 
+  /** ts_holt_winters: additive seasonal FORECAST per user over the 6-h
+    * count series ([[graft.operators.Temporal.holtWintersDyadic]],
+    * round 11 — the ts family's missing forecast member): period 4
+    * (6-h buckets ⇒ daily seasonality), per-phase seasonal index
+    * quantized to micro-units in pure BIGINT, dyadic double-smoothed
+    * deseasonalized residual, forecast = level + trend + seasonal.
+    * Every double is exact-in-double (numerators < 2⁵³), so the oracle
+    * replays the identical integer chain and one division. */
+  val tsHoltWinters: Q = (s, dir) =>
+    Temporal.holtWintersDyadic(Tables.events(s, dir), "user_id",
+        expr(s"(ts div 1000) div $BucketUs"), period = 4, lags = 8)
+      .orderBy("user_id", "b")
+
+  val tsHoltWintersSql: String = {
+    def kernel(x: String): String = (0 until 8)
+      .map(k => s"coalesce(lag($x, $k) OVER w, 0) * ${1L << (7 - k)}")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 21600000000 AS b FROM events),
+       |obs AS (SELECT user_id, b, count(*) AS x FROM e GROUP BY user_id, b),
+       |grid AS (SELECT user_id, unnest(range(min(b), max(b) + 1)) AS b
+       |  FROM e GROUP BY user_id),
+       |dense AS (SELECT g.user_id, g.b, g.b % 4 AS ph, coalesce(o.x, 0) AS x
+       |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+       |seas AS (SELECT user_id, ph,
+       |    (2*1000000*sum(x) + count(*)
+       |      - (((2*1000000*sum(x) + count(*)) % (2*count(*))) + 2*count(*))
+       |        % (2*count(*))) // (2*count(*)) AS seasonal_q
+       |  FROM dense GROUP BY user_id, ph),
+       |d0 AS (SELECT d.user_id, d.b, d.x, s.seasonal_q,
+       |    d.x * 1000000 - s.seasonal_q AS d
+       |  FROM dense d JOIN seas s ON s.user_id = d.user_id AND s.ph = d.ph),
+       |s1 AS (SELECT *, CAST(${kernel("d")} AS BIGINT) AS s1i
+       |  FROM d0 WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+       |s2 AS (SELECT *, CAST(${kernel("s1i")} AS BIGINT) AS s2i
+       |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY b))
+       |SELECT user_id, b, x, CAST(seasonal_q AS BIGINT) AS seasonal_q,
+       |  CAST(s1i * 512 - s2i AS DOUBLE) / 65536000000.0 AS level,
+       |  CAST(s1i * 256 - s2i AS DOUBLE) / 65536000000.0 AS trend,
+       |  CAST(s1i * 768 - s2i * 2 + seasonal_q * 65536 AS DOUBLE)
+       |    / 65536000000.0 AS forecast
+       |FROM s2 ORDER BY user_id, b""".stripMargin
+  }
+
   /** ts_crosscorr: lag-0/lag-1 cross-covariance and cross-correlation
     * between every pair of event types' HOURLY global count series —
     * "do purchases track clicks, and with how much delay" — the
@@ -2363,6 +2407,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonal,
     "ts_autocorr" -> tsAutocorr,
     "ts_double_ewma" -> tsDoubleEwma,
+    "ts_holt_winters" -> tsHoltWinters,
     "ts_rolling_median" -> tsRollingMedian,
     "ts_outlier_mad" -> tsOutlierMad,
     "seq_streaks" -> seqStreaks,
@@ -2430,6 +2475,7 @@ object QueriesAnalytics {
     "ts_seasonal" -> tsSeasonalSql,
     "ts_autocorr" -> tsAutocorrSql,
     "ts_double_ewma" -> tsDoubleEwmaSql,
+    "ts_holt_winters" -> tsHoltWintersSql,
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_outlier_mad" -> tsOutlierMadSql,
     "seq_streaks" -> seqStreaksSql,

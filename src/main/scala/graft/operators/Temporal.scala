@@ -673,6 +673,65 @@ object Temporal {
           .as("trend"))
   }
 
+  /** Holt–Winters-STYLE additive seasonal forecast over each key's
+    * DENSE bucket-count series (round 11 — the ts family's missing
+    * FORECAST member beside smoothing/anomaly/changepoint): additive
+    * decomposition, not the classical coupled recursion —
+    *  1. per-(key, phase) seasonal index: the phase mean of the counts,
+    *     quantized ONCE to 10⁻⁶ micro-units by the pure-BIGINT
+    *     round-half-up `(2·10⁶·S + n) div (2n)` (§7.4 rule 9 — no
+    *     double touches the seasonal state);
+    *  2. deseasonalize: d = 10⁶·x − seasonal_q (exact LONG, uniform
+    *     scale across phases — the reason for quantizing the mean
+    *     rather than carrying per-phase rationals);
+    *  3. the [[doubleEwmaDyadic]] truncated dyadic kernel on d gives
+    *     integer level/trend numerators at scale 2^(2·lags)·10⁶;
+    *  4. forecast(t) = level + trend + seasonal — ONE addition of
+    *     integer numerators, then ONE cast-and-divide.
+    * Every emitted double is EXACT IN DOUBLE under the documented
+    * bounds (|d| ≤ 10⁹, lags ≤ 8 ⇒ numerators ≤ ~2·10¹⁴ < 2⁵³), so
+    * cross-engine agreement needs no rounding grid at all — the
+    * identical-integer-then-one-division discipline.
+    *
+    * Scale shape = [[ewmaDyadic]]: one map-side-combined (key, bucket)
+    * count exchange, one re-key on the key; the seasonal means are a
+    * (key, period)-row aggregate co-keyed with the series, and the
+    * kernel's lag reads ride the same single window sort. */
+  def holtWintersDyadic(events: DataFrame, key: String, bucket: Column,
+      period: Int, lags: Int = 8): DataFrame = {
+    require(period >= 2 && period <= 64, s"period must be in [2,64], got $period")
+    require(lags >= 1 && lags <= 8, s"lags must be in [1,8], got $lags")
+    val counts = Dist.byKeys(
+      events.select(col(key), bucket.as("b"))
+        .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
+    val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
+      .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val dense = grid.join(counts, Seq(key, "b"), "left_outer")
+      .select(col(key), col("b"), pmod(col("b"), lit(period.toLong)).as("ph"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val seasonal = dense.groupBy(col(key), col("ph"))
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .selectExpr(key, "ph",
+        "(2*1000000*s + n - pmod(2*1000000*s + n, 2*n)) div (2*n) AS seasonal_q")
+    val w = Window.partitionBy(key).orderBy("b")
+    def kernel(c: Column): Column = (0 until lags)
+      .map(k => coalesce(lag(c, k).over(w), lit(0L)) * lit(1L << (lags - 1 - k)))
+      .reduce(_ + _)
+    val scale = lit((1L << (2 * lags)) * 1000000.0)
+    dense.join(seasonal, Seq(key, "ph"))
+      .withColumn("d", col("x") * lit(1000000L) - col("seasonal_q"))
+      .withColumn("s1i", kernel(col("d")))
+      .withColumn("s2i", kernel(col("s1i")))
+      .select(col(key), col("b"), col("x"), col("seasonal_q"),
+        ((col("s1i") * lit(1L << (lags + 1)) - col("s2i")).cast("double") / scale)
+          .as("level"),
+        ((col("s1i") * lit(1L << lags) - col("s2i")).cast("double") / scale)
+          .as("trend"),
+        ((col("s1i") * lit(3L << lags) - col("s2i") * 2 +
+          col("seasonal_q") * lit(1L << (2 * lags))).cast("double") / scale)
+          .as("forecast"))
+  }
+
   /** Integer-exact lag-k autocovariance of each key's DENSE bucket-count
     * series — the "is this series periodic / trending / white" signal
     * behind seasonality detection and sampling-rate choices. For lag k,

@@ -191,7 +191,12 @@ private[graft] class SnapshotMicroBatchStream(root: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(schema)
+    // the driver's resolved Hadoop conf travels to the executors, so
+    // non-default filesystems (s3a credentials, hdfs nameservices)
+    // resolve in the readers — closes the round-10 "declared: fresh
+    // default conf on the executor" gap
+    new SnapshotReaderFactory(schema,
+      SnapshotReaderFactory.confToMap(spark.sessionState.newHadoopConf()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -199,17 +204,19 @@ private[graft] class SnapshotMicroBatchStream(root: String, schema: StructType,
 
 private[v2] case class SnapshotFilePartition(path: String) extends InputPartition
 
-private[v2] class SnapshotReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
+private[v2] class SnapshotReaderFactory(schema: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[SnapshotFilePartition].path
     new PartitionReader[InternalRow] {
-      // fresh default conf on the executor: file:// and any classpath
-      // core-site resolve; a non-default fs deployment would thread a
-      // serialized conf through the factory (declared)
+      // the factory carries the DRIVER's resolved conf as a plain
+      // serializable entry list (SerializableConfiguration is
+      // private[spark]) — rebuilt here so s3a/hdfs settings reach the
+      // parquet reader on real clusters (round 11; was a fresh default
+      // conf, declared local-only)
       private val reader: ParquetReader[Group] =
         ParquetReader.builder(new GroupReadSupport(), new Path(path))
-          .withConf(new Configuration()).build()
+          .withConf(SnapshotReaderFactory.mapToConf(confEntries)).build()
       private var cur: Group = _
       override def next(): Boolean = { cur = reader.read(); cur != null }
       override def get(): InternalRow = SnapshotReaderFactory.convert(cur, schema)
@@ -219,6 +226,23 @@ private[v2] class SnapshotReaderFactory(schema: StructType)
 }
 
 private[v2] object SnapshotReaderFactory {
+  /** Driver side: flatten the resolved conf to a serializable entry
+    * list (Configuration itself is not java-serializable). */
+  def confToMap(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  /** Executor side: rebuild. `loadDefaults = false` — the driver's
+    * entries ARE the resolved view, re-layering executor-local defaults
+    * under them would be redundant at best. */
+  def mapToConf(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   /** One Group → InternalRow, by position (the schema came from these
     * files' own footer, so field order matches). */
   def convert(g: Group, schema: StructType): InternalRow = {

@@ -92,7 +92,8 @@ object DumpPlans {
     // round 11: column-ID evolution read, outer stream join, kmeans
     // diagnostic siblings
     "lake_schema_rename", "stream_join_outer_live", "cluster_kmeans_assign",
-    "join_bucketed", "curate_host_cap", "stream_join_full_live")
+    "join_bucketed", "curate_host_cap", "stream_join_full_live",
+    "ts_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"

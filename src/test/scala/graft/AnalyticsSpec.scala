@@ -460,6 +460,51 @@ class AnalyticsSpec extends SparkTestBase {
       ("a", 2L, 10L, 25L, 2.5, 1.5625, 3.4375, 0.9375)), got.toString)
   }
 
+  test("ts_holt_winters: driver-replayed decomposition; exactly-periodic series forecasts itself (round 11)") {
+    import graft.operators.Temporal
+    // a PURE period-2 series [3,7,3,7,…]: seasonal means are exact
+    // (3 and 7), the deseasonalized residual is identically ZERO, so
+    // level = trend = 0 and forecast == the seasonal index — the
+    // decomposition's fixed point, hand-checkable without the kernel
+    val ev = (0L until 8L).flatMap(b =>
+      Seq.fill(if (b % 2 == 0) 3 else 7)(("u", b))).toDF("g", "b")
+    val got = Temporal.holtWintersDyadic(ev, "g", col("b"), period = 2, lags = 3)
+      .orderBy("b")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    got.foreach { case (_, b, x, sq, level, trend, forecast) =>
+      assert(x == (if (b % 2 == 0) 3L else 7L))
+      assert(sq == (if (b % 2 == 0) 3000000L else 7000000L))
+      assert(level == 0.0 && trend == 0.0, s"b=$b: residual must vanish")
+      assert(forecast == (if (b % 2 == 0) 3.0 else 7.0), s"b=$b got $forecast")
+    }
+    // general series: replay the whole chain driver-side
+    val xs = Seq(1L, 4L, 2L, 6L, 3L, 5L, 9L, 2L)
+    val ev2 = xs.zipWithIndex.flatMap { case (n, b) =>
+      Seq.fill(n.toInt)(("u", b.toLong)) }.toDF("g", "b")
+    val got2 = Temporal.holtWintersDyadic(ev2, "g", col("b"), period = 2, lags = 3)
+      .orderBy("b")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val phSum = Array(0L, 1L).map(p => xs.indices.filter(_ % 2 == p.toInt).map(xs(_)).sum)
+    val phN = Array(0L, 1L).map(p => xs.indices.count(_ % 2 == p.toInt).toLong)
+    val sq = Array(0, 1).map { p =>
+      val num = 2L * 1000000L * phSum(p) + phN(p)
+      (num - num % (2 * phN(p))) / (2 * phN(p))
+    }
+    val d = xs.zipWithIndex.map { case (x, b) => x * 1000000L - sq(b % 2) }
+    def kern(v: Seq[Long]): Seq[Long] = v.indices.map { t =>
+      (0 until 3).map(k => (if (t - k >= 0) v(t - k) else 0L) * (1L << (2 - k))).sum
+    }
+    val s1 = kern(d); val s2 = kern(s1)
+    val scale = (1L << 6) * 1000000.0
+    got2.zipWithIndex.foreach { case ((_, b, x, gsq, level, trend, forecast), i) =>
+      assert(x == xs(i) && gsq == sq(i % 2))
+      assert(level == (s1(i) * 16 - s2(i)) / scale, s"level b=$b")
+      assert(trend == (s1(i) * 8 - s2(i)) / scale, s"trend b=$b")
+      assert(forecast == (s1(i) * 24 - 2 * s2(i) + sq(i % 2) * 64) / scale,
+        s"forecast b=$b")
+    }
+  }
+
   test("ts_crosscorr: hand-computed anticorrelated pair; lag pairs B's previous bucket (round 9)") {
     // a counts [1,2,3], b counts [3,2,1] on buckets 0..2: ya = [−3,0,3],
     // yb = [3,0,−3]; cxy0 = −18, caa = cbb = 18 → rho0 = −1;
