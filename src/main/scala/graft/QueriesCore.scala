@@ -1974,6 +1974,57 @@ object QueriesCore {
       .orderBy("c_custkey")
   }
 
+  /** fn_ip: IPv4/CIDR toolkit over synthesized crawl-server addresses
+    * (round 11 — §2.8 scalar-family member the crawl pipelines use for
+    * per-subnet politeness budgets and datacenter filtering): parse the
+    * dotted quad to its 32-bit integer, derive the /24 and /16 subnet
+    * prefixes by pure integer masking, and flag RFC 1918 private
+    * ranges (10/8, 172.16/12, 192.168/16). Everything is integer
+    * arithmetic + string renders — bit-identical cross-engine, no
+    * regex. Octets synthesized from order columns so all three private
+    * ranges and public space are exercised at every SF. */
+  val fnIp: Q = (s, dir) => {
+    // one row in five lands in each RFC 1918 range BY CONSTRUCTION, so
+    // the flag is non-vacuous at every SF (a modular-arithmetic-only
+    // synthesis left 192.168/16 unpopulated below sf0.01)
+    val sel = pmod(col("o_orderkey"), lit(5L))
+    val o1 = when(sel === 0L, lit(10L)).when(sel === 1L, lit(172L))
+      .when(sel === 2L, lit(192L)).otherwise(pmod(col("o_orderkey"), lit(224L)))
+    val o2 = when(sel === 1L, lit(16L) + pmod(col("o_custkey"), lit(16L)))
+      .when(sel === 2L, lit(168L)).otherwise(pmod(col("o_custkey") * 7, lit(256L)))
+    val o3 = pmod(col("o_orderkey") * 13, lit(256L))
+    val o4 = pmod(col("o_custkey") * 31, lit(256L))
+    val ip = concat_ws(".", o1, o2, o3, o4)
+    val ipNum = o1 * lit(16777216L) + o2 * lit(65536L) + o3 * lit(256L) + o4
+    val isPrivate = (o1 === 10L) ||
+      (o1 === 172L && o2 >= 16L && o2 <= 31L) ||
+      (o1 === 192L && o2 === 168L)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), ip.as("ip"), ipNum.as("ip_num"),
+        concat_ws(".", o1, o2, o3, lit(0)).as("subnet24"),
+        concat_ws(".", o1, o2, lit(0), lit(0)).as("subnet16"),
+        isPrivate.as("is_private"))
+      .orderBy("o_orderkey")
+  }
+
+  val fnIpSql =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CASE o_orderkey % 5 WHEN 0 THEN 10 WHEN 1 THEN 172 WHEN 2 THEN 192
+      |         ELSE o_orderkey % 224 END AS o1,
+      |    CASE o_orderkey % 5 WHEN 1 THEN 16 + o_custkey % 16 WHEN 2 THEN 168
+      |         ELSE (o_custkey * 7) % 256 END AS o2,
+      |    (o_orderkey * 13) % 256 AS o3, (o_custkey * 31) % 256 AS o4
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+      |  CAST(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS BIGINT) AS ip_num,
+      |  o1 || '.' || o2 || '.' || o3 || '.0' AS subnet24,
+      |  o1 || '.' || o2 || '.0.0' AS subnet16,
+      |  (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+      |    OR (o1 = 192 AND o2 = 168)) AS is_private
+      |FROM o ORDER BY o_orderkey""".stripMargin
+
   val fnGeoSql =
     """WITH c AS (
       |  SELECT c_custkey,
@@ -2318,6 +2369,7 @@ object QueriesCore {
     "agg_moments" -> aggMoments,
     "agg_winsorized_mean" -> aggWinsorizedMean,
     "fn_geo" -> fnGeo,
+    "fn_ip" -> fnIp,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
     "agg_bool" -> aggBool,
@@ -2420,6 +2472,7 @@ object QueriesCore {
     "agg_moments" -> aggMomentsSql,
     "agg_winsorized_mean" -> aggWinsorizedMeanSql,
     "fn_geo" -> fnGeoSql,
+    "fn_ip" -> fnIpSql,
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,
     "agg_bool" -> aggBoolSql,

@@ -50,7 +50,7 @@ object ScaleProbe {
     "graph_katz", "seq_trigrams", "curate_boilerplate_phrases",
     // round-11 additions
     "lake_schema_rename", "stream_join_outer_live", "join_bucketed",
-    "curate_host_cap", "stream_join_full_live", "ts_holt_winters",
+    "curate_host_cap", "stream_join_full_live", "ts_holt_winters", "fn_ip",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

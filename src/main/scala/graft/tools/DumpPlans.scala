@@ -93,7 +93,7 @@ object DumpPlans {
     // diagnostic siblings
     "lake_schema_rename", "stream_join_outer_live", "cluster_kmeans_assign",
     "join_bucketed", "curate_host_cap", "stream_join_full_live",
-    "ts_holt_winters")
+    "ts_holt_winters", "fn_ip")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
