@@ -2099,8 +2099,9 @@ object QueriesAnalytics {
     * (6-h buckets ⇒ daily seasonality), per-phase seasonal index
     * quantized to micro-units in pure BIGINT, dyadic double-smoothed
     * deseasonalized residual, forecast = level + trend + seasonal.
-    * Every double is exact-in-double (numerators < 2⁵³), so the oracle
-    * replays the identical integer chain and one division. */
+    * The integer numerators are exact-in-double (< 2⁵³) and each output
+    * is ONE IEEE division by the shared constant — token-identical in
+    * both engines, so the oracle replays the chain bit-for-bit. */
   val tsHoltWinters: Q = (s, dir) =>
     Temporal.holtWintersDyadic(Tables.events(s, dir), "user_id",
         expr(s"(ts div 1000) div $BucketUs"), period = 4, lags = 8)

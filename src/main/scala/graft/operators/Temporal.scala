@@ -688,10 +688,15 @@ object Temporal {
     *     integer level/trend numerators at scale 2^(2·lags)·10⁶;
     *  4. forecast(t) = level + trend + seasonal — ONE addition of
     *     integer numerators, then ONE cast-and-divide.
-    * Every emitted double is EXACT IN DOUBLE under the documented
-    * bounds (|d| ≤ 10⁹, lags ≤ 8 ⇒ numerators ≤ ~2·10¹⁴ < 2⁵³), so
-    * cross-engine agreement needs no rounding grid at all — the
-    * identical-integer-then-one-division discipline.
+    * Cross-engine determinism: the integer NUMERATORS are exact in
+    * double (|d| ≤ 10⁹, lags ≤ 8 ⇒ numerators ≤ ~2·10¹⁴ < 2⁵³), and
+    * each output is ONE IEEE division of that exact numerator by the
+    * shared constant 2^(2·lags)·10⁶ — the identical operation on
+    * identical inputs in both engines, so bit-equality holds with no
+    * rounding grid. NOTE the quotients themselves are NOT exact
+    * dyadics (the divisor carries 5⁶): do not reassociate the final
+    * arithmetic (e.g. level + trend + seasonal_q/1e6 as doubles) —
+    * only the single-division form is cross-engine safe.
     *
     * Scale shape = [[ewmaDyadic]]: one map-side-combined (key, bucket)
     * count exchange, one re-key on the key; the seasonal means are a
@@ -706,9 +711,15 @@ object Temporal {
         .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
     val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
       .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val dense = grid.join(counts, Seq(key, "b"), "left_outer")
+    // dense feeds TWO consumers with DIFFERENT downstream shapes (the
+    // seasonal aggregate and the kernel join) — no exchange reuse is
+    // possible, so a lazy frame would re-scan and re-shuffle the fact
+    // table twice (seen in the dumped plan: duplicated count subtrees,
+    // zero ReusedExchange). Materialize once; span·keys rows, tiny
+    // next to the input.
+    val dense = Checkpointing.cut(grid.join(counts, Seq(key, "b"), "left_outer")
       .select(col(key), col("b"), pmod(col("b"), lit(period.toLong)).as("ph"),
-        coalesce(col("x"), lit(0L)).as("x"))
+        coalesce(col("x"), lit(0L)).as("x")))
     val seasonal = dense.groupBy(col(key), col("ph"))
       .agg(sum("x").as("s"), count(lit(1)).as("n"))
       .selectExpr(key, "ph",

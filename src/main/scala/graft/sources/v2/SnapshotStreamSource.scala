@@ -235,11 +235,14 @@ private[v2] object SnapshotReaderFactory {
     b.result()
   }
 
-  /** Executor side: rebuild. `loadDefaults = false` — the driver's
-    * entries ARE the resolved view, re-layering executor-local defaults
-    * under them would be redundant at best. */
+  /** Executor side: rebuild — executor-classpath defaults LOAD first
+    * (heterogeneous clusters carry executor-local core-site/hdfs-site
+    * entries the driver never saw: endpoints, codecs, short-circuit
+    * paths; `loadDefaults = false` would silently drop them), then the
+    * driver's resolved entries overlay them, driver winning on
+    * conflicts. */
   def mapToConf(entries: Array[(String, String)]): Configuration = {
-    val c = new Configuration(false)
+    val c = new Configuration()
     entries.foreach { case (k, v) => c.set(k, v) }
     c
   }
