@@ -118,11 +118,22 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
-    val results = selected.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_RUNS=N (default 1): timed runs per query, the
+    // MEDIAN reported. The driver's per-round invocation keeps N=1 (its
+    // wall-clock budget); the canonical committed artifact is produced
+    // with N=3 so cross-round compares start from medians, not single
+    // samples (VERDICT r11 ask #2). The JSON records `runs` so a
+    // consumer never has to guess which kind it is reading.
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    require(benchRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $benchRuns")
+    val results: Seq[(String, Double, Int)] = selected.map { case (name, fn) =>
       try {
+        var lastDf: org.apache.spark.sql.DataFrame = null
         def runOnce(): Double = {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          lastDf = df
           (System.nanoTime() - t0) / 1e9
         }
         def isolate(): Unit = {
@@ -137,20 +148,38 @@ object Bench {
         }
         val w = runOnce() // warm-up: JIT, codegen cache, FS metadata
         isolate()
-        val t = runOnce()
-        isolate()
-        System.err.println(f"[bench] $name%-24s cold=$w%8.3f warm=$t%8.3f")
-        name -> t
+        val ts = (1 to benchRuns).map { _ =>
+          val t = runOnce(); isolate(); t
+        }.sorted
+        val t = ts(ts.size / 2)
+        // SHUFFLE-EXCHANGE count of the measured plan (outside the timed
+        // section — planning only, nothing executes). bench_compare.py
+        // uses it to pick the right phase probe per row: exchange-bearing
+        // rows normalize by calibration_shuffle, pure-compute rows by
+        // calibration_sustained — the mechanical form of the r10/r11
+        // "shuffle-path phase" adjudication. BroadcastExchange is not a
+        // shuffle and is excluded. -1 = plan string unavailable.
+        val exchanges = try {
+          val s = lastDf.queryExecution.executedPlan.toString
+          val all = "Exchange".r.findAllIn(s).size
+          val bcast = "BroadcastExchange".r.findAllIn(s).size
+          all - bcast
+        } catch { case _: Throwable => -1 }
+        System.err.println(
+          f"[bench] $name%-24s cold=$w%8.3f warm=$t%8.3f ex=$exchanges%2d" +
+            (if (benchRuns > 1) ts.map(x => f"$x%.3f").mkString(" (", ", ", ")") else ""))
+        (name, t, exchanges)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+        (name, -1.0, -1)
       }
     }
     // calibration rides in `queries` (the driver's per-round record) but
     // stays OUT of `total` — totals remain engine-work-only and
     // comparable across rounds
     val total = results.map(_._2).filter(_ >= 0).sum
-    val resultsOut = results :+ ("calibration" -> calibration) :+
+    val resultsOut = results.map { case (k, v, _) => k -> v } :+
+      ("calibration" -> calibration) :+
       ("calibration_sustained" -> calibrationSustained) :+
       ("calibration_shuffle" -> calibrationShuffle)
 
@@ -173,11 +202,15 @@ object Bench {
       // ask #3) — the phase-normalized value two rounds can compare
       // directly; tools/bench_compare.py consumes it (and re-derives it
       // for older rounds that lack the field).
-      val norm = results.map { case (k, v) =>
+      val norm = results.map { case (k, v, _) =>
         "\"" + k + "\":" + (if (v < 0) v else v / calibrationSustained)
       }.mkString("{", ",", "}")
+      // queries_exchanges: per-row shuffle-exchange count of the measured
+      // plan — bench_compare.py's per-row probe selector (see above)
+      val exch = results.map { case (k, _, e) => "\"" + k + "\":" + e }
+        .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"queries":$full,"queries_norm":$norm,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"runs":$benchRuns,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"calibration_shuffle":$calibrationShuffle,"queries":$full,"queries_norm":$norm,"queries_exchanges":$exch,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     }
     def fmt(v: Double): String =
@@ -202,7 +235,7 @@ object Bench {
     // engine-work read-out; they are a prefix of cheapestFirst. Full
     // per-query detail still lands in bench_full.json; the correctness
     // gate is unaffected.
-    var nFold = results.count { case (_, v) => v >= 0 && v < 0.3 }
+    var nFold = results.count { case (_, v, _) => v >= 0 && v < 0.3 }
     var out = line(cheapestFirst.take(nFold).toSet)
     while (out.length > budget && nFold < cheapestFirst.size) {
       nFold = math.min(nFold + 5, cheapestFirst.size)

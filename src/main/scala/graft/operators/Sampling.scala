@@ -258,9 +258,11 @@ object Sampling {
     // the naive window's NULL partition — the sentinel keeps the
     // equi-join split from silently exempting them (a NULL join key
     // matches nothing, so every NULL row would pass the anti-join
-    // uncapped: an uncapped spam channel)
+    // uncapped: an uncapped spam channel). The sentinel leads with an
+    // ESCAPED NUL — no parsed hostname can contain it — written as
+    // the unicode escape so this file stays text to grep/diff tooling.
     val tagged = df.withColumn("__host",
-      coalesce(host.cast("string"), lit(" null-host")))
+      coalesce(host.cast("string"), lit("\u0000null-host")))
     val over = tagged.groupBy("__host").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > k).select("__host")
     val pass = tagged.join(broadcast(over), Seq("__host"), "left_anti")

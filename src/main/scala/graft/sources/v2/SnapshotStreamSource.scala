@@ -119,16 +119,18 @@ private[v2] class SnapshotStreamTable(root: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { s =>
+    def longOpt(name: String): Option[Long] = Option(options.get(name)).map { s =>
       val n = s.toLong
-      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      require(n >= 1, s"$name must be >= 1, got $n")
       n
     }
+    val maxVersions = longOpt("maxVersionsPerTrigger")
+    val maxFiles = longOpt("maxFilesPerTrigger")
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(root, tableSchema, maxVersions)
+          new SnapshotMicroBatchStream(root, tableSchema, maxVersions, maxFiles)
         override def description(): String = s"snapshot_stream($root)"
       }
     }
@@ -139,13 +141,24 @@ private[v2] case class SnapshotOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-/** `maxVersionsPerTrigger` (admission control): a NEW consumer of a
+/** Admission control, two independent throttles — a NEW consumer of a
   * long-lived table must not swallow its whole history as one giant
-  * micro-batch — the option caps each batch at N versions' files, so a
-  * backfill proceeds as bounded, checkpointed steps (the same throttle
-  * file sources spell maxFilesPerTrigger). Unset = read to current. */
+  * micro-batch:
+  *  - `maxVersionsPerTrigger`: at most N versions per batch;
+  *  - `maxFilesPerTrigger`: a cumulative FILE budget — versions are
+  *    admitted in order until their appended-file total would exceed
+  *    the budget (always at least one version, so a single fat commit
+  *    still makes progress — the same floor file sources give one
+  *    over-sized file).
+  * A version is the atomic admission unit either way (offsets are
+  * versions; a batch is never a partial commit). `ReadMaxFiles` from
+  * the engine (e.g. `Trigger.AvailableNow`'s composite) is honored as
+  * a true file budget — ADVICE r11 #4: the round-11 form counted it in
+  * VERSIONS, admitting files-per-version × the requested file count.
+  * Unset = read to current. */
 private[graft] class SnapshotMicroBatchStream(root: String, schema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
   // driver-side only: every MicroBatchStream method runs on the driver,
   // where the session that started the stream is active
@@ -155,30 +168,46 @@ private[graft] class SnapshotMicroBatchStream(root: String, schema: StructType,
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
-  /** The cap a ReadLimit imposes, in versions — the admission-control
-    * contract [[getDefaultReadLimit]] advertises, now actually HONORED
-    * (ADVICE r10 #4: the round-10 form ignored the parameter and only
-    * the constructor option bounded batches, so engine-driven limits —
-    * e.g. `Trigger.AvailableNow`'s composite — were not applied).
-    * Unknown limit kinds fall back to the constructor option. */
-  private def capOf(limit: ReadLimit): Option[Long] = limit match {
+  /** The FILE budget a ReadLimit imposes (None = unbounded). Unknown
+    * limit kinds impose none here — the constructor options are applied
+    * unconditionally in [[latestOffset]] regardless of what the engine
+    * passes, so they never depend on the limit round-tripping. */
+  private def fileBudgetOf(limit: ReadLimit): Option[Long] = limit match {
     case m: ReadMaxFiles => Some(m.maxFiles().toLong)
     case c: CompositeReadLimit =>
-      c.getReadLimits.toSeq.flatMap(l => capOf(l).toSeq)
+      c.getReadLimits.toSeq.flatMap(l => fileBudgetOf(l).toSeq)
         .reduceOption((a: Long, b: Long) => math.min(a, b))
-    case _: ReadAllAvailable => None
-    case _ => maxVersionsPerTrigger
+    case _ => None
   }
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val cur = Snapshots.currentVersion(spark, root)
     val start = startOffset.asInstanceOf[SnapshotOffset].v
-    // both bounds apply: the engine's limit AND the constructor option
-    val cap = (capOf(limit).toSeq ++ maxVersionsPerTrigger.toSeq).minOption
-    SnapshotOffset(cap.fold(cur)(n => math.min(cur, start + n)))
+    // version cap first (cheap), then the file budget walks the capped
+    // range accumulating per-version appended-file counts (two manifest
+    // reads per admitted version, no data IO)
+    val verCapped = maxVersionsPerTrigger.fold(cur)(n => math.min(cur, start + n))
+    val budget = (fileBudgetOf(limit).toSeq ++ maxFilesPerTrigger.toSeq).minOption
+    val end = budget match {
+      case None => verCapped
+      case Some(b) =>
+        var v = start
+        var admitted = 0L
+        var stop = false
+        while (!stop && v < verCapped) {
+          val next = Snapshots.appendedFileCountLenient(spark, root, v + 1)
+          if (admitted > 0 && admitted + next > b) stop = true
+          else { admitted += next; v += 1 }
+        }
+        v
+    }
+    SnapshotOffset(end)
   }
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(n => ReadLimit.maxFiles(n.toInt))
+    // only the FILE option is advertised in engine units; the version
+    // cap is applied internally (there is no ReadMaxVersions kind, and
+    // advertising versions as maxFiles was exactly the r11 deviation)
+    maxFilesPerTrigger.fold(ReadLimit.allAvailable())(n => ReadLimit.maxFiles(n.toInt))
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(json.trim.toLong)
 

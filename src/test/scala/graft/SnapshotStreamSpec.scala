@@ -153,6 +153,39 @@ class SnapshotStreamSpec extends SparkTestBase {
     assert(u.latestOffset(o0, ReadLimit.maxFiles(1)).json() == "1")
   }
 
+  test("ReadMaxFiles is a cumulative FILE budget across versions, not a version cap") {
+    // ADVICE r11 #4: the round-11 form counted ReadMaxFiles in
+    // VERSIONS, so a version listing many files admitted up to
+    // files-per-version × the requested count. Now versions are
+    // admitted while their cumulative appended-file total fits the
+    // budget — at least one version always (progress floor).
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshRoot("filebudget")
+    for (i <- 1 to 3) // each version appends TWO files
+      Snapshots.commitAppend(spark, root,
+        Seq((i.toLong, "a"), (i + 10L, "b")).toDF("id", "tag").repartition(2))
+    assert(Snapshots.appendedFileCountLenient(spark, root, 1L) == 2L)
+    val schema = graft.sources.v2.SnapshotStreamSource.inferFromLatest(spark, root)
+    val s = new graft.sources.v2.SnapshotMicroBatchStream(root, schema)
+    val o0 = s.initialOffset()
+    // budget 4 admits v1+v2 (4 files), not v3 (would be 6)
+    assert(s.latestOffset(o0, ReadLimit.maxFiles(4)).json() == "2")
+    // budget 3 admits only v1 (v2 would overflow to 4)
+    assert(s.latestOffset(o0, ReadLimit.maxFiles(3)).json() == "1")
+    // budget 1 < one version's files: the progress floor still admits v1
+    assert(s.latestOffset(o0, ReadLimit.maxFiles(1)).json() == "1")
+    // the user-facing option drives the same budget via the default limit
+    val t = new graft.sources.v2.SnapshotMicroBatchStream(root, schema,
+      maxFilesPerTrigger = Some(4L))
+    assert(t.getDefaultReadLimit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxFiles])
+    assert(t.latestOffset(o0, t.getDefaultReadLimit).json() == "2")
+    // version cap and file budget compose: tightest wins
+    val u = new graft.sources.v2.SnapshotMicroBatchStream(root, schema,
+      maxVersionsPerTrigger = Some(1L), maxFilesPerTrigger = Some(4L))
+    assert(u.latestOffset(o0, u.getDefaultReadLimit).json() == "1")
+  }
+
   test("a REPLACE while tailing fails the stream loudly (append-only contract)") {
     val root = freshRoot("replace")
     Snapshots.commitAppend(spark, root,
