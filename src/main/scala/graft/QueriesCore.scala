@@ -400,6 +400,47 @@ object QueriesCore {
       |FROM documents WHERE doc_id % 9 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** lake_skipping: MANIFEST-LEVEL FILE SKIPPING on the snapshot lake
+    * ([[graft.sources.Snapshots.readSnapshotPruned]], round 12 —
+    * VERDICT r11 ask #1): four range-disjoint APPENDs (quarters of the
+    * doc_id domain, 2 files each — the sorted-ingest layout skipping is
+    * built for), then a selective read `doc_id <= max/4`. The per-file
+    * min/max recorded in the manifest at commit time prune 6 of the 8
+    * files BEFORE Spark plans the scan — no footer of a skipped file is
+    * ever opened, the 100 TB difference between one manifest read and a
+    * million footer opens. The GATE pins answer-invariance (the
+    * sink_parquet_zordered recipe: skipping must never change the
+    * result) AND the file counts themselves — (n_files_read,
+    * n_files_total) = (2, 8) is deterministic under explicit
+    * repartition because the quarter ranges are disjoint by
+    * construction. */
+  val lakeSkipping: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_skip"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val b = Array(-1L, maxId / 4, maxId / 2, 3 * maxId / 4, maxId)
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root,
+        d.filter(col("doc_id") > b(k) && col("doc_id") <= b(k + 1)).repartition(2))
+    val filters = Seq[org.apache.spark.sql.sources.Filter](
+      LessThanOrEqual("doc_id", maxId / 4))
+    val (kept, total) = Snapshots.pruneCounts(s, root, filters)
+    Snapshots.readSnapshotPruned(s, root, filters)
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(kept).as("n_files_read"), lit(total).as("n_files_total"))
+  }
+
+  val lakeSkippingSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(2 AS BIGINT) AS n_files_read, CAST(8 AS BIGINT) AS n_files_total
+      |FROM documents
+      |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
+
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
     * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
@@ -2025,6 +2066,75 @@ object QueriesCore {
       |    OR (o1 = 192 AND o2 = 168)) AS is_private
       |FROM o ORDER BY o_orderkey""".stripMargin
 
+  /** fn_ip_v6: the dual-stack half of the IP toolkit (round 12 —
+    * VERDICT r11 gap #3: real crawl logs are dual-stack, and the /64
+    * prefix is IPv6's politeness-bucket analog of the v4 /24). The
+    * address is held as TWO signed longs (hi64/lo64, two's complement —
+    * the only lossless 128-bit form BIGINT engines share), the /64
+    * subnet is the textual first-four-hextet prefix, and the scope
+    * flags are pure hextet range tests: unique-local fc00::/7,
+    * link-local fe80::/10. Same zero-regex integer discipline as
+    * [[fnIp]]; one row in four lands in each special scope BY
+    * CONSTRUCTION so every flag is non-vacuous at every SF. */
+  val fnIpV6: Q = (s, dir) => {
+    val sel = pmod(col("o_orderkey"), lit(4L))
+    val h1 = when(sel === 0L, lit(0xfc00L) + pmod(col("o_custkey"), lit(512L)))
+      .when(sel === 1L, lit(0xfe80L) + pmod(col("o_custkey"), lit(64L)))
+      .when(sel === 2L, lit(0x2001L))
+      .otherwise(lit(0x2400L) + pmod(col("o_orderkey"), lit(1024L)))
+    val h2 = when(sel === 2L, lit(0x0db8L))
+      .otherwise(pmod(col("o_custkey") * 5, lit(65536L)))
+    val h3 = pmod(col("o_orderkey") * 13, lit(65536L))
+    val h4 = pmod(col("o_custkey") * 31, lit(65536L))
+    val h5 = pmod(col("o_orderkey") * 17, lit(65536L))
+    val h6 = pmod(col("o_custkey") * 23, lit(65536L))
+    val h7 = pmod(col("o_orderkey") * 29, lit(65536L))
+    val h8 = pmod(col("o_custkey") * 37, lit(65536L))
+    def hx(c: org.apache.spark.sql.Column) = lower(lpad(hex(c), 4, "0"))
+    // two's-complement signed fold: hextet 1 (or 5) >= 0x8000 makes the
+    // long negative — exact, overflow-free on every BIGINT engine
+    def signed(top: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      when(top >= 32768L, top - 65536L).otherwise(top) * lit(281474976710656L) +
+        a * lit(4294967296L) + b * lit(65536L) + c
+    val isUl = h1 >= 0xfc00L && h1 <= 0xfdffL
+    val isLl = h1 >= 0xfe80L && h1 <= 0xfebfL
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        concat_ws(":", hx(h1), hx(h2), hx(h3), hx(h4), hx(h5), hx(h6), hx(h7), hx(h8)).as("ip6"),
+        signed(h1, h2, h3, h4).as("hi64"),
+        signed(h5, h6, h7, h8).as("lo64"),
+        concat(concat_ws(":", hx(h1), hx(h2), hx(h3), hx(h4)), lit("::")).as("subnet64"),
+        isUl.as("is_unique_local"), isLl.as("is_link_local"))
+      .orderBy("o_orderkey")
+  }
+
+  val fnIpV6Sql =
+    """WITH h AS (
+      |  SELECT o_orderkey,
+      |    CASE o_orderkey % 4
+      |      WHEN 0 THEN 64512 + o_custkey % 512
+      |      WHEN 1 THEN 65152 + o_custkey % 64
+      |      WHEN 2 THEN 8193
+      |      ELSE 9216 + o_orderkey % 1024 END AS h1,
+      |    CASE o_orderkey % 4 WHEN 2 THEN 3512
+      |      ELSE (o_custkey * 5) % 65536 END AS h2,
+      |    (o_orderkey * 13) % 65536 AS h3, (o_custkey * 31) % 65536 AS h4,
+      |    (o_orderkey * 17) % 65536 AS h5, (o_custkey * 23) % 65536 AS h6,
+      |    (o_orderkey * 29) % 65536 AS h7, (o_custkey * 37) % 65536 AS h8
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  printf('%04x:%04x:%04x:%04x:%04x:%04x:%04x:%04x',
+      |    h1, h2, h3, h4, h5, h6, h7, h8) AS ip6,
+      |  CAST((CASE WHEN h1 >= 32768 THEN h1 - 65536 ELSE h1 END) * 281474976710656
+      |    + h2 * 4294967296 + h3 * 65536 + h4 AS BIGINT) AS hi64,
+      |  CAST((CASE WHEN h5 >= 32768 THEN h5 - 65536 ELSE h5 END) * 281474976710656
+      |    + h6 * 4294967296 + h7 * 65536 + h8 AS BIGINT) AS lo64,
+      |  printf('%04x:%04x:%04x:%04x::', h1, h2, h3, h4) AS subnet64,
+      |  (h1 BETWEEN 64512 AND 65023) AS is_unique_local,
+      |  (h1 BETWEEN 65152 AND 65215) AS is_link_local
+      |FROM h ORDER BY o_orderkey""".stripMargin
+
   val fnGeoSql =
     """WITH c AS (
       |  SELECT c_custkey,
@@ -2323,6 +2433,7 @@ object QueriesCore {
     "lake_merge" -> lakeMerge,
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_schema_rename" -> lakeSchemaRename,
+    "lake_skipping" -> lakeSkipping,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -2370,6 +2481,7 @@ object QueriesCore {
     "agg_winsorized_mean" -> aggWinsorizedMean,
     "fn_geo" -> fnGeo,
     "fn_ip" -> fnIp,
+    "fn_ip_v6" -> fnIpV6,
     "agg_stats" -> aggStats,
     "agg_collect" -> aggCollect,
     "agg_bool" -> aggBool,
@@ -2427,6 +2539,7 @@ object QueriesCore {
     "lake_merge" -> lakeMergeSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_schema_rename" -> lakeSchemaRenameSql,
+    "lake_skipping" -> lakeSkippingSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,
@@ -2473,6 +2586,7 @@ object QueriesCore {
     "agg_winsorized_mean" -> aggWinsorizedMeanSql,
     "fn_geo" -> fnGeoSql,
     "fn_ip" -> fnIpSql,
+    "fn_ip_v6" -> fnIpV6Sql,
     "agg_stats" -> aggStatsSql,
     "agg_collect" -> aggCollectSql,
     "agg_bool" -> aggBoolSql,

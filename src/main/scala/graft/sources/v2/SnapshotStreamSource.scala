@@ -254,7 +254,7 @@ private[v2] class SnapshotReaderFactory(schema: StructType,
   }
 }
 
-private[v2] object SnapshotReaderFactory {
+private[graft] object SnapshotReaderFactory {
   /** Driver side: flatten the resolved conf to a serializable entry
     * list (Configuration itself is not java-serializable). */
   def confToMap(conf: Configuration): Array[(String, String)] = {

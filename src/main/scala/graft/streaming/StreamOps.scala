@@ -362,23 +362,67 @@ object StreamOps {
       .flatMapGroupsWithState[FunnelState, Conversion](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption
-          val out = List.newBuilder[Conversion]
-          for (e <- sorted) {
-            if (e.event_type == stepA && st.isEmpty)
-              st = Some(FunnelState(e.ts.getTime, converted = false))
-            else if (e.event_type == stepB)
-              st match {
-                case Some(s) if !s.converted && e.ts.getTime > s.aTs =>
-                  out += Conversion(userId, s.aTs, e.ts.getTime)
-                  st = Some(s.copy(converted = true))
-                case _ => ()
-              }
-          }
+          val (st, out) = foldFunnel(userId, rows, state.getOption, stepA, stepB)
           st.foreach(state.update)
-          out.result().iterator
+          out.iterator
       }
+  }
+
+  /** ONE funnel fold shared by [[funnelLive]] (fMGWS) and
+    * [[FunnelProcessor]] (transformWithState) — the [[foldSessions]]
+    * discipline: a single implementation keeps the two formulations'
+    * asserted equivalence structural, not coincidental. */
+  private def foldFunnel(userId: Long, rows: Iterator[Event],
+      prev: Option[FunnelState], stepA: String, stepB: String)
+      : (Option[FunnelState], List[Conversion]) = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var st = prev
+    val out = List.newBuilder[Conversion]
+    for (e <- sorted) {
+      if (e.event_type == stepA && st.isEmpty)
+        st = Some(FunnelState(e.ts.getTime, converted = false))
+      else if (e.event_type == stepB)
+        st match {
+          case Some(s) if !s.converted && e.ts.getTime > s.aTs =>
+            out += Conversion(userId, s.aTs, e.ts.getTime)
+            st = Some(s.copy(converted = true))
+          case _ => ()
+        }
+    }
+    (st, out.result())
+  }
+
+  /** The `transformWithState` (Spark 4 arbitrary-state v2) formulation
+    * of [[funnelLive]] — the PRIMARY stateful API per §2.9, completing
+    * the port series (session r10, scd2 r10, markov r11, funnel r12 —
+    * the last fMGWS-only harness): same fold, state in a named schema'd
+    * `ValueState` in RocksDB. Emitted-set parity with the fMGWS form is
+    * asserted in StreamingSpec on a cut-spanning feed. */
+  class FunnelProcessor(stepA: String, stepB: String)
+      extends StatefulProcessor[Long, Event, Conversion] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Conversion] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (st, out) = foldFunnel(userId, rows, prev, stepA, stepB)
+      st.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** [[funnelLive]] via transformWithState — asserted emitted-set
+    * equivalent to the flatMapGroupsWithState form in StreamingSpec. */
+  def funnelLiveTws(events: Dataset[Event], stepA: String, stepB: String)
+      : Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stepA, stepB),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Open a parquet directory as a stream (the batch tables replayed as a

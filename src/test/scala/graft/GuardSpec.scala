@@ -58,6 +58,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       "operators/Temporal.scala" -> 1, // scd2ApplyDelta contract probe: one unioned limit(1), never full
       "operators/LangId.scala" -> 2, // per-language trigram profiles, bounded
       "sources/FileView.scala" -> 1, // distinct partition values of one sink dir
+      "sources/Snapshots.scala" -> 1, // commit-time file stats: O(own files × columns) bound strings, distributed footer pass
       "MatchedBench.scala" -> 2, // bench-only: baseline/engine row compare
       "QueriesStreaming.scala" -> 3 // harness fixtures feeding MemoryStream (incl. the upsert feed ids)
     )

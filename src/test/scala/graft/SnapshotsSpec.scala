@@ -239,10 +239,15 @@ class SnapshotsSpec extends SparkTestBase {
         (1 to n).map(_ => (rnd.nextInt(12).toLong, s"v$v-${rnd.nextInt(100)}"))
       val root2 = freshRoot(s"model$seed")
       var rs = Vector.empty[ModelRow]; var ds = Vector.empty[ModelDel]
-      def vis: Seq[(Long, String)] =
-        rs.filter(r => !ds.exists(d => d.id == r.id && d.ver > r.ver)).map(r => (r.id, r.tag))
       val exp = scala.collection.mutable.Map.empty[Long, Map[(Long, String), Int]]
       var cur = 0L
+      // visibility AT a version — needed since the race action records
+      // expectations for TWO versions at once
+      def visAt(v: Long): Map[(Long, String), Int] =
+        rs.filter(_.ver <= v)
+          .filter(r => !ds.exists(d => d.id == r.id && d.ver > r.ver && d.ver <= v))
+          .map(r => (r.id, r.tag))
+          .groupBy(identity).view.mapValues(_.size).toMap
       def commit(op: Int): Unit = {
         cur += 1
         op match {
@@ -265,7 +270,7 @@ class SnapshotsSpec extends SparkTestBase {
             rs = rws.map { case (i, t) => ModelRow(i, t, cur) }.toVector
             ds = Vector.empty
         }
-        exp(cur) = vis.groupBy(identity).view.mapValues(_.size).toMap
+        exp(cur) = visAt(cur)
       }
       def crash(): Unit = { // claim cur+1, die before publish
         val cp = new org.apache.hadoop.fs.Path(root2, f"_manifests/v${cur + 1}%05d.claim")
@@ -273,12 +278,36 @@ class SnapshotsSpec extends SparkTestBase {
         new java.io.File(cp.toUri.getPath).createNewFile()
         Thread.sleep(150) // age the orphan past the 100 ms test lease
       }
+      // round 12 (VERDICT r11 ask #4): TWO LIVE WRITERS race the same
+      // version. Claim arbitration must serialize them — both land, on
+      // consecutive versions, neither lost, each carrying the other's
+      // state correctly (the loser rebases via the atomic publish fence)
+      def race(): Unit = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val rwsA = freshRows(1 + rnd.nextInt(2), cur + 1)
+        val rwsB = freshRows(1 + rnd.nextInt(2), cur + 2)
+        val fa = Future(Snapshots.commitAppend(spark, root2,
+          rwsA.toDF("id", "tag").coalesce(1)))
+        val fb = Future(Snapshots.commitAppend(spark, root2,
+          rwsB.toDF("id", "tag").coalesce(1)))
+        val va = Await.result(fa, 2.minutes)
+        val vb = Await.result(fb, 2.minutes)
+        assert(Set(va, vb) == Set(cur + 1, cur + 2),
+          s"seed=$seed: racing commits must land on consecutive versions, got ($va, $vb)")
+        rs ++= rwsA.map { case (i, t) => ModelRow(i, t, va) }
+        rs ++= rwsB.map { case (i, t) => ModelRow(i, t, vb) }
+        cur += 1; exp(cur) = visAt(cur)
+        cur += 1; exp(cur) = visAt(cur)
+      }
       commit(0) // seed the table
       for (_ <- 1 to 8) {
-        val a = rnd.nextInt(5)
-        if (a == 4) crash() else commit(a)
+        val a = rnd.nextInt(6)
+        if (a == 4) crash() else if (a == 5) race() else commit(a)
       }
       crash(); commit(0) // a takeover always closes the sequence
+      race() // and racing writers always close the sequence too
       for ((ver, want) <- exp) {
         val got = Snapshots.readSnapshot(spark, root2, ver)
           .select("id", "tag").as[(Long, String)].collect()
@@ -289,6 +318,37 @@ class SnapshotsSpec extends SparkTestBase {
       // published despite the crashes (no wedged claim survived)
       assert(Snapshots.currentVersion(spark, root2) == cur,
         s"seed=$seed: takeovers must keep versions dense")
+    } finally spark.conf.unset("spark.graft.snapshots.claimLeaseMs")
+  }
+
+  test("two live writers under an aggressive lease: every commit lands exactly once") {
+    // lease 1 ms: every held claim is instantly breakable, so takeovers
+    // and zombie publishes fire CONSTANTLY — the adversarial schedule
+    // for the round-12 rebase contract. Whatever the interleaving, the
+    // atomic publish fence plus rebase must land all 2×4 commits on
+    // distinct consecutive versions with zero lost rows.
+    val root = freshRoot("race2")
+    Snapshots.commitAppend(spark, root, table(1, "seed").coalesce(1))
+    spark.conf.set("spark.graft.snapshots.claimLeaseMs", "1")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val n = 4
+      val fs = (1 to 2).map { w =>
+        Future {
+          (1 to n).map { i =>
+            Snapshots.commitAppend(spark, root,
+              Seq((w * 1000L + i, s"w$w-$i")).toDF("id", "tag").coalesce(1))
+          }
+        }
+      }
+      val versions = Await.result(Future.sequence(fs), 5.minutes).flatten
+      assert(versions.toSet.size == 2 * n, s"no two commits may share a version: $versions")
+      assert(Snapshots.currentVersion(spark, root) == 1L + 2 * n,
+        "versions stay dense under constant takeovers")
+      assert(Snapshots.readSnapshot(spark, root).count() == 1L + 2 * n,
+        "no commit's rows were lost")
     } finally spark.conf.unset("spark.graft.snapshots.claimLeaseMs")
   }
 
@@ -482,5 +542,128 @@ class SnapshotsSpec extends SparkTestBase {
     assert(out(0)._2 == c1 && out(1)._2 == c2 && out(2)._2 == o.count())
     assert(out.map(_._3).toSeq == Seq(2L, 4L, 1L))
     assert(out.forall(_._4), "the pinned reader must have been isolated")
+  }
+
+  // -------------------------------------------------------------------
+  // Manifest column statistics + file skipping (round 12)
+  // -------------------------------------------------------------------
+  import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, GreaterThan => FGt, In => FIn, LessThanOrEqual => FLe, Or => FOr, StringStartsWith => FStarts}
+
+  /** Four single-file commits with DISJOINT id ranges 1-10 / 11-20 /
+    * 21-30 / 31-40 — the layout file skipping is built for. */
+  private def rangedTable(name: String): String = {
+    val root = freshRoot(name)
+    for (k <- 0 to 3)
+      Snapshots.commitAppend(spark, root,
+        (k * 10 + 1 to k * 10 + 10).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+          .coalesce(1))
+    root
+  }
+
+  test("file skipping: a selective predicate scans strictly fewer files; answer is invariant") {
+    val root = rangedTable("skip")
+    // id <= 10 can only live in the first commit's file
+    val f = Seq[org.apache.spark.sql.sources.Filter](FLe("id", 10L))
+    val (kept, total) = Snapshots.pruneCounts(spark, root, f)
+    assert(total == 4L && kept == 1L, s"expected 1/4 files, got $kept/$total")
+    val pruned = Snapshots.readSnapshotPruned(spark, root, f)
+    val plain = Snapshots.readSnapshot(spark, root).filter(col("id") <= 10)
+    assert(pruned.orderBy("id").collect().toSeq ==
+      plain.orderBy("id").collect().toSeq)
+    // middle range via And of bounds: exactly one file
+    val mid = Seq[org.apache.spark.sql.sources.Filter](
+      FAnd(FGt("id", 20L), FLe("id", 30L)))
+    assert(Snapshots.pruneCounts(spark, root, mid)._1 == 1L)
+    // In hits two ranges -> two files
+    val in2 = Seq[org.apache.spark.sql.sources.Filter](FIn("id", Array(5L, 35L)))
+    assert(Snapshots.pruneCounts(spark, root, in2)._1 == 2L)
+    // Or spans two ranges -> two files
+    val or2 = Seq[org.apache.spark.sql.sources.Filter](
+      FOr(FEq("id", 1L), FEq("id", 40L)))
+    assert(Snapshots.pruneCounts(spark, root, or2)._1 == 2L)
+    // unsupported-for-pruning kinds keep everything but still filter rows
+    val starts = Seq[org.apache.spark.sql.sources.Filter](FStarts("tag", "t1"))
+    assert(Snapshots.pruneCounts(spark, root, starts)._1 == 4L)
+    assert(Snapshots.readSnapshotPruned(spark, root, starts).count() ==
+      Snapshots.readSnapshot(spark, root).filter(col("tag").startsWith("t1")).count())
+  }
+
+  test("file skipping: everything pruned keeps one schema anchor and returns empty") {
+    val root = rangedTable("skipall")
+    val f = Seq[org.apache.spark.sql.sources.Filter](FGt("id", 1000L))
+    val (kept, total) = Snapshots.pruneCounts(spark, root, f)
+    assert(total == 4L && kept == 1L, "one anchor file survives a total prune")
+    val out = Snapshots.readSnapshotPruned(spark, root, f)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("id", "tag"), "schema preserved on empty result")
+  }
+
+  test("file skipping: stats-off commits are never pruned (conservative)") {
+    val root = freshRoot("skipoff")
+    spark.conf.set("spark.graft.snapshots.stats", "false")
+    try Snapshots.commitAppend(spark, root, table(10, "a").coalesce(1))
+    finally spark.conf.unset("spark.graft.snapshots.stats")
+    Snapshots.commitAppend(spark, root, table(5, "b").coalesce(1)) // stats on
+    val f = Seq[org.apache.spark.sql.sources.Filter](FGt("id", 100L))
+    val (kept, total) = Snapshots.pruneCounts(spark, root, f)
+    // the stats-less file must survive; the stats-bearing one prunes
+    assert(total == 2L && kept == 1L)
+    assert(Snapshots.readSnapshotPruned(spark, root, f).count() == 0L)
+  }
+
+  test("file skipping: string bounds prune in UTF-8 order; over-long bounds drop the stat") {
+    val root = freshRoot("skipstr")
+    Snapshots.commitAppend(spark, root,
+      Seq((1L, "apple"), (2L, "banana")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((3L, "melon"), (4L, "zucchini")).toDF("id", "tag").coalesce(1))
+    // only the second file can contain tags > "kiwi"
+    val f = Seq[org.apache.spark.sql.sources.Filter](FGt("tag", "kiwi"))
+    assert(Snapshots.pruneCounts(spark, root, f) == ((1L, 2L)))
+    // a >64-char value poisons that column's stat for its file: kept
+    val root2 = freshRoot("skiplong")
+    Snapshots.commitAppend(spark, root2,
+      Seq((1L, "a" * 80)).toDF("id", "tag").coalesce(1))
+    assert(Snapshots.pruneCounts(spark, root2,
+      Seq[org.apache.spark.sql.sources.Filter](FGt("tag", "zzz")))._1 == 1L)
+  }
+
+  test("file skipping: composes with merge-on-read deletes exactly") {
+    val root = rangedTable("skipdel")
+    Snapshots.commitDelete(spark, root, Seq(5L, 25L).toDF("id"))
+    val f = Seq[org.apache.spark.sql.sources.Filter](FLe("id", 10L))
+    val pruned = Snapshots.readSnapshotPruned(spark, root, f)
+    val plain = Snapshots.readSnapshot(spark, root).filter(col("id") <= 10)
+    assert(pruned.orderBy("id").collect().toSeq == plain.orderBy("id").collect().toSeq)
+    assert(pruned.filter(col("id") === 5L).count() == 0L, "deleted key stays deleted")
+  }
+
+  test("file skipping: stats are keyed by column ID — pruning survives a rename") {
+    val root = freshRoot("skiprename")
+    Snapshots.commitAppend(spark, root,
+      (1L to 10L).map(i => (i, i * 100)).toDF("id", "v").coalesce(1))
+    Snapshots.initSchema(spark, root)
+    Snapshots.commitAppend(spark, root,
+      (11L to 20L).map(i => (i, i * 100)).toDF("id", "v").coalesce(1))
+    Snapshots.renameColumn(spark, root, "v", "value")
+    // post-rename commits write stats under the SAME id
+    Snapshots.commitAppend(spark, root,
+      (21L to 30L).map(i => (i, i * 100)).toDF("id", "value").coalesce(1))
+    // a predicate on the NEW name prunes files written under the OLD name
+    val f = Seq[org.apache.spark.sql.sources.Filter](FGt("value", 2500L))
+    val (kept, total) = Snapshots.pruneCounts(spark, root, f)
+    assert(total == 3L && kept == 1L,
+      s"rename must not orphan stats: got $kept/$total")
+    val out = Snapshots.readSnapshotPruned(spark, root, f)
+    assert(out.agg(count(lit(1))).head.getLong(0) == 5L) // values 2600..3000
+    // dropped-then-re-added name: old ranges must NOT be inherited
+    Snapshots.dropColumn(spark, root, "value")
+    Snapshots.addColumn(spark, root, "value", "BIGINT")
+    val (kept2, total2) = Snapshots.pruneCounts(spark, root,
+      Seq[org.apache.spark.sql.sources.Filter](FEq("value", 123456L)))
+    // all files read NULL for the fresh id -> no stats -> all kept
+    assert(total2 == 3L && kept2 == 3L)
+    assert(Snapshots.readSnapshotPruned(spark, root,
+      Seq[org.apache.spark.sql.sources.Filter](FEq("value", 123456L))).count() == 0L)
   }
 }

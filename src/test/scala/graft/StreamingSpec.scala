@@ -549,6 +549,48 @@ class StreamingSpec extends SparkTestBase {
     assert(fmgws == Seq((1L, "a", "b"), (1L, "b", "c"), (2L, "x", "x")))
   }
 
+  test("transformWithState funnel twin: emitted set equals the fMGWS harness on the same feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a cut-spanning conversion for user 1 (the signup rides state into
+    // the batch holding the purchase); user 2 never converts
+    def feed(mk: org.apache.spark.sql.Dataset[StreamOps.Event] =>
+        org.apache.spark.sql.Dataset[StreamOps.Conversion],
+        name: String): Seq[(Long, Long, Long)] = {
+      val in = MemoryStream[StreamOps.Event]
+      val q = mk(in.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(
+          StreamOps.Event(1, ts(0), 1, "signup", 0.0),
+          StreamOps.Event(2, ts(10), 2, "purchase", 0.0), // B before any A
+          StreamOps.Event(3, ts(20), 3, "signup", 0.0))
+        q.processAllAvailable()
+        in.addData(
+          StreamOps.Event(4, ts(60), 1, "purchase", 0.0), // converts across the cut
+          StreamOps.Event(5, ts(90), 1, "purchase", 0.0), // second B: no re-emit
+          StreamOps.Event(6, ts(70), 2, "signup", 0.0))
+        q.processAllAvailable()
+        spark.table(name).as[StreamOps.Conversion].collect()
+          .map(c => (c.user_id, c.a_ts, c.b_ts)).toSeq.sorted
+      } finally q.stop()
+    }
+    val fmgws = feed(StreamOps.funnelLive(_, "signup", "purchase"), "funnel_fmgws_out")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try feed(StreamOps.funnelLiveTws(_, "signup", "purchase"), "funnel_tws_out")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(tws === fmgws)
+    // exactly one conversion: user 1 across the cut, emitted once
+    assert(fmgws == Seq((1L, ts(0).getTime, ts(60).getTime)))
+  }
+
   test("stream_funnel_live ≡ batch funnel converted rows; cut-spanning conversions emit once") {
     val live = QueriesStreaming.all("stream_funnel_live")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
