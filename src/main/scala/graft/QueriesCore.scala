@@ -441,6 +441,41 @@ object QueriesCore {
       |FROM documents
       |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
 
+  /** scan_snapshot_pushdown: the DECLARATIVE form of [[lakeSkipping]] —
+    * the snapshot table read through the DSv2 batch source
+    * ([[graft.sources.v2.SnapshotBatchSource]]) where an ORDINARY
+    * `.filter` drives the manifest-stats file skipping via Catalyst's
+    * own pushdown (`SupportsPushDownFilters`), no explicit pruned-read
+    * API in sight. The gate pins the observable that proves pushdown
+    * happened: `rdd.getNumPartitions` of the filtered frame IS the
+    * planned file count — 2 of 8 — alongside the answer itself. */
+  val scanSnapshotPushdown: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_dsv2skip"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val b = Array(-1L, maxId / 4, maxId / 2, 3 * maxId / 4, maxId)
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root,
+        d.filter(col("doc_id") > b(k) && col("doc_id") <= b(k + 1)).repartition(2))
+    val filtered = s.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).load()
+      .filter(col("doc_id") <= maxId / 4)
+    val parts = filtered.rdd.getNumPartitions.toLong
+    filtered
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(parts).as("n_partitions"), lit(8L).as("n_files_total"))
+  }
+
+  val scanSnapshotPushdownSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(2 AS BIGINT) AS n_partitions, CAST(8 AS BIGINT) AS n_files_total
+      |FROM documents
+      |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
+
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
     * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
@@ -2434,6 +2469,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_schema_rename" -> lakeSchemaRename,
     "lake_skipping" -> lakeSkipping,
+    "scan_snapshot_pushdown" -> scanSnapshotPushdown,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -2540,6 +2576,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_schema_rename" -> lakeSchemaRenameSql,
     "lake_skipping" -> lakeSkippingSql,
+    "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

@@ -899,11 +899,44 @@ object Snapshots {
     (kept.count(_.kind == "A").toLong, total)
   }
 
-  /** Entries with non-matching data files removed. Keeps at least ONE
-    * data file even when everything prunes (a scan needs a schema
-    * anchor; the row filter still yields the correct empty result). */
+  /** Is `f` a filter kind the stats pruner can act on? (What a DSv2
+    * scan reports as "pushed" — everything else is pure residual.) */
+  private[graft] def prunableFilter(f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual | _: In => true
+      case EqualNullSafe(_, v) => v != null
+      case And(l, r) => prunableFilter(l) && prunableFilter(r)
+      case Or(l, r) => prunableFilter(l) && prunableFilter(r)
+      case _ => false
+    }
+  }
+
+  /** The surviving data-file paths a pushdown-driven scan reads — the
+    * [[graft.sources.v2.SnapshotBatchSource]] planning hook. Plain
+    * append-only tables only (deletes and schema evolution need the
+    * join/projection machinery of [[readSnapshot]] — loud, not silent).
+    * May be EMPTY (a fully-pruned scan plans zero partitions). */
+  private[graft] def prunedDataFilesForScan(spark: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      version: Long = -1L): Seq[String] = {
+    val v = if (version >= 0) version else currentVersion(spark, root)
+    val es = entries(spark, root, v)
+    require(es.forall(_.kind == "A"),
+      s"snapshot batch source reads plain append-only tables; $root version $v " +
+        "carries delete/schema entries — read it via Snapshots.readSnapshot")
+    pruneDataEntries(es, filters, keepAnchor = false)._1.map(_.path)
+  }
+
+  /** Entries with non-matching data files removed. With `keepAnchor`,
+    * keeps at least ONE data file even when everything prunes (a
+    * DataFrame scan needs a schema anchor; the row filter still yields
+    * the correct empty result — a DSv2 scan passes false and plans
+    * zero partitions instead). */
   private def pruneDataEntries(es: Seq[Entry],
-      filters: Seq[org.apache.spark.sql.sources.Filter]): (Seq[Entry], Long) = {
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      keepAnchor: Boolean = true): (Seq[Entry], Long) = {
     val sEntries = es.filter(_.kind == "S").sortBy(_.ver)
     // per-FILE keying on tracked tables: files written under tracking
     // carry "#id" stats; PRE-tracking files (sid 0) carry name-keyed
@@ -929,7 +962,7 @@ object Snapshots {
         filters.forall(f => mayMatch(st, keyFor, f))
       }
     }
-    if (surviving.exists(_.kind == "A")) (surviving, total)
+    if (!keepAnchor || surviving.exists(_.kind == "A")) (surviving, total)
     else (surviving ++ es.find(_.kind == "A"), total)
   }
 

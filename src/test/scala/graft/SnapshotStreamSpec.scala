@@ -153,6 +153,59 @@ class SnapshotStreamSpec extends SparkTestBase {
     assert(u.latestOffset(o0, ReadLimit.maxFiles(1)).json() == "1")
   }
 
+  // -------------------------------------------------------------------
+  // SnapshotBatchSource: DSv2 batch read with pushdown-driven skipping
+  // -------------------------------------------------------------------
+
+  private def rangedTable4(name: String): String = {
+    val root = freshRoot(name)
+    for (k <- 0 to 3)
+      Snapshots.commitAppend(spark, root,
+        (k * 10 + 1 to k * 10 + 10).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+          .coalesce(1))
+    root
+  }
+
+  private def batchRead(root: String) =
+    spark.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).load()
+
+  test("batch source: a Catalyst-pushed filter prunes input partitions; result exact") {
+    val root = rangedTable4("dsv2skip")
+    val df = batchRead(root)
+    assert(df.rdd.getNumPartitions == 4, "one partition per file unfiltered")
+    val filtered = df.filter(col("id") <= 10)
+    // the ORDINARY .filter drove file skipping — no special API
+    assert(filtered.rdd.getNumPartitions == 1,
+      "pushdown must plan only the one file whose range can match")
+    val expect = Snapshots.readSnapshot(spark, root).filter(col("id") <= 10)
+      .orderBy("id").collect().toSeq
+    assert(filtered.orderBy("id").collect().toSeq == expect)
+    // a fully-pruned scan plans ZERO partitions and returns empty
+    val none = df.filter(col("id") > 1000L)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0L)
+  }
+
+  test("batch source: column pruning projects the parquet read; values exact") {
+    val root = rangedTable4("dsv2proj")
+    val tags = batchRead(root).filter(col("id") <= 10).select("tag")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(tags == (1 to 10).map(i => s"t$i").sorted)
+    // count(*) survives the empty-projection path
+    assert(batchRead(root).count() == 40L)
+  }
+
+  test("batch source: version pin time-travels; delete entries fail loudly") {
+    val root = rangedTable4("dsv2ver")
+    assert(spark.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).option("version", "2").load().count() == 20L)
+    Snapshots.commitDelete(spark, root, Seq(5L).toDF("id"))
+    val e = intercept[Exception] { batchRead(root).collect() }
+    assert(e.getMessage.contains("Snapshots.readSnapshot"),
+      s"deletes must point the reader at the join path, got: ${e.getMessage}")
+  }
+
   test("ReadMaxFiles is a cumulative FILE budget across versions, not a version cap") {
     // ADVICE r11 #4: the round-11 form counted ReadMaxFiles in
     // VERSIONS, so a version listing many files admitted up to
