@@ -476,6 +476,36 @@ object QueriesCore {
       |FROM documents
       |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
 
+  /** lake_stats_agg: METADATA-ONLY aggregation (round 12) — count(*)
+    * and min/max answered from the manifest statistics alone
+    * ([[graft.sources.Snapshots.metadataRowCount]] /
+    * [[graft.sources.Snapshots.metadataMinMaxLong]]), ZERO data IO: the
+    * Iceberg "metadata table" capability, where a 100 TB row count is
+    * one manifest read. Soundness contract gated here: the
+    * manifest-derived numbers must EQUAL the scan-derived oracle; any
+    * stats gap yields None (caller falls back to the scan), never a
+    * wrong answer. */
+  val lakeStatsAgg: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_meta"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    for (k <- 0 to 2)
+      Snapshots.commitAppend(s, root,
+        d.filter(pmod(col("doc_id"), lit(3)) === k).repartition(2))
+    val rows = Snapshots.metadataRowCount(s, root).getOrElse(
+      sys.error("manifest stats incomplete — metadata aggregate unavailable"))
+    val (lo, hi) = Snapshots.metadataMinMaxLong(s, root, "n_chars").getOrElse(
+      sys.error("manifest stats incomplete — metadata aggregate unavailable"))
+    import s.implicits._
+    Seq((rows, lo, hi)).toDF("n_rows", "min_chars", "max_chars")
+  }
+
+  val lakeStatsAggSql =
+    """SELECT count(*) AS n_rows, CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars FROM documents""".stripMargin
+
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
     * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
@@ -2469,6 +2499,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_schema_rename" -> lakeSchemaRename,
     "lake_skipping" -> lakeSkipping,
+    "lake_stats_agg" -> lakeStatsAgg,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
@@ -2576,6 +2607,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_schema_rename" -> lakeSchemaRenameSql,
     "lake_skipping" -> lakeSkippingSql,
+    "lake_stats_agg" -> lakeStatsAggSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,

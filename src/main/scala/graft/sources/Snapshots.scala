@@ -174,7 +174,14 @@ object Snapshots {
     * URL-encoded (arbitrary data values can hold any delimiter), tag
     * `l`=integral (stored as Long), `d`=floating (as Double),
     * `s`=string (UTF-8; bounds longer than 64 chars are DROPPED rather
-    * than truncated — a truncated upper bound would wrongly exclude). */
+    * than truncated — a truncated upper bound would wrongly exclude),
+    * `n`=the column is entirely NULL in this file (a POSITIVE fact:
+    * every comparison predicate prunes the file, and metadata
+    * aggregates know the file contributes no values — distinct from a
+    * MISSING stat, which always means "unknown, keep"). The reserved
+    * key `__rows` carries the file's row count (lo = hi = rows); a data
+    * column literally named `__rows` is never statted (ambiguity is
+    * dropped, not guessed). */
   private def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def urlDec(s: String): String =
@@ -185,14 +192,20 @@ object Snapshots {
   private def encodeStats(items: Seq[(String, Char, String, String)],
       keyer: String => Option[String]): String =
     items.flatMap { case (name, tag, lo, hi) =>
-      keyer(name).map(k => s"${urlEnc(k)};$tag;${urlEnc(lo)};${urlEnc(hi)}")
+      // reserved keys ("__rows") bypass the schema keyer — they are
+      // file facts, not column bindings
+      val key = if (name.startsWith("__")) Some(name) else keyer(name)
+      key.map(k => s"${urlEnc(k)};$tag;${urlEnc(lo)};${urlEnc(hi)}")
     }.mkString("|")
 
   private[graft] def decodeStats(payload: String): Map[String, ColStats] =
     if (payload.isEmpty) Map.empty
     else payload.split('|').toSeq.map { s =>
-      val Array(k, tag, lo, hi) = s.split(';')
-      urlDec(k) -> ColStats(tag.head, urlDec(lo), urlDec(hi))
+      // limit -1: tag-'n' items end in empty bounds ("k;n;;") and
+      // Java's default split would drop the trailing empties
+      val parts = s.split(";", -1)
+      require(parts.length == 4, s"bad stats item: $s")
+      urlDec(parts(0)) -> ColStats(parts(1).head, urlDec(parts(2)), urlDec(parts(3)))
     }.toMap
 
   /** Stats collection toggle — on by default; a bulk-load that will
@@ -231,17 +244,18 @@ object Snapshots {
         new org.apache.hadoop.fs.Path(path), conf))
     try {
       val md = reader.getFooter
-      // accumulate per column: None = poisoned (missing stats somewhere)
+      // accumulate per column: None = poisoned (missing stats somewhere);
+      // tag 'n' = every populated chunk so far was all-NULL
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, Option[(Char, Any, Any)]]
       for (block <- md.getBlocks.asScala; cc <- block.getColumns.asScala) {
         val pathParts = cc.getPath.toArray
-        if (pathParts.length == 1) { // top-level primitives only
+        if (pathParts.length == 1 && pathParts(0) != "__rows") { // top-level primitives only
           val name = pathParts(0)
           val st = cc.getStatistics
           val chunk: Option[Option[(Char, Any, Any)]] =
             if (st == null || st.isEmpty) Some(None) // poison
-            else if (!st.hasNonNullValue) None       // all-NULL chunk: skip
+            else if (!st.hasNonNullValue) Some(Some(('n', "", ""))) // all-NULL chunk
             else cc.getPrimitiveType.getPrimitiveTypeName match {
               case INT64 => Some(Some(('l',
                 st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
@@ -272,6 +286,10 @@ object Snapshots {
             val merged = (acc.get(name), c) match {
               case (Some(None), _) | (_, None) => None
               case (None, v) => v // first sighting of this column
+              // 'n' is the identity of the merge: an all-NULL chunk
+              // constrains nothing but poisons nothing either
+              case (Some(Some(('n', _, _))), v) => v
+              case (Some(prev), Some(('n', _, _))) => prev
               case (Some(Some((t1, lo1, hi1))), Some((t2, lo2, hi2))) if t1 == t2 =>
                 (t1: @unchecked) match {
                   case 'l' => Some(('l',
@@ -292,9 +310,10 @@ object Snapshots {
           }
         } else acc.update(pathParts.mkString("."), None) // nested: never stat
       }
+      val rows = md.getBlocks.asScala.map(_.getRowCount).sum
       acc.toSeq.collect { case (name, Some((tag, lo, hi))) =>
         (name, tag, lo.toString, hi.toString)
-      }
+      } :+ ("__rows", 'l', rows.toString, rows.toString)
     } finally reader.close()
   }
 
@@ -937,23 +956,7 @@ object Snapshots {
   private def pruneDataEntries(es: Seq[Entry],
       filters: Seq[org.apache.spark.sql.sources.Filter],
       keepAnchor: Boolean = true): (Seq[Entry], Long) = {
-    val sEntries = es.filter(_.kind == "S").sortBy(_.ver)
-    // per-FILE keying on tracked tables: files written under tracking
-    // carry "#id" stats; PRE-tracking files (sid 0) carry name-keyed
-    // stats, and since initSchema proves all such files share the
-    // initial binding, the id's INITIAL name finds them soundly. A
-    // column id unknown to the initial binding (added later) resolves
-    // to no key — conservative keep, exactly like the read path's NULL.
-    val keyForEntry: Entry => String => Option[String] =
-      if (sEntries.isEmpty) _ => n => Some(n)
-      else {
-        val cur = decodeSchema(sEntries.last.path)
-        val idToInitName = decodeSchema(sEntries.head.path)
-          .map(c => c.id -> c.name).toMap
-        e => n => cur.find(_.name == n).flatMap { c =>
-          if (e.sid == 0L) idToInitName.get(c.id) else Some("#" + c.id)
-        }
-      }
+    val keyForEntry = entryKeyer(es)
     val total = es.count(_.kind == "A").toLong
     val surviving = es.filter { e =>
       e.kind != "A" || e.stats.isEmpty || {
@@ -966,26 +969,87 @@ object Snapshots {
     else (surviving ++ es.find(_.kind == "A"), total)
   }
 
+  /** Per-FILE stat keying: on tracked tables, files written under
+    * tracking carry "#id" stats; PRE-tracking files (sid 0) carry
+    * name-keyed stats, and since initSchema proves all such files share
+    * the initial binding, the id's INITIAL name finds them soundly. A
+    * column id unknown to the initial binding (added later) resolves to
+    * no key — conservative, exactly like the read path's NULL. */
+  private def entryKeyer(es: Seq[Entry]): Entry => String => Option[String] = {
+    val sEntries = es.filter(_.kind == "S").sortBy(_.ver)
+    if (sEntries.isEmpty) _ => n => Some(n)
+    else {
+      val cur = decodeSchema(sEntries.last.path)
+      val idToInitName = decodeSchema(sEntries.head.path)
+        .map(c => c.id -> c.name).toMap
+      e => n => cur.find(_.name == n).flatMap { c =>
+        if (e.sid == 0L) idToInitName.get(c.id) else Some("#" + c.id)
+      }
+    }
+  }
+
+  /** METADATA-ONLY aggregates — answered from the manifest alone, zero
+    * data IO (the Iceberg "metadata table" capability: a 100 TB
+    * count(*) or min/max in one manifest read). Defined only when EVERY
+    * data file carries the needed stat; any gap (stats-off commits,
+    * unsupported type, over-long string bounds) returns None — a caller
+    * falls back to the scan, never to a wrong answer. All-NULL files
+    * (tag 'n') are known to contribute no values and don't break
+    * min/max; a table whose column is entirely NULL yields None (SQL
+    * min/max would be NULL — the caller's fallback handles it). */
+  def metadataRowCount(spark: SparkSession, root: String,
+      version: Long = -1L): Option[Long] = {
+    val v = if (version >= 0) version else currentVersion(spark, root)
+    val rows = entries(spark, root, v).filter(_.kind == "A").map { e =>
+      decodeStats(e.stats).get("__rows").map(_.lo.toLong)
+    }
+    if (rows.exists(_.isEmpty)) None else Some(rows.flatten.sum)
+  }
+
+  /** Manifest-only (min, max) of an integral column (tag 'l'). */
+  def metadataMinMaxLong(spark: SparkSession, root: String, column: String,
+      version: Long = -1L): Option[(Long, Long)] = {
+    val v = if (version >= 0) version else currentVersion(spark, root)
+    val es = entries(spark, root, v)
+    val keyFor = entryKeyer(es)
+    val perFile = es.filter(_.kind == "A").map { e =>
+      keyFor(e)(column).flatMap(decodeStats(e.stats).get)
+    }
+    if (perFile.exists(_.isEmpty)) None // some file: unknown → no answer
+    else if (perFile.exists(_.exists(cs => cs.tag != 'l' && cs.tag != 'n'))) None
+    else {
+      val ranges = perFile.flatten.filter(_.tag == 'l')
+        .map(cs => (cs.lo.toLong, cs.hi.toLong))
+      if (ranges.isEmpty) None // entirely NULL: SQL min/max is NULL
+      else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+    }
+  }
+
   /** Could a file whose per-column ranges are `st` contain a row
     * matching `f`? Missing/incomparable information always answers
     * true (keep). NULL semantics are sound by construction: ranges
     * cover non-null values only, and every prunable comparison is
     * not-true on NULL — so a file excluded by range holds no matching
-    * row, null or not. */
+    * row, null or not; a column KNOWN all-NULL (tag 'n') fails every
+    * comparison outright. */
   private[graft] def mayMatch(st: Map[String, ColStats],
       keyFor: String => Option[String],
       f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
     def rng(attr: String): Option[ColStats] = keyFor(attr).flatMap(st.get)
     f match {
-      case EqualTo(a, v) => rng(a).forall(cs =>
+      case EqualTo(a, v) => rng(a).forall(cs => cs.tag != 'n' &&
         cmpBound(cs.tag, cs.lo, v).forall(_ <= 0) &&
           cmpBound(cs.tag, cs.hi, v).forall(_ >= 0))
       case EqualNullSafe(a, v) if v != null => mayMatch(st, keyFor, EqualTo(a, v))
-      case GreaterThan(a, v) => rng(a).forall(cs => cmpBound(cs.tag, cs.hi, v).forall(_ > 0))
-      case GreaterThanOrEqual(a, v) => rng(a).forall(cs => cmpBound(cs.tag, cs.hi, v).forall(_ >= 0))
-      case LessThan(a, v) => rng(a).forall(cs => cmpBound(cs.tag, cs.lo, v).forall(_ < 0))
-      case LessThanOrEqual(a, v) => rng(a).forall(cs => cmpBound(cs.tag, cs.lo, v).forall(_ <= 0))
+      case GreaterThan(a, v) => rng(a).forall(cs => cs.tag != 'n' &&
+        cmpBound(cs.tag, cs.hi, v).forall(_ > 0))
+      case GreaterThanOrEqual(a, v) => rng(a).forall(cs => cs.tag != 'n' &&
+        cmpBound(cs.tag, cs.hi, v).forall(_ >= 0))
+      case LessThan(a, v) => rng(a).forall(cs => cs.tag != 'n' &&
+        cmpBound(cs.tag, cs.lo, v).forall(_ < 0))
+      case LessThanOrEqual(a, v) => rng(a).forall(cs => cs.tag != 'n' &&
+        cmpBound(cs.tag, cs.lo, v).forall(_ <= 0))
       case In(a, vs) => vs.isEmpty || vs.exists(v => mayMatch(st, keyFor, EqualTo(a, v)))
       case And(l, r) => mayMatch(st, keyFor, l) && mayMatch(st, keyFor, r)
       case Or(l, r) => mayMatch(st, keyFor, l) || mayMatch(st, keyFor, r)

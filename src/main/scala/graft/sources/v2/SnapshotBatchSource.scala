@@ -115,6 +115,12 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
 private[v2] class SnapshotBatchScan(root: String, version: Long,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch {
   private def spark = SparkSession.active
+  // pin the version ONCE per scan — planInputPartitions and
+  // createReaderFactory are separate calls, and a concurrent commit
+  // between them must not skew the two (snapshot isolation holds per
+  // scan, exactly like readSnapshot's frozen file list)
+  private lazy val resolvedVersion: Long =
+    if (version >= 0) version else Snapshots.currentVersion(spark, root)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -123,7 +129,7 @@ private[v2] class SnapshotBatchScan(root: String, version: Long,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Snapshots.prunedDataFilesForScan(spark, root,
-      pushed.toIndexedSeq, version)
+      pushed.toIndexedSeq, resolvedVersion)
     files.map(SnapshotFilePartition(_): InputPartition).toArray
   }
 
@@ -138,7 +144,7 @@ private[v2] class SnapshotBatchScan(root: String, version: Long,
     // falls back to the narrowest single field; the conversion still
     // emits empty rows.
     val files = Snapshots.prunedDataFilesForScan(spark, root,
-      pushed.toIndexedSeq, version)
+      pushed.toIndexedSeq, resolvedVersion)
     val confEntries = SnapshotReaderFactory.confToMap(conf)
     if (files.isEmpty)
       new SnapshotReaderFactory(required, confEntries) // never invoked

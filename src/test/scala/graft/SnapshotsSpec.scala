@@ -638,6 +638,42 @@ class SnapshotsSpec extends SparkTestBase {
     assert(pruned.filter(col("id") === 5L).count() == 0L, "deleted key stays deleted")
   }
 
+  test("metadata-only aggregates: count/min/max from the manifest; gaps → None, never wrong") {
+    val root = freshRoot("meta")
+    Snapshots.commitAppend(spark, root, table(10, "a").coalesce(1))
+    Snapshots.commitAppend(spark, root, table(5, "b").coalesce(1))
+    assert(Snapshots.metadataRowCount(spark, root).contains(15L))
+    assert(Snapshots.metadataMinMaxLong(spark, root, "id").contains((1L, 10L)))
+    // a stats-off commit makes the answers unavailable — never wrong
+    spark.conf.set("spark.graft.snapshots.stats", "false")
+    try Snapshots.commitAppend(spark, root, table(3, "c").coalesce(1))
+    finally spark.conf.unset("spark.graft.snapshots.stats")
+    assert(Snapshots.metadataRowCount(spark, root).isEmpty)
+    assert(Snapshots.metadataMinMaxLong(spark, root, "id").isEmpty)
+    // time travel still answers at the fully-statted version
+    assert(Snapshots.metadataRowCount(spark, root, 2L).contains(15L))
+    // a string column is not an integral aggregate target
+    assert(Snapshots.metadataMinMaxLong(spark, root, "tag", 2L).isEmpty)
+    // unknown column: None
+    assert(Snapshots.metadataMinMaxLong(spark, root, "nope", 2L).isEmpty)
+  }
+
+  test("all-NULL columns: tag 'n' prunes every comparison and keeps metadata min/max sound") {
+    val root = freshRoot("allnull")
+    Snapshots.commitAppend(spark, root,
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+        .toDF("id", "v").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((3L, Option(30L)), (4L, Option(40L))).toDF("id", "v").coalesce(1))
+    // v > 10 cannot match the all-NULL file: it is PRUNED, not kept
+    val f = Seq[org.apache.spark.sql.sources.Filter](FGt("v", 10L))
+    assert(Snapshots.pruneCounts(spark, root, f) == ((1L, 2L)))
+    assert(Snapshots.readSnapshotPruned(spark, root, f).count() == 2L)
+    // min/max skips the value-free file, exactly like SQL min/max
+    assert(Snapshots.metadataMinMaxLong(spark, root, "v").contains((30L, 40L)))
+    assert(Snapshots.metadataRowCount(spark, root).contains(4L))
+  }
+
   test("file skipping: stats are keyed by column ID — pruning survives a rename") {
     val root = freshRoot("skiprename")
     Snapshots.commitAppend(spark, root,
