@@ -112,8 +112,9 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
     root, version, required, pushed)
 }
 
-private[v2] class SnapshotBatchScan(root: String, version: Long,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+private[graft] class SnapshotBatchScan(root: String, version: Long,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   private def spark = SparkSession.active
   // pin the version ONCE per scan — planInputPartitions and
   // createReaderFactory are separate calls, and a concurrent commit
@@ -121,6 +122,18 @@ private[v2] class SnapshotBatchScan(root: String, version: Long,
   // scan, exactly like readSnapshot's frozen file list)
   private lazy val resolvedVersion: Long =
     if (version >= 0) version else Snapshots.currentVersion(spark, root)
+  // RUNTIME file pruning (dynamic-partition-pruning shape): when this
+  // scan is the fact side of a join, Spark delivers the dim side's key
+  // set as an In filter AT EXECUTION — files whose ranges miss every
+  // key are dropped then, the same manifest test as compile-time
+  // pushdown. At 100 TB this is "join against yesterday's partition
+  // keys, scan only yesterday's files" with zero user hints.
+  private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter(Snapshots.prunableFilter)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -129,7 +142,7 @@ private[v2] class SnapshotBatchScan(root: String, version: Long,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Snapshots.prunedDataFilesForScan(spark, root,
-      pushed.toIndexedSeq, resolvedVersion)
+      (pushed ++ runtime).toIndexedSeq, resolvedVersion)
     files.map(SnapshotFilePartition(_): InputPartition).toArray
   }
 

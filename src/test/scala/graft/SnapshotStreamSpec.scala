@@ -196,6 +196,26 @@ class SnapshotStreamSpec extends SparkTestBase {
     assert(batchRead(root).count() == 40L)
   }
 
+  test("batch source: runtime filters prune files at execution (the DPP shape)") {
+    import org.apache.spark.sql.sources.{Filter => SFilter, In}
+    val root = rangedTable4("dsv2rt")
+    val schema = graft.sources.v2.SnapshotStreamSource.inferFromLatest(spark, root)
+    val scan = new graft.sources.v2.SnapshotBatchScan(root, -1L, schema, Array.empty)
+    assert(scan.planInputPartitions().length == 4)
+    // the engine delivers the dim side's key set at execution: only the
+    // files whose ranges can hold a key stay planned
+    scan.filter(Array[SFilter](In("id", Array(5L, 7L))))
+    assert(scan.planInputPartitions().length == 1,
+      "runtime In over one range must keep one file")
+    scan.filter(Array[SFilter](In("id", Array(5L, 35L))))
+    assert(scan.planInputPartitions().length == 2)
+    // a broadcast join over the source stays CORRECT whether or not the
+    // engine chooses to deliver runtime filters
+    val dim = Seq(5L, 35L).toDF("id")
+    val joined = batchRead(root).join(broadcast(dim), "id")
+    assert(joined.collect().map(_.getString(1)).sorted.toSeq == Seq("t35", "t5"))
+  }
+
   test("batch source: version pin time-travels; delete entries fail loudly") {
     val root = rangedTable4("dsv2ver")
     assert(spark.read.format("graft.sources.v2.SnapshotBatchSource")
