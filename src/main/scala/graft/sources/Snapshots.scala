@@ -178,10 +178,13 @@ object Snapshots {
     * `n`=the column is entirely NULL in this file (a POSITIVE fact:
     * every comparison predicate prunes the file, and metadata
     * aggregates know the file contributes no values — distinct from a
-    * MISSING stat, which always means "unknown, keep"). The reserved
-    * key `__rows` carries the file's row count (lo = hi = rows); a data
-    * column literally named `__rows` is never statted (ambiguity is
-    * dropped, not guessed). */
+    * MISSING stat, which always means "unknown, keep"). Reserved keys:
+    * `__rows` carries the file's row count, `__bytes` its on-disk size
+    * (lo = hi = the value) — the planner-statistics feed
+    * ([[graft.sources.v2.SnapshotBatchSource]] reports the PRUNED
+    * scan's true size, so a selective read of a huge table can
+    * auto-broadcast). Data columns literally named `__rows`/`__bytes`
+    * are never statted (ambiguity is dropped, not guessed). */
   private def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def urlDec(s: String): String =
@@ -239,9 +242,9 @@ object Snapshots {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val conf = graft.sources.v2.SnapshotReaderFactory.mapToConf(confMap)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), conf))
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
     try {
       val md = reader.getFooter
       // accumulate per column: None = poisoned (missing stats somewhere);
@@ -250,7 +253,7 @@ object Snapshots {
         .empty[String, Option[(Char, Any, Any)]]
       for (block <- md.getBlocks.asScala; cc <- block.getColumns.asScala) {
         val pathParts = cc.getPath.toArray
-        if (pathParts.length == 1 && pathParts(0) != "__rows") { // top-level primitives only
+        if (pathParts.length == 1 && !pathParts(0).startsWith("__")) { // top-level primitives only
           val name = pathParts(0)
           val st = cc.getStatistics
           val chunk: Option[Option[(Char, Any, Any)]] =
@@ -311,9 +314,11 @@ object Snapshots {
         } else acc.update(pathParts.mkString("."), None) // nested: never stat
       }
       val rows = md.getBlocks.asScala.map(_.getRowCount).sum
+      val bytes = inFile.getLength
       acc.toSeq.collect { case (name, Some((tag, lo, hi))) =>
         (name, tag, lo.toString, hi.toString)
-      } :+ ("__rows", 'l', rows.toString, rows.toString)
+      } :+ ("__rows", 'l', rows.toString, rows.toString) :+
+        ("__bytes", 'l', bytes.toString, bytes.toString)
     } finally reader.close()
   }
 
@@ -1023,6 +1028,26 @@ object Snapshots {
       if (ranges.isEmpty) None // entirely NULL: SQL min/max is NULL
       else Some((ranges.map(_._1).min, ranges.map(_._2).max))
     }
+  }
+
+  /** (rows, bytes) the PRUNED scan will actually touch, from the
+    * manifest alone — the planner-statistics feed for
+    * [[graft.sources.v2.SnapshotBatchSource]]: with accurate post-prune
+    * sizes, Spark's own join strategy can auto-broadcast a selective
+    * read of a huge table. Either component is None when any surviving
+    * file lacks the reserved stat (never a guess). */
+  private[graft] def prunedScanEstimate(spark: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      version: Long = -1L): (Option[Long], Option[Long]) = {
+    val v = if (version >= 0) version else currentVersion(spark, root)
+    val es = entries(spark, root, v)
+    val kept = pruneDataEntries(es, filters, keepAnchor = false)._1
+      .filter(_.kind == "A")
+    def total(key: String): Option[Long] = {
+      val per = kept.map(e => decodeStats(e.stats).get(key).map(_.lo.toLong))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
+    (total("__rows"), total("__bytes"))
   }
 
   /** Could a file whose per-column ranges are `st` contain a row

@@ -114,7 +114,8 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
 
 private[graft] class SnapshotBatchScan(root: String, version: Long,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private def spark = SparkSession.active
   // pin the version ONCE per scan — planInputPartitions and
   // createReaderFactory are separate calls, and a concurrent commit
@@ -134,6 +135,23 @@ private[graft] class SnapshotBatchScan(root: String, version: Long,
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters.filter(Snapshots.prunableFilter)
+  /** POST-PRUNE planner statistics from the manifest's reserved
+    * `__rows`/`__bytes` keys: the optimizer sees the size of what the
+    * scan will actually read, so a selective read of a huge table
+    * lands under the auto-broadcast threshold on its true size —
+    * exactly how Iceberg/Delta make "join the last day's files" pick a
+    * broadcast join unaided. Unknown components stay empty (Spark
+    * falls back to its defaults), never a guess. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val (rows, bytes) = Snapshots.prunedScanEstimate(spark, root,
+      (pushed ++ runtime).toIndexedSeq, resolvedVersion)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.fold(java.util.OptionalLong.empty)(java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty)(java.util.OptionalLong.of)
+    }
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

@@ -216,6 +216,26 @@ class SnapshotStreamSpec extends SparkTestBase {
     assert(joined.collect().map(_.getString(1)).sorted.toSeq == Seq("t35", "t5"))
   }
 
+  test("batch source: planner statistics reflect the PRUNED scan, not the table") {
+    import org.apache.spark.sql.sources.{Filter => SFilter, LessThanOrEqual}
+    val root = rangedTable4("dsv2stats")
+    val schema = graft.sources.v2.SnapshotStreamSource.inferFromLatest(spark, root)
+    def statsOf(pushed: Array[SFilter]) = {
+      val st = new graft.sources.v2.SnapshotBatchScan(root, -1L, schema, pushed)
+        .estimateStatistics()
+      (st.numRows(), st.sizeInBytes())
+    }
+    val (fullRows, fullBytes) = statsOf(Array.empty)
+    assert(fullRows.getAsLong == 40L, "manifest row count feeds the planner")
+    assert(fullBytes.isPresent && fullBytes.getAsLong > 0L)
+    val (selRows, selBytes) = statsOf(Array(LessThanOrEqual("id", 10L)))
+    assert(selRows.getAsLong == 10L,
+      "a selective scan reports its post-prune row count")
+    assert(selBytes.getAsLong < fullBytes.getAsLong,
+      "post-prune bytes shrink with the file set — what lets Spark " +
+        "auto-broadcast a selective read of a huge table")
+  }
+
   test("batch source: version pin time-travels; delete entries fail loudly") {
     val root = rangedTable4("dsv2ver")
     assert(spark.read.format("graft.sources.v2.SnapshotBatchSource")
