@@ -506,6 +506,41 @@ object QueriesCore {
     """SELECT count(*) AS n_rows, CAST(min(n_chars) AS BIGINT) AS min_chars,
       |  CAST(max(n_chars) AS BIGINT) AS max_chars FROM documents""".stripMargin
 
+  /** scan_snapshot_agg_pushdown: the DECLARATIVE form of
+    * [[lakeStatsAgg]] (round 12) — a plain `df.agg(count/min/max)` over
+    * the DSv2 snapshot source, COMPLETELY pushed down to the manifest
+    * ([[graft.sources.v2.SnapshotBatchSource]],
+    * `SupportsPushDownAggregates`): the physical plan is one
+    * metadata-row partition, zero data files opened. The gate pins the
+    * VALUES against the scan-derived oracle AND the fact that pushdown
+    * actually happened (`agg_pushed` read off the executed plan — a
+    * silent fallback to the ordinary scan would flip it false and
+    * hash-mismatch). */
+  val scanSnapshotAggPushdown: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_aggpush"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    for (k <- 0 to 2)
+      Snapshots.commitAppend(s, root,
+        d.filter(pmod(col("doc_id"), lit(3)) === k).repartition(2))
+    val out = s.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).load()
+      .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("min_id"),
+        max(col("n_chars")).as("max_chars"))
+    val pushedFlag =
+      out.queryExecution.executedPlan.toString.contains("PushedAggregates")
+    out.select(col("n_rows"), col("min_id").cast("long").as("min_id"),
+      col("max_chars").cast("long").as("max_chars"),
+      lit(pushedFlag).as("agg_pushed"))
+  }
+
+  val scanSnapshotAggPushdownSql =
+    """SELECT count(*) AS n_rows, CAST(min(doc_id) AS BIGINT) AS min_id,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars, TRUE AS agg_pushed
+      |FROM documents""".stripMargin
+
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
     * path when file-diff CDC is unsound (rewrites, deletes): EXCEPT ALL
@@ -2501,6 +2536,7 @@ object QueriesCore {
     "lake_skipping" -> lakeSkipping,
     "lake_stats_agg" -> lakeStatsAgg,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
+    "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdown,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -2609,6 +2645,7 @@ object QueriesCore {
     "lake_skipping" -> lakeSkippingSql,
     "lake_stats_agg" -> lakeStatsAggSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
+    "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdownSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

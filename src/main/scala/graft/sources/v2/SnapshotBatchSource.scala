@@ -91,10 +91,12 @@ private[v2] class SnapshotBatchTable(root: String, version: Long,
 private[v2] class SnapshotScanBuilder(root: String, version: Long,
     tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggValues: Option[(StructType, Seq[Any], String)] = None
 
   /** Accept the prunable subset for file skipping; return EVERYTHING as
     * residual — manifest stats exclude whole files, never rows, so
@@ -108,9 +110,104 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SnapshotBatchScan(
-    root, version, required, pushed)
+  /** COMPLETE aggregate pushdown from the MANIFEST: ungrouped
+    * count(*) / min / max over integral columns are answered from the
+    * reserved `__rows` key and the per-file ranges — the whole
+    * aggregation collapses to ONE metadata row, zero files opened
+    * (`lake_stats_agg` is the explicit API; this is `df.agg(...)`
+    * doing it declaratively). Accepted ONLY when every file carries
+    * the needed stat — any gap, a residual filter, a group-by, or a
+    * non-integral column declines and the ordinary scan computes. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    compileAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    compileAgg(agg) match {
+      case Some(v) => aggValues = Some(v); true
+      case None => false
+    }
+
+  private def compileAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    val spark = SparkSession.active
+    def intCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+          tableSchema.fields.exists(sf => sf.name == f.fieldNames()(0) &&
+            (sf.dataType == org.apache.spark.sql.types.LongType ||
+             sf.dataType == org.apache.spark.sql.types.IntegerType)) =>
+          Some(f.fieldNames()(0))
+        case _ => None
+      }
+    def typed(col: String, v: Long): Any =
+      tableSchema.fields.find(_.name == col).get.dataType match {
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case _ => v
+      }
+    def field(name: String, col: String) = org.apache.spark.sql.types.StructField(
+      name, tableSchema.fields.find(_.name == col).get.dataType, nullable = false)
+    val out = agg.aggregateExpressions.toSeq.foldLeft(
+      Option((Vector.empty[org.apache.spark.sql.types.StructField],
+        Vector.empty[Any], Vector.empty[String]))) {
+      case (Some((fs, vs, ds)), _: CountStar) =>
+        Snapshots.metadataRowCount(spark, root, version).map(n =>
+          (fs :+ org.apache.spark.sql.types.StructField("count",
+            org.apache.spark.sql.types.LongType, nullable = false),
+            vs :+ (n: Any), ds :+ "COUNT(*)"))
+      case (Some((fs, vs, ds)), m: Min) => intCol(m.column).flatMap { c =>
+        Snapshots.metadataMinMaxLong(spark, root, c, version).map { case (lo, _) =>
+          (fs :+ field(s"min($c)", c), vs :+ typed(c, lo), ds :+ s"MIN($c)") }
+      }
+      case (Some((fs, vs, ds)), m: Max) => intCol(m.column).flatMap { c =>
+        Snapshots.metadataMinMaxLong(spark, root, c, version).map { case (_, hi) =>
+          (fs :+ field(s"max($c)", c), vs :+ typed(c, hi), ds :+ s"MAX($c)") }
+      }
+      case _ => None
+    }
+    out.collect { case (fs, vs, ds) if fs.nonEmpty =>
+      (StructType(fs), vs.toSeq, ds.mkString(", "))
+    }
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some((schema, values, desc)) =>
+      new SnapshotAggScan(root, schema, values, desc)
+    case None => new SnapshotBatchScan(root, version, required, pushed)
+  }
 }
+
+/** The one-metadata-row scan a completely-pushed aggregation plans:
+  * a single partition emitting a single row of final values, computed
+  * from the manifest at push time — no data file is ever opened. */
+private[graft] class SnapshotAggScan(root: String, schema: StructType,
+    values: Seq[Any], desc: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"snapshot($root) PushedAggregates: [$desc] (manifest-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[SnapshotAggPartition].values
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(vals)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[v2] case class SnapshotAggPartition(values: Seq[Any]) extends InputPartition
 
 private[graft] class SnapshotBatchScan(root: String, version: Long,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch

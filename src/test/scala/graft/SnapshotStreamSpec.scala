@@ -216,6 +216,26 @@ class SnapshotStreamSpec extends SparkTestBase {
     assert(joined.collect().map(_.getString(1)).sorted.toSeq == Seq("t35", "t5"))
   }
 
+  test("batch source: ungrouped count/min/max collapse to one manifest row (aggregate pushdown)") {
+    val root = rangedTable4("dsv2agg")
+    val df = batchRead(root)
+    val out = df.agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    assert(out.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "the aggregation must be answered from the manifest, zero files opened")
+    assert(out.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((40L, 1L, 40L)))
+    // declined shapes stay on the ordinary scan and stay correct
+    val grouped = df.groupBy("tag").count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(grouped.count() == 40L)
+    val filtered = df.filter(col("id") <= 10).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(filtered.head.getLong(0) == 10L)
+    val str = df.agg(min("tag"))
+    assert(!str.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(str.head.getString(0) == "t1")
+  }
+
   test("batch source: planner statistics reflect the PRUNED scan, not the table") {
     import org.apache.spark.sql.sources.{Filter => SFilter, LessThanOrEqual}
     val root = rangedTable4("dsv2stats")
