@@ -1011,17 +1011,27 @@ object Snapshots {
   def metadataRowCount(spark: SparkSession, root: String,
       version: Long = -1L): Option[Long] = {
     val v = if (version >= 0) version else currentVersion(spark, root)
-    val rows = entries(spark, root, v).filter(_.kind == "A").map { e =>
+    val es = entries(spark, root, v)
+    // merge-on-read deletes make file-level counts an OVER-count (a
+    // deleted row still sits in its immutable file) — decline, never
+    // report the pre-delete number (round-12 self-review find)
+    if (es.exists(_.kind == "D")) return None
+    val rows = es.filter(_.kind == "A").map { e =>
       decodeStats(e.stats).get("__rows").map(_.lo.toLong)
     }
     if (rows.exists(_.isEmpty)) None else Some(rows.flatten.sum)
   }
 
-  /** Manifest-only (min, max) of an integral column (tag 'l'). */
+  /** Manifest-only (min, max) of an integral column (tag 'l'). A
+    * re-typed column's stats stay in the write-time integral domain —
+    * values are numerically exact, the caller gets longs either way. */
   def metadataMinMaxLong(spark: SparkSession, root: String, column: String,
       version: Long = -1L): Option[(Long, Long)] = {
     val v = if (version >= 0) version else currentVersion(spark, root)
     val es = entries(spark, root, v)
+    // same delete guard as the row count: a delete may have removed
+    // exactly the extreme row, so file ranges no longer bound the table
+    if (es.exists(_.kind == "D")) return None
     val keyFor = entryKeyer(es)
     val perFile = es.filter(_.kind == "A").map { e =>
       keyFor(e)(column).flatMap(decodeStats(e.stats).get)
@@ -1245,18 +1255,28 @@ object Snapshots {
     added.map(_.path)
   }
 
-  /** Data files version `v` ADDED relative to `v-1`, counted WITHOUT
+  /** Per-version appended-data-file counts over `(fromV, toV]`, WITHOUT
     * the append-only contract checks (admission control needs a cheap
-    * per-version size signal before a batch is planned; the planning
-    * path, [[appendedDataFiles]], still enforces the contract loudly).
-    * Two manifest reads, no data IO. */
-  private[graft] def appendedFileCountLenient(spark: SparkSession, root: String,
-      v: Long): Long = {
-    val before =
-      if (v <= 1) Set.empty[String] else readManifest(spark, root, v - 1).toSet
-    readManifest(spark, root, v).filterNot(before).map(parseEntry)
-      .count(_.kind == "A").toLong
+    * size signal before a batch is planned; the planning path,
+    * [[appendedDataFiles]], still enforces the contract loudly). Each
+    * manifest in the range is read exactly ONCE — a capped catch-up
+    * over a long history is O(range) manifest reads, no data IO. */
+  private[graft] def appendedFileCounts(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): Seq[Long] = {
+    var prev: Set[String] =
+      if (fromV <= 0) Set.empty else readManifest(spark, root, fromV).toSet
+    (fromV + 1 to toV).map { v =>
+      val cur = readManifest(spark, root, v)
+      val n = cur.filterNot(prev).map(parseEntry).count(_.kind == "A").toLong
+      prev = cur.toSet
+      n
+    }
   }
+
+  /** Single-version form of [[appendedFileCounts]]. */
+  private[graft] def appendedFileCountLenient(spark: SparkSession, root: String,
+      v: Long): Long =
+    appendedFileCounts(spark, root, math.max(v - 1, 0), v).head
 
   /** Row-level diff between two versions, the general-commit CDC
     * (handles REPLACE and delete commits, where file-diff is unsound):

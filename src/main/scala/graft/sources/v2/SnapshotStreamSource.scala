@@ -191,11 +191,13 @@ private[graft] class SnapshotMicroBatchStream(root: String, schema: StructType,
     val end = budget match {
       case None => verCapped
       case Some(b) =>
+        // one manifest read per version in the capped range (not two)
+        val counts = Snapshots.appendedFileCounts(spark, root, start, verCapped)
         var v = start
         var admitted = 0L
         var stop = false
         while (!stop && v < verCapped) {
-          val next = Snapshots.appendedFileCountLenient(spark, root, v + 1)
+          val next = counts((v - start).toInt)
           if (admitted > 0 && admitted + next > b) stop = true
           else { admitted += next; v += 1 }
         }

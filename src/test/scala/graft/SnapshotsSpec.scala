@@ -656,6 +656,17 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.metadataMinMaxLong(spark, root, "tag", 2L).isEmpty)
     // unknown column: None
     assert(Snapshots.metadataMinMaxLong(spark, root, "nope", 2L).isEmpty)
+    // a DELETE makes file-level stats an over-count / stale bound:
+    // both aggregates must DECLINE, not report the pre-delete numbers
+    // (the deleted key 10 was the column max) — round-12 self-review
+    val root2 = freshRoot("metadel")
+    Snapshots.commitAppend(spark, root2, table(10, "a").coalesce(1))
+    Snapshots.commitDelete(spark, root2, Seq(10L).toDF("id"))
+    assert(Snapshots.metadataRowCount(spark, root2).isEmpty)
+    assert(Snapshots.metadataMinMaxLong(spark, root2, "id").isEmpty)
+    // the pre-delete version still answers exactly
+    assert(Snapshots.metadataRowCount(spark, root2, 1L).contains(10L))
+    assert(Snapshots.metadataMinMaxLong(spark, root2, "id", 1L).contains((1L, 10L)))
   }
 
   test("all-NULL columns: tag 'n' prunes every comparison and keeps metadata min/max sound") {
