@@ -51,6 +51,9 @@ object ScaleProbe {
     // round-11 additions
     "lake_schema_rename", "stream_join_outer_live", "join_bucketed",
     "curate_host_cap", "stream_join_full_live", "ts_holt_winters", "fn_ip",
+    // round-12 additions (manifest stats / skipping / metadata aggregates)
+    "lake_skipping", "scan_snapshot_pushdown", "lake_stats_agg",
+    "scan_snapshot_agg_pushdown", "fn_ip_v6",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions
