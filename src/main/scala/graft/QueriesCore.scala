@@ -506,6 +506,64 @@ object QueriesCore {
     """SELECT count(*) AS n_rows, CAST(min(n_chars) AS BIGINT) AS min_chars,
       |  CAST(max(n_chars) AS BIGINT) AS max_chars FROM documents""".stripMargin
 
+  /** lake_stats_agg_grouped: GROUPED metadata-only aggregation (round
+    * 13, VERDICT r12 ask #3) — `SELECT g, count(*), min(v), max(v) …
+    * GROUP BY g` answered from the manifest alone when the group column
+    * is SINGLE-VALUED per file (manifest lo == hi), the layout a
+    * partition-shaped ingest produces and exactly how Iceberg serves
+    * "rows per day" from manifests. Four bucket-pure commits (doc_id%4,
+    * one file each), then [[graft.sources.Snapshots.metadataGroupedRowCount]]
+    * + [[graft.sources.Snapshots.metadataGroupedMinMaxLong]] — zero data
+    * IO. The SAME shape is also pushed DECLARATIVELY through the DSv2
+    * source (`df.groupBy(bucket).agg(...)` →
+    * `SupportsPushDownAggregates` with group columns): the
+    * `dsv2_pushed_match` flag pins that the plan really pushed
+    * (PushedAggregates in the executed plan) AND returned identical
+    * rows — a silent fallback or mismatch flips it false and
+    * hash-mismatches the gate. Decline paths (multi-valued file,
+    * stats gap, pending delete) are spec-pinned in SnapshotsSpec. */
+  val lakeStatsAggGrouped: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_metagrp"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+      pmod(col("doc_id"), lit(4)).as("bucket"))
+    for (k <- 0 to 3)
+      Snapshots.commitAppend(s, root, d.filter(col("bucket") === k).coalesce(1))
+    val counts = Snapshots.metadataGroupedRowCount(s, root, "bucket").getOrElse(
+      sys.error("manifest stats incomplete — grouped metadata aggregate unavailable"))
+    val mm = Snapshots.metadataGroupedMinMaxLong(s, root, "bucket", "n_chars")
+      .getOrElse(sys.error("manifest stats incomplete — grouped min/max unavailable"))
+      .toMap
+    val explicit = counts.map { case (k, n) =>
+      val (lo, hi) = mm(k).getOrElse(sys.error(s"no range for bucket $k"))
+      (k.getOrElse(sys.error("unexpected NULL bucket")).toLong, n, lo, hi)
+    }
+    // the declarative twin: an ORDINARY groupBy/agg over the DSv2 source
+    // collapses to manifest rows (4 groups — a bounded read-back)
+    val dsv2 = s.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).load()
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+    val pushedFlag =
+      dsv2.queryExecution.executedPlan.toString.contains("PushedAggregates")
+    val got = dsv2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val matches = pushedFlag && got == explicit.toSet
+    import s.implicits._
+    explicit.toDF("bucket", "n_rows", "min_chars", "max_chars")
+      .withColumn("dsv2_pushed_match", lit(matches))
+      .orderBy("bucket")
+  }
+
+  val lakeStatsAggGroupedSql =
+    """SELECT doc_id % 4 AS bucket, count(*) AS n_rows,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  TRUE AS dsv2_pushed_match
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** scan_snapshot_agg_pushdown: the DECLARATIVE form of
     * [[lakeStatsAgg]] (round 12) — a plain `df.agg(count/min/max)` over
     * the DSv2 snapshot source, COMPLETELY pushed down to the manifest
@@ -540,6 +598,54 @@ object QueriesCore {
     """SELECT count(*) AS n_rows, CAST(min(doc_id) AS BIGINT) AS min_id,
       |  CAST(max(n_chars) AS BIGINT) AS max_chars, TRUE AS agg_pushed
       |FROM documents""".stripMargin
+
+  /** lake_compact_clustered: snapshot-native CLUSTERING compaction
+    * (round 13, VERDICT r12 ask #4 —
+    * [[graft.sources.Snapshots.commitReplaceClustered]]): the table is
+    * built with a deliberately SCATTERED ingest — four interleaved
+    * commits of doc_id % 4 == k, two files each, so every one of the 8
+    * files spans the whole doc_id domain and a quartile predicate can
+    * skip NOTHING (kept_before = 8/8, deterministic by construction:
+    * each residue class contains ids below max/4). One
+    * `commitReplaceClustered(doc_id)` re-sorts into range-disjoint
+    * files and regenerates manifest stats; the same predicate then
+    * prunes STRICTLY fewer files (the top-of-range file can never
+    * intersect the lowest quartile once ranges are disjoint). The gate
+    * pins answer-invariance (count + checksum over the pruned read
+    * AFTER clustering ≡ the plain filtered oracle), the scattered
+    * baseline (8, 8) and the strict improvement as a boolean —
+    * `repartitionByRange` file boundaries are sampled, so the exact
+    * post-cluster count is the one honest nondeterminism, pinned as an
+    * inequality instead of a constant. */
+  val lakeCompactClustered: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_cluster"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    for (k <- 0 until 4) // interleaved ingest: every file spans the domain
+      Snapshots.commitAppend(s, root,
+        d.filter(pmod(col("doc_id"), lit(4)) === k).repartition(2))
+    val filters = Seq[org.apache.spark.sql.sources.Filter](
+      LessThanOrEqual("doc_id", maxId / 4))
+    val (keptBefore, totalBefore) = Snapshots.pruneCounts(s, root, filters)
+    Snapshots.commitReplaceClustered(s, root, Seq("doc_id"), numFiles = 8)
+    val (keptAfter, _) = Snapshots.pruneCounts(s, root, filters)
+    Snapshots.readSnapshotPruned(s, root, filters)
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(keptBefore).as("kept_before"), lit(totalBefore).as("total_before"),
+        lit(keptAfter < keptBefore).as("clustered_prunes_fewer"))
+  }
+
+  val lakeCompactClusteredSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(8 AS BIGINT) AS kept_before, CAST(8 AS BIGINT) AS total_before,
+      |  TRUE AS clustered_prunes_fewer
+      |FROM documents
+      |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
 
   /** snapshot_diff: row-level CDC across a REPLACE commit
     * ([[graft.sources.Snapshots.snapshotDiff]], round 10) — the general
@@ -2533,8 +2639,10 @@ object QueriesCore {
     "lake_merge" -> lakeMerge,
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_schema_rename" -> lakeSchemaRename,
+    "lake_compact_clustered" -> lakeCompactClustered,
     "lake_skipping" -> lakeSkipping,
     "lake_stats_agg" -> lakeStatsAgg,
+    "lake_stats_agg_grouped" -> lakeStatsAggGrouped,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdown,
     "lake_vacuum" -> lakeVacuum,
@@ -2642,8 +2750,10 @@ object QueriesCore {
     "lake_merge" -> lakeMergeSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_schema_rename" -> lakeSchemaRenameSql,
+    "lake_compact_clustered" -> lakeCompactClusteredSql,
     "lake_skipping" -> lakeSkippingSql,
     "lake_stats_agg" -> lakeStatsAggSql,
+    "lake_stats_agg_grouped" -> lakeStatsAggGroupedSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdownSql,
     "lake_vacuum" -> lakeVacuumSql,

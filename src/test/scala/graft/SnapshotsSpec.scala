@@ -766,4 +766,155 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.readSnapshotPruned(spark, root,
       Seq[org.apache.spark.sql.sources.Filter](FEq("value", 123456L))).count() == 0L)
   }
+
+  test("clustering compaction: scattered ingest prunes nothing; clustered files prune; answer invariant") {
+    val root = freshRoot("cluster")
+    // interleaved ingest: ids k, k+4, k+8, … — every file spans 1..400
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(spark, root,
+        (1 to 400).filter(_ % 4 == k).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+          .coalesce(1))
+    val f = Seq[org.apache.spark.sql.sources.Filter](FLe("id", 100L))
+    val (kb, tb) = Snapshots.pruneCounts(spark, root, f)
+    assert((kb, tb) == ((4L, 4L)), "scattered layout must defeat skipping entirely")
+    val before = Snapshots.readSnapshot(spark, root).orderBy("id").collect().toSeq
+    val v = Snapshots.commitReplaceClustered(spark, root, Seq("id"), numFiles = 4)
+    // answer invariance: the rewrite changes layout, never content
+    assert(Snapshots.readSnapshot(spark, root).orderBy("id").collect().toSeq == before)
+    // disjoint ranges: the quartile predicate now skips files
+    val (ka, ta) = Snapshots.pruneCounts(spark, root, f)
+    assert(ka < kb, s"clustering must prune strictly fewer files: $ka vs $kb")
+    assert(ta == Snapshots.fileCount(spark, root, v))
+    assert(Snapshots.readSnapshotPruned(spark, root, f).count() == 100L)
+    // pre-cluster version still reads its own scattered files
+    assert(Snapshots.readSnapshot(spark, root, 4L).count() == 400L)
+    // pending deletes are materialized away by the rewrite
+    val root2 = freshRoot("clusterdel")
+    Snapshots.commitAppend(spark, root2,
+      (1 to 50).map(i => (i.toLong, "a")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitDelete(spark, root2, Seq(7L, 9L).toDF("id"))
+    Snapshots.commitReplaceClustered(spark, root2, Seq("id"), numFiles = 2)
+    assert(Snapshots.readSnapshot(spark, root2).count() == 48L)
+    // and metadata aggregates (blocked by the delete before) answer again
+    assert(Snapshots.metadataRowCount(spark, root2).contains(48L))
+  }
+
+  test("grouped metadata aggregates: answer when single-valued per file; decline on any gap") {
+    val root = freshRoot("metagrp")
+    // bucket-pure files: bucket 1 (3 rows), bucket 2 (2 rows, two files)
+    Snapshots.commitAppend(spark, root,
+      Seq((1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 20L)).toDF("id", "b", "v").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((4L, 2L, 5L)).toDF("id", "b", "v").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((5L, 2L, 50L)).toDF("id", "b", "v").coalesce(1))
+    assert(Snapshots.metadataGroupedRowCount(spark, root, "b").contains(
+      Seq(Some("1") -> 3L, Some("2") -> 2L)))
+    assert(Snapshots.metadataGroupedMinMaxLong(spark, root, "b", "v").contains(
+      Seq(Some("1") -> Some((10L, 30L)), Some("2") -> Some((5L, 50L)))))
+    // string group keys work the same way
+    val roots = freshRoot("metagrps")
+    Snapshots.commitAppend(spark, roots,
+      Seq((1L, "x", 7L), (2L, "x", 9L)).toDF("id", "g", "v").coalesce(1))
+    Snapshots.commitAppend(spark, roots,
+      Seq((3L, "y", 1L)).toDF("id", "g", "v").coalesce(1))
+    assert(Snapshots.metadataGroupedRowCount(spark, roots, "g").contains(
+      Seq(Some("x") -> 2L, Some("y") -> 1L)))
+    // an all-NULL group column file is the SQL NULL group, not a decline
+    Snapshots.commitAppend(spark, roots,
+      Seq((4L, Option.empty[String], 3L)).toDF("id", "g", "v").coalesce(1))
+    assert(Snapshots.metadataGroupedRowCount(spark, roots, "g").contains(
+      Seq(None -> 1L, Some("x") -> 2L, Some("y") -> 1L)))
+    // DECLINE: a multi-valued file (lo != hi) — the loud scope edge
+    val rootm = freshRoot("metagrpmix")
+    Snapshots.commitAppend(spark, rootm,
+      Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("id", "b", "v").coalesce(1))
+    assert(Snapshots.metadataGroupedRowCount(spark, rootm, "b").isEmpty)
+    assert(Snapshots.metadataGroupedMinMaxLong(spark, rootm, "b", "v").isEmpty)
+    // DECLINE: a pending merge-on-read delete (file facts over-count)
+    Snapshots.commitDelete(spark, root, Seq(1L).toDF("id"))
+    assert(Snapshots.metadataGroupedRowCount(spark, root, "b").isEmpty)
+    // the pre-delete version still answers
+    assert(Snapshots.metadataGroupedRowCount(spark, root, "b", 3L).isDefined)
+    // DECLINE: a non-integral value column for min/max
+    assert(Snapshots.metadataGroupedMinMaxLong(spark, roots, "g", "g").isEmpty)
+    // group-NULL file with values: min/max flows through the NULL group
+    assert(Snapshots.metadataGroupedMinMaxLong(spark, roots, "g", "v").contains(
+      Seq(None -> Some((3L, 3L)), Some("x") -> Some((7L, 9L)),
+        Some("y") -> Some((1L, 1L)))))
+  }
+
+  test("DECIMAL stats: pruning compares in VALUE space, never against unscaled storage") {
+    // ADVICE r12 (high): DECIMAL(p<=18) is stored as its UNSCALED
+    // INT32/INT64 — the r12 footer pass tagged it 'l' with the raw
+    // bounds, so `price < 2` against prices 0.50..0.80 (unscaled 50..80)
+    // wrongly EXCLUDED the file. The 'm' tag must keep it — and still
+    // prune when the predicate really is outside the value range.
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    val root = freshRoot("decstats")
+    Snapshots.commitAppend(spark, root,
+      Seq((1L, BigDecimal("0.50")), (2L, BigDecimal("0.80")))
+        .toDF("id", "price")
+        .select(col("id"), col("price").cast("decimal(9,2)").as("price"))
+        .coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((3L, BigDecimal("100.25")), (4L, BigDecimal("250.75")))
+        .toDF("id", "price")
+        .select(col("id"), col("price").cast("decimal(9,2)").as("price"))
+        .coalesce(1))
+    // the exact ADVICE scenario: price < 2 MUST keep the 0.50-0.80 file
+    val lt2 = Seq[org.apache.spark.sql.sources.Filter](
+      LessThan("price", new java.math.BigDecimal("2")))
+    assert(Snapshots.pruneCounts(spark, root, lt2) == ((1L, 2L)))
+    assert(Snapshots.readSnapshotPruned(spark, root, lt2).count() == 2L)
+    // and a genuinely-out-of-range predicate still prunes exactly
+    val gt300 = Seq[org.apache.spark.sql.sources.Filter](
+      GreaterThan("price", new java.math.BigDecimal("300")))
+    assert(Snapshots.pruneCounts(spark, root, gt300)._1 == 1L) // anchor only
+    assert(Snapshots.readSnapshotPruned(spark, root, gt300).count() == 0L)
+    // fractional boundary is exact: > 0.79 keeps file 1, > 0.80 prunes it
+    assert(Snapshots.pruneCounts(spark, root, Seq[org.apache.spark.sql.sources.Filter](
+      GreaterThan("price", new java.math.BigDecimal("0.79"))))._1 == 2L)
+    assert(Snapshots.pruneCounts(spark, root, Seq[org.apache.spark.sql.sources.Filter](
+      GreaterThan("price", new java.math.BigDecimal("0.80"))))._1 == 1L)
+    // DECIMAL is not an integral metadata-aggregate target: decline
+    assert(Snapshots.metadataMinMaxLong(spark, root, "price").isEmpty)
+    // answer-invariance end to end
+    val pruned = Snapshots.readSnapshotPruned(spark, root, lt2).orderBy("id").collect().toSeq
+    val plain = Snapshots.readSnapshot(spark, root)
+      .filter(col("price") < lit(new java.math.BigDecimal("2"))).orderBy("id").collect().toSeq
+    assert(pruned == plain)
+  }
+
+  test("DATE and TIMESTAMP stats: logical-type-aware bounds prune; annotations never read as longs") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val root = freshRoot("datestats")
+    def day(s: String) = java.sql.Date.valueOf(s)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Snapshots.commitAppend(spark, root,
+      Seq((1L, day("2026-01-05"), ts("2026-01-05 10:00:00")),
+        (2L, day("2026-01-20"), ts("2026-01-20 10:00:00")))
+        .toDF("id", "d", "t").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((3L, day("2026-02-10"), ts("2026-02-10 10:00:00")),
+        (4L, day("2026-02-25"), ts("2026-02-25 10:00:00")))
+        .toDF("id", "d", "t").coalesce(1))
+    // date predicate prunes to the February file
+    val feb = Seq[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("d", day("2026-02-01")))
+    assert(Snapshots.pruneCounts(spark, root, feb) == ((1L, 2L)))
+    assert(Snapshots.readSnapshotPruned(spark, root, feb).count() == 2L)
+    // timestamp predicate prunes to the January file
+    val jan = Seq[org.apache.spark.sql.sources.Filter](
+      LessThan("t", ts("2026-02-01 00:00:00")))
+    assert(Snapshots.pruneCounts(spark, root, jan) == ((1L, 2L)))
+    assert(Snapshots.readSnapshotPruned(spark, root, jan).count() == 2L)
+    // answer-invariance both ways
+    assert(Snapshots.readSnapshotPruned(spark, root, feb).orderBy("id").collect().toSeq ==
+      Snapshots.readSnapshot(spark, root).filter(col("d") >= lit(day("2026-02-01")))
+        .orderBy("id").collect().toSeq)
+    // date/timestamp are not integral metadata-aggregate targets
+    assert(Snapshots.metadataMinMaxLong(spark, root, "d").isEmpty)
+    assert(Snapshots.metadataMinMaxLong(spark, root, "t").isEmpty)
+  }
 }
