@@ -476,6 +476,47 @@ object QueriesCore {
       |FROM documents
       |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
 
+  /** sql_over_snapshot: a snapshot table NAMED IN PLAIN SQL (round 13,
+    * VERDICT r12 ask #2 — [[graft.sources.v2.SnapshotCatalog]]): the
+    * catalog registered under `spark.sql.catalog.snap` resolves the
+    * backtick-quoted table root, so `SELECT … FROM snap.`root`` plans
+    * through the SAME DSv2 pushdown scan as the DataFrame path — the
+    * WHERE clause drives manifest-stats file skipping with no
+    * engine-specific API in the query text at all. The gate pins the
+    * values AND the pushdown observable (the filtered SELECT plans 2 of
+    * 8 files as its partitions, the lake_skipping quarter layout); the
+    * oracle is the same aggregation over the raw table. The filter
+    * literal is computed once driver-side and inlined — a scalar
+    * subquery would not constant-fold into source pushdown at planning
+    * time (the honest reason BI layers inline dashboard parameters). */
+  val sqlOverSnapshot: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_sqlcat"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val b = Array(-1L, maxId / 4, maxId / 2, 3 * maxId / 4, maxId)
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root,
+        d.filter(col("doc_id") > b(k) && col("doc_id") <= b(k + 1)).repartition(2))
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    val cut = maxId / 4
+    val scan = s.sql(s"SELECT doc_id, n_chars FROM snap.`$root` WHERE doc_id <= $cut")
+    val parts = scan.rdd.getNumPartitions.toLong
+    s.sql(
+      s"""SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM snap.`$root` WHERE doc_id <= $cut""".stripMargin)
+      .select(col("n_rows"), col("sum_chars"),
+        lit(parts).as("n_partitions"), lit(8L).as("n_files_total"))
+  }
+
+  val sqlOverSnapshotSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(2 AS BIGINT) AS n_partitions, CAST(8 AS BIGINT) AS n_files_total
+      |FROM documents
+      |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
+
   /** lake_stats_agg: METADATA-ONLY aggregation (round 12) — count(*)
     * and min/max answered from the manifest statistics alone
     * ([[graft.sources.Snapshots.metadataRowCount]] /
@@ -2645,6 +2686,7 @@ object QueriesCore {
     "lake_stats_agg_grouped" -> lakeStatsAggGrouped,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdown,
+    "sql_over_snapshot" -> sqlOverSnapshot,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -2756,6 +2798,7 @@ object QueriesCore {
     "lake_stats_agg_grouped" -> lakeStatsAggGroupedSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdownSql,
+    "sql_over_snapshot" -> sqlOverSnapshotSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+/** The SQL naming layer over snapshot tables
+  * ([[graft.sources.v2.SnapshotCatalog]], round 13): path-addressed and
+  * warehouse-resolved identifiers, VERSION AS OF time travel onto
+  * manifest versions, pushdown through the ordinary `spark.sql` path,
+  * and loud read-only-ness. */
+class SnapshotCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(name: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat/$name"
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
+  spark.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+
+  test("SELECT over a path-addressed snapshot table; WHERE drives file skipping") {
+    val root = freshRoot("basic")
+    for (k <- 0 to 3)
+      Snapshots.commitAppend(spark, root,
+        (k * 10 + 1 to k * 10 + 10).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+          .coalesce(1))
+    val out = spark.sql(s"SELECT id, tag FROM snap.`$root` WHERE id <= 10 ORDER BY id")
+    assert(out.count() == 10L)
+    // pushdown observable: the filtered scan plans 1 of 4 files
+    assert(spark.sql(s"SELECT id FROM snap.`$root` WHERE id <= 10")
+      .rdd.getNumPartitions == 1)
+    // joins against ordinary views work (the catalog is just a name source)
+    Seq((1L, "x"), (40L, "y")).toDF("id", "k").createOrReplaceTempView("dim")
+    val j = spark.sql(
+      s"SELECT d.k, count(*) AS n FROM snap.`$root` t JOIN dim d USING (id) GROUP BY d.k")
+    assert(j.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("x", 1L), ("y", 1L)))
+  }
+
+  test("VERSION AS OF maps onto manifest versions; timestamp travel is loud") {
+    val root = freshRoot("travel")
+    Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "tag").coalesce(1))
+    assert(spark.sql(s"SELECT * FROM snap.`$root` VERSION AS OF 1").count() == 1L)
+    assert(spark.sql(s"SELECT * FROM snap.`$root` VERSION AS OF 2").count() == 2L)
+    val eBad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snap.`$root` VERSION AS OF 99").collect()
+    }
+    assert(eBad.getMessage.contains("does not exist"))
+    val eTs = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snap.`$root` TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(eTs.getMessage.contains("VERSION AS OF"))
+  }
+
+  test("warehouse option resolves bare names and lists tables") {
+    val wh = freshRoot("wh")
+    Snapshots.commitAppend(spark, s"$wh/events",
+      Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitAppend(spark, s"$wh/docs",
+      Seq((2L, "b")).toDF("id", "tag").coalesce(1))
+    spark.conf.set("spark.sql.catalog.wsnap", "graft.sources.v2.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.wsnap.warehouse", wh)
+    assert(spark.sql("SELECT * FROM wsnap.events").count() == 1L)
+    assert(spark.sql("SHOW TABLES IN wsnap").collect().map(_.getString(1)).toSet ==
+      Set("events", "docs"))
+  }
+
+  test("the catalog is read-only: DDL/DML route to the commit protocol, loudly") {
+    val root = freshRoot("ro")
+    Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    val eIns = intercept[Exception] {
+      spark.sql(s"INSERT INTO snap.`$root` VALUES (9, 'z')")
+    }
+    // writes die either at capability check (no BATCH_WRITE) or the
+    // read-only catalog hook — both loud, neither silent
+    assert(eIns.getMessage.toLowerCase.contains("does not support") ||
+      eIns.getMessage.contains("read-only"))
+    val eDrop = intercept[Exception] { spark.sql(s"DROP TABLE snap.`$root`") }
+    assert(eDrop.getMessage.contains("read-only") ||
+      eDrop.getMessage.toLowerCase.contains("not support"))
+    // a missing table is NoSuchTable, not a stack trace from the scan
+    val eMiss = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snap.`${root}_nope`").collect()
+    }
+    assert(eMiss.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      eMiss.getMessage.contains("cannot be found") ||
+      eMiss.getMessage.contains("NoSuchTable"))
+  }
+}
