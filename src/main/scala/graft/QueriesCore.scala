@@ -476,6 +476,61 @@ object QueriesCore {
       |FROM documents
       |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
 
+  /** scan_snapshot_pushdown_full: the DSv2 snapshot source over a REAL
+    * table (round 13, VERDICT r12 ask #1 — the r12 scope edge
+    * "append-only, primitive, untracked" retired): the fixture carries
+    * a COLUMN RENAME mid-history (quarters 1-2 committed as `source`,
+    * tracking initialized, renamed to `origin`, quarters 3-4 committed
+    * under the new name) and a MERGE-ON-READ DELETE (every doc_id % 3
+    * == 0), yet the read is one ordinary `spark.read.format(...)` with
+    * an ordinary `.filter` — per-file column-ID bindings resolve the
+    * rename at planning, the sequence-scoped equality deletes apply
+    * in-task Iceberg-style (no join, no shuffle), and manifest file
+    * skipping STILL prunes (2 of 8 files for the quarter predicate,
+    * pinned as the partition count — deletes only remove rows, so
+    * range pruning stays sound). Answer ≡ readSnapshot is pinned
+    * across randomized histories in SnapshotBatchFullSpec; the gate
+    * oracle is the fixture itself. */
+  val scanSnapshotPushdownFull: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_dsv2full"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val maxId = d.agg(max("doc_id")).head.getLong(0)
+    val b = Array(-1L, maxId / 4, maxId / 2, 3 * maxId / 4, maxId)
+    for (k <- 0 until 2)
+      Snapshots.commitAppend(s, root,
+        d.filter(col("doc_id") > b(k) && col("doc_id") <= b(k + 1)).repartition(2))
+    Snapshots.initSchema(s, root)
+    Snapshots.renameColumn(s, root, "source", "origin")
+    for (k <- 2 until 4)
+      Snapshots.commitAppend(s, root,
+        d.filter(col("doc_id") > b(k) && col("doc_id") <= b(k + 1))
+          .select(col("doc_id"), col("source").as("origin"), col("n_chars"))
+          .repartition(2))
+    Snapshots.commitDelete(s, root,
+      d.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    val filtered = s.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).load()
+      .filter(col("doc_id") <= maxId / 4)
+    val parts = filtered.rdd.getNumPartitions.toLong
+    filtered.groupBy("origin")
+      .agg(count(lit(1)).as("n_rows"), sum("n_chars").cast("long").as("sum_chars"))
+      .select(col("origin"), col("n_rows"), col("sum_chars"),
+        lit(parts).as("n_partitions"), lit(8L).as("n_files_total"))
+      .orderBy("origin")
+  }
+
+  val scanSnapshotPushdownFullSql =
+    """SELECT source AS origin, count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(2 AS BIGINT) AS n_partitions, CAST(8 AS BIGINT) AS n_files_total
+      |FROM documents
+      |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)
+      |  AND doc_id % 3 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** sql_over_snapshot: a snapshot table NAMED IN PLAIN SQL (round 13,
     * VERDICT r12 ask #2 — [[graft.sources.v2.SnapshotCatalog]]): the
     * catalog registered under `spark.sql.catalog.snap` resolves the
@@ -2685,6 +2740,7 @@ object QueriesCore {
     "lake_stats_agg" -> lakeStatsAgg,
     "lake_stats_agg_grouped" -> lakeStatsAggGrouped,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
+    "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFull,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdown,
     "sql_over_snapshot" -> sqlOverSnapshot,
     "lake_vacuum" -> lakeVacuum,
@@ -2797,6 +2853,7 @@ object QueriesCore {
     "lake_stats_agg" -> lakeStatsAggSql,
     "lake_stats_agg_grouped" -> lakeStatsAggGroupedSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
+    "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFullSql,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdownSql,
     "sql_over_snapshot" -> sqlOverSnapshotSql,
     "lake_vacuum" -> lakeVacuumSql,

@@ -73,7 +73,7 @@ class SnapshotCatalog extends TableCatalog {
     val root = rootOf(ident)
     requireTable(root, ident)
     new SnapshotBatchTable(root, -1L,
-      SnapshotStreamSource.inferFromLatest(spark, root))
+      SnapshotBatchSource.inferSchemaAt(spark, root, -1L))
   }
 
   /** `VERSION AS OF n` — the manifest version, exactly the
@@ -87,7 +87,9 @@ class SnapshotCatalog extends TableCatalog {
     }
     require(v >= 1 && v <= Snapshots.currentVersion(spark, root),
       s"version $v of $root does not exist")
-    new SnapshotBatchTable(root, v, SnapshotStreamSource.inferFromLatest(spark, root))
+    // schema AT the pinned version — time travel below a rename reads
+    // the old names, exactly like readSnapshot
+    new SnapshotBatchTable(root, v, SnapshotBatchSource.inferSchemaAt(spark, root, v))
   }
 
   /** Timestamp travel needs commit wall-clocks the manifest format
