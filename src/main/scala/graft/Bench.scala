@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions.{col, count, lit}
   *
   * Methodology matches BASELINE.md: per query, one untimed warm-up
   * execution (JIT + codegen + file-footer caches), then the timed run.
-  * One shared SparkSession for the whole suite.
+  * One shared SparkSession for the whole suite. TWO TIERS since round
+  * 13 (VERDICT r12 ask #6): headline rows — the compare tool's shared
+  * set plus every new query — keep the warm protocol; the long tail
+  * (tools/bench_tail.txt, the rows the canonical r12 line already
+  * folded into other_sum) runs once, cold, into queries_cold +
+  * other_sum. SPARK_GRAFT_BENCH_FULL=1 restores the exhaustive run.
   *
   * The timed action is a noop-sink WRITE, not count(): under count(),
   * ColumnPruning drops every projected column and EliminateSorts drops
@@ -118,6 +123,26 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.filter(kv => args.contains(kv._1)).toSeq.sortBy(_._1)
+    // TIME-BUDGETED TIER (round 13, VERDICT r12 ask #6): the suite was
+    // measuring ~0.8 s of fixed cost 296 times — 851 s of wall for
+    // 282 s of signal. Rows in tools/bench_tail.txt (exactly the rows
+    // the canonical r12 stdout line already folded into other_sum) run
+    // ONCE, cold, and report under queries_cold + other_sum; headline
+    // rows — the compare tool's shared set PLUS every new query (new
+    // names are never in the committed list) — keep the full
+    // warm-timed protocol, so round-over-round comparisons lose no
+    // coverage. SPARK_GRAFT_BENCH_FULL=1 restores the old exhaustive
+    // run (the A/B escape hatch); explicit query args always run full.
+    val tailRows: Set[String] = {
+      val p = java.nio.file.Paths.get("tools/bench_tail.txt")
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1") ||
+          !java.nio.file.Files.exists(p)) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+      }
+    }
     // SPARK_GRAFT_BENCH_RUNS=N (default 1): timed runs per query, the
     // MEDIAN reported. The driver's per-round invocation keeps N=1 (its
     // wall-clock budget); the canonical committed artifact is produced
@@ -126,7 +151,8 @@ object Bench {
     // consumer never has to guess which kind it is reading.
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     require(benchRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $benchRuns")
-    val results: Seq[(String, Double, Int)] = selected.map { case (name, fn) =>
+    // (name, median-or-cold seconds, exchange count, cold?)
+    val results: Seq[(String, Double, Int, Boolean)] = selected.map { case (name, fn) =>
       try {
         var lastDf: org.apache.spark.sql.DataFrame = null
         def runOnce(): Double = {
@@ -142,10 +168,24 @@ object Bench {
           // (or evicts) another's storage. clearCache only covers the
           // CacheManager; localCheckpoint blocks are freed by the
           // ContextCleaner on GC — force one so they can't pile up into
-          // storage/GC pressure on later queries.
+          // storage/GC pressure on later queries. The GC runs ONLY when
+          // persisted blocks actually exist (round 13): an unconditional
+          // full GC after every run of a 296-row suite was itself a
+          // measurable slice of the 851 s wall.
           spark.catalog.clearCache()
-          System.gc()
+          if (spark.sparkContext.getPersistentRDDs.nonEmpty) System.gc()
         }
+        val cold = tailRows.contains(name)
+        if (cold) {
+          // tail tier: one cold execution IS the measurement — these
+          // rows are fixed-cost-floor readings where cold ≈ warm; they
+          // are reported separately (queries_cold) and never compared
+          // against a warm number
+          val t = runOnce()
+          isolate()
+          System.err.println(f"[bench] $name%-24s cold=$t%8.3f (tail tier)")
+          (name, t, -1, true)
+        } else {
         val w = runOnce() // warm-up: JIT, codegen cache, FS metadata
         isolate()
         val ts = (1 to benchRuns).map { _ =>
@@ -168,17 +208,23 @@ object Bench {
         System.err.println(
           f"[bench] $name%-24s cold=$w%8.3f warm=$t%8.3f ex=$exchanges%2d" +
             (if (benchRuns > 1) ts.map(x => f"$x%.3f").mkString(" (", ", ", ")") else ""))
-        (name, t, exchanges)
+        (name, t, exchanges, false)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (name, -1.0, -1)
+        (name, -1.0, -1, false)
       }
     }
     // calibration rides in `queries` (the driver's per-round record) but
     // stays OUT of `total` — totals remain engine-work-only and
-    // comparable across rounds
+    // comparable across rounds. Tail-tier rows count toward `total`
+    // (they are real engine work) but live in queries_cold, never in
+    // `queries` — a cold reading must not be adjudicated against a warm
+    // one by the compare tool.
     val total = results.map(_._2).filter(_ >= 0).sum
-    val resultsOut = results.map { case (k, v, _) => k -> v } :+
+    val warm = results.filter(r => !r._4)
+    val coldRows = results.filter(r => r._4 && r._2 >= 0)
+    val resultsOut = warm.map { case (k, v, _, _) => k -> v } :+
       ("calibration" -> calibration) :+
       ("calibration_sustained" -> calibrationSustained) :+
       ("calibration_shuffle" -> calibrationShuffle)
@@ -202,40 +248,49 @@ object Bench {
       // ask #3) — the phase-normalized value two rounds can compare
       // directly; tools/bench_compare.py consumes it (and re-derives it
       // for older rounds that lack the field).
-      val norm = results.map { case (k, v, _) =>
+      val norm = warm.map { case (k, v, _, _) =>
         "\"" + k + "\":" + (if (v < 0) v else v / calibrationSustained)
       }.mkString("{", ",", "}")
       // queries_exchanges: per-row shuffle-exchange count of the measured
       // plan — bench_compare.py's per-row probe selector (see above)
-      val exch = results.map { case (k, _, e) => "\"" + k + "\":" + e }
+      val exch = warm.map { case (k, _, e, _) => "\"" + k + "\":" + e }
         .mkString("{", ",", "}")
+      // queries_cold: the tail tier's single cold readings — full
+      // visibility for the judge, excluded from warm-vs-warm compares
+      val coldJson = coldRows.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val tiered = coldRows.nonEmpty
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"runs":$benchRuns,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"calibration_shuffle":$calibrationShuffle,"queries":$full,"queries_norm":$norm,"queries_exchanges":$exch,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"runs":$benchRuns,"tiered":$tiered,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"calibration_shuffle":$calibrationShuffle,"queries":$full,"queries_cold":$coldJson,"queries_norm":$norm,"queries_exchanges":$exch,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     }
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val sfShort = new java.io.File(sfDir).getName // "sf0.1"
+    // the tail tier's cold readings fold straight into other_sum — the
+    // same bucket the r12 line already used for these rows
+    val coldSum = coldRows.map(_._2).sum
     def line(folded: Set[String]): String = {
       val kept = resultsOut.filter { case (k, v) => v < 0 || !folded(k) }
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      val extra = if (folded.isEmpty) Nil else {
+      val extra = if (folded.isEmpty && coldRows.isEmpty) Nil else {
         val fs = resultsOut.filter { case (k, v) => v >= 0 && folded(k) }
-        List("\"other_sum\":" + fmt(fs.map(_._2).sum), "\"other_n\":" + fs.size)
+        List("\"other_sum\":" + fmt(fs.map(_._2).sum + coldSum),
+          "\"other_n\":" + (fs.size + coldRows.size))
       }
       val qs = (kept ++ extra).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
     }
     val budget = 1900 // tail buffer 2000 minus sbt's trailing [success] line
     // calibration is never folded — it must stay explicit in every round's line
-    val cheapestFirst = results.filter(_._2 >= 0).sortBy(_._2).map(_._1)
+    val cheapestFirst = warm.filter(_._2 >= 0).sortBy(_._2).map(_._1)
     // Sub-0.3 s rows are harness-floor measurements at 250+ queries
     // (~0.8 s/row average is mostly fixed cost): ALWAYS folded into
     // other_sum (round-10 verdict ask #8) so the headline stays an
     // engine-work read-out; they are a prefix of cheapestFirst. Full
     // per-query detail still lands in bench_full.json; the correctness
     // gate is unaffected.
-    var nFold = results.count { case (_, v, _) => v >= 0 && v < 0.3 }
+    var nFold = warm.count { case (_, v, _, _) => v >= 0 && v < 0.3 }
     var out = line(cheapestFirst.take(nFold).toSet)
     while (out.length > budget && nFold < cheapestFirst.size) {
       nFold = math.min(nFold + 5, cheapestFirst.size)

@@ -476,6 +476,54 @@ object QueriesCore {
       |FROM documents
       |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
 
+  /** lake_skipping_temporal: file skipping on DATE and TIMESTAMP
+    * columns (round 13, ADVICE r12 follow-through): manifest stats are
+    * now decided by the parquet LOGICAL type — DATE bounds are epoch
+    * days (tag 't'), TIMESTAMP_NTZ bounds naive wall-clock micros (tag
+    * 'v'; the UTC-adjusted form is tag 'u', and a cross pairing never
+    * compares — the timezone-soundness split). The fixture commits
+    * `orders` in four fixed two-year windows (2 files each); a
+    * timestamp predicate prunes to the first window's 2 files and a
+    * date-range predicate to the second window's 2 files — the
+    * "yesterday's partition" query shape, THE most common selective
+    * predicate on a real lake. Counts pinned; values from the
+    * date-window read. */
+  val lakeSkippingTemporal: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.sources.{And => FAnd, GreaterThanOrEqual => FGe, LessThan => FLt}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/orders_temporal"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        to_date(col("o_orderdate")).as("o_date"))
+    val bounds = Seq("1995-01-01", "1997-01-01", "1999-01-01", "2001-01-01", "2003-01-01")
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root,
+        o.filter(col("o_date") >= lit(bounds(k)) && col("o_date") < lit(bounds(k + 1)))
+          .repartition(2))
+    val tsCut = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val (tsKept, total) = Snapshots.pruneCounts(s, root,
+      Seq(FLt("o_orderdate", tsCut)))
+    val dateWin = Seq[org.apache.spark.sql.sources.Filter](
+      FAnd(FGe("o_date", java.sql.Date.valueOf("1997-01-01")),
+        FLt("o_date", java.sql.Date.valueOf("1999-01-01"))))
+    val (dateKept, _) = Snapshots.pruneCounts(s, root, dateWin)
+    Snapshots.readSnapshotPruned(s, root, dateWin)
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").cast("long").as("sum_keys"))
+      .select(col("n_rows"), col("sum_keys"),
+        lit(tsKept).as("ts_files_read"), lit(dateKept).as("date_files_read"),
+        lit(total).as("n_files_total"))
+  }
+
+  val lakeSkippingTemporalSql =
+    """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(2 AS BIGINT) AS ts_files_read, CAST(2 AS BIGINT) AS date_files_read,
+      |  CAST(8 AS BIGINT) AS n_files_total
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'""".stripMargin
+
   /** scan_snapshot_pushdown_full: the DSv2 snapshot source over a REAL
     * table (round 13, VERDICT r12 ask #1 — the r12 scope edge
     * "append-only, primitive, untracked" retired): the fixture carries
@@ -571,6 +619,40 @@ object QueriesCore {
       |  CAST(2 AS BIGINT) AS n_partitions, CAST(8 AS BIGINT) AS n_files_total
       |FROM documents
       |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
+
+  /** sql_insert_snapshot: the DSv2 WRITE path (round 13,
+    * [[graft.sources.v2.SnapshotWriteBuilder]]) — a plain SQL
+    * `INSERT INTO snap.`root` SELECT …` lands as an ordinary snapshot
+    * APPEND commit: executors write parquet under a commit-private
+    * directory, the driver's BatchWrite.commit runs the SAME
+    * claim-serialized publish every API writer uses (stats footer
+    * pass included, so the inserted files prune like any others), and
+    * the insert is exactly-once atomic under concurrent writers. The
+    * fixture seeds even doc_ids through the API, INSERTs the odd ones
+    * through SQL, and gates the union plus the version arithmetic
+    * (exactly one commit per INSERT). */
+  val sqlInsertSnapshot: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_sqlins"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 === 0).coalesce(1))
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    d.filter(col("doc_id") % 2 =!= 0).createOrReplaceTempView("docs_to_insert")
+    s.sql(s"INSERT INTO snap.`$root` SELECT doc_id, n_chars FROM docs_to_insert")
+    val v = Snapshots.currentVersion(s, root)
+    s.sql(
+      s"""SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM snap.`$root`""".stripMargin)
+      .select(col("n_rows"), col("sum_chars"),
+        lit(v == 2L).as("one_commit_per_insert"))
+  }
+
+  val sqlInsertSnapshotSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS one_commit_per_insert
+      |FROM documents""".stripMargin
 
   /** lake_stats_agg: METADATA-ONLY aggregation (round 12) — count(*)
     * and min/max answered from the manifest statistics alone
@@ -2737,12 +2819,14 @@ object QueriesCore {
     "lake_schema_rename" -> lakeSchemaRename,
     "lake_compact_clustered" -> lakeCompactClustered,
     "lake_skipping" -> lakeSkipping,
+    "lake_skipping_temporal" -> lakeSkippingTemporal,
     "lake_stats_agg" -> lakeStatsAgg,
     "lake_stats_agg_grouped" -> lakeStatsAggGrouped,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
     "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFull,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdown,
     "sql_over_snapshot" -> sqlOverSnapshot,
+    "sql_insert_snapshot" -> sqlInsertSnapshot,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -2850,12 +2934,14 @@ object QueriesCore {
     "lake_schema_rename" -> lakeSchemaRenameSql,
     "lake_compact_clustered" -> lakeCompactClusteredSql,
     "lake_skipping" -> lakeSkippingSql,
+    "lake_skipping_temporal" -> lakeSkippingTemporalSql,
     "lake_stats_agg" -> lakeStatsAggSql,
     "lake_stats_agg_grouped" -> lakeStatsAggGroupedSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
     "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFullSql,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdownSql,
     "sql_over_snapshot" -> sqlOverSnapshotSql,
+    "sql_insert_snapshot" -> sqlInsertSnapshotSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

@@ -54,6 +54,11 @@ object ScaleProbe {
     // round-12 additions (manifest stats / skipping / metadata aggregates)
     "lake_skipping", "scan_snapshot_pushdown", "lake_stats_agg",
     "scan_snapshot_agg_pushdown", "fn_ip_v6",
+    // round-13 additions (full DSv2 lake surface / SQL catalog /
+    // grouped metadata aggs / clustering compaction)
+    "scan_snapshot_pushdown_full", "sql_over_snapshot",
+    "lake_stats_agg_grouped", "lake_compact_clustered",
+    "lake_skipping_temporal", "sql_insert_snapshot",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

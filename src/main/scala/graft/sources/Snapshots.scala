@@ -175,7 +175,8 @@ object Snapshots {
     * `l`=integral (stored as Long), `d`=floating (as Double),
     * `s`=string (UTF-8; bounds longer than 64 chars are DROPPED rather
     * than truncated — a truncated upper bound would wrongly exclude),
-    * `t`=DATE (epoch days), `u`=TIMESTAMP (UTC micros), `m`=DECIMAL
+    * `t`=DATE (epoch days), `u`=TIMESTAMP (instant micros),
+    * `v`=TIMESTAMP_NTZ (naive wall-clock micros), `m`=DECIMAL
     * (exact plain decimal strings — the ADVICE r12 fix: an INT32/INT64
     * physical chunk is tagged by its LOGICAL type, never blindly 'l',
     * so unscaled decimal storage can no longer masquerade as a long),
@@ -314,7 +315,7 @@ object Snapshots {
               case (Some(prev), Some(('n', _, _))) => prev
               case (Some(Some((t1, lo1, hi1))), Some((t2, lo2, hi2))) if t1 == t2 =>
                 (t1: @unchecked) match {
-                  case 'l' | 't' | 'u' => Some((t1,
+                  case 'l' | 't' | 'u' | 'v' => Some((t1,
                     math.min(lo1.asInstanceOf[Long], lo2.asInstanceOf[Long]),
                     math.max(hi1.asInstanceOf[Long], hi2.asInstanceOf[Long])))
                   case 'm' =>
@@ -369,10 +370,16 @@ object Snapshots {
       case _: DateLogicalTypeAnnotation => Some(Some(('t', lo, hi)))
       case ts: TimestampLogicalTypeAnnotation =>
         // normalize to MICROS; NANOS would need floor/ceil asymmetry to
-        // stay sound, and Spark never writes it — drop instead
+        // stay sound, and Spark never writes it — drop instead. The
+        // UTC-adjusted flag picks the tag: 'u' bounds are INSTANT micros
+        // (Timestamp/Instant predicates), 'v' bounds are NAIVE
+        // wall-clock micros (LocalDateTime predicates, the NTZ type) —
+        // collapsing the two would compare across a timezone offset
+        // whenever a session's zone is not UTC
+        val tag = if (ts.isAdjustedToUTC) 'u' else 'v'
         ts.getUnit match {
-          case TimeUnit.MICROS => Some(Some(('u', lo, hi)))
-          case TimeUnit.MILLIS => Some(Some(('u', lo * 1000L, hi * 1000L)))
+          case TimeUnit.MICROS => Some(Some((tag, lo, hi)))
+          case TimeUnit.MILLIS => Some(Some((tag, lo * 1000L, hi * 1000L)))
           case _ => Some(None)
         }
       case d: DecimalLogicalTypeAnnotation =>
@@ -676,14 +683,41 @@ object Snapshots {
   def commitAppend(spark: SparkSession, root: String, df: DataFrame): Long = {
     val dataDir = new Path(root, s"data/c-$uuid8")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val mine = dataFiles(spark, dataDir)
+    commitAppendFiles(spark, root, dataFiles(spark, dataDir), df.schema)
+  }
+
+  /** APPEND of ALREADY-WRITTEN parquet files (the DSv2 write path,
+    * round 13): executors wrote the files under a commit-private
+    * directory; this is the driver-side publish — stats footer pass +
+    * the ordinary claim-serialized manifest commit. `written` is the
+    * files' schema, checked loudly against a tracked binding exactly
+    * like [[commitAppend]]. */
+  private[graft] def commitAppendFiles(spark: SparkSession, root: String,
+      mine: Seq[String], written: org.apache.spark.sql.types.StructType): Long = {
     val raw = collectRawStats(spark, mine)
     publish(spark, root) { (v, carried) =>
-      checkWriteSchema(carried, df.schema, "commitAppend")
+      checkWriteSchema(carried, written, "commitAppend")
       val sid = currentSchema(carried).map(_._1).getOrElse(0L)
       val keyer = statKeyer(currentSchema(carried))
       carried.map(_.line) ++ mine.map(p =>
         Entry("A", v, p, sid, encodeStats(raw.getOrElse(p, Nil), keyer)).line)
+    }
+  }
+
+  /** REPLACE with already-written files — the INSERT OVERWRITE half of
+    * the DSv2 write path: one atomic version listing only the new
+    * files, schema entries carried, pending deletes materialized away
+    * (the [[commitReplace]] semantics). */
+  private[graft] def commitReplaceFiles(spark: SparkSession, root: String,
+      mine: Seq[String], written: org.apache.spark.sql.types.StructType): Long = {
+    val raw = collectRawStats(spark, mine)
+    publish(spark, root) { (v, carried) =>
+      checkWriteSchema(carried, written, "commitReplace")
+      val sid = currentSchema(carried).map(_._1).getOrElse(0L)
+      val keyer = statKeyer(currentSchema(carried))
+      carried.filter(_.kind == "S").map(_.line) ++
+        mine.map(p =>
+          Entry("A", v, p, sid, encodeStats(raw.getOrElse(p, Nil), keyer)).line)
     }
   }
 
@@ -696,16 +730,7 @@ object Snapshots {
   def commitReplace(spark: SparkSession, root: String, df: DataFrame): Long = {
     val dataDir = new Path(root, s"data/c-$uuid8")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val mine = dataFiles(spark, dataDir)
-    val raw = collectRawStats(spark, mine)
-    publish(spark, root) { (v, carried) =>
-      checkWriteSchema(carried, df.schema, "commitReplace")
-      val sid = currentSchema(carried).map(_._1).getOrElse(0L)
-      val keyer = statKeyer(currentSchema(carried))
-      carried.filter(_.kind == "S").map(_.line) ++
-        mine.map(p =>
-          Entry("A", v, p, sid, encodeStats(raw.getOrElse(p, Nil), keyer)).line)
-    }
+    commitReplaceFiles(spark, root, dataFiles(spark, dataDir), df.schema)
   }
 
   /** CLUSTERING compaction (round 13, VERDICT r12 ask #4): a REPLACE
@@ -1422,9 +1447,12 @@ object Snapshots {
           Some(java.lang.Long.compare(bound.toLong, d.toLocalDate.toEpochDay))
         case ('t', d: java.time.LocalDate) =>
           Some(java.lang.Long.compare(bound.toLong, d.toEpochDay))
-        // TIMESTAMP bounds are micros; Timestamp/Instant for the
-        // utc-adjusted column, LocalDateTime (at UTC) for the NTZ one —
-        // each column only ever sees its own predicate value kind
+        // TIMESTAMP bounds are micros, with the tag keyed to the
+        // STORAGE semantics: 'u' = instant micros (UTC-adjusted files;
+        // Timestamp/Instant predicates), 'v' = naive wall-clock micros
+        // (NTZ files; LocalDateTime predicates). A cross pairing (e.g.
+        // an NTZ file read through a legacy LTZ session) falls to the
+        // None default — keep, never compare across a zone offset.
         case ('u', ts: java.sql.Timestamp) =>
           val i = ts.toInstant
           Some(java.lang.Long.compare(bound.toLong,
@@ -1434,7 +1462,7 @@ object Snapshots {
           Some(java.lang.Long.compare(bound.toLong,
             math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L),
               i.getNano / 1000L)))
-        case ('u', ldt: java.time.LocalDateTime) =>
+        case ('v', ldt: java.time.LocalDateTime) =>
           Some(java.lang.Long.compare(bound.toLong,
             math.addExact(math.multiplyExact(
               ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),

@@ -105,13 +105,26 @@ private[v2] object SnapshotBatchSource {
 }
 
 private[v2] class SnapshotBatchTable(root: String, version: Long,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"snapshot($root)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, version, tableSchema)
+  /** INSERT INTO → append commit; INSERT OVERWRITE → replace commit
+    * (round 13, [[SnapshotWriteBuilder]]). A version-pinned read is a
+    * snapshot, not a table — writing to one is refused loudly. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(version < 0,
+      s"cannot write to a VERSION-pinned snapshot read of $root — writes go " +
+        "to the current table")
+    new SnapshotWriteBuilder(root, info)
+  }
 }
 
 private[v2] class SnapshotScanBuilder(root: String, version: Long,

@@ -29,11 +29,14 @@ import graft.sources.Snapshots
   * resolved as `warehouse/<name>`. `VERSION AS OF n` time travel maps
   * onto the manifest versions — the catalog resolves the identifier,
   * [[SnapshotBatchTable]] pins the version, and snapshot isolation is
-  * the ordinary frozen-file-list story. The catalog is READ-ONLY and
-  * loudly so: tables are written through the commit protocol
-  * ([[graft.sources.Snapshots]] — claim-serialized multi-writer
-  * commits), not through SQL DDL/DML; every mutating catalog hook
-  * throws rather than pretending.
+  * the ordinary frozen-file-list story. DML WRITES are served (round
+  * 13, [[SnapshotWriteBuilder]]): `INSERT INTO` lands as an append
+  * commit and `INSERT OVERWRITE` as an atomic replace, both through
+  * the claim-serialized publish — SQL writers and API writers share
+  * one arbiter. DDL stays read-only and loudly so: tables are created
+  * and evolved through the commit protocol
+  * ([[graft.sources.Snapshots]]), and every DDL hook throws rather
+  * than pretending.
   *
   * Reference anchor: the reference provisions a queryable view over an
   * S3 prefix by NAME for downstream SQL consumers

@@ -11,6 +11,7 @@ import graft.sources.Snapshots
   * and loud read-only-ness. */
 class SnapshotCatalogSpec extends SparkTestBase {
   import spark.implicits._
+  import org.apache.spark.sql.sources.{LessThanOrEqual => FLeCat}
 
   private def freshRoot(name: String): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat/$name"
@@ -69,16 +70,28 @@ class SnapshotCatalogSpec extends SparkTestBase {
       Set("events", "docs"))
   }
 
-  test("the catalog is read-only: DDL/DML route to the commit protocol, loudly") {
-    val root = freshRoot("ro")
+  test("INSERT INTO / OVERWRITE land as snapshot commits; DDL stays loud") {
+    val root = freshRoot("ins")
     Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
-    val eIns = intercept[Exception] {
-      spark.sql(s"INSERT INTO snap.`$root` VALUES (9, 'z')")
-    }
-    // writes die either at capability check (no BATCH_WRITE) or the
-    // read-only catalog hook — both loud, neither silent
-    assert(eIns.getMessage.toLowerCase.contains("does not support") ||
-      eIns.getMessage.contains("read-only"))
+    // INSERT INTO → an append commit through the claim-serialized
+    // publish (round 13, SnapshotWrite): atomic, exactly-once
+    spark.sql(s"INSERT INTO snap.`$root` VALUES (9, 'z'), (10, NULL)")
+    assert(Snapshots.currentVersion(spark, root) == 2L)
+    assert(spark.sql(s"SELECT * FROM snap.`$root`").count() == 3L)
+    assert(spark.sql(s"SELECT tag FROM snap.`$root` WHERE id = 10").head.isNullAt(0))
+    // version 1 still reads pre-insert (snapshot isolation)
+    assert(spark.sql(s"SELECT * FROM snap.`$root` VERSION AS OF 1").count() == 1L)
+    // INSERT OVERWRITE → one atomic REPLACE commit
+    spark.sql(s"INSERT OVERWRITE snap.`$root` VALUES (7, 'only')")
+    assert(spark.sql(s"SELECT * FROM snap.`$root`").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "only")))
+    assert(spark.sql(s"SELECT * FROM snap.`$root` VERSION AS OF 2").count() == 3L)
+    // the DataFrameWriterV2 surface reaches the same commit path
+    Seq((20L, "w")).toDF("id", "tag").writeTo(s"snap.`$root`").append()
+    assert(spark.sql(s"SELECT * FROM snap.`$root`").count() == 2L)
+    // appended files carry manifest stats: skipping works on them too
+    assert(Snapshots.pruneCounts(spark, root,
+      Seq[org.apache.spark.sql.sources.Filter](FLeCat("id", 7L))) == ((1L, 2L)))
     val eDrop = intercept[Exception] { spark.sql(s"DROP TABLE snap.`$root`") }
     assert(eDrop.getMessage.contains("read-only") ||
       eDrop.getMessage.toLowerCase.contains("not support"))

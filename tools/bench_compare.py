@@ -138,7 +138,18 @@ def main():
     if only_b:
         lines.append(f"- new in B ({len(only_b)}): {', '.join(only_b)}")
     if only_a:
-        lines.append(f"- removed/renamed since A ({len(only_a)}): {', '.join(only_a)}")
+        # round 13: graft.Bench runs the long tail as a single cold
+        # execution reported under queries_cold — those rows are FOLDED,
+        # not removed, and a cold reading must never be adjudicated
+        # against a warm one
+        cold_b = set(b.get("queries_cold", {}))
+        folded = sorted(set(only_a) & cold_b)
+        gone = sorted(set(only_a) - cold_b)
+        if folded:
+            lines.append(f"- folded to B's cold tail tier ({len(folded)}): "
+                         f"{', '.join(folded)}")
+        if gone:
+            lines.append(f"- removed/renamed since A ({len(gone)}): {', '.join(gone)}")
     lines.append("")
     lines.append("Rows outside the wobble band (sub-0.5s rows: +/-40%, others +/-15%),")
     lines.append("sorted by normalized delta. '~' rows are inside the compute band;")
