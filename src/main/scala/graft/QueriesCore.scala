@@ -620,6 +620,37 @@ object QueriesCore {
       |FROM documents
       |WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents)""".stripMargin
 
+  /** lake_files_meta: the `$files` METADATA TABLE (round 13 —
+    * Iceberg's `table.files` inspection surface on the SQL catalog):
+    * one row per data file straight from the manifest — path,
+    * committing version, schema version, `__rows`/`__bytes` — so
+    * small-file audits and per-version growth dashboards are plain SQL
+    * with ZERO data IO. The gate pins the file/version arithmetic of a
+    * four-commit fixture and that the manifest row counts SUM to the
+    * table's true count (the stats-soundness contract, again). */
+  val lakeFilesMeta: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_filesmeta"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root,
+        d.filter(pmod(col("doc_id"), lit(4)) === k).repartition(2))
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    s.sql(
+      s"""SELECT count(*) AS n_files, CAST(sum(row_count) AS BIGINT) AS sum_rows,
+         |  min(version) AS min_v, max(version) AS max_v,
+         |  CAST(sum(CASE WHEN size_bytes > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sized
+         |FROM snap.`$root$$files`""".stripMargin)
+  }
+
+  val lakeFilesMetaSql =
+    """SELECT CAST(8 AS BIGINT) AS n_files, count(*) AS sum_rows,
+      |  CAST(1 AS BIGINT) AS min_v, CAST(4 AS BIGINT) AS max_v,
+      |  CAST(8 AS BIGINT) AS n_sized
+      |FROM documents""".stripMargin
+
   /** sql_insert_snapshot: the DSv2 WRITE path (round 13,
     * [[graft.sources.v2.SnapshotWriteBuilder]]) — a plain SQL
     * `INSERT INTO snap.`root` SELECT …` lands as an ordinary snapshot
@@ -2818,6 +2849,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_schema_rename" -> lakeSchemaRename,
     "lake_compact_clustered" -> lakeCompactClustered,
+    "lake_files_meta" -> lakeFilesMeta,
     "lake_skipping" -> lakeSkipping,
     "lake_skipping_temporal" -> lakeSkippingTemporal,
     "lake_stats_agg" -> lakeStatsAgg,
@@ -2933,6 +2965,7 @@ object QueriesCore {
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "lake_schema_rename" -> lakeSchemaRenameSql,
     "lake_compact_clustered" -> lakeCompactClusteredSql,
+    "lake_files_meta" -> lakeFilesMetaSql,
     "lake_skipping" -> lakeSkippingSql,
     "lake_skipping_temporal" -> lakeSkippingTemporalSql,
     "lake_stats_agg" -> lakeStatsAggSql,

@@ -1190,6 +1190,21 @@ object Snapshots {
     (specs, keyCols, keyTypes)
   }
 
+  /** Per-data-file facts of a version for the `$files` METADATA TABLE
+    * (round 13 — Iceberg's `table.files` inspection surface): (path,
+    * committing version, schema version, row count, on-disk bytes),
+    * the last two None when the file predates stats or had them off.
+    * O(files) manifest text, zero data IO. */
+  private[graft] def fileInfos(spark: SparkSession, root: String,
+      version: Long): Seq[(String, Long, Long, Option[Long], Option[Long])] = {
+    val v = if (version >= 0) version else currentVersion(spark, root)
+    entries(spark, root, v).filter(_.kind == "A").map { e =>
+      val st = decodeStats(e.stats)
+      (e.path, e.ver, e.sid,
+        st.get("__rows").map(_.lo.toLong), st.get("__bytes").map(_.lo.toLong))
+    }
+  }
+
   /** (has schema entries, has delete entries) at a version — the batch
     * source's plain-vs-full dispatch. */
   private[graft] def tableShape(spark: SparkSession, root: String,

@@ -68,31 +68,48 @@ class SnapshotCatalog extends TableCatalog {
         s"$catalogName.`/path/to/table`"))
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    try Snapshots.currentVersion(spark, rootOf(ident)) > 0
-    catch { case _: IllegalArgumentException => false }
+  /** `name$files` addresses the METADATA TABLE of `name` — one row per
+    * data file from the manifest (path, committing version, schema
+    * version, row count, bytes), the Iceberg `table.files` inspection
+    * surface: small-file audits, per-version growth, stats coverage —
+    * all in plain SQL, zero data IO. */
+  private def splitMeta(ident: Identifier): (Identifier, Boolean) =
+    if (ident.name.endsWith("$files"))
+      (Identifier.of(ident.namespace, ident.name.stripSuffix("$files")), true)
+    else (ident, false)
 
-  override def loadTable(ident: Identifier): Table = {
-    val root = rootOf(ident)
-    requireTable(root, ident)
-    new SnapshotBatchTable(root, -1L,
-      SnapshotBatchSource.inferSchemaAt(spark, root, -1L))
+  override def tableExists(ident: Identifier): Boolean = {
+    val (base, _) = splitMeta(ident)
+    try Snapshots.currentVersion(spark, rootOf(base)) > 0
+    catch { case _: IllegalArgumentException => false }
   }
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, -1L)
 
   /** `VERSION AS OF n` — the manifest version, exactly the
     * [[graft.sources.Snapshots.readSnapshot]] `version` argument. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val root = rootOf(ident)
-    requireTable(root, ident)
+    val (base, _) = splitMeta(ident)
+    val root = rootOf(base)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"snapshot versions are manifest numbers; got '$version'")
     }
+    requireTable(root, base)
     require(v >= 1 && v <= Snapshots.currentVersion(spark, root),
       s"version $v of $root does not exist")
+    loadAt(ident, v)
+  }
+
+  private def loadAt(ident: Identifier, v: Long): Table = {
+    val (base, isFiles) = splitMeta(ident)
+    val root = rootOf(base)
+    requireTable(root, base)
+    if (isFiles) new SnapshotFilesTable(root, v)
     // schema AT the pinned version — time travel below a rename reads
     // the old names, exactly like readSnapshot
-    new SnapshotBatchTable(root, v, SnapshotBatchSource.inferSchemaAt(spark, root, v))
+    else new SnapshotBatchTable(root, v,
+      SnapshotBatchSource.inferSchemaAt(spark, root, v))
   }
 
   /** Timestamp travel needs commit wall-clocks the manifest format
@@ -121,6 +138,8 @@ class SnapshotCatalog extends TableCatalog {
     }
   }
 
+  // (metadata tables live below)
+
   private def readOnly(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"snapshot catalog is read-only: $what goes through the commit protocol " +
@@ -134,4 +153,64 @@ class SnapshotCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+}
+
+/** The `$files` metadata table: one row per data file of a version,
+  * straight from the manifest — path, the version that committed the
+  * file, the schema version it was written under, and the reserved
+  * `__rows`/`__bytes` stats (NULL where a commit predates stats or had
+  * them disabled). O(files) driver rows, one partition, zero data IO —
+  * the audit surface behind small-file monitoring, per-version growth
+  * dashboards and stats-coverage checks. */
+private[v2] class SnapshotFilesTable(root: String, version: Long)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  private val filesSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("schema_version", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true)))
+
+  override def name(): String = s"snapshot($root).files"
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        // rows materialize at PLANNING, on the driver, from one
+        // manifest read — pinned here so a concurrent commit between
+        // plan and execute cannot skew the listing (snapshot isolation,
+        // same discipline as the data scan)
+        private val rows: Seq[Seq[Any]] =
+          graft.sources.Snapshots.fileInfos(SparkSession.active, root, version)
+            .map { case (p, v, sid, nRows, nBytes) =>
+              Seq(org.apache.spark.unsafe.types.UTF8String.fromString(p),
+                v, sid, nRows.orNull, nBytes.orNull)
+            }
+        override def readSchema(): StructType = filesSchema
+        override def toBatch: Batch = this
+        override def description(): String = s"snapshot($root) $$files (manifest-only)"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(SnapshotAggPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition)
+                : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+              new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+                private val it = p.asInstanceOf[SnapshotAggPartition].rows.iterator
+                private var cur: Seq[Any] = _
+                override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+                override def get(): org.apache.spark.sql.catalyst.InternalRow =
+                  org.apache.spark.sql.catalyst.InternalRow.fromSeq(cur)
+                override def close(): Unit = ()
+              }
+          }
+      }
+    }
 }

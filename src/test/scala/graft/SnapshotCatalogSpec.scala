@@ -70,6 +70,27 @@ class SnapshotCatalogSpec extends SparkTestBase {
       Set("events", "docs"))
   }
 
+  test("$files metadata table: one manifest row per data file, version-pinnable") {
+    val root = freshRoot("filesmeta")
+    Snapshots.commitAppend(spark, root,
+      (1L to 10L).map(i => (i, s"t$i")).toDF("id", "tag").repartition(2))
+    Snapshots.commitAppend(spark, root,
+      (11L to 15L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1))
+    val f = spark.sql(s"SELECT * FROM snap.`$root$$files`")
+    assert(f.columns.toSeq ==
+      Seq("file_path", "version", "schema_version", "row_count", "size_bytes"))
+    assert(f.count() == 3L)
+    // row counts come from the manifest stats, no data IO
+    assert(f.agg(sum("row_count")).head.getLong(0) == 15L)
+    assert(f.filter(col("version") === 2L).count() == 1L)
+    // version pin lists only that version's files
+    assert(spark.sql(s"SELECT * FROM snap.`$root$$files` VERSION AS OF 1").count() == 2L)
+    // the small-file audit query shape
+    val small = spark.sql(
+      s"SELECT count(*) AS n FROM snap.`$root$$files` WHERE size_bytes < 1048576")
+    assert(small.head.getLong(0) == 3L)
+  }
+
   test("INSERT INTO / OVERWRITE land as snapshot commits; DDL stays loud") {
     val root = freshRoot("ins")
     Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
