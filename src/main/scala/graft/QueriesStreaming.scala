@@ -816,6 +816,40 @@ object QueriesStreaming {
       .orderBy("source")
   }
 
+  /** stream_snapshot_table: [[streamSnapshotTail]] through the TABLE
+    * IDENTITY (round 13) — `spark.readStream.table("snap.`root`")`
+    * tails the same commit log via the catalog
+    * ([[graft.sources.v2.SnapshotCatalog]] →
+    * `SnapshotBatchScan.toMicroBatchStream`): one name serves batch
+    * SQL, INSERT, and the stream. Same three-commit schedule, same
+    * pass-through emitted set, same batch-rollup oracle — what the
+    * twin pins is that the catalog route is the SAME source (version
+    * offsets, file-diff batches), not a second implementation. */
+  val streamSnapshotTable: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import graft.sources.Snapshots
+    val key = f"${dir.hashCode & 0x7fffffff}%08x"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$key/docs_tailtbl"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 0).repartition(2))
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    val stream = s.readStream.table(s"snap.`$root`")
+    val sink = "stream_snapshot_table_sink"
+    val (q, ckpt) = startCheckpointed(
+      stream.writeStream.outputMode("append").format("memory").queryName(sink))
+    try {
+      q.processAllAvailable()
+      Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 1).repartition(2))
+      q.processAllAvailable()
+      Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 2).repartition(2))
+      q.processAllAvailable()
+    } finally stopAndClean(q, ckpt)
+    s.table(sink).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** stream_lake_upsert_live: the streaming SINK half of the lake —
     * `foreachBatch` + [[graft.sources.Snapshots.commitMergeOnce]]
     * (idempotent single-commit upserts keyed by the epoch id, the
@@ -861,6 +895,7 @@ object QueriesStreaming {
 
   val all: Map[String, Q] = Map(
     "stream_snapshot_tail" -> streamSnapshotTail,
+    "stream_snapshot_table" -> streamSnapshotTable,
     "stream_lake_upsert_live" -> streamLakeUpsertLive,
     "stream_anomaly_live" -> streamAnomalyLive,
     "stream_ewma_live" -> streamEwmaLive,
@@ -925,6 +960,10 @@ object QueriesStreaming {
 
   val oracles: Map[String, String] = Map(
     "stream_snapshot_tail" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_snapshot_table" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -111,9 +111,16 @@ private[v2] class SnapshotBatchTable(root: String, version: Long,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(root, version, tableSchema)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def longOpt(name: String): Option[Long] =
+      Option(options.get(name)).map { s =>
+        val n = s.toLong; require(n >= 1, s"$name must be >= 1, got $n"); n
+      }
+    new SnapshotScanBuilder(root, version, tableSchema,
+      longOpt("maxVersionsPerTrigger"), longOpt("maxFilesPerTrigger"))
+  }
   /** INSERT INTO → append commit; INSERT OVERWRITE → replace commit
     * (round 13, [[SnapshotWriteBuilder]]). A version-pinned read is a
     * snapshot, not a table — writing to one is refused loudly. */
@@ -128,7 +135,9 @@ private[v2] class SnapshotBatchTable(root: String, version: Long,
 }
 
 private[v2] class SnapshotScanBuilder(root: String, version: Long,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -292,7 +301,8 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
   override def build(): Scan = aggValues match {
     case Some((schema, rows, desc)) =>
       new SnapshotAggScan(root, schema, rows, desc)
-    case None => new SnapshotBatchScan(root, version, tableSchema, required, pushed)
+    case None => new SnapshotBatchScan(root, version, tableSchema, required,
+      pushed, maxVersionsPerTrigger, maxFilesPerTrigger)
   }
 }
 
@@ -326,7 +336,9 @@ private[v2] case class SnapshotAggPartition(rows: Seq[Seq[Any]]) extends InputPa
 
 private[graft] class SnapshotBatchScan(root: String, version: Long,
     tableSchema: StructType,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    required: StructType, pushed: Array[Filter],
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private def spark = SparkSession.active
@@ -367,6 +379,26 @@ private[graft] class SnapshotBatchScan(root: String, version: Long,
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STREAMING through the same table identity (round 13):
+    * `spark.readStream.table("snap.`root`")` tails the commit log with
+    * the ordinary [[SnapshotMicroBatchStream]] — one name serves batch
+    * SQL, INSERT, and the stream. The stream keeps the CDC contract
+    * (append-only history, full schema, loud otherwise); admission
+    * control rides the same `maxVersionsPerTrigger`/`maxFilesPerTrigger`
+    * options. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version < 0, "cannot stream a VERSION-pinned snapshot read")
+    // the micro-batch reader is positional against the files' own
+    // schema — it always serves the FULL table row (streaming plans do
+    // not run column pruning; this require is the loud backstop)
+    require(required == tableSchema,
+      "snapshot streaming serves the full table schema")
+    new SnapshotMicroBatchStream(root, tableSchema,
+      maxVersionsPerTrigger, maxFilesPerTrigger)
+  }
+
   override def description(): String =
     s"snapshot($root) PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
