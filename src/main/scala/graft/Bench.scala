@@ -230,12 +230,15 @@ object Bench {
       ("calibration_shuffle" -> calibrationShuffle)
 
     // Full-precision per-query detail → bench_full.json (for BASELINE.md
-    // and the judge). The stdout contract line must survive the driver's
+    // and the judge) — FULL runs only: an args-selected iteration run
+    // (single-query rechecks, probe subsets) must not clobber the
+    // committed canonical artifact (round 13 — it did, once).
+    // The stdout contract line must survive the driver's
     // 2000-char output-tail buffer (BENCH_r01/r02 both arrived truncated
     // → parsed:null), so it gets 3-decimal values and, if still too
     // long, the CHEAPEST queries folded into an "other_sum"/"other_n"
     // rollup — failures (-1) and expensive queries stay explicit.
-    locally {
+    if (args.isEmpty) {
       val full = resultsOut.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       // record which streaming-harness mode produced these numbers
