@@ -524,6 +524,45 @@ object QueriesCore {
       |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
       |  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'""".stripMargin
 
+  /** scan_snapshot_orders: the DSv2 snapshot source over a table with
+    * TIME columns (round 13 — DATE and both TIMESTAMP forms now flow
+    * through inference, both Group readers, the writer, and the typed
+    * manifest stats; catalyst stores them as primitive ints/longs so
+    * the reads are identical): orders committed in four two-year
+    * windows, then an ORDINARY `.filter(o_orderdate < 1997-01-01)` —
+    * the pushed LocalDateTime predicate tests against the naive-micros
+    * 'v' stats and prunes to the first window's 2 files, pinned as the
+    * partition count. Before this round a snapshot table with a
+    * timestamp column could not use the declarative scan at all. */
+  val scanSnapshotOrders: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/orders_dsv2time"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice")
+    val bounds = Seq("1995-01-01", "1997-01-01", "1999-01-01", "2001-01-01", "2003-01-01")
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root,
+        o.filter(to_date(col("o_orderdate")) >= lit(bounds(k)) &&
+          to_date(col("o_orderdate")) < lit(bounds(k + 1))).repartition(2))
+    val filtered = s.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).load()
+      .filter(col("o_orderdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00")))
+    val parts = filtered.rdd.getNumPartitions.toLong
+    filtered
+      .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").cast("long").as("sum_keys"),
+        max(col("o_orderdate")).cast("string").as("max_ts"))
+      .select(col("n_rows"), col("sum_keys"), col("max_ts"),
+        lit(parts).as("n_partitions"), lit(8L).as("n_files_total"))
+  }
+
+  val scanSnapshotOrdersSql =
+    """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(max(o_orderdate) AS VARCHAR) AS max_ts,
+      |  CAST(2 AS BIGINT) AS n_partitions, CAST(8 AS BIGINT) AS n_files_total
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin
+
   /** scan_snapshot_pushdown_full: the DSv2 snapshot source over a REAL
     * table (round 13, VERDICT r12 ask #1 — the r12 scope edge
     * "append-only, primitive, untracked" retired): the fixture carries
@@ -684,6 +723,39 @@ object QueriesCore {
     """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  TRUE AS one_commit_per_insert
       |FROM documents""".stripMargin
+
+  /** sql_delete_snapshot: `DELETE FROM … WHERE` in plain SQL (round
+    * 13) — the catalog table's `SupportsDelete` maps a conjunction of
+    * equality / IN predicates onto ONE merge-on-read equality-delete
+    * commit ([[graft.sources.Snapshots.commitDelete]]): a tiny key
+    * file and a manifest rename, never a rewrite — the GDPR-erasure
+    * shape at 100 TB, now reachable from the SQL a compliance job
+    * actually writes. Ranges/ORs decline loudly (they are not an
+    * equality-delete shape). The fixture deletes one source's docs,
+    * then INSERTs fresh rows for a deleted key — the re-insert must
+    * survive (sequence scoping through SQL end to end). */
+  val sqlDeleteSnapshot: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_sqldel"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 === 0).coalesce(1))
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 =!= 0).coalesce(1))
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    s.sql(s"DELETE FROM snap.`$root` WHERE source = 'src3'")
+    val v = Snapshots.currentVersion(s, root)
+    s.sql(
+      s"""SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM snap.`$root`""".stripMargin)
+      .select(col("n_rows"), col("sum_chars"),
+        lit(v == 3L).as("one_commit_per_delete"))
+  }
+
+  val sqlDeleteSnapshotSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS one_commit_per_delete
+      |FROM documents WHERE source <> 'src3'""".stripMargin
 
   /** lake_stats_agg: METADATA-ONLY aggregation (round 12) — count(*)
     * and min/max answered from the manifest statistics alone
@@ -2854,11 +2926,13 @@ object QueriesCore {
     "lake_skipping_temporal" -> lakeSkippingTemporal,
     "lake_stats_agg" -> lakeStatsAgg,
     "lake_stats_agg_grouped" -> lakeStatsAggGrouped,
+    "scan_snapshot_orders" -> scanSnapshotOrders,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
     "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFull,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdown,
     "sql_over_snapshot" -> sqlOverSnapshot,
     "sql_insert_snapshot" -> sqlInsertSnapshot,
+    "sql_delete_snapshot" -> sqlDeleteSnapshot,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -2970,11 +3044,13 @@ object QueriesCore {
     "lake_skipping_temporal" -> lakeSkippingTemporalSql,
     "lake_stats_agg" -> lakeStatsAggSql,
     "lake_stats_agg_grouped" -> lakeStatsAggGroupedSql,
+    "scan_snapshot_orders" -> scanSnapshotOrdersSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
     "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFullSql,
     "scan_snapshot_agg_pushdown" -> scanSnapshotAggPushdownSql,
     "sql_over_snapshot" -> sqlOverSnapshotSql,
     "sql_insert_snapshot" -> sqlInsertSnapshotSql,
+    "sql_delete_snapshot" -> sqlDeleteSnapshotSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

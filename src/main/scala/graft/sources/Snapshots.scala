@@ -1099,16 +1099,22 @@ object Snapshots {
   // pruning data files stays sound under deletes).
   // ---------------------------------------------------------------------
 
+  /** One equality-delete file scoped to a data file: its OWN key
+    * columns (per-file equality ids, the Iceberg semantics — delete
+    * commits against one table may use different keys), their current
+    * DDL types, and each key's index into the data file's `readCols`. */
+  private[graft] final case class DeleteSpec(path: String,
+      keyCols: Seq[String], keyTypes: Seq[String], keyIdx: Seq[Int])
+
   /** One data file's scan plan: `readCols` are (file-local column name
     * or "" = read NULL, file-written DDL type, current DDL type) for
     * the required output columns followed by any delete-key columns not
-    * already required; `outIdx`/`keyIdx` index into it. */
+    * already required; `outIdx` indexes into it. */
   private[graft] final case class FullScanFile(
       path: String,
       readCols: Seq[(String, String, String)],
       outIdx: Seq[Int],
-      keyIdx: Seq[Int],
-      deleteFiles: Seq[String])
+      deletes: Seq[DeleteSpec])
 
   /** The widenings the DSv2 reader performs in-scan (lossless in the
     * Spark-cast sense; everything else routes to readSnapshot, loud). */
@@ -1119,17 +1125,17 @@ object Snapshots {
       case _ => false
     })
 
-  private val Dsv2Types = Set("BIGINT", "INT", "DOUBLE", "FLOAT", "BOOLEAN", "STRING")
+  private val Dsv2Types = Set("BIGINT", "INT", "DOUBLE", "FLOAT", "BOOLEAN",
+    "STRING", "DATE", "TIMESTAMP", "TIMESTAMP_NTZ")
 
   /** Plan the full DSv2 scan: surviving (manifest-pruned) data files
-    * with per-file column bindings and scoped delete files. Returns
-    * (file specs, delete key column names, their CURRENT DDL types).
-    * `tableCols` is the full current table schema (name → DDL) — key
-    * columns may not be in `requiredNames`. */
+    * with per-file column bindings and scoped per-delete-file key
+    * specs. `tableCols` is the full current table schema (name → DDL)
+    * — delete-key columns may not be in `requiredNames`. */
   private[graft] def fullScanSpecs(spark: SparkSession, root: String,
       filters: Seq[org.apache.spark.sql.sources.Filter], version: Long,
       requiredNames: Seq[String], tableCols: Seq[(String, String)])
-      : (Seq[FullScanFile], Seq[String], Seq[String]) = {
+      : Seq[FullScanFile] = {
     import scala.jdk.CollectionConverters._
     val v = if (version >= 0) version else currentVersion(spark, root)
     val es = entries(spark, root, v)
@@ -1140,24 +1146,28 @@ object Snapshots {
     typeOf.values.foreach(t => require(Dsv2Types.contains(t),
       s"DSv2 snapshot scan supports primitive columns ($Dsv2Types); '$t' needs " +
         "Snapshots.readSnapshot"))
-    // delete-key columns: all delete files share one key schema (the
-    // commitDelete contract) — ONE driver footer read discovers it
-    val keyCols: Seq[String] =
-      if (dels.isEmpty) Nil
-      else {
-        val conf = spark.sessionState.newHadoopConf()
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(dels.head.path), conf))
-        try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
-        finally r.close()
-      }
-    keyCols.foreach(k => require(typeOf.contains(k),
+    // each delete file carries its OWN equality-key columns (one driver
+    // footer read per delete file — O(delete files), they are few):
+    // delete commits with DIFFERENT keys compose soundly, each applied
+    // by its own columns (the r13 in-round find: keying every file by
+    // the FIRST file's schema silently over-deleted on mixed keys)
+    val delKeyCols: Seq[Seq[String]] = dels.map { e =>
+      val conf = spark.sessionState.newHadoopConf()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(e.path), conf))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      finally r.close()
+    }
+    delKeyCols.flatten.distinct.foreach(k => require(typeOf.contains(k),
       s"delete key column '$k' is not a current column of $root"))
-    val keyTypes = keyCols.map(typeOf)
-    val readNames = requiredNames ++ keyCols.filterNot(requiredNames.contains)
+    val allKeyCols = delKeyCols.flatten.distinct
+    val readNames = requiredNames ++ allKeyCols.filterNot(requiredNames.contains)
     val outIdx = requiredNames.indices
-    val keyIdx = keyCols.map(readNames.indexOf)
+    val delSpecsAll: Seq[(Entry, DeleteSpec)] = dels.zip(delKeyCols).map {
+      case (e, kc) => e -> DeleteSpec(e.path, kc, kc.map(typeOf),
+        kc.map(readNames.indexOf))
+    }
     val schemas = sEntries.map(e => e.ver -> decodeSchema(e.path)).toMap
     val current = sEntries.lastOption.map(e => decodeSchema(e.path))
     def bindingsFor(sid: Long): Seq[(String, String, String)] = current match {
@@ -1183,11 +1193,10 @@ object Snapshots {
         }
     }
     val bySid = data.map(_.sid).distinct.map(s0 => s0 -> bindingsFor(s0)).toMap
-    val specs = data.map { e =>
-      FullScanFile(e.path, bySid(e.sid), outIdx, keyIdx,
-        dels.filter(_.ver > e.ver).map(_.path))
+    data.map { e =>
+      FullScanFile(e.path, bySid(e.sid), outIdx,
+        delSpecsAll.collect { case (de, sp) if de.ver > e.ver => sp })
     }
-    (specs, keyCols, keyTypes)
   }
 
   /** Per-data-file facts of a version for the `$files` METADATA TABLE
@@ -1535,18 +1544,27 @@ object Snapshots {
           plainBase.withColumn("__fp", normPathCol(col("_metadata.file_path")))
         else schemaRead(spark, data, sEntries, withFp = true)
       val outCols = base.columns.toIndexedSeq.filterNot(_ == "__fp")
-      val delKeys = dels.map(e => spark.read.parquet(e.path).withColumn("__dver", lit(e.ver)))
-        .reduce(_ unionByName _)
-      val keyCols = delKeys.columns.filterNot(_ == "__dver").toSeq
-      val maxDel = delKeys.groupBy(keyCols.map(col): _*)
-        .agg(max(col("__dver")).as("__dver_max"))
+      // per-KEY-SCHEMA delete groups (round 13): each delete file's own
+      // columns are its equality ids — commits keyed on different
+      // columns compose, each group applying its own sequence-scoped
+      // anti-filter (a row survives iff it survives EVERY group). The
+      // former single-union form required one shared key schema and
+      // unionByName threw on mixed keys.
+      val delFrames = dels.map(e =>
+        spark.read.parquet(e.path).withColumn("__dver", lit(e.ver)))
+      val groups = delFrames.groupBy(_.columns.filterNot(_ == "__dver").toSeq.sorted)
+        .toSeq.sortBy(_._1.mkString(","))
       val fileVer = data.map(e => (normPath(e.path), e.ver)).toDF("__fp", "__ver")
-      base
-        .join(broadcast(fileVer), Seq("__fp"))
-        .join(maxDel, keyCols, "left")
-        .filter(col("__dver_max").isNull || col("__dver_max") <= col("__ver"))
-        .drop("__fp", "__ver", "__dver_max")
-        .select(outCols.map(col): _*)
+      var cur = base.join(broadcast(fileVer), Seq("__fp"))
+      for ((keyCols, frames) <- groups) {
+        val maxDel = frames.reduce(_ unionByName _)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(col("__dver")).as("__dver_max"))
+        cur = cur.join(maxDel, keyCols, "left")
+          .filter(col("__dver_max").isNull || col("__dver_max") <= col("__ver"))
+          .drop("__dver_max")
+      }
+      cur.drop("__fp", "__ver").select(outCols.map(col): _*)
     }
   }
 

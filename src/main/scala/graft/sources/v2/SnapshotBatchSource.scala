@@ -106,7 +106,8 @@ private[v2] object SnapshotBatchSource {
 
 private[v2] class SnapshotBatchTable(root: String, version: Long,
     tableSchema: StructType) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"snapshot($root)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -131,6 +132,51 @@ private[v2] class SnapshotBatchTable(root: String, version: Long,
       s"cannot write to a VERSION-pinned snapshot read of $root — writes go " +
         "to the current table")
     new SnapshotWriteBuilder(root, info)
+  }
+
+  /** `DELETE FROM … WHERE` lands as a MERGE-ON-READ equality delete
+    * (round 13): a conjunction of equality / IN predicates over
+    * distinct columns IS a key-tuple set — exactly what
+    * [[graft.sources.Snapshots.commitDelete]] publishes, so the SQL
+    * DELETE costs one tiny key file + one manifest commit, never a
+    * rewrite. Anything else (ranges, nulls, OR trees, no WHERE)
+    * declines loudly — Spark reports the unsupported condition rather
+    * than this table pretending. NULL semantics line up by
+    * construction: SQL DELETE's predicate never matches NULL, and
+    * neither does the equality-delete join. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val cols = filters.collect {
+      case EqualTo(a, v) if v != null => a
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) => a
+    }
+    version < 0 && filters.nonEmpty && cols.length == filters.length &&
+      cols.distinct.length == cols.length &&
+      cols.forall(a => tableSchema.fieldNames.contains(a))
+  }
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    require(canDeleteWhere(filters), "unsupported DELETE condition")
+    val spark = SparkSession.active
+    val cols = filters.map { case EqualTo(a, _) => a; case In(a, _) => a }
+    val valueLists: Seq[Seq[Any]] = filters.toSeq.map {
+      case EqualTo(_, v) => Seq(v)
+      case In(_, vs) => vs.toSeq.distinct
+    }
+    val tuples = valueLists.foldLeft(Seq(Seq.empty[Any]))(
+      (acc, vs) => for (t <- acc; v <- vs) yield t :+ v)
+    // the key set is INLINE literals from the SQL text — bounded by
+    // construction; bulk deletes pass a keys FRAME to commitDelete
+    require(tuples.size <= 65536,
+      "DELETE FROM with an inline key set this large should pass a keys " +
+        "DataFrame to Snapshots.commitDelete")
+    val keySchema = StructType(cols.map(c =>
+      tableSchema(tableSchema.fieldIndex(c)).copy(nullable = false)).toSeq)
+    val rows = tuples.map(org.apache.spark.sql.Row.fromSeq)
+    val keys = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), keySchema)
+    Snapshots.commitDelete(spark, root, keys)
   }
 }
 
@@ -417,12 +463,12 @@ private[graft] class SnapshotBatchScan(root: String, version: Long,
         (pushed ++ runtime).toIndexedSeq, resolvedVersion)
       files.map(SnapshotFilePartition(_): InputPartition).toArray
     } else {
-      val (specs, keyCols, keyTypes) = Snapshots.fullScanSpecs(spark, root,
+      val specs = Snapshots.fullScanSpecs(spark, root,
         (pushed ++ runtime).toIndexedSeq, resolvedVersion,
         required.fields.map(_.name).toSeq,
         tableSchema.fields.map(f => f.name -> f.dataType.sql).toSeq)
       specs.map(s => SnapshotFullPartition(s.path, s.readCols, s.outIdx,
-        s.keyIdx, s.deleteFiles, keyCols, keyTypes): InputPartition).toArray
+        s.deletes): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -471,16 +517,14 @@ private[v2] object SnapshotBatchScan {
 
 /** One data file of the FULL scan: per-column bindings resolved at
   * planning (file-local name or "" = NULL, file DDL type, current DDL
-  * type), output/key index vectors, and the file's sequence-scoped
-  * delete files (only versions STRICTLY later than the file's). */
+  * type), the output index vector, and the file's sequence-scoped
+  * delete files (only versions STRICTLY later than the file's), each
+  * carrying its OWN equality-key columns. */
 private[v2] case class SnapshotFullPartition(
     path: String,
     readCols: Seq[(String, String, String)],
     outIdx: Seq[Int],
-    keyIdx: Seq[Int],
-    deleteFiles: Seq[String],
-    keyCols: Seq[String],
-    keyTypes: Seq[String]) extends InputPartition
+    deletes: Seq[Snapshots.DeleteSpec]) extends InputPartition
 
 /** Executor reader for [[SnapshotFullPartition]]: projects the parquet
   * read to the file-local columns actually bound (from the file's OWN
@@ -508,9 +552,9 @@ private[v2] class SnapshotFullReaderFactory(confEntries: Array[(String, String)]
     present.zipWithIndex.foreach { case ((_, rcIdx), projIdx) =>
       fieldIdx(rcIdx) = projIdx
     }
-    val deleteSets: Seq[scala.collection.Set[Seq[Any]]] =
-      p.deleteFiles.map(dp =>
-        SnapshotDeleteSets.get(dp, p.keyCols, p.keyTypes, confEntries))
+    val deleteSets: Seq[(Snapshots.DeleteSpec, scala.collection.Set[Seq[Any]])] =
+      p.deletes.map(sp =>
+        sp -> SnapshotDeleteSets.get(sp.path, sp.keyCols, sp.keyTypes, confEntries))
     val projConf = SnapshotReaderFactory.mapToConf(
       confEntries :+ (ReadSupport.PARQUET_READ_SCHEMA -> projection.toString))
     val reader: org.apache.parquet.hadoop.ParquetReader[org.apache.parquet.example.data.Group] =
@@ -534,9 +578,9 @@ private[v2] class SnapshotFullReaderFactory(confEntries: Array[(String, String)]
               }
             i += 1
           }
-          val deleted = deleteSets.nonEmpty && {
-            val key = p.keyIdx.map(j => SnapshotDeleteSets.normKey(vals(j)))
-            !key.contains(null) && deleteSets.exists(_.contains(key))
+          val deleted = deleteSets.exists { case (sp, set) =>
+            val key = sp.keyIdx.map(j => SnapshotDeleteSets.normKey(vals(j)))
+            !key.contains(null) && set.contains(key)
           }
           if (!deleted) {
             cur = InternalRow.fromSeq(p.outIdx.map(vals))
@@ -652,6 +696,11 @@ private[v2] object SnapshotDeleteSets {
       case ("BOOLEAN", "BOOLEAN") => g.getBoolean(fi, 0)
       case ("STRING", "STRING") =>
         org.apache.spark.unsafe.types.UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+      // catalyst DATE = epoch-day Int, timestamps = micros Long —
+      // identity physical reads (round 13: time columns on real tables)
+      case ("DATE", "DATE") => g.getInteger(fi, 0)
+      case ("TIMESTAMP", "TIMESTAMP") | ("TIMESTAMP_NTZ", "TIMESTAMP_NTZ") =>
+        g.getLong(fi, 0)
       case other => throw new IllegalStateException(
         s"unplanned scan conversion $other") // fullScanSpecs validated these
     }

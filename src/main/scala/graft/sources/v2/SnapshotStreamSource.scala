@@ -47,7 +47,9 @@ import graft.sources.Snapshots
   * reader is parquet-mr's Group API over one file per input partition —
   * column pruning/pushdown deliberately stay upstream in Spark (a
   * projection over this source prunes AFTER read; the declared contract
-  * is primitive-column tables: LONG/INT/DOUBLE/FLOAT/BOOLEAN/STRING,
+  * is primitive-column tables: LONG/INT/DOUBLE/FLOAT/BOOLEAN/STRING
+  * plus DATE and both TIMESTAMP forms since round 13 — catalyst stores
+  * them as primitive ints/longs, so the Group reads are identical —
   * checked loudly at schema inference, nested types out of scope).
   *
   * Usage:
@@ -96,17 +98,28 @@ object SnapshotStreamSource {
       require(f.isPrimitive && f.getRepetition != PType.Repetition.REPEATED,
         s"snapshot stream source supports primitive columns only; '${f.getName}' is not")
       val p = f.asPrimitiveType()
-      val dt = p.getPrimitiveTypeName match {
-        case PrimitiveType.PrimitiveTypeName.INT64 => LongType
-        case PrimitiveType.PrimitiveTypeName.INT32 => IntegerType
-        case PrimitiveType.PrimitiveTypeName.DOUBLE => DoubleType
-        case PrimitiveType.PrimitiveTypeName.FLOAT => FloatType
-        case PrimitiveType.PrimitiveTypeName.BOOLEAN => BooleanType
-        case PrimitiveType.PrimitiveTypeName.BINARY
-          if p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType() =>
-          StringType
-        case other => throw new IllegalArgumentException(
-          s"snapshot stream source: unsupported parquet type $other for '${f.getName}'")
+      // INT32/INT64 carry their meaning in the LOGICAL annotation —
+      // DATE (epoch-day ints) and both TIMESTAMP forms (micros longs)
+      // map onto catalyst's own primitive representations, so the Group
+      // readers serve them with the same positional reads (round 13;
+      // real tables have time columns)
+      val dt = (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+        case (PrimitiveType.PrimitiveTypeName.INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+          if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+          if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case (PrimitiveType.PrimitiveTypeName.INT64, null |
+          (_: LogicalTypeAnnotation.IntLogicalTypeAnnotation)) => LongType
+        case (PrimitiveType.PrimitiveTypeName.INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          DateType
+        case (PrimitiveType.PrimitiveTypeName.INT32, null |
+          (_: LogicalTypeAnnotation.IntLogicalTypeAnnotation)) => IntegerType
+        case (PrimitiveType.PrimitiveTypeName.DOUBLE, _) => DoubleType
+        case (PrimitiveType.PrimitiveTypeName.FLOAT, _) => FloatType
+        case (PrimitiveType.PrimitiveTypeName.BOOLEAN, _) => BooleanType
+        case (PrimitiveType.PrimitiveTypeName.BINARY, ann)
+          if ann == LogicalTypeAnnotation.stringType() => StringType
+        case (other, ann) => throw new IllegalArgumentException(
+          s"snapshot stream source: unsupported parquet type $other ($ann) for '${f.getName}'")
       }
       StructField(f.getName, dt, f.getRepetition == PType.Repetition.OPTIONAL)
     }.toSeq)
@@ -293,6 +306,10 @@ private[graft] object SnapshotReaderFactory {
           case FloatType => g.getFloat(i, 0)
           case BooleanType => g.getBoolean(i, 0)
           case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+          // catalyst stores DATE as epoch-day Int and both timestamp
+          // forms as micros Long — identical physical reads
+          case DateType => g.getInteger(i, 0)
+          case TimestampType | TimestampNTZType => g.getLong(i, 0)
           case dt => throw new IllegalStateException(s"unreachable type $dt")
         }
       i += 1

@@ -124,6 +124,8 @@ private[v2] class SnapshotDataWriterFactory(commitDir: String,
             case "STRING" =>
               g.append(cols(i)._1,
                 Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+            case "DATE" => g.append(cols(i)._1, row.getInt(i))
+            case "TIMESTAMP" | "TIMESTAMP_NTZ" => g.append(cols(i)._1, row.getLong(i))
             case other => throw new IllegalStateException(
               s"snapshot write supports primitive columns; got $other")
           }
@@ -170,6 +172,17 @@ private[v2] object SnapshotDataWriterFactory {
         case "STRING" => Types.primitive(
           PrimitiveType.PrimitiveTypeName.BINARY, rep)
           .as(LogicalTypeAnnotation.stringType())
+        case "DATE" => Types.primitive(
+          PrimitiveType.PrimitiveTypeName.INT32, rep)
+          .as(LogicalTypeAnnotation.dateType())
+        case "TIMESTAMP" => Types.primitive(
+          PrimitiveType.PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case "TIMESTAMP_NTZ" => Types.primitive(
+          PrimitiveType.PrimitiveTypeName.INT64, rep)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
         case other => throw new IllegalArgumentException(
           s"snapshot write supports primitive columns; column '$name' is $other")
       }

@@ -70,6 +70,28 @@ class SnapshotCatalogSpec extends SparkTestBase {
       Set("events", "docs"))
   }
 
+  test("DELETE FROM maps onto merge-on-read equality deletes; ranges decline loudly") {
+    val root = freshRoot("sqldel")
+    Snapshots.commitAppend(spark, root,
+      (1L to 10L).map(i => (i, s"g${i % 3}")).toDF("id", "grp").coalesce(1))
+    // equality predicate → one key-file commit, no rewrite
+    spark.sql(s"DELETE FROM snap.`$root` WHERE grp = 'g1'")
+    assert(Snapshots.currentVersion(spark, root) == 2L)
+    assert(spark.sql(s"SELECT * FROM snap.`$root`").count() == 6L) // g1 = {1,4,7,10}
+    assert(spark.sql(s"SELECT * FROM snap.`$root` WHERE grp = 'g1'").count() == 0L)
+    // conjunction of IN + equality over distinct columns
+    spark.sql(s"DELETE FROM snap.`$root` WHERE id IN (3, 6) AND grp = 'g0'")
+    assert(spark.sql(s"SELECT id FROM snap.`$root`").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 5L, 8L, 9L))  // 3,6 are g0: gone; g1 (1,4,7,10) gone earlier
+    // re-insert after delete survives (sequence scoping through SQL too)
+    spark.sql(s"INSERT INTO snap.`$root` VALUES (1, 'g1')")
+    assert(spark.sql(s"SELECT * FROM snap.`$root` WHERE id = 1").count() == 1L)
+    // a range predicate is NOT an equality-delete shape: loud decline
+    val e = intercept[Exception] { spark.sql(s"DELETE FROM snap.`$root` WHERE id > 5") }
+    assert(e.getMessage.toLowerCase.contains("delete"),
+      s"range DELETE must decline loudly: ${e.getMessage}")
+  }
+
   test("$files metadata table: one manifest row per data file, version-pinnable") {
     val root = freshRoot("filesmeta")
     Snapshots.commitAppend(spark, root,

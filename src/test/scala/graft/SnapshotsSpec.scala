@@ -767,6 +767,26 @@ class SnapshotsSpec extends SparkTestBase {
       Seq[org.apache.spark.sql.sources.Filter](FEq("value", 123456L))).count() == 0L)
   }
 
+  test("mixed-key delete commits: each delete file applies by its OWN columns") {
+    // round-13 in-round find: delete commits keyed on DIFFERENT columns
+    // must compose — each file is its own equality-id set (Iceberg
+    // semantics); the old single-union read threw, and the DSv2 path
+    // keyed every file by the FIRST file's schema (silent over-delete)
+    val root = freshRoot("mixedkeys")
+    Snapshots.commitAppend(spark, root,
+      (1L to 10L).map(i => (i, s"g${i % 3}")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitDelete(spark, root, Seq("g1").toDF("tag"))     // by tag
+    Snapshots.commitDelete(spark, root, Seq(3L, 6L).toDF("id"))    // by id
+    // g1 = {1,4,7,10}; then ids 3,6 — survivors {2,5,8,9}
+    assert(Snapshots.readSnapshot(spark, root).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 5L, 8L, 9L))
+    // re-insert under one key survives the OTHER key's earlier delete
+    Snapshots.commitAppend(spark, root, Seq((3L, "g0")).toDF("id", "tag").coalesce(1))
+    assert(Snapshots.readSnapshot(spark, root).filter(col("id") === 3L).count() == 1L)
+    // metadata aggregates still decline under any pending deletes
+    assert(Snapshots.metadataRowCount(spark, root).isEmpty)
+  }
+
   test("clustering compaction: scattered ingest prunes nothing; clustered files prune; answer invariant") {
     val root = freshRoot("cluster")
     // interleaved ingest: ids k, k+4, k+8, … — every file spans 1..400
