@@ -400,6 +400,40 @@ object QueriesCore {
       |FROM documents WHERE doc_id % 9 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** lake_history_meta: the `$history` METADATA TABLE (round 13 —
+    * Iceberg's `table.history` forensics surface): one row per
+    * committed version with its manifest's data/delete/schema entry
+    * counts and the data files it ADDED — "what did commit N do" in
+    * plain SQL, O(versions) manifest reads, zero data IO. The fixture
+    * drives append → append → delete → merge → replace and gates the
+    * full listing as literal arithmetic (every count deterministic
+    * under coalesce(1) commits). */
+  val lakeHistoryMeta: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_histmeta"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 0).coalesce(1))
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 3 === 1).coalesce(1))
+    Snapshots.commitDelete(s, root, d.filter(col("doc_id") % 9 === 0).select("doc_id"))
+    Snapshots.commitMerge(s, root,
+      d.filter(col("doc_id") % 3 === 2).coalesce(1), Seq("doc_id"))
+    Snapshots.commitReplace(s, root, Snapshots.readSnapshot(s, root).coalesce(1))
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    s.sql(s"SELECT * FROM snap.`$root$$history` ORDER BY version")
+  }
+
+  val lakeHistoryMetaSql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+      |) AS t(version, n_data_files, n_delete_files, n_schema_entries, added_files)
+      |ORDER BY version""".stripMargin
+
   /** lake_skipping: MANIFEST-LEVEL FILE SKIPPING on the snapshot lake
     * ([[graft.sources.Snapshots.readSnapshotPruned]], round 12 —
     * VERDICT r11 ask #1): four range-disjoint APPENDs (quarters of the
@@ -844,6 +878,47 @@ object QueriesCore {
       |  CAST(max(n_chars) AS BIGINT) AS max_chars,
       |  TRUE AS dsv2_pushed_match
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** lake_stats_agg_daily: the "rows per month" dashboard query
+    * answered ENTIRELY from manifests over a DATE group column (round
+    * 13): four month-pure commits of orders, then an ordinary
+    * `groupBy(month).agg(count/min/max)` through the DSv2 source —
+    * DATE manifest stats are epoch days (tag 't'), exactly catalyst's
+    * own representation, so the grouped aggregate pushdown emits final
+    * date-keyed metadata rows with zero files opened. The `agg_pushed`
+    * flag pins that the plan really pushed. */
+  val lakeStatsAggDaily: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/orders_metamonth"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+    val months = Seq("1995-03-01", "1996-07-01", "1998-01-01", "2000-11-01")
+    for (m <- months)
+      Snapshots.commitAppend(s, root,
+        o.filter(col("month") === lit(java.sql.Date.valueOf(m))).coalesce(1))
+    val dsv2 = s.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).load()
+      .groupBy("month").agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+    val pushedFlag =
+      dsv2.queryExecution.executedPlan.toString.contains("PushedAggregates")
+    dsv2.select(col("month").cast("string").as("month"), col("n_rows"),
+      col("min_key").cast("long").as("min_key"),
+      col("max_key").cast("long").as("max_key"),
+      lit(pushedFlag).as("agg_pushed"))
+      .orderBy("month")
+  }
+
+  val lakeStatsAggDailySql =
+    """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+      |  count(*) AS n_rows, CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key, TRUE AS agg_pushed
+      |FROM orders
+      |WHERE CAST(date_trunc('month', o_orderdate) AS DATE) IN
+      |  (DATE '1995-03-01', DATE '1996-07-01', DATE '1998-01-01', DATE '2000-11-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** scan_snapshot_agg_pushdown: the DECLARATIVE form of
     * [[lakeStatsAgg]] (round 12) — a plain `df.agg(count/min/max)` over
@@ -2922,10 +2997,12 @@ object QueriesCore {
     "lake_schema_rename" -> lakeSchemaRename,
     "lake_compact_clustered" -> lakeCompactClustered,
     "lake_files_meta" -> lakeFilesMeta,
+    "lake_history_meta" -> lakeHistoryMeta,
     "lake_skipping" -> lakeSkipping,
     "lake_skipping_temporal" -> lakeSkippingTemporal,
     "lake_stats_agg" -> lakeStatsAgg,
     "lake_stats_agg_grouped" -> lakeStatsAggGrouped,
+    "lake_stats_agg_daily" -> lakeStatsAggDaily,
     "scan_snapshot_orders" -> scanSnapshotOrders,
     "scan_snapshot_pushdown" -> scanSnapshotPushdown,
     "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFull,
@@ -3040,10 +3117,12 @@ object QueriesCore {
     "lake_schema_rename" -> lakeSchemaRenameSql,
     "lake_compact_clustered" -> lakeCompactClusteredSql,
     "lake_files_meta" -> lakeFilesMetaSql,
+    "lake_history_meta" -> lakeHistoryMetaSql,
     "lake_skipping" -> lakeSkippingSql,
     "lake_skipping_temporal" -> lakeSkippingTemporalSql,
     "lake_stats_agg" -> lakeStatsAggSql,
     "lake_stats_agg_grouped" -> lakeStatsAggGroupedSql,
+    "lake_stats_agg_daily" -> lakeStatsAggDailySql,
     "scan_snapshot_orders" -> scanSnapshotOrdersSql,
     "scan_snapshot_pushdown" -> scanSnapshotPushdownSql,
     "scan_snapshot_pushdown_full" -> scanSnapshotPushdownFullSql,

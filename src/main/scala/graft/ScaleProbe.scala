@@ -60,6 +60,7 @@ object ScaleProbe {
     "lake_stats_agg_grouped", "lake_compact_clustered",
     "lake_skipping_temporal", "sql_insert_snapshot", "lake_files_meta",
     "stream_snapshot_table", "scan_snapshot_orders", "sql_delete_snapshot",
+    "lake_history_meta", "lake_stats_agg_daily",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

@@ -1214,6 +1214,26 @@ object Snapshots {
     }
   }
 
+  /** Per-version facts for the `$history` METADATA TABLE (round 13):
+    * (version, data files listed, delete files listed, schema entries,
+    * data files ADDED vs the previous version). O(versions) manifest
+    * reads, zero data IO — the commit-log audit surface. `upTo` < 0
+    * means the whole history. */
+  private[graft] def historyInfos(spark: SparkSession, root: String,
+      upTo: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    val cur = currentVersion(spark, root)
+    val hi = if (upTo >= 0) math.min(upTo, cur) else cur
+    var prev = Set.empty[String]
+    (1L to hi).map { v =>
+      val lines = readManifest(spark, root, v)
+      val es = lines.map(parseEntry)
+      val added = lines.filterNot(prev).map(parseEntry).count(_.kind == "A").toLong
+      prev = lines.toSet
+      (v, es.count(_.kind == "A").toLong, es.count(_.kind == "D").toLong,
+        es.count(_.kind == "S").toLong, added)
+    }
+  }
+
   /** (has schema entries, has delete entries) at a version — the batch
     * source's plain-vs-full dispatch. */
   private[graft] def tableShape(spark: SparkSession, root: String,

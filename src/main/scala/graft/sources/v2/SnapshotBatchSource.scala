@@ -285,14 +285,18 @@ private[v2] class SnapshotScanBuilder(root: String, version: Long,
         val gFieldOpt = tableSchema.fields.find(_.name == gName).filter(f =>
           f.dataType == org.apache.spark.sql.types.LongType ||
             f.dataType == org.apache.spark.sql.types.IntegerType ||
-            f.dataType == org.apache.spark.sql.types.StringType)
+            f.dataType == org.apache.spark.sql.types.StringType ||
+            f.dataType == org.apache.spark.sql.types.DateType)
         gFieldOpt.flatMap { gField =>
           // encoded manifest key -> catalyst value of the group column
+          // (DATE stats are epoch days — exactly catalyst's Int form,
+          // so "rows per day/month" answers from the manifest too)
           def keyVal(k: Option[String]): Any = k match {
             case None => null
             case Some(s) => gField.dataType match {
               case org.apache.spark.sql.types.LongType => s.toLong
-              case org.apache.spark.sql.types.IntegerType => s.toInt
+              case org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.DateType => s.toInt
               case _ => org.apache.spark.unsafe.types.UTF8String.fromString(s)
             }
           }

@@ -68,15 +68,18 @@ class SnapshotCatalog extends TableCatalog {
         s"$catalogName.`/path/to/table`"))
   }
 
-  /** `name$files` addresses the METADATA TABLE of `name` — one row per
-    * data file from the manifest (path, committing version, schema
-    * version, row count, bytes), the Iceberg `table.files` inspection
-    * surface: small-file audits, per-version growth, stats coverage —
-    * all in plain SQL, zero data IO. */
-  private def splitMeta(ident: Identifier): (Identifier, Boolean) =
-    if (ident.name.endsWith("$files"))
-      (Identifier.of(ident.namespace, ident.name.stripSuffix("$files")), true)
-    else (ident, false)
+  /** `name$files` / `name$history` address METADATA TABLES of `name` —
+    * the Iceberg `table.files`/`table.history` inspection surfaces:
+    * per-file manifest rows (path, version, schema version, row count,
+    * bytes) and per-version commit-log rows (file/delete/schema entry
+    * counts, files added) — small-file audits, growth dashboards,
+    * commit forensics, all in plain SQL, zero data IO. */
+  private def splitMeta(ident: Identifier): (Identifier, Option[String]) =
+    Seq("$files", "$history").find(ident.name.endsWith) match {
+      case Some(suf) =>
+        (Identifier.of(ident.namespace, ident.name.stripSuffix(suf)), Some(suf))
+      case None => (ident, None)
+    }
 
   override def tableExists(ident: Identifier): Boolean = {
     val (base, _) = splitMeta(ident)
@@ -102,14 +105,18 @@ class SnapshotCatalog extends TableCatalog {
   }
 
   private def loadAt(ident: Identifier, v: Long): Table = {
-    val (base, isFiles) = splitMeta(ident)
+    val (base, meta) = splitMeta(ident)
     val root = rootOf(base)
     requireTable(root, base)
-    if (isFiles) new SnapshotFilesTable(root, v)
-    // schema AT the pinned version — time travel below a rename reads
-    // the old names, exactly like readSnapshot
-    else new SnapshotBatchTable(root, v,
-      SnapshotBatchSource.inferSchemaAt(spark, root, v))
+    meta match {
+      case Some("$files") => new SnapshotFilesTable(root, v)
+      case Some("$history") => new SnapshotHistoryTable(root, v)
+      case _ =>
+        // schema AT the pinned version — time travel below a rename
+        // reads the old names, exactly like readSnapshot
+        new SnapshotBatchTable(root, v,
+          SnapshotBatchSource.inferSchemaAt(spark, root, v))
+    }
   }
 
   /** Timestamp travel needs commit wall-clocks the manifest format
@@ -196,6 +203,59 @@ private[v2] class SnapshotFilesTable(root: String, version: Long)
         override def readSchema(): StructType = filesSchema
         override def toBatch: Batch = this
         override def description(): String = s"snapshot($root) $$files (manifest-only)"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(SnapshotAggPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition)
+                : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+              new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+                private val it = p.asInstanceOf[SnapshotAggPartition].rows.iterator
+                private var cur: Seq[Any] = _
+                override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+                override def get(): org.apache.spark.sql.catalyst.InternalRow =
+                  org.apache.spark.sql.catalyst.InternalRow.fromSeq(cur)
+                override def close(): Unit = ()
+              }
+          }
+      }
+    }
+}
+
+/** The `$history` metadata table: one row per committed version — how
+  * many data/delete/schema entries its manifest lists and how many
+  * data files it ADDED over the previous version. A REPLACE shows as
+  * added > 0 with the listed count dropping; a delete commit as
+  * n_delete_files rising with added = 0 — commit forensics in plain
+  * SQL, O(versions) manifest reads, zero data IO. `VERSION AS OF v`
+  * truncates the listing at v. */
+private[v2] class SnapshotHistoryTable(root: String, version: Long)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("n_data_files", LongType, nullable = false),
+    StructField("n_delete_files", LongType, nullable = false),
+    StructField("n_schema_entries", LongType, nullable = false),
+    StructField("added_files", LongType, nullable = false)))
+
+  override def name(): String = s"snapshot($root).history"
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[Seq[Any]] =
+          graft.sources.Snapshots.historyInfos(SparkSession.active, root, version)
+            .map { case (v, a, d, s, add) => Seq[Any](v, a, d, s, add) }
+        override def readSchema(): StructType = historySchema
+        override def toBatch: Batch = this
+        override def description(): String = s"snapshot($root) $$history (manifest-only)"
         override def planInputPartitions(): Array[InputPartition] =
           Array(SnapshotAggPartition(rows))
         override def createReaderFactory(): PartitionReaderFactory =

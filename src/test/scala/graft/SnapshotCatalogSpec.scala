@@ -113,6 +113,25 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(small.head.getLong(0) == 3L)
   }
 
+  test("$history metadata table: per-version commit forensics from the manifests") {
+    val root = freshRoot("histmeta")
+    Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitDelete(spark, root, Seq(1L).toDF("id"))
+    Snapshots.commitReplace(spark, root, Seq((9L, "z")).toDF("id", "tag").coalesce(1))
+    val h = spark.sql(s"SELECT * FROM snap.`$root$$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(h == Seq(
+      (1L, 1L, 0L, 0L, 1L), // first append
+      (2L, 2L, 0L, 0L, 1L), // second append: carries + 1 new
+      (3L, 2L, 1L, 0L, 0L), // delete commit: no data files added
+      (4L, 1L, 0L, 0L, 1L))) // replace: fresh single file, deletes gone
+    // the pinned form truncates the listing
+    assert(spark.sql(s"SELECT count(*) FROM snap.`$root$$history` VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+  }
+
   test("INSERT INTO / OVERWRITE land as snapshot commits; DDL stays loud") {
     val root = freshRoot("ins")
     Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
