@@ -148,9 +148,17 @@ class SnapshotBatchFullSpec extends SparkTestBase {
           }
           Snapshots.commitAppend(spark, root,
             rows.toDF("id", "v", tagName).coalesce(1))
-        case 1 => // delete a random existing-id slice (if no pending-schema block)
-          val ids = (1L until nextId).filter(_ => rnd.nextInt(10) == 0)
-          if (ids.nonEmpty) Snapshots.commitDelete(spark, root, ids.toDF("id"))
+        case 1 => // delete a random slice — alternating KEY COLUMNS, so
+          // the fuzz also exercises mixed-key delete composition (the
+          // r13 in-round find: per-delete-file key resolution)
+          if (rnd.nextBoolean()) {
+            val ids = (1L until nextId).filter(_ => rnd.nextInt(10) == 0)
+            if (ids.nonEmpty) Snapshots.commitDelete(spark, root, ids.toDF("id"))
+          } else {
+            val vs = (0 until 100).filter(_ => rnd.nextInt(25) == 0).map(_.toString)
+            if (vs.nonEmpty)
+              Snapshots.commitDelete(spark, root, vs.map(_.toInt).toDF("v"))
+          }
         case 2 => // rename the tag column back and forth (blocked by pending deletes)
           val to = if (tagName == "tag") "label" else "tag"
           try { Snapshots.renameColumn(spark, root, tagName, to); tagName = to }
