@@ -224,6 +224,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val warm = results.filter(r => !r._4)
     val coldRows = results.filter(r => r._4 && r._2 >= 0)
+    // PROTOCOL-SPLIT totals (round 14, ADVICE r13 low #4): a tiered run's
+    // `value` sums warm medians for headline rows with single cold
+    // readings for the tail, so it is not strictly comparable to an
+    // untiered (all-warm) round's `value` — cold readings carry
+    // JIT/codegen cost the warm protocol excludes. `value_warm` is the
+    // tier-stable total (warm rows only, comparable across tiered and
+    // untiered rounds over the shared row set); `value_cold_tail` is the
+    // cold tier's sum. value == value_warm + value_cold_tail always.
+    val totalWarm = warm.map(_._2).filter(_ >= 0).sum
+    val totalColdTail = coldRows.map(_._2).sum
     val resultsOut = warm.map { case (k, v, _, _) => k -> v } :+
       ("calibration" -> calibration) :+
       ("calibration_sustained" -> calibrationSustained) :+
@@ -264,7 +274,7 @@ object Bench {
         .mkString("{", ",", "}")
       val tiered = coldRows.nonEmpty
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","stream_fast":$streamFast,"runs":$benchRuns,"tiered":$tiered,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"calibration_shuffle":$calibrationShuffle,"queries":$full,"queries_cold":$coldJson,"queries_norm":$norm,"queries_exchanges":$exch,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"value_warm":$totalWarm,"value_cold_tail":$totalColdTail,"unit":"sec","stream_fast":$streamFast,"runs":$benchRuns,"tiered":$tiered,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"calibration_shuffle":$calibrationShuffle,"queries":$full,"queries_cold":$coldJson,"queries_norm":$norm,"queries_exchanges":$exch,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     }
     def fmt(v: Double): String =
@@ -282,7 +292,7 @@ object Bench {
           "\"other_n\":" + (fs.size + coldRows.size))
       }
       val qs = (kept ++ extra).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_warm":${fmt(totalWarm)},"value_cold_tail":${fmt(totalColdTail)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
     }
     val budget = 1900 // tail buffer 2000 minus sbt's trailing [success] line
     // calibration is never folded — it must stay explicit in every round's line
