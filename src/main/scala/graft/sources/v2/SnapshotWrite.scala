@@ -88,7 +88,8 @@ private[v2] class SnapshotBatchWrite(root: String, schema: StructType,
 
 private[v2] class SnapshotDataWriterFactory(commitDir: String,
     cols: Array[(String, String, Boolean)],
-    confEntries: Array[(String, String)]) extends DataWriterFactory {
+    confEntries: Array[(String, String)],
+    opColumn: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -100,6 +101,15 @@ private[v2] class SnapshotDataWriterFactory(commitDir: String,
       private var writer: org.apache.parquet.hadoop.ParquetWriter[
         org.apache.parquet.example.data.Group] = _
       private lazy val factory = new SimpleGroupFactory(parquetSchema)
+      // ROW-LEVEL (ReplaceData) layout: when the connector declares no
+      // metadata attributes, Spark's group-based rewrite hands the
+      // writer RAW query rows — a leading `__row_operation` INT
+      // (WRITE=5 / WRITE_WITH_METADATA=6; never a delete — removed rows
+      // are filtered out of the replace query) followed by the data
+      // columns. `off` skips it; the op value is asserted so a layout
+      // drift in a future engine version fails LOUDLY, never as
+      // silently shifted columns.
+      private val off = if (opColumn) 1 else 0
 
       private def open(): Unit = if (writer == null) {
         val conf = SnapshotReaderFactory.mapToConf(confEntries)
@@ -112,20 +122,28 @@ private[v2] class SnapshotDataWriterFactory(commitDir: String,
 
       override def write(row: InternalRow): Unit = {
         open()
+        if (opColumn) {
+          require(row.numFields == cols.length + 1,
+            s"row-level write expected [__row_operation | ${cols.length} columns], " +
+              s"got ${row.numFields} fields")
+          val op = row.getInt(0)
+          require(op == 5 || op == 6, s"unexpected row operation $op in a replace write")
+        }
         val g = factory.newGroup()
         var i = 0
         while (i < cols.length) {
-          if (!row.isNullAt(i)) cols(i)._2 match {
-            case "BIGINT" => g.append(cols(i)._1, row.getLong(i))
-            case "INT" => g.append(cols(i)._1, row.getInt(i))
-            case "DOUBLE" => g.append(cols(i)._1, row.getDouble(i))
-            case "FLOAT" => g.append(cols(i)._1, row.getFloat(i))
-            case "BOOLEAN" => g.append(cols(i)._1, row.getBoolean(i))
+          if (!row.isNullAt(i + off)) cols(i)._2 match {
+            case "BIGINT" => g.append(cols(i)._1, row.getLong(i + off))
+            case "INT" => g.append(cols(i)._1, row.getInt(i + off))
+            case "DOUBLE" => g.append(cols(i)._1, row.getDouble(i + off))
+            case "FLOAT" => g.append(cols(i)._1, row.getFloat(i + off))
+            case "BOOLEAN" => g.append(cols(i)._1, row.getBoolean(i + off))
             case "STRING" =>
               g.append(cols(i)._1,
-                Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
-            case "DATE" => g.append(cols(i)._1, row.getInt(i))
-            case "TIMESTAMP" | "TIMESTAMP_NTZ" => g.append(cols(i)._1, row.getLong(i))
+                Binary.fromConstantByteArray(row.getUTF8String(i + off).getBytes))
+            case "DATE" => g.append(cols(i)._1, row.getInt(i + off))
+            case "TIMESTAMP" | "TIMESTAMP_NTZ" =>
+              g.append(cols(i)._1, row.getLong(i + off))
             case other => throw new IllegalStateException(
               s"snapshot write supports primitive columns; got $other")
           }

@@ -41,7 +41,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
       Set(("x", 1L), ("y", 1L)))
   }
 
-  test("VERSION AS OF maps onto manifest versions; timestamp travel is loud") {
+  test("VERSION AS OF maps onto manifest versions; TIMESTAMP AS OF resolves by commit clock") {
     val root = freshRoot("travel")
     Snapshots.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "tag").coalesce(1))
     Snapshots.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "tag").coalesce(1))
@@ -51,10 +51,33 @@ class SnapshotCatalogSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM snap.`$root` VERSION AS OF 99").collect()
     }
     assert(eBad.getMessage.contains("does not exist"))
+    // TIMESTAMP AS OF (round 14): the adjusted commit clocks resolve —
+    // exact instant includes the commit, between-commits resolves to the
+    // earlier, pre-table throws loudly (Delta's timestampAsOf contract)
+    val times = Snapshots.commitTimesMillis(spark, root)
+    assert(times.length == 2 && times(1) > times(0), "adjusted clocks increase")
+    def fmt(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT * FROM snap.`$root` TIMESTAMP AS OF '${fmt(times(0))}'").count() == 1L)
+    assert(spark.sql(
+      s"SELECT * FROM snap.`$root` TIMESTAMP AS OF '${fmt(times(1))}'").count() == 2L)
+    assert(spark.sql(
+      s"SELECT * FROM snap.`$root` TIMESTAMP AS OF '${fmt(times(1) - 1)}'").count() == 1L)
+    assert(Snapshots.versionAtTimestamp(spark, root, times(1) + 60000) == 2L,
+      "after the last commit resolves to the current version")
     val eTs = intercept[Exception] {
-      spark.sql(s"SELECT * FROM snap.`$root` TIMESTAMP AS OF '2026-01-01'").collect()
+      spark.sql(
+        s"SELECT * FROM snap.`$root` TIMESTAMP AS OF '${fmt(times(0) - 1)}'").collect()
     }
-    assert(eTs.getMessage.contains("VERSION AS OF"))
+    assert(eTs.getMessage.contains("did not exist"),
+      s"pre-table timestamp must be loud: ${eTs.getMessage}")
+    // $history carries the same clock
+    val ts = spark.sql(s"SELECT commit_ts FROM snap.`$root$$history` ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts == times.toSeq, "$history.commit_ts IS the resolution clock")
   }
 
   test("warehouse option resolves bare names and lists tables") {
@@ -86,10 +109,12 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // re-insert after delete survives (sequence scoping through SQL too)
     spark.sql(s"INSERT INTO snap.`$root` VALUES (1, 'g1')")
     assert(spark.sql(s"SELECT * FROM snap.`$root` WHERE id = 1").count() == 1L)
-    // a range predicate is NOT an equality-delete shape: loud decline
-    val e = intercept[Exception] { spark.sql(s"DELETE FROM snap.`$root` WHERE id > 5") }
-    assert(e.getMessage.toLowerCase.contains("delete"),
-      s"range DELETE must decline loudly: ${e.getMessage}")
+    // a range predicate is NOT an equality-delete shape — since round 14
+    // it no longer declines: it takes the copy-on-write row-level path
+    // (SqlRowLevelSpec pins the mechanics; here just the answer)
+    spark.sql(s"DELETE FROM snap.`$root` WHERE id > 5")
+    assert(spark.sql(s"SELECT id FROM snap.`$root`").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 5L))
   }
 
   test("$files metadata table: one manifest row per data file, version-pinnable") {
