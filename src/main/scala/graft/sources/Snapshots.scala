@@ -1256,9 +1256,11 @@ object Snapshots {
     val dels = es.filter(_.kind == "D")
     val sEntries = es.filter(_.kind == "S").sortBy(_.ver)
     val typeOf = tableCols.toMap
-    typeOf.values.foreach(t => require(Dsv2Types.contains(t),
-      s"DSv2 snapshot scan supports primitive columns ($Dsv2Types); '$t' needs " +
-        "Snapshots.readSnapshot"))
+    // data columns may be ANY type since round 14 (nested columns read
+    // through the recursive Group converter; their evolution is
+    // identity-only — widenOk's `from == to` arm — anything else routes
+    // to readSnapshot via the loud require below). DELETE KEYS stay
+    // primitive: equality-key tuples hash in the primitive domain.
     // each delete file carries its OWN equality-key columns (one driver
     // footer read per delete file — O(delete files), they are few):
     // delete commits with DIFFERENT keys compose soundly, each applied
@@ -1272,8 +1274,12 @@ object Snapshots {
       try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
       finally r.close()
     }
-    delKeyCols.flatten.distinct.foreach(k => require(typeOf.contains(k),
-      s"delete key column '$k' is not a current column of $root"))
+    delKeyCols.flatten.distinct.foreach { k =>
+      require(typeOf.contains(k),
+        s"delete key column '$k' is not a current column of $root")
+      require(Dsv2Types.contains(typeOf(k)),
+        s"delete key column '$k' must be a primitive type, got ${typeOf(k)}")
+    }
     val allKeyCols = delKeyCols.flatten.distinct
     val readNames = requiredNames ++ allKeyCols.filterNot(requiredNames.contains)
     val outIdx = requiredNames.indices
