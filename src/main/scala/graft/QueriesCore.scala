@@ -877,6 +877,62 @@ object QueriesCore {
       |  SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 ELSE n_chars END AS nc
       |  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)""".stripMargin
 
+  /** sql_ddl_lifecycle: the one-name SQL LIFECYCLE closed (round 14 —
+    * the last read-only edge of the catalog retired): CREATE TABLE
+    * publishes an empty schema-tracked version-1 manifest (reads return
+    * zero rows with the declared schema), INSERT INTO is the ordinary
+    * schema-checked append, ALTER TABLE RENAME/ADD COLUMNS map onto the
+    * column-ID evolution commits (old files serve renamed columns; rows
+    * written before an ADD read NULL), and DROP TABLE removes a scratch
+    * table — every step claim-serialized like any DML commit. Gated as
+    * the post-lifecycle content vs the flat oracle plus the lifecycle
+    * flags. PARTITIONED BY and RENAME TABLE stay loud (SqlDdlSpec). */
+  val sqlDdlLifecycle: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_ddl"
+    val scratch = s"${root}_scratch"
+    for (r <- Seq(root, scratch)) {
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    s.sql(s"CREATE TABLE snap.`$root` (doc_id BIGINT, n_chars BIGINT)")
+    val emptyRows = s.sql(s"SELECT count(*) FROM snap.`$root`").head.getLong(0)
+    Tables.documents(s, dir).select("doc_id", "n_chars")
+      .createOrReplaceTempView("docs_ddl_src")
+    s.sql(s"INSERT INTO snap.`$root` SELECT doc_id, n_chars FROM docs_ddl_src " +
+      "WHERE doc_id % 2 = 0")
+    s.sql(s"ALTER TABLE snap.`$root` RENAME COLUMN n_chars TO len")
+    s.sql(s"ALTER TABLE snap.`$root` ADD COLUMNS (origin STRING)")
+    s.sql(s"INSERT INTO snap.`$root` SELECT doc_id, n_chars, 'late' FROM " +
+      "docs_ddl_src WHERE doc_id % 2 <> 0")
+    // scratch table proves DROP: create, insert, drop, gone
+    s.sql(s"CREATE TABLE snap.`$scratch` (x BIGINT)")
+    s.sql(s"INSERT INTO snap.`$scratch` VALUES (1)")
+    s.sql(s"DROP TABLE snap.`$scratch`")
+    val dropGone = Snapshots.currentVersion(s, scratch) == 0L
+    s.sql(
+      s"""SELECT count(*) AS n_rows, CAST(sum(len) AS BIGINT) AS sum_len,
+         |  CAST(sum(CASE WHEN origin IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pre_alter,
+         |  CAST(sum(CASE WHEN origin = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_post_alter
+         |FROM snap.`$root`""".stripMargin)
+      .select(col("n_rows"), col("sum_len"), col("n_pre_alter"),
+        col("n_post_alter"),
+        lit(emptyRows == 0L).as("created_empty"),
+        lit(dropGone).as("drop_removes"))
+  }
+
+  val sqlDdlLifecycleSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_len,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pre_alter,
+      |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_post_alter,
+      |  TRUE AS created_empty, TRUE AS drop_removes
+      |FROM documents""".stripMargin
+
   /** scan_snapshot_nested: NON-PRIMITIVE columns through the DSv2
     * snapshot scan (round 14, VERDICT r13 ask #4 — the last declared
     * scope edge of the declarative path retired): a table with a STRUCT,
@@ -3212,6 +3268,7 @@ object QueriesCore {
     "sql_update_snapshot" -> sqlUpdateSnapshot,
     "sql_merge_snapshot" -> sqlMergeSnapshot,
     "sql_time_travel_ts" -> sqlTimeTravelTs,
+    "sql_ddl_lifecycle" -> sqlDdlLifecycle,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -3336,6 +3393,7 @@ object QueriesCore {
     "sql_update_snapshot" -> sqlUpdateSnapshotSql,
     "sql_merge_snapshot" -> sqlMergeSnapshotSql,
     "sql_time_travel_ts" -> sqlTimeTravelTsSql,
+    "sql_ddl_lifecycle" -> sqlDdlLifecycleSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

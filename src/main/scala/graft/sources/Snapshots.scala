@@ -974,6 +974,26 @@ object Snapshots {
   // old S entry as its latest.
   // ---------------------------------------------------------------------
 
+  /** CREATE a new, EMPTY, schema-tracked table (round 14 — the SQL DDL
+    * lifecycle's first verb): version 1 is a single S entry carrying
+    * the declared column-ID binding (ids 1..n in declaration order), no
+    * data files. Reads of the empty table return an empty frame with
+    * the tracked schema; the first INSERT/append is an ordinary
+    * schema-checked commit. Loud if the root already holds a table. */
+  def createTable(spark: SparkSession, root: String,
+      cols: Seq[(String, String)]): Long = {
+    require(cols.nonEmpty, "a table needs at least one column")
+    publish(spark, root) { (v, carried) =>
+      require(carried.isEmpty && v == 1,
+        s"$root already holds a snapshot table — drop it first")
+      val sc = cols.zipWithIndex.map { case ((n, t), i) =>
+        // normalize through catalyst so the stored DDL round-trips
+        SchemaCol(i + 1, n, org.apache.spark.sql.types.DataType.fromDDL(t).sql)
+      }
+      Seq(Entry("S", v, encodeSchema(sc)).line)
+    }
+  }
+
   /** Begin schema tracking: capture the table's current parquet schema
     * as the initial column-ID binding (ids 1..n in field order), as its
     * own commit. Files committed BEFORE this version (sid 0) resolve
@@ -1729,7 +1749,18 @@ object Snapshots {
   private def readEntries(spark: SparkSession, root: String, v: Long,
       es: Seq[Entry], mergeSchema: Boolean): DataFrame = {
     val data = es.filter(_.kind == "A")
-    require(data.nonEmpty, s"snapshot version $v of $root lists no files")
+    // a CREATEd-but-not-yet-loaded table is a real (empty) table: its
+    // tracked schema is the read schema (round 14). Untracked empty
+    // versions stay loud — there is no schema to serve.
+    if (data.isEmpty) {
+      val (_, cur) = currentSchema(es).getOrElse(throw new IllegalArgumentException(
+        s"snapshot version $v of $root lists no files"))
+      val schema = org.apache.spark.sql.types.StructType(cur.map(c =>
+        org.apache.spark.sql.types.StructField(c.name,
+          org.apache.spark.sql.types.DataType.fromDDL(c.typ), nullable = true)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val sEntries = es.filter(_.kind == "S").sortBy(_.ver)
     val dels = es.filter(_.kind == "D")
     def plainBase = spark.read.option("mergeSchema", mergeSchema.toString)

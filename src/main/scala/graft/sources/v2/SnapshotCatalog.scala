@@ -154,21 +154,75 @@ class SnapshotCatalog extends TableCatalog {
     }
   }
 
-  // (metadata tables live below)
-
-  private def readOnly(what: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"snapshot catalog is read-only: $what goes through the commit protocol " +
-        "(graft.sources.Snapshots.commitAppend/commitReplace/commitDelete/commitMerge)")
+  // ---------------------------------------------------------------------
+  // DDL (round 14 — the last missing piece of the one-name lifecycle:
+  // CREATE TABLE → INSERT → SELECT/UPDATE/MERGE/DELETE → ALTER → DROP,
+  // all through one catalog name). CREATE publishes an empty
+  // schema-tracked version-1 manifest; ALTER maps Spark's TableChange
+  // onto the column-ID evolution commits (rename/add/drop/re-type —
+  // each an ordinary claim-serialized commit, so DDL obeys the same
+  // multi-writer arbitration as DML); DROP deletes the table directory
+  // (the catalog's destructive verb, exactly what the user asked for —
+  // time travel necessarily ends with it). RENAME TABLE stays loud:
+  // a path-addressed table's name IS its location, and moving data is
+  // a storage operation, not a metadata one.
+  // ---------------------------------------------------------------------
 
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val (base, meta) = splitMeta(ident)
+    require(meta.isEmpty, "cannot CREATE a $files/$history metadata table")
+    require(partitions.isEmpty,
+      "snapshot tables do not take PARTITIONED BY — clustering is a maintenance " +
+        "op (Snapshots.commitReplaceClustered), and manifest stats already give " +
+        "partition-grade pruning on any sorted ingest")
+    val root = rootOf(base)
+    graft.sources.Snapshots.createTable(spark, root,
+      schema.fields.map(f => f.name -> f.dataType.sql).toSeq)
+    new SnapshotBatchTable(root, -1L, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (base, meta) = splitMeta(ident)
+    require(meta.isEmpty, "cannot ALTER a $files/$history metadata table")
+    val root = rootOf(base)
+    requireTable(root, base)
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    changes.foreach {
+      case c: RenameColumn =>
+        require(c.fieldNames.length == 1, "nested column DDL is not supported")
+        graft.sources.Snapshots.renameColumn(spark, root, c.fieldNames()(0), c.newName)
+      case c: AddColumn =>
+        require(c.fieldNames.length == 1, "nested column DDL is not supported")
+        require(c.position == null, "ADD COLUMN position hints are not supported")
+        graft.sources.Snapshots.addColumn(spark, root, c.fieldNames()(0),
+          c.dataType.sql)
+      case c: DeleteColumn =>
+        require(c.fieldNames.length == 1, "nested column DDL is not supported")
+        graft.sources.Snapshots.dropColumn(spark, root, c.fieldNames()(0))
+      case c: UpdateColumnType =>
+        require(c.fieldNames.length == 1, "nested column DDL is not supported")
+        graft.sources.Snapshots.alterColumnType(spark, root, c.fieldNames()(0),
+          c.newDataType.sql)
+      case other => throw new UnsupportedOperationException(
+        s"snapshot catalog does not support ALTER TABLE change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val (base, meta) = splitMeta(ident)
+    require(meta.isEmpty, "cannot DROP a $files/$history metadata table")
+    val root = rootOf(base)
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(p, "_manifests")) && fs.delete(p, true)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+    throw new UnsupportedOperationException(
+      "snapshot tables are path-addressed — the name IS the location; move the " +
+        "directory (or commitReplace into a new root) instead of RENAME TABLE")
 }
 
 /** The `$files` metadata table: one row per data file of a version,

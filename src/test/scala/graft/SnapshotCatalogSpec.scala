@@ -220,9 +220,12 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // appended files carry manifest stats: skipping works on them too
     assert(Snapshots.pruneCounts(spark, root,
       Seq[org.apache.spark.sql.sources.Filter](FLeCat("id", 7L))) == ((1L, 2L)))
-    val eDrop = intercept[Exception] { spark.sql(s"DROP TABLE snap.`$root`") }
-    assert(eDrop.getMessage.contains("read-only") ||
-      eDrop.getMessage.toLowerCase.contains("not support"))
+    // DDL is served since round 14 (SqlDdlSpec pins the lifecycle);
+    // RENAME TABLE is the verb that stays loud (path-addressed names)
+    val eRen = intercept[Exception] {
+      spark.sql(s"ALTER TABLE snap.`$root` RENAME TO snap.`${root}_2`")
+    }
+    assert(eRen.getMessage != null)
     // a missing table is NoSuchTable, not a stack trace from the scan
     val eMiss = intercept[Exception] {
       spark.sql(s"SELECT * FROM snap.`${root}_nope`").collect()
