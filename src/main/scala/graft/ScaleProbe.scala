@@ -61,6 +61,9 @@ object ScaleProbe {
     "lake_skipping_temporal", "sql_insert_snapshot", "lake_files_meta",
     "stream_snapshot_table", "scan_snapshot_orders", "sql_delete_snapshot",
     "lake_history_meta", "lake_stats_agg_daily",
+    // round-14 additions (SQL DML verbs / time travel / nested / DDL)
+    "sql_update_snapshot", "sql_merge_snapshot", "sql_time_travel_ts",
+    "scan_snapshot_nested", "sql_ddl_lifecycle",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions
