@@ -93,7 +93,13 @@ object DumpPlans {
     // diagnostic siblings
     "lake_schema_rename", "stream_join_outer_live", "cluster_kmeans_assign",
     "join_bucketed", "curate_host_cap", "stream_join_full_live",
-    "ts_holt_winters", "fn_ip")
+    "ts_holt_winters", "fn_ip",
+    // round 13/14: the DSv2 lake surface (pushdown scan, SQL catalog,
+    // DML verbs, nested columns, time travel, DDL lifecycle)
+    "scan_snapshot_pushdown_full", "sql_over_snapshot", "sql_insert_snapshot",
+    "sql_delete_snapshot", "lake_stats_agg_grouped", "lake_compact_clustered",
+    "sql_update_snapshot", "sql_merge_snapshot", "sql_time_travel_ts",
+    "scan_snapshot_nested", "sql_ddl_lifecycle")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
