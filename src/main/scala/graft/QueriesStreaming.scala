@@ -893,7 +893,53 @@ object QueriesStreaming {
     Snapshots.readSnapshot(s, root).orderBy("doc_id")
   }
 
+  /** stream_sink_snapshot_live: the NATIVE streaming SINK of the lake
+    * (round 14 — `df.writeStream.toTable("snap.`root`")`, the write-side
+    * twin of `stream_snapshot_table`): each micro-batch lands as ONE
+    * atomic append commit whose idempotence marker (a `T` manifest
+    * entry keyed by the stream's stable query id + epoch) is committed
+    * IN the same manifest version as the files — exactly-once with NO
+    * marker-vs-commit crash window (the `commitMergeOnce` side-file
+    * design has one; merge semantics make it benign there, append
+    * semantics would not). One catalog name now serves batch SQL,
+    * INSERT, DML, DDL, the stream SOURCE and the stream SINK. The
+    * driver-side collect is the replay harness feeding MemoryStream,
+    * not the operator. Gate: three-batch feed → full content vs the
+    * flat oracle, plus one-commit-per-epoch version arithmetic;
+    * restart/replay and marker-lifecycle semantics are spec-pinned in
+    * StreamSinkSpec. */
+  val streamSinkSnapshotLive: Q = (s, dir) => withFewPartitions(s, skipNoDataBatches = true) {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Snapshots
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val key = f"${dir.hashCode & 0x7fffffff}%08x"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/$key/docs_streamsink"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    s.sql(s"CREATE TABLE snap.`$root` (doc_id BIGINT, n_chars BIGINT)")
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.product[(Long, Long)]
+    val rows = Tables.documents(s, dir).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val in = MemoryStream[(Long, Long)]
+    val ckpt = tmpCheckpointDir()
+    val q = in.toDF().toDF("doc_id", "n_chars").writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .toTable(s"snap.`$root`")
+    try {
+      for (k <- 0 until 3) {
+        in.addData(rows.filter(_._1 % 3 == k).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally { try q.stop() finally deleteRecursively(ckpt) }
+    val v = Snapshots.currentVersion(s, root)
+    s.sql(s"SELECT doc_id, n_chars FROM snap.`$root` ORDER BY doc_id")
+      .withColumn("one_commit_per_epoch", lit(v == 4L))
+  }
+
   val all: Map[String, Q] = Map(
+    "stream_sink_snapshot_live" -> streamSinkSnapshotLive,
     "stream_snapshot_tail" -> streamSnapshotTail,
     "stream_snapshot_table" -> streamSnapshotTable,
     "stream_lake_upsert_live" -> streamLakeUpsertLive,
@@ -967,6 +1013,9 @@ object QueriesStreaming {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_sink_snapshot_live" ->
+      """SELECT doc_id, n_chars, TRUE AS one_commit_per_epoch
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_lake_upsert_live" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN source

@@ -120,7 +120,11 @@ object Snapshots {
   private def parseEntry(line: String): Entry = line.split('\t') match {
     case Array(k, v, p, s, st) if k == "A" => Entry(k, v.toLong, p, s.toLong, st)
     case Array(k, v, p, s) if k == "A" => Entry(k, v.toLong, p, s.toLong)
-    case Array(k, v, p) if k == "A" || k == "D" || k == "S" => Entry(k, v.toLong, p)
+    // T = idempotence marker (round 14): its `path` field carries a
+    // TRANSACTION ID committed atomically with its version's files —
+    // the exactly-once handshake of the streaming sink
+    case Array(k, v, p) if k == "A" || k == "D" || k == "S" || k == "T" =>
+      Entry(k, v.toLong, p)
     case Array(p) => Entry("A", 0L, p) // legacy bare-path line
     case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
   }
@@ -717,6 +721,42 @@ object Snapshots {
     }
   }
 
+  /** [[commitAppendFiles]] with an ATOMIC idempotence marker (round 14
+    * — the streaming sink's exactly-once handshake): the transaction id
+    * is committed as a `T` manifest entry IN THE SAME atomic version as
+    * the data files, so there is no marker-after-commit crash window
+    * (the [[commitMergeOnce]] side-file design has one; merge semantics
+    * make it benign there — append semantics would not). A replayed
+    * epoch whose id is already carried returns the current version and
+    * publishes nothing. Markers are carried by appends/deletes/rewrites
+    * and DROPPED by a REPLACE (compaction resets the dedupe horizon —
+    * an epoch replay arriving after an operator-initiated REPLACE of
+    * the whole table is an operational decision, documented, not a
+    * silent hazard: streams recover their position from their own
+    * checkpoint long before any such replay). */
+  private[graft] def commitAppendFilesOnce(spark: SparkSession, root: String,
+      mine: Seq[String], written: org.apache.spark.sql.types.StructType,
+      txnId: String): Long = {
+    require(txnId.matches("[A-Za-z0-9._-]+"), s"unsafe txn id: $txnId")
+    val cur = currentVersion(spark, root)
+    if (cur > 0 && entries(spark, root, cur)
+        .exists(e => e.kind == "T" && e.path == txnId)) return cur
+    val raw = collectRawStats(spark, mine)
+    final class AlreadyCommitted extends RuntimeException
+    try publish(spark, root) { (v, carried) =>
+      // re-check under the claim (the marker may have landed between the
+      // fast-path check and the claim); the build-failure path releases
+      // the claim and we answer with the committed version
+      if (carried.exists(e => e.kind == "T" && e.path == txnId))
+        throw new AlreadyCommitted
+      checkWriteSchema(carried, written, "commitAppend")
+      val sid = currentSchema(carried).map(_._1).getOrElse(0L)
+      val keyer = statKeyer(currentSchema(carried))
+      carried.map(_.line) ++ (Entry("T", v, txnId).line +: mine.map(p =>
+        Entry("A", v, p, sid, encodeStats(raw.getOrElse(p, Nil), keyer)).line))
+    } catch { case _: AlreadyCommitted => currentVersion(spark, root) }
+  }
+
   /** REPLACE with already-written files — the INSERT OVERWRITE half of
     * the DSv2 write path: one atomic version listing only the new
     * files, schema entries carried, pending deletes materialized away
@@ -1209,10 +1249,11 @@ object Snapshots {
       version: Long = -1L): Seq[String] = {
     val v = if (version >= 0) version else currentVersion(spark, root)
     val es = entries(spark, root, v)
-    require(es.forall(_.kind == "A"),
+    require(es.forall(e => e.kind == "A" || e.kind == "T"),
       s"snapshot batch source reads plain append-only tables; $root version $v " +
         "carries delete/schema entries — read it via Snapshots.readSnapshot")
-    pruneDataEntries(es, filters, keepAnchor = false)._1.map(_.path)
+    pruneDataEntries(es, filters, keepAnchor = false)._1
+      .filter(_.kind == "A").map(_.path)
   }
 
   // ---------------------------------------------------------------------
@@ -1877,7 +1918,7 @@ object Snapshots {
     require(!added.exists(_.kind == "S"),
       s"versions $sinceV → $toV include a schema change; file-diff CDC does not " +
         "span schema-change commits — restart the consumer from the new schema")
-    added.map(_.path)
+    added.filter(_.kind == "A").map(_.path) // T idempotence markers pass through
   }
 
   /** Per-version appended-data-file counts over `(fromV, toV]`, WITHOUT
@@ -1948,7 +1989,8 @@ object Snapshots {
     for (v <- 1L until keepFrom) {
       val mp = manifestPath(root, v)
       if (f.exists(mp)) {
-        entries(spark, root, v).filter(_.kind != "S") // S "paths" are payloads
+        entries(spark, root, v) // S payloads / T txn ids are not file paths
+          .filter(e => e.kind == "A" || e.kind == "D")
           .map(_.path).filterNot(keep).foreach { file =>
             if (f.delete(new Path(file), false)) deleted += 1
           }

@@ -45,7 +45,73 @@ private[v2] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(root, info.schema(), replace)
+    /** STREAMING sink (round 14): `df.writeStream.toTable("snap.`root`")`
+      * — each micro-batch lands as ONE append commit whose idempotence
+      * marker (`T` manifest entry, keyed by the stream's stable query id
+      * + epoch) is atomic WITH the files, so a checkpoint replay after a
+      * crash re-commits nothing: exactly-once with no marker-vs-commit
+      * window. Append output mode only — Complete (truncate-per-epoch)
+      * would re-replace the table every trigger, which is a batch
+      * INSERT OVERWRITE concern, refused loudly. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!replace,
+        "snapshot streaming sink is APPEND-only (one commit per epoch); " +
+          "Complete/truncate modes would replace the table every trigger")
+      new SnapshotStreamingWrite(root, info.schema(), info.queryId())
+    }
   }
+}
+
+/** One streaming epoch = one atomic, idempotent append commit. The
+  * commit-private directory is minted per STREAMING WRITE (driver);
+  * each epoch's files nest under `e<epoch>/` so an abort can reclaim
+  * exactly its own attempt. */
+private[v2] class SnapshotStreamingWrite(root: String,
+    schema: org.apache.spark.sql.types.StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val commitDir =
+    s"$root/data/c-${java.util.UUID.randomUUID.toString.take(8)}"
+  private val cols = schema.fields.map(f => (f.name, f.dataType.sql, f.nullable))
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SnapshotStreamingDataWriterFactory(commitDir, cols,
+      SnapshotReaderFactory.confToMap(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.flatMap {
+      case SnapshotWriteMessage(fs) => fs
+      case other => throw new IllegalStateException(s"unexpected message $other")
+    }.sorted.toSeq
+    // an empty epoch publishes nothing — a replayed empty epoch is
+    // still empty, so idempotence holds without a marker
+    if (files.nonEmpty)
+      Snapshots.commitAppendFilesOnce(spark, root, files, schema,
+        s"sq-$queryId-e$epochId")
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(s"$commitDir/e$epochId")
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+  }
+}
+
+private[v2] class SnapshotStreamingDataWriterFactory(commitDir: String,
+    cols: Array[(String, String, Boolean)],
+    confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriterFactory(s"$commitDir/e$epochId", cols, confEntries)
+      .createWriter(partitionId, taskId)
 }
 
 private[v2] case class SnapshotWriteMessage(files: Seq[String])

@@ -60,7 +60,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
       "sources/FileView.scala" -> 1, // distinct partition values of one sink dir
       "sources/Snapshots.scala" -> 1, // commit-time file stats: O(own files × columns) bound strings, distributed footer pass
       "MatchedBench.scala" -> 2, // bench-only: baseline/engine row compare
-      "QueriesStreaming.scala" -> 3, // harness fixtures feeding MemoryStream (incl. the upsert feed ids)
+      "QueriesStreaming.scala" -> 4, // harness fixtures feeding MemoryStream (incl. the upsert feed ids and the round-14 sink feed rows)
       "QueriesCore.scala" -> 1 // lake_stats_agg_grouped: DSv2 grouped-pushdown cross-check, O(groups)=4 rows
     )
     val walk = Files.walk(mainRoot)

@@ -625,7 +625,8 @@ class StreamingSpec extends SparkTestBase {
       "stream_restart_exactly_once", "stream_anomaly_live",
       "stream_changepoint_live", "stream_markov_live", "stream_ewma_live",
       "stream_topk_live", "stream_scd2_live", "stream_funnel_live",
-      "stream_snapshot_tail", "stream_lake_upsert_live")
+      "stream_snapshot_tail", "stream_lake_upsert_live",
+      "stream_sink_snapshot_live")
     for (n <- names) {
       val slow = QueriesStreaming.all(n)(spark, sf).collect().toSeq
       System.setProperty("graft.bench.fast", "1")
