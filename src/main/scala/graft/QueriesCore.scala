@@ -877,6 +877,54 @@ object QueriesCore {
       |  SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 ELSE n_chars END AS nc
       |  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)""".stripMargin
 
+  /** lake_orphan_cleanup: ORPHAN-FILE maintenance (round 14 —
+    * [[graft.sources.Snapshots.removeOrphanFiles]], the
+    * remove_orphan_files verb every table format ships): files under
+    * the table's data/deletes trees referenced by NO manifest version
+    * (a crashed writer's commit-private output, a lost rewrite attempt)
+    * are deleted once older than the grace period; referenced files and
+    * YOUNG unreferenced files (a live writer mid-publish) are never
+    * touched. The fixture plants an aged orphan (mtime rewound past the
+    * grace), a fresh orphan, and real commits; the gate pins exactly
+    * one deletion, content invariance, and both keep-rules. */
+  val lakeOrphanCleanup: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_orphan"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hfs.delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 === 0).coalesce(1))
+    Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 2 =!= 0).coalesce(1))
+    // an AGED orphan (crashed writer's leftover): mtime rewound 2 h
+    val aged = new org.apache.hadoop.fs.Path(root, "data/c-orphan1")
+    d.limit(5).write.parquet(aged.toString)
+    hfs.listStatus(aged).foreach(st =>
+      hfs.setTimes(st.getPath, System.currentTimeMillis - 2 * 3600 * 1000, -1))
+    val nAged = hfs.listStatus(aged).count(_.isFile) // parts + _SUCCESS, all rewound
+    // a FRESH orphan (live writer mid-publish): mtime = now — kept
+    val fresh = new org.apache.hadoop.fs.Path(root, "data/c-orphan2")
+    d.limit(3).coalesce(1).write.parquet(fresh.toString)
+    val deleted = Snapshots.removeOrphanFiles(s, root, graceMs = 3600 * 1000)
+    val agedGone = !hfs.exists(aged) ||
+      hfs.listStatus(aged).forall(!_.getPath.getName.endsWith(".parquet"))
+    val freshKept = hfs.listStatus(fresh)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    Snapshots.readSnapshot(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(deleted == nAged.toLong).as("aged_orphans_swept"),
+        lit(agedGone).as("aged_dir_clean"),
+        lit(freshKept).as("young_orphans_kept"))
+  }
+
+  val lakeOrphanCleanupSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS aged_orphans_swept, TRUE AS aged_dir_clean,
+      |  TRUE AS young_orphans_kept
+      |FROM documents""".stripMargin
+
   /** sql_ddl_lifecycle: the one-name SQL LIFECYCLE closed (round 14 —
     * the last read-only edge of the catalog retired): CREATE TABLE
     * publishes an empty schema-tracked version-1 manifest (reads return
@@ -3269,6 +3317,7 @@ object QueriesCore {
     "sql_merge_snapshot" -> sqlMergeSnapshot,
     "sql_time_travel_ts" -> sqlTimeTravelTs,
     "sql_ddl_lifecycle" -> sqlDdlLifecycle,
+    "lake_orphan_cleanup" -> lakeOrphanCleanup,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -3394,6 +3443,7 @@ object QueriesCore {
     "sql_merge_snapshot" -> sqlMergeSnapshotSql,
     "sql_time_travel_ts" -> sqlTimeTravelTsSql,
     "sql_ddl_lifecycle" -> sqlDdlLifecycleSql,
+    "lake_orphan_cleanup" -> lakeOrphanCleanupSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

@@ -1974,6 +1974,56 @@ object Snapshots {
       .unionByName(a.exceptAll(b).withColumn("change", lit("del")))
   }
 
+  /** ORPHAN-FILE cleanup (round 14 — the maintenance op the write path
+    * has always pointed at: a crashed writer's commit-private files, a
+    * speculative task's stray part file, a lost rewrite attempt's
+    * output are invisible to every reader but occupy storage forever):
+    * delete files under `root/data` and `root/deletes` that are
+    * referenced by NO surviving manifest version AND are older than
+    * `graceMs` (default 72 h — Iceberg's remove_orphan_files posture).
+    * The GRACE PERIOD is the safety contract: a live writer's files
+    * exist unreferenced between its write and its publish, so the grace
+    * must exceed the longest conceivable write-to-publish span — never
+    * run with a short grace while writers are active (the test-only
+    * short-grace form exists exactly to prove the age gate). Empty
+    * commit-private directories are swept too. Returns files deleted.
+    * O(all files) listing + O(versions × entries) manifest reads, zero
+    * data IO — the off-peak janitor, like expire-snapshots/vacuum. */
+  def removeOrphanFiles(spark: SparkSession, root: String,
+      graceMs: Long = 72L * 3600 * 1000): Long = {
+    val cur = currentVersion(spark, root)
+    require(cur > 0, s"$root holds no snapshot table")
+    val referenced: Set[String] =
+      (1L to cur).flatMap { v =>
+        val mp = manifestPath(root, v)
+        if (!fs(spark, mp).exists(mp)) Nil // vacuumed versions
+        else entries(spark, root, v)
+          .filter(e => e.kind == "A" || e.kind == "D").map(e => normPath(e.path))
+      }.toSet
+    val now = System.currentTimeMillis
+    var deleted = 0L
+    for (sub <- Seq("data", "deletes")) {
+      val dir = new Path(root, sub)
+      val f = fs(spark, dir)
+      if (f.exists(dir)) {
+        val it = f.listFiles(dir, true)
+        val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && !referenced(normPath(st.getPath.toString)) &&
+              now - st.getModificationTime > graceMs)
+            stale += st.getPath
+        }
+        stale.foreach { p => if (f.delete(p, false)) deleted += 1 }
+        // sweep now-empty commit-private dirs (pure tidiness)
+        f.listStatus(dir).filter(_.isDirectory).foreach { d =>
+          if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
+        }
+      }
+    }
+    deleted
+  }
+
   /** Reclaim: delete data/delete files referenced ONLY by versions <
     * `keepFrom` (and their manifests + claim markers). Readers pinned
     * at kept versions are unaffected; time travel below `keepFrom` ends

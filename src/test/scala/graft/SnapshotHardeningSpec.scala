@@ -100,6 +100,37 @@ class SnapshotHardeningSpec extends SparkTestBase {
     assert(ids == ((1L to 20L) :+ 99L).sorted)
   }
 
+  test("orphan sweep never touches referenced files, even old ones; tolerates vacuumed history") {
+    val root = freshRoot("orphan_safe")
+    Snapshots.commitAppend(spark, root,
+      (1 to 10).map(i => (i.toLong, i)).toDF("id", "v").coalesce(1))
+    Snapshots.commitReplace(spark, root,
+      Snapshots.readSnapshot(spark, root).coalesce(1))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age EVERY file far past the grace: referenced files (current AND
+    // the time-travel-reachable v1 file) must still survive
+    val it = fs.listFiles(new Path(root, "data"), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) fs.setTimes(st.getPath, 1000L, -1)
+    }
+    // the only sweepable aged files are Spark's _SUCCESS markers (never
+    // referenced by a manifest); every DATA file is referenced by SOME
+    // version and must survive — proven by both versions still reading
+    val swept = Snapshots.removeOrphanFiles(spark, root, graceMs = 1L)
+    assert(swept == 2L, s"only the two _SUCCESS markers sweep, got $swept")
+    assert(Snapshots.readSnapshot(spark, root, 1).count() == 10L)
+    assert(Snapshots.readSnapshot(spark, root).count() == 10L)
+    assert(Snapshots.removeOrphanFiles(spark, root, graceMs = 1L) == 0L,
+      "idempotent: a second sweep finds nothing")
+    // vacuum v1 away: its file becomes unreferenced and NOW sweepable
+    Snapshots.vacuum(spark, root, keepFrom = 2L)
+    assert(Snapshots.removeOrphanFiles(spark, root, graceMs = 1L) == 0L,
+      "vacuum already deleted the v1 file; the sweep finds nothing and " +
+        "tolerates the missing manifest")
+    assert(Snapshots.readSnapshot(spark, root).count() == 10L)
+  }
+
   test("stale 'l'-tagged decimal bounds degrade to keep, never unsound pruning") {
     // a pre-fix manifest stored DECIMAL bounds UNSCALED under tag 'l';
     // the pushed predicate value for a decimal column is a BigDecimal —
