@@ -877,6 +877,60 @@ object QueriesCore {
       |  SELECT CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 ELSE n_chars END AS nc
       |  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)""".stripMargin
 
+  /** lake_compact_zorder: Z-ORDER clustering compaction (round 14 —
+    * [[graft.sources.Snapshots.commitReplaceZOrdered]], the
+    * `OPTIMIZE … ZORDER BY` capability): a hash-scattered ingest leaves
+    * every file spanning the full range of BOTH keys, so manifest
+    * pruning skips nothing on either; single-key clustering
+    * ([[graft.sources.Snapshots.commitReplaceClustered]]) fixes one
+    * dimension and scatters the other; the Morton-interleave REPLACE
+    * lays each file over a compact RECTANGLE of the 2-D key space, so a
+    * selective predicate on EITHER key prunes files. The gate pins all
+    * three facts: zero pruning before, strict pruning on BOTH keys
+    * after, and exact content invariance across the rewrite. */
+  val lakeCompactZorder: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_zorder"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "n_chars")
+    // HASH-scattered ingest: every commit (and file) spans the full
+    // range of both keys — the layout z-ordering exists to fix
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root,
+        d.filter(pmod(xxhash64(col("doc_id")), lit(4)) === k).repartition(2))
+    val (loId, hiId) = {
+      val r = d.agg(min("doc_id"), max("doc_id")).head; (r.getLong(0), r.getLong(1))
+    }
+    val (loC, hiC) = {
+      val r = d.agg(min("n_chars"), max("n_chars")).head; (r.getLong(0), r.getLong(1))
+    }
+    val cutId = loId + (hiId - loId) / 8
+    val cutC = hiC - (hiC - loC) / 8
+    val fA = Seq[org.apache.spark.sql.sources.Filter](LessThanOrEqual("doc_id", cutId))
+    val fB = Seq[org.apache.spark.sql.sources.Filter](GreaterThan("n_chars", cutC))
+    val preA = Snapshots.pruneCounts(s, root, fA)
+    val preB = Snapshots.pruneCounts(s, root, fB)
+    Snapshots.commitReplaceZOrdered(s, root, "doc_id", "n_chars", 8)
+    val postA = Snapshots.pruneCounts(s, root, fA)
+    val postB = Snapshots.pruneCounts(s, root, fB)
+    Snapshots.readSnapshot(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .select(col("n_rows"), col("sum_chars"),
+        lit(preA._1 == preA._2 && preB._1 == preB._2)
+          .as("scattered_prunes_nothing"),
+        lit(postA._1 < postA._2).as("zorder_prunes_key_a"),
+        lit(postB._1 < postB._2).as("zorder_prunes_key_b"))
+  }
+
+  val lakeCompactZorderSql =
+    """SELECT count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS scattered_prunes_nothing, TRUE AS zorder_prunes_key_a,
+      |  TRUE AS zorder_prunes_key_b
+      |FROM documents""".stripMargin
+
   /** lake_orphan_cleanup: ORPHAN-FILE maintenance (round 14 —
     * [[graft.sources.Snapshots.removeOrphanFiles]], the
     * remove_orphan_files verb every table format ships): files under
@@ -3318,6 +3372,7 @@ object QueriesCore {
     "sql_time_travel_ts" -> sqlTimeTravelTs,
     "sql_ddl_lifecycle" -> sqlDdlLifecycle,
     "lake_orphan_cleanup" -> lakeOrphanCleanup,
+    "lake_compact_zorder" -> lakeCompactZorder,
     "lake_vacuum" -> lakeVacuum,
     "sink_parquet_partitioned" -> sinkParquetPartitioned,
     "sink_parquet_zordered" -> sinkParquetZordered,
@@ -3444,6 +3499,7 @@ object QueriesCore {
     "sql_time_travel_ts" -> sqlTimeTravelTsSql,
     "sql_ddl_lifecycle" -> sqlDdlLifecycleSql,
     "lake_orphan_cleanup" -> lakeOrphanCleanupSql,
+    "lake_compact_zorder" -> lakeCompactZorderSql,
     "lake_vacuum" -> lakeVacuumSql,
     "sink_parquet_partitioned" -> sinkParquetPartitionedSql,
     "sink_parquet_zordered" -> sinkParquetZorderedSql,

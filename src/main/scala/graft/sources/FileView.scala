@@ -219,15 +219,21 @@ object FileView {
     * the interleave column is dropped before writing — it's a layout
     * artifact, not data. FileViewSpec asserts both-dimension skipping. */
   def sinkZOrdered(df: DataFrame, root: String, keyA: String, keyB: String,
-      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
+      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit =
+    zOrdered(df, keyA, keyB, numFiles, bits).write.mode(mode).parquet(root)
+
+  /** The z-order LAYOUT as a frame transform (round 14 — factored out so
+    * the snapshot lake's `commitReplaceZOrdered` reuses the identical
+    * kernel): min-max-normalize both keys, Morton-interleave, range-
+    * partition + sort on the code, drop the layout column. Degenerate
+    * input (empty frame / all-NULL key) returns the frame unchanged. */
+  private[graft] def zOrdered(df: DataFrame, keyA: String, keyB: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
     val r = df.agg(min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
       min(col(keyB)).cast("double"), max(col(keyB)).cast("double")).head()
     // degenerate input (empty frame or an all-NULL key): there is no range
-    // to interleave — write directly instead of NPE-ing on the null min/max
-    if (r.isNullAt(0) || r.isNullAt(2)) {
-      df.write.mode(mode).parquet(root)
-      return
-    }
+    // to interleave — pass through instead of NPE-ing on the null min/max
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
     def norm(c: Column, mn: Double, mx: Double): Column =
       if (mx > mn) {
         // scale by the REAL span: flooring it at 1.0 (the old form) left
@@ -247,7 +253,6 @@ object FileView {
       .repartitionByRange(numFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
-      .write.mode(mode).parquet(root)
   }
 
   /** Small-files COMPACTION — the lake-maintenance job every

@@ -845,6 +845,37 @@ object Snapshots {
     // Retries are bounded: each one consumes a full re-read + re-sort,
     // and a table hot enough to conflict five times in a row should
     // cluster off-peak (the loud error says so).
+    commitReplaceRewrite(spark, root)(cur =>
+      cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
+  /** Z-ORDER clustering compaction (round 14): a REPLACE that re-lays
+    * the table on the MORTON interleave of two keys
+    * ([[FileView.zOrdered]] — min-max-normalized bit interleave, pure
+    * codegen'd arithmetic), so each rewritten file covers a compact
+    * RECTANGLE of the 2-D key space and the manifest min/max stats
+    * prune on EITHER key's predicate — the `OPTIMIZE … ZORDER BY`
+    * capability, where single-key clustering
+    * ([[commitReplaceClustered]]) prunes one dimension and scatters the
+    * other. Same validated read-modify-write loop: a concurrent commit
+    * aborts the publish and the rewrite retries on fresh state. */
+  def commitReplaceZOrdered(spark: SparkSession, root: String,
+      keyA: String, keyB: String, numFiles: Int, bits: Int = 16): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    commitReplaceRewrite(spark, root)(cur =>
+      FileView.zOrdered(cur, keyA, keyB, numFiles, bits))
+  }
+
+  /** The VALIDATED read-modify-write REPLACE loop shared by the layout
+    * rewrites (ADVICE r13 medium #2): pin the version the rewrite
+    * reads, remember exactly the data/delete entries it consumed, let
+    * [[commitReplaceFiles]] abort the publish if the table changed in
+    * between — then re-read and retry, so a concurrent append/merge is
+    * never silently dropped. Retries are bounded: each consumes a full
+    * re-read + re-sort, and a table hot enough to conflict five times
+    * in a row should run its maintenance off-peak. */
+  private def commitReplaceRewrite(spark: SparkSession, root: String)(
+      xform: DataFrame => DataFrame): Long = {
     var attempt = 0
     while (true) {
       val v0 = currentVersion(spark, root)
@@ -852,8 +883,7 @@ object Snapshots {
         .filter(e => e.kind == "A" || e.kind == "D").map(_.line).toSet
       val cur = readSnapshot(spark, root, v0)
       val dataDir = new Path(root, s"data/c-$uuid8")
-      cur.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
-        .write.mode("overwrite").parquet(dataDir.toString)
+      xform(cur).write.mode("overwrite").parquet(dataDir.toString)
       try {
         return commitReplaceFiles(spark, root, dataFiles(spark, dataDir),
           cur.schema, expectCarried = Some(consumed))
@@ -861,7 +891,7 @@ object Snapshots {
         case _: ConcurrentTableChangeException if attempt < 5 =>
           // the losing attempt's commit-private files are unreferenced
           // by any manifest — reclaim them now rather than waiting for
-          // a vacuum to sweep orphans
+          // the orphan sweep
           fs(spark, dataDir).delete(dataDir, true)
           attempt += 1
       }
