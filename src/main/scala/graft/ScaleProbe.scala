@@ -63,7 +63,8 @@ object ScaleProbe {
     "lake_history_meta", "lake_stats_agg_daily",
     // round-14 additions (SQL DML verbs / time travel / nested / DDL)
     "sql_update_snapshot", "sql_merge_snapshot", "sql_time_travel_ts",
-    "scan_snapshot_nested", "sql_ddl_lifecycle",
+    "scan_snapshot_nested", "sql_ddl_lifecycle", "stream_sink_snapshot_live",
+    "lake_orphan_cleanup", "lake_compact_zorder",
     "join_asof_tolerance", "join_asof_nearest", "ts_interpolate",
     "text_entropy", "sample_quality_weighted",
     // round-9 session-7 additions

@@ -99,7 +99,8 @@ object DumpPlans {
     "scan_snapshot_pushdown_full", "sql_over_snapshot", "sql_insert_snapshot",
     "sql_delete_snapshot", "lake_stats_agg_grouped", "lake_compact_clustered",
     "sql_update_snapshot", "sql_merge_snapshot", "sql_time_travel_ts",
-    "scan_snapshot_nested", "sql_ddl_lifecycle")
+    "scan_snapshot_nested", "sql_ddl_lifecycle", "lake_orphan_cleanup",
+    "lake_compact_zorder")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
