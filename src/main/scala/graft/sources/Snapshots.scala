@@ -1433,8 +1433,15 @@ object Snapshots {
       upTo: Long): Seq[(Long, Long, Long, Long, Long)] = {
     val cur = currentVersion(spark, root)
     val hi = if (upTo >= 0) math.min(upTo, cur) else cur
+    // VACUUMED history (round-14 self-review find): expired versions'
+    // manifests are gone — serve the SURVIVING suffix instead of
+    // throwing on v1 (the pre-fix behavior broke $history and
+    // TIMESTAMP AS OF on any vacuumed table). The first surviving
+    // version's `added` is its full listed count — its true delta is
+    // unknowable once the predecessor manifest is expired, and "what
+    // this version makes visible" is the honest reading.
     var prev = Set.empty[String]
-    (1L to hi).map { v =>
+    survivingVersions(spark, root, hi).map { v =>
       val lines = readManifest(spark, root, v)
       val es = lines.map(parseEntry)
       val added = lines.filterNot(prev).map(parseEntry).count(_.kind == "A").toLong
@@ -1442,6 +1449,15 @@ object Snapshots {
       (v, es.count(_.kind == "A").toLong, es.count(_.kind == "D").toLong,
         es.count(_.kind == "S").toLong, added)
     }
+  }
+
+  /** Versions in [1, hi] whose manifest still exists (vacuum deletes
+    * expired ones) — always a contiguous SUFFIX by the vacuum contract,
+    * but computed by existence so a partial sweep degrades gracefully. */
+  private def survivingVersions(spark: SparkSession, root: String,
+      hi: Long): Seq[Long] = {
+    val f = fs(spark, manifestDir(root))
+    (1L to hi).filter(v => f.exists(manifestPath(root, v)))
   }
 
   /** MONOTONIC commit wall-clocks, one per version 1..current (round
@@ -1456,15 +1472,17 @@ object Snapshots {
     * observation is the honest, zero-format-change source. O(versions)
     * file-status calls, zero data IO. */
   private[graft] def commitTimesMillis(spark: SparkSession, root: String,
-      upTo: Long = -1L): Seq[Long] = {
+      upTo: Long = -1L): Seq[(Long, Long)] = {
     val cur = currentVersion(spark, root)
     val hi = if (upTo >= 0) math.min(upTo, cur) else cur
     val f = fs(spark, manifestDir(root))
     var last = Long.MinValue
-    (1L to hi).map { v =>
+    // SURVIVING versions only (round-14 self-review find — vacuumed
+    // manifests are gone; the walk must not throw on them)
+    survivingVersions(spark, root, hi).map { v =>
       val raw = f.getFileStatus(manifestPath(root, v)).getModificationTime
       last = if (last == Long.MinValue) raw else math.max(raw, last + 1)
-      last
+      (v, last)
     }
   }
 
@@ -1472,16 +1490,18 @@ object Snapshots {
     * commit clocks, [[commitTimesMillis]]) — the `TIMESTAMP AS OF`
     * resolution. Boundary semantics: a timestamp EQUAL to a commit's
     * instant includes that commit; between two commits resolves to the
-    * earlier; BEFORE the first commit is a loud error (the table did
-    * not exist yet — the same contract Delta throws). */
+    * earlier; BEFORE the first SURVIVING commit is a loud error (the
+    * table did not exist yet — or its history below that point was
+    * vacuumed away; time travel ends where vacuum ended it). */
   def versionAtTimestamp(spark: SparkSession, root: String,
       tsMillis: Long): Long = {
     val times = commitTimesMillis(spark, root)
     require(times.nonEmpty, s"snapshot table $root has no committed version")
-    require(tsMillis >= times.head,
-      s"timestamp $tsMillis predates $root's first commit (${times.head}) — " +
-        "the table did not exist yet")
-    (times.lastIndexWhere(_ <= tsMillis) + 1).toLong
+    require(tsMillis >= times.head._2,
+      s"timestamp $tsMillis predates $root's first surviving commit " +
+        s"(${times.head._2}) — the table did not exist yet, or that history " +
+        "was vacuumed")
+    times.filter(_._2 <= tsMillis).last._1
   }
 
   /** (has schema entries, has delete entries) at a version — the batch

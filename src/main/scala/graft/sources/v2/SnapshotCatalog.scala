@@ -33,10 +33,11 @@ import graft.sources.Snapshots
   * 13, [[SnapshotWriteBuilder]]): `INSERT INTO` lands as an append
   * commit and `INSERT OVERWRITE` as an atomic replace, both through
   * the claim-serialized publish — SQL writers and API writers share
-  * one arbiter. DDL stays read-only and loudly so: tables are created
-  * and evolved through the commit protocol
-  * ([[graft.sources.Snapshots]]), and every DDL hook throws rather
-  * than pretending.
+  * one arbiter. DDL is served too (round 14): CREATE / ALTER / DROP
+  * TABLE map onto the commit protocol's empty-table creation and
+  * column-ID evolution commits (see the DDL section below); only
+  * RENAME TABLE stays loud — a path-addressed table's name IS its
+  * location.
   *
   * Reference anchor: the reference provisions a queryable view over an
   * S3 prefix by NAME for downstream SQL consumers
@@ -319,10 +320,12 @@ private[v2] class SnapshotHistoryTable(root: String, version: Long)
       override def build(): Scan = new Scan with Batch {
         private val rows: Seq[Seq[Any]] = {
           val spark = SparkSession.active
-          val times = graft.sources.Snapshots.commitTimesMillis(spark, root, version)
+          // keyed by version, not zipped by position — both walks serve
+          // only SURVIVING (non-vacuumed) versions and must stay aligned
+          val timeOf = graft.sources.Snapshots.commitTimesMillis(spark, root, version).toMap
           graft.sources.Snapshots.historyInfos(spark, root, version)
-            .zip(times).map { case ((v, a, d, s, add), tMillis) =>
-              Seq[Any](v, a, d, s, add, tMillis * 1000L) // catalyst micros
+            .map { case (v, a, d, s, add) =>
+              Seq[Any](v, a, d, s, add, timeOf(v) * 1000L) // catalyst micros
             }
         }
         override def readSchema(): StructType = historySchema

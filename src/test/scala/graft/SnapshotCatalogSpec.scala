@@ -54,7 +54,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // TIMESTAMP AS OF (round 14): the adjusted commit clocks resolve —
     // exact instant includes the commit, between-commits resolves to the
     // earlier, pre-table throws loudly (Delta's timestampAsOf contract)
-    val times = Snapshots.commitTimesMillis(spark, root)
+    val times = Snapshots.commitTimesMillis(spark, root).map(_._2)
     assert(times.length == 2 && times(1) > times(0), "adjusted clocks increase")
     def fmt(ms: Long): String =
       java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
@@ -78,6 +78,28 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val ts = spark.sql(s"SELECT commit_ts FROM snap.`$root$$history` ORDER BY version")
       .collect().map(_.getTimestamp(0).getTime).toSeq
     assert(ts == times.toSeq, "$history.commit_ts IS the resolution clock")
+  }
+
+  test("$history and TIMESTAMP AS OF survive a vacuum (round-14 self-review find)") {
+    val root = freshRoot("vac_hist")
+    for (k <- 1 to 4)
+      Snapshots.commitAppend(spark, root,
+        Seq((k.toLong, s"t$k")).toDF("id", "tag").coalesce(1))
+    Snapshots.vacuum(spark, root, keepFrom = 3)
+    // pre-fix both threw FileNotFound on the expired v1 manifest; now
+    // they serve the SURVIVING suffix
+    val hist = spark.sql(s"SELECT version FROM snap.`$root$$history` ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist == Seq(3L, 4L))
+    assert(Snapshots.versionAtTimestamp(spark, root,
+      System.currentTimeMillis + 60000) == 4L)
+    // a timestamp below the surviving history is loud, naming vacuum
+    val times = Snapshots.commitTimesMillis(spark, root)
+    assert(times.map(_._1) == Seq(3L, 4L), "clocks cover surviving versions only")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.versionAtTimestamp(spark, root, times.head._2 - 1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("warehouse option resolves bare names and lists tables") {
