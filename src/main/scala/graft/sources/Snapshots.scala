@@ -1965,9 +1965,18 @@ object Snapshots {
     require(!added.exists(_.kind == "D"),
       s"versions $sinceV → $toV include row deletes; file-diff CDC covers pure " +
         "inserts — use snapshotDiff for the row-level delta")
-    require(!added.exists(_.kind == "S"),
-      s"versions $sinceV → $toV include a schema change; file-diff CDC does not " +
-        "span schema-change commits — restart the consumer from the new schema")
+    // a schema entry is only a scheme CHANGE when data was written under
+    // an OLDER binding (those files' physical layouts differ — the
+    // positional stream reader cannot span them). An S entry that
+    // PREDATES every data file — a DDL-created table's version 1 — is
+    // safe by construction: all files share the one binding (round-14
+    // self-review find: streaming a CREATE TABLE'd table always failed).
+    val allEs = after.map(parseEntry)
+    require(added.filter(_.kind == "S").forall(se =>
+      allEs.forall(e => e.kind != "A" || e.ver > se.ver)),
+      s"versions $sinceV → $toV include a schema CHANGE; file-diff CDC does " +
+        "not span schema-change commits — restart the consumer from the new " +
+        "schema (a schema entry predating all data, i.e. table creation, is fine)")
     added.filter(_.kind == "A").map(_.path) // T idempotence markers pass through
   }
 

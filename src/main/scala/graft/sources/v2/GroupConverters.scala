@@ -48,8 +48,17 @@ private[v2] object GroupConverters {
           MapType(toSparkType(kv.getType(0)), toSparkType(kv.getType(1)),
             valueContainsNull = kv.getType(1).getRepetition != PType.Repetition.REQUIRED)
         case null =>
-          StructType(g.getFields.asScala.map(f => StructField(f.getName,
-            toSparkType(f), nullable = f.getRepetition != PType.Repetition.REQUIRED)).toSeq)
+          StructType(g.getFields.asScala.map { f =>
+            // a BARE repeated field inside a struct (legacy writers; Spark
+            // always wraps arrays in the LIST annotation) would silently
+            // read only its first occurrence — loud instead
+            require(f.getRepetition != PType.Repetition.REPEATED,
+              s"snapshot scan: bare repeated field '${f.getName}' inside " +
+                s"struct '${g.getName}' uses a legacy layout — read it via " +
+                "Snapshots.readSnapshot")
+            StructField(f.getName, toSparkType(f),
+              nullable = f.getRepetition != PType.Repetition.REQUIRED)
+          }.toSeq)
         case other => throw new IllegalArgumentException(
           s"snapshot scan: unsupported group annotation $other on '${g.getName}'")
       }

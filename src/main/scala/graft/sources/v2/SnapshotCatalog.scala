@@ -177,6 +177,17 @@ class SnapshotCatalog extends TableCatalog {
       "snapshot tables do not take PARTITIONED BY — clustering is a maintenance " +
         "op (Snapshots.commitReplaceClustered), and manifest stats already give " +
         "partition-grade pruning on any sorted ingest")
+    // silently dropping a declared constraint or redirecting a declared
+    // location would be a quiet lie — loud instead (round 14 review)
+    require(schema.fields.forall(_.nullable),
+      "snapshot tables do not enforce NOT NULL constraints — declare the " +
+        "columns nullable (validation belongs in the pipeline's dq checks)")
+    Option(properties.get(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION))
+      .filterNot(_.isEmpty).foreach(loc =>
+        require(graft.sources.Snapshots.normPath(loc) ==
+            graft.sources.Snapshots.normPath(rootOf(base)),
+          s"snapshot tables are path-addressed: LOCATION '$loc' conflicts with " +
+            s"the identifier's own path — drop the clause or make them agree"))
     val root = rootOf(base)
     graft.sources.Snapshots.createTable(spark, root,
       schema.fields.map(f => f.name -> f.dataType.sql).toSeq)

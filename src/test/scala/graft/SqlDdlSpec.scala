@@ -71,6 +71,46 @@ class SqlDdlSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("a DDL-created table streams: CREATE → INSERT → readStream.table (round-14 find)") {
+    // pre-fix the stream's file-diff contract rejected ANY schema entry
+    // in range — and a created table's version 1 IS a schema entry, so
+    // streaming a CREATE TABLE'd table always failed; a schema commit
+    // that predates all data is positionally safe and now admitted
+    val root = freshRoot("stream_created")
+    val sink = freshRoot("stream_created_sink")
+    spark.sql(s"CREATE TABLE snap.`$root` (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO snap.`$root` VALUES (1, 10), (2, 20)")
+    val q = spark.readStream.table(s"snap.`$root`")
+      .writeStream.format("parquet")
+      .option("path", s"$sink/out").option("checkpointLocation", s"$sink/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$sink/out").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a schema CHANGE with data under the old binding stays loud
+    spark.sql(s"ALTER TABLE snap.`$root` RENAME COLUMN v TO val")
+    spark.sql(s"INSERT INTO snap.`$root` VALUES (3, 30)")
+    val e = intercept[Exception] {
+      graft.sources.Snapshots.readAppendedSince(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("schema CHANGE"))
+  }
+
+  test("CREATE TABLE: NOT NULL constraints and conflicting LOCATION decline loudly") {
+    val root = freshRoot("notnull")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE snap.`$root` (id BIGINT NOT NULL)")
+    }
+    assert(e1.getMessage.contains("NOT NULL"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE snap.`$root` (id BIGINT) LOCATION '/somewhere/else'")
+    }
+    assert(e2.getMessage.contains("LOCATION"))
+    // an AGREEING location is fine
+    spark.sql(s"CREATE TABLE snap.`$root` (id BIGINT) LOCATION '$root'")
+    assert(graft.sources.Snapshots.currentVersion(spark, root) == 1L)
+  }
+
   test("CREATE TABLE declines PARTITIONED BY loudly; DDL is claim-serialized") {
     val root = freshRoot("nopart")
     val e = intercept[Exception] {
