@@ -470,8 +470,17 @@ private[graft] class SnapshotBatchScan(root: String, version: Long,
   // keys, scan only yesterday's files" with zero user hints.
   private var runtime: Array[Filter] = Array.empty
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.map(f =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+    // advertise only what runtime pruning can actually act on: TOP-LEVEL
+    // PRIMITIVE columns (the manifest-stats domain). Advertising nested
+    // columns invited Spark's runtime-group-filtering rule to build IN
+    // subqueries over map/struct values — an invalid plan (round-14
+    // review find); and a ROW-LEVEL rewrite scan advertises NOTHING, so
+    // the group-filtering rule never fires on it (its filters are
+    // ignored there anyway — group completeness).
+    if (rowLevel.isDefined) Array.empty
+    else required.fields
+      .filter(f => SnapshotDeleteSets.PrimitiveDdl.contains(f.dataType.sql))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
   override def filter(filters: Array[Filter]): Unit =
     // a ROW-LEVEL (copy-on-write) scan ignores runtime filters: pruning
     // target files by a join's runtime keys would skip exactly the files

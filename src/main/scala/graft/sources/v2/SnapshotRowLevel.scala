@@ -82,9 +82,22 @@ private[v2] class SnapshotRowLevelOperation(root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
+        override def toBatch: BatchWrite = {
+          // refuse nested tables HERE — at plan time, with the routing
+          // named — not as a raw writer error deep in an executor task
+          // after the whole scan ran (round-14 review). Equality-shaped
+          // DELETEs are unaffected: the metadata-delete optimization
+          // replaces the plan before any batch write is constructed.
+          val bad = info.schema().fields.filterNot(f =>
+            SnapshotDeleteSets.PrimitiveDdl.contains(f.dataType.sql))
+          require(bad.isEmpty,
+            s"row-level SQL DML (UPDATE / MERGE / rewrite DELETE) supports " +
+              s"primitive-column tables; column(s) " +
+              s"${bad.map(_.name).mkString(", ")} are nested — use the API " +
+              "path (Snapshots.readSnapshot + commitReplace/commitMerge)")
           new SnapshotRewriteBatchWrite(root, info.schema(),
             SnapshotRowLevelOperation.this)
+        }
       }
     }
 

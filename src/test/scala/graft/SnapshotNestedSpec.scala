@@ -109,6 +109,25 @@ class SnapshotNestedSpec extends SparkTestBase {
     assert(streamed == (1 to 10).map(i => (i.toLong, i * 10L)))
   }
 
+  test("SQL DML on nested tables: equality DELETE works, rewrites refuse at plan time") {
+    val root = freshRoot("dml")
+    spark.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    Snapshots.commitAppend(spark, root, nestedFixture(6).coalesce(1))
+    // equality-shaped DELETE takes the metadata path — nested columns
+    // are irrelevant to a key-file commit
+    spark.sql(s"DELETE FROM snap.`$root` WHERE id = 3")
+    assert(Snapshots.readSnapshot(spark, root).count() == 5L)
+    // a copy-on-write rewrite would need the primitive-only SQL writer:
+    // refused at PLAN time with the API routing named, not as a raw
+    // executor error after the scan ran
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE snap.`$root` SET id = 99 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("use the API path"),
+      s"nested rewrite must refuse loudly at planning: ${e.getMessage}")
+    assert(Snapshots.readSnapshot(spark, root).count() == 5L, "table untouched")
+  }
+
   test("legacy 2-level list layout stays loud") {
     val root = freshRoot("legacy")
     val dir = s"$root/data/c-legacy"
