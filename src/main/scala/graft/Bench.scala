@@ -151,6 +151,57 @@ object Bench {
     // consumer never has to guess which kind it is reading.
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
     require(benchRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $benchRuns")
+    val sfShort = new java.io.File(sfDir).getName // "sf0.1"
+    // -----------------------------------------------------------------
+    // SELF-ADJUDICATING READINGS (round 15, VERDICT r14 ask #1 — ends
+    // the three-round driver-host anomaly disputes mechanically).
+    // tools/bench_bands.json carries per-row [lo, hi] noise bands
+    // harvested from every committed CANONICAL bench_full.json at this
+    // SF (tools/make_bands.py). When a headline reading exceeds 2× its
+    // band top — or, bandless, 2.5× the fastest the same row ran THIS
+    // session (warm-up included) — the row is re-measured up to twice
+    // in-session with a ~100 ms sustained micro-probe before and after
+    // each re-run; the reported value is the MEDIAN of all timed
+    // readings and the full {readings, probes, band} evidence rides in
+    // the artifact. A transient host spike thus displaces itself; a
+    // real regression survives three readings and says so with probe
+    // context attached — data, not narrative.
+    // -----------------------------------------------------------------
+    val bands: Map[String, (Double, Double)] = {
+      val p = java.nio.file.Paths.get("tools/bench_bands.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // {"sf":"sf0.1","bands":{"name":[lo,hi],...}} — flat, no deps
+        val sfOk = s""""sf"\\s*:\\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfShort)
+        if (!sfOk) Map.empty
+        else """"([A-Za-z0-9_]+)"\s*:\s*\[\s*([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)\s*\]""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+          .toMap
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] bands unreadable (${e.getMessage}) — none applied")
+        Map.empty
+      }
+    }
+    if (bands.nonEmpty)
+      System.err.println(s"[bench] loaded ${bands.size} noise bands for $sfShort")
+    // ~100-150 ms sustained compute burst (same kernel as the short
+    // calibration probe): cheap enough to interleave per re-measurement,
+    // long enough that sustained background load cannot hide between it
+    def microProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("bit_xor(xxhash64(h)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def medianOf(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    // name -> (all timed readings, interleaved probes, band if any)
+    val adjudicated = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[Double], Seq[Double], Option[(Double, Double)])]
     // (name, median-or-cold seconds, exchange count, cold?)
     val results: Seq[(String, Double, Int, Boolean)] = selected.map { case (name, fn) =>
       try {
@@ -188,9 +239,31 @@ object Bench {
         } else {
         val w = runOnce() // warm-up: JIT, codegen cache, FS metadata
         isolate()
-        val ts = (1 to benchRuns).map { _ =>
+        var readings = (1 to benchRuns).map { _ =>
           val t = runOnce(); isolate(); t
-        }.sorted
+        }.toVector
+        // self-adjudication: out-of-band medians earn up to two extra
+        // in-session re-measurements with probes bracketing each one
+        val band = bands.get(name)
+        val threshold = band match {
+          case Some((_, hi)) => 2.0 * hi
+          case None => 2.5 * math.min(w, readings.min)
+        }
+        if (medianOf(readings) > threshold) {
+          val probes = scala.collection.mutable.ArrayBuffer(microProbe())
+          var extra = 0
+          while (extra < 2 && medianOf(readings) > threshold) {
+            readings :+= runOnce(); isolate()
+            probes += microProbe()
+            extra += 1
+          }
+          adjudicated(name) = (readings, probes.toSeq, band)
+          System.err.println(f"[bench] $name%-24s OUT-OF-BAND: readings=" +
+            readings.map(x => f"$x%.3f").mkString("[", ",", "]") +
+            " probes=" + probes.map(x => f"$x%.3f").mkString("[", ",", "]") +
+            band.fold("")(b => f" band=[${b._1}%.3f,${b._2}%.3f]"))
+        }
+        val ts = readings.sorted
         val t = ts(ts.size / 2)
         // SHUFFLE-EXCHANGE count of the measured plan (outside the timed
         // section — planning only, nothing executes). bench_compare.py
@@ -273,13 +346,28 @@ object Bench {
       val coldJson = coldRows.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val tiered = coldRows.nonEmpty
+      // full-precision adjudication evidence (see the stdout line's
+      // 3-decimal twin below)
+      val adjFull = adjudicated.map { case (k, (rs, ps, b)) =>
+        "\"" + k + "\":{\"readings\":" + rs.mkString("[", ",", "]") +
+          ",\"probes\":" + ps.mkString("[", ",", "]") +
+          b.fold("")(x => ",\"band\":[" + x._1 + "," + x._2 + "]") + "}"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        s"""{"metric":"total","value":$total,"value_warm":$totalWarm,"value_cold_tail":$totalColdTail,"unit":"sec","stream_fast":$streamFast,"runs":$benchRuns,"tiered":$tiered,"calibration":$calibration,"calibration_sustained":$calibrationSustained,"calibration_shuffle":$calibrationShuffle,"queries":$full,"queries_cold":$coldJson,"queries_norm":$norm,"queries_exchanges":$exch,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"value_warm":$totalWarm,"value_cold_tail":$totalColdTail,"unit":"sec","stream_fast":$streamFast,"runs":$benchRuns,"tiered":$tiered,"n_bands":${bands.size},"calibration":$calibration,"calibration_sustained":$calibrationSustained,"calibration_shuffle":$calibrationShuffle,"queries":$full,"queries_cold":$coldJson,"queries_norm":$norm,"queries_exchanges":$exch,"adjudications":$adjFull,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     }
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val sfShort = new java.io.File(sfDir).getName // "sf0.1"
+    // per-row adjudication evidence: {"row":{"readings":[...],"probes":
+    // [...],"band":[lo,hi]}} — readings are ALL timed runs (median is
+    // what `queries` reports), probes the interleaved ~100 ms sustained
+    // bursts, band absent for bandless rows. Empty on clean runs.
+    val adjJson: String = adjudicated.map { case (k, (rs, ps, b)) =>
+      "\"" + k + "\":{\"readings\":" + rs.map(fmt).mkString("[", ",", "]") +
+        ",\"probes\":" + ps.map(fmt).mkString("[", ",", "]") +
+        b.fold("")(x => ",\"band\":[" + fmt(x._1) + "," + fmt(x._2) + "]") + "}"
+    }.mkString("{", ",", "}")
     // the tail tier's cold readings fold straight into other_sum — the
     // same bucket the r12 line already used for these rows
     val coldSum = coldRows.map(_._2).sum
@@ -292,7 +380,12 @@ object Bench {
           "\"other_n\":" + (fs.size + coldRows.size))
       }
       val qs = (kept ++ extra).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"value_warm":${fmt(totalWarm)},"value_cold_tail":${fmt(totalColdTail)},"unit":"sec","queries":$qs,"sf":"$sfShort"}"""
+      // adjudication evidence travels in the DRIVER-RECORDED line too
+      // (BENCH_r{N}.json is parsed from stdout): out-of-band rows carry
+      // their full readings/probes/band so a driver-host outlier is
+      // self-documenting — n_bands says how many bands were armed
+      val adj = if (adjudicated.isEmpty) "" else s""","adjudications":$adjJson"""
+      s"""{"metric":"total","value":${fmt(total)},"value_warm":${fmt(totalWarm)},"value_cold_tail":${fmt(totalColdTail)},"unit":"sec","n_bands":${bands.size}$adj,"queries":$qs,"sf":"$sfShort"}"""
     }
     val budget = 1900 // tail buffer 2000 minus sbt's trailing [success] line
     // calibration is never folded — it must stay explicit in every round's line

@@ -207,6 +207,12 @@ class SnapshotCatalog extends TableCatalog {
       case c: AddColumn =>
         require(c.fieldNames.length == 1, "nested column DDL is not supported")
         require(c.position == null, "ADD COLUMN position hints are not supported")
+        // mirror createTable (round 15, ADVICE r14): silently adding a
+        // nullable column where NOT NULL was declared — pre-existing rows
+        // necessarily read NULL — would be a quietly-dropped constraint
+        require(c.isNullable,
+          "snapshot tables do not enforce NOT NULL constraints — declare the " +
+            "added column nullable (validation belongs in the pipeline's dq checks)")
         graft.sources.Snapshots.addColumn(spark, root, c.fieldNames()(0),
           c.dataType.sql)
       case c: DeleteColumn =>

@@ -123,4 +123,36 @@ class SqlDdlSpec extends SparkTestBase {
     spark.sql(s"ALTER TABLE snap.`$root` ADD COLUMNS (v BIGINT)")
     assert(Snapshots.currentVersion(spark, root) == 2L)
   }
+
+  test("ALTER TABLE ADD COLUMNS NOT NULL declines loudly (mirrors CREATE)") {
+    // round 15, ADVICE r14 low #1: silently adding the column nullable
+    // while pre-existing rows read NULL would be a quietly-dropped
+    // constraint — the same lie createTable already refuses
+    val root = freshRoot("addnotnull")
+    spark.sql(s"CREATE TABLE snap.`$root` (id BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE snap.`$root` ADD COLUMNS (v BIGINT NOT NULL)")
+    }
+    assert(e.getMessage.contains("NOT NULL"))
+    // the refused change must not have committed anything
+    assert(Snapshots.currentVersion(spark, root) == 1L)
+  }
+
+  test("a DSv2-unreadable column type fails at PLANNING with the routing message") {
+    // round 15, ADVICE r14 low #2: a tracked DECIMAL column used to plan
+    // fine and die per-row in executors with a generic converter error;
+    // now the driver declines loudly and names the readSnapshot route
+    val root = freshRoot("decimalplan")
+    Snapshots.createTable(spark, root,
+      Seq("id" -> "BIGINT", "amt" -> "DECIMAL(10,2)"))
+    // the SQL INSERT path already refuses DECIMAL; load through the API
+    Snapshots.commitAppend(spark, root,
+      spark.sql("SELECT CAST(1 AS BIGINT) AS id, CAST(1.50 AS DECIMAL(10,2)) AS amt")
+        .coalesce(1))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT id, amt FROM snap.`$root`").collect()
+    }
+    assert(e.getMessage.contains("readSnapshot"),
+      s"planner-side routing message expected, got: ${e.getMessage}")
+  }
 }

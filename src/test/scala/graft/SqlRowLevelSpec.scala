@@ -180,6 +180,25 @@ class SqlRowLevelSpec extends SparkTestBase {
     }
   }
 
+  test("an all-rows range DELETE on a tracked table leaves a valid, writable empty table") {
+    // round 15, ADVICE r14 medium #3: the >=1-file invariant was stale —
+    // a schema-tracked table legally serves zero files (CREATE TABLE
+    // already reads empty), so a rewrite DELETE matching every row
+    // succeeds instead of erroring
+    val root = freshRoot("del_all")
+    spark.sql(s"CREATE TABLE snap.`$root` (id BIGINT, n_chars BIGINT)")
+    spark.sql(s"INSERT INTO snap.`$root` VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"DELETE FROM snap.`$root` WHERE n_chars > 0")
+    val got = spark.sql(s"SELECT * FROM snap.`$root`")
+    assert(got.count() == 0L)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "n_chars"),
+      "empty table keeps its tracked schema")
+    // the table stays fully usable after the wipe
+    spark.sql(s"INSERT INTO snap.`$root` VALUES (4, 40)")
+    assert(spark.sql(s"SELECT id FROM snap.`$root`").collect().map(_.getLong(0))
+      .toSeq == Seq(4L))
+  }
+
   test("UPDATE on a VERSION-pinned read refuses loudly") {
     val root = freshRoot("upd_pinned")
     Snapshots.commitAppend(spark, root,

@@ -93,7 +93,7 @@ class StreamSinkSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
-  test("T markers survive appends/deletes, are dropped by REPLACE, ignored by vacuum and CDC") {
+  test("T markers survive appends/deletes AND replaces, bound one-per-writer, ignored by vacuum and CDC") {
     val root = freshRoot("marker_life")
     Snapshots.commitAppend(spark, root, Seq((1L, 1L)).toDF("id", "v").coalesce(1))
     val dir = freshRoot("marker_files")
@@ -113,14 +113,49 @@ class StreamSinkSpec extends SparkTestBase {
     Snapshots.commitDelete(spark, root, Seq(1L).toDF("id"))
     assert(Snapshots.commitAppendFilesOnce(spark, root, files, schema,
       "sq-mk-e1") == Snapshots.currentVersion(spark, root))
-    // a REPLACE drops markers: the same txn would commit again after it
+    // a REPLACE CARRIES markers (round 15, ADVICE r14): a compaction
+    // landing between an epoch's commit and its checkpoint write must
+    // not reopen the exactly-once window — the replay still dedupes
     Snapshots.commitReplace(spark, root, Snapshots.readSnapshot(spark, root).coalesce(1))
     val vR = Snapshots.currentVersion(spark, root)
     assert(Snapshots.commitAppendFilesOnce(spark, root, files, schema,
-      "sq-mk-e1") == vR + 1, "REPLACE resets the dedupe horizon (documented)")
+      "sq-mk-e1") == vR, "markers survive a REPLACE — epoch replay after compaction dedupes")
+    // a LATER epoch of the same writer commits, REPLACES the writer's
+    // marker (one per writer — SetTransaction model), and then any
+    // OLDER epoch replay dedupes against it via >= comparison
+    val vE9 = Snapshots.commitAppendFilesOnce(spark, root, files, schema, "sq-mk-e9")
+    assert(vE9 == vR + 1)
+    assert(Snapshots.commitAppendFilesOnce(spark, root, files, schema,
+      "sq-mk-e1") == vE9, "older epoch dedupes against the single latest marker")
+    assert(Snapshots.commitAppendFilesOnce(spark, root, files, schema,
+      "sq-mk-e9") == vE9, "same epoch dedupes")
+    // a DIFFERENT writer's marker is independent
+    val vQ2 = Snapshots.commitAppendFilesOnce(spark, root, files, schema, "sq-q2-e1")
+    assert(vQ2 == vE9 + 1)
     // vacuum never tries to delete a txn id as a file
     Snapshots.vacuum(spark, root, vR)
-    assert(Snapshots.readSnapshot(spark, root).count() == 2L)
+    assert(Snapshots.readSnapshot(spark, root).count() == 3L)
+  }
+
+  test("a long-lived stream holds ONE marker line, not one per epoch") {
+    val root = freshRoot("marker_bound")
+    Snapshots.commitAppend(spark, root, Seq((1L, 1L)).toDF("id", "v").coalesce(1))
+    val dir = freshRoot("marker_bound_files")
+    Seq((2L, 2L)).toDF("id", "v").coalesce(1).write.parquet(dir)
+    val files = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(dir)).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    val schema = Snapshots.readSnapshot(spark, root).schema
+    (1 to 8).foreach(e =>
+      Snapshots.commitAppendFilesOnce(spark, root, files, schema, s"sq-long-e$e"))
+    // manifest text: exactly one T line for writer sq-long (the latest)
+    val v = Snapshots.currentVersion(spark, root)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", f"v$v%05d.list")), "UTF-8")
+    val tLines = manifest.linesIterator.filter(_.startsWith("T\t")).toSeq
+    assert(tLines.size == 1, s"one marker per writer, got: $tLines")
+    assert(tLines.head.endsWith("sq-long-e8"))
+    assert(Snapshots.readSnapshot(spark, root).count() == 9L)
   }
 
   test("Complete output mode refuses loudly (append-only sink)") {
