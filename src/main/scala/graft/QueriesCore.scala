@@ -837,6 +837,50 @@ object QueriesCore {
       |    AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** sql_maintenance: lake maintenance driven PURELY from SQL text
+    * (round 15, VERDICT r14 ask #3) — `CALL snap.system.compact(...)`
+    * then `CALL snap.system.vacuum(...)` through the Spark 4 procedure
+    * catalog ([[graft.sources.v2.SnapshotProcedures]], the Iceberg
+    * `CALL system.*` convention). The gate pins answer-invariance: a
+    * scattered 4-commit ingest is clustered to 2 files and its history
+    * vacuumed to the compacted version, and the post-maintenance
+    * aggregate still equals the oracle computed from the raw input —
+    * maintenance rearranges storage, never data. The compact rides the
+    * validated read-modify-write REPLACE (concurrent commits retry,
+    * SqlMaintenanceSpec races one), vacuum is the explicit destructive
+    * janitor. Reference anchor: the reference's SQL-only dashboard
+    * persona (synapseformation_templates/default.yaml:5-10) owns no
+    * driver code — this is how that persona runs maintenance. */
+  val sqlMaintenance: Q = (s, dir) => {
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip/${scratchKey(dir)}/docs_sqlmaint"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    for (k <- 0 until 4)
+      Snapshots.commitAppend(s, root, d.filter(col("doc_id") % 4 === k).coalesce(1))
+    s.conf.set("spark.sql.catalog.snap", "graft.sources.v2.SnapshotCatalog")
+    val vNew = s.sql(
+      s"CALL snap.system.compact(table => '$root', sort_cols => 'doc_id', num_files => 2)")
+      .head.getLong(0)
+    val deleted = s.sql(
+      s"CALL snap.system.vacuum(table => '$root', keep_from => $vNew)")
+      .head.getLong(0)
+    s.sql(
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM snap.`$root` GROUP BY source ORDER BY source""".stripMargin)
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        lit(vNew == 5L).as("one_replace_commit"),
+        lit(deleted >= 4L).as("history_reclaimed"))
+  }
+
+  val sqlMaintenanceSql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS one_replace_commit, TRUE AS history_reclaimed
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** sql_update_snapshot: plain SQL `UPDATE … SET … WHERE` (round 14,
     * VERDICT r13 ask #3) — served through Spark's own group-based
     * row-level rewrite over `SupportsRowLevelOperations`
@@ -3415,6 +3459,7 @@ object QueriesCore {
     "sql_merge_snapshot" -> sqlMergeSnapshot,
     "sql_time_travel_ts" -> sqlTimeTravelTs,
     "sql_ddl_lifecycle" -> sqlDdlLifecycle,
+    "sql_maintenance" -> sqlMaintenance,
     "lake_orphan_cleanup" -> lakeOrphanCleanup,
     "lake_compact_zorder" -> lakeCompactZorder,
     "lake_vacuum" -> lakeVacuum,
@@ -3543,6 +3588,7 @@ object QueriesCore {
     "sql_merge_snapshot" -> sqlMergeSnapshotSql,
     "sql_time_travel_ts" -> sqlTimeTravelTsSql,
     "sql_ddl_lifecycle" -> sqlDdlLifecycleSql,
+    "sql_maintenance" -> sqlMaintenanceSql,
     "lake_orphan_cleanup" -> lakeOrphanCleanupSql,
     "lake_compact_zorder" -> lakeCompactZorderSql,
     "lake_vacuum" -> lakeVacuumSql,

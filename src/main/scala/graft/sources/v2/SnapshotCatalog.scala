@@ -43,7 +43,8 @@ import graft.sources.Snapshots
   * S3 prefix by NAME for downstream SQL consumers
   * (synapseformation_templates/default.yaml:5-10); this is that naming
   * layer over the snapshot lake, Spark-first. */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -241,6 +242,40 @@ class SnapshotCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "snapshot tables are path-addressed — the name IS the location; move the " +
         "directory (or commitReplace into a new root) instead of RENAME TABLE")
+
+  // ---------------------------------------------------------------------
+  // MAINTENANCE PROCEDURES (round 15, VERDICT r14 ask #3): the Iceberg
+  // `CALL <catalog>.system.<verb>(...)` surface over the existing
+  // engine maintenance calls — see [[SnapshotProcedures]]. Table
+  // arguments resolve with the same path/warehouse rules as table
+  // identifiers, so a SQL-only consumer needs nothing but the catalog.
+  // ---------------------------------------------------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"snapshot procedures live in the system namespace: " +
+        s"CALL $catalogName.system.<verb>(...); got ${ident.toString}")
+    SnapshotProcedures.load(resolveTableArg, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      SnapshotProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** A procedure's `table` argument resolves exactly like a table
+    * identifier: absolute path, or a bare name under `warehouse`. */
+  private def resolveTableArg(t: String): String = {
+    val root =
+      if (t.startsWith("/") || t.contains(":/")) t
+      else warehouse.map(w => s"$w/$t").getOrElse(throw new IllegalArgumentException(
+        s"snapshot catalog '$catalogName' needs .option(\"warehouse\", dir) to " +
+          s"resolve bare table name '$t' — or pass the absolute root"))
+    require(Snapshots.currentVersion(spark, root) > 0,
+      s"no snapshot table at $root")
+    root
+  }
 }
 
 /** The `$files` metadata table: one row per data file of a version,
