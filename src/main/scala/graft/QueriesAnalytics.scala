@@ -1633,7 +1633,13 @@ object QueriesAnalytics {
     val ed = Tables.lineitem(s, dir)
       .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val sym = ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst")))
+    // One materialization of the symmetrized frame feeds BOTH the
+    // label-propagation rounds and the modularity scorer (round 15):
+    // unshared, each consumer re-derived scan+distinct+union — with
+    // modularity referencing its edge input three times (deg/intra/m2),
+    // that was four extra evaluations of the distinct.
+    val sym = graft.operators.Checkpointing.cut(
+      ed.unionAll(ed.select(col("dst").as("src"), col("src").as("dst"))))
     val labels = graft.operators.Graph.labelPropagation(sym, iters = graphLabelPropIters)
     graft.operators.Graph.modularity(sym, labels).orderBy("label")
   }

@@ -130,6 +130,83 @@ object Clustering {
     centroids
   }
 
+  /** MANY independent Lloyd chains over SLICES of the same embedding,
+    * trained in SHARED jobs (round 15). [[graft.operators.Pq]] trains
+    * `subspaces` (+1 coarse) codebooks, every chain scanning the same
+    * fact table: as separate [[trainCentroids]] loops that is
+    * specs·(rounds+1) sequential driver-blocking jobs — pure scheduler
+    * floor at any scale, and specs redundant scans of a 100 TB corpus
+    * per round at the design point. Here all chains share ONE seed
+    * collect and ONE scan+aggregate per round: each spec's argmin rides
+    * the same codegen pass, the per-(spec, cluster, dim) cells ride the
+    * same map-side-combined exchange (Σ spec-widths cells per row —
+    * identical total row mass to the separate loops), and the bounded
+    * collect returns every codebook's update at once.
+    *
+    * Each `(offset, width, k)` spec trains on `embedding[offset ..
+    * offset+width)` exactly as [[trainCentroids]] would on that slice:
+    * same k-smallest-id seeds (quantization is elementwise, so
+    * slice∘quantize ≡ quantize∘slice), same (d2, cl) argmin, same
+    * pure-BIGINT round-half-up means, same emptied-cluster-keeps-
+    * previous rule — codebooks are BIT-IDENTICAL to the per-spec loops
+    * (property-asserted in ClusteringSpec). */
+  def trainCentroidsMulti(emb: DataFrame, specs: Seq[(Int, Int, Int)],
+      rounds: Int): IndexedSeq[Array[Array[Long]]] = {
+    require(specs.nonEmpty && specs.forall { case (o, w, k) =>
+      o >= 0 && w >= 1 && k >= 1 }, s"bad specs $specs")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
+
+    // seeds: ONE bounded collect of the max-k smallest vec_ids' full
+    // quantized vectors; each spec slices its own seeds driver-side
+    val seedRows = q.orderBy(col("vec_id")).limit(specs.map(_._3).max)
+      .collect().map(_.getSeq[Long](1))
+    require(seedRows.nonEmpty, "trainCentroidsMulti needs at least one input vector")
+    var books: IndexedSeq[Array[Array[Long]]] = specs.toIndexedSeq.map {
+      case (off, w, k) => seedRows.take(k).map(_.slice(off, off + w).toArray)
+    }
+
+    // the exploded layout is the concatenation of every spec's slice;
+    // spec index and in-spec dim are pure functions of the global
+    // position, shipped as literal int LUTs (Σ widths entries)
+    val spLut = specs.zipWithIndex.flatMap { case ((_, w, _), i) => Seq.fill(w)(i) }
+    val posLut = specs.flatMap { case (_, w, _) => 0 until w }
+    for (_ <- 1 to rounds) {
+      // one scan: every spec's argmin in one narrow pass, then ONE
+      // (spec, cluster, dim) aggregate — Σk·w cells, bounded collect
+      val cls = array(specs.zipWithIndex.map { case ((off, w, _), i) =>
+        bestOf(slice(col("qe"), off + 1, w), books(i)).getField("cl")
+      }: _*)
+      val catQe = flatten(array(specs.map { case (off, w, _) =>
+        slice(col("qe"), off + 1, w) }: _*))
+      val updated = q
+        .select(cls.as("cls"), catQe.as("cat"))
+        .select(col("cls"), posexplode(col("cat")).as(Seq("gpos", "x")))
+        .select(
+          element_at(typedLit(spLut), col("gpos") + 1).as("sp"),
+          element_at(typedLit(posLut), col("gpos") + 1).as("pos"),
+          element_at(col("cls"),
+            element_at(typedLit(spLut), col("gpos") + 1) + 1).as("cl"),
+          col("x"))
+        .groupBy("sp", "cl", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .selectExpr("sp", "cl", "pos",
+          "(2*sx + n - pmod(2*sx + n, 2*n)) div (2*n) AS c")
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (sp, rows) =>
+          sp -> rows.groupBy(_.getInt(1)).map { case (cl, rs) =>
+            cl -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toArray
+          }
+        }
+      books = books.zipWithIndex.map { case (old, i) =>
+        val up = updated.getOrElse(i, Map.empty[Int, Array[Long]])
+        old.zipWithIndex.map { case (oldC, ci) => up.getOrElse(ci + 1, oldC) }
+      }
+    }
+    books
+  }
+
   /** Cluster-BALANCED subsampling: run [[kmeansAssign]], then keep an
     * (approximately) equal number of vectors from every cluster —
     * the diversity-curation move that stops one dominant topic from

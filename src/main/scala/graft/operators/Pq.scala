@@ -37,12 +37,11 @@ object Pq {
     require(subspaces >= 1 && dims % subspaces == 0,
       s"dims $dims must be divisible by subspaces $subspaces")
     val d = dims / subspaces
-    val codebooks = (0 until subspaces).map { s =>
-      Clustering.trainCentroids(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), s * d + 1, d).as("embedding")),
-        k, rounds)
-    }
+    // all S chains train in SHARED jobs — one seed collect + one
+    // scan/aggregate per round instead of S·(rounds+1) sequential jobs
+    // (bit-identical codebooks; Clustering.trainCentroidsMulti)
+    val codebooks = Clustering.trainCentroidsMulti(emb,
+      (0 until subspaces).map(s => (s * d, d, k)), rounds)
     emb.select(col("vec_id") +:
         codebooks.zipWithIndex.map { case (cents, s) =>
           Clustering.argminCluster(
@@ -77,12 +76,9 @@ object Pq {
     require(subspaces >= 1 && dims % subspaces == 0,
       s"dims $dims must be divisible by subspaces $subspaces")
     val d = dims / subspaces
-    val codebooks = (0 until subspaces).map { s =>
-      Clustering.trainCentroids(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), s * d + 1, d).as("embedding")),
-        k, rounds)
-    }
+    // shared-job training (see pqCodes) — bit-identical codebooks
+    val codebooks = Clustering.trainCentroidsMulti(emb,
+      (0 until subspaces).map(s => (s * d, d, k)), rounds)
     // the one-row query fetch (bounded by construction)
     val qRows = emb.filter(col("vec_id") === queryId)
       .select(Clustering.quantized(col("embedding"))).limit(2).collect()
@@ -131,13 +127,21 @@ object Pq {
     require(subspaces >= 1 && dims % subspaces == 0,
       s"dims $dims must be divisible by subspaces $subspaces")
     val d = dims / subspaces
-    val coarse = Clustering.trainCentroids(emb, coarseK, coarseRounds)
-    val codebooks = (0 until subspaces).map { s =>
-      Clustering.trainCentroids(
-        emb.select(col("vec_id"),
-          slice(col("embedding"), s * d + 1, d).as("embedding")),
-        k, rounds)
-    }
+    // shared-job training (see pqCodes); when the coarse quantizer runs
+    // the same round count it joins the SAME fused jobs as spec 0 —
+    // 9 chains, one seed collect, one scan per round
+    val (coarse, codebooks) =
+      if (coarseRounds == rounds) {
+        val all = Clustering.trainCentroidsMulti(emb,
+          (0, dims, coarseK) +: (0 until subspaces).map(s => (s * d, d, k)),
+          rounds)
+        (all.head, all.tail)
+      } else {
+        (Clustering.trainCentroidsMulti(emb, Seq((0, dims, coarseK)),
+            coarseRounds).head,
+          Clustering.trainCentroidsMulti(emb,
+            (0 until subspaces).map(s => (s * d, d, k)), rounds))
+      }
     val qRows = emb.filter(col("vec_id") === queryId)
       .select(Clustering.quantized(col("embedding"))).limit(2).collect()
     require(qRows.length == 1, s"query vec_id $queryId must match exactly one row")
@@ -204,7 +208,12 @@ object Pq {
       k: Int, rounds: Int, topK: Int): DataFrame = {
     val approx = adcTopK(emb, queryId, dims, subspaces, k, rounds, topK)
       .select("vec_id")
-    val truth = exactTopK(emb, queryId, dims, topK).select("vec_id")
+    // truth feeds TWO consumers (the hit semi-join and the n_true
+    // count); cut its topK rows once (round 15) so the exact-d2 corpus
+    // pass runs once, not per consumer — at the 100 TB design point
+    // that pass is a full scan
+    val truth = Checkpointing.cut(
+      exactTopK(emb, queryId, dims, topK).select("vec_id"))
     val hit = truth.join(approx, Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
     truth.agg(count(lit(1)).as("n_true")).crossJoin(hit)

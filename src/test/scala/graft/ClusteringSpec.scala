@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Clustering
 
 /** Unit coverage for exact Lloyd k-means (operators/Clustering):
@@ -110,5 +111,28 @@ class ClusteringSpec extends SparkTestBase {
     val out = Clustering.kmeansExact(vecs.toDF("vec_id", "embedding"), k, rounds)
       .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
     assert(out === expect)
+  }
+
+  test("trainCentroidsMulti is bit-identical to per-spec trainCentroids " +
+      "(incl. an overlapping full-width coarse spec and distinct ks)") {
+    val rnd = new scala.util.Random(47)
+    val e = (1L to 80L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // coarse spec spans ALL dims and overlaps the two half-width specs;
+    // ks differ so the shared seed collect must slice per spec
+    val specs = Seq((0, 8, 3), (0, 4, 2), (4, 4, 4))
+    for (rounds <- Seq(0, 1, 2)) {
+      val fused = Clustering.trainCentroidsMulti(e, specs, rounds)
+      val solo = specs.map { case (off, w, k) =>
+        Clustering.trainCentroids(
+          e.select(col("vec_id"),
+            slice(col("embedding"), off + 1, w).as("embedding")),
+          k, rounds)
+      }
+      fused.zip(solo).zipWithIndex.foreach { case ((f, s), i) =>
+        assert(f.map(_.toSeq).toSeq === s.map(_.toSeq).toSeq,
+          s"spec $i rounds $rounds")
+      }
+    }
   }
 }
