@@ -772,12 +772,15 @@ object QueriesAnalytics {
           .as("cosine"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .select("src", "dst")
+    // ONE pass over the exact side (round 15): the old totals aggregate
+    // + hit semi-join + crossJoin evaluated the declared-O(n²) exact
+    // baseline twice; a left-outer hit marker folds totals and hits
+    // into a single aggregate over one evaluation (ann pairs are unique,
+    // so count(h) ≡ the semi-join count)
     val exact = Similarity.knnGraphExact(emb, 5).select("src", "dst")
-    val tot = exact.agg(count(lit(1)).as("n_true"),
-      countDistinct("src").as("n_queries"))
-    val hit = exact.join(ann, Seq("src", "dst"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    tot.crossJoin(hit)
+    exact.join(ann.withColumn("__h", lit(1)), Seq("src", "dst"), "left_outer")
+      .agg(countDistinct("src").as("n_queries"), count(lit(1)).as("n_true"),
+        count(col("__h")).as("n_hit"))
       .select(col("n_queries"), col("n_true"), col("n_hit"),
         graft.functions.Num.r8(col("n_hit").cast("double")
           / col("n_true").cast("double")).as("recall"))
@@ -1260,7 +1263,10 @@ object QueriesAnalytics {
     val chain = o.as("a").join(o.as("b"),
         col("a.o") + 1 === col("b.o") && col("a.o") % 50 === 0)
       .select((col("a.o") * 2 + 1).as("a_id"), (col("b.o") * 2 + 1).as("b_id"))
-    val edges = star.unionAll(chain)
+    // one materialization of the star∪chain build (round 15): the base
+    // filter, the delta filter, AND ccApplyDelta's allNodes union each
+    // re-ran the orders self-join otherwise — three evaluations
+    val edges = graft.operators.Checkpointing.cut(star.unionAll(chain))
     val isDelta = pmod(xxhash64(col("a_id"), col("b_id")), lit(4)) === 0
     val state = Components.connectedComponents(edges.filter(!isDelta))
     Components.ccApplyDelta(state, edges.filter(isDelta)).orderBy("node")

@@ -406,10 +406,15 @@ object Dedup {
     import graft.functions.{Num, TextOps}
     val docs = df.select(id.as("doc_id"), TextOps.tokens(text).as("t"))
       .filter(size(col("t")) >= n)
-    val grams = docs.select(col("doc_id"),
-      explode(expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
-        s"i -> array_join(slice(t, i, $n), ' '))")).as("gram"))
-    val common = grams.select("doc_id", "gram").distinct()
+    val gramArr = expr(s"transform(sequence(1, size(t) - ${n - 1}), " +
+      s"i -> array_join(slice(t, i, $n), ' '))")
+    val grams = docs.select(col("doc_id"), explode(gramArr).as("gram"))
+    // within-doc dedup is ROW-LOCAL (round 15): array_distinct before
+    // the explode gives each (doc, gram) pair exactly once, so the
+    // document-frequency count needs ONE gram-keyed exchange — the old
+    // distinct() paid a full (doc, gram) exchange over the gram stream
+    // first and a second gram-keyed one after
+    val common = docs.select(explode(array_distinct(gramArr)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("gram")
     val boiler = grams.join(common, Seq("gram"), "left_semi")

@@ -336,17 +336,24 @@ object Graph {
     * Scale shape: each round is ONE map-side-combined degree aggregate
     * (k-row filter output ≤ |V|) plus two semi-joins restricting the
     * edge list — shuffles carry (node) keys and edge pairs, never
-    * attributes. UNLIKE pagerank's lazy DAG, every round's edge frame is
-    * CUT by default (`checkpointEvery = 1`): the frame feeds TWO
-    * consumers per round (its own degree aggregate and the next
-    * restriction), so a lazy composition re-derives the whole peel
-    * prefix per consumer — measured as a stall at the ~sf1 probe where
-    * the eager form is seconds. Pass 0 to opt back into the lazy DAG
-    * for small fixed peels. */
+    * attributes. The edge frame is hash-distributed by `src` ONCE up
+    * front (round 15): HashPartitioning(src) satisfies the distinct,
+    * every round's degree aggregate, and the final degree output, and
+    * it survives the (runtime-broadcast) semi-joins and each round's
+    * checkpoint — so the per-round degree exchange disappears and the
+    * only shuffle in the whole peel is that one setup exchange. UNLIKE
+    * pagerank's lazy DAG, every round's edge frame is CUT by default
+    * (`checkpointEvery = 1`): the frame feeds TWO consumers per round
+    * (its own degree aggregate and the next restriction), so a lazy
+    * composition re-derives the whole peel prefix per consumer —
+    * measured as a stall at the ~sf1 probe where the eager form is
+    * seconds. Pass 0 to opt back into the lazy DAG for small fixed
+    * peels. */
   def kcore(edges: DataFrame, k: Int, rounds: Int,
       checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var e = edges.select(col("src"), col("dst")).distinct()
+    var e = Dist.byKeys(edges.select(col("src"), col("dst")), col("src"))
+      .distinct()
     for (i <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select("node")

@@ -105,25 +105,35 @@ object LangId {
     * the argmax between engines; the ≤5·10⁻⁷ weight quantization is far
     * below anything a trigram profile can distinguish. Argmax tie-break
     * = max (score, lang) lexicographically, mirrored exactly in SQL.
-    * Same plan shape as the relational form: shared trigram frame, one
-    * broadcast profile join, two aggregate shuffles. */
+    *
+    * Plan shape (round 15): both sides aggregate PER-DOC DISTINCT
+    * trigram counts computed row-local by the codegen kernel
+    * ([[graft.plans.LangIdExpressions.trigramCounts]] — identical
+    * codepoint-sliding trigrams of lower(text), exact occurrence
+    * counts), the same move [[selfLabelPredict]] already made. The old
+    * form exploded every trigram OCCURRENCE into an eagerly
+    * checkpointed frame and paid a (doc_id, gram) exchange over all of
+    * it; now the per-doc counts ARE the scoring input (zero exchange on
+    * the scoring side) and the profile aggregate's exchange carries
+    * distinct-per-doc rows only. Scores are unchanged exact longs:
+    * Σ wq·cnt over per-doc counts ≡ Σ wq per occurrence. */
   def selfLabelPredictExact(docs: DataFrame, text: Column, id: Column, lang: Column,
       topM: Int = 200): DataFrame = {
-    val s = docs.select(id.as("doc_id"), lang.as("lang"), lower(text).as("__s"))
-      .filter(length(col("__s")) >= 3)
-    val grams = s
-      .select(col("doc_id"), col("lang"), col("__s"),
-        explode(sequence(lit(1), length(col("__s")) - 2)).as("__i"))
-      .select(col("doc_id"), col("lang"),
-        col("__s").substr(col("__i"), lit(3)).as("gram"))
-      .localCheckpoint(true) // shared by the two aggregates below
-    val counts = grams.groupBy("lang", "gram").count()
+    import graft.plans.LangIdExpressions
+    val counts = docs
+      .select(lang.as("lang"), LangIdExpressions.trigramCounts(text).as("tc"))
+      .select(col("lang"), explode(col("tc")).as("g"))
+      .groupBy(col("lang"), col("g.gram").as("gram"))
+      .agg(sum(col("g.cnt")).as("count"))
     val w = Window.partitionBy(col("lang")).orderBy(col("count").desc, col("gram").asc)
     val profile = counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topM)
       .select(col("lang").as("p_lang"), col("gram"),
         floor(lit(1000000.0) / col("rank") + lit(0.5)).cast("long").as("wq"))
-    val gramCounts = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val gramCounts = docs
+      .select(id.as("doc_id"), LangIdExpressions.trigramCounts(text).as("tc"))
+      .select(col("doc_id"), explode(col("tc")).as("g"))
+      .select(col("doc_id"), col("g.gram").as("gram"), col("g.cnt").as("cnt"))
     gramCounts.join(broadcast(profile), "gram")
       .groupBy("doc_id", "p_lang")
       .agg(sum(col("wq") * col("cnt")).as("score"))

@@ -575,8 +575,13 @@ object Temporal {
         .groupBy(col(key), col("b")).agg(count(lit(1)).as("x")), col(key))
     val grid = counts.groupBy(col(key)).agg(min("b").as("b0"), max("b").as("b1"))
       .select(col(key), explode(sequence(col("b0"), col("b1"))).as("b"))
-    val dense = grid.join(counts, Seq(key, "b"), "left_outer")
-      .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x"))
+    // the dense series feeds THREE consumers (the median chain, the
+    // deviation chain inside medianAbsDev, and the final flag join) —
+    // cut it once (round 15) so the grid join runs once, not per
+    // consumer; the frame is O(keys · span) bucket counts
+    val dense = Checkpointing.cut(
+      grid.join(counts, Seq(key, "b"), "left_outer")
+        .select(col(key), col("b"), coalesce(col("x"), lit(0L)).as("x")))
     val stats = Percentiles.medianAbsDev(dense, "x", Seq(key))
     dense.join(stats, Seq(key))
       .withColumn("dev", abs(col("x") - col("med")))
