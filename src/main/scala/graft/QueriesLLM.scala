@@ -2459,8 +2459,11 @@ object QueriesLLM {
       .filter(col("q") >= 0.35)
     val keep = Dedup.exact(q, col("text"), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
-    val clean = q.join(keep, "doc_id")
-      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+    // clean feeds BOTH the chunk packer and the shard assigner — cut its
+    // two narrow columns once (round 15) so the quality+dedup+tokenize
+    // chain runs once, not per consumer
+    val clean = graft.operators.Checkpointing.cut(q.join(keep, "doc_id")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tokens")))
     val chunked = Packing.packChunks(clean, col("doc_id"), col("n_tokens"), 4096L)
       .withColumnRenamed("offset", "tok_offset")
     val sharded = Packing.shardAssign(clean, col("doc_id"), 100L)
@@ -3337,12 +3340,20 @@ object QueriesLLM {
     val docs = Tables.documents(s, dir)
     val ranked = Search.bm25Batch(docs, col("text"), col("doc_id"),
       queries, topK = 10)
+    // per-doc term dedup is ROW-LOCAL (round 15): array_distinct before
+    // the explode makes each (doc, term) pair unique, so the grade is a
+    // plain count — no count_distinct expand — and the exploded stream
+    // the semi-join and the aggregate see carries distinct-per-doc rows
+    // only. (A cut of this frame was tried for its two consumers and
+    // REVERTED: at sf0.1 it serialized two subtrees the scheduler was
+    // running concurrently — measured 1.64 → 2.53 s.)
     val grades = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
       .join(broadcast(queries.select("term").distinct()), Seq("term"), "left_semi")
       .join(broadcast(queries.distinct()), Seq("term"))
       .groupBy("query_id", "doc_id")
-      .agg(count_distinct(col("term")).as("grade"))
+      .agg(count(lit(1)).as("grade"))
     val wDf = ndcgWeights.toDF("rnk", "w")
     val gain = expr("shiftleft(CAST(1 AS BIGINT), CAST(grade AS INT)) - 1")
     val rw = org.apache.spark.sql.expressions.Window
