@@ -62,12 +62,19 @@ object Pca {
     var v: Array[Long] = Array.tabulate(dims)(d => if (d == 0) Q else 0L)
 
     for (_ <- 1 to rounds) {
-      // one scan: narrow dot, then a dims-cell aggregate (bounded collect)
+      // one scan: narrow dot, then dims column-sums in ONE global
+      // aggregate (round 15) — the old posexplode multiplied the row
+      // count by dims and paid a dims-group hash aggregate per round;
+      // per-dim sums as parallel agg buffers keep the pass narrow and
+      // return the whole iterate as a single bounded row. Same exact
+      // LONG sums, same grouping — bit-identical state.
       val s = new Array[Long](dims)
-      q.select(dotQ(v).as("dq"), posexplode(col("qe")).as(Seq("pos", "x")))
-        .groupBy("pos").agg(sum(col("x") * col("dq")).as("s"))
-        .collect()
-        .foreach(r => s(r.getInt(0)) = r.getLong(1))
+      val sums = q.select(dotQ(v).as("dq"), col("qe"))
+        .agg(sum(element_at(col("qe"), 1) * col("dq")).as("s0"),
+          (1 until dims).map(i =>
+            sum(element_at(col("qe"), i + 1) * col("dq")).as(s"s$i")): _*)
+        .collect()(0)
+      for (i <- 0 until dims) if (!sums.isNullAt(i)) s(i) = sums.getLong(i)
       // re-grid so the norm accumulates exactly: cap max|sq| at 1e8 ⇒
       // Σ sq² ≤ 64·10¹⁶ fits a long with headroom
       val maxAbs = s.map(math.abs).max
