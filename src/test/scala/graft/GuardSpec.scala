@@ -49,7 +49,7 @@ class GuardSpec extends org.scalatest.funsuite.AnyFunSuite {
     val allowed: Map[String, Int] = Map(
       "operators/Percentiles.scala" -> 1, // O(groups × quantiles) target buckets
       "operators/Similarity.scala" -> 5, // IVF centroids / k-means means (≤ nCentroids·dim); MMR pool rows + pool² pair sims (bounded by the operator's pool contract)
-      "operators/Clustering.scala" -> 2, // Lloyd seeds + per-round means (k·dims cells each)
+      "operators/Clustering.scala" -> 4, // Lloyd seeds + per-round means (k·dims cells), ×2: the single-chain loop and the round-15 fused multi-spec loop (Σ k·dims cells across specs — same bound, one job)
       "operators/Pca.scala" -> 1, // per-round direction sums (dims cells)
       "operators/Pq.scala" -> 3, // ADC/exact query rows: limit(2) + require(==1) ×3, never full
       "operators/Components.scala" -> 1, // union-find fast path, gated ≤ 2^20 edges
