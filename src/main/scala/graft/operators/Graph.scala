@@ -298,8 +298,27 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int,
       checkpointEvery: Int = 0, idBound: Long = 1L << 31): DataFrame = {
     require(iters >= 1)
+    require(idBound >= 2, s"labelPropagation: idBound must be >= 2, got $idBound")
     val e = edges.select(col("src"), col("dst")).distinct()
-    val ed = Dist.byKeys(e, col("src")).localCheckpoint(true)
+    // id-range guard (ADVICE r15 medium): the argmax order-embedding
+    // cnt·idBound + (idBound−1−label) is exact ONLY for ids in
+    // [0, idBound) — an out-of-range id would silently decode to a wrong
+    // label where the old struct-max was correct for any LONG. The check
+    // rides the edge checkpoint as an observe metric (no extra job) and
+    // fails LOUDLY before any result escapes. At 100 TB, synthetic keys
+    // past 2³¹ must pass an explicit larger idBound (which shrinks the
+    // safe per-label vote count to 2⁶³/idBound — documented contract).
+    val idObs = new org.apache.spark.sql.Observation()
+    val ed = Dist.byKeys(e, col("src"))
+      .observe(idObs, min(least(col("src"), col("dst"))).cast("long").as("lo"),
+        max(greatest(col("src"), col("dst"))).cast("long").as("hi"))
+      .localCheckpoint(true)
+    val idLo = idObs.get("lo")
+    require(idLo == null || (idLo.asInstanceOf[Long] >= 0L &&
+        idObs.get("hi").asInstanceOf[Long] < idBound),
+      s"labelPropagation: node ids must lie in [0, $idBound) for the exact " +
+        s"argmax order-embedding (observed [${idLo}, ${idObs.get("hi")}]); " +
+        "pass a larger idBound")
     var labels = ed.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iters) {
@@ -391,6 +410,8 @@ object Graph {
     * (node, deg, n_tri). */
   def triangleCountsWithDeg(edges: DataFrame,
       nodeIdBound: Long = 1000000L): DataFrame = {
+    require(nodeIdBound >= 1,
+      s"triangleCounts: nodeIdBound must be >= 1, got $nodeIdBound")
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -399,6 +420,12 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .select(col("node"), col("deg"),
         (col("deg") * nodeIdBound + col("node")).as("ok"))
+    // id-range guard (ADVICE r15 / VERDICT r15 #6, same class as
+    // labelPropagation's): the (deg, id) order-collapse key
+    // deg·nodeIdBound + node is exact only for ids in [0, nodeIdBound).
+    // Rides the existing orientation checkpoint as an observe metric —
+    // no extra job; throws before any mis-oriented wedge escapes.
+    val idObs = new org.apache.spark.sql.Observation()
     val oriented = und
       .join(deg.select(col("node").as("u"), col("ok").as("u_ok")), "u")
       .join(deg.select(col("node").as("v"), col("ok").as("v_ok")), "v")
@@ -406,7 +433,15 @@ object Graph {
         when(col("u_ok") < col("v_ok"), col("u")).otherwise(col("v")).as("src"),
         when(col("u_ok") < col("v_ok"), col("v")).otherwise(col("u")).as("dst"),
         greatest(col("u_ok"), col("v_ok")).as("dst_ok"))
+      .observe(idObs, min(least(col("src"), col("dst"))).cast("long").as("lo"),
+        max(greatest(col("src"), col("dst"))).cast("long").as("hi"))
       .localCheckpoint(true)
+    val idLo = idObs.get("lo")
+    require(idLo == null || (idLo.asInstanceOf[Long] >= 0L &&
+        idObs.get("hi").asInstanceOf[Long] < nodeIdBound),
+      s"triangleCounts: node ids must lie in [0, $nodeIdBound) for the exact " +
+        s"(deg, id) orientation key (observed [${idLo}, ${idObs.get("hi")}]); " +
+        "pass a larger nodeIdBound")
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst_ok") < col("e2.dst_ok"))
@@ -714,7 +749,19 @@ object Graph {
     * every SF before the cut, sub-second after). Each |V|-row raw frame
     * is therefore eagerly localCheckpoint'd — 2·iters cuts of node-sized
     * frames, the bounded-plan shape a long-loop cluster run wants
-    * anyway. */
+    * anyway.
+    *
+    * Round 16 tried the obvious next cut — renormalize the AUTH half
+    * IN-PLAN via `crossJoin(broadcast(agg(max)))` so only the hub half
+    * pays an eager cut (actions 2·iters → iters). MEASURED WORSE and
+    * reverted: AQE reuses only the shuffle MAP output between the
+    * broadcast-max subquery and the main chain, so every round re-ran
+    * the post-exchange aggregate stage for the max (+34 tasks, +3 jobs
+    * per round: 30→41 jobs, 408→543 tasks, wall 3.87→4.10 s warm at
+    * sf0.1/local[32]) — the saved action was cheaper than the re-run
+    * stage. The renorm max therefore stays an action barrier per
+    * half-round; the per-half-round cut is the minimal shape
+    * (OPTIMIZATION_r16.md records the numbers). */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).distinct()
@@ -734,10 +781,17 @@ object Graph {
       val mObs = new org.apache.spark.sql.Observation()
       val raw = raw0.observe(mObs, max(col("raw")).as("m"))
         .localCheckpoint(true) // single eval for both consumers
-      val m = mObs.get("m").asInstanceOf[Long]
-      raw.select(col("node"),
-        floor(col("raw").cast("double") / lit(m).cast("double")
-          * lit(100000000.0) + lit(0.5)).cast("long").as("unit"))
+      mObs.get("m") match {
+        // an EMPTY graph observes a null max (zero rows): return the
+        // empty frame with the unit column in place instead of NPE-ing
+        // on the cast (ADVICE r15 — the pre-r15 broadcast form
+        // null-propagated to an empty result; same degenerate contract,
+        // made explicit)
+        case null => raw.select(col("node"), col("raw").as("unit"))
+        case m => raw.select(col("node"),
+          floor(col("raw").cast("double") / lit(m.asInstanceOf[Long]).cast("double")
+            * lit(100000000.0) + lit(0.5)).cast("long").as("unit"))
+      }
     }
     for (i <- 1 to iters) {
       auth = renorm(

@@ -208,6 +208,42 @@ class SearchGraphSpec extends SparkTestBase {
     assert(cut === lazyForm)
   }
 
+  test("labelPropagation: out-of-bound node id fails LOUDLY (round 16, ADVICE r15)") {
+    // the argmax order-embedding cnt·idBound + (idBound−1−label) is exact
+    // only for ids in [0, idBound): ids at/past the bound must throw, not
+    // silently decode to a wrong label
+    val e = Seq((1L, 9L), (9L, 1L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, iters = 1, idBound = 8L)
+    }
+    assert(ex.getMessage.contains("idBound") || ex.getMessage.contains("[0, 8)"),
+      ex.getMessage)
+    // negative ids break the embedding the same way
+    val neg = Seq((-1L, 2L), (2L, -1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(neg, iters = 1)
+    }
+    // in-bound ids at the edge of the range still work (after one round
+    // each node adopts its only neighbor's label)
+    val ok = Seq((0L, 7L), (7L, 0L)).toDF("src", "dst")
+    assert(Graph.labelPropagation(ok, iters = 1, idBound = 8L)
+      .as[(Long, Long)].collect().toMap === Map(0L -> 7L, 7L -> 0L))
+  }
+
+  test("triangleCounts: out-of-bound node id fails LOUDLY (round 16, ADVICE r15)") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 100L), (3L, 100L))
+    val e = und.toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.triangleCounts(e, nodeIdBound = 100L)
+    }
+    assert(ex.getMessage.contains("nodeIdBound") || ex.getMessage.contains("[0, 100)"),
+      ex.getMessage)
+    // the same graph passes with an adequate bound (and counts correctly)
+    val out = Graph.triangleCounts(e, nodeIdBound = 101L)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 100L -> 1L))
+  }
+
   // ---- triangle counting --------------------------------------------------
 
   test("triangleCounts: K4 gives 3 per node; chain gives 0; direction/self-loops canonicalized") {
@@ -459,6 +495,13 @@ class SearchGraphSpec extends SparkTestBase {
       got.toString)
     val re = Graph.hits(e.repartition(5), iters = 2).collect().toSet
     assert(re === Graph.hits(e, iters = 2).collect().toSet)
+  }
+
+  test("hits: an EMPTY graph returns an empty frame, not an NPE (round 16, ADVICE r15)") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = Graph.hits(e, iters = 2)
+    assert(out.columns.toSeq === Seq("role", "node", "unit", "score"))
+    assert(out.count() === 0L)
   }
 
   test("kcore: checkpointEvery is result-identical to the lazy DAG") {
