@@ -3249,12 +3249,17 @@ object QueriesLLM {
     * quality metric can't be tuned.
     *
     * Scale shape: the ranking is `search_bm25_batch`'s posting
-    * discipline; the relevance pick prunes the token stream with a
-    * broadcast semi-join on query terms BEFORE any shuffle, so it
-    * touches query-term occurrences only; the argmax is ONE struct-max
-    * aggregate (no window over data); the final join is |queries| rows
-    * against the ≤10·|queries| ranked frame. rr = one r8 IEEE division
-    * of an integer rank. */
+    * discipline; the relevance pick consumes the SAME query-term
+    * postings frame the ranking is built on ([[Search.queryPostings]],
+    * round 16) — the identically built subtree canonicalizes equal, so
+    * ReuseExchange evaluates the corpus tokenize/explode ONCE per plan
+    * instead of twice, and `matched`/`total_tf` become a plain
+    * count/sum over the per-(doc, term) `tf` rows (count of distinct
+    * matching terms ≡ row count of the already-distinct posting frame;
+    * occurrence total ≡ Σ tf) — no count_distinct Expand. The argmax is
+    * ONE struct-max aggregate (no window over data); the final join is
+    * |queries| rows against the ≤10·|queries| ranked frame. rr = one r8
+    * IEEE division of an integer rank. */
   val evalRetrievalMrr: Q = (s, dir) => {
     import s.implicits._
     val queries = Seq((1, "spark"), (1, "join"), (2, "window"), (2, "stream"),
@@ -3262,13 +3267,12 @@ object QueriesLLM {
     val docs = Tables.documents(s, dir)
     val ranked = Search.bm25Batch(docs, col("text"), col("doc_id"),
       queries, topK = 10)
-    val relevant = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .join(broadcast(queries.select("term").distinct()), Seq("term"), "left_semi")
+    val relevant = Search.queryPostings(docs, col("text"), col("doc_id"),
+        queries.select(col("term")).distinct())
       .join(broadcast(queries.distinct()), Seq("term"))
       .groupBy("query_id", "doc_id")
-      .agg(count_distinct(col("term")).as("matched"),
-        count(lit(1)).as("total_tf"))
+      .agg(count(lit(1)).as("matched"),
+        sum(col("tf")).as("total_tf"))
       .groupBy("query_id")
       .agg(max(struct(col("matched"), col("total_tf"),
         (-col("doc_id")).as("nid"))).as("best"))

@@ -90,6 +90,22 @@ object Search {
       .limit(topK)
   }
 
+  /** Query-term postings — (doc_id, dl, term, tf), one row per (doc,
+    * matching term), for terms in the `terms` frame only: the semi-join
+    * against the broadcast term set runs BEFORE the one (doc, dl, term)
+    * shuffle, so corpus-scale token mass never moves. Shared by
+    * [[bm25Batch]] and any consumer needing the same frame in the same
+    * plan (eval_retrieval_mrr's relevance pick): an IDENTICALLY built
+    * subtree canonicalizes equal, so ReuseExchange evaluates the corpus
+    * explode once per plan however many consumers hang off it. */
+  def queryPostings(docs: DataFrame, text: Column, id: Column,
+      terms: DataFrame): DataFrame =
+    docs.select(id.as("doc_id"), TextOps.tokens(text).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      .join(broadcast(terms), Seq("term"), "left_semi")
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
   /** Batch BM25 — the production retrieval workload: `queries` is a
     * TABLE of (query_id, term), not a literal list, and every query's
     * top-`topK` comes out of ONE pass over the corpus. Postings are
@@ -112,12 +128,7 @@ object Search {
         count(lit(1)).as("n_docs"),
         (sum(size(col("ts"))).cast("double") / count(lit(1))).as("avgdl"))
     }
-    val terms = queries.select(col("term")).distinct()
-    val post = toks
-      .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
-      .join(broadcast(terms), Seq("term"), "left_semi")
-      .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
+    val post = queryPostings(docs, text, id, queries.select(col("term")).distinct())
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
     val termScore =
       log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
