@@ -245,8 +245,16 @@ object Bench {
         // self-adjudication: out-of-band medians earn up to two extra
         // in-session re-measurements with probes bracketing each one
         val band = bands.get(name)
+        // banded trigger 1.5× top (round 16, VERDICT r15 ask #2 — was
+        // 2.0×): with band tops now capped at 1.5× the canonical median
+        // (make_bands.py), this adjudicates ~2.25× swings off the
+        // median; the r15 driver anomalies (curate_cluster_balance
+        // 2.5×, curate_dsir/dq_drift_ks ~1.8×) sat exactly in the
+        // 2.0×-top blind spot. Pure measurement hygiene: the reported
+        // value is still the median of ALL timed readings, evidence
+        // rides in `adjudications`.
         val threshold = band match {
-          case Some((_, hi)) => 2.0 * hi
+          case Some((_, hi)) => 1.5 * hi
           case None => 2.5 * math.min(w, readings.min)
         }
         if (medianOf(readings) > threshold) {

@@ -65,7 +65,13 @@ def main():
         # per-row outlier rejection: a transient spike inside an
         # otherwise-quiet session must not stretch the band top
         kept = [v for v in vs if v <= 2.5 * med] or vs
-        bands[name] = (min(kept), max(kept))
+        # band-top cap (round 16, VERDICT r15 ask #2): a history that
+        # includes old slow readings (pre-optimization code, loaded
+        # sessions that passed the probe filter) would put the top at
+        # 2-3x the canonical median, and with the bench's 2x-top trigger
+        # a 4-6x host swing would sail through unadjudicated. Cap the
+        # top at 1.5x the median so 1.5-2x swings re-measure too.
+        bands[name] = (min(kept), min(max(kept), 1.5 * med))
 
     out = {
         "sf": sf,
