@@ -312,37 +312,67 @@ object TextKernels {
   }
 
   /** Distinct character trigrams of `lower(text)` with occurrence counts,
-    * as rows of (gram STRING, cnt INT). Trigram identity is the xxhash64
-    * of its bytes — the same key every LangId shuffle/join already uses
-    * (an 8-byte key; the readable gram tags the profile only). Insertion
-    * order (first occurrence) keeps output deterministic across runs. */
+    * as rows of (gram STRING, cnt INT). Dedup is by the trigram's BYTES
+    * (open addressing, xxhash64 probe, byte-compare on collision — the
+    * [[repetitionStats]] recipe): the pre-r16 form keyed its map on the
+    * 64-bit hash alone, so two distinct grams colliding within one
+    * document would have merged their counts under the first gram's
+    * bytes — a probabilistic wrinkle in an 'exact' contract (ADVICE
+    * r15). Output order (first occurrence) keeps results deterministic
+    * across runs. */
   def trigramCounts(s: UTF8String): ArrayData = {
     val b = s.toLowerCase.getBytes
     val nBytes = b.length
-    val map = new java.util.LinkedHashMap[java.lang.Long, Array[Int]]()
+    // codepoint count bounds the trigram count (and thus table size)
+    var nCp = 0
     var i = 0
+    while (i < nBytes) { if ((b(i) & 0xC0) != 0x80) nCp += 1; i += 1 }
+    val maxG = math.max(1, nCp - 2)
+    // open-addressing table at load factor <= 0.5; cnt == 0 marks empty
+    var cap = 4
+    while (cap < maxG * 2) cap <<= 1
+    val mask = cap - 1
+    val hkey = new Array[Long](cap)
+    val hoff = new Array[Int](cap)
+    val hlen = new Array[Int](cap)
+    val hcnt = new Array[Int](cap)
+    val order = new Array[Int](maxG) // slots in first-occurrence order
+    var nDistinct = 0
     var c0 = -1
     var c1 = -1
     var c2 = -1
     var c3 = -1
+    i = 0
     while (i <= nBytes) {
       if (i == nBytes || (b(i) & 0xC0) != 0x80) { // codepoint boundary
         c0 = c1; c1 = c2; c2 = c3; c3 = i
         if (c0 >= 0) {
-          val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + c0, c3 - c0, Seed)
-          val e = map.get(h)
-          if (e == null) map.put(h, Array(c0, c3 - c0, 1)) else e(2) += 1
+          val len = c3 - c0
+          val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + c0, len, Seed)
+          var slot = (h & mask).toInt
+          var done = false
+          while (!done) {
+            if (hcnt(slot) == 0) {
+              hkey(slot) = h; hoff(slot) = c0; hlen(slot) = len; hcnt(slot) = 1
+              order(nDistinct) = slot; nDistinct += 1
+              done = true
+            } else if (hkey(slot) == h && hlen(slot) == len &&
+                java.util.Arrays.equals(b, hoff(slot), hoff(slot) + len,
+                  b, c0, c0 + len)) {
+              hcnt(slot) += 1
+              done = true
+            } else slot = (slot + 1) & mask
+          }
         }
       }
       i += 1
     }
-    val out = new Array[Any](map.size)
-    val it = map.values().iterator()
+    val out = new Array[Any](nDistinct)
     var j = 0
-    while (it.hasNext) {
-      val e = it.next()
+    while (j < nDistinct) {
+      val slot = order(j)
       out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](UTF8String.fromBytes(b, e(0), e(1)), e(2)))
+        Array[Any](UTF8String.fromBytes(b, hoff(slot), hlen(slot)), hcnt(slot)))
       j += 1
     }
     new GenericArrayData(out)
