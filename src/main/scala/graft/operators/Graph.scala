@@ -125,19 +125,41 @@ object Graph {
     val nodes = ed.select(col("src").as("node"), lit(false).as("recv"))
       .unionAll(ed.select(col("dst").as("node"), lit(true).as("recv")))
       .groupBy("node").agg(bool_or(col("recv")).as("recv"))
-      .observe(nObs, count(lit(1)).as("n"))
+      .observe(nObs, count(lit(1)).as("n"),
+        count(when(!col("recv"), lit(1))).as("n_norecv"))
       .localCheckpoint(true)
     val n = nObs.get("n").asInstanceOf[Long]
+    // |noRecv| rides the same cut: a SYMMETRIZED graph (every query's
+    // shape, and the common production one) has NO no-inbound nodes, and
+    // knowing that on the driver lets the loop skip the noRecv machinery
+    // entirely — see below (round 16)
+    val hasNoRecv = nObs.get("n_norecv").asInstanceOf[Long] > 0L
     var ranks = nodes.select(col("node"), r8(lit(1.0) / lit(n.toDouble)).as("rank"))
     val base = lit(1.0 - damping) / lit(n.toDouble)
     // Nodes with NO in-edges never receive contributions — their rank is
-    // the constant base from round 1 on. Appending that set per round
-    // replaces a per-round |V|⋈|V| left join with a union of a frame
-    // that is EMPTY for symmetrized graphs (base + d·0.0 ≡ base, so this
-    // is exactly the left-join-with-coalesce semantics) — and since the
-    // flag rides the nodes checkpoint, the set costs one cached-block
-    // filter per round, no exchange, no distinct.
+    // the constant base from round 1 on, so their per-round
+    // out-contributions are a CONSTANT frame. Round 16 reshapes the old
+    // per-round rank-row union two ways:
+    //  - the constant contributions union BELOW the exchange (into the
+    //    aggregate input — the katz round-15 move), so the loop-carried
+    //    frame stays a pure aggregate output: hashpartitioned on `node`,
+    //    co-partitioned with the src-keyed edge checkpoint. The old
+    //    rank-row union destroyed that partitioning — invisible at toy
+    //    SFs where AQE broadcast-converts the join, but at the ~sf1
+    //    synth slice the SMJ re-exchanged the rank frame every round.
+    //    sum(s ∪ consts) ≡ sum(s) + consts exactly in LONG and the
+    //    constant rows carry the identical floor(r8(base)·1e8/outdeg
+    //    + 0.5) quantization, so results are bit-identical; the
+    //    no-inbound rank ROWS re-join the output once after the loop.
+    //  - when the observed |noRecv| is ZERO the union is the identity,
+    //    so the loop skips it (and the final row union) outright — no
+    //    per-round empty-frame join/broadcast stages at all.
     val noRecv = nodes.filter(!col("recv")).select(col("node"), r8(base).as("rank"))
+    def quantized(r: DataFrame): DataFrame =
+      r.join(ed, r("node") === ed("src"))
+        .select(col("dst").as("node"),
+          floor(col("rank") * lit(100000000L) / col("outdeg") + lit(0.5)).cast("long").as("wq"))
+    val noRecvContrib = quantized(noRecv)
     for (i <- 1 to iters) {
       // Contributions are quantized to the 1e-8 grid BEFORE the sum and
       // summed as LONGs (ADVICE r8): long addition is associative and
@@ -148,14 +170,16 @@ object Graph {
       // rounding boundary would flip the r8 grid step and cascade
       // through later rounds. The oracle applies the identical
       // floor(rank·1e8/outdeg + 0.5) before ITS sum.
-      val contrib = ranks.join(ed, ranks("node") === ed("src"))
-        .select(col("dst").as("node"),
-          floor(col("rank") * lit(100000000L) / col("outdeg") + lit(0.5)).cast("long").as("wq"))
+      // Round 1's input is the FULL initial frame (every node at 1/N);
+      // later rounds carry the aggregate output (nodes WITH in-edges)
+      // plus the constant no-inbound contributions.
+      val fromRanks = quantized(ranks)
+      val contrib = (if (i == 1 || !hasNoRecv) fromRanks
+        else fromRanks.unionAll(noRecvContrib))
         .groupBy("node").agg(sum(col("wq")).as("wq"))
       ranks = contrib
         .select(col("node"),
           r8(base + lit(damping) * (col("wq").cast("double") / lit(100000000.0))).as("rank"))
-        .unionAll(noRecv)
       // Unlike the while-driven BFS/CC loops, a FIXED small round count
       // needs no per-round action at all: left lazy, the rounds compose
       // into ONE DAG — AQE plans every stage, nothing materializes
@@ -169,7 +193,7 @@ object Graph {
       if (checkpointEvery > 0 && i % checkpointEvery == 0)
         ranks = Checkpointing.cut(ranks)
     }
-    ranks
+    if (iters >= 1 && hasNoRecv) ranks.unionAll(noRecv) else ranks
   }
 
   /** Personalized PageRank — random walk with restart to a SEED set
@@ -190,10 +214,13 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).localCheckpoint(true)
+    val nrObs = new org.apache.spark.sql.Observation()
     val nodes = ed.select(col("src").as("node"), lit(false).as("recv"))
       .unionAll(ed.select(col("dst").as("node"), lit(true).as("recv")))
       .groupBy("node").agg(bool_or(col("recv")).as("recv"))
+      .observe(nrObs, count(when(!col("recv"), lit(1))).as("n_norecv"))
       .localCheckpoint(true)
+    val hasNoRecv = nrObs.get("n_norecv").asInstanceOf[Long] > 0L
     val isSeed = col("node").isin(seeds: _*)
     val base = lit(1.0 - damping) / lit(seeds.size.toDouble)
     var ranks = nodes.select(col("node"),
@@ -201,20 +228,31 @@ object Graph {
         .otherwise(lit(0.0)).as("rank"))
     val noRecv = nodes.filter(!col("recv")).select(col("node"),
       when(isSeed, r8(base)).otherwise(lit(0.0)).as("rank"))
-    for (i <- 1 to iters) {
-      val contrib = ranks.join(ed, ranks("node") === ed("src"))
+    def quantized(r: DataFrame): DataFrame =
+      r.join(ed, r("node") === ed("src"))
         .select(col("dst").as("node"),
           floor(col("rank") * lit(100000000L) / col("outdeg") + lit(0.5)).cast("long").as("wq"))
+    // same co-partitioning move as [[pagerank]] (round 16): no-inbound
+    // nodes hold a constant rank from round 2 on (r8(base) for seeds,
+    // exactly 0.0 otherwise — a 0.0 source quantizes to wq = 0, kept so
+    // the summed row sets match the old form exactly), so their
+    // contributions union BELOW the exchange and the loop-carried frame
+    // stays a pure aggregate output, co-partitioned with the edge list;
+    // a symmetrized graph observes |noRecv| = 0 and skips the machinery.
+    val noRecvContrib = quantized(noRecv)
+    for (i <- 1 to iters) {
+      val fromRanks = quantized(ranks)
+      val contrib = (if (i == 1 || !hasNoRecv) fromRanks
+        else fromRanks.unionAll(noRecvContrib))
         .groupBy("node").agg(sum(col("wq")).as("wq"))
       ranks = contrib
         .select(col("node"),
           r8(when(isSeed, base).otherwise(lit(0.0)) +
             lit(damping) * (col("wq").cast("double") / lit(100000000.0))).as("rank"))
-        .unionAll(noRecv)
       if (checkpointEvery > 0 && i % checkpointEvery == 0)
         ranks = Checkpointing.cut(ranks)
     }
-    ranks
+    if (iters >= 1 && hasNoRecv) ranks.unionAll(noRecv) else ranks
   }
 
   /** Katz centrality (Katz 1953) with a DYADIC attenuation factor —

@@ -102,6 +102,25 @@ class SearchGraphSpec extends SparkTestBase {
     assert(out === Map(1L -> 0.5, 2L -> 0.5))
   }
 
+  test("pagerank: no-inbound source node holds the base rank; exact hand replay (round 16)") {
+    // 3→1, 1→2, 2→1: node 3 has out-edges but NO in-edges (noRecv
+    // nonzero), exercising the constant-contribution union path the
+    // symmetrized oracle queries never reach
+    val e = Seq((3L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = Graph.pagerank(e, iters = 4).as[(Long, Double)].collect().toMap
+    val n = 3.0; val d = 0.85; val base = (1.0 - d) / n
+    def g(x: Double) = math.floor(x * 1e8 + 0.5) / 1e8
+    def wq(r: Double, deg: Long) = math.floor(r * 1e8 / deg + 0.5).toLong
+    var (x1, x2, x3) = (g(1 / n), g(1 / n), g(1 / n))
+    for (_ <- 1 to 4) {
+      val n1 = g(base + d * ((wq(x3, 1) + wq(x2, 1)).toDouble / 1e8))
+      val n2 = g(base + d * (wq(x1, 1).toDouble / 1e8))
+      val n3 = g(base)
+      x1 = n1; x2 = n2; x3 = n3
+    }
+    assert(out === Map(1L -> x1, 2L -> x2, 3L -> x3), out.toString)
+  }
+
   test("pagerank ranks a star center above its leaves; total mass ~1") {
     // undirected star: center 0 <-> leaves 1..4
     val leaves = (1L to 4L)
