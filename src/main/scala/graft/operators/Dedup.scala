@@ -299,17 +299,20 @@ object Dedup {
     // the stream side reads the blocks exchange-free. This still
     // replaces the relational form's three pre-join shuffles
     // (distinct, set sizes, size join). */
-    val posting = Dist.byKeys(
+    // eager keyed cut, not persist(): same cached-both-sides self-join,
+    // blocks released by the ContextCleaner when this frame goes out of
+    // scope — persist() here leaked storage for the session lifetime.
+    // byKeysCut (round 16) also puts the sh-partitioning DECLARATION
+    // back on the checkpoint (under AQE, Dataset.localCheckpoint erases
+    // it — the r04 caveat below was really this) and pre-sorts within
+    // partitions, so the sort-merge self-join regime consumes both
+    // sides exchange-free AND sort-free.
+    val posting = Dist.byKeysCut(
       df.select(id.as("doc_id"),
           graft.plans.TextExpressions.shingleHashSet(text, shingleSize).as("__hs"))
         .select(col("doc_id"), size(col("__hs")).cast("long").as("n_sh"),
           explode(col("__hs")).as("sh")),
-      col("sh"))
-      // eager localCheckpoint, not persist(): same cached-both-sides
-      // self-join (LogicalRDD keeps the sh-partitioning), but the blocks
-      // are released by the ContextCleaner when this frame goes out of
-      // scope — persist() here leaked storage for the session lifetime
-      .localCheckpoint(true)
+      "sh")
     val filtered =
       if (maxDf == Long.MaxValue) posting
       else {
@@ -342,13 +345,14 @@ object Dedup {
     * stop-shingle skew guard. */
   def containmentPairs(df: DataFrame, text: Column, id: Column, threshold: Double,
       shingleSize: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
-    val posting = Dist.byKeys(
+    // keyed cut with the sh-partitioning declared + pre-sorted (round 16,
+    // same move as jaccardPairs above)
+    val posting = Dist.byKeysCut(
       df.select(id.as("doc_id"),
           graft.plans.TextExpressions.shingleHashSet(text, shingleSize).as("__hs"))
         .select(col("doc_id"), size(col("__hs")).cast("long").as("n_sh"),
           explode(col("__hs")).as("sh")),
-      col("sh"))
-      .localCheckpoint(true)
+      "sh")
     val filtered =
       if (maxDf == Long.MaxValue) posting
       else {

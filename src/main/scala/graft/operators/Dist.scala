@@ -23,4 +23,37 @@ object Dist {
     * made explicit (AQE-coalesce-proof). */
   def byKeys(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
+  /** [[byKeys]] + eager lineage cut + the partitioning DECLARATION put
+    * back on the cut (round 16). Under AQE, `Dataset.localCheckpoint`
+    * captures `AdaptiveSparkPlanExec.outputPartitioning` — which is
+    * `UnknownPartitioning` — so the iterative operators' carefully
+    * pre-distributed edge checkpoints were coming back declaration-less
+    * and every per-round join/aggregate keyed on them re-exchanged the
+    * materialized blocks (invisible at toy SFs where AQE
+    * broadcast-converts those joins; measured at the ~sf1/sf3 synth
+    * slices as one full edge-list exchange PER ROUND). The declaration
+    * is factually true here by construction: the repartition sits
+    * directly under the cut, is exempt from AQE coalescing (explicit
+    * partition count), and checkpoint materialization is
+    * placement-preserving. Columns must be plain names for the
+    * re-declaration. */
+  def byKeysCut(df: DataFrame, cols: String*): DataFrame =
+    byKeysCutVia(df, identity, cols: _*)
+
+  /** [[byKeysCut]] with a narrow (placement/order-preserving — observe/
+    * select/filter only) transform applied between the sort and the cut,
+    * e.g. an Observation riding the checkpoint job.
+    *
+    * The cut data is additionally sortWithinPartitions(cols)-ordered and
+    * BOTH properties are re-declared, so a downstream sort-merge join or
+    * sort-based aggregate keyed on `cols` consumes the checkpoint with
+    * neither an exchange nor a sort — the bucketed-sorted-table shape,
+    * paid once at the cut instead of once per consuming round. */
+  def byKeysCutVia(df: DataFrame, pre: DataFrame => DataFrame,
+      cols: String*): DataFrame =
+    org.apache.spark.sql.graftbridge.DatasetBridge.declareHashPartitioning(
+      Checkpointing.cut(pre(
+        byKeys(df, cols.map(df.col): _*).sortWithinPartitions(cols.map(df.col): _*))),
+      cols, sortedWithin = true)
 }

@@ -117,7 +117,7 @@ object Graph {
     //     defeat exchange reuse) — both collapse into a per-round
     //     NARROW FILTER over these cached blocks.
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).localCheckpoint(true)
+    val ed = Dist.byKeysCut(e.join(outdeg, "src"), "src")
     // |V| rides the checkpoint job as an observe metric (round 15) —
     // the old separate nodes.count() action was one more full scheduler
     // round-trip for a scalar the same job already knows
@@ -213,12 +213,13 @@ object Graph {
     require(iters >= 0 && seeds.nonEmpty)
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = Dist.byKeys(e.join(outdeg, "src"), col("src")).localCheckpoint(true)
+    val ed = Dist.byKeysCut(e.join(outdeg, "src"), "src")
     val nrObs = new org.apache.spark.sql.Observation()
     val nodes = ed.select(col("src").as("node"), lit(false).as("recv"))
       .unionAll(ed.select(col("dst").as("node"), lit(true).as("recv")))
       .groupBy("node").agg(bool_or(col("recv")).as("recv"))
-      .observe(nrObs, count(when(!col("recv"), lit(1))).as("n_norecv"))
+      .observe(nrObs, count(lit(1)).as("n"),
+        count(when(!col("recv"), lit(1))).as("n_norecv"))
       .localCheckpoint(true)
     val hasNoRecv = nrObs.get("n_norecv").asInstanceOf[Long] > 0L
     val isSeed = col("node").isin(seeds: _*)
@@ -280,7 +281,7 @@ object Graph {
       attenuationDiv: Long = 64L, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0 && attenuationDiv >= 2)
     val e = edges.select(col("src"), col("dst")).distinct()
-    val ed = Dist.byKeys(e, col("src")).localCheckpoint(true)
+    val ed = Dist.byKeysCut(e, "src")
     val nodes = ed.select(col("src").as("node"))
       .unionAll(ed.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -347,10 +348,10 @@ object Graph {
     // past 2³¹ must pass an explicit larger idBound (which shrinks the
     // safe per-label vote count to 2⁶³/idBound — documented contract).
     val idObs = new org.apache.spark.sql.Observation()
-    val ed = Dist.byKeys(e, col("src"))
-      .observe(idObs, min(least(col("src"), col("dst"))).cast("long").as("lo"),
-        max(greatest(col("src"), col("dst"))).cast("long").as("hi"))
-      .localCheckpoint(true)
+    val ed = Dist.byKeysCutVia(e,
+      _.observe(idObs, min(least(col("src"), col("dst"))).cast("long").as("lo"),
+        max(greatest(col("src"), col("dst"))).cast("long").as("hi")),
+      "src")
     val idLo = idObs.get("lo")
     require(idLo == null || (idLo.asInstanceOf[Long] >= 0L &&
         idObs.get("hi").asInstanceOf[Long] < idBound),
@@ -803,8 +804,8 @@ object Graph {
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).distinct()
-    val edSrc = Dist.byKeys(e, col("src")).localCheckpoint(true)
-    val edDst = Dist.byKeys(edSrc, col("dst")).localCheckpoint(true)
+    val edSrc = Dist.byKeysCut(e, "src")
+    val edDst = Dist.byKeysCut(edSrc, "dst")
     val unit = lit(100000000L)
     var hub = edSrc.select(col("src").as("node")).distinct()
       .select(col("node"), unit.as("unit"))

@@ -92,6 +92,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(math.abs(out.head.getDouble(2) - 3.0 / 5.0) < 1e-9)
   }
 
+  test("jaccard/containment pairs identical in the FORCED sort-merge regime (round 16)") {
+    // the posting checkpoint declares sh-partitioning + within-partition
+    // ordering (Dist.byKeysCut); the SMJ regime consumes it through
+    // LogicalRDD.newInstance's attribute remap on the self-join's second
+    // side — this pins that the declared properties survive the remap
+    // (a mis-remapped declaration would silently skip a required sort
+    // and drop pairs)
+    val docs = docsDf((1L to 40L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} common tail words w${i % 11} w${i % 13}")))
+    def run(): (Set[(Long, Long, Double)], Set[(Long, Long, Double)]) = (
+      Dedup.jaccardPairs(docs, col("text"), col("doc_id"), 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      Dedup.containmentPairs(docs, col("text"), col("doc_id"), 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    val (jDefault, cDefault) = run()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val (jSmj, cSmj) = run()
+      assert(jSmj === jDefault, "jaccard pairs differ between join regimes")
+      assert(cSmj === cDefault, "containment pairs differ between join regimes")
+      assert(jDefault.nonEmpty && cDefault.nonEmpty, "vacuous fixture")
+    } finally spark.conf.set(key, old)
+  }
+
   test("containmentPairs: full quote scores 1.0 forward, small backward; directions independent") {
     // doc 1 is entirely contained in doc 2 (8 extra words around it):
     // C(1->2) = 1.0, C(2->1) = 4/12 — only the forward direction passes
